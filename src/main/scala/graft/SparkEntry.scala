@@ -13,7 +13,7 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private def registries: Seq[QueryRegistry] = Seq(Relational)
+  private def registries: Seq[QueryRegistry] = Seq(Relational, IngestParity)
 
   private lazy val allQueries: Seq[GraftQuery] = registries.flatMap(_.all)
 

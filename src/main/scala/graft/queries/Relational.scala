@@ -47,7 +47,256 @@ object Relational extends QueryRegistry {
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       GROUP BY l_returnflag, l_linestatus
-    """.stripMargin.trim))
+    """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q01)
+  /** S5 (SURVEY §2.1): scan with projection + filter pushdown — both
+    * the predicate and the 4-column read schema should reach the
+    * parquet scan (verified via explain in PLANS.md).
+    */
+  val q02 = GraftQuery(
+    "q02_scan_project_filter",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_quantity") >= 49)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          round(col("l_extendedprice"), 2).as("price"))
+    },
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity, round(l_extendedprice, 2) AS price
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        AND l_quantity >= 49
+    """.trim))
+
+  /** O1 (SURVEY §2.6): sorted top-k — TakeOrderedAndProject. Ties on
+    * rounded revenue broken by the unique order key so the top-20 set
+    * is deterministic across engines.
+    */
+  val q03 = GraftQuery(
+    "q03_top_revenue_orders",
+    (s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      val o = Tables.orders(s, d)
+      rev.join(o, rev("l_orderkey") === o("o_orderkey"))
+        .select(col("o_orderkey"), col("revenue"), col("o_custkey"),
+          col("o_orderdate").cast("timestamp").cast("long").as("orderdate_epoch"))
+        .orderBy(desc("revenue"), asc("o_orderkey"))
+        .limit(20)
+    },
+    Some("""
+      SELECT o_orderkey, revenue, o_custkey, CAST(epoch(o_orderdate) AS BIGINT) AS orderdate_epoch
+      FROM (SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem GROUP BY l_orderkey) r
+      JOIN orders ON r.l_orderkey = o_orderkey
+      ORDER BY revenue DESC, o_orderkey ASC
+      LIMIT 20
+    """.trim))
+
+  /** J1 (SURVEY §2.4): anti-join / set difference — the reconciliation
+    * core (reference: lambda/agf_reconciliation_lambda.py:64-66).
+    */
+  val q04 = GraftQuery(
+    "q04_customers_without_recent_orders",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    """.trim))
+
+  /** Semi-join (EXISTS) companion of J1: orders having at least one
+    * deeply-discounted line, counted per priority bucket.
+    */
+  val q05 = GraftQuery(
+    "q05_discounted_orders_by_priority",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d).filter(col("l_discount") >= 0.09)
+        .select(col("l_orderkey"))
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_discount >= 0.09)
+      GROUP BY o_orderpriority
+    """.trim))
+
+  /** J2 (SURVEY §2.4): union + distinct across heterogeneous tables —
+    * one key-set from three tables with different key columns
+    * (reference: lambda/agf_reconciliation_lambda.py:128-166).
+    */
+  val q06 = GraftQuery(
+    "q06_union_distinct_keys",
+    (s, d) => {
+      val a = Tables.lineitem(s, d).select(col("l_suppkey").cast("long").as("key"))
+      val b = Tables.supplier(s, d).select(col("s_suppkey").cast("long").as("key"))
+      val c = Tables.customer(s, d).select(col("c_custkey").cast("long").as("key"))
+      a.union(b).union(c).distinct()
+    },
+    Some("""
+      SELECT DISTINCT key FROM (
+        SELECT CAST(l_suppkey AS BIGINT) AS key FROM lineitem
+        UNION ALL SELECT CAST(s_suppkey AS BIGINT) FROM supplier
+        UNION ALL SELECT CAST(c_custkey AS BIGINT) FROM customer)
+    """.trim))
+
+  /** J3 (SURVEY §2.4): insert-if-absent idempotent merge — new rows
+    * are the incoming batch anti-joined against the existing table on
+    * the primary key (reference: conditional put_item,
+    * lambda/agf_ingestion_lambda.py:226-236).
+    */
+  val q07 = GraftQuery(
+    "q07_insert_if_absent",
+    (s, d) => {
+      val orders = Tables.orders(s, d)
+      val existing = orders
+        .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .select(col("o_orderkey"))
+      val incoming = orders.filter(col("o_totalprice") > 150000)
+      incoming.join(existing, Seq("o_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+      FROM orders i
+      WHERE o_totalprice > 150000
+        AND NOT EXISTS (SELECT 1 FROM orders e
+                        WHERE e.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+                          AND e.o_orderkey = i.o_orderkey)
+    """.trim))
+
+  /** J4 (SURVEY §2.4): last-writer-wins merge — keep the
+    * highest-priority row per key, priority = (ts desc, event_id desc)
+    * (reference: unconditional batch_writer overwrite,
+    * lambda/agf_ingestion_lambda.py:238-252).
+    */
+  val q08 = GraftQuery(
+    "q08_last_writer_wins",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(desc("ts"), desc("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+    },
+    Some("""
+      SELECT user_id, event_type, event_id, value
+      FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts DESC, event_id DESC) = 1
+    """.trim))
+
+  /** W2 (SURVEY §2.7): latest-version-per-key read — the versioned
+    * experiments table pattern (key = (experiment_id, last_updated)).
+    */
+  val q09 = GraftQuery(
+    "q09_latest_order_per_customer",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").cast("long").as("orderdate_epoch"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS orderdate_epoch
+      FROM orders
+      QUALIFY row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    """.trim))
+
+  /** W1 (SURVEY §2.7): duplicate-basename disambiguation — collision
+    * on a derived name gets suffix _1, _2, ... in arrival order
+    * (reference: lambda/agf_zip_generator_lambda.py:104-114).
+    */
+  val q10 = GraftQuery(
+    "q10_dedup_basename_suffix",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("base")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("base", substring_index(col("text"), " ", 1))
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"),
+          when(col("rn") === 1, col("base"))
+            .otherwise(concat(col("base"), lit("_"), col("rn") - 1))
+            .as("final_name"))
+    },
+    Some("""
+      SELECT doc_id,
+             CASE WHEN rn = 1 THEN base ELSE base || '_' || CAST(rn - 1 AS VARCHAR) END AS final_name
+      FROM (SELECT doc_id, split_part(text, ' ', 1) AS base,
+                   row_number() OVER (PARTITION BY split_part(text, ' ', 1)
+                                      ORDER BY doc_id) AS rn
+            FROM documents)
+    """.trim))
+
+  /** Time-bucketed rollup (T6 analog in batch): tumbling 1-hour
+    * windows over the event stream table.
+    */
+  val q11 = GraftQuery(
+    "q11_hourly_event_rollup",
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy((expr("ts div 3600000000000") * 3600).as("hour_epoch"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+    },
+    Some("""
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+             event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+    """.trim))
+
+  /** J1 both directions + A3 (SURVEY §3.2): the reconciliation job —
+    * keys present on one side but not the other, tagged by direction
+    * (reference: lambda/agf_reconciliation_lambda.py:48-96).
+    */
+  val q12 = GraftQuery(
+    "q12_reconcile_orphans",
+    (s, d) => {
+      val left = Tables.events(s, d).select(col("user_id").cast("long").as("key")).distinct()
+      val right = Tables.customer(s, d).select(col("c_custkey").cast("long").as("key")).distinct()
+      val inLeftOnly = left.join(right, Seq("key"), "left_anti")
+        .select(lit("events_only").as("direction"), col("key"))
+      val inRightOnly = right.join(left, Seq("key"), "left_anti")
+        .select(lit("customer_only").as("direction"), col("key"))
+      inLeftOnly.union(inRightOnly)
+    },
+    Some("""
+      SELECT 'events_only' AS direction, key
+      FROM (SELECT DISTINCT CAST(user_id AS BIGINT) AS key FROM events) l
+      WHERE NOT EXISTS (SELECT 1 FROM customer WHERE CAST(c_custkey AS BIGINT) = l.key)
+      UNION ALL
+      SELECT 'customer_only' AS direction, key
+      FROM (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS key FROM customer) r
+      WHERE NOT EXISTS (SELECT 1 FROM events WHERE CAST(user_id AS BIGINT) = r.key)
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12)
 }
