@@ -13,7 +13,8 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private def registries: Seq[QueryRegistry] = Seq(Relational, IngestParity)
+  private def registries: Seq[QueryRegistry] =
+    Seq(Relational, IngestParity, DedupQueries, SimilarityQueries)
 
   private lazy val allQueries: Seq[GraftQuery] = registries.flatMap(_.all)
 

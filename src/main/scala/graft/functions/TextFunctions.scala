@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the LLM-data-pipeline operators:
+  * tokenization, shingling, cross-engine-stable hashing, MinHash
+  * signatures, SimHash fingerprints. All built-in expressions — no
+  * UDFs — so everything stays codegen'd and scales to 100 TB.
+  *
+  * Hashing convention: the first 8 (or 15) hex chars of md5 as an
+  * integer. md5 is identical in every engine, which is what lets the
+  * DuckDB oracle reproduce signatures bit-for-bit.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count (whitespace tokenizer; empty text -> 0). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(split(trim(text), "\\s+")))
+
+  /** Distinct word n-gram shingles, joined by single spaces. Empty
+    * array when the text has fewer than n words (sequence() would
+    * otherwise count down).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val words = tokens(text)
+    when(size(words) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(words) - (n - 1)),
+        i => array_join(slice(words, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** 32-bit-range integer hash of a string: first 8 hex chars of md5.
+    * Uniform, deterministic, reproducible in any engine with md5.
+    */
+  def md5Int32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** 60-bit integer hash: first 15 hex chars of md5 (fits a signed
+    * 64-bit long with headroom for bit arithmetic).
+    */
+  def md5Int60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  // ----------------------------------------------------------------
+  // MinHash
+  // ----------------------------------------------------------------
+
+  /** Universal-hash parameters h_i(x) = (a_i * x + b_i) mod P. With
+    * x < 2^32 and a <= 127, a*x + b < 2^39 — no 64-bit overflow.
+    */
+  val MinhashP: Long = 2147483647L // 2^31 - 1 (Mersenne prime)
+  val MinhashAB: Seq[(Int, Int)] = Seq(
+    (7, 101), (11, 211), (13, 307), (17, 401),
+    (19, 503), (23, 601), (29, 701), (31, 809),
+    (37, 907), (41, 1009), (43, 1103), (47, 1201),
+    (53, 1301), (59, 1409), (61, 1499), (67, 1601))
+
+  /** MinHash signature (array of MinhashAB.size mins) over a column of
+    * string shingle arrays. Pure per-row compute: no explode, no
+    * shuffle — the signature of a 100 TB corpus is one narrow map.
+    */
+  def minhashSignature(shingleArr: Column): Column = {
+    val ints = transform(shingleArr, md5Int32 _)
+    array(MinhashAB.map { case (a, b) =>
+      array_min(transform(ints, x => (x * a + b) % MinhashP))
+    }: _*)
+  }
+
+  /** LSH band keys: the signature split into `bands` groups of
+    * `rowsPerBand`, each joined to a comma-separated key. Docs sharing
+    * any band key become candidate pairs.
+    */
+  def minhashBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { j =>
+      array_join(slice(sig, j * rowsPerBand + 1, rowsPerBand), ",")
+    }: _*)
+
+  // ----------------------------------------------------------------
+  // SimHash
+  // ----------------------------------------------------------------
+
+  /** Number of SimHash bits (60: fits md5Int60). */
+  val SimhashBits: Int = 60
+
+  /** SimHash fingerprint over a column of string token/shingle arrays:
+    * bit b is set when more than half the tokens have bit b set in
+    * their 60-bit hash. Again pure per-row compute.
+    */
+  def simhash(tokenArr: Column): Column = {
+    val ints = transform(tokenArr, md5Int60 _)
+    val total = size(ints)
+    (0 until SimhashBits).map { b =>
+      val cnt = size(filter(ints, x => pmod(shiftright(x, b), lit(2)) === 1))
+      when(cnt * 2 > total, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two SimHash fingerprints. */
+  def hammingDistance(f1: Column, f2: Column): Column =
+    bit_count(f1.bitwiseXOR(f2))
+
+  // ----------------------------------------------------------------
+  // Fingerprinting
+  // ----------------------------------------------------------------
+
+  /** Content fingerprint of normalized text (lowercase, all
+    * non-alphanumerics stripped): stable under whitespace or
+    * punctuation-only edits.
+    */
+  def contentFingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
+}

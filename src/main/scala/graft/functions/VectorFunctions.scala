@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over ArrayType(FloatType) embedding columns, as
+  * higher-order built-in expressions (zip_with / aggregate). Floats
+  * are widened to double before multiplying, and the sum is a
+  * sequential left fold — the same order DuckDB's list_sum uses — so
+  * the oracle reproduces results bit-for-bit before rounding.
+  */
+object VectorFunctions {
+
+  /** Dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Squared L2 distance. */
+  def l2Squared(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0d), (acc, v) => acc + v)
+}

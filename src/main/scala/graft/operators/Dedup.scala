@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale design: signature computation (minhash / simhash /
+  * fingerprint) is narrow per-row compute — it runs inside
+  * whole-stage codegen with no shuffle, so a 100 TB corpus pays one
+  * scan. Only the candidate-pair stage shuffles, and it shuffles
+  * band keys / fingerprints (tiny) rather than documents. The final
+  * verify joins fetch the shingle arrays for candidates only.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical content by fingerprint, keep the
+    * lowest id as canonical. hash-groupBy — one shuffle of
+    * (fingerprint, id) pairs only.
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** All pairs with word-n-gram Jaccard similarity >= threshold,
+    * found via an exploded shingle equi-join (pairs must share at
+    * least one shingle). Exact — no approximation. Quadratic in the
+    * per-shingle document frequency: at scale, prefer
+    * minhashLshPairs and keep this as the verifier.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      T.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
+    val a = exploded.as("a"); val b = exploded.as("b")
+    val cand = a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("n_sh"))
+    cand
+      .join(sizes.as("s1"), col("id1") === col("s1.id"))
+      .join(sizes.as("s2"), col("id2") === col("s2.id"))
+      .withColumn("jaccard",
+        round(col("inter") / (col("s1.n_sh") + col("s2.n_sh") - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** MinHash + LSH near-dup pairs: shingle -> 16-hash signature ->
+    * band buckets -> candidate pairs -> exact-Jaccard verify on the
+    * candidates only (via array_intersect — no exploded join).
+    *
+    * This is the 100 TB path: signatures are a narrow map; the only
+    * shuffle carries (band_key, id); the verify join touches candidate
+    * rows only.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      T.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = sh.withColumn("sig", T.minhashSignature(col("sh")))
+      .withColumn("bands", T.minhashBands(col("sig"), bands, rowsPerBand))
+    val banded = sig.select(col("id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    val withSets = cand
+      .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+    withSets
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard",
+        round(col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 60-bit shingle-based fingerprints,
+    * pairs within `maxHamming`. The pair stage here is a cross join
+    * for exactness; the scale path buckets fingerprints by bit-prefix
+    * chunks (any pair within hamming d shares at least one of d+1
+    * equal chunks) — see simhashBucketedPairs.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, maxHamming: Int): DataFrame = {
+    val fp = docs.select(col(idCol).as("id"),
+      T.simhash(T.shingles(col(textCol), n)).as("fp"))
+    fp.as("a").join(fp.as("b"), col("a.id") < col("b.id"))
+      .withColumn("hamming", T.hammingDistance(col("a.fp"), col("b.fp")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"), col("hamming"))
+  }
+
+  /** SimHash pairs at scale: split the 60-bit fingerprint into
+    * (maxHamming + 1) chunks; by pigeonhole any pair within
+    * maxHamming matches on at least one chunk, so the equi-join on
+    * (chunk_idx, chunk_value) finds all such pairs without a cross
+    * join. Same output as simhashPairs.
+    */
+  def simhashBucketedPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, maxHamming: Int): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPerChunk = T.SimhashBits / chunks + (if (T.SimhashBits % chunks == 0) 0 else 1)
+    val fp = docs.select(col(idCol).as("id"),
+      T.simhash(T.shingles(col(textCol), n)).as("fp"))
+    val chunked = fp.select(col("id"), col("fp"), posexplode(
+      array((0 until chunks).map { j =>
+        shiftright(col("fp"), j * bitsPerChunk)
+          .bitwiseAND(lit((1L << bitsPerChunk) - 1))
+      }: _*)).as(Seq("chunk_idx", "chunk_val")))
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        T.hammingDistance(col("a.fp"), col("b.fp")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup pairs with cosine >= threshold, brute-force
+    * (exact). For the approximate scale path see
+    * Similarity.lshBucketedPairs.
+    */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cosine", round(V.cosine(col("a.v"), col("b.v")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"), col("cosine"))
+  }
+}

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+import graft.operators.Dedup
+
+/** Driver-checkable dedup queries (the LLM-pipeline extension family):
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+  * Every oracle reproduces the exact signature math via md5-derived
+  * integer hashing, so DuckDB verifies the full pipeline — not just
+  * row counts.
+  */
+object DedupQueries extends QueryRegistry {
+
+  /** Shared DuckDB SQL fragment: distinct 3-gram shingle lists. */
+  private val duckShingles =
+    """
+      w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      sh AS (SELECT doc_id,
+                    list_distinct(list_transform(range(1, len(words) - 1),
+                                  i -> array_to_string(words[i:i+2], ' '))) AS s
+             FROM w WHERE len(words) >= 3)
+    """.trim
+
+  /** Exact dedup via content hash (hash-groupBy; SURVEY extension +
+    * the reference's O(1) set-dedup analog).
+    */
+  val q20 = GraftQuery(
+    "q20_dedup_exact",
+    (s, d) => Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text"),
+    Some("""
+      SELECT md5(text) AS fingerprint, min(doc_id) AS canonical_id, count(*) AS n_copies
+      FROM documents GROUP BY md5(text)
+    """.trim))
+
+  /** Exact n-gram Jaccard pairs via exploded-shingle equi-join. */
+  val q21 = GraftQuery(
+    "q21_dedup_ngram_jaccard",
+    (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      n = 3, threshold = 0.5),
+    Some(s"""
+      WITH $duckShingles,
+      ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      sz AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+      cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+               FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+      SELECT id1, id2,
+             round(inter * 1.0 / (x.n_sh + y.n_sh - inter), 4) AS jaccard
+      FROM cand JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+      WHERE round(inter * 1.0 / (x.n_sh + y.n_sh - inter), 4) >= 0.5
+    """.trim))
+
+  /** MinHash + LSH near-dup pairs, exact-Jaccard-verified. The oracle
+    * reproduces the full signature -> band -> candidate -> verify
+    * pipeline with the same (a, b, P) universal-hash constants.
+    */
+  val q22 = GraftQuery(
+    "q22_dedup_minhash_lsh",
+    (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+      n = 3, bands = 4, rowsPerBand = 4, threshold = 0.5),
+    Some {
+      val p = T.MinhashP
+      val sigEntries = T.MinhashAB.map { case (a, b) =>
+        s"list_aggregate(list_transform(xi, x -> (x * $a + $b) % $p), 'min')"
+      }.mkString(",\n                    ")
+      val bandEntries = (0 until 4).map { j =>
+        s"array_to_string(sg[${j * 4 + 1}:${j * 4 + 4}], ',')"
+      }.mkString(", ")
+      s"""
+      WITH $duckShingles,
+      ints AS (SELECT doc_id, s,
+                      list_transform(s, x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS xi
+               FROM sh),
+      sig AS (SELECT doc_id, s,
+                     [$sigEntries] AS sg
+              FROM ints),
+      bands AS (SELECT doc_id, s, band_idx, [$bandEntries][band_idx + 1] AS band_key
+                FROM sig, unnest([0, 1, 2, 3]) AS t(band_idx)),
+      cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+               FROM bands a JOIN bands b
+                 ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id),
+      verified AS (SELECT id1, id2,
+                          round(len(list_intersect(x.s, y.s)) * 1.0 /
+                                (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 4) AS jaccard
+                   FROM cand JOIN sh x ON id1 = x.doc_id JOIN sh y ON id2 = y.doc_id)
+      SELECT id1, id2, jaccard FROM verified WHERE jaccard >= 0.5
+      """.trim
+    })
+
+  /** SimHash near-dup pairs (60-bit shingle fingerprints, bucketed by
+    * the pigeonhole chunk trick — no cross join).
+    */
+  val q23 = GraftQuery(
+    "q23_dedup_simhash",
+    (s, d) => Dedup.simhashBucketedPairs(Tables.documents(s, d), "doc_id", "text",
+      n = 3, maxHamming = 12),
+    Some {
+      val bitTerms = (0 until T.SimhashBits).map { b =>
+        s"(CASE WHEN 2 * len(list_filter(xi, x -> ((x >> $b) & 1) = 1)) > len(xi) THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" +\n                   ")
+      // 13 chunks of 5 bits: any pair with hamming <= 12 shares a chunk
+      val chunkCount = 13
+      val bitsPerChunk = 5
+      val chunkEntries = (0 until chunkCount).map { j =>
+        s"((fp >> ${j * bitsPerChunk}) & ${(1L << bitsPerChunk) - 1})"
+      }.mkString(", ")
+      s"""
+      WITH $duckShingles,
+      ints AS (SELECT doc_id,
+                      list_transform(s, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS xi
+               FROM sh),
+      fps AS (SELECT doc_id,
+                     $bitTerms AS fp
+              FROM ints),
+      chunked AS (SELECT doc_id, fp, chunk_idx, [$chunkEntries][chunk_idx + 1] AS chunk_val
+                  FROM fps, unnest(range(0, $chunkCount)) AS t(chunk_idx)),
+      pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.fp AS fp1, b.fp AS fp2
+                FROM chunked a JOIN chunked b
+                  ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+                 AND a.doc_id < b.doc_id)
+      SELECT id1, id2, CAST(bit_count(xor(fp1, fp2)) AS INT) AS hamming
+      FROM pairs WHERE bit_count(xor(fp1, fp2)) <= 12
+      """.trim
+    })
+
+  /** Embedding-cosine near-dup pairs, brute-force exact. */
+  val q24 = GraftQuery(
+    "q24_dedup_embedding_cosine",
+    (s, d) => Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+      threshold = 0.4),
+    Some("""
+      WITH pairs AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+               round(
+                 list_sum(list_transform(range(1, 65),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+                 (sqrt(list_sum(list_transform(range(1, 65),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+                  sqrt(list_sum(list_transform(range(1, 65),
+                   i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 4) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      SELECT id1, id2, cosine FROM pairs WHERE cosine >= 0.4
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24)
+}

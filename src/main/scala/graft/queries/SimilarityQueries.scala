@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Similarity
+
+/** Driver-checkable similarity-search queries: exact brute-force
+  * top-k as the baseline, IVF centroid assignment as the scale path.
+  */
+object SimilarityQueries extends QueryRegistry {
+
+  /** Shared DuckDB cosine fragment over 64-dim float lists (double
+    * widening + sequential sum, matching the Spark fold).
+    */
+  private def duckCos(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, 65),
+           i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))) /
+        (sqrt(list_sum(list_transform(range(1, 65),
+           i -> CAST($a.embedding[i] AS DOUBLE) * CAST($a.embedding[i] AS DOUBLE)))) *
+         sqrt(list_sum(list_transform(range(1, 65),
+           i -> CAST($b.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))))))"""
+
+  /** Exact ANN baseline: top-10 cosine neighbors for the first five
+    * vectors, ties broken by neighbor id.
+    */
+  val q25 = GraftQuery(
+    "q25_ann_brute_force_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 10)
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(${duckCos("q", "c")}, 4) AS cosine
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 5)
+      SELECT query_id, neighbor_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rn
+      FROM scored
+      QUALIFY rn <= 10
+    """.trim))
+
+  /** IVF assignment: nearest of 8 seed centroids (vec_id 0..7) by
+    * squared L2, ties broken by centroid id — the partition layout a
+    * 100 TB corpus would be bucketed by.
+    */
+  val q26 = GraftQuery(
+    "q26_ann_ivf_assign",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfAssign(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", "vec_id", "embedding")
+    },
+    Some("""
+      WITH dists AS (
+        SELECT v.vec_id AS id, c.vec_id AS centroid_id,
+               round(list_sum(list_transform(range(1, 65),
+                 i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) *
+                      (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))), 6) AS dist2
+        FROM embeddings v JOIN embeddings c ON c.vec_id < 8)
+      SELECT id, centroid_id AS cluster_id, dist2
+      FROM dists
+      QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist2 ASC, centroid_id ASC) = 1
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q25, q26)
+}
