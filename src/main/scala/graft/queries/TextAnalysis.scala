@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{QualityFunctions => Q, TextFunctions => T}
+import graft.operators.Multimodal
+
+/** Driver-checkable text-analysis + multimodal-plumbing queries:
+  * token stats, quality scoring, language ID, content fingerprints,
+  * and binary-column handling.
+  */
+object TextAnalysis extends QueryRegistry {
+
+  /** Token counting: whitespace tokens and regex word tokens, rolled
+    * up per language.
+    */
+  val q30 = GraftQuery(
+    "q30_token_stats",
+    (s, d) => {
+      Tables.documents(s, d)
+        .withColumn("n_tok", T.tokenCount(col("text")))
+        .withColumn("n_re", regexp_count(col("text"), lit("[a-z0-9]+")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tokens"),
+          sum(col("n_re")).as("sum_regex_tokens"),
+          round(avg(col("n_tok")), 4).as("avg_tokens"))
+    },
+    Some("""
+      SELECT lang, count(*) AS n_docs,
+             sum(len(string_split(trim(text), ' '))) AS sum_tokens,
+             sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS sum_regex_tokens,
+             round(avg(len(string_split(trim(text), ' '))), 4) AS avg_tokens
+      FROM documents
+      GROUP BY lang
+    """.trim))
+
+  /** Per-document quality metrics + composite score. */
+  val q31 = GraftQuery(
+    "q31_quality_scores",
+    (s, d) => {
+      val words = T.tokens(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(words).as("n_tokens"),
+        Q.uniqueRatio(words).as("uniq_ratio"),
+        Q.stopwordRatio(words).as("stopword_ratio"),
+        Q.avgWordLen(col("text"), words).as("avg_word_len"),
+        Q.qualityScore(words).as("quality_score"))
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)
+      SELECT doc_id,
+             len(words) AS n_tokens,
+             round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 4) AS uniq_ratio,
+             round(CAST(len(list_filter(words, x -> x IN ('the', 'a'))) AS DOUBLE) / len(words), 4) AS stopword_ratio,
+             round(CAST(length(text) - (len(words) - 1) AS DOUBLE) / len(words), 4) AS avg_word_len,
+             round(least(CAST(len(words) AS DOUBLE) / 50.0, 1.0) * 0.4 +
+                   (1.0 - CAST(len(list_filter(words, x -> x IN ('the', 'a'))) AS DOUBLE) / len(words)) * 0.3 +
+                   (CAST(len(list_distinct(words)) AS DOUBLE) / len(words)) * 0.3, 4) AS quality_score
+      FROM w
+    """.trim))
+
+  /** Language-ID heuristic: fixed signature-token profiles, argmax
+    * with alphabetical tie-break, compared against the labeled lang.
+    */
+  val q32 = GraftQuery(
+    "q32_language_id",
+    (s, d) => {
+      val words = T.tokens(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        Q.predictedLang(words).as("pred_lang"))
+        .withColumn("is_match", col("lang") === col("pred_lang"))
+    },
+    Some {
+      val scoreDefs = Q.LangProfiles.map { case (l, p) =>
+        val inList = p.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(words, x -> x IN ($inList))) AS s_$l"
+      }.mkString(",\n             ")
+      val langs = Q.LangProfiles.map(_._1)
+      val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val caseArms = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+      s"""
+      WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents),
+      sc AS (SELECT doc_id, lang,
+             $scoreDefs
+             FROM w),
+      mx AS (SELECT *, $m AS m FROM sc)
+      SELECT doc_id, lang,
+             CASE $caseArms END AS pred_lang,
+             lang = (CASE $caseArms END) AS is_match
+      FROM mx
+      """.trim
+    })
+
+  /** Content fingerprinting: md5 of normalized text (lowercase,
+    * non-alphanumerics stripped) — stable under whitespace edits.
+    */
+  val q33 = GraftQuery(
+    "q33_content_fingerprint",
+    (s, d) => {
+      Tables.documents(s, d)
+        .groupBy(T.contentFingerprint(col("text")).as("fingerprint"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+    },
+    Some("""
+      SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
+             min(doc_id) AS canonical_id, count(*) AS n_copies
+      FROM documents
+      GROUP BY 1
+    """.trim))
+
+  /** Multimodal plumbing: text treated as an opaque binary payload —
+    * byte length, header slice, strided frame samples, content hash.
+    * The oracle mirrors byte slices on the string side (the corpus is
+    * ASCII, so byte offsets == char offsets).
+    */
+  val q34 = GraftQuery(
+    "q34_multimodal_binary",
+    (s, d) => Multimodal.binaryProfile(
+      Tables.documents(s, d).select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"))),
+    Some("""
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             lower(hex(encode(substr(text, 1, 8)))) AS header_hex,
+             lower(hex(encode(substr(text, 25, 4)))) AS frame_1,
+             lower(hex(encode(substr(text, 49, 4)))) AS frame_2,
+             lower(hex(encode(substr(text, 73, 4)))) AS frame_3,
+             md5(text) AS content_md5
+      FROM documents
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34)
+}
