@@ -71,14 +71,14 @@ object ColumnOps {
     */
   def lenientEpoch(c: Column): Column =
     coalesce(
-      unix_timestamp(to_timestamp(regexp_replace(c, "Z$", "+00:00"))),
+      unix_timestamp(try_to_timestamp(regexp_replace(c, "Z$", "+00:00"))),
       unix_timestamp(current_timestamp()))
 
   /** P1 strict — the validation predicate that routes to quarantine
     * when STRICT_TIMESTAMP_PARSING is on (ref :30,55-57).
     */
   def isParseableTimestamp(c: Column): Column =
-    to_timestamp(regexp_replace(c, "Z$", "+00:00")).isNotNull
+    try_to_timestamp(regexp_replace(c, "Z$", "+00:00")).isNotNull
 
   /** P7 — epoch truncation (Decimal(str(int(ts))), ref :215 etc.). */
   def epochSeconds(ts: Column): Column = ts.cast("long")

@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Ingest entry points. One transformation code path (IngestPipeline)
+  * behind two sources:
+  *
+  *  - batch: spark.read.json over the directory tree — this IS the
+  *    reference's backfill CLI (SURVEY §3.3 disappears into it);
+  *  - streaming: readStream file source with pathGlobFilter +
+  *    checkpoint; Trigger.AvailableNow gives replay parity. The
+  *    merge sink is idempotent (J3/J4), so at-least-once delivery
+  *    composes to effectively-once (SURVEY §2.9 T2).
+  */
+object IngestJob {
+
+  final case class IngestCounts(runs: Long, experiments: Long,
+      files: Long, quarantined: Long)
+
+  /** The local-path analog of the S3 key: path below the ingest root. */
+  private def withKey(df: DataFrame, root: String, bucket: String): DataFrame = {
+    val norm = root.stripSuffix("/")
+    df.withColumn("s3_key",
+      regexp_replace(input_file_name(), s"^file:.*${java.util.regex.Pattern.quote(norm)}/", ""))
+      .withColumn("s3_key", url_decode(col("s3_key")))
+      .withColumn("s3_bucket", lit(bucket))
+  }
+
+  /** Read + transform one document kind from a tree (batch). */
+  def readRunJsons(spark: SparkSession, root: String, bucket: String): DataFrame =
+    withKey(spark.read.schema(Schemas.runJson)
+      .option("multiLine", "true")
+      .option("pathGlobFilter", "*run.json")
+      .option("recursiveFileLookup", "true").json(root), root, bucket)
+
+  def readExperimentJsons(spark: SparkSession, root: String, bucket: String): DataFrame =
+    withKey(spark.read.schema(Schemas.experimentJson)
+      .option("multiLine", "true")
+      .option("pathGlobFilter", "*experiment.json")
+      .option("recursiveFileLookup", "true").json(root), root, bucket)
+
+  /** Apply the shared transforms + merges for one micro-batch (or the
+    * whole tree in batch mode). Writes the three tables + quarantine
+    * under tablesDir.
+    */
+  def processBatch(spark: SparkSession, tablesDir: String,
+      runJsons: DataFrame, expJsons: DataFrame,
+      fixedNow: Option[Long] = None): IngestCounts = {
+    val (validRuns, badRunPaths) = IngestPipeline.validatePaths(runJsons)
+    val (validExps, badExpPaths) = IngestPipeline.validatePaths(expJsons)
+
+    val runs = IngestPipeline.runRecords(validRuns, fixedNow)
+    val nRuns = MergeWriter.insertIfAbsent(spark, s"$tablesDir/${Schemas.SyncRuns}",
+      runs, Schemas.syncRunsKeys, "s3_key")
+
+    val exps = IngestPipeline.experimentRecords(validExps, fixedNow)
+    val nExps = MergeWriter.insertIfAbsent(spark, s"$tablesDir/${Schemas.Experiments}",
+      exps, Schemas.experimentsKeys, "s3_experiment_json_key")
+
+    val (runFiles, badRunFiles) =
+      IngestPipeline.splitQuarantine(IngestPipeline.runFileRecords(validRuns, fixedNow))
+    val (expFiles, badExpFiles) =
+      IngestPipeline.splitQuarantine(IngestPipeline.experimentFileRecords(validExps, fixedNow))
+    val nFiles = MergeWriter.mergeFileInventory(spark,
+      s"$tablesDir/${Schemas.FileInventory}", runFiles, expFiles,
+      Schemas.fileInventoryKeys)
+
+    val quarantine = badRunPaths.select(col("s3_key"), col("quarantine_reason"))
+      .unionByName(badExpPaths.select(col("s3_key"), col("quarantine_reason")))
+      .unionByName(badRunFiles.select(col("s3_key"), col("quarantine_reason")))
+      .unionByName(badExpFiles.select(col("s3_key"), col("quarantine_reason")))
+    val nQuarantine = quarantine.count()
+    if (nQuarantine > 0)
+      quarantine.write.mode(SaveMode.Append)
+        .parquet(s"$tablesDir/${Schemas.Quarantine}")
+
+    IngestCounts(nRuns, nExps, nFiles, nQuarantine)
+  }
+
+  /** Batch/backfill over a full tree (the reference's backfill CLI +
+    * manual-invoke path in one).
+    */
+  def runBatch(spark: SparkSession, root: String, tablesDir: String,
+      bucket: String = "local", fixedNow: Option[Long] = None): IngestCounts =
+    processBatch(spark, tablesDir,
+      readRunJsons(spark, root, bucket),
+      readExperimentJsons(spark, root, bucket), fixedNow)
+
+  /** Streaming ingest: file source + checkpointed foreachBatch merge.
+    * AvailableNow drains everything present then stops — identical
+    * replay semantics to the backfill (SURVEY §2.9 T4).
+    */
+  def runStreaming(spark: SparkSession, root: String, tablesDir: String,
+      checkpointDir: String, bucket: String = "local",
+      fixedNow: Option[Long] = None): Unit = {
+    val runStream = withKey(spark.readStream.schema(Schemas.runJson)
+      .option("multiLine", "true")
+      .option("pathGlobFilter", "*run.json")
+      .option("recursiveFileLookup", "true").json(root), root, bucket)
+    val expSchema = Schemas.experimentJson
+    val query = runStream.writeStream
+      .option("checkpointLocation", s"$checkpointDir/runs")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // experiment docs are re-read per trigger batch-side; the run
+        // stream drives progress. (Two independent streams would race
+        // on the shared file_inventory merge — single-writer rule.)
+        val expBatch = withKey(spark.read.schema(expSchema)
+          .option("multiLine", "true")
+          .option("pathGlobFilter", "*experiment.json")
+          .option("recursiveFileLookup", "true").json(root), root, bucket)
+        processBatch(spark, tablesDir, batch, expBatch, fixedNow)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+}

@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Zip-export planning (SURVEY §2.8 K6; reference:
+  * lambda/agf_zip_generator_lambda.py). The relational part — size
+  * validation (V6) and duplicate-basename disambiguation (W1) — is
+  * DataFrame logic; the byte-streaming itself is a file-service
+  * utility, deliberately out of the query engine.
+  */
+object ZipPlanner {
+
+  val MaxFileBytes: Long = 1L * 1024 * 1024 * 1024   // 1 GB per file  (ref :27)
+  val MaxTotalBytes: Long = 5L * 1024 * 1024 * 1024  // 5 GB per zip   (ref :28)
+
+  final case class ZipValidation(ok: Boolean, totalBytes: Long,
+      maxFileBytes: Long, reason: Option[String])
+
+  /** V6: pre-validate (sum, max) against the hard caps — one tiny
+    * aggregate, no collect of the listing.
+    */
+  def validate(files: DataFrame): ZipValidation = {
+    val row = files.agg(
+      coalesce(sum(col("size")), lit(0L)).as("total"),
+      coalesce(max(col("size")), lit(0L)).as("mx")).head()
+    val (total, mx) = (row.getLong(0), row.getLong(1))
+    if (mx > MaxFileBytes)
+      ZipValidation(ok = false, total, mx, Some(s"single file exceeds $MaxFileBytes bytes"))
+    else if (total > MaxTotalBytes)
+      ZipValidation(ok = false, total, mx, Some(s"total exceeds $MaxTotalBytes bytes"))
+    else ZipValidation(ok = true, total, mx, None)
+  }
+
+  /** W1: zip entry names — basename, with _1/_2/... inserted before
+    * the extension on collisions, in key order (ref :104-114).
+    */
+  def entryNames(files: DataFrame): DataFrame = {
+    val base = substring_index(col("key"), "/", -1)
+    val w = Window.partitionBy(col("basename")).orderBy(col("key"))
+    val stem = when(col("basename").contains("."),
+      expr("substring(basename, 1, length(basename) - length(substring_index(basename, '.', -1)) - 1)"))
+      .otherwise(col("basename"))
+    val ext = when(col("basename").contains("."),
+      concat(lit("."), substring_index(col("basename"), ".", -1)))
+      .otherwise(lit(""))
+    files.withColumn("basename", base)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("entry_name",
+        when(col("rn") === 1, col("basename"))
+          .otherwise(concat(stem, lit("_"), col("rn") - 1, ext)))
+      .drop("rn")
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, Multimodal}
+import graft.functions.{TextFunctions => T}
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "the quick brown fox jumps over the lazy dog tonight"), // near-dup of 1
+    (3L, "completely different content with unrelated words here now"),
+    (4L, "the quick brown fox jumps over the lazy dog today"))    // exact dup of 1
+    .toDF("doc_id", "text")
+
+  test("exact groups collapse identical text") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(g.count() === 3)
+    assert(g.filter(col("n_copies") === 2).head().getAs[Long]("canonical_id") === 1L)
+  }
+
+  test("minhash LSH finds the pairs exact jaccard finds (high threshold)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 4, 4, 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // LSH candidates are a subset of all pairs; after the exact verify
+    // step, every reported pair is a true pair.
+    assert(lsh.subsetOf(exact))
+    // the exact dup pair must always survive banding (identical sigs)
+    assert(lsh.contains((1L, 4L)))
+    assert(exact.contains((1L, 2L))) // near-dup found by exact
+  }
+
+  test("simhash bucketed pairs equal the cross-join version") {
+    val brute = Dedup.simhashPairs(docs, "doc_id", "text", 3, 12)
+      .select("id1", "id2", "hamming").as[(Long, Long, Int)].collect().toSet
+    val bucketed = Dedup.simhashBucketedPairs(docs, "doc_id", "text", 3, 12)
+      .select("id1", "id2", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(bucketed === brute)
+    assert(brute.exists { case (a, b, h) => a == 1 && b == 4 && h == 0 })
+  }
+
+  test("brute-force topk is deterministic and self-excluding") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(1.0f, 0.01f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding", 2)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(top === Seq(3L, 1L))
+  }
+
+  test("ivf assignment picks the nearest centroid") {
+    val emb = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(10.0f, 10.0f)),
+      (2L, Seq(0.1f, 0.2f)), (3L, Seq(9.5f, 10.2f)))
+      .toDF("vec_id", "embedding")
+    val assign = Similarity.ivfAssign(emb, emb.filter(col("vec_id") < 2),
+      "vec_id", "embedding", "vec_id", "embedding")
+      .select("id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(assign(2L) === 0L && assign(3L) === 1L)
+    assert(assign(0L) === 0L && assign(1L) === 1L)
+  }
+
+  test("multimodal stub decode preserves schema and batch shape") {
+    val df = docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val decoded = Multimodal.decodeAll(df)
+    assert(decoded.count() === 4)
+    val r = decoded.filter(col("doc_id") === 1L).head()
+    assert(r.width >= 16 && r.height >= 16 && r.n_frames >= 1)
+    // deterministic: same payload -> same digests
+    val r4 = decoded.filter(col("doc_id") === 4L).head()
+    assert(r.frame_digests === r4.frame_digests)
+  }
+
+  test("shingles and fingerprint behave on edge cases") {
+    val df = Seq((1L, "one two"), (2L, ""), (3L, "a b c d")).toDF("id", "t")
+    val sh = df.select(T.shingles(col("t"), 3).as("s"))
+      .as[Seq[String]].collect()
+    assert(sh(0) === Seq.empty && sh(1) === Seq.empty)
+    assert(sh(2) === Seq("a b c", "b c d"))
+    val fp = df.select(T.contentFingerprint(col("t"))).as[String].collect()
+    assert(fp.distinct.length === 3)
+  }
+}
