@@ -14,7 +14,7 @@ import graft.queries._
 object SparkEntry {
 
   private def registries: Seq[QueryRegistry] =
-    Seq(Relational, IngestParity, DedupQueries, SimilarityQueries, TextAnalysis)
+    Seq(Relational, IngestParity, DedupQueries, SimilarityQueries, TextAnalysis, StreamingQueries)
 
   private lazy val allQueries: Seq[GraftQuery] = registries.flatMap(_.all)
 

@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.EventStreams
+
+/** Driver-checkable streaming queries: the streaming result must
+  * equal its batch-SQL equivalent (the DuckDB oracle), proving
+  * batch/stream unification on the same transforms.
+  */
+object StreamingQueries extends QueryRegistry {
+
+  /** Tumbling 1-hour windowed aggregate, run as an actual Structured
+    * Streaming query (AvailableNow, complete mode) — verified against
+    * the batch date_trunc rollup.
+    */
+  val q40 = GraftQuery(
+    "q40_stream_hourly_rollup",
+    (s, d) => EventStreams.hourlyRollupStreaming(s, d,
+      s"q40_mem_${System.nanoTime()}"),
+    Some("""
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+             event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+    """.trim))
+
+  /** Gap-based sessionization (30-min inactivity), batch windowed
+    * form; the streaming twin (flatMapGroupsWithState) is covered by
+    * StreamingSessionSpec.
+    */
+  val q41 = GraftQuery(
+    "q41_sessionize",
+    (s, d) => EventStreams.sessionizeBatch(Tables.events(s, d), gapSeconds = 1800),
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_ns(ts) - epoch_ns(lag(ts) OVER w) > 1800000000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM flagged)
+      SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
+             epoch_ns(min(ts)) // 1000000000 AS start_epoch,
+             epoch_ns(max(ts)) // 1000000000 AS end_epoch,
+             round(sum(value), 2) AS sum_value
+      FROM sessions
+      GROUP BY user_id, session_idx
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q40, q41)
+}

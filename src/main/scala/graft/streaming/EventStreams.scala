@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming operators over the events table (T1/T6 in
+  * SURVEY §2.9 and the beyond-reference streaming surface).
+  *
+  * The events testdata carries nanosecond timestamps, read as nanos
+  * longs (see graft.Tables); tsCol here is that long column.
+  */
+object EventStreams {
+
+  /** Tumbling-window aggregate as a streaming query over a parquet
+    * directory, drained with Trigger.AvailableNow into a memory sink
+    * (complete mode), returned as a DataFrame. Batch-equivalent:
+    * groupBy(date_trunc) — which is exactly what the DuckDB oracle
+    * runs. Watermark bounds state for continuous deployments.
+    */
+  def hourlyRollupStreaming(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts_sec", expr("ts div 1000000000").cast("timestamp"))
+    val agg = stream
+      .withWatermark("ts_sec", "1 hour")
+      .groupBy(window(col("ts_sec"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").cast("long").as("hour_epoch"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Batch sessionization: a new session starts when the gap to the
+    * previous event of the same user exceeds gapSeconds. Pure window
+    * functions — one shuffle on user_id; SQL-expressible, so the
+    * oracle can verify it.
+    */
+  def sessionizeBatch(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val gapNanos = gapSeconds * 1000000000L
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNanos, 1)
+          .otherwise(0))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("min(ts) div 1000000000").as("start_epoch"),
+        expr("max(ts) div 1000000000").as("end_epoch"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  final case class SessionOut(user_id: Long, start_epoch: Long, end_epoch: Long,
+      n_events: Long, sum_value: Double)
+
+  /** Streaming sessionization with explicit state
+    * (flatMapGroupsWithState): emits a session when the inactivity
+    * gap passes. The streaming twin of sessionizeBatch for unbounded
+    * input; state is one small record per active user.
+    */
+  def sessionizeStreaming(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapNanos = gapSeconds * 1000000000L
+    events.select(col("user_id").cast("long"), col("ts").cast("long"),
+      col("value").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Double), SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        // state tuple: (sessionStart, lastTs, nEvents, sumValue)
+        (user: Long, rows: Iterator[(Long, Long, Double)],
+         state: GroupState[(Long, Long, Long, Double)]) =>
+          val sorted = rows.toSeq.sortBy(_._2)
+          val out = scala.collection.mutable.ListBuffer[SessionOut]()
+          var st = state.getOption.orNull
+          sorted.foreach { case (_, ts, v) =>
+            if (st == null) st = (ts, ts, 1L, v)
+            else if (ts - st._2 > gapNanos) {
+              out += SessionOut(user, st._1 / 1000000000L,
+                st._2 / 1000000000L, st._3, st._4)
+              st = (ts, ts, 1L, v)
+            } else st = (st._1, ts, st._3 + 1, st._4 + v)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }.toDF()
+  }
+}
