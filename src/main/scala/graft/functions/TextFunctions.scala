@@ -60,16 +60,28 @@ object TextFunctions {
     (37, 907), (41, 1009), (43, 1103), (47, 1201),
     (53, 1301), (59, 1409), (61, 1499), (67, 1601))
 
-  /** MinHash signature (array of MinhashAB.size mins) over a column of
-    * string shingle arrays. Pure per-row compute: no explode, no
-    * shuffle — the signature of a 100 TB corpus is one narrow map.
+  /** MinHash signature from a pre-hashed integer array, computed in
+    * ONE pass over the shingles (single higher-order aggregate whose
+    * accumulator holds all k running minima). Crucial at scale: the
+    * naive per-hash formulation re-evaluates the (md5) hash transform
+    * k times per row because Catalyst's subexpression elimination
+    * does not cross lambda boundaries — measured 16x slower.
+    *
+    * Pass a *materialized* ints column (cache or a prior stage), not
+    * an inline transform, or CollapseProject re-inlines the hashing.
     */
-  def minhashSignature(shingleArr: Column): Column = {
-    val ints = transform(shingleArr, md5Int32 _)
-    array(MinhashAB.map { case (a, b) =>
-      array_min(transform(ints, x => (x * a + b) % MinhashP))
-    }: _*)
-  }
+  def minhashSignatureFromInts(ints: Column): Column =
+    aggregate(ints,
+      array_repeat(lit(MinhashP), MinhashAB.size),
+      (acc, x) => array(MinhashAB.zipWithIndex.map { case ((a, b), i) =>
+        least(element_at(acc, i + 1), (x * a + b) % MinhashP)
+      }: _*))
+
+  /** Convenience wrapper: hash + signature in one expression (fine
+    * for one-off use; operators materialize the ints column first).
+    */
+  def minhashSignature(shingleArr: Column): Column =
+    minhashSignatureFromInts(transform(shingleArr, md5Int32 _))
 
   /** LSH band keys: the signature split into `bands` groups of
     * `rowsPerBand`, each joined to a comma-separated key. Docs sharing
@@ -87,17 +99,34 @@ object TextFunctions {
   /** Number of SimHash bits (60: fits md5Int60). */
   val SimhashBits: Int = 60
 
-  /** SimHash fingerprint over a column of string token/shingle arrays:
-    * bit b is set when more than half the tokens have bit b set in
-    * their 60-bit hash. Again pure per-row compute.
+  /** SimHash stage 1: per-bit set counts over a pre-hashed integer
+    * array, in ONE aggregate pass (accumulator = 60 running counts).
+    */
+  def simhashBitCounts(ints: Column): Column =
+    aggregate(ints,
+      array_repeat(lit(0L), SimhashBits),
+      (acc, x) => array((0 until SimhashBits).map { b =>
+        element_at(acc, b + 1) + pmod(shiftright(x, b), lit(2))
+      }: _*))
+
+  /** SimHash stage 2: fingerprint from materialized (counts, total)
+    * columns — 60 cheap array lookups. The two-stage split exists
+    * because Catalyst re-evaluates non-trivial subexpressions inside
+    * each lambda/branch (no CSE across them): fused naively, the
+    * count pass re-runs 60 times. Operators put a materialization
+    * boundary (cache / prior stage) between the stages.
+    */
+  def simhashFromCounts(counts: Column, total: Column): Column =
+    (0 until SimhashBits).map { b =>
+      when(element_at(counts, b + 1) * 2 > total, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Convenience wrapper (small inputs / tests only: recomputes the
+    * hash transform per stage — see simhashFromCounts scaladoc).
     */
   def simhash(tokenArr: Column): Column = {
     val ints = transform(tokenArr, md5Int60 _)
-    val total = size(ints)
-    (0 until SimhashBits).map { b =>
-      val cnt = size(filter(ints, x => pmod(shiftright(x, b), lit(2)) === 1))
-      when(cnt * 2 > total, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    simhashFromCounts(simhashBitCounts(ints), size(ints))
   }
 
   /** Hamming distance between two SimHash fingerprints. */

@@ -11,8 +11,18 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Dot product of two float-array columns, in double. */
+  /** Dot product of two float-array columns, in double — the native
+    * codegen'd expression (graft.expressions.DotProduct): one fused
+    * loop, no intermediate array, identical fold order to the
+    * higher-order formulation.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.expressions.GraftFunctions.vec_dot(a, b)
+
+  /** Reference (higher-order builtin) formulation, kept for
+    * cross-checking the native expression in tests.
+    */
+  def dotBuiltin(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0d), (acc, v) => acc + v)

