@@ -14,7 +14,8 @@ import graft.queries._
 object SparkEntry {
 
   private def registries: Seq[QueryRegistry] =
-    Seq(Relational, IngestParity, DedupQueries, SimilarityQueries, TextAnalysis, StreamingQueries)
+    Seq(Relational, IngestParity, DedupQueries, SimilarityQueries,
+      TextAnalysis, StreamingQueries, SourceQueries)
 
   private lazy val allQueries: Seq[GraftQuery] = registries.flatMap(_.all)
 

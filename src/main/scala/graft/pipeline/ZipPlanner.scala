@@ -52,4 +52,26 @@ object ZipPlanner {
           .otherwise(concat(stem, lit("_"), col("rn") - 1, ext)))
       .drop("rn")
   }
+
+  /** K6: stream (entry_name, payload) rows into a deflate zip at
+    * outPath — all-or-nothing (any missing payload aborts before
+    * bytes are written), like the reference (ref :119-126). Driver
+    * side by design: the reference caps zips at 5 GB, well under
+    * driver memory; entries stream one at a time.
+    */
+  def buildZip(entries: DataFrame, outPath: String): Long = {
+    val rows = entries.select(col("entry_name"), col("payload"))
+      .collect()
+    require(rows.forall(!_.isNullAt(1)), "missing payload — aborting zip")
+    val out = new java.util.zip.ZipOutputStream(
+      new java.io.BufferedOutputStream(new java.io.FileOutputStream(outPath)))
+    try {
+      rows.foreach { r =>
+        out.putNextEntry(new java.util.zip.ZipEntry(r.getString(0)))
+        out.write(r.getAs[Array[Byte]](1))
+        out.closeEntry()
+      }
+    } finally out.close()
+    rows.length.toLong
+  }
 }

@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** S4/S8 sources + the LSH bucketing scale path. */
+object SourceQueries extends QueryRegistry {
+
+  /** S4 + S8 (SURVEY §2.1): metadata-only object listing via the
+    * binaryFile source — (name, length) without reading content
+    * (column pruning keeps payload bytes out of the scan). The
+    * object-store analog of list_objects_v2 / head_object. No SQL
+    * oracle (DuckDB 1.0 cannot list files) -> driver rows-only check.
+    */
+  val q16 = GraftQuery(
+    "q16_listing_scan",
+    (s, d) => {
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(d)
+        .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("length"))
+        .orderBy(col("file_name"))
+    },
+    None)
+
+  /** Deterministic random-hyperplane LSH bucket assignment — the
+    * approximate scale path for cosine search (bucket-local search
+    * replaces all-pairs). Hyperplane constants are pseudo-random but
+    * fixed, mirrored literally into the oracle.
+    */
+  val q27 = GraftQuery(
+    "q27_ann_lsh_buckets",
+    (s, d) => {
+      val emb = graft.Tables.embeddings(s, d)
+      Similarity.lshBuckets(emb, "vec_id", "embedding", Hyperplanes)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vectors"), min(col("id")).as("min_vec_id"))
+    },
+    Some {
+      val bitTerms = Hyperplanes.zipWithIndex.map { case (h, j) =>
+        val arr = h.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+        s"""(CASE WHEN list_sum(list_transform(range(1, 65),
+           |    i -> CAST(embedding[i] AS DOUBLE) * ($arr)[i])) >= 0
+           |  THEN ${1L << j} ELSE 0 END)""".stripMargin
+      }.mkString(" +\n             ")
+      s"""
+      WITH bucketed AS (
+        SELECT vec_id,
+             $bitTerms AS bucket
+        FROM embeddings)
+      SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+      FROM bucketed GROUP BY bucket
+      """.trim
+    })
+
+  /** 4 fixed 64-dim hyperplanes; values in [-0.5, 0.5), derived from
+    * a Knuth-style multiplicative sequence so both engines share the
+    * exact literals.
+    */
+  lazy val Hyperplanes: Seq[Seq[Double]] =
+    (0 until 4).map { j =>
+      (0 until 64).map { k =>
+        (((j * 64 + k + 1) * 2654435761L) % 2001).toDouble / 2000.0 - 0.5
+      }
+    }
+
+  def all: Seq[GraftQuery] = Seq(q16, q27)
+}
