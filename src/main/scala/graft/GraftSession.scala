@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Opinionated session factory: the configuration this engine is
+  * designed against, identical for local testing and (with a real
+  * master) cluster deployment.
+  */
+object GraftSession {
+
+  /** Builder pre-loaded with the engine's settings:
+    *  - AQE on, with skew-join splitting and partition coalescing —
+    *    the runtime re-plan layer the 100 TB design leans on;
+    *  - shuffle partitions sized for the local harness (cores, not
+    *    the 200 default — on a cluster, set to 2-3x total cores);
+    *  - UTC session time zone (oracle parity);
+    *  - nanos-as-long parquet reads (the events table);
+    *  - graft SQL extensions (vec_dot et al.).
+    */
+  def builder(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession.Builder =
+    SparkSession.builder()
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: Int): SparkSession = {
+    val spark = builder(cores).master(s"local[$cores]").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,29 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table helpers: pre-shuffle co-location for the joins a
+  * 100 TB deployment repeats every run (file_inventory ⋈ sync_runs on
+  * run_id, fact ⋈ fact on orderkey). Writing both sides bucketed on
+  * the join key with equal bucket counts lets Spark plan the join
+  * with NO Exchange — the shuffle is paid once at write time, then
+  * amortized over every subsequent query (verified by
+  * BucketingSpec: zero Exchange nodes in the bucketed join plan).
+  */
+object Bucketing {
+
+  /** Write df as a bucketed+sorted managed table. */
+  def writeBucketed(df: DataFrame, table: String, numBuckets: Int,
+      keys: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
+  /** True when the physical plan of `df` contains no shuffle
+    * exchange (for asserting co-located joins).
+    */
+  def isShuffleFree(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+}

@@ -10,6 +10,7 @@ trait SparkTestBase extends AnyFunSuite {
     .appName("graft-tests")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
