@@ -47,9 +47,17 @@ object IngestJob {
     */
   def processBatch(spark: SparkSession, tablesDir: String,
       runJsons: DataFrame, expJsons: DataFrame,
-      fixedNow: Option[Long] = None): IngestCounts = {
-    val (validRuns, badRunPaths) = IngestPipeline.validatePaths(runJsons)
-    val (validExps, badExpPaths) = IngestPipeline.validatePaths(expJsons)
+      fixedNow: Option[Long] = None,
+      strictTimestamps: Boolean = false): IngestCounts = {
+    val (okRunPaths, badRunPaths) = IngestPipeline.validatePaths(runJsons)
+    val (okExpPaths, badExpPaths) = IngestPipeline.validatePaths(expJsons)
+    // STRICT_TIMESTAMP_PARSING parity (ref :30,55-66): strict mode
+    // quarantines records with unparseable/empty timestamps instead
+    // of defaulting them to now()
+    val (validRuns, badRunTs) = IngestPipeline.strictTimestampGate(
+      okRunPaths, Seq("sync_timestamp"), strictTimestamps)
+    val (validExps, badExpTs) = IngestPipeline.strictTimestampGate(
+      okExpPaths, Seq("created", "last_updated"), strictTimestamps)
 
     val runs = IngestPipeline.runRecords(validRuns, fixedNow)
     val nRuns = MergeWriter.insertIfAbsent(spark, s"$tablesDir/${Schemas.SyncRuns}",
@@ -69,6 +77,8 @@ object IngestJob {
 
     val quarantine = badRunPaths.select(col("s3_key"), col("quarantine_reason"))
       .unionByName(badExpPaths.select(col("s3_key"), col("quarantine_reason")))
+      .unionByName(badRunTs.select(col("s3_key"), col("quarantine_reason")))
+      .unionByName(badExpTs.select(col("s3_key"), col("quarantine_reason")))
       .unionByName(badRunFiles.select(col("s3_key"), col("quarantine_reason")))
       .unionByName(badExpFiles.select(col("s3_key"), col("quarantine_reason")))
     val nQuarantine = quarantine.count()

@@ -37,6 +37,24 @@ object IngestPipeline {
       df.filter(!ok).withColumn("quarantine_reason", lit("invalid_s3_path")))
   }
 
+  /** P1 strict mode (STRICT_TIMESTAMP_PARSING, ref :30,55-66): when
+    * on, records whose timestamp columns are present but unparseable
+    * are quarantined instead of defaulting to now(). Empty/missing
+    * stays lenient-defaulted in both modes only if strict is off;
+    * strict also rejects empty — matching the reference, which raises
+    * on empty under strict.
+    */
+  def strictTimestampGate(df: DataFrame, tsCols: Seq[String],
+      strict: Boolean): (DataFrame, DataFrame) =
+    if (!strict) (df, df.limit(0).withColumn("quarantine_reason", lit("")))
+    else {
+      val bad = tsCols.map(c =>
+        !ColumnOps.isParseableTimestamp(col(c)) || col(c).isNull ||
+          length(col(c)) === 0).reduce(_ || _)
+      (df.filter(!bad),
+        df.filter(bad).withColumn("quarantine_reason", lit("unparseable_timestamp")))
+    }
+
   /** sync_runs rows from parsed run.json documents
     * (ref :210-224; output schema FIXTURES.md §4).
     */

@@ -66,5 +66,43 @@ object SimilarityQueries extends QueryRegistry {
       QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist2 ASC, centroid_id ASC) = 1
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q25, q26)
+  /** Full IVF search: probe the 2 nearest of 8 centroids per query,
+    * rank candidates inside the probed clusters only — the
+    * partition-pruned approximate path (vs q25's exact scan).
+    */
+  val q28 = GraftQuery(
+    "q28_ann_ivf_topk",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 3), emb,
+        emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", "vec_id", "embedding", k = 5, nprobe = 2)
+    },
+    Some(s"""
+      WITH l2 AS (
+        SELECT v.vec_id AS id, c.vec_id AS centroid_id,
+               round(list_sum(list_transform(range(1, 65),
+                 i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) *
+                      (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))), 6) AS dist2
+        FROM embeddings v JOIN embeddings c ON c.vec_id < 8),
+      assign AS (
+        SELECT id, centroid_id AS cluster_id FROM l2
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist2, centroid_id) = 1),
+      probe AS (
+        SELECT id AS query_id, centroid_id AS cluster_id FROM l2
+        WHERE id < 3
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist2, centroid_id) <= 2),
+      scored AS (
+        SELECT p.query_id, a.id AS neighbor_id,
+               round(${duckCos("q", "e")}, 4) AS cosine
+        FROM probe p
+        JOIN assign a ON a.cluster_id = p.cluster_id AND a.id <> p.query_id
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN embeddings e ON e.vec_id = a.id)
+      SELECT query_id, neighbor_id, cosine FROM scored
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) <= 5
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q25, q26, q28)
 }
