@@ -10,28 +10,34 @@ object QualityFunctions {
 
   val Stopwords: Seq[String] = Seq("the", "a")
 
+  /** 4-decimal truncation. Ratios of small integers land exactly on
+    * .xxxx5 round boundaries, where Spark's BigDecimal HALF_UP and
+    * DuckDB's numeric rounding disagree; floor(x*1e4)/1e4 is computed
+    * on identical doubles in both engines, so it never diverges.
+    */
+  def floor4(c: Column): Column = floor(c * 10000) / 10000.0
+
   /** Ratio of distinct tokens to tokens (repetition indicator). */
   def uniqueRatio(words: Column): Column =
-    round(size(array_distinct(words)).cast("double") / size(words), 4)
+    floor4(size(array_distinct(words)).cast("double") / size(words))
 
   /** Ratio of stopword tokens. */
   def stopwordRatio(words: Column): Column =
-    round(size(filter(words, w => w.isin(Stopwords: _*))).cast("double") / size(words), 4)
+    floor4(size(filter(words, w => w.isin(Stopwords: _*))).cast("double") / size(words))
 
   /** Mean token length for single-space-joined text. */
   def avgWordLen(text: Column, words: Column): Column =
-    round((length(text) - (size(words) - 1)).cast("double") / size(words), 4)
+    floor4((length(text) - (size(words) - 1)).cast("double") / size(words))
 
   /** Composite quality score in [0, 1]: length credit + low-stopword
     * credit + lexical-diversity credit. Weights are fixed so the
     * score is reproducible anywhere.
     */
   def qualityScore(words: Column): Column =
-    round(
+    floor4(
       least(size(words).cast("double") / 50.0, lit(1.0)) * 0.4 +
         (lit(1.0) - size(filter(words, w => w.isin(Stopwords: _*))).cast("double") / size(words)) * 0.3 +
-        (size(array_distinct(words)).cast("double") / size(words)) * 0.3,
-      4)
+        (size(array_distinct(words)).cast("double") / size(words)) * 0.3)
 
   /** Fixed signature-token profiles for the language-ID heuristic.
     * Deliberately tiny: language ID over word-salad test corpora is a

@@ -44,7 +44,7 @@ object Dedup {
       .join(sizes.as("s1"), col("id1") === col("s1.id"))
       .join(sizes.as("s2"), col("id2") === col("s2.id"))
       .withColumn("jaccard",
-        round(col("inter") / (col("s1.n_sh") + col("s2.n_sh") - col("inter")), 4))
+        floor(col("inter") / (col("s1.n_sh") + col("s2.n_sh") - col("inter")) * 10000) / 10000.0)
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
@@ -84,7 +84,7 @@ object Dedup {
     withSets
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jaccard",
-        round(col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")), 4))
+        floor(col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")) * 10000) / 10000.0)
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
@@ -104,12 +104,6 @@ object Dedup {
       .select(col("a.id").as("id1"), col("b.id").as("id2"), col("hamming"))
   }
 
-  /** SimHash pairs at scale: split the 60-bit fingerprint into
-    * (maxHamming + 1) chunks; by pigeonhole any pair within
-    * maxHamming matches on at least one chunk, so the equi-join on
-    * (chunk_idx, chunk_value) finds all such pairs without a cross
-    * join. Same output as simhashPairs.
-    */
   /** Staged SimHash fingerprint computation: hash ints -> bit counts
     * -> fingerprint, with cache boundaries so each stage runs once
     * per row (Catalyst re-inlines collapsed projections otherwise —
@@ -129,6 +123,12 @@ object Dedup {
       T.simhashFromCounts(col("counts"), col("total")).as("fp"))
   }
 
+  /** SimHash pairs at scale: split the 60-bit fingerprint into
+    * (maxHamming + 1) chunks; by pigeonhole any pair within
+    * maxHamming matches on at least one chunk, so the equi-join on
+    * (chunk_idx, chunk_value) finds all such pairs without a cross
+    * join. Same output as simhashPairs.
+    */
   def simhashBucketedPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, maxHamming: Int): DataFrame = {
     val chunks = maxHamming + 1

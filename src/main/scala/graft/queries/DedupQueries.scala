@@ -47,9 +47,9 @@ object DedupQueries extends QueryRegistry {
                FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
                GROUP BY 1, 2)
       SELECT id1, id2,
-             round(inter * 1.0 / (x.n_sh + y.n_sh - inter), 4) AS jaccard
+             floor(inter * 1.0 / (x.n_sh + y.n_sh - inter) * 10000) / 10000 AS jaccard
       FROM cand JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
-      WHERE round(inter * 1.0 / (x.n_sh + y.n_sh - inter), 4) >= 0.5
+      WHERE floor(inter * 1.0 / (x.n_sh + y.n_sh - inter) * 10000) / 10000 >= 0.5
     """.trim))
 
   /** MinHash + LSH near-dup pairs, exact-Jaccard-verified. The oracle
@@ -83,8 +83,8 @@ object DedupQueries extends QueryRegistry {
                  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
                 AND a.doc_id < b.doc_id),
       verified AS (SELECT id1, id2,
-                          round(len(list_intersect(x.s, y.s)) * 1.0 /
-                                (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 4) AS jaccard
+                          floor(len(list_intersect(x.s, y.s)) * 1.0 /
+                                (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) * 10000) / 10000 AS jaccard
                    FROM cand JOIN sh x ON id1 = x.doc_id JOIN sh y ON id2 = y.doc_id)
       SELECT id1, id2, jaccard FROM verified WHERE jaccard >= 0.5
       """.trim

@@ -52,12 +52,12 @@ object TextAnalysis extends QueryRegistry {
       WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)
       SELECT doc_id,
              len(words) AS n_tokens,
-             round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 4) AS uniq_ratio,
-             round(CAST(len(list_filter(words, x -> x IN ('the', 'a'))) AS DOUBLE) / len(words), 4) AS stopword_ratio,
-             round(CAST(length(text) - (len(words) - 1) AS DOUBLE) / len(words), 4) AS avg_word_len,
-             round(least(CAST(len(words) AS DOUBLE) / 50.0, 1.0) * 0.4 +
+             floor(CAST(len(list_distinct(words)) AS DOUBLE) / len(words) * 10000) / 10000 AS uniq_ratio,
+             floor(CAST(len(list_filter(words, x -> x IN ('the', 'a'))) AS DOUBLE) / len(words) * 10000) / 10000 AS stopword_ratio,
+             floor(CAST(length(text) - (len(words) - 1) AS DOUBLE) / len(words) * 10000) / 10000 AS avg_word_len,
+             floor((least(CAST(len(words) AS DOUBLE) / 50.0, 1.0) * 0.4 +
                    (1.0 - CAST(len(list_filter(words, x -> x IN ('the', 'a'))) AS DOUBLE) / len(words)) * 0.3 +
-                   (CAST(len(list_distinct(words)) AS DOUBLE) / len(words)) * 0.3, 4) AS quality_score
+                   (CAST(len(list_distinct(words)) AS DOUBLE) / len(words)) * 0.3) * 10000) / 10000 AS quality_score
       FROM w
     """.trim))
 
