@@ -143,4 +143,17 @@ object TextFunctions {
     */
   def contentFingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
+
+  /** Polynomial rolling hash over a token stream: h := (h*31 + hash(w))
+    * mod P, folded left over materialized token-hash ints. Order
+    * sensitive (unlike the md5 fingerprint) — equal only for equal
+    * token sequences — and incrementally updatable, which is what a
+    * streaming dedup keeps as state.
+    */
+  def rollingHashFromInts(ints: Column): Column =
+    aggregate(ints, lit(0L), (h, x) => (h * 31 + x) % MinhashP)
+
+  /** Convenience: rolling hash of whitespace tokens. */
+  def rollingHash(text: Column): Column =
+    rollingHashFromInts(transform(tokens(text), md5Int32 _))
 }

@@ -132,5 +132,26 @@ object TextAnalysis extends QueryRegistry {
       FROM documents
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34)
+  /** Order-sensitive document fingerprint: polynomial rolling hash
+    * over the token stream (vs q33's order-insensitive-normalized
+    * md5). The oracle folds the same md5-derived token ints with
+    * list_reduce (zero prepended to match the fold's init).
+    */
+  val q35 = GraftQuery(
+    "q35_rolling_hash",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), T.rollingHash(col("text")).as("rhash"))
+    },
+    Some(s"""
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ' '),
+                   w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT))),
+               (h, x) -> (h * 31 + x) % ${T.MinhashP}) AS rhash
+      FROM documents
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35)
 }
