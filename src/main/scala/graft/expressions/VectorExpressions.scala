@@ -32,6 +32,17 @@ case class DotProduct(left: Expression, right: Expression)
     case _ => false
   }
 
+  private def elemsNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  }
+
+  /** A null element anywhere yields null — matching the higher-order
+    * formulation (zip_with's null product poisons aggregate's sum).
+    */
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elemsNullable(left) || elemsNullable(right)
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(dt: DataType) = dt match {
       case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
@@ -51,10 +62,10 @@ case class DotProduct(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
-    if (floatElems(left) && floatElems(right)) {
-      while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
-    } else {
-      while (i < n) { acc += elem(x, left, i) * elem(y, right, i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += elem(x, left, i) * elem(y, right, i)
+      i += 1
     }
     acc
   }
@@ -69,10 +80,15 @@ case class DotProduct(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val getA = if (floatElems(left)) "getFloat" else "getDouble"
       val getB = if (floatElems(right)) "getFloat" else "getDouble"
+      val nullCheck =
+        if (elemsNullable(left) || elemsNullable(right))
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $acc += (double)$a.$getA($i) * (double)$b.$getB($i);
          |}
          |${ev.value} = $acc;

@@ -53,9 +53,13 @@ object ColumnOps {
   // Checksums (V2, ref :32-34, :96-112)
   // ---------------------------------------------------------------
 
-  /** V2 — strip optional sha256: prefix and lowercase. */
+  /** V2 — remove sha256: prefix occurrences, strip surrounding
+    * whitespace, lowercase — replace-then-strip exactly like the
+    * reference's validate_checksum (replace removes ALL occurrences,
+    * not only a leading prefix; ref :96-112).
+    */
   def normalizedChecksum(c: Column): Column =
-    lower(regexp_replace(c, "^sha256:", ""))
+    lower(regexp_replace(regexp_replace(c, "sha256:", ""), "^\\s+|\\s+$", ""))
 
   /** V2 — normalized checksum must be exactly 64 hex chars. */
   def isValidChecksum(c: Column): Column =
@@ -116,8 +120,12 @@ object ColumnOps {
     */
   def experimentId(manifestPath: Column, staff: Column, runId: Column): Column = {
     val parts = pathSegments(manifestPath)
-    val folder = element_at(parts, 2)
-    when(size(parts) >= 2 && folder =!= element_at(parts, -1),
+    // try_element_at: ANSI element_at throws on out-of-bounds even
+    // behind a short-circuit guard once the optimizer reorders it
+    val folder = try_element_at(parts, lit(2))
+    // empty folder segment (double slash) is falsy in the reference's
+    // `if experiment_folder and ...` -> standalone (ref :366-377)
+    when(size(parts) >= 2 && folder =!= lit("") && folder =!= element_at(parts, -1),
       concat_ws("_", folder, staff))
       .otherwise(concat(lit("standalone_"), staff, lit("_"), runId))
   }
@@ -149,7 +157,8 @@ object ColumnOps {
     */
   def totalBytes(provided: Column, manifest: Column): Column =
     coalesce(provided,
-      aggregate(manifest, lit(0L), (acc, f) => acc + f.getField("size")))
+      aggregate(coalesce(manifest, array()), lit(0L),
+        (acc, f) => acc + coalesce(f.getField("size"), lit(0L))))
 
   /** P6 — map-keys extraction (ref :219). */
   def staffNames(filesByStaff: Column): Column = map_keys(filesByStaff)

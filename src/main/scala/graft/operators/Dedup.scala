@@ -12,6 +12,12 @@ import graft.functions.{TextFunctions => T, VectorFunctions => V}
   * scan. Only the candidate-pair stage shuffles, and it shuffles
   * band keys / fingerprints (tiny) rather than documents. The final
   * verify joins fetch the shingle arrays for candidates only.
+  *
+  * Cache lifecycle: signature stages .cache() as a materialization
+  * boundary (see PLANS.md); the entries live until the session drops
+  * them. Callers running many dedup jobs in one session should
+  * spark.catalog.clearCache() between jobs (Verify/Bench do); a
+  * cluster deployment writes the signature stage to a table instead.
   */
 object Dedup {
 

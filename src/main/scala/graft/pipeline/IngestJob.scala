@@ -22,9 +22,15 @@ object IngestJob {
   /** The local-path analog of the S3 key: path below the ingest root. */
   private def withKey(df: DataFrame, root: String, bucket: String): DataFrame = {
     val norm = root.stripSuffix("/")
+    // non-greedy prefix match: strip up to the FIRST occurrence of the
+    // root (a greedy .* would truncate keys whose tree repeats the
+    // root path string)
     df.withColumn("s3_key",
-      regexp_replace(input_file_name(), s"^file:.*${java.util.regex.Pattern.quote(norm)}/", ""))
-      .withColumn("s3_key", url_decode(col("s3_key")))
+      regexp_replace(input_file_name(), s"^file:.*?${java.util.regex.Pattern.quote(norm)}/", ""))
+      // input_file_name is percent-encoded URI form; decode %XX but
+      // preserve literal '+' (a URI plus is a plus — unquote_plus
+      // semantics apply to S3 event keys, not file URIs)
+      .withColumn("s3_key", url_decode(regexp_replace(col("s3_key"), "\\+", "%2B")))
       .withColumn("s3_bucket", lit(bucket))
   }
 
@@ -67,10 +73,10 @@ object IngestJob {
     val nExps = MergeWriter.insertIfAbsent(spark, s"$tablesDir/${Schemas.Experiments}",
       exps, Schemas.experimentsKeys, "s3_experiment_json_key")
 
-    val (runFiles, badRunFiles) =
-      IngestPipeline.splitQuarantine(IngestPipeline.runFileRecords(validRuns, fixedNow))
-    val (expFiles, badExpFiles) =
-      IngestPipeline.splitQuarantine(IngestPipeline.experimentFileRecords(validExps, fixedNow))
+    val (runFiles, badRunFiles) = IngestPipeline.splitQuarantine(
+      IngestPipeline.runFileRecords(validRuns, fixedNow, strictTimestamps))
+    val (expFiles, badExpFiles) = IngestPipeline.splitQuarantine(
+      IngestPipeline.experimentFileRecords(validExps, fixedNow, strictTimestamps))
     val nFiles = MergeWriter.mergeFileInventory(spark,
       s"$tablesDir/${Schemas.FileInventory}", runFiles, expFiles,
       Schemas.fileInventoryKeys)
@@ -81,10 +87,11 @@ object IngestJob {
       .unionByName(badExpTs.select(col("s3_key"), col("quarantine_reason")))
       .unionByName(badRunFiles.select(col("s3_key"), col("quarantine_reason")))
       .unionByName(badExpFiles.select(col("s3_key"), col("quarantine_reason")))
-    val nQuarantine = quarantine.count()
-    if (nQuarantine > 0)
-      quarantine.write.mode(SaveMode.Append)
-        .parquet(s"$tablesDir/${Schemas.Quarantine}")
+    // insert-if-absent so streaming re-reads don't append duplicate
+    // quarantine rows every micro-batch
+    val nQuarantine = MergeWriter.insertIfAbsent(spark,
+      s"$tablesDir/${Schemas.Quarantine}", quarantine,
+      Seq("s3_key", "quarantine_reason"), "s3_key")
 
     IngestCounts(nRuns, nExps, nFiles, nQuarantine)
   }
@@ -104,7 +111,8 @@ object IngestJob {
     */
   def runStreaming(spark: SparkSession, root: String, tablesDir: String,
       checkpointDir: String, bucket: String = "local",
-      fixedNow: Option[Long] = None): Unit = {
+      fixedNow: Option[Long] = None,
+      strictTimestamps: Boolean = false): Unit = {
     val runStream = withKey(spark.readStream.schema(Schemas.runJson)
       .option("multiLine", "true")
       .option("pathGlobFilter", "*run.json")
@@ -120,7 +128,7 @@ object IngestJob {
           .option("multiLine", "true")
           .option("pathGlobFilter", "*experiment.json")
           .option("recursiveFileLookup", "true").json(root), root, bucket)
-        processBatch(spark, tablesDir, batch, expBatch, fixedNow)
+        processBatch(spark, tablesDir, batch, expBatch, fixedNow, strictTimestamps)
         ()
       }
       .trigger(Trigger.AvailableNow())

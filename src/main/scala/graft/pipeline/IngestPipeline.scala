@@ -81,7 +81,8 @@ object IngestPipeline {
     * checksums carry quarantine_reason; route them with
     * splitQuarantine before writing.
     */
-  def runFileRecords(runJsons: DataFrame, fixedNow: Option[Long] = None): DataFrame = {
+  def runFileRecords(runJsons: DataFrame, fixedNow: Option[Long] = None,
+      strictTimestamps: Boolean = false): DataFrame = {
     val exploded = runJsons
       .filter(size(coalesce(col("file_manifest"),
         array().cast("array<struct<path:string,size:bigint,checksum:string,file_date:string,is_update:boolean,staff_name:string>>"))) > 0)
@@ -108,6 +109,9 @@ object IngestPipeline {
       col("instrument_id"),
       coalesce(col("f.is_update"), lit(false)).as("is_update"),
       when(!ColumnOps.isValidChecksum(col("f.checksum")), lit("invalid_checksum"))
+        .when(lit(strictTimestamps) && col("f.file_date").isNotNull &&
+          !ColumnOps.isParseableTimestamp(col("f.file_date")),
+          lit("unparseable_timestamp"))
         .as("quarantine_reason"))
   }
 
@@ -138,7 +142,8 @@ object IngestPipeline {
     * runFileRecords: run_id is the 'from_experiment_json' sentinel,
     * is_update is null (run source only).
     */
-  def experimentFileRecords(expJsons: DataFrame, fixedNow: Option[Long] = None): DataFrame = {
+  def experimentFileRecords(expJsons: DataFrame, fixedNow: Option[Long] = None,
+      strictTimestamps: Boolean = false): DataFrame = {
     val exploded = expJsons
       .filter(size(coalesce(col("files"),
         array().cast("array<struct<name:string,relative_path:string,size:bigint,checksum:string,modified:string>>"))) > 0)
@@ -162,6 +167,9 @@ object IngestPipeline {
       col("instrument_id"),
       lit(null).cast("boolean").as("is_update"),
       when(!ColumnOps.isValidChecksum(col("f.checksum")), lit("invalid_checksum"))
+        .when(lit(strictTimestamps) && col("f.modified").isNotNull &&
+          !ColumnOps.isParseableTimestamp(col("f.modified")),
+          lit("unparseable_timestamp"))
         .as("quarantine_reason"))
   }
 

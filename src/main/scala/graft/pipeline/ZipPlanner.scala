@@ -35,22 +35,37 @@ object ZipPlanner {
 
   /** W1: zip entry names — basename, with _1/_2/... inserted before
     * the extension on collisions, in key order (ref :104-114).
+    * Suffixed names can themselves collide with a pre-existing
+    * literal name (report.txt -> report_1.txt vs an actual
+    * report_1.txt); re-rank until unique (bounded — each pass
+    * strictly shrinks collision groups).
     */
   def entryNames(files: DataFrame): DataFrame = {
-    val base = substring_index(col("key"), "/", -1)
-    val w = Window.partitionBy(col("basename")).orderBy(col("key"))
-    val stem = when(col("basename").contains("."),
-      expr("substring(basename, 1, length(basename) - length(substring_index(basename, '.', -1)) - 1)"))
-      .otherwise(col("basename"))
-    val ext = when(col("basename").contains("."),
-      concat(lit("."), substring_index(col("basename"), ".", -1)))
-      .otherwise(lit(""))
-    files.withColumn("basename", base)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("entry_name",
-        when(col("rn") === 1, col("basename"))
-          .otherwise(concat(stem, lit("_"), col("rn") - 1, ext)))
-      .drop("rn")
+    def suffixPass(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("entry_name")).orderBy(col("key"))
+      val stem = when(col("entry_name").contains("."),
+        expr("substring(entry_name, 1, length(entry_name) - length(substring_index(entry_name, '.', -1)) - 1)"))
+        .otherwise(col("entry_name"))
+      val ext = when(col("entry_name").contains("."),
+        concat(lit("."), substring_index(col("entry_name"), ".", -1)))
+        .otherwise(lit(""))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("entry_name",
+          when(col("rn") === 1, col("entry_name"))
+            .otherwise(concat(stem, lit("_"), col("rn") - 1, ext)))
+        .drop("rn")
+    }
+    var out = files.withColumn("entry_name", substring_index(col("key"), "/", -1))
+    var attempts = 0
+    var done = false
+    while (!done && attempts < 16) {
+      out = suffixPass(out).cache()
+      val dups = out.groupBy("entry_name").count().filter(col("count") > 1).count()
+      done = dups == 0
+      attempts += 1
+    }
+    require(done, "entry name disambiguation did not converge")
+    out.withColumn("basename", substring_index(col("key"), "/", -1))
   }
 
   /** K6: stream (entry_name, payload) rows into a deflate zip at

@@ -54,8 +54,8 @@ object IngestParity extends QueryRegistry {
               AND regexp_matches(p[3], '^[0-9]+$')
               AND regexp_matches(p[4], '^[0-9]+$')
               AND regexp_matches(p[5], '^[0-9]+$')) AS valid_path,
-             lower(regexp_replace(checksum, '^sha256:', '')) AS checksum_norm,
-             regexp_matches(lower(regexp_replace(checksum, '^sha256:', '')),
+             lower(regexp_replace(regexp_replace(checksum, 'sha256:', '', 'g'), '^\s+|\s+$', '', 'g')) AS checksum_norm,
+             regexp_matches(lower(regexp_replace(regexp_replace(checksum, 'sha256:', '', 'g'), '^\s+|\s+$', '', 'g')),
                             '^[0-9a-f]{64}$') AS valid_checksum
       FROM parts
     """.trim))
@@ -132,7 +132,7 @@ object IngestParity extends QueryRegistry {
              CASE WHEN strpos(mp[-1], '.') > 0 THEN lower(split_part(mp[-1], '.', -1))
                   ELSE 'unknown' END AS file_type,
              staff_name,
-             CASE WHEN len(mp) >= 2 AND mp[2] <> mp[-1] THEN mp[2] || '_' || staff_name
+             CASE WHEN len(mp) >= 2 AND mp[2] <> '' AND mp[2] <> mp[-1] THEN mp[2] || '_' || staff_name
                   ELSE 'standalone_' || staff_name || '_' || rk[6] END AS experiment_id,
              CASE WHEN len(mp) >= 2
                   THEN array_to_string(rk[1:-2], '/') || '/' || mp[1] || '/payload/' ||

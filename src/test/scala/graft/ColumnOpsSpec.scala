@@ -31,6 +31,7 @@ class ColumnOpsSpec extends SparkTestBase {
       (s"sha256:$hex64", true),
       (hex64, true),
       (hex64.toLowerCase, true),
+      (s"  $hex64\n", true),        // reference strip()s whitespace
       (hex64.substring(1), false),  // 63 chars
       ("zz" * 32, false))           // non-hex
       .toDF("c", "expected")
@@ -55,10 +56,12 @@ class ColumnOpsSpec extends SparkTestBase {
   }
 
   test("P9 experiment id: folder vs standalone") {
-    // staff/exp/file -> exp_staff ; staff/file -> standalone ; file -> standalone
+    // staff/exp/file -> exp_staff ; staff/file -> standalone ; file ->
+    // standalone ; empty folder segment is falsy -> standalone
     val df = Seq(
       ("Felix/TestExp2/plate1.csv", "TestExp2_Felix"),
       ("Dana/readme.txt", "standalone_Dana_run1"),
+      ("Ann//x.txt", "standalone_Ann_run1"),
       ("lone.txt", "standalone_lone.txt_run1"))
       .toDF("path", "expected")
       .withColumn("staff", ColumnOps.staffName(lit(null).cast("string"), col("path")))

@@ -61,4 +61,11 @@ class ReconcileZipSpec extends SparkTestBase {
     assert(got("z/plate.csv") === "plate_2.csv")
     assert(got("w/README") === "README")
   }
+
+  test("zip entry names stay unique when a suffixed name collides with a literal one") {
+    val df = Seq("a/report.txt", "b/report.txt", "c/report_1.txt")
+      .toDF("key").withColumn("size", lit(1L))
+    val names = ZipPlanner.entryNames(df).select("entry_name").as[String].collect()
+    assert(names.distinct.length === 3, s"collision in ${names.toSeq}")
+  }
 }

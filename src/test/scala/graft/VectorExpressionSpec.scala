@@ -46,4 +46,12 @@ class VectorExpressionSpec extends SparkTestBase {
     val df = Seq((Some(Seq(1.0f)), None: Option[Seq[Float]])).toDF("a", "b")
     assert(df.select(V.dot(col("a"), col("b"))).head().isNullAt(0))
   }
+
+  test("null elements poison the product like the builtin formulation") {
+    val df = Seq((Seq(Some(1.0f), None, Some(2.0f)), Seq(Some(1.0f), Some(1.0f), Some(1.0f))))
+      .toDF("a", "b")
+    val r = df.select(V.dot(col("a"), col("b")).as("n"),
+      V.dotBuiltin(col("a"), col("b")).as("r")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
 }
