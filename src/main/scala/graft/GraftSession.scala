@@ -25,6 +25,9 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // partition values stay strings (a date-typed partition column
+      // would silently change the sync_runs.date schema on read-back)
+      .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.ui.enabled", "false")
 

@@ -65,9 +65,12 @@ object IngestJob {
     val (validExps, badExpTs) = IngestPipeline.strictTimestampGate(
       okExpPaths, Seq("created", "last_updated"), strictTimestamps)
 
+    // Hive-layout partitioning (SURVEY §7.1): instrument/date for the
+    // runs table, instrument for the inventory — time/instrument
+    // predicates (the reconciliation window) become partition pruning
     val runs = IngestPipeline.runRecords(validRuns, fixedNow)
     val nRuns = MergeWriter.insertIfAbsent(spark, s"$tablesDir/${Schemas.SyncRuns}",
-      runs, Schemas.syncRunsKeys, "s3_key")
+      runs, Schemas.syncRunsKeys, "s3_key", Seq("instrument_id", "date"))
 
     val exps = IngestPipeline.experimentRecords(validExps, fixedNow)
     val nExps = MergeWriter.insertIfAbsent(spark, s"$tablesDir/${Schemas.Experiments}",
@@ -79,7 +82,7 @@ object IngestJob {
       IngestPipeline.experimentFileRecords(validExps, fixedNow, strictTimestamps))
     val nFiles = MergeWriter.mergeFileInventory(spark,
       s"$tablesDir/${Schemas.FileInventory}", runFiles, expFiles,
-      Schemas.fileInventoryKeys)
+      Schemas.fileInventoryKeys, Seq("instrument_id"))
 
     val quarantine = badRunPaths.select(col("s3_key"), col("quarantine_reason"))
       .unionByName(badExpPaths.select(col("s3_key"), col("quarantine_reason")))

@@ -32,7 +32,8 @@ object MergeWriter {
     * by `orderCol`. Returns the number of rows appended.
     */
   def insertIfAbsent(spark: SparkSession, tableDir: String,
-      incoming: DataFrame, keys: Seq[String], orderCol: String): Long = {
+      incoming: DataFrame, keys: Seq[String], orderCol: String,
+      partitionCols: Seq[String] = Nil): Long = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
     val dedup = incoming.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
@@ -44,7 +45,11 @@ object MergeWriter {
     val cached = toAppend.cache()
     try {
       val n = cached.count()
-      if (n > 0) cached.write.mode(SaveMode.Append).parquet(tableDir)
+      if (n > 0) {
+        val writer = cached.write.mode(SaveMode.Append)
+        (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+         else writer).parquet(tableDir)
+      }
       n
     } finally cached.unpersist()
   }
@@ -57,7 +62,8 @@ object MergeWriter {
     * reference).
     */
   def mergeFileInventory(spark: SparkSession, tableDir: String,
-      runRows: DataFrame, expRows: DataFrame, keys: Seq[String]): Long = {
+      runRows: DataFrame, expRows: DataFrame, keys: Seq[String],
+      partitionCols: Seq[String] = Nil): Long = {
     val existing = readTable(spark, tableDir)
     val tagged = runRows.withColumn("__prio", lit(1))
       .unionByName(expRows.withColumn("__prio", lit(3)))
@@ -74,7 +80,9 @@ object MergeWriter {
       val n = merged.count()
       // two-phase rewrite: parquet has no transactions; stage then swap
       val tmp = tableDir + "__staging"
-      merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+      val writer = merged.write.mode(SaveMode.Overwrite)
+      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+       else writer).parquet(tmp)
       val fs = new org.apache.hadoop.fs.Path(tableDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(tableDir), true)

@@ -153,5 +153,28 @@ object TextAnalysis extends QueryRegistry {
       FROM documents
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35)
+  /** Sequence packing: assign docs to 1000-token training packs by
+    * distributed exclusive prefix sum over doc_id order; verified
+    * against the window-function formulation in DuckDB.
+    */
+  val q36 = GraftQuery(
+    "q36_pack_sequences",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), size(T.tokens(col("text"))).as("tokens"))
+      graft.operators.Packing.packByBudgetDistributed(docs, "doc_id", "tokens", 1000L)
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+             CAST(coalesce(sum(len(string_split(text, ' ')))
+                    OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS tokens_before,
+             CAST(coalesce(sum(len(string_split(text, ' ')))
+                    OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) // 1000 AS pack_id
+      FROM documents
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35, q36)
 }

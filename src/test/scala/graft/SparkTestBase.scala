@@ -11,6 +11,7 @@ trait SparkTestBase extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+    .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
