@@ -40,10 +40,18 @@ object Dedup {
     val sh = docs.select(col(idCol).as("id"),
       T.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
-    val a = exploded.as("a"); val b = exploded.as("b")
-    val cand = a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+    // group each shingle's sorted posting list once, then emit the
+    // per-shingle id pairs directly — one shuffle (on shingle) plus
+    // the pair-count aggregation, instead of a self-equi-join whose
+    // both sides shuffle the exploded table
+    val postings = sh.select(col("id"), explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val cand = postings
+      .select(posexplode(col("ids")).as(Seq("i", "id1")), col("ids"))
+      .select(col("id1"), explode(slice(col("ids"), col("i") + 2,
+        size(col("ids")))).as("id2"))
+      .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("inter"))
     val sizes = sh.select(col("id"), size(col("sh")).as("n_sh"))
     cand
