@@ -56,7 +56,7 @@ object Main {
         val listing = spark.read.format("binaryFile")
           .option("recursiveFileLookup", "true").load(root)
           .select(
-            regexp_replace(col("path"), s"^file:.*${java.util.regex.Pattern.quote(root.stripSuffix("/"))}/", "").as("key"),
+            IngestJob.keyFromUri(col("path"), root).as("key"),
             col("length").as("size"),
             (col("modificationTime").cast("long")).as("last_modified_epoch"))
         val now = kv.get("now").map(_.toLong)

@@ -22,8 +22,23 @@ object Bucketing {
       .saveAsTable(table)
 
   /** True when the physical plan of `df` contains no shuffle
-    * exchange (for asserting co-located joins).
+    * exchange node (broadcast exchanges do not count — they are not
+    * data shuffles). Tree-based with explicit descent into
+    * AdaptiveSparkPlanExec / query stages (AQE hides its inner plan
+    * from TreeNode.collect — children is Nil — so a naive collect is
+    * vacuously empty), and range/single-partition exchanges count
+    * too.
     */
-  def isShuffleFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+  def isShuffleFree(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def hasShuffle(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => hasShuffle(a.executedPlan)
+      case q: QueryStageExec => hasShuffle(q.plan)
+      case _: ShuffleExchangeLike => true
+      case other => other.children.exists(hasShuffle)
+    }
+    !hasShuffle(df.queryExecution.executedPlan)
+  }
 }

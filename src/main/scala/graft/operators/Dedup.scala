@@ -37,7 +37,9 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
+    // ids must be unique: the posting-list pair generation (and the
+    // banded variants) would emit self-pairs / double counts otherwise
+    val sh = docs.dropDuplicates(idCol).select(col(idCol).as("id"),
       T.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
     // group each shingle's sorted posting list once, then emit the
@@ -73,7 +75,7 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
+    val sh = docs.dropDuplicates(idCol).select(col(idCol).as("id"),
       T.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
     // cache = materialization boundary: without it CollapseProject
@@ -125,7 +127,7 @@ object Dedup {
     */
   private def simhashFingerprints(docs: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
-    val hashed = docs
+    val hashed = docs.dropDuplicates(idCol)
       .select(col(idCol).as("id"),
         transform(T.shingles(col(textCol), n), T.md5Int60 _).as("xi"))
       .filter(size(col("xi")) > 0)

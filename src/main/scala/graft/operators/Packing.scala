@@ -60,7 +60,12 @@ object Packing {
         (id, t, before, before / budget)
       }
     }.toDF(idCol, tokenCol, "tokens_before", "pack_id")
-    out
+    // materialize into a Dataset-level cache (clearable via
+    // spark.catalog.clearCache) and drop the RDD pin
+    val result = out.cache()
+    result.count()
+    rdd.unpersist(false)
+    result
   }
 
   /** Per-pack stats: docs, tokens, budget utilization. */

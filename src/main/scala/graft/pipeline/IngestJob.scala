@@ -19,20 +19,24 @@ object IngestJob {
   final case class IngestCounts(runs: Long, experiments: Long,
       files: Long, quarantined: Long)
 
-  /** The local-path analog of the S3 key: path below the ingest root. */
-  private def withKey(df: DataFrame, root: String, bucket: String): DataFrame = {
+  /** Path-URI -> key: strip up to the FIRST occurrence of the root
+    * (a greedy .* would truncate keys whose tree repeats the root
+    * path string), then decode %XX while preserving literal '+' (a
+    * URI plus is a plus — unquote_plus semantics apply to S3 event
+    * keys, not file URIs). Shared by ingest and the reconcile CLI so
+    * both sides derive identical keys.
+    */
+  def keyFromUri(uri: org.apache.spark.sql.Column, root: String): org.apache.spark.sql.Column = {
     val norm = root.stripSuffix("/")
-    // non-greedy prefix match: strip up to the FIRST occurrence of the
-    // root (a greedy .* would truncate keys whose tree repeats the
-    // root path string)
-    df.withColumn("s3_key",
-      regexp_replace(input_file_name(), s"^file:.*?${java.util.regex.Pattern.quote(norm)}/", ""))
-      // input_file_name is percent-encoded URI form; decode %XX but
-      // preserve literal '+' (a URI plus is a plus — unquote_plus
-      // semantics apply to S3 event keys, not file URIs)
-      .withColumn("s3_key", url_decode(regexp_replace(col("s3_key"), "\\+", "%2B")))
-      .withColumn("s3_bucket", lit(bucket))
+    url_decode(regexp_replace(
+      regexp_replace(uri, s"^file:.*?${java.util.regex.Pattern.quote(norm)}/", ""),
+      "\\+", "%2B"))
   }
+
+  /** The local-path analog of the S3 key: path below the ingest root. */
+  private def withKey(df: DataFrame, root: String, bucket: String): DataFrame =
+    df.withColumn("s3_key", keyFromUri(input_file_name(), root))
+      .withColumn("s3_bucket", lit(bucket))
 
   /** Read + transform one document kind from a tree (batch). */
   def readRunJsons(spark: SparkSession, root: String, bucket: String): DataFrame =
@@ -108,34 +112,56 @@ object IngestJob {
       readRunJsons(spark, root, bucket),
       readExperimentJsons(spark, root, bucket), fixedNow)
 
-  /** Streaming ingest: file source + checkpointed foreachBatch merge.
-    * AvailableNow drains everything present then stops — identical
-    * replay semantics to the backfill (SURVEY §2.9 T4).
+  /** Streaming ingest: two sequential checkpointed AvailableNow
+    * streams (one per document kind — their schemas differ), each
+    * draining only its own new files through the shared merge. Run
+    * sequentially, never concurrently: both merge into
+    * file_inventory and the writer is single-writer by design.
+    * Replays and late files of EITHER kind are picked up by the next
+    * invocation (SURVEY §2.9 T4); the idempotent merges make
+    * redelivery a no-op.
     */
   def runStreaming(spark: SparkSession, root: String, tablesDir: String,
       checkpointDir: String, bucket: String = "local",
       fixedNow: Option[Long] = None,
       strictTimestamps: Boolean = false): Unit = {
+    def emptyOf(schema: org.apache.spark.sql.types.StructType): DataFrame =
+      withKeyColumns(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), bucket)
+
     val runStream = withKey(spark.readStream.schema(Schemas.runJson)
       .option("multiLine", "true")
       .option("pathGlobFilter", "*run.json")
       .option("recursiveFileLookup", "true").json(root), root, bucket)
-    val expSchema = Schemas.experimentJson
-    val query = runStream.writeStream
+    val runQuery = runStream.writeStream
       .option("checkpointLocation", s"$checkpointDir/runs")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // experiment docs are re-read per trigger batch-side; the run
-        // stream drives progress. (Two independent streams would race
-        // on the shared file_inventory merge — single-writer rule.)
-        val expBatch = withKey(spark.read.schema(expSchema)
-          .option("multiLine", "true")
-          .option("pathGlobFilter", "*experiment.json")
-          .option("recursiveFileLookup", "true").json(root), root, bucket)
-        processBatch(spark, tablesDir, batch, expBatch, fixedNow, strictTimestamps)
+        processBatch(spark, tablesDir, batch, emptyOf(Schemas.experimentJson),
+          fixedNow, strictTimestamps)
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    query.awaitTermination()
+    runQuery.awaitTermination()
+
+    val expStream = withKey(spark.readStream.schema(Schemas.experimentJson)
+      .option("multiLine", "true")
+      .option("pathGlobFilter", "*experiment.json")
+      .option("recursiveFileLookup", "true").json(root), root, bucket)
+    val expQuery = expStream.writeStream
+      .option("checkpointLocation", s"$checkpointDir/experiments")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(spark, tablesDir, emptyOf(Schemas.runJson), batch,
+          fixedNow, strictTimestamps)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    expQuery.awaitTermination()
   }
+
+  private def withKeyColumns(df: DataFrame, bucket: String): DataFrame =
+    df.withColumn("s3_key", lit(null).cast("string"))
+      .withColumn("s3_bucket", lit(bucket))
+      .limit(0)
 }

@@ -108,8 +108,12 @@ object IngestPipeline {
       staff.as("staff_name"),
       col("instrument_id"),
       coalesce(col("f.is_update"), lit(false)).as("is_update"),
-      when(!ColumnOps.isValidChecksum(col("f.checksum")), lit("invalid_checksum"))
-        .when(lit(strictTimestamps) && col("f.file_date").isNotNull &&
+      // null checksum must quarantine (coalesce: isValidChecksum(null)
+      // is NULL, and when(NULL) would route the row as clean); strict
+      // mode also rejects null/empty timestamps like the reference
+      when(!coalesce(ColumnOps.isValidChecksum(col("f.checksum")), lit(false)),
+        lit("invalid_checksum"))
+        .when(lit(strictTimestamps) &&
           !ColumnOps.isParseableTimestamp(col("f.file_date")),
           lit("unparseable_timestamp"))
         .as("quarantine_reason"))
@@ -166,8 +170,9 @@ object IngestPipeline {
       col("staff_name"),
       col("instrument_id"),
       lit(null).cast("boolean").as("is_update"),
-      when(!ColumnOps.isValidChecksum(col("f.checksum")), lit("invalid_checksum"))
-        .when(lit(strictTimestamps) && col("f.modified").isNotNull &&
+      when(!coalesce(ColumnOps.isValidChecksum(col("f.checksum")), lit(false)),
+        lit("invalid_checksum"))
+        .when(lit(strictTimestamps) &&
           !ColumnOps.isParseableTimestamp(col("f.modified")),
           lit("unparseable_timestamp"))
         .as("quarantine_reason"))

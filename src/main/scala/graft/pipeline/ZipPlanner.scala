@@ -56,11 +56,15 @@ object ZipPlanner {
         .drop("rn")
     }
     var out = files.withColumn("entry_name", substring_index(col("key"), "/", -1))
+    var prev: DataFrame = null
     var attempts = 0
     var done = false
     while (!done && attempts < 16) {
-      out = suffixPass(out).cache()
-      val dups = out.groupBy("entry_name").count().filter(col("count") > 1).count()
+      val next = suffixPass(out).cache()
+      val dups = next.groupBy("entry_name").count().filter(col("count") > 1).count()
+      if (prev != null) prev.unpersist()
+      prev = next
+      out = next
       done = dups == 0
       attempts += 1
     }

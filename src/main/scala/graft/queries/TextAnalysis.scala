@@ -27,11 +27,17 @@ object TextAnalysis extends QueryRegistry {
           round(avg(col("n_tok")), 4).as("avg_tokens"))
     },
     Some("""
+      WITH t AS (
+        SELECT lang,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+               len(regexp_extract_all(text, '[a-z0-9]+')) AS n_re
+        FROM documents)
       SELECT lang, count(*) AS n_docs,
-             sum(len(string_split(trim(text), ' '))) AS sum_tokens,
-             sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS sum_regex_tokens,
-             round(avg(len(string_split(trim(text), ' '))), 4) AS avg_tokens
-      FROM documents
+             sum(n_tok) AS sum_tokens,
+             sum(n_re) AS sum_regex_tokens,
+             round(avg(n_tok), 4) AS avg_tokens
+      FROM t
       GROUP BY lang
     """.trim))
 

@@ -59,6 +59,21 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(after === before)
   }
 
+  test("experiment-only tree streams fully (no run.json needed to drive progress)") {
+    val root = tmpDir("exp_only")
+    write(root, "raw/instr3/2026/03/01/runC/Bo/payload/ExpX/experiment.json",
+      s"""{"experiment_id": "ExpX_Bo", "experiment_folder": "ExpX",
+          "staff_name": "Bo", "instrument": "instr3", "computer": "PC-C",
+          "last_updated": "2026-03-01T01:00:00Z", "file_count": 1,
+          "total_size_bytes": 7, "s3_location": "s3://b/y/",
+          "files": [{"name": "d.fcs", "relative_path": "d.fcs", "size": 7,
+                     "checksum": "$hex"}]}""")
+    val tables = tmpDir("tables_exp_only")
+    IngestJob.runStreaming(spark, root, tables, tmpDir("ckpt_exp"), fixedNow = FIXED_NOW)
+    assert(spark.read.parquet(s"$tables/${Schemas.Experiments}").count() === 1)
+    assert(spark.read.parquet(s"$tables/${Schemas.FileInventory}").count() === 1)
+  }
+
   test("late file arriving after first drain is picked up on the next run") {
     val root = fixtureTree()
     val tables = tmpDir("tables_late")
