@@ -37,17 +37,18 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    // ids must be unique: the posting-list pair generation (and the
-    // banded variants) would emit self-pairs / double counts otherwise
-    val sh = docs.dropDuplicates(idCol).select(col(idCol).as("id"),
+    val sh = docs.select(col(idCol).as("id"),
       T.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
     // group each shingle's sorted posting list once, then emit the
     // per-shingle id pairs directly — one shuffle (on shingle) plus
     // the pair-count aggregation, instead of a self-equi-join whose
     // both sides shuffle the exploded table
+    // array_distinct: a duplicated id (degenerate input) would emit
+    // self-pairs and double counts; distinct+sorted posting lists make
+    // every emitted pair strictly increasing
     val postings = sh.select(col("id"), explode(col("sh")).as("s"))
-      .groupBy(col("s")).agg(sort_array(collect_list(col("id"))).as("ids"))
+      .groupBy(col("s")).agg(sort_array(array_distinct(collect_list(col("id")))).as("ids"))
       .filter(size(col("ids")) > 1)
     val cand = postings
       .select(posexplode(col("ids")).as(Seq("i", "id1")), col("ids"))
@@ -73,9 +74,12 @@ object Dedup {
     * shuffle carries (band_key, id); the verify join touches candidate
     * rows only.
     */
+  /** idCol must be unique (the standard corpus contract); duplicate
+    * ids would duplicate verify-join rows.
+    */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
-    val sh = docs.dropDuplicates(idCol).select(col(idCol).as("id"),
+    val sh = docs.select(col(idCol).as("id"),
       T.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
     // cache = materialization boundary: without it CollapseProject
@@ -127,7 +131,7 @@ object Dedup {
     */
   private def simhashFingerprints(docs: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
-    val hashed = docs.dropDuplicates(idCol)
+    val hashed = docs
       .select(col(idCol).as("id"),
         transform(T.shingles(col(textCol), n), T.md5Int60 _).as("xi"))
       .filter(size(col("xi")) > 0)
