@@ -33,6 +33,18 @@ object VectorFunctions {
   /** Cosine similarity. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Absmax scale for symmetric int8 quantization. */
+  def absmaxScale(v: Column): Column =
+    array_max(transform(v, x => abs(x.cast("double"))))
+
+  /** Symmetric int8 quantize-then-dequantize round trip (the storage
+    * codec applied at rest; floor(x+0.5) rounding so both engines
+    * agree on identical doubles). Returns array<double>.
+    */
+  def dequantizedInt8(v: Column, scale: Column): Column =
+    transform(v, x =>
+      floor(x.cast("double") * 127.0 / scale + 0.5) * scale / 127.0)
+
   /** Squared L2 distance. */
   def l2Squared(a: Column, b: Column): Column =
     aggregate(

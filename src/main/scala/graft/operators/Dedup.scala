@@ -98,9 +98,12 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
+    // reuse the cached hashed frame for the verify joins (sh would
+    // recompute shingling per join otherwise)
+    val shCached = hashed.select(col("id"), col("sh"))
     val withSets = cand
-      .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), Seq("id1"))
-      .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .join(shCached.select(col("id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(shCached.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
     withSets
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jaccard",

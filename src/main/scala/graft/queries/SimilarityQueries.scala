@@ -104,5 +104,46 @@ object SimilarityQueries extends QueryRegistry {
                                  ORDER BY cosine DESC, neighbor_id) <= 5
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q25, q26, q28)
+  /** Int8 quantization fidelity: per-vector absmax scale and the
+    * cosine between the original and its quantize-dequantize round
+    * trip — the check a pipeline runs before storing embeddings
+    * quantized. All arithmetic mirrored exactly in the oracle.
+    */
+  val q29 = GraftQuery(
+    "q29_quantize_int8_fidelity",
+    (s, d) => {
+      import graft.functions.{VectorFunctions => V}
+      val emb = Tables.embeddings(s, d)
+        .withColumn("scale", V.absmaxScale(col("embedding")))
+        .filter(col("scale") > 0)
+      emb.select(col("vec_id"),
+        floor(col("scale") * 1000000).cast("long").as("scale_e6"),
+        floor(V.cosine(col("embedding"),
+          V.dequantizedInt8(col("embedding"), col("scale"))) * 10000)
+          .cast("long").as("cos_bp"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+               embedding
+        FROM embeddings),
+      deq AS (
+        SELECT vec_id, scale, embedding,
+               list_transform(embedding,
+                 x -> floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5) * scale / 127.0) AS dq
+        FROM q WHERE scale > 0)
+      SELECT vec_id,
+             CAST(floor(scale * 1000000) AS BIGINT) AS scale_e6,
+             CAST(floor(
+               list_sum(list_transform(range(1, 65),
+                 i -> CAST(embedding[i] AS DOUBLE) * dq[i])) /
+               (sqrt(list_sum(list_transform(range(1, 65),
+                 i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) *
+                sqrt(list_sum(list_transform(range(1, 65),
+                 i -> dq[i] * dq[i])))) * 10000) AS BIGINT) AS cos_bp
+      FROM deq
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q25, q26, q28, q29)
 }
