@@ -298,5 +298,29 @@ object Relational extends QueryRegistry {
       WHERE NOT EXISTS (SELECT 1 FROM events WHERE CAST(user_id AS BIGINT) = r.key)
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12)
+  /** Bounded-heap top-k per group (custom TypedImperativeAggregate,
+    * graft.expressions.TopKRows): shuffles at most k rows per group
+    * per map task — the scalable form of the W2 window pattern. The
+    * oracle is the equivalent window formulation.
+    */
+  val q17 = GraftQuery(
+    "q17_topk_per_group",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("rowid",
+          col("l_orderkey") * 100 + col("l_linenumber").cast("long"))
+      graft.operators.TopK.perGroup(li, Seq("l_suppkey"),
+        "l_extendedprice", "rowid", Seq("l_partkey"), k = 2)
+    },
+    Some("""
+      SELECT l_suppkey, CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+             l_orderkey * 100 + l_linenumber AS rowid, l_partkey
+      FROM lineitem
+      QUALIFY row_number() OVER (PARTITION BY l_suppkey
+                                 ORDER BY l_extendedprice DESC,
+                                          l_orderkey * 100 + l_linenumber ASC) <= 2
+    """.trim))
+
+  def all: Seq[GraftQuery] =
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q17)
 }
