@@ -182,5 +182,31 @@ object TextAnalysis extends QueryRegistry {
       FROM documents
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35, q36)
+  /** Corpus curation gate: per-doc keep/drop with first-failing
+    * reason (tight thresholds so the testdata actually trips each
+    * gate), plus the drop-stats rollup shape via dropStats in specs.
+    */
+  val q37 = GraftQuery(
+    "q37_curation_gate",
+    (s, d) => graft.operators.Curation.annotate(
+      Tables.documents(s, d), "text", "lang",
+      graft.operators.Curation.Thresholds(
+        minTokens = 25, maxTokens = 80, maxStopwordRatio = 0.07,
+        minUniqueRatio = 0.6, allowedLangs = Seq("de", "en", "es", "fr")))
+      .select(col("doc_id"), col("drop_reason")),
+    Some("""
+      WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents)
+      SELECT doc_id,
+             CASE WHEN len(words) < 25 THEN 'too_short'
+                  WHEN len(words) > 80 THEN 'too_long'
+                  WHEN floor(CAST(len(list_filter(words, x -> x IN ('the', 'a'))) AS DOUBLE)
+                             / len(words) * 10000) / 10000 > 0.07 THEN 'stopword_heavy'
+                  WHEN floor(CAST(len(list_distinct(words)) AS DOUBLE)
+                             / len(words) * 10000) / 10000 < 0.6 THEN 'repetitive'
+                  WHEN lang NOT IN ('de', 'en', 'es', 'fr') THEN 'lang_not_allowed'
+             END AS drop_reason
+      FROM w
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37)
 }
