@@ -81,7 +81,8 @@ object TextFunctions {
     * for one-off use; operators materialize the ints column first).
     */
   def minhashSignature(shingleArr: Column): Column =
-    minhashSignatureFromInts(transform(shingleArr, md5Int32 _))
+    minhashSignatureFromInts(
+      graft.expressions.HashFunctions.md5_int_array32(shingleArr))
 
   /** LSH band keys: the signature split into `bands` groups of
     * `rowsPerBand`, each joined to a comma-separated key. Docs sharing
@@ -153,7 +154,9 @@ object TextFunctions {
   def rollingHashFromInts(ints: Column): Column =
     aggregate(ints, lit(0L), (h, x) => (h * 31 + x) % MinhashP)
 
-  /** Convenience: rolling hash of whitespace tokens. */
+  /** Convenience: rolling hash of whitespace tokens (native array
+    * hashing — see graft.expressions.Md5IntArray).
+    */
   def rollingHash(text: Column): Column =
-    rollingHashFromInts(transform(tokens(text), md5Int32 _))
+    rollingHashFromInts(graft.expressions.HashFunctions.md5_int_array32(tokens(text)))
 }

@@ -86,7 +86,8 @@ object Dedup {
     // inlines the md5 transform into every downstream use and the
     // hash runs k times per row (at cluster scale: write the
     // signature stage to a table instead)
-    val hashed = sh.withColumn("xi", transform(col("sh"), T.md5Int32 _)).cache()
+    val hashed = sh.withColumn("xi",
+      graft.expressions.HashFunctions.md5_int_array32(col("sh"))).cache()
     val sig = hashed.withColumn("sig", T.minhashSignatureFromInts(col("xi")))
       .withColumn("bands", T.minhashBands(col("sig"), bands, rowsPerBand))
     val banded = sig.select(col("id"),
@@ -136,7 +137,8 @@ object Dedup {
       textCol: String, n: Int): DataFrame = {
     val hashed = docs
       .select(col(idCol).as("id"),
-        transform(T.shingles(col(textCol), n), T.md5Int60 _).as("xi"))
+        graft.expressions.HashFunctions.md5_int_array60(
+          T.shingles(col(textCol), n)).as("xi"))
       .filter(size(col("xi")) > 0)
       .withColumn("counts", T.simhashBitCounts(col("xi")))
       .withColumn("total", size(col("xi")))

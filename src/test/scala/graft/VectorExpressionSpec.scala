@@ -54,4 +54,21 @@ class VectorExpressionSpec extends SparkTestBase {
       V.dotBuiltin(col("a"), col("b")).as("r")).head()
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
+
+  test("native md5 int arrays equal the builtin conv/substr formulation") {
+    import graft.expressions.HashFunctions
+    import graft.functions.{TextFunctions => T}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(T.shingles(col("text"), 3).as("sh"))
+    val d32 = docs.select(
+      HashFunctions.md5_int_array32(col("sh")).as("n"),
+      transform(col("sh"), T.md5Int32 _).as("r"))
+      .filter(col("n") =!= col("r"))
+    assert(d32.count() === 0)
+    val d60 = docs.select(
+      HashFunctions.md5_int_array60(col("sh")).as("n"),
+      transform(col("sh"), T.md5Int60 _).as("r"))
+      .filter(col("n") =!= col("r"))
+    assert(d60.count() === 0)
+  }
 }
