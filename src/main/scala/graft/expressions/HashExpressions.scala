@@ -25,7 +25,11 @@ case class Md5IntArray(child: Expression, bits: Int)
 
   require(bits == 32 || bits == 60, s"unsupported bits: $bits")
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType,
+    containsNull = child.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true
+    })
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -43,6 +47,10 @@ case class Md5IntArray(child: Expression, bits: Int)
     val md = java.security.MessageDigest.getInstance("MD5")
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i)) {
+        out(i) = null // matches transform(arr, md5...): null in, null out
+        i += 1
+      } else {
       val s = arr.getUTF8String(i)
       md.reset()
       val d = md.digest(s.getBytes)
@@ -58,6 +66,7 @@ case class Md5IntArray(child: Expression, bits: Int)
           v >>> 4
         }
       i += 1
+      }
     }
     new GenericArrayData(out)
   }

@@ -51,10 +51,15 @@ case class TopKRows(
     val v = child.eval(input)
     if (v != null) {
       val row = v.asInstanceOf[InternalRow]
-      val score = row.getDouble(0)
-      val id = row.getLong(1)
-      if (buf.wouldAccept(score, id)) {
-        buf.insert(score, id, proj(row).copy())
+      // null score/id rows are excluded (getDouble on a null field
+      // would silently read 0.0 and mis-rank); matches the window
+      // form whenever groups hold >= k non-null rows
+      if (!row.isNullAt(0) && !row.isNullAt(1)) {
+        val score = row.getDouble(0)
+        val id = row.getLong(1)
+        if (buf.wouldAccept(score, id)) {
+          buf.insert(score, id, proj(row).copy())
+        }
       }
     }
     buf

@@ -19,18 +19,28 @@ object Curation {
       minUniqueRatio: Double = 0.2,
       allowedLangs: Seq[String] = Seq("de", "en", "es", "fr", "zh"))
 
-  /** Annotate each document with drop_reason (null = keep). */
+  /** Annotate each document with drop_reason (null = keep). The token
+    * array is materialized as its own column so the gates reference a
+    * cheap attribute — CaseWhen branches get no cross-branch CSE, and
+    * CollapseProject keeps multiply-referenced non-cheap aliases
+    * staged (SPARK-36718), so split() runs once per row, not per
+    * gate. A null language is NOT allowed (coalesce: isin(null) is
+    * NULL and a bare when(NULL) would silently keep the row).
+    */
   def annotate(docs: DataFrame, textCol: String, langCol: String,
       t: Thresholds = Thresholds()): DataFrame = {
-    val words = T.tokens(col(textCol))
+    val words = col("__words")
     val n = size(words)
     docs
+      .withColumn("__words", T.tokens(col(textCol)))
       .withColumn("drop_reason",
         when(n < t.minTokens, "too_short")
           .when(n > t.maxTokens, "too_long")
           .when(Q.stopwordRatio(words) > t.maxStopwordRatio, "stopword_heavy")
           .when(Q.uniqueRatio(words) < t.minUniqueRatio, "repetitive")
-          .when(!col(langCol).isin(t.allowedLangs: _*), "lang_not_allowed"))
+          .when(!coalesce(col(langCol).isin(t.allowedLangs: _*), lit(false)),
+            "lang_not_allowed"))
+      .drop("__words")
   }
 
   /** The kept corpus. */

@@ -34,11 +34,26 @@ class PartitionPruningSpec extends SparkTestBase {
 
     val q = spark.read.parquet(s"$tables/sync_runs")
       .filter(col("instrument_id") === "instrA" && col("date") === "2026-01-15")
-    val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters"), plan)
     assert(q.count() === 1)
-    // the pruned scan reads exactly one partition directory
-    val scanned = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
-    assert(!scanned.contains("instrB"))
+    // the pruned scan touched exactly one of the four partition files:
+    // read the scan's numFiles metric (plan strings truncate paths, so
+    // string assertions can pass vacuously)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec => scans(qs.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val executed = q.queryExecution.executedPlan
+    q.collect() // drive the scan so metrics populate
+    val scan = scans(executed).head
+    assert(scan.metrics("numFiles").value === 1,
+      s"expected 1 pruned file, got ${scan.metrics("numFiles").value}")
+    val total = spark.read.parquet(s"$tables/sync_runs")
+    total.collect()
+    // sanity: the unpruned table really has 4 partition files
+    assert(spark.read.parquet(s"$tables/sync_runs").inputFiles.length === 4)
   }
 }
