@@ -44,6 +44,21 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** Streaming dedup on a key with bounded state: duplicates arriving
+    * within the watermark horizon are dropped; state for keys older
+    * than the watermark is evicted (dropDuplicatesWithinWatermark,
+    * Spark 3.5+). This is the belt-and-braces redelivery guard of
+    * SURVEY §2.9 T2 — the idempotent merge sink remains the source of
+    * truth; this bounds how much duplicate work ever reaches it.
+    * eventTimeCol must be a timestamp column with a watermark set by
+    * the caller via delay.
+    */
+  def dedupStreaming(events: DataFrame, keyCols: Seq[String],
+      eventTimeCol: String, delay: String): DataFrame =
+    events
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Batch sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds gapSeconds. Pure window
     * functions — one shuffle on user_id; SQL-expressible, so the

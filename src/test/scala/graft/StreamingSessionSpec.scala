@@ -28,6 +28,32 @@ class StreamingSessionSpec extends SparkTestBase {
       (2L, 1L, 1L, 500L, 500L, 4.0)))
   }
 
+  test("streaming dedup drops redelivered keys within the watermark") {
+    val root = tmpDir("dedup_stream")
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    Seq((10L, t(1000), "a"), (11L, t(1010), "b"))
+      .toDF("event_id", "ts", "payload").coalesce(1)
+      .write.parquet(s"$root/b1")
+    // redelivery of event 10 (same key, within watermark) + a new one
+    Seq((10L, t(1005), "a-dup"), (12L, t(1020), "c"))
+      .toDF("event_id", "ts", "payload").coalesce(1)
+      .write.parquet(s"$root/b2")
+    val schema = spark.read.parquet(s"$root/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(root)
+    val deduped = EventStreams.dedupStreaming(stream, Seq("event_id"), "ts", "10 minutes")
+    val name = s"dd_${System.nanoTime()}"
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val ids = spark.table(name).select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq === Seq(10L, 11L, 12L)) // event 10 kept once
+  }
+
   test("streaming sessionize emits closed sessions, keeps open state") {
     val root = tmpDir("sess_stream")
     // two micro-batch files processed in order (AvailableNow drains both,
