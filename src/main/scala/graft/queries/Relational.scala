@@ -321,6 +321,33 @@ object Relational extends QueryRegistry {
                                           l_orderkey * 100 + l_linenumber ASC) <= 2
     """.trim))
 
+  /** As-of join (operators.AsOfJoin): each event matched to the
+    * latest order of the same customer at or before the event time —
+    * composed as union + one running-max window (single shuffle).
+    * Oracle: DuckDB's native ASOF LEFT JOIN.
+    */
+  val q18 = GraftQuery(
+    "q18_asof_join",
+    (s, d) => {
+      val events = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000000000").as("event_sec"))
+      val orders = Tables.orders(s, d)
+        .select(col("o_custkey").as("user_id"),
+          col("o_orderdate").cast("timestamp").cast("long").as("order_sec"))
+      graft.operators.AsOfJoin.asOfTime(events, orders,
+        "user_id", "event_sec", "order_sec")
+        .withColumnRenamed("asof_time", "last_order_epoch")
+    },
+    Some("""
+      SELECT e.event_id, e.user_id,
+             epoch_ns(e.ts) // 1000000000 AS event_sec,
+             CAST(epoch(o.o_orderdate) AS BIGINT) AS last_order_epoch
+      FROM events e ASOF LEFT JOIN orders o
+        ON e.user_id = o.o_custkey
+       AND (epoch_ns(e.ts) // 1000000000) >= epoch(o.o_orderdate)
+    """.trim))
+
   def all: Seq[GraftQuery] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q17)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q17, q18)
 }
