@@ -348,6 +348,38 @@ object Relational extends QueryRegistry {
        AND (epoch_ns(e.ts) // 1000000000) >= epoch(o.o_orderdate)
     """.trim))
 
+  /** Range join (operators.RangeJoin): purchase/error events landing
+    * inside the hour after the same user's signup events — binned
+    * equi-join, not a nested-loop BETWEEN. Oracle: plain inequality
+    * join.
+    */
+  val q19 = GraftQuery(
+    "q19_range_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("sec", expr("ts div 1000000000"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"),
+          col("sec").as("start_sec"),
+          (col("sec") + 3600).as("end_sec"))
+      val others = ev.filter(col("event_type") =!= "signup")
+        .select(col("user_id"), col("event_id"), col("sec"))
+      graft.operators.RangeJoin.pointInInterval(others, signups,
+        "user_id", "sec", "start_sec", "end_sec", binSize = 3600)
+        .select(col("signup_id"), col("event_id"), col("user_id"),
+          (col("sec") - col("start_sec")).as("lag_sec"))
+    },
+    Some("""
+      WITH ev AS (SELECT event_id, user_id, event_type,
+                         epoch_ns(ts) // 1000000000 AS sec FROM events)
+      SELECT s.event_id AS signup_id, o.event_id, s.user_id,
+             o.sec - s.sec AS lag_sec
+      FROM ev s JOIN ev o
+        ON s.user_id = o.user_id
+       AND s.event_type = 'signup' AND o.event_type <> 'signup'
+       AND o.sec >= s.sec AND o.sec <= s.sec + 3600
+    """.trim))
+
   def all: Seq[GraftQuery] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q17, q18)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q17, q18, q19)
 }
