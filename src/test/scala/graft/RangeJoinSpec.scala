@@ -22,5 +22,11 @@ class RangeJoinSpec extends SparkTestBase {
       .select("pname", "iname").as[(String, String)].collect().toSet
     assert(binned === plain)
     assert(binned === Set(("p1", "i2"), ("p2", "i1"), ("p3", "i1")))
+
+    // the whole point: the binned form plans as a hash/merge equi-join,
+    // never a nested loop
+    val binnedPlan = RangeJoin.pointInInterval(points, intervals, "k", "t", "s", "e", 100L)
+      .queryExecution.executedPlan.toString
+    assert(!binnedPlan.contains("BroadcastNestedLoopJoin"), binnedPlan)
   }
 }
