@@ -208,5 +208,45 @@ object TextAnalysis extends QueryRegistry {
       FROM w
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37)
+  /** Pipeline composition: curation gate -> exact dedup (canonical
+    * per fingerprint) -> token-budget packing, chained through the
+    * library operators — the end-to-end pre-training data flow in one
+    * verified query.
+    */
+  val q38 = GraftQuery(
+    "q38_pipeline_compose",
+    (s, d) => {
+      import graft.operators.{Curation, Dedup, Packing}
+      val kept = Curation.filter(Tables.documents(s, d), "text", "lang",
+        Curation.Thresholds(minTokens = 25, maxTokens = 80,
+          maxStopwordRatio = 0.07, minUniqueRatio = 0.6,
+          allowedLangs = Seq("de", "en", "es", "fr")))
+      val canon = Dedup.exactGroups(kept, "doc_id", "text")
+        .select(col("canonical_id").as("doc_id"))
+      val deduped = kept.join(canon, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), size(T.tokens(col("text"))).as("tokens"))
+      Packing.packByBudgetDistributed(deduped, "doc_id", "tokens", 500L)
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, text, lang, string_split(text, ' ') AS words FROM documents),
+      kept AS (
+        SELECT doc_id, text, words FROM w
+        WHERE NOT (len(words) < 25 OR len(words) > 80
+               OR floor(CAST(len(list_filter(words, x -> x IN ('the', 'a'))) AS DOUBLE)
+                        / len(words) * 10000) / 10000 > 0.07
+               OR floor(CAST(len(list_distinct(words)) AS DOUBLE)
+                        / len(words) * 10000) / 10000 < 0.6
+               OR lang NOT IN ('de', 'en', 'es', 'fr'))),
+      canon AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+      dd AS (SELECT k.doc_id, CAST(len(k.words) AS BIGINT) AS tokens
+             FROM kept k JOIN canon c ON k.doc_id = c.doc_id)
+      SELECT doc_id, tokens,
+             CAST(coalesce(sum(tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before,
+             CAST(coalesce(sum(tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 500 AS pack_id
+      FROM dd
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38)
 }
