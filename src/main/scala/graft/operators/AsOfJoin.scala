@@ -33,13 +33,9 @@ object AsOfJoin {
     val leftCols = left.columns
     val r = right.select(col(keyCol), col(rightTimeCol).cast("long").as("__t"))
       .withColumn("__tag", lit(0))
-    // align schemas: right side carries nulls for the left payload
-    val rAligned = leftCols.foldLeft(r) { (df, c) =>
-      if (df.columns.contains(c)) df
-      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.select((leftCols.map(col) :+ col("__t") :+ col("__tag")): _*)
+    // right side carries nulls for the left payload columns
     val unioned = l.select((leftCols.map(col) :+ col("__t") :+ col("__tag")): _*)
-      .unionByName(rAligned)
+      .unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, 0)

@@ -21,6 +21,7 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       keyCol: String, timeCol: String, startCol: String, endCol: String,
       binSize: Long): DataFrame = {
+    require(binSize > 0, s"binSize must be positive, got $binSize")
     val p = points.withColumn("__bin", floor(col(timeCol) / binSize))
     val i = intervals
       .withColumn("__bin", explode(sequence(

@@ -217,10 +217,12 @@ object TextAnalysis extends QueryRegistry {
     "q38_pipeline_compose",
     (s, d) => {
       import graft.operators.{Curation, Dedup, Packing}
+      // cache: kept feeds both the dedup group-by and the semi-join
+      // probe — without the boundary the curation gates run twice
       val kept = Curation.filter(Tables.documents(s, d), "text", "lang",
         Curation.Thresholds(minTokens = 25, maxTokens = 80,
           maxStopwordRatio = 0.07, minUniqueRatio = 0.6,
-          allowedLangs = Seq("de", "en", "es", "fr")))
+          allowedLangs = Seq("de", "en", "es", "fr"))).cache()
       val canon = Dedup.exactGroups(kept, "doc_id", "text")
         .select(col("canonical_id").as("doc_id"))
       val deduped = kept.join(canon, Seq("doc_id"), "left_semi")
