@@ -31,12 +31,20 @@ object Dedup {
 
   /** All pairs with word-n-gram Jaccard similarity >= threshold,
     * found via an exploded shingle equi-join (pairs must share at
-    * least one shingle). Exact — no approximation. Quadratic in the
-    * per-shingle document frequency: at scale, prefer
-    * minhashLshPairs and keep this as the verifier.
+    * least one shingle). Quadratic in the per-shingle document
+    * frequency, so postings longer than `maxDf` are dropped: one
+    * boilerplate stop-shingle shared by 1M docs would otherwise emit
+    * an O(df^2) pair blowup on a single key. The cap makes the
+    * operator approximate for pairs whose ONLY shared shingles are
+    * stop-shingles — those have near-zero Jaccard anyway. Dropped
+    * posting counts are observable via the `ngram_df_cap` metric
+    * (df.observe; surfaces in QueryExecutionListener / Spark UI).
+    * Exact when maxDf exceeds the corpus' true max df (default covers
+    * testdata's max of 25 by 40x). At scale, prefer minhashLshPairs
+    * and keep this as the verifier.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double, maxDf: Int = 1000): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
       T.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -50,6 +58,10 @@ object Dedup {
     val postings = sh.select(col("id"), explode(col("sh")).as("s"))
       .groupBy(col("s")).agg(sort_array(array_distinct(collect_list(col("id")))).as("ids"))
       .filter(size(col("ids")) > 1)
+      .observe("ngram_df_cap",
+        sum(when(size(col("ids")) > maxDf, 1L).otherwise(0L)).as("dropped_postings"),
+        max(size(col("ids"))).as("max_df_seen"))
+      .filter(size(col("ids")) <= maxDf)
     val cand = postings
       .select(posexplode(col("ids")).as(Seq("i", "id1")), col("ids"))
       .select(col("id1"), explode(slice(col("ids"), col("i") + 2,

@@ -145,5 +145,53 @@ object DedupQueries extends QueryRegistry {
       SELECT id1, id2, cosine FROM pairs WHERE cosine >= 0.4
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24)
+  /** Embedding near-dup pairs via multi-table hyperplane LSH — the
+    * bucketed scale path for q24's exact all-pairs join. The oracle
+    * mirrors the full pipeline (hyperplane sign bits -> per-table
+    * bucket keys -> within-bucket candidates -> exact-cosine verify),
+    * so the driver checks the whole approximate pipeline bit-for-bit;
+    * LshPairsSpec separately measures precision/recall against q24's
+    * exact output.
+    */
+  val q39 = GraftQuery(
+    "q39_dedup_embedding_lsh",
+    (s, d) => graft.operators.Similarity.lshBucketedPairs(
+      Tables.embeddings(s, d), "vec_id", "embedding",
+      threshold = 0.4, bits = 4, tables = 16),
+    Some {
+      val hps = graft.operators.Similarity.lshHyperplanes(16, 4, 64)
+      val hpRows = (for { t <- 0 until 16; k <- 0 until 4 } yield {
+        val arr = hps(t)(k).map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+        s"($t, $k, $arr)"
+      }).mkString(",\n        ")
+      s"""
+      WITH hp(table_idx, bit_idx, h) AS (VALUES
+        $hpRows),
+      sb AS (
+        SELECT e.vec_id, hp.table_idx,
+               CASE WHEN list_sum(list_transform(range(1, 65),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * hp.h[i])) >= 0
+                    THEN (CAST(1 AS BIGINT) << hp.bit_idx) ELSE CAST(0 AS BIGINT) END AS bit_val
+        FROM embeddings e CROSS JOIN hp),
+      keyed AS (SELECT vec_id, table_idx, CAST(sum(bit_val) AS BIGINT) AS bucket
+                FROM sb GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+               FROM keyed a JOIN keyed b
+                 ON a.table_idx = b.table_idx AND a.bucket = b.bucket
+                AND a.vec_id < b.vec_id),
+      ver AS (SELECT id1, id2,
+                     round(
+                       list_sum(list_transform(range(1, 65),
+                         i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))) /
+                       (sqrt(list_sum(list_transform(range(1, 65),
+                         i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)))) *
+                        sqrt(list_sum(list_transform(range(1, 65),
+                         i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))))), 4) AS cosine
+              FROM cand JOIN embeddings x ON cand.id1 = x.vec_id
+                        JOIN embeddings y ON cand.id2 = y.vec_id)
+      SELECT id1, id2, cosine FROM ver WHERE cosine >= 0.4
+      """.trim
+    })
+
+  def all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q39)
 }

@@ -153,13 +153,20 @@ object IngestParity extends QueryRegistry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("k")).as("sum_k"),
-          round(avg(col("k")), 4).as("avg_k"),
+          // floor4, not round(,4): avg of ints is a small rational that
+          // can tie at the 4th decimal; floor on the identical double is
+          // engine-invariant (see QualityFunctions.floor4)
+          graft.functions.QualityFunctions.floor4(avg(col("k"))).as("avg_k"),
           round(sum(col("value")), 2).as("sum_value"))
     },
+    // CAST(sum(int) AS BIGINT): DuckDB's integer sum is HUGEINT, which
+    // the driver's pandas bridge renders as a float ("11757.0") and the
+    // value hash diverges from Spark's LongType ("11757") — r1's q15/q30
+    // hash-only failures were exactly this
     Some("""
       SELECT event_type, count(*) AS n,
-             sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
-             round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+             floor(avg(CAST(json_extract_string(props, '$.k') AS INT)) * 10000) / 10000 AS avg_k,
              round(sum(value), 2) AS sum_value
       FROM events
       GROUP BY event_type

@@ -6,11 +6,21 @@ import graft.operators.Similarity
 /** S4/S8 sources + the LSH bucketing scale path. */
 object SourceQueries extends QueryRegistry {
 
+  /** Fixed materialization point for the q16 listing: the oracle SQL
+    * is a static string, so the path must be SF-independent; Verify
+    * runs queries sequentially, so each run overwrites before the
+    * checker reads.
+    */
+  val ListingPath = "/tmp/graft_q16_listing"
+
   /** S4 + S8 (SURVEY §2.1): metadata-only object listing via the
     * binaryFile source — (name, length) without reading content
     * (column pruning keeps payload bytes out of the scan). The
-    * object-store analog of list_objects_v2 / head_object. No SQL
-    * oracle (DuckDB 1.0 cannot list files) -> driver rows-only check.
+    * object-store analog of list_objects_v2 / head_object. DuckDB
+    * cannot stat files, so the listing is materialized and the oracle
+    * reads it back joined against the statically-known table file
+    * names: a missing, extra, or misnamed file in the listing becomes
+    * a row-count/hash mismatch.
     */
   val q16 = GraftQuery(
     "q16_listing_scan",
@@ -20,9 +30,19 @@ object SourceQueries extends QueryRegistry {
         .load(d)
         .select(element_at(split(col("path"), "/"), -1).as("file_name"),
           col("length"))
-        .orderBy(col("file_name"))
+        .write.mode("overwrite").parquet(ListingPath)
+      s.read.parquet(ListingPath).orderBy(col("file_name"))
     },
-    None)
+    Some {
+      val known = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+        .map(t => s"('$t.parquet')").mkString(", ")
+      s"""
+      SELECT l.file_name, l.length
+      FROM read_parquet('$ListingPath/*.parquet') l
+      JOIN (VALUES $known) t(fn) ON l.file_name = t.fn
+      """.trim
+    })
 
   /** Deterministic random-hyperplane LSH bucket assignment — the
     * approximate scale path for cosine search (bucket-local search

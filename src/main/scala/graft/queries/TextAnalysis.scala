@@ -24,8 +24,13 @@ object TextAnalysis extends QueryRegistry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tok")).as("sum_tokens"),
           sum(col("n_re")).as("sum_regex_tokens"),
-          round(avg(col("n_tok")), 4).as("avg_tokens"))
+          // floor4: avg of ints ties at the 4th decimal (fr @ sf0.01 is
+          // exactly 58.71875); floor on identical doubles never diverges
+          Q.floor4(avg(col("n_tok"))).as("avg_tokens"))
     },
+    // CAST(sum(int) AS BIGINT): DuckDB integer sums are HUGEINT → the
+    // driver's pandas bridge floats them and the hash diverges from
+    // Spark's LongType (r1 q30 failure)
     Some("""
       WITH t AS (
         SELECT lang,
@@ -34,9 +39,9 @@ object TextAnalysis extends QueryRegistry {
                len(regexp_extract_all(text, '[a-z0-9]+')) AS n_re
         FROM documents)
       SELECT lang, count(*) AS n_docs,
-             sum(n_tok) AS sum_tokens,
-             sum(n_re) AS sum_regex_tokens,
-             round(avg(n_tok), 4) AS avg_tokens
+             CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+             CAST(sum(n_re) AS BIGINT) AS sum_regex_tokens,
+             floor(avg(n_tok) * 10000) / 10000 AS avg_tokens
       FROM t
       GROUP BY lang
     """.trim))

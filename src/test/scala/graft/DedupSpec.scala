@@ -33,6 +33,26 @@ class DedupSpec extends SparkTestBase {
     assert(exact.contains((1L, 2L))) // near-dup found by exact
   }
 
+  test("ngram jaccard df-cap drops stop-shingle postings") {
+    // docs 1/2/4 share the 8-shingle boilerplate prefix, so those
+    // shingles have df=3; doc pairs among them rely on that prefix
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // default cap (1000) changes nothing
+    val defaulted = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, maxDf = 1000)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(defaulted === uncapped && uncapped.nonEmpty)
+    // maxDf=2 drops the df-3 boilerplate shingles: pair (1,2) loses
+    // every shared shingle (no candidate row at all) and pair (1,4)
+    // keeps only the df-2 tail shingle, undercounting inter to 1 so
+    // its jaccard falls below threshold — the documented one-sided
+    // approximation: capping only ever LOSES pairs, never invents them
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, maxDf = 2)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(capped.isEmpty)
+    assert(uncapped === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
   test("simhash bucketed pairs equal the cross-join version") {
     val brute = Dedup.simhashPairs(docs, "doc_id", "text", 3, 12)
       .select("id1", "id2", "hamming").as[(Long, Long, Int)].collect().toSet

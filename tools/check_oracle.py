@@ -18,28 +18,48 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def tag(v):
+    """Driver-style canonical cell string: type-tagged so an int on one
+    side and a float on the other (e.g. DuckDB HUGEINT -> pandas float64
+    vs Spark BIGINT) hash differently even though == would pass.
+    Integer WIDTH (int32 vs int64) is deliberately not distinguished."""
+    import numpy as np
+    if v is None:
+        return "\0"
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "f:NaN" if math.isnan(f) else f"f:{repr(f)}"
+    if isinstance(v, (bytes, bytearray)):
+        return "y:" + bytes(v).hex()
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(tag(x) for x in v) + "]"
+    return f"s:{v}"
+
+
 def canon(df):
-    """Sort columns by name, rows by values; normalize cells."""
+    """Sort columns by name, rows by tagged values; cells -> tag strings."""
     df = df[sorted(df.columns)]
-    def norm(v):
-        if v is None:
-            return None
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "NaN"
-            return v
-        return v
-    rows = [tuple(norm(v) for v in row) for row in df.itertuples(index=False, name=None)]
-    rows.sort(key=lambda r: tuple((x is None, str(type(x)), x) for x in r))
+    rows = [tuple(tag(v) for v in row)
+            for row in df.itertuples(index=False, name=None)]
+    rows.sort()
     return list(df.columns), rows
 
 
 def cell_eq(a, b):
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        return a == b
     return a == b
+
+
+def table_hash(rows):
+    import hashlib
+    h = hashlib.md5()
+    for r in rows:
+        h.update("\x1f".join(r).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()[:12]
 
 
 def main():
@@ -87,7 +107,7 @@ def main():
             print(f"FAIL {name}: row {i} differs\n   spark: {a}\n   duck : {b}")
             n_fail += 1
         else:
-            print(f"PASS {name}: {len(sr)} rows")
+            print(f"PASS {name}: {len(sr)} rows hash={table_hash(sr)}")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
