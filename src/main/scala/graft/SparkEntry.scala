@@ -15,7 +15,7 @@ object SparkEntry {
 
   private def registries: Seq[QueryRegistry] =
     Seq(Relational, IngestParity, DedupQueries, SimilarityQueries,
-      TextAnalysis, StreamingQueries, SourceQueries)
+      TextAnalysis, StreamingQueries, SourceQueries, ScaleQueries)
 
   private lazy val allQueries: Seq[GraftQuery] = registries.flatMap(_.all)
 

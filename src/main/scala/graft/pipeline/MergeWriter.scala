@@ -58,8 +58,19 @@ object MergeWriter {
     * {incoming run rows (priority 1) > existing rows (2) > incoming
     * experiment rows (3)} — run.json rows overwrite what exists,
     * experiment.json rows only fill absent keys (ref :238-252 vs
-    * :328-341). Rewrites the table (single writer, like the
-    * reference).
+    * :328-341). Single writer, like the reference.
+    *
+    * When `partitionCols` is set and the table exists, the merge is
+    * PARTITION-SCOPED: only the partitions the incoming batch touches
+    * are read (OR-chain predicate -> parquet partition pruning) and
+    * rewritten (dynamic partition overwrite); untouched partition
+    * files are not even opened. At 100 TB a micro-batch touching one
+    * instrument/day rewrites that partition, not the table.
+    * Precondition: `partitionCols` are functionally dependent on
+    * `keys` (true for the inventory layout — an experiment's files
+    * live on one instrument); a key that changed partitions between
+    * batches would leave its old row in the untouched partition.
+    * Unpartitioned tables keep the full two-phase staging rewrite.
     */
   def mergeFileInventory(spark: SparkSession, tableDir: String,
       runRows: DataFrame, expRows: DataFrame, keys: Seq[String],
@@ -67,7 +78,24 @@ object MergeWriter {
     val existing = readTable(spark, tableDir)
     val tagged = runRows.withColumn("__prio", lit(1))
       .unionByName(expRows.withColumn("__prio", lit(3)))
-    val all = existing match {
+    val scoped = partitionCols.nonEmpty && existing.isDefined
+    val existingRelevant = existing.map { e =>
+      if (!scoped) e
+      else {
+        // touched-partition predicate: distinct partition values of the
+        // incoming batch (bounded by batch size, typically a handful).
+        // For a batch touching thousands of partitions, switch to a
+        // broadcast semi-join; the OR-chain keeps static pruning.
+        val touched = tagged.select(partitionCols.map(col): _*).distinct().collect()
+        val pred = touched.map { r =>
+          partitionCols.zipWithIndex
+            .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+            .reduce(_ && _)
+        }.reduceOption(_ || _).getOrElse(lit(false))
+        e.filter(pred)
+      }
+    }
+    val all = existingRelevant match {
       case Some(e) => tagged.unionByName(e.withColumn("__prio", lit(2)))
       case None => tagged
     }
@@ -75,20 +103,34 @@ object MergeWriter {
       .orderBy(col("__prio"), desc("uploaded_at"), col("s3_key"))
     val merged = all.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn", "__prio")
-      .cache()
-    try {
-      val n = merged.count()
-      // two-phase rewrite: parquet has no transactions; stage then swap
-      val tmp = tableDir + "__staging"
-      val writer = merged.write.mode(SaveMode.Overwrite)
+    // stage to break lineage: parquet has no transactions, and Spark
+    // refuses to overwrite a path its plan still reads
+    val tmp = tableDir + "__staging"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val staged = spark.read.parquet(tmp)
+    val n = staged.count()
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (scoped) {
+      // replace only the partitions present in the merged output
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try staged.write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCols: _*).parquet(tableDir)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    } else {
+      val tmp2 = tableDir + "__swap"
+      val writer = staged.write.mode(SaveMode.Overwrite)
       (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
-       else writer).parquet(tmp)
-      val fs = new org.apache.hadoop.fs.Path(tableDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+       else writer).parquet(tmp2)
       fs.delete(new org.apache.hadoop.fs.Path(tableDir), true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(tableDir))
-      n
-    } finally merged.unpersist()
+      fs.rename(new org.apache.hadoop.fs.Path(tmp2), new org.apache.hadoop.fs.Path(tableDir))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    n
   }
 
   /** Read helper for tests / jobs: empty DataFrame when the table

@@ -145,5 +145,29 @@ object SimilarityQueries extends QueryRegistry {
       FROM deq
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q25, q26, q28, q29)
+  /** Fixed index location for q42 (static oracle SQL; Verify runs
+    * queries sequentially so each run rebuilds before reading).
+    */
+  val IvfIndexPath = "/tmp/graft_q42_ivf_index"
+
+  /** q28's IVF search through the written-index path: the corpus is
+    * materialized partitioned by cluster_id and the probe becomes a
+    * static partition filter — the scan opens only the probed cluster
+    * directories (asserted in IvfIndexSpec). Same parameters and same
+    * oracle as q28: identical output through a physically different,
+    * scale-shaped plan.
+    */
+  val q42 = GraftQuery(
+    "q42_ann_ivf_indexed",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfIndexWrite(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", "vec_id", "embedding", IvfIndexPath)
+      Similarity.ivfTopKIndexed(s, IvfIndexPath,
+        emb.filter(col("vec_id") < 3), emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", "vec_id", "embedding", k = 5, nprobe = 2)
+    },
+    q28.oracle)
+
+  def all: Seq[GraftQuery] = Seq(q25, q26, q28, q29, q42)
 }

@@ -52,5 +52,19 @@ object StreamingQueries extends QueryRegistry {
       GROUP BY user_id, session_idx
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q40, q41)
+  /** Streaming dedup (dropDuplicatesWithinWatermark) proven by
+    * construction: the event stream unioned with itself — every key
+    * duplicated — must collapse back to exactly the batch DISTINCT.
+    * Without the dedup the row count doubles, so the oracle compare
+    * genuinely exercises the state store, not just the passthrough.
+    */
+  val q43 = GraftQuery(
+    "q43_stream_dedup",
+    (s, d) => EventStreams.dedupSelfUnionStreaming(s, d,
+      s"q43_mem_${System.nanoTime()}"),
+    Some("""
+      SELECT DISTINCT user_id, epoch_us(ts) AS ts_us FROM events
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q40, q41, q43)
 }

@@ -255,5 +255,49 @@ object TextAnalysis extends QueryRegistry {
       FROM dd
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38)
+  /** The mapPartitions decode path (Multimodal.decodeAll) made
+    * driver-checkable: the stub decoder is deterministic, so DuckDB
+    * can replay its digest fold. The Scala fold wraps on 64-bit
+    * overflow; DuckDB BIGINT errors on overflow instead, so the
+    * oracle folds in HUGEINT mod 2^64 and sign-converts at the end.
+    * frame_digests is exploded to scalars — the driver hash compares
+    * scalar cells, not nested arrays.
+    */
+  val q45 = GraftQuery(
+    "q45_multimodal_decode",
+    (s, d) => Multimodal.decodeAll(
+      Tables.documents(s, d).select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload")))
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        posexplode(col("frame_digests")).as(Seq("frame_idx", "digest"))),
+    Some("""
+      WITH b AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+      dims AS (
+        SELECT doc_id, text, n,
+               16 + CASE WHEN n = 0 THEN 0 ELSE ord(substr(text, 1, 1)) END AS width,
+               16 + CASE WHEN n < 2 THEN 0 ELSE ord(substr(text, 2, 1)) END AS height,
+               greatest(1, n // 64) AS n_frames
+        FROM b),
+      frames AS (
+        SELECT doc_id, width, height, CAST(n_frames AS INT) AS n_frames,
+               unnest(range(0, least(n_frames, 8))) AS frame_idx, text
+        FROM dims),
+      folded AS (
+        SELECT doc_id, width, height, n_frames, CAST(frame_idx AS INT) AS frame_idx,
+               list_reduce(
+                 list_prepend(CAST(1125899906842597 AS HUGEINT),
+                   list_transform(range(1, len(substr(text, frame_idx * 64 + 1, 64)) + 1),
+                     i -> CAST(ord(substr(substr(text, frame_idx * 64 + 1, 64), i, 1)) AS HUGEINT))),
+                 (h, x) -> (h * 31 + x) % CAST('18446744073709551616' AS HUGEINT)) AS u
+        FROM frames)
+      SELECT doc_id, width, height, n_frames, frame_idx,
+             CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+                       THEN u - CAST('18446744073709551616' AS HUGEINT)
+                       ELSE u END AS BIGINT) AS digest
+      FROM folded
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q45)
 }

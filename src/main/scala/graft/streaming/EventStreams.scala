@@ -59,6 +59,39 @@ object EventStreams {
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Driver-checkable wrapper for dedupStreaming: reads the events
+    * stream TWICE and unions the two (every (user_id, ts) key now
+    * appears at least twice, possibly in different micro-batches),
+    * then drains the deduped stream into a memory sink. The surviving
+    * key set equals batch DISTINCT regardless of which physical row
+    * wins, so only the key columns are emitted.
+    */
+  def dedupSelfUnionStreaming(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // dedup key is the MICROSECOND timestamp: DuckDB timestamps are
+    // microsecond precision, so a nanos key could never hash-match
+    // the oracle (and two events inside one microsecond must collapse
+    // identically in both engines)
+    def readOnce() = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts_sec", expr("ts div 1000000000").cast("timestamp"))
+      .withColumn("ts_us", expr("ts div 1000"))
+    val doubled = readOnce().union(readOnce())
+    val deduped = dedupStreaming(doubled, Seq("user_id", "ts_us"), "ts_sec", "1 hour")
+      .select(col("user_id"), col("ts_us"))
+    val q = deduped.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Batch sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds gapSeconds. Pure window
     * functions — one shuffle on user_id; SQL-expressible, so the

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import graft.operators.Similarity
+
+/** The written IVF index (corpus partitioned by cluster_id) must turn
+  * probe selection into parquet partition pruning: an nprobe=2 search
+  * opens only the probed cluster directories, and returns exactly the
+  * join-pruned ivfTopK results.
+  */
+class IvfIndexSpec extends SparkTestBase {
+
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+    case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+    case qs: QueryStageExec => scans(qs.plan)
+    case f: FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(scans)
+  }
+
+  test("indexed IVF search prunes the corpus scan to probed clusters and matches ivfTopK") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = emb.filter(col("vec_id") < 8)
+    val queries = emb.filter(col("vec_id") < 3)
+    val idx = tmpDir("ivf_idx") + "/index"
+
+    Similarity.ivfIndexWrite(emb, centroids, "vec_id", "embedding",
+      "vec_id", "embedding", idx)
+    // one file per cluster directory (repartition by cluster_id)
+    val allFiles = spark.read.parquet(idx).inputFiles.length
+    assert(allFiles === 8, s"expected 8 one-file cluster partitions, got $allFiles")
+
+    val indexed = Similarity.ivfTopKIndexed(spark, idx, queries, centroids,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5, nprobe = 2)
+    val rows = indexed.collect() // drive the scan so metrics populate
+
+    // the corpus scan read at most nQueries*nprobe (=6) of 8 cluster
+    // files — and strictly fewer than the full index
+    val scan = scans(indexed.queryExecution.executedPlan)
+      .filter(_.metadata.getOrElse("Location", "").contains("index"))
+    assert(scan.nonEmpty, "no FileSourceScan over the index found")
+    val filesRead = scan.map(_.metrics("numFiles").value).max
+    assert(filesRead < allFiles && filesRead <= 6,
+      s"scan read $filesRead of $allFiles cluster files — not pruned")
+    assert(scan.exists(_.partitionFilters.exists(_.toString.contains("cluster_id"))),
+      "no partition filter on cluster_id")
+
+    // identical results through the physically different plan
+    val direct = Similarity.ivfTopK(queries, emb, centroids,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet === direct)
+    assert(rows.nonEmpty)
+  }
+}

@@ -56,5 +56,13 @@ class ScaleOpsSpec extends SparkTestBase {
     val salted = Skew.saltedDistinctCount(df, "l_returnflag", "l_partkey", 8)
       .as[(String, Long)].collect().toMap
     assert(salted === plain)
+
+    // the plan must really be the two-stage rewrite: a partial
+    // aggregate keyed by (key, __salt) feeding the final per-key sum —
+    // the hot key's distinct state is spread over saltFactor reducers
+    val plan = Skew.saltedDistinctCount(df, "l_returnflag", "l_partkey", 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), plan)
+    assert(plan.contains("hashpartitioning(l_returnflag"), plan)
   }
 }
