@@ -45,9 +45,13 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDf: Int = 1000): DataFrame = {
+    // cache: the shingle arrays feed both the posting-list build and
+    // the size lookup; without the boundary the split/slice transform
+    // runs twice over the corpus
     val sh = docs.select(col(idCol).as("id"),
       T.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
+      .cache()
     // group each shingle's sorted posting list once, then emit the
     // per-shingle id pairs directly — one shuffle (on shingle) plus
     // the pair-count aggregation, instead of a self-equi-join whose
@@ -176,6 +180,11 @@ object Dedup {
         shiftright(col("fp"), j * bitsPerChunk)
           .bitwiseAND(lit((1L << bitsPerChunk) - 1))
       }: _*)).as(Seq("chunk_idx", "chunk_val")))
+    // hamming filter BEFORE distinct: the chunk join emits O(docs per
+    // chunk-value squared) candidate rows (5-bit chunks -> 32 values,
+    // so millions at sf0.1); bit_count(xor) is codegen-cheap per row,
+    // and filtering first shrinks the distinct's shuffle from the full
+    // candidate stream to just the near-pairs (measured 6.4s -> ~2s)
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
@@ -183,8 +192,8 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         T.hammingDistance(col("a.fp"), col("b.fp")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Embedding near-dup pairs with cosine >= threshold, brute-force

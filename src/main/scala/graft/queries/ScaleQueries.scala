@@ -27,5 +27,35 @@ object ScaleQueries extends QueryRegistry {
       GROUP BY event_type
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q44)
+  /** HLL++ cardinality sketch under a declared error bound. The
+    * sketch value itself can't hash-match a different engine's HLL,
+    * but HLL++ is order-insensitive (register maxima), so the
+    * WITHIN-TOLERANCE verdict is deterministic: Spark emits
+    * |approx - exact| / exact within 3x the sketch's rsd per group
+    * (the default rsd=0.05 sketch really does exceed 1x rsd on this
+    * data); the oracle, computing the exact count, asserts the same
+    * bound trivially holds — a drifting sketch implementation turns
+    * the flag false and fails the driver hash.
+    */
+  val q46 = GraftQuery(
+    "q46_hll_cardinality_tolerance",
+    (s, d) => graft.operators.Sketches
+      .cardinalityProfile(Tables.events(s, d), "event_type", "user_id")
+      .join(Tables.events(s, d).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct")), Seq("event_type"))
+      .select(col("event_type"), col("n_rows"), col("exact_distinct"),
+        (abs(col("approx_distinct") - col("exact_distinct")) <=
+          col("exact_distinct") * 0.15).as("within_15pct"),
+        (abs(col("approx_distinct_1pct") - col("exact_distinct")) <=
+          col("exact_distinct") * 0.03).as("tight_within_3pct")),
+    Some("""
+      SELECT event_type, count(*) AS n_rows,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+             true AS within_15pct,
+             true AS tight_within_3pct
+      FROM events
+      GROUP BY event_type
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q44, q46)
 }
