@@ -196,6 +196,54 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a near-dup pair graph: every document
+    * gets the minimum doc id of its component as `component_id` — the
+    * step that turns pairwise near-dup evidence into dedup clusters
+    * (keep one canonical doc per component).
+    *
+    * Implementation is iterative min-label propagation: each round
+    * every vertex takes the min of its own label and its neighbors';
+    * rounds = graph diameter, and near-dup components are shallow
+    * (diameter 2-4), so a handful of joins. Each round shuffles only
+    * (id, label) pairs and is cut with an EAGER localCheckpoint: an
+    * iterative plan that references the previous round twice doubles
+    * the logical plan every round (2^rounds — measured OOM in plan
+    * stringification by round ~9 with cache alone; cache truncates
+    * execution, not lineage). Convergence test: labels only ever
+    * decrease, so the label sum strictly decreases until fixpoint —
+    * one tiny agg per round. For adversarial long-chain graphs, swap
+    * the body for large-star/small-star (O(log n) rounds, same
+    * per-round shape).
+    */
+  def connectedComponents(pairs: DataFrame, id1Col: String, id2Col: String,
+      maxIterations: Int = 50): DataFrame = {
+    val edges = pairs.select(col(id1Col).as("src"), col(id2Col).as("dst"))
+      .union(pairs.select(col(id2Col).as("src"), col(id1Col).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var prevSum = labels.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.select(col("id"), col("comp"))
+        .union(viaNeighbors)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      val nextSum = next.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      i += 1
+    }
+    labels.select(col("id"), col("comp").as("component_id"))
+  }
+
   /** Embedding near-dup pairs with cosine >= threshold, brute-force
     * (exact). For the approximate scale path see
     * Similarity.lshBucketedPairs.

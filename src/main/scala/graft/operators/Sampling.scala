@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for reproducible training-data mixes.
+  *
+  * `rand()`-based sampling is non-reproducible across runs, partition
+  * layouts, and engines; hash-threshold sampling keys the decision on
+  * a content hash of the row id, so the same row is kept everywhere,
+  * forever — a rerun of a 100 TB mix job produces the identical
+  * sample, and membership can be audited per row. Per-row codegen'd
+  * expressions, no shuffle at all: sampling is a pure filter that
+  * stacks with scan pushdown.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, 10000): first 8 md5 hex digits of the id as
+    * an int, mod 10000 — reproducible in any engine with md5
+    * (DuckDB: CAST('0x' || substr(md5(id), 1, 8) AS BIGINT) % 10000).
+    */
+  def hashBucket(id: Column): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(10000))
+
+  /** Uniform deterministic sample: keep rows whose bucket falls below
+    * rate * 10000 (rate resolution 1/10000).
+    */
+  def uniformSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
+    df.filter(hashBucket(col(idCol)) < lit((rate * 10000).toInt))
+
+  /** Stratified deterministic sample: per-stratum rates with a
+    * default for unlisted strata — the "mix recipe" primitive
+    * (e.g. keep 25% of en, 100% of low-resource languages).
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val threshold = rates.foldLeft(lit((defaultRate * 10000).toInt): Column) {
+      case (acc, (k, v)) =>
+        when(col(stratumCol) === lit(k), lit((v * 10000).toInt)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol)) < threshold)
+  }
+}

@@ -193,5 +193,38 @@ object DedupQueries extends QueryRegistry {
       """.trim
     })
 
-  def all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q39)
+  /** Near-dup pairs promoted to dedup clusters: connected components
+    * over the exact-Jaccard pair graph, every doc labeled with its
+    * component's minimum doc id (the canonical survivor). The oracle
+    * recomputes the pairs (q21's SQL) and closes them with a
+    * recursive CTE — min over the transitive reachability set equals
+    * min-label propagation's fixpoint.
+    */
+  val q47 = GraftQuery(
+    "q47_dedup_components",
+    (s, d) => Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.5),
+      "id1", "id2"),
+    Some(s"""
+      WITH RECURSIVE $duckShingles,
+      ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      sz AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+      cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+               FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+      pairs AS (
+        SELECT id1, id2
+        FROM cand JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+        WHERE floor(inter * 1.0 / (x.n_sh + y.n_sh - inter) * 10000) / 10000 >= 0.5),
+      edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                UNION SELECT id2, id1 FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id)
+      SELECT id, min(r) AS component_id FROM reach GROUP BY id
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q39, q47)
 }

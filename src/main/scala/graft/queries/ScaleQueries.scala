@@ -57,5 +57,23 @@ object ScaleQueries extends QueryRegistry {
       GROUP BY event_type
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q44, q46)
+  /** Deterministic stratified sampling — the reproducible "mix
+    * recipe" primitive: keep 25% of en docs, 75% of everything else,
+    * keyed on a content hash of doc_id so the identical sample comes
+    * out of any engine, run, or partition layout. Pure filter (no
+    * shuffle); the oracle replays the same md5-bucket threshold.
+    */
+  val q48 = GraftQuery(
+    "q48_stratified_sample",
+    (s, d) => graft.operators.Sampling.stratifiedSample(
+      Tables.documents(s, d), "doc_id", "lang",
+      rates = Map("en" -> 0.25), defaultRate = 0.75)
+      .select(col("doc_id"), col("lang")),
+    Some("""
+      SELECT doc_id, lang FROM documents
+      WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 <
+            CASE WHEN lang = 'en' THEN 2500 ELSE 7500 END
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q44, q46, q48)
 }

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Sampling}
+
+class ComponentsSamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("connected components label chains, triangles, and disjoint pairs by min id") {
+    // components: {1,2,3} (chain), {10,11} (pair), {20,21,22} (triangle)
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(pairs, "id1", "id2")
+      .as[(Long, Long)].collect().toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connected components converge on a long chain (diameter > 2)") {
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(chain, "id1", "id2")
+      .as[(Long, Long)].collect().toMap
+    assert(cc === (1L to 10L).map(_ -> 1L).toMap)
+  }
+
+  test("stratified sample is deterministic, per-stratum thresholded, and rate-accurate") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val s1 = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.25), defaultRate = 0.75).select("doc_id")
+      .as[Long].collect().toSet
+    val s2 = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.25), defaultRate = 0.75).select("doc_id")
+      .as[Long].collect().toSet
+    assert(s1 === s2) // byte-for-byte reproducible
+    // per-stratum rates land near the targets (md5 buckets are uniform)
+    val byLang = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.25), defaultRate = 0.75)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val enRate = byLang("en").toDouble / totals("en")
+    assert(enRate > 0.1 && enRate < 0.4, s"en rate $enRate")
+    val deRate = byLang("de").toDouble / totals("de")
+    assert(deRate > 0.55 && deRate < 0.95, s"de rate $deRate")
+    // sampling is a pure filter — no shuffle in the plan
+    val plan = Sampling.uniformSample(docs, "doc_id", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
