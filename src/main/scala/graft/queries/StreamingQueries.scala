@@ -66,5 +66,20 @@ object StreamingQueries extends QueryRegistry {
       SELECT DISTINCT user_id, epoch_us(ts) AS ts_us FROM events
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q40, q41, q43)
+  /** Stream-stream attribution join (clicks x purchases within 30
+    * minutes, per user) with watermarks bounding both join states —
+    * verified against the batch range join in DuckDB.
+    */
+  val q49 = GraftQuery(
+    "q49_stream_stream_join",
+    (s, d) => EventStreams.clickPurchaseJoinStreaming(s, d,
+      s"q49_mem_${System.nanoTime()}"),
+    Some("""
+      SELECT a.user_id, epoch_us(a.ts) AS click_us, epoch_us(b.ts) AS purchase_us
+      FROM events a JOIN events b ON a.user_id = b.user_id
+      WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q40, q41, q43, q49)
 }

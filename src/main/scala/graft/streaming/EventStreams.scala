@@ -92,6 +92,46 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** Stream-stream inner join with event-time range condition: clicks
+    * joined to the same user's purchases within the next 30 minutes
+    * (attribution join). Both sides carry watermarks and the join
+    * condition bounds event time in both directions, so each side's
+    * buffered state is evicted once the other side's watermark passes
+    * — bounded state on unbounded streams, the canonical Structured
+    * Streaming join discipline. Timestamps are truncated to
+    * microseconds on both sides (oracle parity: DuckDB time is us).
+    */
+  def clickPurchaseJoinStreaming(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def readType(t: String, tsName: String, userName: String) =
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+        .filter(col("event_type") === t)
+        .select(col("user_id").as(userName),
+          expr("timestamp_micros(ts div 1000)").as(tsName))
+        .withWatermark(tsName, "1 hour")
+    val clicks = readType("click", "click_ts", "user_id")
+    val purchases = readType("purchase", "purchase_ts", "p_user_id")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("interval 30 minutes"))
+      .select(col("user_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"))
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Batch sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds gapSeconds. Pure window
     * functions — one shuffle on user_id; SQL-expressible, so the

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import graft.queries._
+
+/** PLANS.md's claims, enforced: pushdown reaches the scan, small
+  * sides broadcast, top-k never globally sorts, aggregation is
+  * two-phase. A regression that silently de-optimizes a plan fails
+  * here instead of surfacing as a 100x slowdown at scale.
+  */
+class PlanAssertionsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+    case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+    case qs: QueryStageExec => scans(qs.plan)
+    case f: FileSourceScanExec => Seq(f)
+    case other => other.children.flatMap(scans)
+  }
+
+  private def executed(df: DataFrame): String = {
+    df.collect() // finalize AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filter and projection are pushed into the parquet scan") {
+    val df = Relational.q02.run(spark, sf)
+    df.collect()
+    val scan = scans(df.queryExecution.executedPlan).head
+    val pushed = scan.metadata.getOrElse("PushedFilters", "[]")
+    assert(pushed != "[]", s"no pushed filters: $pushed")
+    val readSchema = scan.metadata.getOrElse("ReadSchema", "")
+    // lineitem has 11+ columns; the query needs 4
+    assert(readSchema.split(",").length <= 5, s"scan reads too much: $readSchema")
+  }
+
+  test("q03: dimension side broadcasts and top-k is a streaming heap, not a global sort") {
+    val plan = executed(Relational.q03.run(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q01: aggregation is two-phase (map-side partial before the exchange)") {
+    val plan = executed(Relational.q01.run(spark, sf))
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"), plan)
+  }
+
+  test("q17: top-k per group is a bounded-heap object aggregate, not a window sort") {
+    val plan = executed(SparkEntry.queries("q17_topk_per_group")(spark, sf))
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q48: deterministic sampling is a pure scan filter — no exchange at all") {
+    val plan = executed(ScaleQueries.q48.run(spark, sf))
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
