@@ -25,6 +25,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // runtime bloom-filter injection: a selective filter on one join
+      // side becomes a bloom pre-filter on the other side's scan —
+      // free shuffle reduction on the reconcile anti-joins at scale
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       // partition values stay strings (a date-typed partition column
       // would silently change the sync_runs.date schema on read-back)
       .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")

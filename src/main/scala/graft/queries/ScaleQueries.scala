@@ -75,5 +75,31 @@ object ScaleQueries extends QueryRegistry {
             CASE WHEN lang = 'en' THEN 2500 ELSE 7500 END
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q44, q46, q48)
+  /** Compaction invariance: fragment a copy of the documents table
+    * into 32 small files, compact it, and prove the compacted table
+    * still holds exactly the original content — the rollup (count,
+    * byte sum, id sum per lang) is compared against DuckDB reading
+    * the ORIGINAL parquet, so a lost or duplicated row during the
+    * rewrite breaks the hash.
+    */
+  val q50 = GraftQuery(
+    "q50_compaction_invariance",
+    (s, d) => {
+      val t = "/tmp/graft_q50_table"
+      Tables.documents(s, d).repartition(32).write.mode("overwrite").parquet(t)
+      graft.operators.Compaction.compact(s, t, targetBytes = 512L * 1024 * 1024)
+      s.read.parquet(t).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"))
+    },
+    Some("""
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+             CAST(sum(doc_id) AS BIGINT) AS sum_ids
+      FROM documents
+      GROUP BY lang
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q44, q46, q48, q50)
 }
