@@ -211,9 +211,8 @@ object Dedup {
     * stringification by round ~9 with cache alone; cache truncates
     * execution, not lineage). Convergence test: labels only ever
     * decrease, so the label sum strictly decreases until fixpoint —
-    * one tiny agg per round. For adversarial long-chain graphs, swap
-    * the body for large-star/small-star (O(log n) rounds, same
-    * per-round shape).
+    * one tiny agg per round. For adversarial long-chain graphs use
+    * connectedComponentsLargeStar (O(log n) rounds).
     */
   def connectedComponents(pairs: DataFrame, id1Col: String, id2Col: String,
       maxIterations: Int = 50): DataFrame = {
@@ -242,6 +241,66 @@ object Dedup {
       i += 1
     }
     labels.select(col("id"), col("comp").as("component_id"))
+  }
+
+  /** Connected components via alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    * each round hangs every vertex's neighborhood off its minimum
+    * member, halving component diameter — O(log n) rounds where plain
+    * min-label propagation needs O(diameter). Same output contract as
+    * connectedComponents: (id, component_id = min id in component).
+    *
+    * large-star: for each directed edge (u,v) with v > u, re-attach v
+    * to m(u) = min(neighbors(u) + u). small-star: orient edges to
+    * (high, low) and re-attach each low neighbor (and high itself) to
+    * m(high). Both preserve connectivity; fixpoint is a star per
+    * component. Rounds are cut with eager localCheckpoints and the
+    * fixpoint test is an exceptAll on the (tiny, star-shaped) edge
+    * set.
+    */
+  def connectedComponentsLargeStar(pairs: DataFrame, id1Col: String,
+      id2Col: String, maxIterations: Int = 25): DataFrame = {
+    val vertices = pairs.select(col(id1Col).as("id"))
+      .union(pairs.select(col(id2Col).as("id"))).distinct()
+      .localCheckpoint(true)
+    var edges = pairs
+      .select(greatest(col(id1Col), col(id2Col)).as("h"),
+        least(col(id1Col), col(id2Col)).as("l"))
+      .filter(col("h") =!= col("l")).distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      // large-star over the bidirected neighbor list
+      val nbrs = edges.select(col("h").as("u"), col("l").as("v"))
+        .union(edges.select(col("l").as("u"), col("h").as("v")))
+      val m = nbrs.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = nbrs.join(m, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(greatest(col("v"), col("m")).as("h"),
+          least(col("v"), col("m")).as("l"))
+        .filter(col("h") =!= col("l")).distinct()
+        .localCheckpoint(true)
+      // small-star on the (high -> low) orientation
+      val m2 = large.groupBy(col("h")).agg(min(col("l")).as("m"))
+      val small = large.join(m2, Seq("h"))
+        .select(col("l").as("a"), col("m").as("b"))
+        .union(m2.select(col("h").as("a"), col("m").as("b")))
+        .select(greatest(col("a"), col("b")).as("h"),
+          least(col("a"), col("b")).as("l"))
+        .filter(col("h") =!= col("l")).distinct()
+        .localCheckpoint(true)
+      converged = small.exceptAll(edges).isEmpty &&
+        edges.exceptAll(small).isEmpty
+      edges = small
+      i += 1
+    }
+    // fixpoint edges form stars: (member, root); roots label themselves
+    vertices.join(edges.select(col("h").as("id"), col("l").as("component_id")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component_id"), col("id")).as("component_id"))
   }
 
   /** Embedding near-dup pairs with cosine >= threshold, brute-force

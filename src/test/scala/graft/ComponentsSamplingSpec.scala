@@ -24,6 +24,42 @@ class ComponentsSamplingSpec extends SparkTestBase {
     assert(cc === (1L to 10L).map(_ -> 1L).toMap)
   }
 
+  test("large-star/small-star equals plain propagation and union-find on random graphs") {
+    def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 20
+      val pairs = (1 to n).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+      val expected = unionFind(pairs)
+      val df = pairs.toDF("id1", "id2")
+      val simple = Dedup.connectedComponents(df, "id1", "id2")
+        .as[(Long, Long)].collect().toMap
+      val star = Dedup.connectedComponentsLargeStar(df, "id1", "id2")
+        .as[(Long, Long)].collect().toMap
+      assert(simple === expected, s"simple trial $trial")
+      assert(star === expected, s"large-star trial $trial")
+    }
+  }
+
+  test("large-star converges on a long chain in few rounds") {
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val cc = Dedup.connectedComponentsLargeStar(chain, "id1", "id2")
+      .as[(Long, Long)].collect().toMap
+    assert(cc === (1L to 64L).map(_ -> 1L).toMap)
+  }
+
   test("stratified sample is deterministic, per-stratum thresholded, and rate-accurate") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val s1 = Sampling.stratifiedSample(docs, "doc_id", "lang",
@@ -46,5 +82,20 @@ class ComponentsSamplingSpec extends SparkTestBase {
     val plan = Sampling.uniformSample(docs, "doc_id", 0.5)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("hash samples are nested: raising the rate only adds rows") {
+    // the property that makes mixes stable across recipe iterations —
+    // a 25% sample is a strict subset of the 50% sample of the same ids
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val s25 = Sampling.uniformSample(docs, "doc_id", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    val s50 = Sampling.uniformSample(docs, "doc_id", 0.50)
+      .select("doc_id").as[Long].collect().toSet
+    val s100 = Sampling.uniformSample(docs, "doc_id", 1.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s25.subsetOf(s50) && s50.subsetOf(s100))
+    assert(s100.size === docs.count())
+    assert(s25.nonEmpty && s25.size < s50.size && s50.size < s100.size)
   }
 }
