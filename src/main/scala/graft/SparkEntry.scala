@@ -15,7 +15,8 @@ object SparkEntry {
 
   private def registries: Seq[QueryRegistry] =
     Seq(Relational, IngestParity, DedupQueries, SimilarityQueries,
-      TextAnalysis, StreamingQueries, SourceQueries, ScaleQueries)
+      TextAnalysis, StreamingQueries, SourceQueries, ScaleQueries,
+      AnalyticsQueries)
 
   private lazy val allQueries: Seq[GraftQuery] = registries.flatMap(_.all)
 
