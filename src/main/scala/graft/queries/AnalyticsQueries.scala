@@ -81,5 +81,61 @@ object AnalyticsQueries extends QueryRegistry {
       GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q51, q52, q53)
+  /** Ranking-window suite over one partition pass: row_number, rank,
+    * dense_rank, ntile, cume_dist share a single (partition, order)
+    * spec, so Catalyst runs them in ONE Window operator — one shuffle
+    * + one sort for five functions. Ordering is made total
+    * (totalprice desc, orderkey) so every function is deterministic;
+    * cume_dist is floor4-truncated for cross-engine float parity.
+    */
+  val q54 = GraftQuery(
+    "q54_window_suite",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        graft.functions.QualityFunctions.floor4(cume_dist().over(w)).as("cume4"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+             CAST(row_number() OVER w AS INT) AS rn,
+             CAST(rank() OVER w AS INT) AS rnk,
+             CAST(dense_rank() OVER w AS INT) AS drnk,
+             CAST(ntile(4) OVER w AS INT) AS quartile,
+             floor(cume_dist() OVER w * 10000) / 10000 AS cume4
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """.trim))
+
+  /** Set-operation completions: customers that have orders
+    * (INTERSECT) but none above the high-value threshold (EXCEPT).
+    * Spark's intersect/except are distinct set ops, exactly ANSI
+    * INTERSECT/EXCEPT — and both plan as shuffles on the key only.
+    */
+  val q55 = GraftQuery(
+    "q55_intersect_except",
+    (s, d) => {
+      val withOrders = Tables.orders(s, d).select(col("o_custkey"))
+      val highValue = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 300000).select(col("o_custkey"))
+      Tables.customer(s, d).select(col("c_custkey").as("o_custkey"))
+        .intersect(withOrders)
+        .except(highValue)
+    },
+    Some("""
+      SELECT c_custkey AS o_custkey FROM customer
+      INTERSECT
+      SELECT o_custkey FROM orders
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q51, q52, q53, q54, q55)
 }

@@ -81,5 +81,18 @@ object StreamingQueries extends QueryRegistry {
         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q40, q41, q43, q49)
+  /** Stream-static enrichment: event stream joined to the static
+    * customer dimension (no watermark needed on the static side) —
+    * verified against the batch join.
+    */
+  val q56 = GraftQuery(
+    "q56_stream_static_enrich",
+    (s, d) => EventStreams.enrichWithCustomersStreaming(s, d,
+      s"q56_mem_${System.nanoTime()}"),
+    Some("""
+      SELECT e.user_id, epoch_us(e.ts) AS ts_us, c.c_mktsegment
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q40, q41, q43, q49, q56)
 }

@@ -132,6 +132,34 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** Stream-static enrichment join: the event stream joined to the
+    * static customer dimension — the canonical streaming lookup. The
+    * static side needs no watermark (it is re-planned per
+    * micro-batch, which is also what picks up dimension updates); on
+    * a cluster the dimension broadcasts per batch.
+    */
+  def enrichWithCustomersStreaming(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+    val customers = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = stream.join(customers, col("user_id") === col("c_custkey"))
+      .select(col("user_id"), col("ts_us"), col("c_mktsegment"))
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Batch sessionization: a new session starts when the gap to the
     * previous event of the same user exceeds gapSeconds. Pure window
     * functions — one shuffle on user_id; SQL-expressible, so the
