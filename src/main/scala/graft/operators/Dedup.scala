@@ -106,8 +106,14 @@ object Dedup {
       graft.expressions.HashFunctions.md5_int_array32(col("sh"))).cache()
     val sig = hashed.withColumn("sig", T.minhashSignatureFromInts(col("xi")))
       .withColumn("bands", T.minhashBands(col("sig"), bands, rowsPerBand))
+    // pre-partition on the join keys and cache: the self-join's two
+    // sides then BOTH satisfy the join's required distribution from
+    // the one cached shuffle — without this, Catalyst does not reuse
+    // the exchange across the a/b aliases and shuffles twice
     val banded = sig.select(col("id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+      .repartition(col("band_idx"), col("band_key"))
+      .cache()
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -175,11 +181,15 @@ object Dedup {
     val chunks = maxHamming + 1
     val bitsPerChunk = T.SimhashBits / chunks + (if (T.SimhashBits % chunks == 0) 0 else 1)
     val fp = simhashFingerprints(docs, idCol, textCol, n)
+    // pre-partitioned + cached so both self-join sides reuse ONE
+    // shuffle (see minhashLshPairs note — no exchange reuse otherwise)
     val chunked = fp.select(col("id"), col("fp"), posexplode(
       array((0 until chunks).map { j =>
         shiftright(col("fp"), j * bitsPerChunk)
           .bitwiseAND(lit((1L << bitsPerChunk) - 1))
       }: _*)).as(Seq("chunk_idx", "chunk_val")))
+      .repartition(col("chunk_idx"), col("chunk_val"))
+      .cache()
     // hamming filter BEFORE distinct: the chunk join emits O(docs per
     // chunk-value squared) candidate rows (5-bit chunks -> 32 values,
     // so millions at sf0.1); bit_count(xor) is codegen-cheap per row,

@@ -199,8 +199,12 @@ object Similarity {
         when(V.dot(col("v"), hv) >= 0, lit(1L << k)).otherwise(lit(0L))
       }.reduce(_ + _)
     }
+    // pre-partitioned + cached: both self-join sides reuse one shuffle
+    // (Catalyst does not reuse exchanges across self-join aliases)
     val keyed = e.select(col("id"),
       posexplode(array(keyCols: _*)).as(Seq("table_idx", "bucket")))
+      .repartition(col("table_idx"), col("bucket"))
+      .cache()
     val cand = keyed.as("a")
       .join(keyed.as("b"),
         col("a.table_idx") === col("b.table_idx") &&
