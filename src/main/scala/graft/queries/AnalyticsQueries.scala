@@ -137,5 +137,53 @@ object AnalyticsQueries extends QueryRegistry {
       SELECT o_custkey FROM orders WHERE o_totalprice > 300000
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q51, q52, q53, q54, q55)
+  /** Exact percentiles (not the GK sketch): Spark's percentile
+    * aggregate and DuckDB's quantile_cont both linearly interpolate
+    * over the sorted values, so on identical inputs the doubles agree
+    * bit-for-bit before the floor4 guard.
+    */
+  val q57 = GraftQuery(
+    "q57_exact_percentiles",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        graft.functions.QualityFunctions.floor4(
+          expr("percentile(l_quantity, 0.5)")).as("p50_qty"),
+        graft.functions.QualityFunctions.floor4(
+          expr("percentile(l_quantity, 0.95)")).as("p95_qty"),
+        graft.functions.QualityFunctions.floor4(
+          expr("percentile(l_extendedprice, 0.5)")).as("p50_price")),
+    Some("""
+      SELECT l_returnflag,
+             floor(quantile_cont(l_quantity, 0.5) * 10000) / 10000 AS p50_qty,
+             floor(quantile_cont(l_quantity, 0.95) * 10000) / 10000 AS p95_qty,
+             floor(quantile_cont(l_extendedprice, 0.5) * 10000) / 10000 AS p50_price
+      FROM lineitem
+      GROUP BY l_returnflag
+    """.trim))
+
+  /** Statistical moments per group: stddev / variance (sample) and
+    * the quantity-price correlation. floor2/floor4 guards: the two
+    * engines use different accumulation algorithms (Welford vs
+    * textbook), so agreement is to ~1e-10 relative, not to the ulp.
+    */
+  val q58 = GraftQuery(
+    "q58_stats_moments",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        (floor(stddev(col("l_quantity")) * 100) / 100.0).as("sd_qty"),
+        (floor(var_samp(col("l_quantity")) * 100) / 100.0).as("var_qty"),
+        graft.functions.QualityFunctions.floor4(
+          corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp")),
+    Some("""
+      SELECT l_returnflag,
+             floor(stddev_samp(l_quantity) * 100) / 100 AS sd_qty,
+             floor(var_samp(l_quantity) * 100) / 100 AS var_qty,
+             floor(corr(l_quantity, l_extendedprice) * 10000) / 10000 AS corr_qp
+      FROM lineitem
+      GROUP BY l_returnflag
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q51, q52, q53, q54, q55, q57, q58)
 }
