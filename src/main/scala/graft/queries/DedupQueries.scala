@@ -226,5 +226,67 @@ object DedupQueries extends QueryRegistry {
       SELECT id, min(r) AS component_id FROM reach GROUP BY id
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q39, q47)
+  /** Second pipeline composition (q38's sibling built from the r2
+    * operators): deterministic stratified sample -> exact near-dup
+    * pairs within the sample -> connected components -> keep only
+    * each component's canonical doc -> token-budget packing. The
+    * whole pre-training mix flow, one verified query.
+    */
+  val q59 = GraftQuery(
+    "q59_mix_pipeline",
+    (s, d) => {
+      import graft.operators.{Dedup, Packing, Sampling}
+      import graft.functions.{TextFunctions => T}
+      // cache: the sample feeds pair mining AND the survivor join
+      val sampled = Sampling.stratifiedSample(Tables.documents(s, d),
+        "doc_id", "lang", rates = Map("en" -> 0.25), defaultRate = 0.75)
+        .select(col("doc_id"), col("text")).cache()
+      val pairs = Dedup.ngramJaccardPairs(sampled, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      val comps = Dedup.connectedComponents(pairs, "id1", "id2")
+      val survivors = sampled.join(
+          comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .filter(col("component_id").isNull || col("component_id") === col("doc_id"))
+        .select(col("doc_id"), size(T.tokens(col("text"))).as("tokens"))
+      Packing.packByBudgetDistributed(survivors, "doc_id", "tokens", 500L)
+    },
+    Some(s"""
+      WITH RECURSIVE samp AS (
+        SELECT doc_id, text FROM documents
+        WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 <
+              CASE WHEN lang = 'en' THEN 2500 ELSE 7500 END),
+      w AS (SELECT doc_id, string_split(text, ' ') AS words FROM samp),
+      sh AS (SELECT doc_id,
+                    list_distinct(list_transform(range(1, len(words) - 1),
+                                  i -> array_to_string(words[i:i+2], ' '))) AS s
+             FROM w WHERE len(words) >= 3),
+      ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      sz AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+      cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+               FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+      pairs AS (
+        SELECT id1, id2
+        FROM cand JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+        WHERE floor(inter * 1.0 / (x.n_sh + y.n_sh - inter) * 10000) / 10000 >= 0.5),
+      edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                UNION SELECT id2, id1 FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id),
+      comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+      surv AS (
+        SELECT s.doc_id, CAST(len(string_split(s.text, ' ')) AS BIGINT) AS tokens
+        FROM samp s LEFT JOIN comp c ON s.doc_id = c.id
+        WHERE c.id IS NULL OR c.comp = s.doc_id)
+      SELECT doc_id, tokens,
+             CAST(coalesce(sum(tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before,
+             CAST(coalesce(sum(tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 500 AS pack_id
+      FROM surv
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q39, q47, q59)
 }
