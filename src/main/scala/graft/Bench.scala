@@ -1,21 +1,64 @@
 package graft
+
 object Bench {
+
+  /** Median of an unsorted timing vector (lower-middle for even n —
+    * deterministic and pessimism-free for n=2).
+    */
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s((s.size - 1) / 2)
+  }
+
+  /** Per-query median-of-N benchmark. One timing per query is
+    * meaningless on a shared box with ~2x noise (the r2 lesson: three
+    * apparent regressions were undecidable against noise); N >= 3
+    * iterations with per-query medians separate plan changes from box
+    * jitter. Failures are printed (stderr) and reported as -1 — a
+    * broken query must never look like a fast one.
+    */
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val spark = GraftSession.local(cpus)
     // warm the session (JIT, codegen cache, file index) outside timing
     spark.range(1000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // iterate suite-major (all queries per pass, not all passes per
+    // query): consecutive same-query runs would share a warm page
+    // cache / JIT profile that the driver's single-pass run never has
+    val timings = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    for (pass <- 1 to iters; name <- names) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      finally spark.catalog.clearCache() // operator-internal caches are per-call
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"BENCH FAILURE pass=$pass query=$name: " +
+              s"${e.getClass.getName}: ${e.getMessage}")
+            false
+        } finally spark.catalog.clearCache() // operator caches are per-call
+      val sec = (System.nanoTime() - t0) / 1e9
+      timings(name) = timings(name) :+ (if (ok) sec else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val medians = names.map { n =>
+      val ts = timings(n)
+      n -> (if (ts.contains(-1.0)) -1.0 else median(ts))
+    }
+    val qs = medians.map { case (k, v) => s"\"$k\":${fmt(v)}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // spread = max - min across passes: the noise bound a reader needs
+    // to judge whether a cross-round delta is signal
+    val spreads = names.map { n =>
+      val ts = timings(n).filter(_ >= 0)
+      s"\"$n\":${if (ts.isEmpty) -1.0 else fmt(ts.max - ts.min)}"
+    }.mkString("{", ",", "}")
+    val total = medians.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"spread":$spreads}""")
     spark.stop()
   }
 }

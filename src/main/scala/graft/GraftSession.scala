@@ -26,14 +26,35 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // runtime bloom-filter injection: a selective filter on one join
-      // side becomes a bloom pre-filter on the other side's scan —
-      // free shuffle reduction on the reconcile anti-joins at scale
+      // side becomes a bloom pre-filter on the other side's scan.
+      // Applies to shuffle INNER/SEMI equi-joins only (the dedup
+      // verify joins, candidate->payload fetches); Catalyst cannot
+      // inject into anti-joins — pruning probe rows that miss the
+      // filter would change anti semantics. Fires at cluster scale:
+      // the application-side scan must exceed 10GB (default
+      // threshold), so local plans show it only with thresholds
+      // lowered (asserted in PlanAssertionsSpec).
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       // partition values stay strings (a date-typed partition column
       // would silently change the sync_runs.date schema on read-back)
       .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.ui.enabled", "false")
+
+  /** RocksDB state store provider for stateful streaming at scale:
+    * the default HDFS-backed provider keeps every key in executor
+    * heap, so unbounded-key workloads (dedup over billions of ids,
+    * wide sessionization) OOM before they spill. RocksDB keeps state
+    * on local disk with a block-cache bound. Results are
+    * provider-independent (asserted by RocksDbStateStoreSpec running
+    * the streaming dedup + sessionize scenarios under both); the
+    * default stays HDFS-backed for the state-light oracle runs.
+    */
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  def withRocksDbStateStore(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
 
   def local(cores: Int): SparkSession = {
     val spark = builder(cores).master(s"local[$cores]").getOrCreate()

@@ -84,19 +84,47 @@ object Similarity {
 
   /** Write the corpus as an IVF index: each vector assigned to its
     * nearest centroid and the table written partitioned by
-    * cluster_id, repartitioned so each cluster is one task -> one
-    * file per partition directory. This is the layout that makes
-    * probe-pruned search a partition-pruned scan: at 100 TB a
-    * 2-of-1024-probe query reads ~0.2% of the files.
+    * cluster_id. This is the layout that makes probe-pruned search a
+    * partition-pruned scan: at 100 TB a 2-of-1024-probe query reads
+    * ~0.2% of the files.
+    *
+    * Files per cluster are proportional to cluster size
+    * (ceil(rows / targetRowsPerFile), hash-salted within the
+    * cluster): real IVF cluster sizes are Zipf-ish, and a plain
+    * repartition(cluster_id) would funnel the hot cluster into one
+    * straggler task writing one monster file. The narrow
+    * (id, cluster_id) assignment is cached as the materialization
+    * boundary so the count pass and the write pass assign only once;
+    * a cluster deployment writes the assignment to a table instead.
     */
   def ivfIndexWrite(corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String,
-      centroidIdCol: String, centroidVecCol: String, path: String): Unit =
-    ivfAssign(corpus, centroids, idCol, vecCol, centroidIdCol, centroidVecCol)
-      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), Seq("id"))
-      .select(col("id"), col("v"), col("cluster_id"))
-      .repartition(col("cluster_id"))
-      .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+      centroidIdCol: String, centroidVecCol: String, path: String,
+      targetRowsPerFile: Long = 1L << 20): Unit = {
+    val assign = ivfAssign(corpus, centroids, idCol, vecCol,
+        centroidIdCol, centroidVecCol)
+      .select(col("id"), col("cluster_id"))
+      .cache()
+    try {
+      val counts = assign.groupBy(col("cluster_id"))
+        .agg(ceil(count(lit(1)) / targetRowsPerFile.toDouble)
+          .cast("int").as("__n_files"))
+      val salted = assign
+        .join(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), Seq("id"))
+        .join(broadcast(counts), Seq("cluster_id"))
+        .withColumn("__salt",
+          pmod(hash(col("id")), greatest(col("__n_files"), lit(1))))
+      // explicit partition count: AQE coalescing would merge the salt
+      // buckets back into few tasks and re-create the straggler file
+      val nShuffle = math.max(
+        corpus.sparkSession.sessionState.conf.numShufflePartitions,
+        counts.agg(sum(col("__n_files"))).head().getLong(0).toInt)
+      salted
+        .repartition(nShuffle, col("cluster_id"), col("__salt"))
+        .select(col("id"), col("v"), col("cluster_id"))
+        .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    } finally assign.unpersist()
+  }
 
   /** IVF top-k over a written index (see ivfIndexWrite): the probe
     * set comes from the tiny query x centroid table, is collected

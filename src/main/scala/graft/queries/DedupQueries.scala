@@ -90,24 +90,21 @@ object DedupQueries extends QueryRegistry {
       """.trim
     })
 
-  /** SimHash near-dup pairs (60-bit shingle fingerprints, bucketed by
-    * the pigeonhole chunk trick — no cross join).
+  /** DuckDB mirror of the pigeonhole-chunked SimHash pipeline at a
+    * given radius: maxHamming+1 chunks, any pair within the radius
+    * shares at least one chunk value.
     */
-  val q23 = GraftQuery(
-    "q23_dedup_simhash",
-    (s, d) => Dedup.simhashBucketedPairs(Tables.documents(s, d), "doc_id", "text",
-      n = 3, maxHamming = 12),
-    Some {
-      val bitTerms = (0 until T.SimhashBits).map { b =>
-        s"(CASE WHEN 2 * len(list_filter(xi, x -> ((x >> $b) & 1) = 1)) > len(xi) THEN ${1L << b} ELSE 0 END)"
-      }.mkString(" +\n                   ")
-      // 13 chunks of 5 bits: any pair with hamming <= 12 shares a chunk
-      val chunkCount = 13
-      val bitsPerChunk = 5
-      val chunkEntries = (0 until chunkCount).map { j =>
-        s"((fp >> ${j * bitsPerChunk}) & ${(1L << bitsPerChunk) - 1})"
-      }.mkString(", ")
-      s"""
+  private def simhashOracle(maxHamming: Int): String = {
+    val bitTerms = (0 until T.SimhashBits).map { b =>
+      s"(CASE WHEN 2 * len(list_filter(xi, x -> ((x >> $b) & 1) = 1)) > len(xi) THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" +\n                   ")
+    val chunkCount = maxHamming + 1
+    val bitsPerChunk = T.SimhashBits / chunkCount +
+      (if (T.SimhashBits % chunkCount == 0) 0 else 1)
+    val chunkEntries = (0 until chunkCount).map { j =>
+      s"((fp >> ${j * bitsPerChunk}) & ${(1L << bitsPerChunk) - 1})"
+    }.mkString(", ")
+    s"""
       WITH $duckShingles,
       ints AS (SELECT doc_id,
                       list_transform(s, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS xi
@@ -122,9 +119,62 @@ object DedupQueries extends QueryRegistry {
                   ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
                  AND a.doc_id < b.doc_id)
       SELECT id1, id2, CAST(bit_count(xor(fp1, fp2)) AS INT) AS hamming
-      FROM pairs WHERE bit_count(xor(fp1, fp2)) <= 12
+      FROM pairs WHERE bit_count(xor(fp1, fp2)) <= $maxHamming
       """.trim
-    })
+  }
+
+  /** SimHash near-dup pairs (60-bit shingle fingerprints, bucketed by
+    * the pigeonhole chunk trick — no cross join). maxHamming=12 is the
+    * PERMISSIVE-radius verifier: 13 chunks of 5 bits leave only 32
+    * distinct values per chunk index, so candidate generation is
+    * O(n^2/32) per chunk — quadratic-class at scale (see PLANS.md
+    * radius-economics note). The production radius is q60.
+    */
+  val q23 = GraftQuery(
+    "q23_dedup_simhash",
+    (s, d) => Dedup.simhashBucketedPairs(Tables.documents(s, d), "doc_id", "text",
+      n = 3, maxHamming = 12),
+    Some(simhashOracle(12)))
+
+  /** SimHash at the production radius (hamming <= 3): 4 chunks of 15
+    * bits give the candidate equi-join ~2^15 distinct values per chunk
+    * index instead of 32 — the bucketing actually prunes, and the
+    * operator survives 100x. Same operator, same oracle shape; only
+    * the radius economics differ (PLANS.md).
+    */
+  val q60 = GraftQuery(
+    "q60_dedup_simhash_tight",
+    (s, d) => Dedup.simhashBucketedPairs(Tables.documents(s, d), "doc_id", "text",
+      n = 3, maxHamming = 3),
+    Some(simhashOracle(3)))
+
+  /** n-gram Jaccard with the df-cap actually firing: maxDf=8 drops
+    * every posting list longer than 8 docs (testdata's max df is ~25),
+    * so the approximate branch — not just the exact fast path — is
+    * driver-verified. The oracle applies the identical cap with a
+    * HAVING on the per-shingle doc count; intersections then count
+    * capped postings only while the union stays the full shingle sets,
+    * exactly as the operator computes. DedupSpec asserts
+    * dropped_postings > 0 via the observed metric.
+    */
+  val q61 = GraftQuery(
+    "q61_dedup_ngram_capped",
+    (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      n = 3, threshold = 0.2, maxDf = 8),
+    Some(s"""
+      WITH $duckShingles,
+      ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      keep AS (SELECT sg FROM ex GROUP BY sg HAVING count(*) > 1 AND count(*) <= 8),
+      sz AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+      cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+               FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+               WHERE a.sg IN (SELECT sg FROM keep)
+               GROUP BY 1, 2)
+      SELECT id1, id2,
+             floor(inter * 1.0 / (x.n_sh + y.n_sh - inter) * 10000) / 10000 AS jaccard
+      FROM cand JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+      WHERE floor(inter * 1.0 / (x.n_sh + y.n_sh - inter) * 10000) / 10000 >= 0.2
+    """.trim))
 
   /** Embedding-cosine near-dup pairs, brute-force exact. */
   val q24 = GraftQuery(
@@ -288,5 +338,5 @@ object DedupQueries extends QueryRegistry {
       FROM surv
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q39, q47, q59)
+  def all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q39, q47, q59, q60, q61)
 }

@@ -145,29 +145,72 @@ object SimilarityQueries extends QueryRegistry {
       FROM deq
     """.trim))
 
-  /** Fixed index location for q42 (static oracle SQL; Verify runs
-    * queries sequentially so each run rebuilds before reading).
+  /** Index location for q42, keyed by the scale-factor dir so a stale
+    * index from another SF can never satisfy the build-if-absent guard
+    * (oracle SQL never references the path — it recomputes from the
+    * embeddings table).
     */
-  val IvfIndexPath = "/tmp/graft_q42_ivf_index"
+  def ivfIndexPath(sfDir: String): String =
+    "/tmp/graft_q42_ivf_index_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  private def buildIndex(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val path = ivfIndexPath(d)
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfIndexWrite(emb, emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding", "vec_id", "embedding", path,
+      targetRowsPerFile = 256L)
+    path
+  }
+
+  /** IVF index build, timed separately from the search (the r2 bench
+    * folded a full corpus rewrite into the "search" timing). The
+    * declared result is the read-back per-cluster inventory, so the
+    * oracle verifies the written index holds exactly the centroid
+    * assignment — a dropped or double-written row breaks the hash.
+    */
+  val q42a = GraftQuery(
+    "q42_ann_ivf_index_build",
+    (s, d) => {
+      val path = buildIndex(s, d)
+      s.read.parquet(path)
+        .groupBy(col("cluster_id").cast("bigint").as("cluster_id"))
+        .agg(count(lit(1)).as("n_vecs"))
+    },
+    Some("""
+      WITH dists AS (
+        SELECT v.vec_id AS id, c.vec_id AS centroid_id,
+               round(list_sum(list_transform(range(1, 65),
+                 i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) *
+                      (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))), 6) AS dist2
+        FROM embeddings v JOIN embeddings c ON c.vec_id < 8),
+      assign AS (
+        SELECT id, centroid_id AS cluster_id FROM dists
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist2, centroid_id) = 1)
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vecs
+      FROM assign GROUP BY cluster_id
+    """.trim))
 
   /** q28's IVF search through the written-index path: the corpus is
     * materialized partitioned by cluster_id and the probe becomes a
     * static partition filter — the scan opens only the probed cluster
     * directories (asserted in IvfIndexSpec). Same parameters and same
     * oracle as q28: identical output through a physically different,
-    * scale-shaped plan.
+    * scale-shaped plan. Search-only timing: the index comes from
+    * q42_ann_ivf_index_build (which sorts first in Bench passes);
+    * build-if-absent keeps the query self-sufficient under Verify's
+    * unordered map iteration.
     */
   val q42 = GraftQuery(
     "q42_ann_ivf_indexed",
     (s, d) => {
+      val path = ivfIndexPath(d)
+      if (!new java.io.File(path).exists()) buildIndex(s, d)
       val emb = Tables.embeddings(s, d)
-      Similarity.ivfIndexWrite(emb, emb.filter(col("vec_id") < 8),
-        "vec_id", "embedding", "vec_id", "embedding", IvfIndexPath)
-      Similarity.ivfTopKIndexed(s, IvfIndexPath,
+      Similarity.ivfTopKIndexed(s, path,
         emb.filter(col("vec_id") < 3), emb.filter(col("vec_id") < 8),
         "vec_id", "embedding", "vec_id", "embedding", k = 5, nprobe = 2)
     },
     q28.oracle)
 
-  def all: Seq[GraftQuery] = Seq(q25, q26, q28, q29, q42)
+  def all: Seq[GraftQuery] = Seq(q25, q26, q28, q29, q42a, q42)
 }

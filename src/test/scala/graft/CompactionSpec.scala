@@ -29,6 +29,32 @@ class CompactionSpec extends SparkTestBase {
     assert(back === (1L to 1000L).map(i => (i, s"row$i")).toSet)
   }
 
+  test("partitioned compaction honors targetBytes inside a partition") {
+    val dir = tmpDir("compactb") + "/t"
+    // one hot partition (~all the bytes) + one small one
+    val hot = (1L to 20000L).map(i => (i, "hot", s"row-$i-" + ("x" * 64)))
+    val cold = (1L to 50L).map(i => (i + 100000L, "cold", s"c$i"))
+    (hot ++ cold).toDF("id", "part", "v")
+      .repartition(8).write.partitionBy("part").parquet(dir)
+
+    val hotBytes = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(s"$dir/part=hot")).iterator().asScala
+        .filter(Files.isRegularFile(_)).map(Files.size(_)).sum
+    }
+    // target ~ a quarter of the hot partition -> expect ~4+ buckets
+    val stats = Compaction.compact(spark, dir, targetBytes = hotBytes / 4, Seq("part"))
+    assert(stats.rows === 20050)
+    def filesIn(p: String) = dataFiles(s"$dir/part=$p").size
+    assert(filesIn("hot") > 1, "hot partition must split into multiple files")
+    assert(filesIn("hot") <= 8, "bucket count should track ceil(bytes/targetBytes)")
+    assert(filesIn("cold") === 1, "small partition stays one file")
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 20050)
+    assert(back.filter(col("part") === "hot").agg(sum("id")).head().getLong(0)
+      === (1L to 20000L).sum)
+  }
+
   test("partitioned compaction keeps the Hive layout, one file per partition") {
     val dir = tmpDir("compactp") + "/t"
     val src = (1L to 300L).map(i => (i, s"p${i % 3}", s"row$i")).toDF("id", "part", "v")

@@ -96,6 +96,37 @@ class DedupSpec extends SparkTestBase {
     assert(r.frame_digests === r4.frame_digests)
   }
 
+  test("ngram df-cap drops long postings and reports them via the observed metric") {
+    // 12 docs all sharing one stop-shingle ("the same boilerplate"),
+    // plus a genuine near-dup pair sharing rare shingles
+    val boiler = "the same boilerplate"
+    val docs = ((1L to 12L).map(i => (i, s"$boiler unique$i tail$i end$i")) ++
+      Seq((100L, "alpha beta gamma delta epsilon"),
+          (101L, "alpha beta gamma delta zeta")))
+      .toDF("doc_id", "text")
+    var dropped: Option[(Long, Int)] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        qe.observedMetrics.get("ngram_df_cap").foreach { row =>
+          dropped = Some((row.getAs[Long]("dropped_postings"), row.getAs[Int]("max_df_seen")))
+        }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.4, maxDf = 8)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      // the capped postings ("the same boilerplate" df=12 > 8) are gone:
+      // boilerplate-only pairs cannot surface, the rare-shingle pair does
+      assert(pairs === Set((100L, 101L)))
+      val deadline = System.currentTimeMillis() + 5000
+      while (dropped.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(dropped.exists(_._1 > 0), s"expected dropped_postings > 0, got $dropped")
+      assert(dropped.exists(_._2 === 12), s"expected max_df_seen = 12, got $dropped")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("shingles and fingerprint behave on edge cases") {
     val df = Seq((1L, "one two"), (2L, ""), (3L, "a b c d")).toDF("id", "t")
     val sh = df.select(T.shingles(col("t"), 3).as("s"))

@@ -53,4 +53,45 @@ class IvfIndexSpec extends SparkTestBase {
     assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet === direct)
     assert(rows.nonEmpty)
   }
+
+  test("a hot cluster splits into multiple files proportional to its size") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = emb.filter(col("vec_id") < 8)
+    val queries = emb.filter(col("vec_id") < 3)
+    val idx = tmpDir("ivf_salt") + "/index"
+
+    // 500 vectors over 8 clusters; targetRowsPerFile=20 forces every
+    // cluster with >20 members to salt-split
+    Similarity.ivfIndexWrite(emb, centroids, "vec_id", "embedding",
+      "vec_id", "embedding", idx, targetRowsPerFile = 20L)
+
+    val byCluster = spark.read.parquet(idx).inputFiles
+      .groupBy(f => f.split("cluster_id=")(1).split("/")(0))
+      .view.mapValues(_.length).toMap
+    val clusterSizes = spark.read.parquet(idx)
+      .groupBy(col("cluster_id")).count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val hot = clusterSizes.maxBy(_._2)
+    assert(hot._2 > 20, s"test premise: hot cluster has ${hot._2} rows")
+    assert(byCluster(hot._1) > 1,
+      s"hot cluster ${hot._1} (${hot._2} rows) wrote ${byCluster(hot._1)} file(s) — not salted")
+    clusterSizes.foreach { case (c, n) =>
+      val expect = math.ceil(n / 20.0).toInt
+      assert(byCluster(c) <= expect,
+        s"cluster $c: ${byCluster(c)} files for $n rows exceeds ceil(n/20)=$expect")
+    }
+
+    // pruning + results survive the salted layout
+    val indexed = Similarity.ivfTopKIndexed(spark, idx, queries, centroids,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5, nprobe = 2)
+    val rows = indexed.collect()
+    val scan = scans(indexed.queryExecution.executedPlan)
+      .filter(_.metadata.getOrElse("Location", "").contains("index"))
+    assert(scan.exists(_.partitionFilters.exists(_.toString.contains("cluster_id"))),
+      "no partition filter on cluster_id")
+    val direct = Similarity.ivfTopK(queries, emb, centroids,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet === direct)
+  }
 }

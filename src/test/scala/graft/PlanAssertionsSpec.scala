@@ -59,4 +59,42 @@ class PlanAssertionsSpec extends SparkTestBase {
     val plan = executed(ScaleQueries.q48.run(spark, sf))
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("runtime bloom filter injects into shuffle inner joins (and never anti-joins)") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("bloom_assert")
+    spark.range(200000)
+      .select(col("id"), concat(lit("v"), col("id")).as("pad"))
+      .write.parquet(s"$dir/fact")
+    spark.range(50000)
+      .select(col("id").as("fk"), (col("id") % 97).as("attr"))
+      .write.parquet(s"$dir/dim")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = spark.read.parquet(s"$dir/dim").filter(col("attr") === 3)
+    // the GraftSession default thresholds engage at cluster scale
+    // (application-side scan > 10GB); lower them here so the local
+    // plan shows the injection the 100 TB deployment gets for free
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      def bloom(joinType: String): Boolean =
+        fact.join(dim, fact("id") === dim("fk"), joinType)
+          .queryExecution.optimizedPlan.toString.contains("bloom_filter")
+      assert(bloom("inner"), "no bloom_filter_agg in the inner shuffle-join plan")
+      assert(bloom("left_semi"), "no bloom_filter_agg in the semi shuffle-join plan")
+      // anti-joins must NOT get one: pruning probe rows that miss the
+      // filter would drop rows an anti-join has to KEEP
+      assert(!bloom("left_anti"), "bloom filter unexpectedly injected into an anti-join")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
