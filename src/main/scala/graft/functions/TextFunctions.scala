@@ -138,6 +138,16 @@ object TextFunctions {
   // Fingerprinting
   // ----------------------------------------------------------------
 
+  /** PII-style scrub: every digit run collapsed to a placeholder
+    * token — the pre-training hygiene pass that strips numeric
+    * identifiers (account numbers, phone digits, raw ids) from text
+    * destined for a training corpus. Codegen'd regexp_replace, no
+    * UDF; DuckDB parity needs the 'g' flag (Spark replaces all
+    * matches by default).
+    */
+  def redactDigits(c: Column, placeholder: String = "<NUM>"): Column =
+    regexp_replace(c, "[0-9]+", placeholder)
+
   /** Content fingerprint of normalized text (lowercase, all
     * non-alphanumerics stripped): stable under whitespace or
     * punctuation-only edits.

@@ -41,4 +41,23 @@ object Sampling {
     }
     df.filter(hashBucket(col(idCol)) < threshold)
   }
+
+  /** Quota sample: keep at most `quota` rows per stratum, chosen by
+    * deterministic hash rank (lowest bucket first, ties by lowest id)
+    * — the per-domain cap a training mix applies so no single source
+    * dominates. Rate-based sampling can't express "at most K"; this
+    * can, and stays reproducible across engines and runs.
+    *
+    * Scale: goes through the bounded-heap TopK aggregate, so each map
+    * task contributes at most `quota` rows per stratum to the shuffle
+    * — no per-group sort of millions of members (the window
+    * row_number form sorts every group; see TopK).
+    */
+  def quotaSample(df: DataFrame, idCol: String, stratumCol: String,
+      quota: Int): DataFrame =
+    TopK.perGroup(
+      df.withColumn("__neg_bucket", -hashBucket(col(idCol)).cast("double")),
+      Seq(stratumCol), "__neg_bucket", idCol, Nil, quota)
+      .select(col(idCol), col(stratumCol),
+        (-col("__neg_bucket")).cast("long").as("bucket"))
 }

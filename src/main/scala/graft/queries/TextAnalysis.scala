@@ -11,6 +11,18 @@ import graft.operators.Multimodal
   */
 object TextAnalysis extends QueryRegistry {
 
+  /** Shared DuckDB SQL fragment: distinct 3-gram shingle lists over
+    * documents (same construction as DedupQueries).
+    */
+  private val duckShinglesDocs =
+    """
+      w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      sh AS (SELECT doc_id,
+                    list_distinct(list_transform(range(1, len(words) - 1),
+                                  i -> array_to_string(words[i:i+2], ' '))) AS s
+             FROM w WHERE len(words) >= 3)
+    """.trim
+
   /** Token counting: whitespace tokens and regex word tokens, rolled
     * up per language.
     */
@@ -299,5 +311,92 @@ object TextAnalysis extends QueryRegistry {
       FROM folded
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q45)
+  /** Benchmark decontamination: corpus docs (doc_id % 97 != 0)
+    * flagged for sharing any 3-gram with the eval slice
+    * (doc_id % 97 == 0). Eval shingles broadcast; the corpus text
+    * never shuffles — the only exchange carries (doc_id, n_hits).
+    */
+  val q62 = GraftQuery(
+    "q62_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Decontamination.flagContaminated(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3)
+    },
+    Some(s"""
+      WITH $duckShinglesDocs,
+      evalsh AS (SELECT DISTINCT unnest(s) AS sg FROM sh WHERE doc_id % 97 = 0),
+      ex AS (SELECT doc_id, unnest(s) AS sg FROM sh WHERE doc_id % 97 <> 0),
+      hits AS (SELECT ex.doc_id, count(*) AS n_hits
+               FROM ex JOIN evalsh ON ex.sg = evalsh.sg GROUP BY 1)
+      SELECT d.doc_id,
+             CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+             coalesce(h.n_hits, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      WHERE d.doc_id % 97 <> 0
+    """.trim))
+
+  /** Per-domain quota: at most 10 docs per source, picked by
+    * deterministic hash rank — the "no single domain dominates the
+    * mix" cap. Goes through the bounded-heap TopK aggregate (each map
+    * task ships at most quota rows per source), not a per-group
+    * window sort.
+    */
+  val q63 = GraftQuery(
+    "q63_domain_quota",
+    (s, d) => graft.operators.Sampling.quotaSample(
+      Tables.documents(s, d), "doc_id", "source", quota = 10),
+    Some("""
+      WITH b AS (
+        SELECT doc_id, source,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 AS bucket
+        FROM documents)
+      SELECT doc_id, source, bucket FROM b
+      QUALIFY row_number() OVER (PARTITION BY source
+                                 ORDER BY bucket ASC, doc_id ASC) <= 10
+    """.trim))
+
+  /** Vocabulary build: global top-50 tokens by occurrence count with
+    * document frequency — the counting pass a BPE/vocab trainer runs
+    * first. Two-phase aggregation + TakeOrderedAndProject; ties
+    * broken by token so the cut is deterministic.
+    */
+  val q64 = GraftQuery(
+    "q64_vocabulary",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(desc("n_occurrences"), asc("token"))
+      .limit(50),
+    Some("""
+      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      SELECT token, count(*) AS n_occurrences,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM t GROUP BY token
+      ORDER BY n_occurrences DESC, token ASC LIMIT 50
+    """.trim))
+
+  /** PII-style scrub over raw event payloads: digit runs collapsed to
+    * <NUM> before logs can enter a training corpus, with a per-row
+    * redaction count for audit. Pure codegen'd per-row regexps.
+    */
+  val q65 = GraftQuery(
+    "q65_redact_events",
+    (s, d) => Tables.events(s, d)
+      .select(col("event_id"),
+        T.redactDigits(col("props")).as("scrubbed"),
+        regexp_count(col("props"), lit("[0-9]+")).as("n_redacted")),
+    Some("""
+      SELECT event_id,
+             regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed,
+             CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT) AS n_redacted
+      FROM events
+    """.trim))
+
+  def all: Seq[GraftQuery] =
+    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q45, q62, q63, q64, q65)
 }

@@ -98,4 +98,39 @@ class ComponentsSamplingSpec extends SparkTestBase {
     assert(s100.size === docs.count())
     assert(s25.nonEmpty && s25.size < s50.size && s50.size < s100.size)
   }
+
+  test("quota sample caps each stratum at K with deterministic picks") {
+    val docs = (1L to 30L).map(i => (i, if (i <= 25) "big" else "small"))
+      .toDF("doc_id", "src")
+    val once = Sampling.quotaSample(docs, "doc_id", "src", quota = 5)
+      .as[(Long, String, Long)].collect().toSet
+    assert(once.count(_._2 == "big") === 5, "big stratum must be capped at 5")
+    assert(once.count(_._2 == "small") === 5, "under-quota stratum keeps all rows")
+    // deterministic: same picks on a different partition layout
+    val again = Sampling.quotaSample(docs.repartition(7), "doc_id", "src", quota = 5)
+      .as[(Long, String, Long)].collect().toSet
+    assert(again === once)
+    // picks are the 5 lowest hash buckets, not the 5 lowest ids
+    val allBuckets = docs.filter(col("src") === "big")
+      .select(col("doc_id"), Sampling.hashBucket(col("doc_id")).as("b"))
+      .as[(Long, Long)].collect().sortBy(r => (r._2, r._1)).take(5).map(_._1).toSet
+    assert(once.filter(_._2 == "big").map(_._1) === allBuckets)
+  }
+
+  test("decontamination flags only docs sharing an n-gram with the eval set") {
+    import graft.operators.Decontamination
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),      // shares "alpha beta gamma" with eval
+      (2L, "one two three four"),          // clean
+      (3L, "tiny doc"))                    // < 3 words: zero hits by construction
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma something else"))
+      .toDF("doc_id", "text")
+    val got = Decontamination.flagContaminated(corpus, eval, "doc_id", "text", n = 3)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((1L, true)))  // shares exactly "alpha beta gamma"
+    assert(got(2L) === ((0L, false)))
+    assert(got(3L) === ((0L, false)))
+  }
 }
