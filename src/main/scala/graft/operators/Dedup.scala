@@ -93,17 +93,31 @@ object Dedup {
   /** idCol must be unique (the standard corpus contract); duplicate
     * ids would duplicate verify-join rows.
     */
+  /** Cached (id, sh, xi) signature stage shared by the LSH variants.
+    * The cache is the materialization boundary: without it
+    * CollapseProject inlines the md5 transform into every downstream
+    * use and the hash runs k times per row (at cluster scale: write
+    * the signature stage to a table instead).
+    */
+  private def minhashHashed(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), T.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("xi",
+        graft.expressions.HashFunctions.md5_int_array32(col("sh")))
+      .cache()
+
+  /** (id, band_idx, band_key) rows from a hashed signature stage. */
+  private def minhashBanded(hashed: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame =
+    hashed.withColumn("sig", T.minhashSignatureFromInts(col("xi")))
+      .withColumn("bands", T.minhashBands(col("sig"), bands, rowsPerBand))
+      .select(col("id"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      T.shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-    // cache = materialization boundary: without it CollapseProject
-    // inlines the md5 transform into every downstream use and the
-    // hash runs k times per row (at cluster scale: write the
-    // signature stage to a table instead)
-    val hashed = sh.withColumn("xi",
-      graft.expressions.HashFunctions.md5_int_array32(col("sh"))).cache()
+    val hashed = minhashHashed(docs, idCol, textCol, n)
     val sig = hashed.withColumn("sig", T.minhashSignatureFromInts(col("xi")))
       .withColumn("bands", T.minhashBands(col("sig"), bands, rowsPerBand))
     // pre-partition on the join keys and cache: the self-join's two
@@ -133,6 +147,46 @@ object Dedup {
         floor(col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")) * 10000) / 10000.0)
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** Incremental cross-corpus dedup: near-dup pairs between a NEW
+    * batch and an EXISTING corpus — the production shape at 100 TB,
+    * where the daily ingest (GBs) is deduped against the accumulated
+    * corpus (TBs) without ever self-joining the corpus.
+    *
+    * The new batch's band keys are BROADCAST, so the corpus pays one
+    * scan and zero shuffles for candidate generation; only candidate
+    * pairs (new_id, corpus_id) shuffle into the distinct + verify
+    * stage. The corpus-side verify join is keyed on the (selective)
+    * candidate ids — exactly the shape the session's runtime
+    * bloom-filter injection prunes at cluster scale. On a real
+    * deployment the corpus signature stage is precomputed and stored,
+    * so the incremental run computes signatures for the batch only.
+    *
+    * Ids must be unique across BOTH inputs (the standard corpus
+    * contract). Output: (new_id, corpus_id, jaccard >= threshold).
+    */
+  def minhashLshPairsAcross(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val hashedNew = minhashHashed(newDocs, idCol, textCol, n)
+    val hashedCorpus = minhashHashed(corpus, idCol, textCol, n)
+    val cand = broadcast(
+        minhashBanded(hashedNew, bands, rowsPerBand)
+          .withColumnRenamed("id", "new_id"))
+      .join(minhashBanded(hashedCorpus, bands, rowsPerBand)
+          .withColumnRenamed("id", "corpus_id"),
+        Seq("band_idx", "band_key"))
+      .select(col("new_id"), col("corpus_id"))
+      .distinct()
+    cand
+      .join(hashedNew.select(col("id").as("new_id"), col("sh").as("sh1")), Seq("new_id"))
+      .join(hashedCorpus.select(col("id").as("corpus_id"), col("sh").as("sh2")), Seq("corpus_id"))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard",
+        floor(col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")) * 10000) / 10000.0)
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
   }
 
   /** SimHash near-dup pairs: 60-bit shingle-based fingerprints,

@@ -185,5 +185,48 @@ object AnalyticsQueries extends QueryRegistry {
       GROUP BY l_returnflag
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q51, q52, q53, q54, q55, q57, q58)
+  /** Rate-anomaly detection: hourly event counts per type scored
+    * against a trailing 24-hour window (avg + 3 sigma). The spike
+    * flag is computed from the FLOORED trailing stats in both engines
+    * — the floors are the cross-engine-stable values (q58's lesson:
+    * Welford vs textbook stddev agree to ~1e-10, not the ulp), so the
+    * comparison never sits on an unstable boundary. Frames with <2
+    * points yield NULL stats -> spike=false on both sides.
+    */
+  val q69 = GraftQuery(
+    "q69_rate_anomaly",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.events(s, d)
+        .groupBy((expr("ts div 3600000000000") * 3600).as("hour_epoch"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour_epoch"))
+        .rowsBetween(-24, -1)
+      hourly.select(col("hour_epoch"), col("event_type"), col("n_events"),
+        graft.functions.QualityFunctions.floor4(
+          avg(col("n_events")).over(w)).as("trailing_avg"),
+        (floor(stddev(col("n_events")).over(w) * 100) / 100.0).as("trailing_sd"))
+        .withColumn("spike", coalesce(
+          col("n_events") > col("trailing_avg") + lit(3.0) * col("trailing_sd"),
+          lit(false)))
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+               event_type, count(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      tr AS (
+        SELECT hour_epoch, event_type, n_events,
+               floor(avg(n_events) OVER w * 10000) / 10000 AS trailing_avg,
+               floor(stddev_samp(n_events) OVER w * 100) / 100 AS trailing_sd
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      SELECT hour_epoch, event_type, n_events, trailing_avg, trailing_sd,
+             coalesce(n_events > trailing_avg + 3.0 * trailing_sd, false) AS spike
+      FROM tr
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q51, q52, q53, q54, q55, q57, q58, q69)
 }

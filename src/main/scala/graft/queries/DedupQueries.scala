@@ -338,5 +338,84 @@ object DedupQueries extends QueryRegistry {
       FROM surv
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q39, q47, q59, q60, q61)
+  /** Cross-source overlap matrix: for every pair of sources, the
+    * number of distinct 3-gram shingles both contain — the corpus
+    * forensics a mix designer runs to find which domains duplicate
+    * each other. One shuffle: (source, shingle) pairs deduped and
+    * pre-partitioned on the join key so the self-join reuses a single
+    * exchange.
+    */
+  val q67 = GraftQuery(
+    "q67_source_overlap",
+    (s, d) => {
+      val ps = Tables.documents(s, d)
+        .select(col("source"), explode(T.shingles(col("text"), 3)).as("sg"))
+        .distinct()
+        .repartition(col("sg"))
+        .cache()
+      ps.as("a")
+        .join(ps.as("b"),
+          col("a.sg") === col("b.sg") && col("a.source") < col("b.source"))
+        .select(col("a.source").as("source1"), col("b.source").as("source2"))
+        .groupBy(col("source1"), col("source2"))
+        .agg(count(lit(1)).as("n_shared"))
+    },
+    Some("""
+      WITH w AS (SELECT source, string_split(text, ' ') AS words FROM documents),
+      sh AS (SELECT source,
+                    list_distinct(list_transform(range(1, len(words) - 1),
+                                  i -> array_to_string(words[i:i+2], ' '))) AS s
+             FROM w WHERE len(words) >= 3),
+      ps AS (SELECT DISTINCT source, unnest(s) AS sg FROM sh)
+      SELECT a.source AS source1, b.source AS source2, count(*) AS n_shared
+      FROM ps a JOIN ps b ON a.sg = b.sg AND a.source < b.source
+      GROUP BY 1, 2
+    """.trim))
+
+  /** Incremental dedup: the new batch (doc_id % 10 = 0) deduped
+    * against the existing corpus (the rest) via cross-table
+    * MinHash+LSH — the batch's band keys broadcast, the corpus never
+    * self-joins. The oracle replays the full cross-side pipeline.
+    */
+  val q68 = GraftQuery(
+    "q68_incremental_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.minhashLshPairsAcross(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", n = 3, bands = 4, rowsPerBand = 4, threshold = 0.5)
+    },
+    Some {
+      val p = T.MinhashP
+      val sigEntries = T.MinhashAB.map { case (a, b) =>
+        s"list_aggregate(list_transform(xi, x -> (x * $a + $b) % $p), 'min')"
+      }.mkString(",\n                    ")
+      val bandEntries = (0 until 4).map { j =>
+        s"array_to_string(sg[${j * 4 + 1}:${j * 4 + 4}], ',')"
+      }.mkString(", ")
+      s"""
+      WITH $duckShingles,
+      ints AS (SELECT doc_id, s,
+                      list_transform(s, x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS xi
+               FROM sh),
+      sig AS (SELECT doc_id, s,
+                     [$sigEntries] AS sg
+              FROM ints),
+      bands AS (SELECT doc_id, s, band_idx, [$bandEntries][band_idx + 1] AS band_key
+                FROM sig, unnest([0, 1, 2, 3]) AS t(band_idx)),
+      cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+               FROM bands a JOIN bands b
+                 ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+      verified AS (SELECT new_id, corpus_id,
+                          floor(len(list_intersect(x.s, y.s)) * 1.0 /
+                                (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) * 10000) / 10000 AS jaccard
+                   FROM cand JOIN sh x ON new_id = x.doc_id JOIN sh y ON corpus_id = y.doc_id)
+      SELECT new_id, corpus_id, jaccard FROM verified WHERE jaccard >= 0.5
+      """.trim
+    })
+
+  def all: Seq[GraftQuery] =
+    Seq(q20, q21, q22, q23, q24, q39, q47, q59, q60, q61, q67, q68)
 }

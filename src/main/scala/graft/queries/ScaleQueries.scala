@@ -101,5 +101,32 @@ object ScaleQueries extends QueryRegistry {
       GROUP BY lang
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q44, q46, q48, q50)
+  /** Range-sorted layout invariance + range query: events rewritten
+    * range-sorted by ts (disjoint per-file time ranges, sorted rows
+    * -> tight parquet row-group min/max stats), then a first-week
+    * rollup read THROUGH the new layout, verified against DuckDB on
+    * the original table. Correctness proves the rewrite lost nothing;
+    * LayoutSpec proves the pushed range predicate actually skips
+    * row groups on this layout (and can't on a round-robin one).
+    */
+  val q66 = GraftQuery(
+    "q66_range_layout_rollup",
+    (s, d) => {
+      val path = "/tmp/graft_q66_layout_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.operators.Layout.rangeSortedWrite(Tables.events(s, d), "ts", 16, path)
+      // 2024-01-08T00:00:00Z in nanos (events.ts reads as nanos long)
+      s.read.parquet(path)
+        .filter(col("ts") < lit(1704672000000000000L))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+    },
+    Some("""
+      SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM events
+      WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+      GROUP BY event_type
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q44, q46, q48, q50, q66)
 }
