@@ -58,7 +58,19 @@ object Bench {
       s"\"$n\":${if (ts.isEmpty) -1.0 else fmt(ts.max - ts.min)}"
     }.mkString("{", ",", "}")
     val total = medians.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"spread":$spreads}""")
+    val json =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters,"spread":$spreads}"""
+    // Shut down BEFORE printing the result line, so the JSON is the
+    // last thing on the output and no late shutdown noise can push it
+    // out of a tail window (the r3 lesson: a StateStore maintenance
+    // thread raced spark.stop(), dumped an RpcEnvStoppedException
+    // stack trace after the JSON line, and the driver parsed nothing).
+    // Stopping the maintenance pool first removes the race at the
+    // source; printing last removes the ordering dependence entirely.
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => () }
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }
