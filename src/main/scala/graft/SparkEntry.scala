@@ -16,7 +16,7 @@ object SparkEntry {
   private def registries: Seq[QueryRegistry] =
     Seq(Relational, IngestParity, DedupQueries, SimilarityQueries,
       TextAnalysis, StreamingQueries, SourceQueries, ScaleQueries,
-      AnalyticsQueries)
+      AnalyticsQueries, MiningQueries)
 
   private lazy val allQueries: Seq[GraftQuery] = registries.flatMap(_.all)
 

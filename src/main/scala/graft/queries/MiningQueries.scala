@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Clustering, Retrieval, Scd, Sketches}
+
+/** Driver-checkable corpus-mining queries added in round 4: k-means
+  * centroid training, BM25 retrieval, SCD2 versioning, and tolerance
+  * oracles for the two sketches q46 didn't cover (GK quantiles,
+  * frequent items).
+  */
+object MiningQueries extends QueryRegistry {
+
+  /** DuckDB fragment: assign every vector to its nearest centroid in
+    * `cents` (cluster_id BIGINT, cv DOUBLE[]); squared L2 rounded to
+    * 6dp, ties by centroid id — mirrors Similarity.ivfAssign.
+    */
+  private def duckAssign(cents: String): String =
+    s"""SELECT v.vec_id AS id, c.cluster_id,
+              round(list_sum(list_transform(range(1, 65),
+                i -> (CAST(v.embedding[i] AS DOUBLE) - c.cv[i]) *
+                     (CAST(v.embedding[i] AS DOUBLE) - c.cv[i]))), 6) AS dist2
+       FROM embeddings v CROSS JOIN $cents c
+       QUALIFY row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY dist2, c.cluster_id) = 1"""
+
+  /** DuckDB fragment pair: Lloyd update — per-(cluster, dim) average
+    * of member vectors, reassembled position-ordered.
+    */
+  private def duckUpdate(assign: String, m: String, c: String): String =
+    s"""$m AS (
+         SELECT a.cluster_id, t.i AS pos,
+                avg(CAST(v.embedding[t.i] AS DOUBLE)) AS m
+         FROM $assign a JOIN embeddings v ON v.vec_id = a.id
+         CROSS JOIN range(1, 65) t(i)
+         GROUP BY a.cluster_id, t.i),
+       $c AS (SELECT cluster_id, list(m ORDER BY pos) AS cv
+              FROM $m GROUP BY cluster_id)"""
+
+  /** k-means training: 2 Lloyd rounds from the deterministic first-8
+    * seed, verified through the final per-cluster sizes and floored
+    * WCSS — an oracle that re-runs the whole training loop in SQL.
+    */
+  val q70 = GraftQuery(
+    "q70_kmeans_train",
+    (s, d) => Clustering.kmeansSummary(
+      s, Tables.embeddings(s, d), "vec_id", "embedding", k = 8, iters = 2),
+    Some(s"""
+      WITH c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+      a1 AS (${duckAssign("c0")}),
+      ${duckUpdate("a1", "m1", "c1")},
+      a2 AS (${duckAssign("c1")}),
+      ${duckUpdate("a2", "m2", "c2")},
+      a3 AS (${duckAssign("c2")})
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(floor(sum(dist2)) AS BIGINT) AS wcss_floor
+      FROM a3 GROUP BY cluster_id
+    """.trim))
+
+  private val bm25Terms = Seq("spark", "vector", "stream", "customer", "merge")
+
+  /** BM25 top-20 for a five-term query over the documents corpus. */
+  val q71 = GraftQuery(
+    "q71_bm25_topk",
+    (s, d) => Retrieval.bm25TopK(
+      Tables.documents(s, d), "doc_id", "text", bm25Terms, k = 20),
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           t -> len(t) > 0) AS ts
+        FROM documents),
+      dl AS (SELECT doc_id, len(ts) AS dl FROM tok),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+      tf AS (
+        SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(ts) AS t FROM tok)
+        WHERE t IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})
+        GROUP BY doc_id, t),
+      dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      scored AS (
+        SELECT tf.doc_id,
+               sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+                   (tf.tf * (1.2 + 1.0)) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))) AS score
+        FROM tf JOIN dfq d USING (term) JOIN dl l USING (doc_id)
+        CROSS JOIN stats s
+        GROUP BY tf.doc_id)
+      SELECT doc_id, CAST(floor(score * 10000) AS BIGINT) AS score_bp,
+             CAST(row_number() OVER (ORDER BY CAST(floor(score * 10000) AS BIGINT) DESC,
+                                              doc_id) AS INT) AS rn
+      FROM scored
+      QUALIFY rn <= 20
+    """.trim))
+
+  /** SCD2 history of each customer's order priority: change-collapsed
+    * validity intervals with an open current row.
+    */
+  val q72 = GraftQuery(
+    "q72_scd2_history",
+    (s, d) => Scd.scd2(Tables.orders(s, d),
+      "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"),
+    Some("""
+      WITH flagged AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+               CASE WHEN lag(o_orderpriority) OVER w IS NOT DISTINCT FROM o_orderpriority
+                    THEN 0 ELSE 1 END AS chg
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      versioned AS (
+        SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        FROM flagged),
+      runs AS (
+        SELECT o_custkey, version, min(o_orderdate) AS effective_from,
+               min(o_orderpriority) AS o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM versioned GROUP BY o_custkey, version)
+      SELECT o_custkey, version, effective_from, o_orderpriority, n_rows,
+             lead(effective_from) OVER (PARTITION BY o_custkey ORDER BY version) AS effective_to,
+             (lead(effective_from) OVER (PARTITION BY o_custkey ORDER BY version) IS NULL) AS is_current
+      FROM runs
+    """.trim))
+
+  /** GK quantile sketch under its declared rank-error bound: the
+    * approx p50/p95 (accuracy 1000 -> rank error 1e-3) must land
+    * between the exact quantiles at p +/- 0.02. Same tolerance-oracle
+    * shape as q46: the oracle computes the exact side and asserts the
+    * bound trivially; a drifting sketch flips the flag and fails the
+    * hash.
+    */
+  val q73 = GraftQuery(
+    "q73_gk_quantile_tolerance",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      Sketches.quantileProfile(li, "l_returnflag", "l_quantity",
+          probabilities = Seq(0.5, 0.95))
+        .join(li.groupBy(col("l_returnflag")).agg(
+          count(lit(1)).as("n_rows"),
+          expr("percentile(l_quantity, 0.48)").as("lo50"),
+          expr("percentile(l_quantity, 0.52)").as("hi50"),
+          expr("percentile(l_quantity, 0.93)").as("lo95"),
+          expr("percentile(l_quantity, 0.97)").as("hi95")), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_rows"),
+          element_at(col("quantiles"), 1).between(col("lo50"), col("hi50"))
+            .as("ok_p50"),
+          element_at(col("quantiles"), 2).between(col("lo95"), col("hi95"))
+            .as("ok_p95"))
+    },
+    Some("""
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+             true AS ok_p50, true AS ok_p95
+      FROM lineitem GROUP BY l_returnflag
+    """.trim))
+
+  /** Frequent-items sketch guarantee: every value with frequency
+    * above the support threshold must appear in the sketch's result
+    * (freqItems is a guaranteed superset). One row per exact heavy
+    * hitter with its exact count and the containment verdict.
+    */
+  val q74 = GraftQuery(
+    "q74_freq_items_tolerance",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val sketch = Sketches.frequentItems(ev, Seq("event_type"), support = 0.1)
+      val total = ev.agg(count(lit(1)).as("n_total"))
+      ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))
+        .crossJoin(broadcast(total))
+        .filter(col("n_events").cast("double") > col("n_total") * 0.1)
+        .crossJoin(broadcast(sketch))
+        .select(col("event_type"), col("n_events"),
+          array_contains(col("event_type_freqItems"), col("event_type"))
+            .as("in_sketch"))
+    },
+    Some("""
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, true AS in_sketch
+      FROM events GROUP BY event_type
+      HAVING CAST(count(*) AS DOUBLE) > 0.1 * (SELECT count(*) FROM events)
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q70, q71, q72, q73, q74)
+}
