@@ -260,6 +260,58 @@ object Dedup {
       .distinct()
   }
 
+  /** SimHash pairs at a PERMISSIVE radius, scale-safely: multi-index
+    * Hamming search (Norouzi/Punjani/Fleet, "Fast Search in Hamming
+    * Space with Multi-Index Hashing"). The plain pigeonhole
+    * (simhashBucketedPairs) needs maxHamming+1 chunks, so a radius-12
+    * query gets 5-bit chunks with only 32 distinct join values —
+    * candidate volume O(n²/32): quadratic-class (the q23 finding).
+    *
+    * MIH keeps the chunks WIDE and enumerates neighbors instead: with
+    * c chunks of w = 60/c bits, a pair within maxHamming has some
+    * chunk differing in <= floor(maxHamming/c) bits (pigeonhole on
+    * the error budget). The probe side XORs each chunk value with
+    * every w-bit mask of popcount <= floor(maxHamming/c) — a
+    * broadcast of sum C(w, 0..subR) masks (576 for w=15, subR=3) —
+    * and equi-joins the exact chunk table on (chunk_idx, value).
+    * Cost is LINEAR: ~c x 576 probe rows per doc against a 2^15-value
+    * key space, instead of n²/32 collisions. Same output as
+    * simhashPairs/simhashBucketedPairs.
+    *
+    * The exact side is pre-partitioned + cached once and its cached
+    * partitioning feeds the join; only the expanded probes shuffle.
+    */
+  def simhashMihPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, maxHamming: Int, chunks: Int = 4): DataFrame = {
+    require(T.SimhashBits % chunks == 0,
+      s"chunks must divide ${T.SimhashBits}")
+    val w = T.SimhashBits / chunks
+    require(w < 30, "chunk width must fit a broadcastable mask table")
+    val subR = maxHamming / chunks
+    val fp = simhashFingerprints(docs, idCol, textCol, n)
+    val chunked = fp.select(col("id"), col("fp"), posexplode(
+      array((0 until chunks).map { j =>
+        shiftright(col("fp"), j * w).bitwiseAND(lit((1L << w) - 1))
+      }: _*)).as(Seq("chunk_idx", "chunk_val")))
+      .repartition(col("chunk_idx"), col("chunk_val"))
+      .cache()
+    val masks = docs.sparkSession.range(1L << w)
+      .filter(bit_count(col("id")) <= subR)
+      .select(col("id").as("mask"))
+    val probes = chunked.crossJoin(broadcast(masks))
+      .select(col("id"), col("fp"), col("chunk_idx"),
+        col("chunk_val").bitwiseXOR(col("mask")).as("probe_val"))
+    probes.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.probe_val") === col("b.chunk_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        T.hammingDistance(col("a.fp"), col("b.fp")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Connected components over a near-dup pair graph: every document
     * gets the minimum doc id of its component as `component_id` — the
     * step that turns pairwise near-dup evidence into dedup clusters

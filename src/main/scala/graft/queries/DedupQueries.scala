@@ -416,6 +416,19 @@ object DedupQueries extends QueryRegistry {
       """.trim
     })
 
+  /** q23's permissive radius (hamming <= 12) through the multi-index
+    * Hamming path: wide 15-bit chunks + popcount-bounded neighbor
+    * enumeration keep the candidate join linear where q23's 5-bit
+    * pigeonhole is quadratic-class. Identical output, same oracle —
+    * the q28/q42 pattern: one semantics, two physical plans, the
+    * scale-shaped one declared alongside the verifier.
+    */
+  val q75 = GraftQuery(
+    "q75_dedup_simhash_mih",
+    (s, d) => Dedup.simhashMihPairs(Tables.documents(s, d), "doc_id", "text",
+      n = 3, maxHamming = 12, chunks = 4),
+    Some(simhashOracle(12)))
+
   def all: Seq[GraftQuery] =
-    Seq(q20, q21, q22, q23, q24, q39, q47, q59, q60, q61, q67, q68)
+    Seq(q20, q21, q22, q23, q24, q39, q47, q59, q60, q61, q67, q68, q75)
 }

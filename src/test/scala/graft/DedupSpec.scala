@@ -62,6 +62,24 @@ class DedupSpec extends SparkTestBase {
     assert(brute.exists { case (a, b, h) => a == 1 && b == 4 && h == 0 })
   }
 
+  test("simhash multi-index pairs equal the cross-join version at radius 12") {
+    val brute = Dedup.simhashPairs(docs, "doc_id", "text", 3, 12)
+      .select("id1", "id2", "hamming").as[(Long, Long, Int)].collect().toSet
+    val mih = Dedup.simhashMihPairs(docs, "doc_id", "text", 3, 12, chunks = 4)
+      .select("id1", "id2", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(mih === brute)
+  }
+
+  test("simhash MIH candidate stage is an equi-join, not a nested loop") {
+    val plan = Dedup.simhashMihPairs(docs, "doc_id", "text", 3, 12, chunks = 4)
+      .queryExecution.executedPlan.toString
+    // the only nested-loop-ish node allowed is the broadcast of the
+    // bounded mask table; the pair join itself must be hash-keyed
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), "no hash/merge pair join found")
+  }
+
   test("brute-force topk is deterministic and self-excluding") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
