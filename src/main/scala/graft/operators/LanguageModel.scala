@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{QualityFunctions => Q, TextFunctions => T}
+
+/** Corpus-trained n-gram language-model scoring — the classic
+  * perplexity-style quality signal (score each document by how
+  * typical its token transitions are of the corpus).
+  *
+  * Scale shape: the bigram/unigram count tables are
+  * vocabulary-bounded (they stop growing once the corpus covers the
+  * domain), so the three aggregations shuffle token-pair counts, not
+  * documents; the score-side joins are hash equi-joins on those
+  * bounded tables. On a production pipeline the LM tables are
+  * trained once, persisted, and broadcast when small; here train and
+  * score run in one plan so the oracle can replay both.
+  */
+object LanguageModel {
+
+  /** Add-one-smoothed bigram log-probability per document:
+    * P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V), V = distinct tokens.
+    * Output: (doc_id, n_bigrams, avg_logprob floor4). Documents with
+    * fewer than two tokens produce no bigrams and are dropped.
+    */
+  def bigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = T.tokens(col(textCol))
+    val bg = docs.filter(size(words) >= 2)
+      .select(col(idCol).as("doc_id"), explode(transform(
+        sequence(lit(1), size(words) - 1),
+        i => struct(element_at(words, i).as("w1"),
+          element_at(words, i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val cu = bg.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val v = docs.select(explode(words).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    bg.join(cb, Seq("w1", "w2"))
+      .join(cu, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("lp", log((col("cb") + 1.0) / (col("cu") + col("v"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        Q.floor4(avg(col("lp"))).as("avg_logprob"))
+  }
+}

@@ -183,5 +183,59 @@ object MiningQueries extends QueryRegistry {
       HAVING CAST(count(*) AS DOUBLE) > 0.1 * (SELECT count(*) FROM events)
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q70, q71, q72, q73, q74)
+  /** Corpus-trained bigram LM score per document (add-one smoothing)
+    * — the perplexity-style quality signal; the oracle retrains the
+    * same LM in SQL and re-scores every document.
+    */
+  val q76 = GraftQuery(
+    "q76_bigram_lm_score",
+    (s, d) => graft.operators.LanguageModel.bigramScore(
+      Tables.documents(s, d), "doc_id", "text"),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      pos AS (SELECT doc_id, words, unnest(range(1, len(words))) AS i
+              FROM w WHERE len(words) >= 2),
+      bg AS (SELECT doc_id, words[i] AS w1, words[i+1] AS w2 FROM pos),
+      cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+      cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1),
+      v AS (SELECT count(DISTINCT t) AS v
+            FROM (SELECT unnest(words) AS t FROM w)),
+      lp AS (SELECT bg.doc_id, ln((cb.cb + 1.0) / (cu.cu + v.v)) AS lp
+             FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             floor(avg(lp) * 10000) / 10000 AS avg_logprob
+      FROM lp GROUP BY doc_id
+    """.trim))
+
+  /** Gopher-style repetition filters: most-frequent-bigram fraction
+    * and duplicated-trigram fraction with fixed keep thresholds.
+    */
+  val q77 = GraftQuery(
+    "q77_repetition_profile",
+    (s, d) => graft.operators.Repetition.repetitionProfile(
+      Tables.documents(s, d), "doc_id", "text"),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      p2 AS (SELECT doc_id, words, unnest(range(1, len(words))) AS i
+             FROM w WHERE len(words) >= 2),
+      c2 AS (SELECT doc_id, array_to_string(words[i:i+1], ' ') AS g, count(*) AS c
+             FROM p2 GROUP BY doc_id, g),
+      t2 AS (SELECT doc_id,
+                    floor(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) * 10000) / 10000
+                      AS top_bigram_frac
+             FROM c2 GROUP BY doc_id),
+      p3 AS (SELECT doc_id, words, unnest(range(1, len(words) - 1)) AS i
+             FROM w WHERE len(words) >= 3),
+      c3 AS (SELECT doc_id, array_to_string(words[i:i+2], ' ') AS g, count(*) AS c
+             FROM p3 GROUP BY doc_id, g),
+      d3 AS (SELECT doc_id,
+                    floor(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) /
+                          CAST(sum(c) AS DOUBLE) * 10000) / 10000 AS dup_trigram_frac
+             FROM c3 GROUP BY doc_id)
+      SELECT t2.doc_id, top_bigram_frac, dup_trigram_frac,
+             (top_bigram_frac <= 0.2 AND dup_trigram_frac <= 0.3) AS keep
+      FROM t2 JOIN d3 USING (doc_id)
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q70, q71, q72, q73, q74, q76, q77)
 }
