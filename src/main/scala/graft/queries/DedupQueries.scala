@@ -429,6 +429,36 @@ object DedupQueries extends QueryRegistry {
       n = 3, maxHamming = 12, chunks = 4),
     Some(simhashOracle(12)))
 
+  /** Passage-window dedup (RefinedWeb-style substring dedup): chunk
+    * into 8-token windows, keep each distinct window's corpus-wide
+    * first occurrence, reassemble the surviving text per document.
+    */
+  val q78 = GraftQuery(
+    "q78_passage_dedup",
+    (s, d) => graft.operators.PassageDedup.dedupPassages(
+      Tables.documents(s, d), "doc_id", "text", window = 8),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      chunks AS (
+        SELECT doc_id, i AS idx,
+               array_to_string(words[(i*8+1):(i*8+8)], ' ') AS passage
+        FROM (SELECT doc_id, words,
+                     unnest(range(0, CAST(ceil(len(words) / 8.0) AS BIGINT))) AS i
+              FROM w WHERE len(words) > 0)),
+      ranked AS (
+        SELECT doc_id, idx, passage,
+               row_number() OVER (PARTITION BY passage ORDER BY doc_id, idx) AS rn
+        FROM chunks),
+      totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total
+                 FROM chunks GROUP BY doc_id),
+      kept AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(passage, ' ' ORDER BY idx) AS text_deduped
+        FROM ranked WHERE rn = 1 GROUP BY doc_id)
+      SELECT doc_id, n_total, n_kept, text_deduped
+      FROM kept JOIN totals USING (doc_id)
+    """.trim))
+
   def all: Seq[GraftQuery] =
-    Seq(q20, q21, q22, q23, q24, q39, q47, q59, q60, q61, q67, q68, q75)
+    Seq(q20, q21, q22, q23, q24, q39, q47, q59, q60, q61, q67, q68, q75, q78)
 }

@@ -212,5 +212,26 @@ object SimilarityQueries extends QueryRegistry {
     },
     q28.oracle)
 
-  def all: Seq[GraftQuery] = Seq(q25, q26, q28, q29, q42a, q42)
+  /** JL random projection of the 64-dim embeddings to 8 dims via the
+    * fixed Achlioptas sign matrix; long-form (id, dim, value) output.
+    * The oracle regenerates the identical sign literals.
+    */
+  val q79 = GraftQuery(
+    "q79_random_projection",
+    (s, d) => graft.operators.Projection.randomProject(
+      Tables.embeddings(s, d), "vec_id", "embedding", outDims = 8, inDims = 64),
+    Some {
+      val rows = graft.operators.Projection.signMatrix(8, 64).zipWithIndex
+        .map { case (row, j) =>
+          val lits = row.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+          s"""SELECT vec_id AS id, CAST($j AS BIGINT) AS dim,
+             |  floor(list_sum(list_transform(range(1, 65),
+             |    i -> CAST(embedding[i] AS DOUBLE) * ($lits)[i])) / sqrt(8.0)
+             |    * 10000) / 10000 AS value
+             |FROM embeddings""".stripMargin.replace("\n", " ")
+        }
+      rows.mkString("\nUNION ALL\n")
+    })
+
+  def all: Seq[GraftQuery] = Seq(q25, q26, q28, q29, q42a, q42, q79)
 }

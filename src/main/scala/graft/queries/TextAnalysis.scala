@@ -397,6 +397,74 @@ object TextAnalysis extends QueryRegistry {
       FROM events
     """.trim))
 
+  /** Multi-signal curation ensemble: quality score + language-ID
+    * agreement + repetition profile + corpus-LM likelihood folded
+    * into one keep/drop verdict with auditable reason codes.
+    */
+  val q80 = GraftQuery(
+    "q80_quality_ensemble",
+    (s, d) => graft.operators.QualityEnsemble.verdict(
+      Tables.documents(s, d), "doc_id", "text", "lang"),
+    Some {
+      val scoreDefs = Q.LangProfiles.map { case (l, p) =>
+        val inList = p.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(words, x -> x IN ($inList))) AS s_$l"
+      }.mkString(",\n             ")
+      val langs = Q.LangProfiles.map(_._1)
+      val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val caseArms = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+      s"""
+      WITH w AS (SELECT doc_id, lang, text, string_split(text, ' ') AS words FROM documents),
+      sc AS (SELECT doc_id, lang,
+             floor((least(CAST(len(words) AS DOUBLE) / 50.0, 1.0) * 0.4 +
+                   (1.0 - CAST(len(list_filter(words, x -> x IN ('the', 'a'))) AS DOUBLE) / len(words)) * 0.3 +
+                   (CAST(len(list_distinct(words)) AS DOUBLE) / len(words)) * 0.3) * 10000) / 10000 AS quality_score,
+             $scoreDefs
+             FROM w),
+      base AS (SELECT doc_id, lang, quality_score, CASE $caseArms END AS pred_lang
+               FROM (SELECT *, $m AS m FROM sc)),
+      p2 AS (SELECT doc_id, words, unnest(range(1, len(words))) AS i
+             FROM w WHERE len(words) >= 2),
+      c2 AS (SELECT doc_id, array_to_string(words[i:i+1], ' ') AS g, count(*) AS c
+             FROM p2 GROUP BY doc_id, g),
+      t2 AS (SELECT doc_id,
+                    floor(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) * 10000) / 10000
+                      AS top_bigram_frac
+             FROM c2 GROUP BY doc_id),
+      p3 AS (SELECT doc_id, words, unnest(range(1, len(words) - 1)) AS i
+             FROM w WHERE len(words) >= 3),
+      c3 AS (SELECT doc_id, array_to_string(words[i:i+2], ' ') AS g, count(*) AS c
+             FROM p3 GROUP BY doc_id, g),
+      d3 AS (SELECT doc_id,
+                    floor(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) /
+                          CAST(sum(c) AS DOUBLE) * 10000) / 10000 AS dup_trigram_frac
+             FROM c3 GROUP BY doc_id),
+      rep AS (SELECT t2.doc_id, top_bigram_frac, dup_trigram_frac
+              FROM t2 JOIN d3 USING (doc_id)),
+      bg AS (SELECT doc_id, words[i] AS w1, words[i+1] AS w2 FROM p2),
+      cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+      cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1),
+      v AS (SELECT count(DISTINCT t) AS v
+            FROM (SELECT unnest(words) AS t FROM w)),
+      lp AS (SELECT bg.doc_id, ln((cb.cb + 1.0) / (cu.cu + v.v)) AS lp
+             FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v),
+      lm AS (SELECT doc_id, floor(avg(lp) * 10000) / 10000 AS avg_logprob
+             FROM lp GROUP BY doc_id),
+      joined AS (
+        SELECT base.doc_id, quality_score, pred_lang,
+               concat_ws(',',
+                 CASE WHEN quality_score < 0.70 THEN 'low_quality' END,
+                 CASE WHEN pred_lang <> lang THEN 'lang_mismatch' END,
+                 CASE WHEN top_bigram_frac > 0.05 OR dup_trigram_frac > 0.05 THEN 'repetitive' END,
+                 CASE WHEN avg_logprob < -3.45 THEN 'unlikely_text' END,
+                 CASE WHEN top_bigram_frac IS NULL OR avg_logprob IS NULL THEN 'too_short' END) AS reasons
+        FROM base LEFT JOIN rep ON base.doc_id = rep.doc_id
+                  LEFT JOIN lm ON base.doc_id = lm.doc_id)
+      SELECT doc_id, quality_score, pred_lang, reasons, (reasons = '') AS keep
+      FROM joined
+      """.trim
+    })
+
   def all: Seq[GraftQuery] =
-    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q45, q62, q63, q64, q65)
+    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q45, q62, q63, q64, q65, q80)
 }
