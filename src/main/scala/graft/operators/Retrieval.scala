@@ -61,4 +61,75 @@ object Retrieval {
       .orderBy(desc("score_bp"), asc("doc_id"))
     top.withColumn("rn", row_number().over(w).cast("int"))
   }
+
+  /** Cross-engine term bucket: md5-derived so the partition layout is
+    * reproducible from SQL (Spark's Murmur3 `hash` is not).
+    */
+  def termBucket(term: Column, nBuckets: Int): Column =
+    pmod(conv(substring(md5(term), 1, 8), 16, 10).cast("long"), lit(nBuckets))
+
+  /** Driver-side twin of [[termBucket]] for computing the probe set. */
+  def termBucketOf(term: String, nBuckets: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    java.lang.Long.parseLong(hex, 16) % nBuckets
+  }
+
+  /** Materialize the inverted index: `path/postings` holds (term,
+    * doc_id, tf) parquet partitioned by the md5 term bucket —
+    * searches prune to the buckets their terms hash into before any
+    * file opens; `path/docstats` holds (doc_id, dl) plus the corpus
+    * constants (n_docs, avgdl) denormalized onto each row so search
+    * never re-scans the corpus. Build is one tokenize pass + one
+    * (doc, term) shuffle; files per bucket follow data size via the
+    * bucket-column repartition (AQE coalesces small ones).
+    */
+  def invertedIndexWrite(docs: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 16): Unit = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      tokensOf(col(textCol)).as("ts"))
+    val dl = tok.select(col("doc_id"), size(col("ts")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    dl.crossJoin(broadcast(stats))
+      .write.mode("overwrite").parquet(path + "/docstats")
+    tok.select(col("doc_id"), explode(col("ts")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", termBucket(col("term"), nBuckets))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path + "/postings")
+  }
+
+  /** BM25 search over the written index: identical output to
+    * [[bm25TopK]] through a physically different plan — the postings
+    * scan carries a static partition filter (only the query terms'
+    * buckets open) plus a pushed term filter, and document length /
+    * corpus stats come from the tiny docstats side, not a corpus
+    * re-tokenize.
+    */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      queryTerms: Seq[String], k: Int, nBuckets: Int = 16,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val buckets = queryTerms.map(termBucketOf(_, nBuckets)).distinct
+    val tf = spark.read.parquet(path + "/postings")
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("term").isin(queryTerms: _*))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = spark.read.parquet(path + "/docstats")
+    val scored = tf
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("w",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(floor(sum(col("w")) * 10000).cast("long").as("score_bp"))
+    val top = scored.orderBy(desc("score_bp"), asc("doc_id")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("score_bp"), asc("doc_id"))
+    top.withColumn("rn", row_number().over(w).cast("int"))
+  }
 }

@@ -237,5 +237,65 @@ object MiningQueries extends QueryRegistry {
       FROM t2 JOIN d3 USING (doc_id)
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q70, q71, q72, q73, q74, q76, q77)
+  /** Index location for q81, keyed by the scale-factor dir (q42's
+    * pattern: a stale index from another SF can't satisfy the
+    * build-if-absent guard; the oracle never references the path).
+    */
+  def invIndexPath(sfDir: String): String =
+    "/tmp/graft_q81_inv_index_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  private def buildInvIndex(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val path = invIndexPath(d)
+    Retrieval.invertedIndexWrite(Tables.documents(s, d), "doc_id", "text", path)
+    path
+  }
+
+  /** Inverted-index build, timed apart from the search. The declared
+    * result is the read-back per-bucket posting inventory, so the
+    * oracle (which recomputes the md5 bucketing from the documents
+    * table) verifies the written index byte-for-byte at the
+    * (bucket, term, posting-count) grain.
+    */
+  val q81a = GraftQuery(
+    "q81_bm25_index_build",
+    (s, d) => {
+      val path = buildInvIndex(s, d)
+      s.read.parquet(path + "/postings")
+        .groupBy(col("bucket").cast("bigint").as("bucket"))
+        .agg(countDistinct(col("term")).as("n_terms"),
+          count(lit(1)).as("n_postings"),
+          sum(col("tf")).as("n_occurrences"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           t -> len(t) > 0) AS ts
+        FROM documents),
+      tf AS (
+        SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(ts) AS t FROM tok)
+        GROUP BY doc_id, t)
+      SELECT CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 16 AS bucket,
+             CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+             CAST(count(*) AS BIGINT) AS n_postings,
+             CAST(sum(tf) AS BIGINT) AS n_occurrences
+      FROM tf GROUP BY bucket
+    """.trim))
+
+  /** q71's BM25 search through the written index: identical output,
+    * physically different plan — static bucket partition filter +
+    * pushed term predicate instead of a corpus re-tokenize. Same
+    * oracle as q71 (the q42/q28 pattern).
+    */
+  val q81 = GraftQuery(
+    "q81_bm25_indexed",
+    (s, d) => {
+      val path = invIndexPath(d)
+      if (!new java.io.File(path).exists()) buildInvIndex(s, d)
+      Retrieval.bm25TopKIndexed(s, path, bm25Terms, k = 20)
+    },
+    q71.oracle)
+
+  def all: Seq[GraftQuery] = Seq(q70, q71, q72, q73, q74, q76, q77, q81a, q81)
 }
