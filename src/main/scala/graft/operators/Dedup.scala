@@ -82,6 +82,62 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Prefix-filtered n-gram Jaccard pairs (PPJoin-style, Xiao et al.,
+    * "Efficient Similarity Joins for Near Duplicate Detection"):
+    * identical output to [[ngramJaccardPairs]] — same pairs, same
+    * scores — through a candidate stage that is EXACT yet far
+    * smaller. Rank each document's shingles in the global
+    * rarest-first canonical order (df asc, shingle asc) and index
+    * only the first |s| - ceil(t*|s|) + 1 of them: any pair with
+    * Jaccard >= t provably shares a shingle inside both prefixes
+    * (their overlap o >= ceil(t*|s|) on both sides, and the smallest
+    * common shingle in canonical order cannot sit in either suffix,
+    * which holds only ceil(t*|s|)-1 elements). Posting lists are
+    * built over prefixes only, so the quadratic per-shingle pair
+    * blowup runs on each document's RAREST shingles — exactly where
+    * df is smallest — instead of on every posting. No df cap is
+    * needed: a boilerplate stop-shingle shared by 1M docs is by
+    * construction in nobody's prefix (highest df = last in canonical
+    * order) unless the threshold is so low the pair would verify
+    * anyway. Verification joins the cached shingle arrays on the
+    * candidate rows only (array_intersect — the q22 pattern).
+    */
+  def ngramJaccardPrefixPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      T.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .cache()
+    val dfTab = sh.select(explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val ranked = sh
+      .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+      .join(dfTab, "s")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("s"))
+    val prefix = ranked
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+    // posting lists over prefixes only; emit strictly-increasing pairs
+    val cand = prefix
+      .groupBy(col("s"))
+      .agg(sort_array(array_distinct(collect_list(col("id")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(posexplode(col("ids")).as(Seq("i", "id1")), col("ids"))
+      .select(col("id1"), explode(slice(col("ids"), col("i") + 2,
+        size(col("ids")))).as("id2"))
+      .distinct()
+    cand
+      .join(sh.as("a"), col("id1") === col("a.id"))
+      .join(sh.as("b"), col("id2") === col("b.id"))
+      .withColumn("inter", size(array_intersect(col("a.sh"), col("b.sh"))))
+      .withColumn("jaccard",
+        floor(col("inter") /
+          (size(col("a.sh")) + size(col("b.sh")) - col("inter")) * 10000) / 10000.0)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
   /** MinHash + LSH near-dup pairs: shingle -> 16-hash signature ->
     * band buckets -> candidate pairs -> exact-Jaccard verify on the
     * candidates only (via array_intersect — no exploded join).

@@ -459,6 +459,18 @@ object DedupQueries extends QueryRegistry {
       FROM kept JOIN totals USING (doc_id)
     """.trim))
 
+  /** q21's pairs through the PPJoin prefix filter: rarest-first
+    * canonical order, per-doc prefixes of |s|-ceil(t|s|)+1 shingles,
+    * posting lists over prefixes only, exact verify on candidates.
+    * Identical output, linear-class candidate stage, no df cap needed
+    * — same oracle as q21 (the q42/q81 pattern).
+    */
+  val q82 = GraftQuery(
+    "q82_dedup_ngram_prefix",
+    (s, d) => Dedup.ngramJaccardPrefixPairs(Tables.documents(s, d),
+      "doc_id", "text", n = 3, threshold = 0.5),
+    q21.oracle)
+
   def all: Seq[GraftQuery] =
-    Seq(q20, q21, q22, q23, q24, q39, q47, q59, q60, q61, q67, q68, q75, q78)
+    Seq(q20, q21, q22, q23, q24, q39, q47, q59, q60, q61, q67, q68, q75, q78, q82)
 }

@@ -53,6 +53,34 @@ class DedupSpec extends SparkTestBase {
     assert(uncapped === Set((1L, 2L), (1L, 4L), (2L, 4L)))
   }
 
+  test("prefix-filtered jaccard pairs equal the full posting-list pairs") {
+    // the toy docs, plus the real corpus slice: identical (id1, id2,
+    // jaccard) triples through the linear-class candidate stage
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    for (d <- Seq(docs, corpus)) {
+      val full = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = Dedup.ngramJaccardPrefixPairs(d, "doc_id", "text", 3, 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pref === full)
+    }
+  }
+
+  test("prefix filter keeps corpus-wide stop-shingles out of posting lists") {
+    // every doc shares the stop-shingle run "x x x"; true similar pair
+    // is (1, 2) only. The full path needs a df cap to survive this
+    // shape; the prefix path never indexes the stop-shingle at all.
+    val boiler = Seq(
+      (1L, "x x x alpha beta gamma delta"),
+      (2L, "x x x alpha beta gamma epsilon"),
+      (3L, "x x x totally different words qrs"),
+      (4L, "x x x unrelated other content tuv"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPrefixPairs(boiler, "doc_id", "text", 3, 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("simhash bucketed pairs equal the cross-join version") {
     val brute = Dedup.simhashPairs(docs, "doc_id", "text", 3, 12)
       .select("id1", "id2", "hamming").as[(Long, Long, Int)].collect().toSet
