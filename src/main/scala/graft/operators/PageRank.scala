@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank over an edge list — iterative link analysis for graph-
+  * shaped curation signals (e.g. ranking items in a click-transition
+  * graph, or documents in a citation/similarity graph).
+  *
+  * Scale shape: each iteration is one join of the rank vector to the
+  * edge list on src (both sides hash-partitioned on the same key, so
+  * consecutive iterations reuse the partitioning) plus one aggregation
+  * on dst; per-round `localCheckpoint(eager)` truncates the logical
+  * plan, without which the self-referential lineage doubles per round
+  * (the connected-components lesson). The only driver-side scalar is
+  * the node count. Dangling-node mass is dropped (the simplified
+  * variant), which keeps the iteration a pure edge join; ranks then
+  * sum to < 1 but the ordering — what PageRank is for — is unchanged.
+  */
+object PageRank {
+
+  /** Fixed-iteration damped PageRank. Output: (node, rank_e8) with
+    * rank ROUNDED (not floor-truncated) at 1e-8: regular graphs
+    * converge to exactly uniform 1/N ranks, which sit ON the
+    * truncation boundary — floor would flip on summation-order ulps
+    * (observed cross-engine at sf0.1), while round is noise-immune
+    * precisely because the true values are integers at this scale.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      damping: Double = 0.85, iters: Int = 5): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val n = nodes.count().toDouble // bounded: one scalar, not a row set
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).cache()
+    var pr = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val inMass = e.join(pr, col("src") === col("node"))
+        .join(deg, "src")
+        .select(col("dst").as("node"),
+          (col("rank") / col("outdeg")).as("m"))
+        .groupBy(col("node")).agg(sum(col("m")).as("in_mass"))
+      pr = nodes.join(inMass, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1 - damping) / n) +
+            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+    }
+    pr.select(col("node"), round(col("rank") * 1e8).cast("long").as("rank_e8"))
+  }
+}

@@ -297,5 +297,55 @@ object MiningQueries extends QueryRegistry {
     },
     q71.oracle)
 
-  def all: Seq[GraftQuery] = Seq(q70, q71, q72, q73, q74, q76, q77, q81a, q81)
+  /** PageRank over the item click-transition graph (consecutive
+    * events per user, ordered by (ts, event_id), item k_i -> k_i+1,
+    * self-loops dropped): 5 damped iterations, ranks truncated to
+    * 1e-8. The oracle unrolls the iterations as chained CTEs.
+    */
+  val q83 = GraftQuery(
+    "q83_pagerank_transitions",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val edges = ev.withColumn("next", lead(col("item"), 1).over(w))
+        .filter(col("next").isNotNull && col("next") =!= col("item"))
+        .select(col("item").as("src"), col("next").as("dst"))
+      graft.operators.PageRank.pageRank(edges, "src", "dst",
+        damping = 0.85, iters = 5)
+    },
+    Some {
+      val iterCtes = (1 to 5).map { k =>
+        s"""p$k AS (
+           |  SELECT nodes.node, (1 - 0.85) / cnt.n + 0.85 * coalesce(m.in_mass, 0.0) AS rank
+           |  FROM nodes CROSS JOIN cnt
+           |  LEFT JOIN (SELECT e.dst AS node, sum(p.rank / d.outdeg) AS in_mass
+           |             FROM edges e JOIN p${k - 1} p ON p.node = e.src
+           |             JOIN deg d ON d.src = e.src
+           |             GROUP BY e.dst) m ON m.node = nodes.node)""".stripMargin
+      }.mkString(",\n      ")
+      s"""
+      WITH ev AS (
+        SELECT user_id, ts, event_id,
+               CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+        FROM events),
+      tr AS (
+        SELECT item,
+               lead(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next
+        FROM ev),
+      edges AS (
+        SELECT DISTINCT item AS src, next AS dst
+        FROM tr WHERE next IS NOT NULL AND next <> item),
+      nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
+      p0 AS (SELECT node, 1.0 / cnt.n AS rank FROM nodes CROSS JOIN cnt),
+      $iterCtes
+      SELECT node, CAST(round(rank * 100000000) AS BIGINT) AS rank_e8 FROM p5
+      """.trim
+    })
+
+  def all: Seq[GraftQuery] = Seq(q70, q71, q72, q73, q74, q76, q77, q81a, q81, q83)
 }
