@@ -72,4 +72,19 @@ object Clustering {
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_vecs"),
         floor(sum(col("dist2"))).cast("long").as("wcss_floor"))
+
+  /** Per-group embedding centroid in long form (grp, dim, n_vectors,
+    * value): one shuffle carrying (grp, dim) partial sums with
+    * map-side combine — output cardinality is |groups| x dims no
+    * matter the corpus size. The group-profile primitive (per-source
+    * drift, per-cluster summaries) for embedding analytics.
+    */
+  def groupCentroids(vecs: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    vecs.select(col(groupCol).as("grp"),
+        posexplode(col(vecCol).cast("array<double>")))
+      .groupBy(col("grp"), col("pos"))
+      .agg(count(lit(1)).as("n_vectors"),
+        (floor(avg(col("col")) * 10000) / 10000.0).as("value"))
+      .select(col("grp"), col("pos").cast("long").as("dim"),
+        col("n_vectors"), col("value"))
 }

@@ -35,10 +35,16 @@ object LanguageModel {
     val cu = bg.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
     val v = docs.select(explode(words).as("t"))
       .agg(countDistinct(col("t")).as("v"))
-    bg.join(cb, Seq("w1", "w2"))
+    // score each DISTINCT bigram once (all inputs vocabulary-bounded),
+    // then join the big per-doc bigram stream a single time against
+    // the finished score table — one stream-side shuffle instead of
+    // two joins plus a cross join over the full stream
+    val pairScores = cb
       .join(cu, Seq("w1"))
       .crossJoin(broadcast(v))
       .withColumn("lp", log((col("cb") + 1.0) / (col("cu") + col("v"))))
+      .select(col("w1"), col("w2"), col("lp"))
+    bg.join(pairScores, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         Q.floor4(avg(col("lp"))).as("avg_logprob"))

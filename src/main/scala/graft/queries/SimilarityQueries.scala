@@ -233,5 +233,25 @@ object SimilarityQueries extends QueryRegistry {
       rows.mkString("\nUNION ALL\n")
     })
 
-  def all: Seq[GraftQuery] = Seq(q25, q26, q28, q29, q42a, q42, q79)
+  /** Per-source embedding centroids (long form): the group-profile
+    * primitive for drift monitoring and cluster summaries.
+    */
+  val q84 = GraftQuery(
+    "q84_group_centroids",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+      graft.operators.Clustering.groupCentroids(
+        e.join(docs, e("vec_id") === docs("doc_id")), "source", "embedding")
+    },
+    Some("""
+      SELECT source AS grp, i - 1 AS dim, CAST(count(*) AS BIGINT) AS n_vectors,
+             floor(avg(CAST(embedding[i] AS DOUBLE)) * 10000) / 10000 AS value
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r
+      GROUP BY source, i
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q25, q26, q28, q29, q42a, q42, q79, q84)
 }

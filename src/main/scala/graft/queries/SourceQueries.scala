@@ -85,5 +85,62 @@ object SourceQueries extends QueryRegistry {
       }
     }
 
-  def all: Seq[GraftQuery] = Seq(q16, q27)
+  /** CSV sink + source round-trip: write lineitem's scalar columns as
+    * headered CSV, read back with an explicit schema, aggregate. The
+    * oracle aggregates the ORIGINAL parquet — the hash matches only
+    * if the text round-trip is value-lossless (Java/DuckDB shortest
+    * round-trip double formatting).
+    */
+  val q85 = GraftQuery(
+    "q85_csv_roundtrip",
+    (s, d) => {
+      val path = "/tmp/graft_q85_csv_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+        .write.mode("overwrite").option("header", "true").csv(path)
+      s.read.option("header", "true")
+        .schema("l_orderkey LONG, l_quantity DOUBLE, l_extendedprice DOUBLE, l_returnflag STRING")
+        .csv(path)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+    },
+    Some("""
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM lineitem GROUP BY l_returnflag
+    """.trim))
+
+  /** JSON-lines sink + source round-trip, same invariant as q85. */
+  val q86 = GraftQuery(
+    "q86_json_roundtrip",
+    (s, d) => {
+      val path = "/tmp/graft_q86_json_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_discount"),
+          col("l_returnflag"))
+        .write.mode("overwrite").json(path)
+      s.read
+        .schema("l_orderkey LONG, l_quantity DOUBLE, l_discount DOUBLE, l_returnflag STRING")
+        .json(path)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_discount")), 4).as("sum_disc"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+    },
+    Some("""
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_discount), 4) AS sum_disc,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM lineitem GROUP BY l_returnflag
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86)
 }
