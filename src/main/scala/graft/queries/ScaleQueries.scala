@@ -128,5 +128,88 @@ object ScaleQueries extends QueryRegistry {
       GROUP BY event_type
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q44, q46, q48, q50, q66)
+  /** Snapshot diff between two order-book versions: later cutoff adds
+    * rows, earlier window start removes rows, and a deterministic
+    * price restatement on urgent orders changes rows in the overlap.
+    */
+  val q87 = GraftQuery(
+    "q87_snapshot_diff",
+    (s, d) => {
+      val orders = Tables.orders(s, d)
+      val oldSnap = orders
+        .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val newSnap = orders
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          when(col("o_orderpriority") === "1-URGENT",
+            round(col("o_totalprice") * 1.1, 2))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      graft.operators.Diff.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
+    },
+    Some("""
+      WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+                 WHERE o_orderdate < TIMESTAMP '1999-01-01'),
+      n AS (SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN round(o_totalprice * 1.1, 2)
+                        ELSE o_totalprice END AS o_totalprice
+            FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01')
+      SELECT * FROM (
+        SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.o_orderstatus <> n.o_orderstatus
+                         OR o.o_totalprice <> n.o_totalprice THEN 'changed'
+               END AS change
+        FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+      WHERE change IS NOT NULL
+    """.trim))
+
+  /** Declarative expectations suite over lineitem: scalar rules fold
+    * into ONE aggregation pass; uniqueness is a two-phase key count;
+    * the foreign-key rule is a single anti-join. One rule is
+    * deliberately failing so the violation path is exercised.
+    */
+  val q88 = GraftQuery(
+    "q88_expectations",
+    (s, d) => {
+      import graft.operators.Expectations._
+      validate(Tables.lineitem(s, d), Seq(
+        NotNull("l_orderkey"),
+        Check("qty_positive", col("l_quantity") > 0),
+        Check("price_under_1000", col("l_extendedprice") < 1000),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        InReference("l_orderkey", Tables.orders(s, d), "o_orderkey")))
+    },
+    Some("""
+      SELECT 'not_null:l_orderkey' AS rule,
+             CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT) AS n_violations,
+             count(*) FILTER (WHERE l_orderkey IS NULL) = 0 AS passed
+      FROM lineitem
+      UNION ALL
+      SELECT 'qty_positive',
+             CAST(count(*) FILTER (WHERE NOT coalesce(l_quantity > 0, FALSE)) AS BIGINT),
+             count(*) FILTER (WHERE NOT coalesce(l_quantity > 0, FALSE)) = 0
+      FROM lineitem
+      UNION ALL
+      SELECT 'price_under_1000',
+             CAST(count(*) FILTER (WHERE NOT coalesce(l_extendedprice < 1000, FALSE)) AS BIGINT),
+             count(*) FILTER (WHERE NOT coalesce(l_extendedprice < 1000, FALSE)) = 0
+      FROM lineitem
+      UNION ALL
+      SELECT 'unique:l_orderkey,l_linenumber',
+             CAST(coalesce(sum(c), 0) AS BIGINT),
+             coalesce(sum(c), 0) = 0
+      FROM (SELECT count(*) AS c FROM lineitem
+            GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+      UNION ALL
+      SELECT 'in_reference:l_orderkey',
+             CAST(count(*) AS BIGINT), count(*) = 0
+      FROM lineitem l
+      WHERE l.l_orderkey IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q44, q46, q48, q50, q66, q87, q88)
 }
