@@ -228,5 +228,69 @@ object AnalyticsQueries extends QueryRegistry {
       FROM tr
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q51, q52, q53, q54, q55, q57, q58, q69)
+  /** Equi-width price histogram: 1-row min/max broadcast + one (bin)
+    * aggregation — bins, not rows, cross the wire.
+    */
+  val q89 = GraftQuery(
+    "q89_histogram_width",
+    (s, d) => graft.operators.Histogram.equiWidth(
+      Tables.lineitem(s, d), "l_extendedprice", bins = 20),
+    Some("""
+      WITH mm AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+                  FROM lineitem)
+      SELECT CASE WHEN mx = mn THEN 0
+                  ELSE CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / 20.0)),
+                                  19) AS BIGINT) END AS bin,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             round(min(l_extendedprice), 2) AS lo,
+             round(max(l_extendedprice), 2) AS hi
+      FROM lineitem CROSS JOIN mm
+      GROUP BY bin
+    """.trim))
+
+  /** Equi-depth price histogram: exact decile tiles via one global-
+    * order ntile window; the order is made total with key tiebreaks
+    * so tile membership is engine-independent. The approximate
+    * no-global-sort alternative is the GK sketch (q73).
+    */
+  val q90 = GraftQuery(
+    "q90_histogram_depth",
+    (s, d) => graft.operators.Histogram.equiDepth(
+      Tables.lineitem(s, d), "l_extendedprice",
+      Seq("l_orderkey", "l_linenumber"), ntiles = 10),
+    Some("""
+      SELECT tile, CAST(count(*) AS BIGINT) AS n_rows,
+             round(min(l_extendedprice), 2) AS lo,
+             round(max(l_extendedprice), 2) AS hi
+      FROM (SELECT l_extendedprice,
+                   CAST(ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+                                        l_linenumber) AS BIGINT) AS tile
+            FROM lineitem)
+      GROUP BY tile
+    """.trim))
+
+  /** CUBE over (returnflag, linestatus): all four grouping sets with
+    * flags in one two-phase pass (q53's ROLLUP completed to the full
+    * lattice).
+    */
+  val q91 = GraftQuery(
+    "q91_cube_grouping_sets",
+    (s, d) => Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"),
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty")),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+             CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+             count(*) AS n,
+             round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+    """.trim))
+
+  def all: Seq[GraftQuery] =
+    Seq(q51, q52, q53, q54, q55, q57, q58, q69, q89, q90, q91)
 }
