@@ -291,6 +291,54 @@ object AnalyticsQueries extends QueryRegistry {
       GROUP BY CUBE (l_returnflag, l_linestatus)
     """.trim))
 
+  /** Ordered conversion funnel signup -> view -> click -> purchase
+    * with strictly-after semantics; one user-keyed aggregation per
+    * stage, chained on the same key.
+    */
+  val q92 = GraftQuery(
+    "q92_funnel",
+    (s, d) => graft.operators.Funnel.funnelCounts(
+      Tables.events(s, d), "user_id", "event_type", col("ts"),
+      Seq("signup", "view", "click", "purchase")),
+    Some("""
+      WITH s0 AS (SELECT user_id AS u, min(ts) AS conv_ts FROM events
+                  WHERE event_type = 'signup' GROUP BY 1),
+      s1 AS (SELECT e.user_id AS u, min(e.ts) AS conv_ts FROM events e
+             JOIN s0 ON e.user_id = s0.u
+             WHERE e.event_type = 'view' AND e.ts > s0.conv_ts GROUP BY 1),
+      s2 AS (SELECT e.user_id AS u, min(e.ts) AS conv_ts FROM events e
+             JOIN s1 ON e.user_id = s1.u
+             WHERE e.event_type = 'click' AND e.ts > s1.conv_ts GROUP BY 1),
+      s3 AS (SELECT e.user_id AS u, min(e.ts) AS conv_ts FROM events e
+             JOIN s2 ON e.user_id = s2.u
+             WHERE e.event_type = 'purchase' AND e.ts > s2.conv_ts GROUP BY 1)
+      SELECT 0 AS stage_idx, 'signup' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s0
+      UNION ALL
+      SELECT 1, 'view', CAST(count(*) AS BIGINT) FROM s1
+      UNION ALL
+      SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+    """.trim))
+
+  /** Cohort retention: users active again exactly k days after their
+    * first active day; two user-day aggregations, no per-event state.
+    */
+  val q93 = GraftQuery(
+    "q93_retention",
+    (s, d) => graft.operators.Funnel.retentionCounts(
+      Tables.events(s, d), "user_id", expr("ts div 86400000000000")),
+    Some("""
+      WITH ud AS (SELECT DISTINCT user_id AS u,
+                    CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS day
+                  FROM events),
+      d0 AS (SELECT u, min(day) AS day0 FROM ud GROUP BY u)
+      SELECT ud.day - d0.day0 AS day_offset,
+             CAST(count(DISTINCT ud.u) AS BIGINT) AS n_users
+      FROM ud JOIN d0 ON ud.u = d0.u
+      GROUP BY day_offset
+    """.trim))
+
   def all: Seq[GraftQuery] =
-    Seq(q51, q52, q53, q54, q55, q57, q58, q69, q89, q90, q91)
+    Seq(q51, q52, q53, q54, q55, q57, q58, q69, q89, q90, q91, q92, q93)
 }
