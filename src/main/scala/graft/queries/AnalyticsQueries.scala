@@ -339,6 +339,31 @@ object AnalyticsQueries extends QueryRegistry {
       GROUP BY day_offset
     """.trim))
 
+  /** Rolling 7-day event aggregates per user at every event (event-
+    * time RANGE frame): one shuffle on user, one sort, both rolling
+    * functions in a single Window operator. RANGE frames treat equal
+    * timestamps as peers identically in both engines.
+    */
+  val q95 = GraftQuery(
+    "q95_rolling_window",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sevenDaysNanos = 7L * 86400L * 1000000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        .rangeBetween(-sevenDaysNanos, 0)
+      Tables.events(s, d).select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_7d"),
+        round(sum(col("value")).over(w), 2).as("sum_7d"))
+    },
+    Some("""
+      SELECT event_id, user_id,
+             CAST(count(*) OVER w AS BIGINT) AS n_7d,
+             round(sum(value) OVER w, 2) AS sum_7d
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+    """.trim))
+
   def all: Seq[GraftQuery] =
-    Seq(q51, q52, q53, q54, q55, q57, q58, q69, q89, q90, q91, q92, q93)
+    Seq(q51, q52, q53, q54, q55, q57, q58, q69, q89, q90, q91, q92, q93, q95)
 }

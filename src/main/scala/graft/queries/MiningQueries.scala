@@ -347,5 +347,65 @@ object MiningQueries extends QueryRegistry {
       """.trim
     })
 
-  def all: Seq[GraftQuery] = Seq(q70, q71, q72, q73, q74, q76, q77, q81a, q81, q83)
+  /** Temporal enrichment against the SCD2 dimension: each lineitem
+    * picks the customer-priority version whose half-open validity
+    * interval contains its ship date — the slowly-changing-dimension
+    * lookup every warehouse needs. Intervals tile per key, so the
+    * equi-join on custkey plus the interval residual matches exactly
+    * one version per fact row.
+    */
+  val q94 = GraftQuery(
+    "q94_temporal_scd2_join",
+    (s, d) => {
+      val scd = Scd.scd2(Tables.orders(s, d),
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+        .select(col("o_custkey"), col("version"),
+          col("o_orderpriority").as("priority_at_ship"),
+          col("effective_from"), col("effective_to"))
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+      fact.join(scd,
+        fact("o_custkey") === scd("o_custkey") &&
+          col("l_shipdate") >= col("effective_from") &&
+          (col("effective_to").isNull || col("l_shipdate") < col("effective_to")))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate").cast("timestamp").cast("long").as("ship_epoch"),
+          fact("o_custkey"), col("version"), col("priority_at_ship"))
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+               CASE WHEN lag(o_orderpriority) OVER w IS NOT DISTINCT FROM o_orderpriority
+                    THEN 0 ELSE 1 END AS chg
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      versioned AS (
+        SELECT *, CAST(sum(chg) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        FROM flagged),
+      runs AS (
+        SELECT o_custkey, version, min(o_orderdate) AS effective_from,
+               min(o_orderpriority) AS priority_at_ship
+        FROM versioned GROUP BY o_custkey, version),
+      scd AS (
+        SELECT *, lead(effective_from) OVER (PARTITION BY o_custkey
+                                             ORDER BY version) AS effective_to
+        FROM runs),
+      fact AS (
+        SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_custkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      SELECT f.l_orderkey, f.l_linenumber,
+             CAST(epoch(f.l_shipdate) AS BIGINT) AS ship_epoch,
+             f.o_custkey, s.version, s.priority_at_ship
+      FROM fact f JOIN scd s
+        ON f.o_custkey = s.o_custkey
+       AND f.l_shipdate >= s.effective_from
+       AND (s.effective_to IS NULL OR f.l_shipdate < s.effective_to)
+    """.trim))
+
+  def all: Seq[GraftQuery] =
+    Seq(q70, q71, q72, q73, q74, q76, q77, q81a, q81, q83, q94)
 }
