@@ -406,6 +406,22 @@ object MiningQueries extends QueryRegistry {
        AND (s.effective_to IS NULL OR f.l_shipdate < s.effective_to)
     """.trim))
 
+  /** Entity-resolution fuzzy match over part names via the exact
+    * symmetric-delete neighborhood (no all-pairs compare); the oracle
+    * IS the all-pairs compare, so the hash certifies the blocking is
+    * lossless at maxDist = 2.
+    */
+  val q96 = GraftQuery(
+    "q96_fuzzy_name_match",
+    (s, d) => graft.operators.FuzzyJoin.fuzzyPairs(
+      Tables.part(s, d), "p_name", maxDist = 2),
+    Some("""
+      WITH n AS (SELECT DISTINCT p_name AS v FROM part)
+      SELECT a.v AS a, b.v AS b, CAST(levenshtein(a.v, b.v) AS INT) AS dist
+      FROM n a JOIN n b ON a.v < b.v
+      WHERE levenshtein(a.v, b.v) <= 2
+    """.trim))
+
   def all: Seq[GraftQuery] =
-    Seq(q70, q71, q72, q73, q74, q76, q77, q81a, q81, q83, q94)
+    Seq(q70, q71, q72, q73, q74, q76, q77, q81a, q81, q83, q94, q96)
 }
