@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ANALYZE-style column statistics — the null/distinct/extent profile
+  * a cost-based optimizer (or a data engineer) reads first.
+  *
+  * All requested columns are profiled in ONE aggregation over ONE
+  * scan; the exact distinct counts make Spark plan an Expand (one
+  * duplicated stream per distinct aggregate), which is the honest
+  * price of exactness — at 100 TB swap `countDistinct` for
+  * `approx_count_distinct` and the Expand disappears (the HLL path is
+  * the `Sketches` operator, tolerance-verified by q46).
+  */
+object TableStats {
+
+  /** Stats per numeric column: (column, n_nulls, n_distinct, min_v,
+    * max_v) with extents rounded to 2dp.
+    */
+  def numericStats(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val aggs = columns.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn$i"),
+        countDistinct(col(c)).as(s"nd$i"),
+        round(min(col(c)).cast("double"), 2).as(s"mn$i"),
+        round(max(col(c)).cast("double"), 2).as(s"mx$i"))
+    }
+    val stacked = columns.zipWithIndex.map { case (c, i) =>
+      s"'$c', nn$i, nd$i, mn$i, mx$i"
+    }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${columns.size}, $stacked) as " +
+        "(column, n_nulls, n_distinct, min_v, max_v)")
+  }
+}

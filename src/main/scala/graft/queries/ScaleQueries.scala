@@ -211,5 +211,50 @@ object ScaleQueries extends QueryRegistry {
         AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q44, q46, q48, q50, q66, q87, q88)
+  /** Z-order locality profile: Morton-interleave (user_id, item k)
+    * and report per-bucket extents on BOTH dimensions — the bounded
+    * extents that make a z-sorted layout skippable on either column.
+    */
+  val q97 = GraftQuery(
+    "q97_zorder_locality",
+    (s, d) => graft.operators.ZOrder.zLocality(
+      Tables.events(s, d).select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item")),
+      "user_id", "item", bits = 16, bucketShift = 8),
+    Some {
+      val z = graft.operators.ZOrder.mortonSql("user_id", "item", 16)
+      s"""
+      WITH e AS (SELECT user_id,
+                        CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+                 FROM events),
+      zc AS (SELECT user_id AS x, item AS y, ($z) AS z FROM e)
+      SELECT z >> 8 AS zbucket, CAST(count(*) AS BIGINT) AS n_rows,
+             min(x) AS min_x, max(x) AS max_x,
+             min(y) AS min_y, max(y) AS max_y
+      FROM zc GROUP BY zbucket
+      """.trim
+    })
+
+  /** One-pass ANALYZE over lineitem's numeric columns: null counts,
+    * exact distinct counts, and extents from a single scan.
+    */
+  val q98 = GraftQuery(
+    "q98_table_stats",
+    (s, d) => graft.operators.TableStats.numericStats(
+      Tables.lineitem(s, d),
+      Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+    Some {
+      val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS column,
+           |CAST(count(*) FILTER (WHERE $c IS NULL) AS BIGINT) AS n_nulls,
+           |CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |round(CAST(min($c) AS DOUBLE), 2) AS min_v,
+           |round(CAST(max($c) AS DOUBLE), 2) AS max_v
+           |FROM lineitem""".stripMargin.replace("\n", " ")
+      }.mkString("\nUNION ALL\n")
+    })
+
+  def all: Seq[GraftQuery] = Seq(q44, q46, q48, q50, q66, q87, q88, q97, q98)
 }
