@@ -465,6 +465,26 @@ object TextAnalysis extends QueryRegistry {
       """.trim
     })
 
+  /** RAG-granularity chunking: 32-token windows every 16 tokens
+    * (50% overlap); per-row explode, no shuffle.
+    */
+  val q99 = GraftQuery(
+    "q99_rag_chunking",
+    (s, d) => graft.operators.Chunking.chunkTokens(
+      Tables.documents(s, d), "doc_id", "text", chunkSize = 32, stride = 16),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      c AS (SELECT doc_id, words,
+                   unnest(range(0, 1 + CAST(ceil(greatest(len(words) - 32, 0) / 16.0) AS BIGINT))) AS i
+            FROM w WHERE len(words) > 0)
+      SELECT doc_id, i AS chunk_idx,
+             CAST(i * 16 + 1 AS BIGINT) AS start_token,
+             CAST(len(words[(i*16+1):(i*16+32)]) AS BIGINT) AS n_tokens,
+             array_to_string(words[(i*16+1):(i*16+32)], ' ') AS chunk_text
+      FROM c
+    """.trim))
+
   def all: Seq[GraftQuery] =
-    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q45, q62, q63, q64, q65, q80)
+    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q45, q62, q63, q64, q65,
+      q80, q99)
 }
