@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => T}
 
@@ -38,11 +37,18 @@ object PassageDedup {
             slice(words, (i * window + 1).cast("int"), lit(window)), " "))))
       .withColumnRenamed("pos", "idx")
       .withColumnRenamed("col", "passage")
-    val firstSeen = Window.partitionBy(col("passage"))
-      .orderBy(col("doc_id"), col("idx"))
-    val kept = chunks
-      .withColumn("rn", row_number().over(firstSeen))
-      .filter(col("rn") === 1)
+    // first occurrence via min(struct) — an associative aggregate, so
+    // partial aggregation combines map-side and a passage duplicated
+    // a billion times reaches the reducer as one row per map task. (A
+    // row_number window here would sort ALL copies of a hot passage
+    // in a single partition.) The join-back keys on the full
+    // (passage, doc_id, idx) triple, unique on both sides, so the hot
+    // passage never concentrates in the join either.
+    val first = chunks.groupBy(col("passage"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
+      .select(col("passage"), col("first.doc_id").as("doc_id"),
+        col("first.idx").as("idx"))
+    val kept = chunks.join(first, Seq("passage", "doc_id", "idx"))
     val totals = chunks.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_total"))
     kept.groupBy(col("doc_id"))
