@@ -256,5 +256,35 @@ object ScaleQueries extends QueryRegistry {
       }.mkString("\nUNION ALL\n")
     })
 
-  def all: Seq[GraftQuery] = Seq(q44, q46, q48, q50, q66, q87, q88, q97, q98)
+  /** Incremental view maintenance: per-type aggregate state built on
+    * the first 19 days absorbs the remaining days as a delta merge —
+    * the oracle recomputes from scratch, certifying that the
+    * partial-aggregation algebra reproduces the one-pass answer.
+    */
+  val q100 = GraftQuery(
+    "q100_incremental_agg",
+    (s, d) => {
+      import graft.operators.IncrementalAgg
+      val ev = Tables.events(s, d)
+      val cutoffNanos = 1705708800000000000L // 2024-01-20T00:00Z
+      val stored = IncrementalAgg.state(
+        ev.filter(col("ts") < cutoffNanos), "event_type", "value")
+      val delta = IncrementalAgg.state(
+        ev.filter(col("ts") >= cutoffNanos), "event_type", "value")
+      IncrementalAgg.merge(stored, delta, "event_type")
+        .select(col("event_type"), col("n"),
+          round(col("sum_v"), 2).as("sum_v"),
+          round(col("min_v"), 2).as("min_v"),
+          round(col("max_v"), 2).as("max_v"))
+    },
+    Some("""
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             round(sum(value), 2) AS sum_v,
+             round(min(value), 2) AS min_v,
+             round(max(value), 2) AS max_v
+      FROM events GROUP BY event_type
+    """.trim))
+
+  def all: Seq[GraftQuery] =
+    Seq(q44, q46, q48, q50, q66, q87, q88, q97, q98, q100)
 }
