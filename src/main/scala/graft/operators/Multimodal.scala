@@ -77,4 +77,48 @@ object Multimodal {
       lower(hex(substring(col("payload"), 49, 4))).as("frame_2"),
       lower(hex(substring(col("payload"), 73, 4))).as("frame_3"),
       md5(col("payload")).as("content_md5"))
+
+  /** One resized, sampled frame. scale_*_bp are basis-point scale
+    * factors target/source; resized_digest is the STUB resample —
+    * the source digest mixed with the target dims by the same
+    * 31-multiplier fold step the decoder uses (a real resampler
+    * would recompute from pixels; the Spark-side shape — typed rows,
+    * per-frame grain, JVM compute — is what this exercises).
+    */
+  case class ResizedFrame(
+      doc_id: Long,
+      frame_idx: Int,
+      out_w: Int,
+      out_h: Int,
+      scale_x_bp: Long,
+      scale_y_bp: Long,
+      resized_digest: Long)
+
+  /** Keep every `stride`-th frame of the decoded media (frame_idx
+    * 0, stride, 2*stride, ...): the sampling step between decode and
+    * feature extraction. Pure Column ops — no re-decode.
+    */
+  def frameSample(decoded: DataFrame, stride: Int): DataFrame =
+    decoded.select(col("doc_id"), col("width"), col("height"),
+        posexplode(col("frame_digests")).as(Seq("frame_idx", "digest")))
+      .filter(col("frame_idx") % stride === 0)
+
+  /** Stub resize of sampled frames to (targetW, targetH). Typed map
+    * (JVM arithmetic wraps like the decoder's fold; ANSI Column math
+    * would throw on the deliberate overflow).
+    */
+  def resizeStub(sampled: DataFrame, targetW: Int, targetH: Int): Dataset[ResizedFrame] = {
+    val spark = sampled.sparkSession
+    import spark.implicits._
+    sampled.select(col("doc_id").cast("long"), col("frame_idx").cast("int"),
+        col("width").cast("int"), col("height").cast("int"),
+        col("digest").cast("long"))
+      .as[(Long, Int, Int, Int, Long)]
+      .map { case (id, idx, w, h, digest) =>
+        ResizedFrame(id, idx, targetW, targetH,
+          math.floor(targetW * 10000.0 / w).toLong,
+          math.floor(targetH * 10000.0 / h).toLong,
+          digest * 31L + (targetW * 31L + targetH))
+      }
+  }
 }

@@ -484,7 +484,56 @@ object TextAnalysis extends QueryRegistry {
       FROM c
     """.trim))
 
+  /** Multimodal frame-sample + stub resize after decode (q45's
+    * pipeline continued): every 2nd frame, resized to 64x64 with
+    * basis-point scale factors; the digest mix replays the decoder's
+    * wrap-around fold in HUGEINT in the oracle.
+    */
+  val q101 = GraftQuery(
+    "q101_multimodal_resize",
+    (s, d) => {
+      val dec = Multimodal.decodeAll(
+        Tables.documents(s, d).select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload"))).toDF()
+      Multimodal.resizeStub(Multimodal.frameSample(dec, stride = 2), 64, 64)
+        .toDF()
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+      dims AS (
+        SELECT doc_id, text, n,
+               16 + CASE WHEN n = 0 THEN 0 ELSE ord(substr(text, 1, 1)) END AS width,
+               16 + CASE WHEN n < 2 THEN 0 ELSE ord(substr(text, 2, 1)) END AS height,
+               greatest(1, n // 64) AS n_frames
+        FROM b),
+      frames AS (
+        SELECT doc_id, width, height,
+               unnest(range(0, least(n_frames, 8))) AS frame_idx, text
+        FROM dims),
+      sampled AS (SELECT * FROM frames WHERE frame_idx % 2 = 0),
+      folded AS (
+        SELECT doc_id, width, height, CAST(frame_idx AS INT) AS frame_idx,
+               list_reduce(
+                 list_prepend(CAST(1125899906842597 AS HUGEINT),
+                   list_transform(range(1, len(substr(text, frame_idx * 64 + 1, 64)) + 1),
+                     i -> CAST(ord(substr(substr(text, frame_idx * 64 + 1, 64), i, 1)) AS HUGEINT))),
+                 (h, x) -> (h * 31 + x) % CAST('18446744073709551616' AS HUGEINT)) AS u
+        FROM sampled),
+      resized AS (
+        SELECT doc_id, frame_idx, width, height,
+               (u * 31 + 2048) % CAST('18446744073709551616' AS HUGEINT) AS r
+        FROM folded)
+      SELECT doc_id, frame_idx, CAST(64 AS INT) AS out_w, CAST(64 AS INT) AS out_h,
+             CAST(floor(640000.0 / width) AS BIGINT) AS scale_x_bp,
+             CAST(floor(640000.0 / height) AS BIGINT) AS scale_y_bp,
+             CAST(CASE WHEN r >= CAST('9223372036854775808' AS HUGEINT)
+                       THEN r - CAST('18446744073709551616' AS HUGEINT)
+                       ELSE r END AS BIGINT) AS resized_digest
+      FROM resized
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q45, q62, q63, q64, q65,
-      q80, q99)
+      q80, q99, q101)
 }
