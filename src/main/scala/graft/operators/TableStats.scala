@@ -33,4 +33,23 @@ object TableStats {
       .selectExpr(s"stack(${columns.size}, $stacked) as " +
         "(column, n_nulls, n_distinct, min_v, max_v)")
   }
+
+  /** Pairwise sample correlations of all column pairs in ONE
+    * aggregation over one scan (n*(n-1)/2 corr aggregates share the
+    * pass); floor4-truncated for cross-engine float parity. Output:
+    * (col_a, col_b, corr4) per unordered pair.
+    */
+  def correlationMatrix(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val pairs = for {
+      i <- columns.indices; j <- (i + 1) until columns.size
+    } yield (columns(i), columns(j))
+    val aggs = pairs.zipWithIndex.map { case ((a, b), k) =>
+      (floor(corr(col(a), col(b)) * 10000) / 10000.0).as(s"c$k")
+    }
+    val stacked = pairs.zipWithIndex.map { case ((a, b), k) =>
+      s"'$a', '$b', c$k"
+    }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${pairs.size}, $stacked) as (col_a, col_b, corr4)")
+  }
 }

@@ -285,6 +285,26 @@ object ScaleQueries extends QueryRegistry {
       FROM events GROUP BY event_type
     """.trim))
 
+  /** Full pairwise correlation matrix of lineitem's numeric columns
+    * from ONE aggregation pass (10 corr aggregates share the scan).
+    */
+  val q102 = GraftQuery(
+    "q102_correlation_matrix",
+    (s, d) => graft.operators.TableStats.correlationMatrix(
+      Tables.lineitem(s, d),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_orderkey")),
+    Some {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_orderkey")
+      (for {
+        i <- cols.indices; j <- (i + 1) until cols.size
+      } yield
+        s"""SELECT '${cols(i)}' AS col_a, '${cols(j)}' AS col_b,
+           |floor(corr(${cols(i)}, ${cols(j)}) * 10000) / 10000 AS corr4
+           |FROM lineitem""".stripMargin.replace("\n", " "))
+        .mkString("\nUNION ALL\n")
+    })
+
   def all: Seq[GraftQuery] =
-    Seq(q44, q46, q48, q50, q66, q87, q88, q97, q98, q100)
+    Seq(q44, q46, q48, q50, q66, q87, q88, q97, q98, q100, q102)
 }
