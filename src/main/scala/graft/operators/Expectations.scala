@@ -66,8 +66,11 @@ object Expectations {
         .agg(count(lit(1)).as("n_violations"))
         .select(lit(r.name).as("rule"), col("n_violations"))
     }
-    (scalar ++ uniques ++ refs)
-      .reduce(_ unionByName _)
-      .withColumn("passed", col("n_violations") === 0L)
+    val parts = scalar ++ uniques ++ refs
+    val united =
+      if (parts.isEmpty)
+        spark.emptyDataset[(String, Long)].toDF("rule", "n_violations")
+      else parts.reduce(_ unionByName _)
+    united.withColumn("passed", col("n_violations") === 0L)
   }
 }
