@@ -18,17 +18,23 @@ object Diff {
   /** Rows of `newDf` minus `oldDf` classified per key: 'added'
     * (key only in new), 'removed' (key only in old), 'changed' (key
     * in both, payload digest differs). Unchanged rows are omitted.
-    * Null payload cells are digest-distinguished from empty strings
-    * by a type marker prefix.
+    *
+    * Injectivity: each payload column contributes a fixed-width
+    * 32-char block — md5 of its string form, or a non-hex sentinel
+    * for NULL (md5 output is hex, so the sentinel collides with no
+    * value digest). Fixed-width blocks mean no value can bleed into
+    * its neighbor's encoding, so distinct payload tuples digest
+    * distinctly (modulo md5 collisions).
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
       keyCols: Seq[String]): DataFrame = {
     val payload = oldDf.columns.filterNot(keyCols.contains).sorted
+    val nullBlock = "-" * 32
     def digest(df: DataFrame) = df.select(
       keyCols.map(col) :+
         md5(concat_ws("",
-          payload.map(c => coalesce(concat(lit("v:"), col(c).cast("string")),
-            lit("null"))): _*)).as("payload_md5"): _*)
+          payload.map(c => coalesce(md5(col(c).cast("string")),
+            lit(nullBlock))): _*)).as("payload_md5"): _*)
     val o = digest(oldDf).withColumnRenamed("payload_md5", "old_md5")
     val n = digest(newDf).withColumnRenamed("payload_md5", "new_md5")
     o.join(n, keyCols, "full_outer")

@@ -40,6 +40,10 @@ object Histogram {
     * ntile splits runs of equal values by position, so without a
     * deterministic tiebreak two engines can disagree on which side of
     * a tile boundary a tied row falls.
+    *
+    * Single-partition global `ntile` window — the simple reference
+    * form, kept for the distributed twin's equivalence spec. Use
+    * [[equiDepthDistributed]] on anything large.
     */
   def equiDepth(df: DataFrame, valueCol: String, tieBreakCols: Seq[String],
       ntiles: Int): DataFrame = {
@@ -50,5 +54,65 @@ object Histogram {
       .agg(count(lit(1)).as("n_rows"),
         round(min(col(valueCol)).cast("double"), 2).as("lo"),
         round(max(col(valueCol)).cast("double"), 2).as("hi"))
+  }
+
+  /** Distributed exact equi-depth: identical output to [[equiDepth]]
+    * (asserted in PlanAssertionsSpec) with no single-partition global
+    * sort. Two-phase prefix sum, the `Packing.packByBudgetDistributed`
+    * pattern: range-partition by the total order, per-partition row
+    * counts → broadcast prefix offsets (numPartitions longs — the only
+    * driver traffic), then each row's global position is offset +
+    * local index and its tile follows from SQL ntile arithmetic: with
+    * N rows the first N % ntiles tiles take one extra row. Every
+    * partition sorts only its own range slice — the plan that survives
+    * a 100x scale-up.
+    */
+  def equiDepthDistributed(df: DataFrame, valueCol: String,
+      tieBreakCols: Seq[String], ntiles: Int,
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val keyed = df.select(
+      col(valueCol).cast("double").as("v") +: tieBreakCols.map(col): _*)
+    val ord = (col("v") +: tieBreakCols.map(col)).map(_.asc)
+    val sorted = keyed
+      .repartitionByRange(parts, ord: _*)
+      .sortWithinPartitions(ord: _*)
+      .select(col("v")).as[Double]
+    val rdd = sorted.rdd
+    rdd.cache()
+    val counts = rdd
+      .mapPartitionsWithIndex { (i, it) => Iterator((i, it.size.toLong)) }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val n = offsets.last
+    val bOff = spark.sparkContext.broadcast(offsets)
+    val base = n / ntiles
+    val rem = n % ntiles
+    val cut = rem * (base + 1) // global position of the first base-size tile
+    val tiles = rdd.mapPartitionsWithIndex { (i, it) =>
+      var pos = bOff.value(i)
+      it.map { v =>
+        // base == 0 (fewer rows than tiles) never reaches the division:
+        // then rem == n and every pos < cut
+        val tile =
+          if (pos < cut) pos / (base + 1) + 1
+          else rem + (pos - cut) / base + 1
+        pos += 1
+        (tile, v)
+      }
+    }.toDF("tile", "v")
+    val out = tiles.groupBy(col("tile"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(min(col("v")), 2).as("lo"),
+        round(max(col("v")), 2).as("hi"))
+    // materialize into a Dataset-level cache (clearable via
+    // spark.catalog.clearCache) and drop the RDD pin
+    val result = out.cache()
+    result.count()
+    rdd.unpersist(false)
+    result
   }
 }

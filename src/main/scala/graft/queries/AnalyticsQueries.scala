@@ -248,14 +248,16 @@ object AnalyticsQueries extends QueryRegistry {
       GROUP BY bin
     """.trim))
 
-  /** Equi-depth price histogram: exact decile tiles via one global-
-    * order ntile window; the order is made total with key tiebreaks
-    * so tile membership is engine-independent. The approximate
-    * no-global-sort alternative is the GK sketch (q73).
+  /** Equi-depth price histogram: exact decile tiles with ntile
+    * semantics, computed distributed — range-partition on the total
+    * order (value + key tiebreaks, so tile membership is
+    * engine-independent) + per-partition prefix offsets; no
+    * single-partition global sort anywhere in the plan. The
+    * approximate one-pass alternative is the GK sketch (q73).
     */
   val q90 = GraftQuery(
     "q90_histogram_depth",
-    (s, d) => graft.operators.Histogram.equiDepth(
+    (s, d) => graft.operators.Histogram.equiDepthDistributed(
       Tables.lineitem(s, d), "l_extendedprice",
       Seq("l_orderkey", "l_linenumber"), ntiles = 10),
     Some("""

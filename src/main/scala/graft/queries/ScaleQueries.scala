@@ -235,6 +235,42 @@ object ScaleQueries extends QueryRegistry {
       """.trim
     })
 
+  /** The 100 TB twin of q98: `TableStats.approxNumericStats` profiles
+    * the same columns with HLL++ distinct counts — one plain two-phase
+    * hash aggregate, no Expand — then joins q98's exact counts to
+    * certify the sketch under a 15% tolerance (the q46 pattern: the
+    * oracle computes the exact side and asserts the bound trivially; a
+    * drifting sketch flips the flag and fails the hash).
+    */
+  val q98a = GraftQuery(
+    "q98_table_stats_approx",
+    (s, d) => {
+      val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax")
+      val li = Tables.lineitem(s, d)
+      graft.operators.TableStats.approxNumericStats(li, cols)
+        .join(graft.operators.TableStats.numericStats(li, cols)
+          .select(col("column"), col("n_distinct").as("exact_distinct")),
+          Seq("column"))
+        .select(col("column"), col("n_nulls"), col("exact_distinct"),
+          col("min_v"), col("max_v"),
+          (abs(col("approx_distinct") - col("exact_distinct")) <=
+            col("exact_distinct") * 0.15).as("within_15pct"))
+    },
+    Some {
+      val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS column,
+           |CAST(count(*) FILTER (WHERE $c IS NULL) AS BIGINT) AS n_nulls,
+           |CAST(count(DISTINCT $c) AS BIGINT) AS exact_distinct,
+           |round(CAST(min($c) AS DOUBLE), 2) AS min_v,
+           |round(CAST(max($c) AS DOUBLE), 2) AS max_v,
+           |true AS within_15pct
+           |FROM lineitem""".stripMargin.replace("\n", " ")
+      }.mkString("\nUNION ALL\n")
+    })
+
   /** One-pass ANALYZE over lineitem's numeric columns: null counts,
     * exact distinct counts, and extents from a single scan.
     */
@@ -306,5 +342,5 @@ object ScaleQueries extends QueryRegistry {
     })
 
   def all: Seq[GraftQuery] =
-    Seq(q44, q46, q48, q50, q66, q87, q88, q97, q98, q100, q102)
+    Seq(q44, q46, q48, q50, q66, q87, q88, q97, q98, q98a, q100, q102)
 }

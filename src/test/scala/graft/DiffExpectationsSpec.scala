@@ -24,6 +24,20 @@ class DiffExpectationsSpec extends SparkTestBase {
     assert(got === Map(1L -> "changed"))
   }
 
+  test("snapshot diff digest is injective under adversarial payloads") {
+    // These two payload tuples serialize identically under any
+    // prefix-plus-separator string encoding (the separator/marker can
+    // appear inside a value); fixed-width per-column digests keep them
+    // distinct.
+    val oldDf = Seq((1L, "x\u0001v:y", "z"), (2L, "av:", "b"))
+      .toDF("k", "c1", "c2")
+    val newDf = Seq((1L, "x", "y\u0001v:z"), (2L, "a", "v:b"))
+      .toDF("k", "c1", "c2")
+    val got = Diff.snapshotDiff(oldDf, newDf, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "changed", 2L -> "changed"))
+  }
+
   test("expectations count violations per rule in one pass") {
     import Expectations._
     val df = Seq(

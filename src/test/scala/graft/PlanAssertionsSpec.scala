@@ -55,6 +55,25 @@ class PlanAssertionsSpec extends SparkTestBase {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("q90: distributed equi-depth matches the ntile window form, no global Window sort") {
+    import spark.implicits._
+    import graft.operators.Histogram
+    // ties across tile boundaries and n not divisible by ntiles —
+    // the two places ntile arithmetic can go wrong
+    val df = (1 to 103).map(i => (i.toLong, (i % 7).toDouble)).toDF("id", "v")
+    val windowed = Histogram.equiDepth(df, "v", Seq("id"), 10)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val dist = Histogram.equiDepthDistributed(df, "v", Seq("id"), 10, 8)
+    val got = dist.as[(Long, Long, Double, Double)].collect().toSet
+    assert(got === windowed)
+    assert(!dist.queryExecution.executedPlan.toString.contains("Window"),
+      "distributed equi-depth must not plan a global Window sort")
+    // the declared q90 ships the distributed form
+    val q90 = SparkEntry.queries("q90_histogram_depth")(spark, sf)
+    q90.collect()
+    assert(!q90.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("q48: deterministic sampling is a pure scan filter — no exchange at all") {
     val plan = executed(ScaleQueries.q48.run(spark, sf))
     assert(!plan.contains("Exchange"), plan)
