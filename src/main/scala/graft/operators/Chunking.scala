@@ -29,7 +29,9 @@ object Chunking {
     val n = size(words)
     val nChunks = lit(1) + ceil(
       greatest(n - chunkSize, lit(0)).cast("double") / stride).cast("int")
-    docs.filter(n > 0)
+    // trim gate: a whitespace-only doc splits to [""] (n = 1), which
+    // would emit a degenerate 1-token empty chunk
+    docs.filter(length(trim(col(textCol))) > 0 && n > 0)
       .select(col(idCol).as("doc_id"),
         posexplode(transform(sequence(lit(0), nChunks - 1),
           i => struct(

@@ -110,14 +110,19 @@ object Dedup {
       .cache()
     val dfTab = sh.select(explode(col("sh")).as("s"))
       .groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val ranked = sh
+    // rarest-first prefix selection folded into ONE per-doc hash
+    // aggregation: collect the (df, shingle) pairs, array_sort gives
+    // the canonical (df asc, shingle asc) order, slice keeps the
+    // |s| - ceil(t*|s|) + 1 prefix — no row_number window, so the
+    // exploded corpus is never re-shuffled and re-sorted per doc
+    val prefix = sh
       .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
       .join(dfTab, "s")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("df"), col("s"))
-    val prefix = ranked
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .groupBy(col("id"), col("n_sh"))
+      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("ranked"))
+      .select(col("id"), explode(slice(col("ranked"), lit(1),
+        (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int"))).as("e"))
+      .select(col("id"), col("e").getField("s").as("s"))
     // posting lists over prefixes only; emit strictly-increasing pairs
     val cand = prefix
       .groupBy(col("s"))
@@ -238,6 +243,56 @@ object Dedup {
     cand
       .join(hashedNew.select(col("id").as("new_id"), col("sh").as("sh1")), Seq("new_id"))
       .join(hashedCorpus.select(col("id").as("corpus_id"), col("sh").as("sh2")), Seq("corpus_id"))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard",
+        floor(col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")) * 10000) / 10000.0)
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+  }
+
+  /** Persisted MinHash signature store (the q42a/q81a index pattern
+    * applied to dedup signatures): write the corpus' shingle arrays
+    * and LSH band keys to parquet ONCE, so every later incremental
+    * batch dedupes against STORED signatures — the corpus is never
+    * re-tokenized or re-hashed. Layout: `path/shingles` = (id, sh),
+    * `path/bands` = (id, band_idx, band_key). At 100 TB the store is
+    * the only sane shape: signature compute costs one corpus scan
+    * amortized over every future ingest batch.
+    */
+  def signatureStoreWrite(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, path: String): Unit = {
+    val hashed = minhashHashed(corpus, idCol, textCol, n)
+    hashed.select(col("id"), col("sh"))
+      .write.mode("overwrite").parquet(s"$path/shingles")
+    minhashBanded(hashed, bands, rowsPerBand)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    hashed.unpersist(false)
+  }
+
+  /** [[minhashLshPairsAcross]] against a persisted signature store:
+    * identical output for the same corpus, but the corpus side reads
+    * `signatureStoreWrite`'s parquet — candidate generation broadcasts
+    * the new batch's band keys over a scan of the stored bands (zero
+    * corpus shuffle, zero re-tokenization), and verification fetches
+    * stored shingle arrays for candidate ids only.
+    */
+  def minhashLshPairsAgainstStore(newDocs: DataFrame, storePath: String,
+      idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val spark = newDocs.sparkSession
+    val hashedNew = minhashHashed(newDocs, idCol, textCol, n)
+    val cand = broadcast(
+        minhashBanded(hashedNew, bands, rowsPerBand)
+          .withColumnRenamed("id", "new_id"))
+      .join(spark.read.parquet(s"$storePath/bands")
+          .withColumnRenamed("id", "corpus_id"),
+        Seq("band_idx", "band_key"))
+      .select(col("new_id"), col("corpus_id"))
+      .distinct()
+    cand
+      .join(hashedNew.select(col("id").as("new_id"), col("sh").as("sh1")), Seq("new_id"))
+      .join(spark.read.parquet(s"$storePath/shingles")
+          .select(col("id").as("corpus_id"), col("sh").as("sh2")), Seq("corpus_id"))
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jaccard",
         floor(col("inter") / (size(col("sh1")) + size(col("sh2")) - col("inter")) * 10000) / 10000.0)

@@ -37,4 +37,23 @@ object IncrementalAgg {
         sum(col("sum_v")).as("sum_v"),
         min(col("min_v")).as("min_v"),
         max(col("max_v")).as("max_v"))
+
+  /** Absorb a DELETE batch — the documented non-additive path, made
+    * explicit and scoped: min/max cannot subtract, so every key
+    * touched by a delete is recomputed from the surviving raw rows
+    * (one scan restricted to affected keys via a semi-join on the
+    * tiny delete-key set); untouched keys keep their stored state
+    * byte-for-byte. A key whose rows are all deleted disappears.
+    * At 100 TB the semi-join prunes the recompute scan to the deleted
+    * keys' partitions — deletes are rare and keyed; a global rebuild
+    * would re-read the corpus for every batch.
+    */
+  def applyDeletes(stored: DataFrame, surviving: DataFrame,
+      deletes: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val touched = deletes.select(col(keyCol)).distinct()
+    val recomputed = state(
+      surviving.join(touched, Seq(keyCol), "left_semi"), keyCol, valueCol)
+    stored.join(touched, Seq(keyCol), "left_anti")
+      .unionByName(recomputed)
+  }
 }

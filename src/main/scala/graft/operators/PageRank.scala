@@ -25,15 +25,28 @@ object PageRank {
     * truncation boundary — floor would flip on summation-order ulps
     * (observed cross-engine at sf0.1), while round is noise-immune
     * precisely because the true values are integers at this scale.
+    *
+    * `redistributeDanglingMass = true` gives the textbook variant:
+    * each round, the rank mass held by sink nodes (no out-edges) is
+    * summed — ONE extra 1-row aggregate per round, the only added
+    * cost — and spread uniformly over all nodes, so ranks keep
+    * summing to 1. Default false (the simplified variant): ordering
+    * is typically unchanged, which is what PageRank is for.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      damping: Double = 0.85, iters: Int = 5): DataFrame = {
+      damping: Double = 0.85, iters: Int = 5,
+      redistributeDanglingMass: Boolean = false): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().cache()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
     val n = nodes.count().toDouble // bounded: one scalar, not a row set
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).cache()
+    // dangling = nodes with no out-edges; kept as a (small) frame only
+    // when the dangling-mass aggregate needs it
+    lazy val dangling = nodes
+      .join(deg.select(col("src").as("node")), Seq("node"), "left_anti")
+      .cache()
     var pr = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
       val inMass = e.join(pr, col("src") === col("node"))
@@ -41,10 +54,16 @@ object PageRank {
         .select(col("dst").as("node"),
           (col("rank") / col("outdeg")).as("m"))
         .groupBy(col("node")).agg(sum(col("m")).as("in_mass"))
+      // one scalar per round: the rank mass parked on sink nodes
+      val danglingShare =
+        if (!redistributeDanglingMass) 0.0
+        else pr.join(dangling, Seq("node"), "left_semi")
+          .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0) / n
       pr = nodes.join(inMass, Seq("node"), "left")
         .select(col("node"),
           (lit((1 - damping) / n) +
-            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
+            lit(damping) * (coalesce(col("in_mass"), lit(0.0)) +
+              lit(danglingShare))).as("rank"))
         .localCheckpoint(true)
     }
     pr.select(col("node"), round(col("rank") * 1e8).cast("long").as("rank_e8"))

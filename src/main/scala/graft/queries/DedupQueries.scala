@@ -416,6 +416,87 @@ object DedupQueries extends QueryRegistry {
       """.trim
     })
 
+  /** Store location for q103, keyed by the scale-factor dir (q42's
+    * pattern: a stale store from another SF can't satisfy the
+    * build-if-absent guard; the oracle never references the path).
+    */
+  def sigStorePath(sfDir: String): String =
+    "/tmp/graft_q103_sig_store_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Both parquet writes must have committed — a bare directory-exists
+    * check would accept a partially-written store.
+    */
+  private def sigStoreComplete(path: String): Boolean =
+    new java.io.File(s"$path/shingles/_SUCCESS").exists() &&
+      new java.io.File(s"$path/bands/_SUCCESS").exists()
+
+  private def buildSigStore(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val path = sigStorePath(d)
+    Dedup.signatureStoreWrite(
+      Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0),
+      "doc_id", "text", n = 3, bands = 4, rowsPerBand = 4, path)
+    path
+  }
+
+  /** Signature-store build (q68's corpus side persisted), timed apart
+    * from the search. The declared result is the read-back per-band
+    * key inventory, so the oracle — which recomputes the full
+    * shingle -> minhash -> band pipeline from the documents table —
+    * verifies the written store at the (band, row-count, distinct-key)
+    * grain: a dropped or double-written signature row breaks the hash.
+    */
+  val q103a = GraftQuery(
+    "q103_signature_store_build",
+    (s, d) => {
+      val path = buildSigStore(s, d)
+      s.read.parquet(s"$path/bands")
+        .groupBy(col("band_idx").cast("bigint").as("band_idx"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("band_key")).as("n_keys"))
+    },
+    Some {
+      val p = T.MinhashP
+      val sigEntries = T.MinhashAB.map { case (a, b) =>
+        s"list_aggregate(list_transform(xi, x -> (x * $a + $b) % $p), 'min')"
+      }.mkString(",\n                    ")
+      val bandEntries = (0 until 4).map { j =>
+        s"array_to_string(sg[${j * 4 + 1}:${j * 4 + 4}], ',')"
+      }.mkString(", ")
+      s"""
+      WITH $duckShingles,
+      ints AS (SELECT doc_id,
+                      list_transform(s, x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS xi
+               FROM sh WHERE doc_id % 10 <> 0),
+      sig AS (SELECT doc_id, [$sigEntries] AS sg FROM ints),
+      bands AS (SELECT doc_id, band_idx, [$bandEntries][band_idx + 1] AS band_key
+                FROM sig, unnest([0, 1, 2, 3]) AS t(band_idx))
+      SELECT CAST(band_idx AS BIGINT) AS band_idx,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT band_key) AS BIGINT) AS n_keys
+      FROM bands GROUP BY band_idx
+      """.trim
+    })
+
+  /** q68's incremental dedup against the PERSISTED signature store:
+    * identical output, but the corpus side reads q103a's parquet —
+    * no corpus re-tokenization anywhere in the search plan (asserted
+    * in DedupSpec). Same oracle as q68 (the q42/q81 pattern: one
+    * semantics, two physical plans). Build-if-absent keeps the query
+    * self-sufficient under Verify's unordered map iteration; the
+    * guard checks both _SUCCESS markers, not bare existence.
+    */
+  val q103 = GraftQuery(
+    "q103_signature_store_search",
+    (s, d) => {
+      val path = sigStorePath(d)
+      if (!sigStoreComplete(path)) buildSigStore(s, d)
+      Dedup.minhashLshPairsAgainstStore(
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0), path,
+        "doc_id", "text", n = 3, bands = 4, rowsPerBand = 4, threshold = 0.5)
+    },
+    q68.oracle)
+
   /** q23's permissive radius (hamming <= 12) through the multi-index
     * Hamming path: wide 15-bit chunks + popcount-bounded neighbor
     * enumeration keep the candidate join linear where q23's 5-bit
@@ -472,5 +553,6 @@ object DedupQueries extends QueryRegistry {
     q21.oracle)
 
   def all: Seq[GraftQuery] =
-    Seq(q20, q21, q22, q23, q24, q39, q47, q59, q60, q61, q67, q68, q75, q78, q82)
+    Seq(q20, q21, q22, q23, q24, q39, q47, q59, q60, q61, q67, q68, q75, q78,
+      q82, q103a, q103)
 }

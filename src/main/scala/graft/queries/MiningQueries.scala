@@ -60,7 +60,7 @@ object MiningQueries extends QueryRegistry {
       FROM a3 GROUP BY cluster_id
     """.trim))
 
-  private val bm25Terms = Seq("spark", "vector", "stream", "customer", "merge")
+  private[graft] val bm25Terms = Seq("spark", "vector", "stream", "customer", "merge")
 
   /** BM25 top-20 for a five-term query over the documents corpus. */
   val q71 = GraftQuery(
@@ -292,7 +292,11 @@ object MiningQueries extends QueryRegistry {
     "q81_bm25_indexed",
     (s, d) => {
       val path = invIndexPath(d)
-      if (!new java.io.File(path).exists()) buildInvIndex(s, d)
+      // _SUCCESS markers, not bare existence: a killed build leaves a
+      // partial directory that bare exists() would accept
+      val complete = new java.io.File(s"$path/postings/_SUCCESS").exists() &&
+        new java.io.File(s"$path/docstats/_SUCCESS").exists()
+      if (!complete) buildInvIndex(s, d)
       Retrieval.bm25TopKIndexed(s, path, bm25Terms, k = 20)
     },
     q71.oracle)

@@ -302,11 +302,12 @@ object ScaleQueries extends QueryRegistry {
     (s, d) => {
       import graft.operators.IncrementalAgg
       val ev = Tables.events(s, d)
-      val cutoffNanos = 1705708800000000000L // 2024-01-20T00:00Z
+      // ts is long NANOS (Tables.load nanosAsLong) — compare in nanos
+      val cutoff = 1705708800000000000L // 2024-01-20T00:00Z
       val stored = IncrementalAgg.state(
-        ev.filter(col("ts") < cutoffNanos), "event_type", "value")
+        ev.filter(col("ts") < cutoff), "event_type", "value")
       val delta = IncrementalAgg.state(
-        ev.filter(col("ts") >= cutoffNanos), "event_type", "value")
+        ev.filter(col("ts") >= cutoff), "event_type", "value")
       IncrementalAgg.merge(stored, delta, "event_type")
         .select(col("event_type"), col("n"),
           round(col("sum_v"), 2).as("sum_v"),
@@ -319,6 +320,47 @@ object ScaleQueries extends QueryRegistry {
              round(min(value), 2) AS min_v,
              round(max(value), 2) AS max_v
       FROM events GROUP BY event_type
+    """.trim))
+
+  /** q100's delete-path certification: a delete batch (every 100th
+    * pre-cutoff event) hits the stored state, triggering the
+    * documented per-key recompute from surviving rows
+    * (`IncrementalAgg.applyDeletes`); the post-cutoff insert delta
+    * then merges additively as in q100. The oracle recomputes from
+    * scratch over the corpus minus the deleted rows — certifying that
+    * the scoped recompute + additive algebra reproduces the one-pass
+    * answer after deletes.
+    */
+  val q104 = GraftQuery(
+    "q104_incremental_agg_delete",
+    (s, d) => {
+      import graft.operators.IncrementalAgg
+      val ev = Tables.events(s, d)
+      // ts is long NANOS in Spark (Tables.load nanosAsLong); the
+      // oracle matches with DuckDB's epoch_ns integer compare
+      val isOld = col("ts") < 1705708800000000000L // 2024-01-20T00:00Z
+      val isDeleted = col("event_id") % 100 === 0
+      val stored = IncrementalAgg.state(ev.filter(isOld), "event_type", "value")
+      val afterDelete = IncrementalAgg.applyDeletes(
+        stored,
+        ev.filter(isOld && !isDeleted),
+        ev.filter(isOld && isDeleted),
+        "event_type", "value")
+      val delta = IncrementalAgg.state(ev.filter(!isOld), "event_type", "value")
+      IncrementalAgg.merge(afterDelete, delta, "event_type")
+        .select(col("event_type"), col("n"),
+          round(col("sum_v"), 2).as("sum_v"),
+          round(col("min_v"), 2).as("min_v"),
+          round(col("max_v"), 2).as("max_v"))
+    },
+    Some("""
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             round(sum(value), 2) AS sum_v,
+             round(min(value), 2) AS min_v,
+             round(max(value), 2) AS max_v
+      FROM events
+      WHERE NOT (event_id % 100 = 0 AND epoch_ns(ts) < 1705708800000000000)
+      GROUP BY event_type
     """.trim))
 
   /** Full pairwise correlation matrix of lineitem's numeric columns
@@ -342,5 +384,5 @@ object ScaleQueries extends QueryRegistry {
     })
 
   def all: Seq[GraftQuery] =
-    Seq(q44, q46, q48, q50, q66, q87, q88, q97, q98, q98a, q100, q102)
+    Seq(q44, q46, q48, q50, q66, q87, q88, q97, q98, q98a, q100, q102, q104)
 }

@@ -204,7 +204,9 @@ object SimilarityQueries extends QueryRegistry {
     "q42_ann_ivf_indexed",
     (s, d) => {
       val path = ivfIndexPath(d)
-      if (!new java.io.File(path).exists()) buildIndex(s, d)
+      // _SUCCESS marker, not bare existence: a killed build leaves a
+      // partial directory that bare exists() would accept
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) buildIndex(s, d)
       val emb = Tables.embeddings(s, d)
       Similarity.ivfTopKIndexed(s, path,
         emb.filter(col("vec_id") < 3), emb.filter(col("vec_id") < 8),

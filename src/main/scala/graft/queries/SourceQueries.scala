@@ -104,14 +104,19 @@ object SourceQueries extends QueryRegistry {
         .csv(path)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_c"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_c"),
           countDistinct(col("l_orderkey")).as("n_orders"))
     },
+    // integer-cents sums, not round/floor of a double sum: the source
+    // values are exact 2dp decimals, so per-row cents are exact and
+    // the LONG sum is order-independent in both engines — a double
+    // sum at 1e9 magnitude carries enough ulp noise to flip EITHER
+    // round (at .005) or floor (at .00, where exact-2dp sums sit)
     Some("""
       SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
-             round(sum(l_quantity), 2) AS sum_qty,
-             round(sum(l_extendedprice), 2) AS sum_price,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
              CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
       FROM lineitem GROUP BY l_returnflag
     """.trim))
@@ -130,14 +135,15 @@ object SourceQueries extends QueryRegistry {
         .json(path)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_discount")), 4).as("sum_disc"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_c"),
+          sum(round(col("l_discount") * 10000).cast("long")).as("sum_disc_bp"),
           countDistinct(col("l_orderkey")).as("n_orders"))
     },
+    // integer cents / basis points for order-independent sums — see q85
     Some("""
       SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
-             round(sum(l_quantity), 2) AS sum_qty,
-             round(sum(l_discount), 4) AS sum_disc,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+             CAST(sum(CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_bp,
              CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
       FROM lineitem GROUP BY l_returnflag
     """.trim))

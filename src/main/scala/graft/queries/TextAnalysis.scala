@@ -473,7 +473,8 @@ object TextAnalysis extends QueryRegistry {
     (s, d) => graft.operators.Chunking.chunkTokens(
       Tables.documents(s, d), "doc_id", "text", chunkSize = 32, stride = 16),
     Some("""
-      WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+                 WHERE trim(text) <> ''),
       c AS (SELECT doc_id, words,
                    unnest(range(0, 1 + CAST(ceil(greatest(len(words) - 32, 0) / 16.0) AS BIGINT))) AS i
             FROM w WHERE len(words) > 0)

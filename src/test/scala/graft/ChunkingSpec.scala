@@ -25,6 +25,15 @@ class ChunkingSpec extends SparkTestBase {
     assert(got.toSeq === Seq((0L, 2L, "x y")))
   }
 
+  test("whitespace-only and empty docs emit no chunks") {
+    val docs = Seq((1L, ""), (2L, "   "), (4L, "real text here"))
+      .toDF("doc_id", "text")
+    val got = Chunking.chunkTokens(docs, "doc_id", "text", 4, 2)
+      .select("doc_id", "n_tokens", "chunk_text")
+      .as[(Long, Long, String)].collect()
+    assert(got.toSeq === Seq((4L, 3L, "real text here")))
+  }
+
   test("stride == size gives disjoint tiling") {
     val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
     val texts = Chunking.chunkTokens(docs, "doc_id", "text", 3, 3)

@@ -33,6 +33,35 @@ class DedupSpec extends SparkTestBase {
     assert(exact.contains((1L, 2L))) // near-dup found by exact
   }
 
+  test("signature-store search equals the in-memory cross-corpus dedup, corpus never re-tokenized") {
+    val store = tmpDir("sig_store")
+    val newBatch = docs.filter(col("doc_id") === 4)
+    val corpus = docs.filter(col("doc_id") =!= 4)
+    Dedup.signatureStoreWrite(corpus, "doc_id", "text", 3, 4, 4, store)
+    assert(new java.io.File(s"$store/shingles/_SUCCESS").exists())
+    assert(new java.io.File(s"$store/bands/_SUCCESS").exists())
+    val inMem = Dedup.minhashLshPairsAcross(newBatch, corpus,
+      "doc_id", "text", 3, 4, 4, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val stored = Dedup.minhashLshPairsAgainstStore(newBatch, store,
+      "doc_id", "text", 3, 4, 4, 0.5)
+    val got = stored.as[(Long, Long, Double)].collect().toSet
+    assert(got === inMem)
+    assert(got.map(p => (p._1, p._2)) === Set((4L, 1L))) // exact dup of doc 1
+    // the search reads the stored signatures: both parquet scans in
+    // the plan point at the store — the corpus table appears nowhere,
+    // so nothing re-tokenizes it
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(qs.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        Seq(f.metadata.getOrElse("Location", ""))
+      case other => other.children.flatMap(scans)
+    }
+    val locs = scans(stored.queryExecution.executedPlan)
+    assert(locs.nonEmpty && locs.forall(_.contains("sig_store")), locs.toString)
+  }
+
   test("ngram jaccard df-cap drops stop-shingle postings") {
     // docs 1/2/4 share the 8-shingle boilerplate prefix, so those
     // shingles have df=3; doc pairs among them rely on that prefix

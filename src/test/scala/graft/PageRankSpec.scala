@@ -22,6 +22,26 @@ class PageRankSpec extends SparkTestBase {
     assert(got(2L) === 13500000L)
   }
 
+  test("dangling-mass redistribution conserves total rank, same ordering") {
+    // 1 -> 2 <- 3 with a dangling sink: the simplified variant leaks
+    // the sink's mass; the textbook variant redistributes it uniformly
+    val e = Seq((1L, 2L), (3L, 2L), (1L, 3L)).toDF("src", "dst")
+    val dropped = PageRank.pageRank(e, "src", "dst", iters = 5)
+      .as[(Long, Long)].collect().toMap
+    val conserved = PageRank.pageRank(e, "src", "dst", iters = 5,
+      redistributeDanglingMass = true)
+      .as[(Long, Long)].collect().toMap
+    // conservation: redistributed ranks sum to ~1 (1e8 scale, rounding
+    // slack); the simplified variant sums to strictly less
+    assert(math.abs(conserved.values.sum - 100000000L) <= 5)
+    assert(dropped.values.sum < 100000000L - 5)
+    // the ordering — what PageRank is for — agrees across variants
+    def order(m: Map[Long, Long]) = m.toSeq.sortBy(kv => (-kv._2, kv._1)).map(_._1)
+    assert(order(dropped) === order(conserved))
+    // node 2 (everyone's target) outranks the sources in both
+    assert(order(conserved).head === 2L)
+  }
+
   test("duplicate edges do not change the result") {
     val e1 = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     val e2 = Seq((1L, 2L), (1L, 2L), (2L, 3L), (3L, 1L), (3L, 1L)).toDF("src", "dst")

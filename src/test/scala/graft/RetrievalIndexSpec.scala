@@ -55,4 +55,25 @@ class RetrievalIndexSpec extends SparkTestBase {
     assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet === direct)
     assert(rows.nonEmpty)
   }
+
+  test("q81 build-if-absent guard rejects a partially-written index (no _SUCCESS)") {
+    val sf = "/root/testdata/sf0.001"
+    val path = graft.queries.MiningQueries.invIndexPath(sf)
+    // simulate an interrupted build: postings dir exists, no _SUCCESS
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete()
+    }
+    rmrf(new java.io.File(path))
+    new java.io.File(path + "/postings").mkdirs()
+    new java.io.File(path + "/postings/part-stale.parquet").createNewFile()
+    val got = SparkEntry.queries("q81_bm25_indexed")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // the guard must have rebuilt: results match the non-indexed path
+    val direct = Retrieval.bm25TopK(Tables.documents(spark, sf),
+      "doc_id", "text", graft.queries.MiningQueries.bm25Terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === direct && got.nonEmpty)
+    assert(new java.io.File(path + "/postings/_SUCCESS").exists())
+  }
 }
