@@ -108,20 +108,26 @@ object Dedup {
       T.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .cache()
-    val dfTab = sh.select(explode(col("sh")).as("s"))
-      .groupBy(col("s")).agg(count(lit(1)).as("df"))
-    // rarest-first prefix selection folded into ONE per-doc hash
-    // aggregation: collect the (df, shingle) pairs, array_sort gives
-    // the canonical (df asc, shingle asc) order, slice keeps the
-    // |s| - ceil(t*|s|) + 1 prefix — no row_number window, so the
-    // exploded corpus is never re-shuffled and re-sorted per doc
-    val prefix = sh
-      .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
-      .join(dfTab, "s")
-      .groupBy(col("id"), col("n_sh"))
+    // ONE shuffle of the exploded corpus builds the full posting
+    // lists, whose sizes ARE the document frequencies — no separate
+    // df table, no second exploded-corpus exchange. Exploding the
+    // postings back out is narrow (map-side), so the per-doc
+    // rarest-first prefix selection costs one more (id-keyed) shuffle:
+    // collect the (df, shingle) pairs, array_sort gives the canonical
+    // (df asc, shingle asc) order, slice keeps the
+    // |s| - ceil(t*|s|) + 1 prefix — no row_number window re-sort of
+    // the exploded corpus anywhere.
+    val fullPostings = sh.select(col("id"), explode(col("sh")).as("s"))
+      .groupBy(col("s"))
+      .agg(sort_array(array_distinct(collect_list(col("id")))).as("ids"))
+    val prefix = fullPostings
+      .select(col("s"), size(col("ids")).as("df"), explode(col("ids")).as("id"))
+      .groupBy(col("id"))
       .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("ranked"))
+      // sh arrays are distinct, so size(ranked) = |s| exactly
       .select(col("id"), explode(slice(col("ranked"), lit(1),
-        (col("n_sh") - ceil(col("n_sh") * threshold) + 1).cast("int"))).as("e"))
+        (size(col("ranked")) - ceil(size(col("ranked")) * threshold) + 1)
+          .cast("int"))).as("e"))
       .select(col("id"), col("e").getField("s").as("s"))
     // posting lists over prefixes only; emit strictly-increasing pairs
     val cand = prefix
