@@ -44,8 +44,10 @@ object Expectations {
     }
     val scalar =
       if (scalarRules.isEmpty) Seq.empty[DataFrame]
+      // coalesce: sum over an EMPTY input is NULL, which would make an
+      // empty, violation-free table report passed = NULL instead of true
       else Seq(df.select(scalarRules.zipWithIndex.map { case ((_, viol), i) =>
-        sum(when(viol, 1L).otherwise(0L)).as(s"r$i")
+        coalesce(sum(when(viol, 1L).otherwise(0L)), lit(0L)).as(s"r$i")
       }: _*).selectExpr(
         s"stack(${scalarRules.size}, " +
           scalarRules.zipWithIndex.map { case ((n, _), i) =>

@@ -58,6 +58,15 @@ class DiffExpectationsSpec extends SparkTestBase {
     assert(got("in_reference:k") === ((1L, false)), "key 9 misses the reference")
   }
 
+  test("expectations pass (not null) on an empty, violation-free table") {
+    import Expectations._
+    val df = Seq((1L, 5.0)).toDF("k", "qty").filter(col("k") < 0)
+    val got = validate(df, Seq(NotNull("k"), Check("qty_positive", col("qty") > 0)))
+      .as[(String, Long, Boolean)].collect()
+    assert(got.length === 2)
+    assert(got.forall(r => r._2 === 0L && r._3), got.mkString(","))
+  }
+
   test("expectations pass on clean data") {
     import Expectations._
     val df = Seq((1L, 5.0), (2L, 3.0)).toDF("k", "qty")
