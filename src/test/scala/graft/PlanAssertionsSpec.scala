@@ -74,6 +74,20 @@ class PlanAssertionsSpec extends SparkTestBase {
     assert(!q90.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("q98a: approx table stats plan one hash aggregate, no Expand") {
+    import graft.operators.TableStats
+    val li = Tables.lineitem(spark, sf)
+    val cols = Seq("l_orderkey", "l_quantity", "l_extendedprice")
+    val approx = TableStats.approxNumericStats(li, cols)
+    approx.collect()
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "approx stats must not plan an Expand")
+    // the exact twin DOES pay the Expand — that asymmetry is the point
+    val exact = TableStats.numericStats(li, cols)
+    exact.collect()
+    assert(exact.queryExecution.executedPlan.toString.contains("Expand"))
+  }
+
   test("q48: deterministic sampling is a pure scan filter — no exchange at all") {
     val plan = executed(ScaleQueries.q48.run(spark, sf))
     assert(!plan.contains("Exchange"), plan)
