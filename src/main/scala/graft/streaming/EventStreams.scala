@@ -92,6 +92,32 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** Streaming ingest dedup against a persisted MinHash signature
+    * store — the 100 TB ingest shape end-to-end: each micro-batch of
+    * newly-arrived documents is deduped against the STORED corpus
+    * signatures (`Dedup.minhashLshPairsAgainstStore`) inside
+    * foreachBatch. The corpus is never re-tokenized; each batch pays
+    * one broadcast of its own band keys over a scan of the stored
+    * bands, and matches append to the sink. foreachBatch (not a
+    * stateful operator) because the dedup state IS the store — the
+    * same state-lives-in-the-sink-table principle as the ingest
+    * pipeline's anti-join merge (SURVEY §2.9 T3).
+    */
+  def dedupAgainstStoreStreaming(newDocs: DataFrame, storePath: String,
+      idCol: String, textCol: String, n: Int, bands: Int,
+      rowsPerBand: Int, threshold: Double)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.Dedup.minhashLshPairsAgainstStore(
+            batch, storePath, idCol, textCol, n, bands, rowsPerBand,
+            threshold))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Stream-stream inner join with event-time range condition: clicks
     * joined to the same user's purchases within the next 30 minutes
     * (attribution join). Both sides carry watermarks and the join

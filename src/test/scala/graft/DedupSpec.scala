@@ -62,6 +62,38 @@ class DedupSpec extends SparkTestBase {
     assert(locs.nonEmpty && locs.forall(_.contains("sig_store")), locs.toString)
   }
 
+  test("streaming micro-batch dedup against the store equals the batch run") {
+    val store = tmpDir("sig_store_stream")
+    val corpus = docs.filter(col("doc_id") <= 3)
+    Dedup.signatureStoreWrite(corpus, "doc_id", "text", 3, 4, 4, store)
+    // two arrival files -> micro-batches via maxFilesPerTrigger=1
+    val arrivals = tmpDir("arrivals")
+    val newA = Seq((4L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val newB = Seq((5L, "completely different content with unrelated words here now"))
+      .toDF("doc_id", "text")
+    newA.coalesce(1).write.parquet(s"$arrivals/batchA")
+    newB.coalesce(1).write.parquet(s"$arrivals/batchB")
+    val stream = spark.readStream
+      .schema(newA.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(arrivals)
+    val acc = scala.collection.mutable.Set[(Long, Long, Double)]()
+    val q = graft.streaming.EventStreams.dedupAgainstStoreStreaming(
+      stream, store, "doc_id", "text", 3, 4, 4, 0.5) { pairs =>
+      acc.synchronized { acc ++= pairs.as[(Long, Long, Double)].collect() }
+    }
+    q.awaitTermination()
+    val batchEquivalent = Dedup.minhashLshPairsAgainstStore(
+      newA.unionByName(newB), store, "doc_id", "text", 3, 4, 4, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(acc.toSet === batchEquivalent)
+    // doc 4 duplicates stored doc 1; doc 5 duplicates stored doc 3 —
+    // each found in its own micro-batch
+    assert(acc.map(p => (p._1, p._2)) === Set((4L, 1L), (5L, 3L)))
+  }
+
   test("ngram jaccard df-cap drops stop-shingle postings") {
     // docs 1/2/4 share the 8-shingle boilerplate prefix, so those
     // shingles have df=3; doc pairs among them rely on that prefix
