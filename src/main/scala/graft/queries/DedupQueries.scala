@@ -497,6 +497,54 @@ object DedupQueries extends QueryRegistry {
     },
     q68.oracle)
 
+  /** q68/q103 through the full STREAMING ingest shape: the new batch
+    * (doc_id % 10 = 0) is written out as two parquet arrival files,
+    * streamed back with maxFilesPerTrigger=1 (two micro-batches), and
+    * each micro-batch dedupes against the persisted signature store
+    * inside foreachBatch (`EventStreams.dedupAgainstStoreStreaming`).
+    * Micro-batches partition the new set and pair generation is
+    * per-new-doc independent, so the union over batches equals the
+    * one-shot run — same oracle as q68 (one semantics, now THREE
+    * physical plans: in-memory cross, store search, streaming store
+    * search). Pair volume is bounded (near-dup matches), so the
+    * driver-side accumulator is small by construction.
+    */
+  val q105 = GraftQuery(
+    "q105_stream_store_dedup",
+    (s, d) => {
+      import s.implicits._
+      val path = sigStorePath(d)
+      if (!sigStoreComplete(path)) buildSigStore(s, d)
+      val arrivals = java.nio.file.Files
+        .createTempDirectory("graft_q105_arrivals").toString
+      val newDocs = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+      newDocs.filter(col("doc_id") % 20 === 0)
+        .coalesce(1).write.parquet(s"$arrivals/batchA")
+      newDocs.filter(col("doc_id") % 20 =!= 0)
+        .coalesce(1).write.parquet(s"$arrivals/batchB")
+      val stream = s.readStream.schema(newDocs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(arrivals)
+      val acc = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+      val q = graft.streaming.EventStreams.dedupAgainstStoreStreaming(
+        stream, path, "doc_id", "text", n = 3, bands = 4, rowsPerBand = 4,
+        threshold = 0.5) { pairs =>
+        acc.synchronized { acc ++= pairs.as[(Long, Long, Double)].collect() }
+      }
+      q.awaitTermination()
+      // the arrival staging is per-run scratch — drop it
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf)
+        f.delete()
+      }
+      rmrf(new java.io.File(arrivals))
+      acc.toSeq.toDF("new_id", "corpus_id", "jaccard")
+    },
+    q68.oracle)
+
   /** q23's permissive radius (hamming <= 12) through the multi-index
     * Hamming path: wide 15-bit chunks + popcount-bounded neighbor
     * enumeration keep the candidate join linear where q23's 5-bit
@@ -554,5 +602,5 @@ object DedupQueries extends QueryRegistry {
 
   def all: Seq[GraftQuery] =
     Seq(q20, q21, q22, q23, q24, q39, q47, q59, q60, q61, q67, q68, q75, q78,
-      q82, q103a, q103)
+      q82, q103a, q103, q105)
 }
