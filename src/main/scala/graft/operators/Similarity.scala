@@ -247,4 +247,48 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), col("cosine"))
   }
+
+  /** Cross-set bucketed near-pair join — the embedding analog of
+    * `Dedup.minhashLshPairsAcross`, and the scale path for eval-set
+    * DECONTAMINATION by embedding: flag every corpus vector within
+    * cosine >= threshold of ANY probe (eval) vector. The probe side
+    * is small by nature, so its bucket keys BROADCAST — the corpus
+    * pays one scan and zero shuffles for candidate generation; exact-
+    * cosine verify touches candidates only (precision 1.0; recall per
+    * the LSH economics documented on [[lshBucketedPairs]]). Output:
+    * (probe_id, corpus_id, cosine).
+    */
+  def lshBucketedPairsAcross(probe: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      bits: Int, tables: Int, dim: Int = 64): DataFrame = {
+    val hps = lshHyperplanes(tables, bits, dim)
+    def prep(df: DataFrame, name: String): DataFrame =
+      df.select(col(idCol).as(name), col(vecCol).as(s"v_$name"))
+        .withColumn(s"nrm_$name", V.norm(col(s"v_$name")))
+        .cache()
+    def keyed(df: DataFrame, name: String): DataFrame = {
+      val keyCols = hps.map { tableHp =>
+        tableHp.zipWithIndex.map { case (h, k) =>
+          val hv = array(h.map(lit): _*)
+          when(V.dot(col(s"v_$name"), hv) >= 0, lit(1L << k)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      }
+      df.select(col(name),
+        posexplode(array(keyCols: _*)).as(Seq("table_idx", "bucket")))
+    }
+    val p = prep(probe, "probe_id")
+    val c = prep(corpus, "corpus_id")
+    val cand = broadcast(keyed(p, "probe_id"))
+      .join(keyed(c, "corpus_id"), Seq("table_idx", "bucket"))
+      .select(col("probe_id"), col("corpus_id"))
+      .distinct()
+    cand
+      .join(p, Seq("probe_id"))
+      .join(c, Seq("corpus_id"))
+      .withColumn("cosine", round(
+        V.dot(col("v_probe_id"), col("v_corpus_id")) /
+          (col("nrm_probe_id") * col("nrm_corpus_id")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("probe_id"), col("corpus_id"), col("cosine"))
+  }
 }

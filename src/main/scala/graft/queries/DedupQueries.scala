@@ -243,6 +243,59 @@ object DedupQueries extends QueryRegistry {
       """.trim
     })
 
+  /** Eval-set decontamination by EMBEDDING similarity (q62 is the
+    * n-gram flavor): every corpus vector within cosine >= 0.4 of any
+    * eval vector (vec_id % 50 = 0) is flagged, via the cross-set
+    * hyperplane-LSH join — eval bucket keys broadcast, corpus scanned
+    * once, exact-cosine verify on candidates only. The oracle replays
+    * the full pipeline (sign bits -> per-table buckets -> cross-set
+    * candidates -> verify) with the same md5-derived hyperplanes.
+    */
+  val q106 = GraftQuery(
+    "q106_decontaminate_embedding",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Similarity.lshBucketedPairsAcross(
+        emb.filter(col("vec_id") % 50 === 0),
+        emb.filter(col("vec_id") % 50 =!= 0),
+        "vec_id", "embedding", threshold = 0.4, bits = 4, tables = 16)
+        .withColumnRenamed("probe_id", "eval_id")
+    },
+    Some {
+      val hps = graft.operators.Similarity.lshHyperplanes(16, 4, 64)
+      val hpRows = (for { t <- 0 until 16; k <- 0 until 4 } yield {
+        val arr = hps(t)(k).map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+        s"($t, $k, $arr)"
+      }).mkString(",\n        ")
+      s"""
+      WITH hp(table_idx, bit_idx, h) AS (VALUES
+        $hpRows),
+      sb AS (
+        SELECT e.vec_id, hp.table_idx,
+               CASE WHEN list_sum(list_transform(range(1, 65),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * hp.h[i])) >= 0
+                    THEN (CAST(1 AS BIGINT) << hp.bit_idx) ELSE CAST(0 AS BIGINT) END AS bit_val
+        FROM embeddings e CROSS JOIN hp),
+      keyed AS (SELECT vec_id, table_idx, CAST(sum(bit_val) AS BIGINT) AS bucket
+                FROM sb GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT a.vec_id AS eval_id, b.vec_id AS corpus_id
+               FROM keyed a JOIN keyed b
+                 ON a.table_idx = b.table_idx AND a.bucket = b.bucket
+               WHERE a.vec_id % 50 = 0 AND b.vec_id % 50 <> 0),
+      ver AS (SELECT eval_id, corpus_id,
+                     round(
+                       list_sum(list_transform(range(1, 65),
+                         i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))) /
+                       (sqrt(list_sum(list_transform(range(1, 65),
+                         i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE)))) *
+                        sqrt(list_sum(list_transform(range(1, 65),
+                         i -> CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE))))), 4) AS cosine
+              FROM cand JOIN embeddings x ON cand.eval_id = x.vec_id
+                        JOIN embeddings y ON cand.corpus_id = y.vec_id)
+      SELECT eval_id, corpus_id, cosine FROM ver WHERE cosine >= 0.4
+      """.trim
+    })
+
   /** Near-dup pairs promoted to dedup clusters: connected components
     * over the exact-Jaccard pair graph, every doc labeled with its
     * component's minimum doc id (the canonical survivor). The oracle
@@ -602,5 +655,5 @@ object DedupQueries extends QueryRegistry {
 
   def all: Seq[GraftQuery] =
     Seq(q20, q21, q22, q23, q24, q39, q47, q59, q60, q61, q67, q68, q75, q78,
-      q82, q103a, q103, q105)
+      q82, q103a, q103, q105, q106)
 }

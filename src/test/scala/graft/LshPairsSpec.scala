@@ -26,6 +26,29 @@ class LshPairsSpec extends SparkTestBase {
     assert(recall >= 0.75, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("cross-set lsh pairs: precision 1.0 vs exact, high recall, no cross join") {
+    val probe = emb.filter(col("vec_id") % 50 === 0)
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+    // exact cross-set pairs via the brute-force cosine join
+    val exact = probe.select(col("vec_id").as("pid"), col("embedding").as("pv"))
+      .crossJoin(corpus.select(col("vec_id").as("cid"), col("embedding").as("cv")))
+      .withColumn("cosine", round(
+        graft.functions.VectorFunctions.cosine(col("pv"), col("cv")), 4))
+      .filter(col("cosine") >= 0.4)
+      .select("pid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshBucketedPairsAcross(probe, corpus,
+      "vec_id", "embedding", threshold = 0.4, bits = 4, tables = 16)
+    val got = lsh.select("probe_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact), s"false positives: ${got -- exact}")
+    assert(exact.nonEmpty)
+    val recall = got.size.toDouble / exact.size
+    assert(recall >= 0.75, s"recall $recall (${got.size}/${exact.size})")
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("candidate generation plans as an equi-join, never a cross join") {
     val plan = Similarity.lshBucketedPairs(emb, "vec_id", "embedding",
       threshold = 0.4, bits = 4, tables = 16)
