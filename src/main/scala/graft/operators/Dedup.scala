@@ -275,6 +275,26 @@ object Dedup {
     hashed.unpersist(false)
   }
 
+  /** Append a new batch's signatures to an existing store — the
+    * maintenance half of the incremental-dedup loop: after a batch is
+    * deduped (and its survivors admitted to the corpus), its
+    * signatures join the store so the NEXT batch dedupes against
+    * them too. Plain parquet append of both store tables; at 100 TB
+    * this is the only corpus-side work an ingest batch ever pays —
+    * the historical signatures are never rewritten. Ids must be new
+    * to the store (the admission contract); append does not dedup.
+    */
+  def signatureStoreAppend(newDocs: DataFrame, idCol: String,
+      textCol: String, n: Int, bands: Int, rowsPerBand: Int,
+      path: String): Unit = {
+    val hashed = minhashHashed(newDocs, idCol, textCol, n)
+    hashed.select(col("id"), col("sh"))
+      .write.mode("append").parquet(s"$path/shingles")
+    minhashBanded(hashed, bands, rowsPerBand)
+      .write.mode("append").parquet(s"$path/bands")
+    hashed.unpersist(false)
+  }
+
   /** [[minhashLshPairsAcross]] against a persisted signature store:
     * identical output for the same corpus, but the corpus side reads
     * `signatureStoreWrite`'s parquet — candidate generation broadcasts

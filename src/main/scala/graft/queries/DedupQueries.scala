@@ -329,6 +329,76 @@ object DedupQueries extends QueryRegistry {
       SELECT id, min(r) AS component_id FROM reach GROUP BY id
     """.trim))
 
+  /** Quality-aware canonical selection: each near-dup component keeps
+    * its BEST member (max q31 quality score, ties to min doc_id)
+    * instead of the min-id survivor — the curation decision a real
+    * training-data pipeline makes. Components from the exact pair
+    * graph (q47); singletons survive as themselves. The argmax is a
+    * min(struct(-quality, doc_id)) hash aggregate — map-side
+    * combinable, no per-component window sort (negation is exact in
+    * IEEE, so -(-q) returns q bit-for-bit; quality > 0 always, so no
+    * -0.0 edge). Output: (component_id, survivor_id,
+    * survivor_quality, n_members).
+    */
+  val q107 = GraftQuery(
+    "q107_keep_best_canonical",
+    (s, d) => {
+      import graft.functions.{QualityFunctions => Q, TextFunctions => TF}
+      val docsDf = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docsDf, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      val comps = Dedup.connectedComponents(pairs, "id1", "id2")
+      val labeled = docsDf
+        .select(col("doc_id"), Q.qualityScore(TF.tokens(col("text"))).as("q"))
+        .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("component_id", coalesce(col("component_id"), col("doc_id")))
+      labeled.groupBy(col("component_id"))
+        .agg(min(struct((-col("q")).as("nq"), col("doc_id").as("d"))).as("best"),
+          count(lit(1)).as("n_members"))
+        .select(col("component_id"),
+          col("best").getField("d").as("survivor_id"),
+          (-col("best").getField("nq")).as("survivor_quality"),
+          col("n_members"))
+    },
+    Some(s"""
+      WITH RECURSIVE $duckShingles,
+      ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      sz AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+      cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+               FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+      pairs AS (
+        SELECT id1, id2
+        FROM cand JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+        WHERE floor(inter * 1.0 / (x.n_sh + y.n_sh - inter) * 10000) / 10000 >= 0.5),
+      edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                UNION SELECT id2, id1 FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id),
+      comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id),
+      qual AS (
+        SELECT doc_id,
+               floor((least(CAST(len(words) AS DOUBLE) / 50.0, 1.0) * 0.4 +
+                     (1.0 - CAST(len(list_filter(words, x -> x IN ('the', 'a'))) AS DOUBLE) / len(words)) * 0.3 +
+                     (CAST(len(list_distinct(words)) AS DOUBLE) / len(words)) * 0.3) * 10000) / 10000 AS q
+        FROM w),
+      labeled AS (
+        SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS component_id, qual.q
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        JOIN qual ON qual.doc_id = d.doc_id),
+      best AS (
+        SELECT component_id, doc_id AS survivor_id, q AS survivor_quality,
+               row_number() OVER (PARTITION BY component_id
+                                  ORDER BY q DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY component_id) AS n_members
+        FROM labeled)
+      SELECT component_id, survivor_id, survivor_quality,
+             CAST(n_members AS BIGINT) AS n_members
+      FROM best WHERE rn = 1
+    """.trim))
+
   /** Second pipeline composition (q38's sibling built from the r2
     * operators): deterministic stratified sample -> exact near-dup
     * pairs within the sample -> connected components -> keep only
@@ -655,5 +725,5 @@ object DedupQueries extends QueryRegistry {
 
   def all: Seq[GraftQuery] =
     Seq(q20, q21, q22, q23, q24, q39, q47, q59, q60, q61, q67, q68, q75, q78,
-      q82, q103a, q103, q105, q106)
+      q82, q103a, q103, q105, q106, q107)
 }

@@ -94,6 +94,28 @@ class DedupSpec extends SparkTestBase {
     assert(acc.map(p => (p._1, p._2)) === Set((4L, 1L), (5L, 3L)))
   }
 
+  test("signature-store append: the next batch dedupes against admitted docs too") {
+    val store = tmpDir("sig_store_append")
+    // initial corpus: docs 1-3
+    Dedup.signatureStoreWrite(docs.filter(col("doc_id") <= 3),
+      "doc_id", "text", 3, 4, 4, store)
+    // batch 1: doc 4 (dup of stored doc 1) — found, then ADMITTED
+    val batch1 = docs.filter(col("doc_id") === 4)
+    val found1 = Dedup.minhashLshPairsAgainstStore(batch1, store,
+      "doc_id", "text", 3, 4, 4, 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(found1 === Set((4L, 1L)))
+    Dedup.signatureStoreAppend(batch1, "doc_id", "text", 3, 4, 4, store)
+    // batch 2: doc 6 duplicates the ADMITTED doc 4's text — the grown
+    // store must surface both the original and the admitted copy
+    val batch2 = Seq((6L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val found2 = Dedup.minhashLshPairsAgainstStore(batch2, store,
+      "doc_id", "text", 3, 4, 4, 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(found2 === Set((6L, 1L), (6L, 4L)))
+  }
+
   test("ngram jaccard df-cap drops stop-shingle postings") {
     // docs 1/2/4 share the 8-shingle boilerplate prefix, so those
     // shingles have df=3; doc pairs among them rely on that prefix
