@@ -351,6 +351,66 @@ object MiningQueries extends QueryRegistry {
       """.trim
     })
 
+  /** q83's graph with every 7th item's OUT-edges dropped (15 of 100
+    * nodes become genuine sinks) through the TEXTBOOK PageRank
+    * variant: each round the rank mass parked on sinks is summed (one
+    * 1-row aggregate — the only extra cost) and spread uniformly, so
+    * ranks keep summing to 1. The oracle unrolls the same recurrence
+    * with a per-round dangling-mass scalar CTE — driver-verifying the
+    * redistribution arithmetic itself, not just the ordering
+    * (PageRankSpec covers conservation + ordering on toy graphs).
+    */
+  val q108 = GraftQuery(
+    "q108_pagerank_dangling",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val edges = ev.withColumn("next", lead(col("item"), 1).over(w))
+        .filter(col("next").isNotNull && col("next") =!= col("item") &&
+          col("item") % 7 =!= 0)
+        .select(col("item").as("src"), col("next").as("dst"))
+      graft.operators.PageRank.pageRank(edges, "src", "dst",
+        damping = 0.85, iters = 5, redistributeDanglingMass = true)
+    },
+    Some {
+      val iterCtes = (1 to 5).map { k =>
+        s"""dm$k AS (
+           |  SELECT coalesce(sum(p.rank), 0.0) AS dm FROM p${k - 1} p
+           |  WHERE p.node NOT IN (SELECT src FROM deg)),
+           |p$k AS (
+           |  SELECT nodes.node,
+           |         (1 - 0.85) / cnt.n +
+           |         0.85 * (coalesce(m.in_mass, 0.0) + dm$k.dm / cnt.n) AS rank
+           |  FROM nodes CROSS JOIN cnt CROSS JOIN dm$k
+           |  LEFT JOIN (SELECT e.dst AS node, sum(p.rank / d.outdeg) AS in_mass
+           |             FROM edges e JOIN p${k - 1} p ON p.node = e.src
+           |             JOIN deg d ON d.src = e.src
+           |             GROUP BY e.dst) m ON m.node = nodes.node)""".stripMargin
+      }.mkString(",\n      ")
+      s"""
+      WITH ev AS (
+        SELECT user_id, ts, event_id,
+               CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+        FROM events),
+      tr AS (
+        SELECT item,
+               lead(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next
+        FROM ev),
+      edges AS (
+        SELECT DISTINCT item AS src, next AS dst
+        FROM tr WHERE next IS NOT NULL AND next <> item AND item % 7 <> 0),
+      nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
+      p0 AS (SELECT node, 1.0 / cnt.n AS rank FROM nodes CROSS JOIN cnt),
+      $iterCtes
+      SELECT node, CAST(round(rank * 100000000) AS BIGINT) AS rank_e8 FROM p5
+      """.trim
+    })
+
   /** Temporal enrichment against the SCD2 dimension: each lineitem
     * picks the customer-priority version whose half-open validity
     * interval contains its ship date — the slowly-changing-dimension
@@ -427,5 +487,5 @@ object MiningQueries extends QueryRegistry {
     """.trim))
 
   def all: Seq[GraftQuery] =
-    Seq(q70, q71, q72, q73, q74, q76, q77, q81a, q81, q83, q94, q96)
+    Seq(q70, q71, q72, q73, q74, q76, q77, q81a, q81, q83, q94, q96, q108)
 }
