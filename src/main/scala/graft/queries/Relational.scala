@@ -380,6 +380,55 @@ object Relational extends QueryRegistry {
        AND o.sec >= s.sec AND o.sec <= s.sec + 3600
     """.trim))
 
+  /** TPC-H Q7-shaped volume shipping: revenue between two nation
+    * pairs by ship year, across a five-way join (lineitem-orders-
+    * customer-supplier-nation x2). The join-planning showcase: both
+    * nation sides broadcast (25 rows), the fact joins shuffle on
+    * their keys, and revenue aggregates as EXACT integer 1e-4-dollar
+    * units (price cents x (100 - discount pct) — the q85 lesson:
+    * double sums at this magnitude are order-unstable on BOTH round
+    * and floor boundaries; integers are the only stable grid).
+    */
+  val q109 = GraftQuery(
+    "q109_volume_shipping",
+    (s, d) => {
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("revenue_u"))
+    },
+    Some("""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_u
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN supplier ON l_suppkey  = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      GROUP BY 1, 2, 3
+    """.trim))
+
   def all: Seq[GraftQuery] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q17, q18, q19)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q17, q18,
+      q19, q109)
 }

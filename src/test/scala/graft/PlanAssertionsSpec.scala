@@ -74,6 +74,13 @@ class PlanAssertionsSpec extends SparkTestBase {
     assert(!q90.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("q109: dimension sides broadcast, no cartesian in the five-way join") {
+    val plan = executed(Relational.q109.run(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q98a: approx table stats plan one hash aggregate, no Expand") {
     import graft.operators.TableStats
     val li = Tables.lineitem(spark, sf)
