@@ -56,6 +56,25 @@ object Histogram {
         round(max(col(valueCol)).cast("double"), 2).as("hi"))
   }
 
+  /** Per-GROUP equi-depth tiles: the grouped form is scale-safe with
+    * a plain window — partitionBy(group) spreads the sort across
+    * groups, so no single partition ever holds more than one group's
+    * rows (the global form needs [[equiDepthDistributed]] precisely
+    * because it lacks this partitioning). Same tiebreak contract as
+    * [[equiDepth]].
+    */
+  def equiDepthByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      tieBreakCols: Seq[String], ntiles: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy((col(valueCol) +: tieBreakCols.map(col)).map(_.asc): _*)
+    df.withColumn("tile", ntile(ntiles).over(w).cast("long"))
+      .groupBy(col(groupCol), col("tile"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(min(col(valueCol)).cast("double"), 2).as("lo"),
+        round(max(col(valueCol)).cast("double"), 2).as("hi"))
+  }
+
   /** Distributed exact equi-depth: identical output to [[equiDepth]]
     * (asserted in PlanAssertionsSpec) with no single-partition global
     * sort. Two-phase prefix sum, the `Packing.packByBudgetDistributed`

@@ -271,6 +271,28 @@ object AnalyticsQueries extends QueryRegistry {
       GROUP BY tile
     """.trim))
 
+  /** Per-returnflag price quartiles: the grouped equi-depth form —
+    * partitionBy(group) spreads the ntile sort across groups, so
+    * unlike the global form (q90's distributed rewrite) the window
+    * here is already the scale-safe plan.
+    */
+  val q110 = GraftQuery(
+    "q110_histogram_depth_grouped",
+    (s, d) => graft.operators.Histogram.equiDepthByGroup(
+      Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
+      Seq("l_orderkey", "l_linenumber"), ntiles = 4),
+    Some("""
+      SELECT l_returnflag, tile, CAST(count(*) AS BIGINT) AS n_rows,
+             round(min(l_extendedprice), 2) AS lo,
+             round(max(l_extendedprice), 2) AS hi
+      FROM (SELECT l_returnflag, l_extendedprice,
+                   CAST(ntile(4) OVER (PARTITION BY l_returnflag
+                                       ORDER BY l_extendedprice, l_orderkey,
+                                       l_linenumber) AS BIGINT) AS tile
+            FROM lineitem)
+      GROUP BY l_returnflag, tile
+    """.trim))
+
   /** CUBE over (returnflag, linestatus): all four grouping sets with
     * flags in one two-phase pass (q53's ROLLUP completed to the full
     * lattice).
@@ -367,5 +389,5 @@ object AnalyticsQueries extends QueryRegistry {
     """.trim))
 
   def all: Seq[GraftQuery] =
-    Seq(q51, q52, q53, q54, q55, q57, q58, q69, q89, q90, q91, q92, q93, q95)
+    Seq(q51, q52, q53, q54, q55, q57, q58, q69, q89, q90, q91, q92, q93, q95, q110)
 }
