@@ -428,7 +428,69 @@ object Relational extends QueryRegistry {
       GROUP BY 1, 2, 3
     """.trim))
 
+  /** TPC-H Q8-shaped market share: among PROMO-part order lines of
+    * ASIA-region customers, NATION_1 suppliers' revenue share by
+    * order year — an eight-table join (lineitem, part, orders,
+    * customer, nation x2, region, supplier) with every dimension side
+    * broadcast. Revenue in exact integer units (q85/q109 discipline);
+    * the share is a floor4 of an exactly-rounded IEEE division of
+    * identical longs, so it is engine-deterministic.
+    */
+  val q111 = GraftQuery(
+    "q111_market_share",
+    (s, d) => {
+      val nCust = Tables.nation(s, d)
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+      val nSupp = Tables.nation(s, d)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val asia = Tables.region(s, d).filter(col("r_name") === "ASIA")
+        .select(col("r_regionkey"))
+      val promo = Tables.part(s, d).filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val revU = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))
+      Tables.lineitem(s, d)
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nCust), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nSupp), col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(revU).as("total_rev_u"),
+          sum(when(col("supp_nation") === "NATION_1", revU)
+            .otherwise(lit(0L))).as("nation1_rev_u"))
+        .withColumn("share4",
+          floor(col("nation1_rev_u").cast("double") /
+            col("total_rev_u").cast("double") * 10000) / 10000.0)
+    },
+    Some("""
+      WITH rev AS (
+        SELECT year(o_orderdate) AS o_year,
+               CAST(round(l_extendedprice * 100) AS BIGINT) *
+               (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_u,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN part     ON l_partkey  = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey  = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey  = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+      SELECT o_year,
+             CAST(sum(rev_u) AS BIGINT) AS total_rev_u,
+             CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN rev_u ELSE 0 END) AS BIGINT) AS nation1_rev_u,
+             floor(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN rev_u ELSE 0 END) AS DOUBLE) /
+                   CAST(sum(rev_u) AS DOUBLE) * 10000) / 10000 AS share4
+      FROM rev
+      GROUP BY o_year
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q17, q18,
-      q19, q109)
+      q19, q109, q111)
 }
