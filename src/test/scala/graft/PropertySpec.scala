@@ -59,4 +59,24 @@ class PropertySpec extends SparkTestBase {
     }
     assert(SCTest.check(SCTest.Parameters.default, prop).passed)
   }
+
+  test("diff digest never aliases distinct payload tuples (random adversarial strings)") {
+    import graft.operators.Diff
+    // strings drawn from an alphabet INCLUDING the historical marker
+    // and separator characters — the shapes that broke the old
+    // separator-joined encoding
+    val advChar = Gen.oneOf(('a' to 'e') ++ Seq('v', ':', '\u0001', '-'))
+    val advStr = Gen.choose(0, 6).flatMap(n => Gen.listOfN(n, advChar).map(_.mkString))
+    val tuples = samples(Gen.zip(advStr, advStr), 400).distinct
+    // same key for every row in `old`, a shifted payload in `new`:
+    // every non-identical payload pair must classify as changed
+    val oldDf = tuples.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }.toDF("k", "c1", "c2")
+    val newDf = tuples.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, b, a) }.toDF("k", "c1", "c2")
+    val changed = Diff.snapshotDiff(oldDf, newDf, Seq("k"))
+      .filter(col("change") === "changed").count()
+    val expectChanged = tuples.count { case (a, b) => a != b }
+    assert(changed === expectChanged)
+  }
 }
