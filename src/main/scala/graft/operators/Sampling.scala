@@ -42,6 +42,28 @@ object Sampling {
     df.filter(hashBucket(col(idCol)) < threshold)
   }
 
+  /** Deterministic shard assignment — the dataloader-facing output
+    * step of a training mix: every doc lands in exactly one of
+    * `nShards` shards, keyed on a content hash of its id, so the
+    * shard layout is reproducible across engines, runs, and partition
+    * layouts, and any shard can be re-materialized independently.
+    * Pure per-row expression (no shuffle); writing
+    * `.partitionBy("shard")` on the result gives one directory per
+    * shard. Shard sizes concentrate tightly around n/nShards (md5
+    * uniformity) — profiled by [[shardStats]].
+    */
+  def assignShards(df: DataFrame, idCol: String, nShards: Int): DataFrame =
+    df.withColumn("shard",
+      pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(nShards)))
+
+  /** Per-shard row/token inventory: the balance check a sharded
+    * training set ships with.
+    */
+  def shardStats(sharded: DataFrame, tokenCol: String): DataFrame =
+    sharded.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokenCol)).as("n_tokens"))
+
   /** Quota sample: keep at most `quota` rows per stratum, chosen by
     * deterministic hash rank (lowest bucket first, ties by lowest id)
     * — the per-domain cap a training mix applies so no single source

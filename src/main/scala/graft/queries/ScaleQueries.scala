@@ -75,6 +75,24 @@ object ScaleQueries extends QueryRegistry {
             CASE WHEN lang = 'en' THEN 2500 ELSE 7500 END
     """.trim))
 
+  /** Deterministic training shards: every doc hash-assigned to one of
+    * 8 shards (md5 of doc_id — reproducible in any engine, any run,
+    * any partition layout), profiled as a per-shard row/char
+    * inventory. The oracle replays the same md5 bucket arithmetic, so
+    * the driver verifies shard MEMBERSHIP, not just balance.
+    */
+  val q112 = GraftQuery(
+    "q112_shard_assignment",
+    (s, d) => graft.operators.Sampling.shardStats(
+      graft.operators.Sampling.assignShards(
+        Tables.documents(s, d), "doc_id", nShards = 8), "n_chars"),
+    Some("""
+      SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY shard
+    """.trim))
+
   /** Compaction invariance: fragment a copy of the documents table
     * into 32 small files, compact it, and prove the compacted table
     * still holds exactly the original content — the rollup (count,
@@ -384,5 +402,5 @@ object ScaleQueries extends QueryRegistry {
     })
 
   def all: Seq[GraftQuery] =
-    Seq(q44, q46, q48, q50, q66, q87, q88, q97, q98, q98a, q100, q102, q104)
+    Seq(q44, q46, q48, q50, q66, q87, q88, q97, q98, q98a, q100, q102, q104, q112)
 }
