@@ -267,48 +267,46 @@ object TextAnalysis extends QueryRegistry {
       FROM dd
     """.trim))
 
-  /** The mapPartitions decode path (Multimodal.decodeAll) made
-    * driver-checkable: the stub decoder is deterministic, so DuckDB
-    * can replay its digest fold. The Scala fold wraps on 64-bit
-    * overflow; DuckDB BIGINT errors on overflow instead, so the
-    * oracle folds in HUGEINT mod 2^64 and sign-converts at the end.
-    * frame_digests is exploded to scalars — the driver hash compares
-    * scalar cells, not nested arrays.
+  /** REAL media decode made driver-checkable: per doc_id a
+    * deterministic grayscale test-pattern clip is encoded to genuine
+    * PNG frames (javax.imageio), decoded back through `ImageIO.read`,
+    * and digested with a 64-step diagonal pixel walk. The oracle
+    * replays the pattern arithmetic directly — pixel (x,y) of frame f
+    * is (7x+13y+31·id+101·f) mod 256 — so a wrong decode (dims,
+    * stride, color space, sample order) breaks the hash. The Scala
+    * fold wraps on 64-bit overflow; DuckDB folds in HUGEINT mod 2^64
+    * and sign-converts at the end.
     */
   val q45 = GraftQuery(
     "q45_multimodal_decode",
-    (s, d) => Multimodal.decodeAll(
-      Tables.documents(s, d).select(col("doc_id"),
-        encode(col("text"), "UTF-8").as("payload")))
+    (s, d) => Multimodal.decodeFrames(
+      Multimodal.syntheticClips(Tables.documents(s, d)))
       .toDF()
       .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
-        posexplode(col("frame_digests")).as(Seq("frame_idx", "digest"))),
+        col("frame_idx"), col("digest")),
     Some("""
-      WITH b AS (
-        SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
-      dims AS (
-        SELECT doc_id, text, n,
-               16 + CASE WHEN n = 0 THEN 0 ELSE ord(substr(text, 1, 1)) END AS width,
-               16 + CASE WHEN n < 2 THEN 0 ELSE ord(substr(text, 2, 1)) END AS height,
-               greatest(1, n // 64) AS n_frames
-        FROM b),
-      frames AS (
-        SELECT doc_id, width, height, CAST(n_frames AS INT) AS n_frames,
-               unnest(range(0, least(n_frames, 8))) AS frame_idx, text
-        FROM dims),
-      folded AS (
-        SELECT doc_id, width, height, n_frames, CAST(frame_idx AS INT) AS frame_idx,
+      WITH dims AS (
+        SELECT doc_id,
+               16 + doc_id % 17 AS w,
+               16 + doc_id % 13 AS hh,
+               1 + doc_id % 3 AS nf
+        FROM documents),
+      fr AS (SELECT doc_id, w, hh, nf, unnest(range(0, nf)) AS f FROM dims),
+      dig AS (
+        SELECT doc_id,
+               CAST(w AS INT) AS width, CAST(hh AS INT) AS height,
+               CAST(nf AS INT) AS n_frames, CAST(f AS INT) AS frame_idx,
                list_reduce(
                  list_prepend(CAST(1125899906842597 AS HUGEINT),
-                   list_transform(range(1, len(substr(text, frame_idx * 64 + 1, 64)) + 1),
-                     i -> CAST(ord(substr(substr(text, frame_idx * 64 + 1, 64), i, 1)) AS HUGEINT))),
-                 (h, x) -> (h * 31 + x) % CAST('18446744073709551616' AS HUGEINT)) AS u
-        FROM frames)
+                   list_transform(range(0, 64), i ->
+                     CAST(((i*w)//64*7 + (i*hh)//64*13 + doc_id*31 + f*101) % 256 AS HUGEINT))),
+                 (acc, x) -> (acc * 31 + x) % CAST('18446744073709551616' AS HUGEINT)) AS u
+        FROM fr)
       SELECT doc_id, width, height, n_frames, frame_idx,
              CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
                        THEN u - CAST('18446744073709551616' AS HUGEINT)
                        ELSE u END AS BIGINT) AS digest
-      FROM folded
+      FROM dig
     """.trim))
 
   /** Benchmark decontamination: corpus docs (doc_id % 97 != 0)
@@ -485,53 +483,47 @@ object TextAnalysis extends QueryRegistry {
       FROM c
     """.trim))
 
-  /** Multimodal frame-sample + stub resize after decode (q45's
-    * pipeline continued): every 2nd frame, resized to 64x64 with
-    * basis-point scale factors; the digest mix replays the decoder's
-    * wrap-around fold in HUGEINT in the oracle.
+  /** Multimodal frame-sample + REAL nearest-neighbor resize after the
+    * real PNG decode (q45's pipeline continued): every 2nd frame,
+    * resized to 64x64 over the actual decoded raster. The oracle
+    * replays the composed mapping arithmetically: resized pixel
+    * (ox, oy) = source (ox·w/64, oy·h/64) = test pattern value; the
+    * digest walks (i, 37i mod 64) — 64 distinct rows AND columns, so
+    * transposed/mis-strided resizes break the hash.
     */
   val q101 = GraftQuery(
     "q101_multimodal_resize",
     (s, d) => {
-      val dec = Multimodal.decodeAll(
-        Tables.documents(s, d).select(col("doc_id"),
-          encode(col("text"), "UTF-8").as("payload"))).toDF()
-      Multimodal.resizeStub(Multimodal.frameSample(dec, stride = 2), 64, 64)
+      val dec = Multimodal.decodeFrames(
+        Multimodal.syntheticClips(Tables.documents(s, d)))
+      Multimodal.resizeNearest(Multimodal.frameSample(dec, stride = 2), 64, 64)
         .toDF()
     },
     Some("""
-      WITH b AS (
-        SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
-      dims AS (
-        SELECT doc_id, text, n,
-               16 + CASE WHEN n = 0 THEN 0 ELSE ord(substr(text, 1, 1)) END AS width,
-               16 + CASE WHEN n < 2 THEN 0 ELSE ord(substr(text, 2, 1)) END AS height,
-               greatest(1, n // 64) AS n_frames
-        FROM b),
-      frames AS (
-        SELECT doc_id, width, height,
-               unnest(range(0, least(n_frames, 8))) AS frame_idx, text
-        FROM dims),
-      sampled AS (SELECT * FROM frames WHERE frame_idx % 2 = 0),
-      folded AS (
-        SELECT doc_id, width, height, CAST(frame_idx AS INT) AS frame_idx,
+      WITH dims AS (
+        SELECT doc_id,
+               16 + doc_id % 17 AS w,
+               16 + doc_id % 13 AS hh,
+               1 + doc_id % 3 AS nf
+        FROM documents),
+      fr AS (SELECT doc_id, w, hh, unnest(range(0, nf)) AS f FROM dims),
+      sampled AS (SELECT * FROM fr WHERE f % 2 = 0),
+      dig AS (
+        SELECT doc_id, CAST(f AS INT) AS frame_idx,
+               CAST(640000 // w AS BIGINT) AS scale_x_bp,
+               CAST(640000 // hh AS BIGINT) AS scale_y_bp,
                list_reduce(
                  list_prepend(CAST(1125899906842597 AS HUGEINT),
-                   list_transform(range(1, len(substr(text, frame_idx * 64 + 1, 64)) + 1),
-                     i -> CAST(ord(substr(substr(text, frame_idx * 64 + 1, 64), i, 1)) AS HUGEINT))),
-                 (h, x) -> (h * 31 + x) % CAST('18446744073709551616' AS HUGEINT)) AS u
-        FROM sampled),
-      resized AS (
-        SELECT doc_id, frame_idx, width, height,
-               (u * 31 + 2048) % CAST('18446744073709551616' AS HUGEINT) AS r
-        FROM folded)
+                   list_transform(range(0, 64), i ->
+                     CAST(((i*w)//64*7 + (((i*37) % 64)*hh)//64*13 + doc_id*31 + f*101) % 256 AS HUGEINT))),
+                 (acc, x) -> (acc * 31 + x) % CAST('18446744073709551616' AS HUGEINT)) AS u
+        FROM sampled)
       SELECT doc_id, frame_idx, CAST(64 AS INT) AS out_w, CAST(64 AS INT) AS out_h,
-             CAST(floor(640000.0 / width) AS BIGINT) AS scale_x_bp,
-             CAST(floor(640000.0 / height) AS BIGINT) AS scale_y_bp,
-             CAST(CASE WHEN r >= CAST('9223372036854775808' AS HUGEINT)
-                       THEN r - CAST('18446744073709551616' AS HUGEINT)
-                       ELSE r END AS BIGINT) AS resized_digest
-      FROM resized
+             scale_x_bp, scale_y_bp,
+             CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+                       THEN u - CAST('18446744073709551616' AS HUGEINT)
+                       ELSE u END AS BIGINT) AS resized_digest
+      FROM dig
     """.trim))
 
   def all: Seq[GraftQuery] =

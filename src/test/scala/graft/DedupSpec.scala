@@ -214,15 +214,44 @@ class DedupSpec extends SparkTestBase {
     assert(assign(0L) === 0L && assign(1L) === 1L)
   }
 
-  test("multimodal stub decode preserves schema and batch shape") {
-    val df = docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-    val decoded = Multimodal.decodeAll(df)
-    assert(decoded.count() === 4)
-    val r = decoded.filter(col("doc_id") === 1L).head()
-    assert(r.width >= 16 && r.height >= 16 && r.n_frames >= 1)
-    // deterministic: same payload -> same digests
-    val r4 = decoded.filter(col("doc_id") === 4L).head()
-    assert(r.frame_digests === r4.frame_digests)
+  test("real PNG decode round-trips the test pattern pixel-exactly") {
+    val ids = Seq(1L, 2L, 5L).toDF("doc_id")
+    val decoded = Multimodal.decodeFrames(Multimodal.syntheticClips(ids)).collect()
+    assert(decoded.map(_.doc_id).distinct.sorted === Array(1L, 2L, 5L))
+    assert(decoded.length === Seq(1L, 2L, 5L).map(id => Multimodal.clipDims(id)._3).sum)
+    decoded.foreach { d =>
+      val (w, h, nf) = Multimodal.clipDims(d.doc_id)
+      assert(d.width === w && d.height === h && d.n_frames === nf)
+      // every pixel of the decoded raster equals the generator pattern:
+      // proves the PNG bytes went through a real codec round-trip
+      for (y <- 0 until h; x <- 0 until w)
+        assert((d.pixels(y * w + x) & 0xff) ===
+          Multimodal.patternPixel(d.doc_id, d.frame_idx, x, y))
+    }
+  }
+
+  test("nearest-neighbor resize samples the expected source pixels") {
+    val dec = Multimodal.decodeFrames(Multimodal.syntheticClips(Seq(3L).toDF("doc_id")))
+    val rs = Multimodal.resizeNearest(dec, 64, 64).collect()
+    val (w, h, nf) = Multimodal.clipDims(3L)
+    assert(rs.length === nf)
+    rs.foreach { r =>
+      var acc = 1125899906842597L
+      for (i <- 0 until 64) {
+        val sx = (i % 64) * w / 64
+        val sy = ((i * 37) % 64) * h / 64
+        acc = acc * 31L + Multimodal.patternPixel(3L, r.frame_idx, sx, sy)
+      }
+      assert(r.resized_digest === acc)
+      assert(r.scale_x_bp === 640000L / w && r.scale_y_bp === 640000L / h)
+    }
+  }
+
+  test("frame sampling keeps every 2nd frame") {
+    // doc_id 2 -> 3 frames; stride 2 keeps frames 0 and 2
+    val dec = Multimodal.decodeFrames(Multimodal.syntheticClips(Seq(2L).toDF("doc_id")))
+    val kept = Multimodal.frameSample(dec, 2).collect().map(_.frame_idx).sorted
+    assert(kept === Array(0, 2))
   }
 
   test("ngram df-cap drops long postings and reports them via the observed metric") {
