@@ -512,7 +512,16 @@ object Dedup {
     * set.
     */
   def connectedComponentsLargeStar(pairs: DataFrame, id1Col: String,
-      id2Col: String, maxIterations: Int = 25): DataFrame = {
+      id2Col: String, maxIterations: Int = 25): DataFrame =
+    connectedComponentsLargeStarWithRounds(pairs, id1Col, id2Col, maxIterations)._1
+
+  /** As [[connectedComponentsLargeStar]], additionally returning the
+    * number of rounds executed — the observable that backs the
+    * O(log n) claim in specs (a diameter-d chain must converge in
+    * ~log d rounds, not d).
+    */
+  def connectedComponentsLargeStarWithRounds(pairs: DataFrame, id1Col: String,
+      id2Col: String, maxIterations: Int = 25): (DataFrame, Int) = {
     val vertices = pairs.select(col(id1Col).as("id"))
       .union(pairs.select(col(id2Col).as("id"))).distinct()
       .localCheckpoint(true)
@@ -550,10 +559,12 @@ object Dedup {
       i += 1
     }
     // fixpoint edges form stars: (member, root); roots label themselves
-    vertices.join(edges.select(col("h").as("id"), col("l").as("component_id")),
+    val labels = vertices
+      .join(edges.select(col("h").as("id"), col("l").as("component_id")),
         Seq("id"), "left")
       .select(col("id"),
         coalesce(col("component_id"), col("id")).as("component_id"))
+    (labels, i)
   }
 
   /** Embedding near-dup pairs with cosine >= threshold, brute-force

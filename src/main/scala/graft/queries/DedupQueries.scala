@@ -303,13 +303,7 @@ object DedupQueries extends QueryRegistry {
     * recursive CTE — min over the transitive reachability set equals
     * min-label propagation's fixpoint.
     */
-  val q47 = GraftQuery(
-    "q47_dedup_components",
-    (s, d) => Dedup.connectedComponents(
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-        n = 3, threshold = 0.5),
-      "id1", "id2"),
-    Some(s"""
+  private val componentsOracleSql = s"""
       WITH RECURSIVE $duckShingles,
       ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
       sz AS (SELECT doc_id, len(s) AS n_sh FROM sh),
@@ -327,7 +321,32 @@ object DedupQueries extends QueryRegistry {
         UNION
         SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id)
       SELECT id, min(r) AS component_id FROM reach GROUP BY id
-    """.trim))
+    """.trim
+
+  val q47 = GraftQuery(
+    "q47_dedup_components",
+    (s, d) => Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.5),
+      "id1", "id2"),
+    Some(componentsOracleSql))
+
+  /** q47's scale twin: same component semantics (min doc id per
+    * near-dup component, same recursive-CTE oracle), but computed with
+    * alternating large-star/small-star — O(log n) rounds instead of
+    * O(diameter). Near-dup graphs at 100 TB grow chain-shaped
+    * components (A~B~C~… under a fixed threshold), where
+    * diameter-bound min-label propagation is the wrong plan; this is
+    * the declared form for that regime (one semantics, two physical
+    * plans — the q28/q42 pattern).
+    */
+  val q47a = GraftQuery(
+    "q47_dedup_components_largestar",
+    (s, d) => Dedup.connectedComponentsLargeStar(
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.5),
+      "id1", "id2"),
+    Some(componentsOracleSql))
 
   /** Quality-aware canonical selection: each near-dup component keeps
     * its BEST member (max q31 quality score, ties to min doc_id)
@@ -724,6 +743,6 @@ object DedupQueries extends QueryRegistry {
     q21.oracle)
 
   def all: Seq[GraftQuery] =
-    Seq(q20, q21, q22, q23, q24, q39, q47, q59, q60, q61, q67, q68, q75, q78,
-      q82, q103a, q103, q105, q106, q107)
+    Seq(q20, q21, q22, q23, q24, q39, q47, q47a, q59, q60, q61, q67, q68, q75,
+      q78, q82, q103a, q103, q105, q106, q107)
 }

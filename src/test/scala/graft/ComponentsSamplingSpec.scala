@@ -53,11 +53,15 @@ class ComponentsSamplingSpec extends SparkTestBase {
     }
   }
 
-  test("large-star converges on a long chain in few rounds") {
-    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("id1", "id2")
-    val cc = Dedup.connectedComponentsLargeStar(chain, "id1", "id2")
-      .as[(Long, Long)].collect().toMap
-    assert(cc === (1L to 64L).map(_ -> 1L).toMap)
+  test("large-star converges on a deep chain in O(log n) rounds, not O(diameter)") {
+    // diameter-255 chain: min-label propagation would need ~255 rounds;
+    // alternating large/small-star must finish in logarithmic rounds
+    val chain = (1L until 256L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val (labels, rounds) =
+      Dedup.connectedComponentsLargeStarWithRounds(chain, "id1", "id2")
+    val cc = labels.as[(Long, Long)].collect().toMap
+    assert(cc === (1L to 256L).map(_ -> 1L).toMap)
+    assert(rounds <= 12, s"expected O(log 256) ~ 8 rounds, got $rounds")
   }
 
   test("stratified sample is deterministic, per-stratum thresholded, and rate-accurate") {
