@@ -182,21 +182,52 @@ object Dedup {
       .select(col("id"),
         posexplode(col("bands")).as(Seq("band_idx", "band_key")))
 
+  /** Drop band buckets whose cardinality exceeds `maxBandDf` — the
+    * skew guard for LSH candidate generation. A degenerate band key
+    * (near-empty docs sharing a signature, boilerplate corpora)
+    * otherwise emits an O(df²) candidate blowup on ONE key: the first
+    * skew incident at 100 TB. The df is computed with a count
+    * aggregate (no posting arrays — the shuffle carries one row per
+    * distinct band key, map-side combined) and removed with an
+    * anti-join against the (small by construction: at most
+    * rows/maxBandDf keys) hot set. Dropped volume is observable via
+    * the `lsh_band_cap` metric, mirroring `ngramJaccardPairs`'s
+    * `ngram_df_cap`. Pairs whose ONLY shared bands are hot are lost —
+    * the standard LSH cap approximation; exact when maxBandDf exceeds
+    * the true max band df.
+    */
+  private def antiJoinHotBands(banded: DataFrame, maxBandDf: Int): DataFrame = {
+    if (maxBandDf == Int.MaxValue) return banded
+    val hot = banded.groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("band_df"))
+      .observe("lsh_band_cap",
+        sum(when(col("band_df") > maxBandDf, col("band_df")).otherwise(0L))
+          .as("dropped_band_rows"),
+        max(col("band_df")).as("max_band_df_seen"))
+      .filter(col("band_df") > maxBandDf)
+      .select(col("band_idx"), col("band_key"))
+    banded.join(hot, Seq("band_idx", "band_key"), "left_anti")
+  }
+
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      maxBandDf: Int = 1000): DataFrame = {
     val hashed = minhashHashed(docs, idCol, textCol, n)
     val sig = hashed.withColumn("sig", T.minhashSignatureFromInts(col("xi")))
       .withColumn("bands", T.minhashBands(col("sig"), bands, rowsPerBand))
     // pre-partition on the join keys and cache: the self-join's two
     // sides then BOTH satisfy the join's required distribution from
     // the one cached shuffle — without this, Catalyst does not reuse
-    // the exchange across the a/b aliases and shuffles twice
+    // the exchange across the a/b aliases and shuffles twice. The
+    // hot-band count aggregate and its anti-join are both keyed on the
+    // cached partitioning, so the cap adds no exchange.
     val banded = sig.select(col("id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_key")))
       .repartition(col("band_idx"), col("band_key"))
       .cache()
-    val cand = banded.as("a")
-      .join(banded.as("b"),
+    val kept = antiJoinHotBands(banded, maxBandDf)
+    val cand = kept.as("a")
+      .join(kept.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.id") < col("b.id"))
@@ -233,16 +264,34 @@ object Dedup {
     * Ids must be unique across BOTH inputs (the standard corpus
     * contract). Output: (new_id, corpus_id, jaccard >= threshold).
     */
+  /** Broadcast the batch's band rows only when the batch is verifiably
+    * small: the hint is gated on the (cached, so already-materialized)
+    * batch row count instead of being forced. An oversized backfill
+    * batch routed through the incremental path then degrades to a
+    * shuffle join instead of OOMing the driver. Default gate:
+    * 4M band rows ≈ low hundreds of MB — inside a healthy driver, far
+    * beyond any sane incremental batch.
+    */
+  private def maybeBroadcastBatch(batchBands: DataFrame, hashedBatch: DataFrame,
+      bands: Int, broadcastMaxBandRows: Long): DataFrame =
+    if (hashedBatch.count() * bands <= broadcastMaxBandRows) broadcast(batchBands)
+    else batchBands
+
   def minhashLshPairsAcross(newDocs: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String,
-      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      maxBandDf: Int = 1000,
+      broadcastMaxBandRows: Long = 4000000L): DataFrame = {
     val hashedNew = minhashHashed(newDocs, idCol, textCol, n)
     val hashedCorpus = minhashHashed(corpus, idCol, textCol, n)
-    val cand = broadcast(
-        minhashBanded(hashedNew, bands, rowsPerBand)
-          .withColumnRenamed("id", "new_id"))
-      .join(minhashBanded(hashedCorpus, bands, rowsPerBand)
-          .withColumnRenamed("id", "corpus_id"),
+    val newSide = maybeBroadcastBatch(
+      minhashBanded(hashedNew, bands, rowsPerBand)
+        .withColumnRenamed("id", "new_id"),
+      hashedNew, bands, broadcastMaxBandRows)
+    val cand = newSide
+      .join(antiJoinHotBands(
+          minhashBanded(hashedCorpus, bands, rowsPerBand)
+            .withColumnRenamed("id", "corpus_id"), maxBandDf),
         Seq("band_idx", "band_key"))
       .select(col("new_id"), col("corpus_id"))
       .distinct()
@@ -302,16 +351,28 @@ object Dedup {
     * corpus shuffle, zero re-tokenization), and verification fetches
     * stored shingle arrays for candidate ids only.
     */
+  /** Scale costs: the batch's band rows broadcast only under the size
+    * gate (an oversized batch degrades to a shuffle join — no forced
+    * hint); the hot-band cap reads the stored bands one extra time for
+    * the count aggregate, whose shuffle carries one row per DISTINCT
+    * band key (map-side combined) — the corpus text and shingle
+    * arrays are never re-read or shuffled.
+    */
   def minhashLshPairsAgainstStore(newDocs: DataFrame, storePath: String,
       idCol: String, textCol: String,
-      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      maxBandDf: Int = 1000,
+      broadcastMaxBandRows: Long = 4000000L): DataFrame = {
     val spark = newDocs.sparkSession
     val hashedNew = minhashHashed(newDocs, idCol, textCol, n)
-    val cand = broadcast(
-        minhashBanded(hashedNew, bands, rowsPerBand)
-          .withColumnRenamed("id", "new_id"))
-      .join(spark.read.parquet(s"$storePath/bands")
-          .withColumnRenamed("id", "corpus_id"),
+    val newSide = maybeBroadcastBatch(
+      minhashBanded(hashedNew, bands, rowsPerBand)
+        .withColumnRenamed("id", "new_id"),
+      hashedNew, bands, broadcastMaxBandRows)
+    val cand = newSide
+      .join(antiJoinHotBands(
+          spark.read.parquet(s"$storePath/bands")
+            .withColumnRenamed("id", "corpus_id"), maxBandDf),
         Seq("band_idx", "band_key"))
       .select(col("new_id"), col("corpus_id"))
       .distinct()

@@ -176,6 +176,55 @@ object DedupQueries extends QueryRegistry {
       WHERE floor(inter * 1.0 / (x.n_sh + y.n_sh - inter) * 10000) / 10000 >= 0.2
     """.trim))
 
+  /** MinHash+LSH with the hot-band cap actually firing: maxBandDf=2
+    * drops every band bucket shared by 3+ docs (testdata's max band df
+    * is 3), so the skew-guard branch — anti-join of counted hot bands,
+    * not just the exact fast path — is driver-verified. The oracle
+    * applies the identical cap with a HAVING on the per-(band_idx,
+    * band_key) doc count before candidate generation; verification
+    * stays exact Jaccard on the surviving candidates, exactly as the
+    * operator computes (the q61 pattern). DedupSpec separately asserts
+    * the `lsh_band_cap` observed metric fires on a degenerate
+    * stop-signature corpus.
+    */
+  val q113 = GraftQuery(
+    "q113_dedup_lsh_band_capped",
+    (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+      n = 3, bands = 4, rowsPerBand = 4, threshold = 0.5, maxBandDf = 2),
+    Some {
+      val p = T.MinhashP
+      val sigEntries = T.MinhashAB.map { case (a, b) =>
+        s"list_aggregate(list_transform(xi, x -> (x * $a + $b) % $p), 'min')"
+      }.mkString(",\n                    ")
+      val bandEntries = (0 until 4).map { j =>
+        s"array_to_string(sg[${j * 4 + 1}:${j * 4 + 4}], ',')"
+      }.mkString(", ")
+      s"""
+      WITH $duckShingles,
+      ints AS (SELECT doc_id, s,
+                      list_transform(s, x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS xi
+               FROM sh),
+      sig AS (SELECT doc_id, s,
+                     [$sigEntries] AS sg
+              FROM ints),
+      bands AS (SELECT doc_id, s, band_idx, [$bandEntries][band_idx + 1] AS band_key
+                FROM sig, unnest([0, 1, 2, 3]) AS t(band_idx)),
+      keepb AS (SELECT band_idx, band_key FROM bands
+                GROUP BY 1, 2 HAVING count(*) > 1 AND count(*) <= 2),
+      cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+               FROM bands a JOIN bands b
+                 ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+               JOIN keepb k
+                 ON a.band_idx = k.band_idx AND a.band_key = k.band_key),
+      verified AS (SELECT id1, id2,
+                          floor(len(list_intersect(x.s, y.s)) * 1.0 /
+                                (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) * 10000) / 10000 AS jaccard
+                   FROM cand JOIN sh x ON id1 = x.doc_id JOIN sh y ON id2 = y.doc_id)
+      SELECT id1, id2, jaccard FROM verified WHERE jaccard >= 0.5
+      """.trim
+    })
+
   /** Embedding-cosine near-dup pairs, brute-force exact. */
   val q24 = GraftQuery(
     "q24_dedup_embedding_cosine",
@@ -744,5 +793,5 @@ object DedupQueries extends QueryRegistry {
 
   def all: Seq[GraftQuery] =
     Seq(q20, q21, q22, q23, q24, q39, q47, q47a, q59, q60, q61, q67, q68, q75,
-      q78, q82, q103a, q103, q105, q106, q107)
+      q78, q82, q103a, q103, q105, q106, q107, q113)
 }

@@ -254,6 +254,60 @@ class DedupSpec extends SparkTestBase {
     assert(kept === Array(0, 2))
   }
 
+  test("LSH hot-band cap bounds degenerate band buckets and reports them via the observed metric") {
+    // 20 identical boilerplate docs: every band bucket they share has
+    // df=20 — the degenerate stop-signature case. Plus one identical
+    // pair of distinct text whose buckets have df=2 and must survive.
+    val boiler = (1L to 20L).map(i => (i, "the same boilerplate text repeated everywhere always"))
+    val pair = Seq((100L, "genuinely rare content alpha beta gamma"),
+      (101L, "genuinely rare content alpha beta gamma"))
+    val corpus = (boiler ++ pair).toDF("doc_id", "text")
+    var observed: Option[(Long, Long)] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        qe.observedMetrics.get("lsh_band_cap").foreach { row =>
+          observed = Some((row.getAs[Long]("dropped_band_rows"), row.getAs[Long]("max_band_df_seen")))
+        }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+        n = 3, bands = 4, rowsPerBand = 4, threshold = 0.5, maxBandDf = 8)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      // boilerplate candidates (df=20 buckets) are capped away; the
+      // rare identical pair (df=2 buckets) survives
+      assert(pairs === Set((100L, 101L)))
+      val deadline = System.currentTimeMillis() + 5000
+      while (observed.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(observed.exists(_._1 > 0), s"expected dropped_band_rows > 0, got $observed")
+      assert(observed.exists(_._2 === 20L), s"expected max_band_df_seen = 20, got $observed")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("store search above the broadcast gate degrades to a shuffle join with identical output") {
+    val store = tmpDir("sig_store_gate")
+    val newBatch = docs.filter(col("doc_id") === 4)
+    val corpus = docs.filter(col("doc_id") =!= 4)
+    Dedup.signatureStoreWrite(corpus, "doc_id", "text", 3, 4, 4, store)
+    val hinted = Dedup.minhashLshPairsAgainstStore(newBatch, store,
+      "doc_id", "text", 3, 4, 4, 0.5)
+    val gated = Dedup.minhashLshPairsAgainstStore(newBatch, store,
+      "doc_id", "text", 3, 4, 4, 0.5, broadcastMaxBandRows = 0L)
+    // same pairs either way
+    assert(gated.select("new_id", "corpus_id").as[(Long, Long)].collect().toSet ===
+      hinted.select("new_id", "corpus_id").as[(Long, Long)].collect().toSet)
+    // gate 0 => the FORCED broadcast hint is gone from the logical plan
+    // (a runtime AQE conversion on genuinely-small data remains legal —
+    // the point is that an oversized batch is free to shuffle)
+    def hint(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(hint(hinted).contains("broadcast"),
+      "expected the under-gate path to carry the broadcast hint")
+    assert(!hint(gated).contains("broadcast"),
+      s"expected no forced broadcast hint above the gate:\n${hint(gated)}")
+  }
+
   test("ngram df-cap drops long postings and reports them via the observed metric") {
     // 12 docs all sharing one stop-shingle ("the same boilerplate"),
     // plus a genuine near-dup pair sharing rare shingles
