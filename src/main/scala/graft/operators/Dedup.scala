@@ -108,20 +108,26 @@ object Dedup {
       T.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .cache()
-    // ONE shuffle of the exploded corpus builds the full posting
-    // lists, whose sizes ARE the document frequencies — no separate
-    // df table, no second exploded-corpus exchange. Exploding the
-    // postings back out is narrow (map-side), so the per-doc
+    // Document frequencies come from a COUNT aggregate over the
+    // exploded corpus — never a collected posting array: a boilerplate
+    // stop-shingle shared by ~1M docs would make one multi-MB
+    // collect_list row (the skew/OOM hazard a df cap exists to avoid
+    // elsewhere), while its count row stays a dozen bytes and
+    // map-side-combines. The df table joins back onto the exploded
+    // corpus co-partitioned on the shingle, so the per-doc
     // rarest-first prefix selection costs one more (id-keyed) shuffle:
     // collect the (df, shingle) pairs, array_sort gives the canonical
     // (df asc, shingle asc) order, slice keeps the
     // |s| - ceil(t*|s|) + 1 prefix — no row_number window re-sort of
-    // the exploded corpus anywhere.
-    val fullPostings = sh.select(col("id"), explode(col("sh")).as("s"))
-      .groupBy(col("s"))
-      .agg(sort_array(array_distinct(collect_list(col("id")))).as("ids"))
-    val prefix = fullPostings
-      .select(col("s"), size(col("ids")).as("df"), explode(col("ids")).as("id"))
+    // the exploded corpus anywhere. count(*) IS the distinct df here:
+    // shingle arrays are distinct per doc (T.shingles) and ids are
+    // unique (the corpus contract), so the exploded stream has one row
+    // per (id, s) — a countDistinct would add an (s, id)-keyed
+    // exchange for nothing.
+    val exploded = sh.select(col("id"), explode(col("sh")).as("s"))
+    val dfTable = exploded.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))
+    val prefix = exploded.join(dfTable, Seq("s"))
       .groupBy(col("id"))
       .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("ranked"))
       // sh arrays are distinct, so size(ranked) = |s| exactly
@@ -314,14 +320,43 @@ object Dedup {
     * the only sane shape: signature compute costs one corpus scan
     * amortized over every future ingest batch.
     */
+  private def storeMarker(path: String): java.io.File =
+    new java.io.File(s"$path/_GRAFT_STORE_COMPLETE")
+
+  private def storeParams(n: Int, bands: Int, rowsPerBand: Int): String =
+    s"n=$n,bands=$bands,rowsPerBand=$rowsPerBand"
+
+  /** Store-level completion check: both per-table _SUCCESS markers AND
+    * the store-level marker written after BOTH tables committed, whose
+    * content must match the expected build parameters. The per-table
+    * markers alone are not atomic as a pair — a crash between the two
+    * overwrites, or a stale store built with different (n, bands,
+    * rowsPerBand) under the same path, would otherwise present two
+    * valid-looking tables of mixed generation or mismatched geometry.
+    */
+  def signatureStoreComplete(path: String, n: Int, bands: Int,
+      rowsPerBand: Int): Boolean = {
+    val m = storeMarker(path)
+    new java.io.File(s"$path/shingles/_SUCCESS").exists() &&
+      new java.io.File(s"$path/bands/_SUCCESS").exists() &&
+      m.exists() &&
+      new String(java.nio.file.Files.readAllBytes(m.toPath), "UTF-8").trim ==
+        storeParams(n, bands, rowsPerBand)
+  }
+
   def signatureStoreWrite(corpus: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, path: String): Unit = {
+    // invalidate first: a crash mid-overwrite must leave NO valid marker
+    storeMarker(path).delete()
     val hashed = minhashHashed(corpus, idCol, textCol, n)
     hashed.select(col("id"), col("sh"))
       .write.mode("overwrite").parquet(s"$path/shingles")
     minhashBanded(hashed, bands, rowsPerBand)
       .write.mode("overwrite").parquet(s"$path/bands")
     hashed.unpersist(false)
+    // both tables committed: publish the store-level marker + params
+    java.nio.file.Files.write(storeMarker(path).toPath,
+      storeParams(n, bands, rowsPerBand).getBytes("UTF-8"))
   }
 
   /** Append a new batch's signatures to an existing store — the
@@ -336,6 +371,9 @@ object Dedup {
   def signatureStoreAppend(newDocs: DataFrame, idCol: String,
       textCol: String, n: Int, bands: Int, rowsPerBand: Int,
       path: String): Unit = {
+    require(signatureStoreComplete(path, n, bands, rowsPerBand),
+      s"signature store at $path is incomplete or was built with different " +
+        s"parameters than (${storeParams(n, bands, rowsPerBand)}) — refusing to append")
     val hashed = minhashHashed(newDocs, idCol, textCol, n)
     hashed.select(col("id"), col("sh"))
       .write.mode("append").parquet(s"$path/shingles")

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -127,11 +129,13 @@ object Histogram {
       .agg(count(lit(1)).as("n_rows"),
         round(min(col("v")), 2).as("lo"),
         round(max(col("v")), 2).as("hi"))
-    // materialize into a Dataset-level cache (clearable via
-    // spark.catalog.clearCache) and drop the RDD pin
-    val result = out.cache()
-    result.count()
+    // the aggregate is ntiles rows — collect it locally so nothing
+    // cached outlives the call (a per-invocation result.cache() would
+    // pin a new relation every run until clearCache), then drop the
+    // RDD pin and return a local relation
+    val rows = out.collect().toSeq
     rdd.unpersist(false)
-    result
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), out.schema)
   }
 }

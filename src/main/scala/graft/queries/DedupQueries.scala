@@ -614,12 +614,12 @@ object DedupQueries extends QueryRegistry {
   def sigStorePath(sfDir: String): String =
     "/tmp/graft_q103_sig_store_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_")
 
-  /** Both parquet writes must have committed — a bare directory-exists
-    * check would accept a partially-written store.
+  /** Store-level completion: both tables committed AND the store
+    * marker matches these exact build parameters — a partial overwrite
+    * or a stale store built with a different geometry is rebuilt.
     */
   private def sigStoreComplete(path: String): Boolean =
-    new java.io.File(s"$path/shingles/_SUCCESS").exists() &&
-      new java.io.File(s"$path/bands/_SUCCESS").exists()
+    Dedup.signatureStoreComplete(path, n = 3, bands = 4, rowsPerBand = 4)
 
   private def buildSigStore(s: org.apache.spark.sql.SparkSession,
       d: String): String = {
@@ -697,42 +697,51 @@ object DedupQueries extends QueryRegistry {
     * per-new-doc independent, so the union over batches equals the
     * one-shot run — same oracle as q68 (one semantics, now THREE
     * physical plans: in-memory cross, store search, streaming store
-    * search). Pair volume is bounded (near-dup matches), so the
-    * driver-side accumulator is small by construction.
+    * search). Matches sink to a parquet AUDIT table appended per
+    * micro-batch — zero driver state, the idiomatic foreachBatch
+    * side-output shape — and the declared result reads the audit
+    * table back. Scratch dirs are removed in a finally (result is
+    * localCheckpoint-materialized first).
     */
   val q105 = GraftQuery(
     "q105_stream_store_dedup",
     (s, d) => {
-      import s.implicits._
       val path = sigStorePath(d)
       if (!sigStoreComplete(path)) buildSigStore(s, d)
       val arrivals = java.nio.file.Files
         .createTempDirectory("graft_q105_arrivals").toString
-      val newDocs = Tables.documents(s, d)
-        .filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id"), col("text"))
-      newDocs.filter(col("doc_id") % 20 === 0)
-        .coalesce(1).write.parquet(s"$arrivals/batchA")
-      newDocs.filter(col("doc_id") % 20 =!= 0)
-        .coalesce(1).write.parquet(s"$arrivals/batchB")
-      val stream = s.readStream.schema(newDocs.schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("recursiveFileLookup", "true")
-        .parquet(arrivals)
-      val acc = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
-      val q = graft.streaming.EventStreams.dedupAgainstStoreStreaming(
-        stream, path, "doc_id", "text", n = 3, bands = 4, rowsPerBand = 4,
-        threshold = 0.5) { pairs =>
-        acc.synchronized { acc ++= pairs.as[(Long, Long, Double)].collect() }
-      }
-      q.awaitTermination()
-      // the arrival staging is per-run scratch — drop it
+      val audit = java.nio.file.Files
+        .createTempDirectory("graft_q105_audit").toString
       def rmrf(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rmrf)
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
         f.delete()
       }
-      rmrf(new java.io.File(arrivals))
-      acc.toSeq.toDF("new_id", "corpus_id", "jaccard")
+      try {
+        val newDocs = Tables.documents(s, d)
+          .filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text"))
+        newDocs.filter(col("doc_id") % 20 === 0)
+          .coalesce(1).write.parquet(s"$arrivals/batchA")
+        newDocs.filter(col("doc_id") % 20 =!= 0)
+          .coalesce(1).write.parquet(s"$arrivals/batchB")
+        val stream = s.readStream.schema(newDocs.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("recursiveFileLookup", "true")
+          .parquet(arrivals)
+        val q = graft.streaming.EventStreams.dedupAgainstStoreStreaming(
+          stream, path, "doc_id", "text", n = 3, bands = 4, rowsPerBand = 4,
+          threshold = 0.5) { pairs =>
+          pairs.write.mode("append").parquet(s"$audit/matches")
+        }
+        q.awaitTermination()
+        // materialize before the finally removes the audit scratch
+        s.read.parquet(s"$audit/matches")
+          .select(col("new_id"), col("corpus_id"), col("jaccard"))
+          .localCheckpoint(true)
+      } finally {
+        rmrf(new java.io.File(arrivals))
+        rmrf(new java.io.File(audit))
+      }
     },
     q68.oracle)
 

@@ -254,6 +254,20 @@ class DedupSpec extends SparkTestBase {
     assert(kept === Array(0, 2))
   }
 
+  test("signature store marker validates build parameters as a unit") {
+    val store = tmpDir("sig_store_params")
+    Dedup.signatureStoreWrite(docs, "doc_id", "text", 3, 4, 4, store)
+    assert(Dedup.signatureStoreComplete(store, 3, 4, 4))
+    // same path, different geometry: the marker refuses, forcing a rebuild
+    assert(!Dedup.signatureStoreComplete(store, 3, 8, 2))
+    intercept[IllegalArgumentException] {
+      Dedup.signatureStoreAppend(docs, "doc_id", "text", 3, 8, 2, store)
+    }
+    // per-table _SUCCESS alone is not enough: no store marker -> incomplete
+    new java.io.File(s"$store/_GRAFT_STORE_COMPLETE").delete()
+    assert(!Dedup.signatureStoreComplete(store, 3, 4, 4))
+  }
+
   test("LSH hot-band cap bounds degenerate band buckets and reports them via the observed metric") {
     // 20 identical boilerplate docs: every band bucket they share has
     // df=20 — the degenerate stop-signature case. Plus one identical
