@@ -64,6 +64,41 @@ object Sampling {
     sharded.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col(tokenCol)).as("n_tokens"))
 
+  /** Temperature-weighted mix (the multilingual-training mix rule:
+    * sampling probability over strata p_s ∝ n_s^alpha with alpha = 0.5
+    * — small domains upweighted, large ones damped): materializes a
+    * deterministic hash-threshold sample whose per-stratum keep rate
+    * targets `targetTotal` · p_s rows. Rates are EXACT integer
+    * arithmetic so any engine replays them bit-for-bit: the weight is
+    * floor(sqrt(n_s)·1000) (sqrt is IEEE correctly-rounded — identical
+    * everywhere; pow(x, 0.5) is not guaranteed to be), the weight sum
+    * is an integer (order-independent), and
+    * rate_bp = min(10000, (T·w_s·10000) div (W·n_s)) uses integral
+    * division — no double division whose rounding could flip a floor
+    * at a bucket boundary.
+    *
+    * Scale: one count aggregate over the corpus (tiny (stratum, n)
+    * rows), the per-stratum rate table broadcast back, and the sample
+    * itself is a pure filter — the corpus never shuffles. Two scans
+    * total; the decision is auditable per row (md5 bucket vs the
+    * published rate_bp).
+    */
+  def temperatureMix(df: DataFrame, idCol: String, stratumCol: String,
+      targetTotal: Long): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+    val weights = counts.withColumn("wt",
+      floor(sqrt(col("n").cast("double")) * 1000).cast("long"))
+    val rates = weights
+      .crossJoin(broadcast(weights.agg(sum(col("wt")).as("w_sum"))))
+      .withColumn("rate_bp",
+        least(lit(10000L),
+          expr(s"($targetTotal * wt * 10000) div (w_sum * n)")))
+      .select(col(stratumCol), col("rate_bp"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(hashBucket(col(idCol)) < col("rate_bp"))
+      .select(col(idCol), col(stratumCol), col("rate_bp"))
+  }
+
   /** Quota sample: keep at most `quota` rows per stratum, chosen by
     * deterministic hash rank (lowest bucket first, ties by lowest id)
     * — the per-domain cap a training mix applies so no single source

@@ -93,6 +93,34 @@ object ScaleQueries extends QueryRegistry {
       FROM documents GROUP BY shard
     """.trim))
 
+  /** Temperature-weighted mix (p_s ∝ sqrt(n_s), the multilingual
+    * training mix rule at alpha = 0.5): per-source keep rates target
+    * 150 · p_s docs, so small sources are upweighted and large ones
+    * damped. Rates are exact integer arithmetic over
+    * floor(sqrt(n)·1000) weights (sqrt is IEEE correctly-rounded —
+    * identical in every engine; integral div avoids any double
+    * rounding at bucket boundaries), so the oracle replays membership
+    * row-for-row, not just sizes. Corpus never shuffles: one count
+    * aggregate, broadcast rate table, pure filter.
+    */
+  val q114 = GraftQuery(
+    "q114_temperature_mix",
+    (s, d) => graft.operators.Sampling.temperatureMix(
+      Tables.documents(s, d), "doc_id", "source", targetTotal = 150L),
+    Some("""
+      WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      w AS (SELECT source, n,
+                   CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS wt
+            FROM c),
+      tot AS (SELECT CAST(sum(wt) AS BIGINT) AS w_sum FROM w),
+      r AS (SELECT source,
+                   CAST(least(10000, (150 * wt * 10000) // (w_sum * n)) AS BIGINT) AS rate_bp
+            FROM w CROSS JOIN tot)
+      SELECT d.doc_id, d.source, r.rate_bp
+      FROM documents d JOIN r USING (source)
+      WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < r.rate_bp
+    """.trim))
+
   /** Compaction invariance: fragment a copy of the documents table
     * into 32 small files, compact it, and prove the compacted table
     * still holds exactly the original content — the rollup (count,
@@ -402,5 +430,6 @@ object ScaleQueries extends QueryRegistry {
     })
 
   def all: Seq[GraftQuery] =
-    Seq(q44, q46, q48, q50, q66, q87, q88, q97, q98, q98a, q100, q102, q104, q112)
+    Seq(q44, q46, q48, q50, q66, q87, q88, q97, q98, q98a, q100, q102, q104,
+      q112, q114)
 }

@@ -148,5 +148,37 @@ object SourceQueries extends QueryRegistry {
       FROM lineitem GROUP BY l_returnflag
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86)
+  /** ORC sink + source round-trip (Spark's second built-in columnar
+    * format — the cross-format interchange a lake migration needs),
+    * same losslessness invariant as q85/q86: the oracle aggregates the
+    * ORIGINAL parquet, so a value changed anywhere in the
+    * parquet -> ORC -> read-back chain breaks the hash. DuckDB never
+    * reads ORC — that's the point of proving invariance against the
+    * source of truth.
+    */
+  val q115 = GraftQuery(
+    "q115_orc_roundtrip",
+    (s, d) => {
+      val path = "/tmp/graft_q115_orc_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_linestatus"))
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_c"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_c"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+    },
+    // integer cents for order-independent sums — see q85
+    Some("""
+      SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM lineitem GROUP BY l_linestatus
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115)
 }

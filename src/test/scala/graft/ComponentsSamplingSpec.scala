@@ -103,6 +103,35 @@ class ComponentsSamplingSpec extends SparkTestBase {
     assert(s25.nonEmpty && s25.size < s50.size && s50.size < s100.size)
   }
 
+  test("temperature mix upweights small domains and hits the target total") {
+    // 1000-doc "web" domain vs 40-doc "books": sqrt weighting must give
+    // books a (much) higher keep rate than web
+    val docs = ((1L to 1000L).map(i => (i, "web")) ++
+      (2001L to 2040L).map(i => (i, "books"))).toDF("doc_id", "src")
+    val mix = Sampling.temperatureMix(docs, "doc_id", "src", targetTotal = 200L)
+    val rates = mix.select("src", "rate_bp").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(rates("books") > rates("web"),
+      s"small domain must be upweighted: $rates")
+    // rate math replayed exactly: w = floor(sqrt(n)*1000), W = sum
+    val wWeb = math.floor(math.sqrt(1000.0) * 1000).toLong
+    val wBooks = math.floor(math.sqrt(40.0) * 1000).toLong
+    val wSum = wWeb + wBooks
+    assert(rates("web") === math.min(10000L, 200L * wWeb * 10000L / (wSum * 1000L)))
+    assert(rates("books") === math.min(10000L, 200L * wBooks * 10000L / (wSum * 40L)))
+    // deterministic across partition layouts
+    val again = Sampling.temperatureMix(docs.repartition(7), "doc_id", "src", 200L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === mix.select("doc_id").as[Long].collect().toSet)
+    // lands near the target (md5 buckets are uniform)
+    val n = mix.count()
+    assert(n > 140 && n < 260, s"expected ~200 rows, got $n")
+    // pure filter on the doc side: the only exchange feeds the tiny
+    // count aggregate, never the corpus rows
+    val plan = mix.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("quota sample caps each stratum at K with deterministic picks") {
     val docs = (1L to 30L).map(i => (i, if (i <= 25) "big" else "small"))
       .toDF("doc_id", "src")
