@@ -214,6 +214,48 @@ object Similarity {
     * brute force on candidate count — use the exact operator there if
     * completeness is required.
     */
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): cluster embeddings
+    * around centroids, then remove semantic near-duplicates WITHIN
+    * each cluster only — pairwise cosine is confined to cluster
+    * members, the paper's trick that keeps semantic dedup out of the
+    * all-pairs regime at corpus scale (the global all-pairs form is
+    * q24's by-design-quadratic verifier). Keep rule: a vector is
+    * dropped iff some smaller-id member of its cluster is within
+    * `threshold` cosine of it (greedy min-id canonical, the repo's
+    * dedup convention). Output: one row per vector —
+    * (id, cluster_id, is_kept).
+    *
+    * Scale: assignment is a broadcast-centroid scan; members are
+    * pre-partitioned by cluster_id and cached so the within-cluster
+    * self-join reuses ONE shuffle; pair volume is bounded by the
+    * largest cluster, not the corpus (pick k accordingly — at 100 TB
+    * the assignment rides the IVF index layout and each cluster joins
+    * inside its own partition).
+    */
+  def semDedup(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String,
+      centroidIdCol: String, centroidVecCol: String,
+      threshold: Double): DataFrame = {
+    val members = ivfAssign(corpus, centroids, idCol, vecCol,
+        centroidIdCol, centroidVecCol)
+      .select(col("id"), col("cluster_id"))
+      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), Seq("id"))
+      .repartition(col("cluster_id"))
+      .cache()
+    val dropped = members.as("a")
+      .join(members.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col("b.id") < col("a.id"))
+      .filter(round(V.cosine(col("a.v"), col("b.v")), 4) >= threshold)
+      .select(col("a.id").as("id"))
+      .distinct()
+    members.select(col("id"), col("cluster_id"))
+      .join(dropped.withColumn("__dropped", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cluster_id"),
+        col("__dropped").isNull.as("is_kept"))
+  }
+
   def lshBucketedPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int, tables: Int, dim: Int = 64): DataFrame = {
     val hps = lshHyperplanes(tables, bits, dim)

@@ -255,5 +255,43 @@ object SimilarityQueries extends QueryRegistry {
       GROUP BY source, i
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q25, q26, q28, q29, q42a, q42, q79, q84)
+  /** SemDeDup (Abbas et al. 2023): embeddings clustered to the 8 seed
+    * centroids (q26's assignment), then near-duplicates removed WITHIN
+    * clusters only — pairwise cosine confined to cluster members, the
+    * published semantic-dedup recipe at the scale-right shape (the
+    * global all-pairs form stays q24's verifier). A vector is dropped
+    * iff a smaller-id cluster-mate is within 0.4 cosine. The oracle
+    * replays assignment + within-cluster pairs + the keep rule, so
+    * cluster membership AND the dedup verdict are verified per row.
+    */
+  val q116 = GraftQuery(
+    "q116_semantic_dedup",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.semDedup(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", "vec_id", "embedding", threshold = 0.4)
+    },
+    Some(s"""
+      WITH l2 AS (
+        SELECT v.vec_id AS id, c.vec_id AS centroid_id,
+               round(list_sum(list_transform(range(1, 65),
+                 i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) *
+                      (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))), 6) AS dist2
+        FROM embeddings v JOIN embeddings c ON c.vec_id < 8),
+      assign AS (
+        SELECT id, centroid_id AS cluster_id FROM l2
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist2 ASC, centroid_id ASC) = 1),
+      dropped AS (
+        SELECT DISTINCT a.id
+        FROM assign a JOIN assign b
+          ON a.cluster_id = b.cluster_id AND b.id < a.id
+        JOIN embeddings x ON a.id = x.vec_id
+        JOIN embeddings y ON b.id = y.vec_id
+        WHERE round(${duckCos("x", "y")}, 4) >= 0.4)
+      SELECT assign.id, assign.cluster_id,
+             (dropped.id IS NULL) AS is_kept
+      FROM assign LEFT JOIN dropped ON assign.id = dropped.id
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q25, q26, q28, q29, q42a, q42, q79, q84, q116)
 }

@@ -214,6 +214,28 @@ class DedupSpec extends SparkTestBase {
     assert(assign(0L) === 0L && assign(1L) === 1L)
   }
 
+  test("semantic dedup drops within-cluster near-dups, keeps the min-id canonical") {
+    // cluster A near (0,10): ids 10, 11 nearly parallel (near-dups),
+    // id 12 well-separated in angle; cluster B near (10,0): id 20
+    // angled away from the centroid member so nothing else collides
+    val emb = Seq(
+      (0L, Seq(0.0f, 10.0f)),   // centroid A (cos to 10 = 0.936)
+      (1L, Seq(10.0f, 0.0f)),   // centroid B (cos to 20 = 0.976)
+      (10L, Seq(3.0f, 8.0f)),
+      (11L, Seq(3.05f, 8.1f)),  // near-dup of 10, larger id -> dropped
+      (12L, Seq(6.0f, 8.0f)),   // cluster A, cos to 10/11 ~ 0.96
+      (20L, Seq(9.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(emb, emb.filter(col("vec_id") < 2),
+      "vec_id", "embedding", "vec_id", "embedding", threshold = 0.995)
+      .select("id", "is_kept").as[(Long, Boolean)].collect().toMap
+    assert(out(10L) === true)
+    assert(out(11L) === false) // the only near-dup with a smaller-id mate
+    assert(out(12L) === true)  // same cluster, below threshold
+    assert(out(20L) === true)  // different cluster
+    assert(out(0L) === true && out(1L) === true)
+  }
+
   test("real PNG decode round-trips the test pattern pixel-exactly") {
     val ids = Seq(1L, 2L, 5L).toDF("doc_id")
     val decoded = Multimodal.decodeFrames(Multimodal.syntheticClips(ids)).collect()
