@@ -425,6 +425,41 @@ object Dedup {
       .select(col("new_id"), col("corpus_id"), col("jaccard"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    * 2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+    * the MOSS algorithm): hash every ORDERED word n-gram (positions
+    * matter, so no distinct), slide a window of `window` consecutive
+    * hashes, and keep each window's minimum — the guarantee is that
+    * any shared run of window+n-1 words between two documents yields
+    * at least one shared fingerprint, while selected density stays
+    * ~2/(window+1) of the grams. The winnowed set is the
+    * plagiarism/near-dup fingerprint that survives content SHIFTS
+    * (insertions move positions; minima in unchanged windows are
+    * unchanged), which plain strided sampling does not.
+    *
+    * Pure codegen'd column ops per row (transform + slice +
+    * array_min); the only shuffle is the final (doc_id, fp) distinct.
+    * Short docs (fewer grams than the window) contribute their global
+    * minimum, preserving the at-least-one-fingerprint invariant.
+    */
+  def winnowedFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, window: Int = 4): DataFrame = {
+    val words = T.tokens(col(textCol))
+    val grams = when(size(words) >= n,
+      transform(sequence(lit(1), size(words) - (n - 1)),
+        i => array_join(slice(words, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(idCol).as("doc_id"),
+        graft.expressions.HashFunctions.md5_int_array32(grams).as("xi"))
+      .filter(size(col("xi")) > 0)
+      .select(col("doc_id"),
+        explode(when(size(col("xi")) >= window,
+          transform(sequence(lit(1), size(col("xi")) - (window - 1)),
+            i => array_min(slice(col("xi"), i, lit(window)))))
+          .otherwise(array(array_min(col("xi"))))).as("fp"))
+      .distinct()
+  }
+
   /** SimHash near-dup pairs: 60-bit shingle-based fingerprints,
     * pairs within `maxHamming`. The pair stage here is a cross join
     * for exactness; the scale path buckets fingerprints by bit-prefix

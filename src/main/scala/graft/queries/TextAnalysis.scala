@@ -526,7 +526,34 @@ object TextAnalysis extends QueryRegistry {
       FROM dig
     """.trim))
 
+  /** Winnowing fingerprints (Schleimer et al. 2003 / MOSS): minimum
+    * hash of every 4-window over ORDERED word-3-gram hashes — the
+    * shift-robust fingerprint set (any shared 6-word run yields a
+    * shared fingerprint; density ~2/(w+1)). The oracle replays gram
+    * hashing, the sliding-window minima, and the short-doc global-min
+    * fallback, so selection is verified per fingerprint.
+    */
+  val q117 = GraftQuery(
+    "q117_winnowing_fingerprints",
+    (s, d) => graft.operators.Dedup.winnowedFingerprints(
+      Tables.documents(s, d), "doc_id", "text", n = 3, window = 4),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      g AS (SELECT doc_id,
+                   list_transform(range(1, len(words) - 1),
+                     i -> CAST('0x' || substr(md5(array_to_string(words[i:i+2], ' ')), 1, 8) AS BIGINT)) AS xi
+            FROM w WHERE len(words) >= 3),
+      wins AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(xi) >= 4
+                 THEN list_transform(range(1, len(xi) - 2),
+                        i -> list_aggregate(xi[i:i+3], 'min'))
+                 ELSE [list_aggregate(xi, 'min')] END) AS fp
+        FROM g)
+      SELECT DISTINCT doc_id, fp FROM wins
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q45, q62, q63, q64, q65,
-      q80, q99, q101)
+      q80, q99, q101, q117)
 }

@@ -214,6 +214,28 @@ class DedupSpec extends SparkTestBase {
     assert(assign(0L) === 0L && assign(1L) === 1L)
   }
 
+  test("winnowing fingerprints: shared runs collide and survive content shifts") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val shifted = "xx yy " + base // front insertion shifts every gram position
+    val other = "one two three four five six seven eight nine ten"
+    val fps = Dedup.winnowedFingerprints(
+      Seq((1L, base), (2L, shifted), (3L, other)).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    // the winnowing guarantee: doc2 contains doc1 verbatim, so every
+    // doc1 window recurs in doc2 — its fingerprints survive the shift
+    assert(fps(1L).subsetOf(fps(2L)), s"${fps(1L)} not within ${fps(2L)}")
+    assert((fps(1L) intersect fps(3L)).isEmpty, "unrelated docs must not collide")
+    // selection is sparse: fewer fingerprints than grams (8 grams here)
+    assert(fps(1L).size < 8)
+    // short doc (< window grams) still yields its global-min fingerprint
+    val short = Dedup.winnowedFingerprints(
+      Seq((9L, "tiny little doc here")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long)].collect()
+    assert(short.length === 1)
+  }
+
   test("semantic dedup drops within-cluster near-dups, keeps the min-id canonical") {
     // cluster A near (0,10): ids 10, 11 nearly parallel (near-dups),
     // id 12 well-separated in angle; cluster B near (10,0): id 20

@@ -100,6 +100,22 @@ class PlanAssertionsSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("q114: temperature mix joins the rate table by broadcast — corpus rows never sort-merge") {
+    val plan = executed(ScaleQueries.q114.run(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q116: within-cluster self-join reuses ONE cached cluster-keyed exchange") {
+    val df = SimilarityQueries.q116.run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the cached members frame feeds both self-join sides: the pair
+    // stage must read InMemoryTableScan, not re-shuffle the corpus
+    assert(plan.contains("InMemoryTableScan"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("runtime bloom filter injects into shuffle inner joins (and never anti-joins)") {
     import org.apache.spark.sql.functions._
     val dir = tmpDir("bloom_assert")
