@@ -17,6 +17,25 @@ object QualityFunctions {
     */
   def floor4(c: Column): Column = floor(c * 10000) / 10000.0
 
+  /** Character-level Shannon entropy in bits/char — the gibberish /
+    * low-information signal (random byte noise scores high, repeated
+    * filler scores near zero; natural text sits ~4 bits). Pure column
+    * ops per row: distinct chars -> per-char probability ->
+    * -Σ p·log2(p), truncated to 4 decimals on identical doubles in
+    * both engines (the floor4 discipline). `+ 0.0` normalizes the
+    * -0.0 a single-distinct-char doc would produce (Java floor keeps
+    * the sign; the driver's repr-tagged compare distinguishes -0.0).
+    */
+  def charEntropy(text: Column): Column = {
+    val chars = filter(split(text, ""), c => c =!= lit(""))
+    val n = size(chars).cast("double")
+    val probs = transform(array_distinct(chars),
+      c => size(filter(chars, x => x === c)).cast("double") / n)
+    when(size(chars) > 0,
+      floor4(-aggregate(probs, lit(0.0), (acc, p) => acc + p * log2(p))) + 0.0)
+      .otherwise(0.0)
+  }
+
   /** Ratio of distinct tokens to tokens (repetition indicator). */
   def uniqueRatio(words: Column): Column =
     floor4(size(array_distinct(words)).cast("double") / size(words))

@@ -553,7 +553,39 @@ object TextAnalysis extends QueryRegistry {
       SELECT DISTINCT doc_id, fp FROM wins
     """.trim))
 
+  /** Character-entropy quality signal: bits/char Shannon entropy over
+    * the raw text, plus char inventory — the gibberish detector the
+    * ensemble lacks (LM likelihood is vocabulary-bound; entropy is
+    * not). Oracle replays the identical probability fold with floor4
+    * truncation on both engines.
+    */
+  val q118 = GraftQuery(
+    "q118_char_entropy",
+    (s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      size(filter(split(col("text"), ""), c => c =!= lit("")))
+        .as("n_chars"),
+      size(array_distinct(filter(split(col("text"), ""), c => c =!= lit(""))))
+        .as("n_distinct"),
+      graft.functions.QualityFunctions.charEntropy(col("text"))
+        .as("entropy_bits")),
+    Some("""
+      WITH c AS (SELECT doc_id,
+                        list_filter(string_split(text, ''), x -> x <> '') AS chars
+                 FROM documents)
+      SELECT doc_id,
+             CAST(len(chars) AS INT) AS n_chars,
+             CAST(len(list_distinct(chars)) AS INT) AS n_distinct,
+             CASE WHEN len(chars) > 0 THEN
+               floor(-list_sum(list_transform(list_distinct(chars),
+                 ch -> (CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars)) *
+                       log2(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE) / len(chars))))
+                 * 10000) / 10000 + 0.0
+             ELSE 0.0 END AS entropy_bits
+      FROM c
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q45, q62, q63, q64, q65,
-      q80, q99, q101, q117)
+      q80, q99, q101, q117, q118)
 }

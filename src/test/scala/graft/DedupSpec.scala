@@ -214,6 +214,18 @@ class DedupSpec extends SparkTestBase {
     assert(assign(0L) === 0L && assign(1L) === 1L)
   }
 
+  test("char entropy: zero for repeated filler, exact bits for uniform alphabets") {
+    import graft.functions.{QualityFunctions => Q}
+    val e = Seq((1L, "aaaaaaaa"), (2L, "abababab"), (3L, "abcdabcd"), (4L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Q.charEntropy(col("text")).as("h"))
+      .as[(Long, Double)].collect().toMap
+    assert(e(1L) === 0.0) // single symbol: -0.0 must normalize to +0.0
+    assert(e(2L) === 1.0) // two uniform symbols = exactly 1 bit
+    assert(e(3L) === 2.0) // four uniform symbols = exactly 2 bits
+    assert(e(4L) === 0.0) // empty text
+  }
+
   test("winnowing fingerprints: shared runs collide and survive content shifts") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val shifted = "xx yy " + base // front insertion shifts every gram position
