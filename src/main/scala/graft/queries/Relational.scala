@@ -490,7 +490,55 @@ object Relational extends QueryRegistry {
       GROUP BY o_year
     """.trim))
 
+  /** TPC-H Q22-shaped "global accounts": positive-balance customers
+    * strictly above the average positive balance with no RECENT orders
+    * (none since 2000-01-01 — Q22's seven-year dormancy window, q04's
+    * cutoff), rolled up per nation — the scalar-subquery + anti-join
+    * construct (Q22's phone-prefix filter becomes the nation rollup
+    * our schema supports). The global average is a 1-row aggregate
+    * broadcast via crossJoin — exactly the plan Catalyst builds for a
+    * scalar subquery, declared explicitly. The threshold compares in
+    * INTEGER CENTS with integral division (avg_c = sum div n): a
+    * double average can land within an ulp of an exact-2dp balance
+    * and flip the > across engines (the q85 lesson applied to a
+    * comparison instead of a sum).
+    */
+  val q119 = GraftQuery(
+    "q119_dormant_high_balance",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+        .withColumn("bal_c", round(col("c_acctbal") * 100).cast("long"))
+        .filter(col("bal_c") > 0)
+      val thresh = cust.agg(expr("sum(bal_c) div count(1)").as("avg_c"))
+      val dormant = cust.crossJoin(broadcast(thresh))
+        .filter(col("bal_c") > col("avg_c"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+      dormant
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_custs"), sum(col("bal_c")).as("total_bal_c"))
+    },
+    Some("""
+      WITH c AS (SELECT c_custkey, c_nationkey,
+                        CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+                 FROM customer),
+      pos AS (SELECT * FROM c WHERE bal_c > 0),
+      t AS (SELECT CAST(sum(bal_c) // count(*) AS BIGINT) AS avg_c FROM pos),
+      d AS (SELECT pos.* FROM pos CROSS JOIN t
+            WHERE bal_c > avg_c
+              AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                              AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'))
+      SELECT n_name, CAST(count(*) AS BIGINT) AS n_custs,
+             CAST(sum(bal_c) AS BIGINT) AS total_bal_c
+      FROM d JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q17, q18,
-      q19, q109, q111)
+      q19, q109, q111, q119)
 }
