@@ -800,7 +800,92 @@ object DedupQueries extends QueryRegistry {
       "doc_id", "text", n = 3, threshold = 0.5),
     q21.oracle)
 
+  /** The round-7 production recipe end-to-end: char-entropy gate
+    * (drops the low-information tail) → winnowing near-dup dedup
+    * (docs sharing >= 2 winnowed fingerprints lose their non-canonical
+    * members; posting lists are df-capped like every pair stage in the
+    * repo) → temperature mix over the survivors (p_s ∝ sqrt(n_s)) →
+    * deterministic shard assignment with a per-shard inventory. Every
+    * stage is individually driver-verified (q118, q117, q114, q112);
+    * this composes them and the oracle replays the WHOLE chain, so a
+    * drift anywhere in the recipe breaks the final shard counts.
+    * Corpus-shuffle inventory: fingerprint distinct + posting groupBy
+    * (band-key-sized rows), one count aggregate for the mix, and the
+    * final 8-row stat aggregate — the document text itself never
+    * shuffles.
+    */
+  val q120 = GraftQuery(
+    "q120_curation_to_shards",
+    (s, d) => {
+      import graft.functions.{QualityFunctions => Q}
+      val docs = Tables.documents(s, d)
+      val kept1 = docs
+        .filter(Q.charEntropy(col("text")) >= 3.95)
+        .select(col("doc_id"), col("source"), col("text"))
+        .cache()
+      val fps = Dedup.winnowedFingerprints(kept1, "doc_id", "text")
+      val dropped = fps.groupBy(col("fp"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1 && size(col("ids")) <= 1000)
+        .select(posexplode(col("ids")).as(Seq("i", "id1")), col("ids"))
+        .select(col("id1"),
+          explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("id2"))
+        .groupBy(col("id1"), col("id2"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+        .select(col("id2").as("doc_id"))
+        .distinct()
+      val kept2 = kept1.join(dropped, Seq("doc_id"), "left_anti")
+      val mixed = graft.operators.Sampling.temperatureMix(
+        kept2, "doc_id", "source", targetTotal = 150L)
+      graft.operators.Sampling.assignShards(mixed, "doc_id", nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"))
+    },
+    Some("""
+      WITH ch AS (SELECT doc_id, source, text,
+                         list_filter(string_split(text, ''), x -> x <> '') AS chars
+                  FROM documents),
+      ent AS (SELECT doc_id, source, text,
+              CASE WHEN len(chars) > 0 THEN
+                floor(-list_sum(list_transform(list_distinct(chars),
+                  c2 -> (CAST(len(list_filter(chars, x -> x = c2)) AS DOUBLE) / len(chars)) *
+                        log2(CAST(len(list_filter(chars, x -> x = c2)) AS DOUBLE) / len(chars))))
+                  * 10000) / 10000 + 0.0
+              ELSE 0.0 END AS h
+              FROM ch),
+      kept1 AS (SELECT doc_id, source, text FROM ent WHERE h >= 3.95),
+      w AS (SELECT doc_id, string_split(text, ' ') AS words FROM kept1),
+      g AS (SELECT doc_id, list_transform(range(1, len(words) - 1),
+              i -> CAST('0x' || substr(md5(array_to_string(words[i:i+2], ' ')), 1, 8) AS BIGINT)) AS xi
+            FROM w WHERE len(words) >= 3),
+      wins AS (SELECT doc_id, unnest(CASE WHEN len(xi) >= 4
+                 THEN list_transform(range(1, len(xi) - 2), i -> list_aggregate(xi[i:i+3], 'min'))
+                 ELSE [list_aggregate(xi, 'min')] END) AS fp FROM g),
+      fpd AS (SELECT DISTINCT doc_id, fp FROM wins),
+      keepfp AS (SELECT fp FROM fpd GROUP BY fp HAVING count(*) > 1 AND count(*) <= 1000),
+      pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+                FROM fpd a JOIN fpd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                JOIN keepfp k ON a.fp = k.fp
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+      dropped AS (SELECT DISTINCT id2 FROM pairs),
+      kept2 AS (SELECT doc_id, source FROM kept1
+                WHERE doc_id NOT IN (SELECT id2 FROM dropped)),
+      cnts AS (SELECT source, count(*) AS n FROM kept2 GROUP BY source),
+      wt AS (SELECT source, n, CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS wt FROM cnts),
+      tot AS (SELECT CAST(sum(wt) AS BIGINT) AS w_sum FROM wt),
+      r AS (SELECT source, CAST(least(10000, (150 * wt * 10000) // (w_sum * n)) AS BIGINT) AS rate_bp
+            FROM wt CROSS JOIN tot),
+      mixed AS (SELECT k.doc_id, k.source FROM kept2 k JOIN r USING (source)
+                WHERE CAST('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < r.rate_bp)
+      SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8 AS shard,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      FROM mixed GROUP BY shard
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q20, q21, q22, q23, q24, q39, q47, q47a, q59, q60, q61, q67, q68, q75,
-      q78, q82, q103a, q103, q105, q106, q107, q113)
+      q78, q82, q103a, q103, q105, q106, q107, q113, q120)
 }
