@@ -486,6 +486,82 @@ object MiningQueries extends QueryRegistry {
       WHERE levenshtein(a.v, b.v) <= 2
     """.trim))
 
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009
+    * — the standard lexical+semantic fusion): BM25 top-20 (q71's
+    * query) fused with cosine top-20 around query vector 0 (doc and
+    * vector ids align in testdata) as
+    * rrf = Σ 1/(60 + rank), full-outer over the two lists, top-10.
+    * 1/(60+rank) is one IEEE division of an exact int — bit-identical
+    * in both engines, so the fused doubles need no truncation. Both
+    * rank lists are already scale-shaped (bounded-heap top-k, 20-row
+    * inputs to the fusion join — driver-sized by construction).
+    */
+  val q121 = GraftQuery(
+    "q121_hybrid_rrf",
+    (s, d) => {
+      val lex = Retrieval.bm25TopK(
+        Tables.documents(s, d), "doc_id", "text", bm25Terms, k = 20)
+        .select(col("doc_id"), col("rn").as("r_lex"))
+      val emb = Tables.embeddings(s, d)
+      val sem = graft.operators.Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rn").as("r_sem"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (col("r_lex") + 60), lit(0.0)) +
+            coalesce(lit(1.0) / (col("r_sem") + 60), lit(0.0)))
+        .orderBy(desc("rrf"), asc("doc_id")).limit(10)
+        .select(col("doc_id"), col("r_lex"), col("r_sem"), col("rrf"))
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           t -> len(t) > 0) AS ts
+        FROM documents),
+      dl AS (SELECT doc_id, len(ts) AS dl FROM tok),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+      tf AS (
+        SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(ts) AS t FROM tok)
+        WHERE t IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})
+        GROUP BY doc_id, t),
+      dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      bscored AS (
+        SELECT tf.doc_id,
+               sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+                   (tf.tf * (1.2 + 1.0)) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))) AS score
+        FROM tf JOIN dfq d USING (term) JOIN dl l USING (doc_id)
+        CROSS JOIN stats s
+        GROUP BY tf.doc_id),
+      lex AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY CAST(floor(score * 10000) AS BIGINT) DESC,
+                                                doc_id) AS INT) AS r_lex
+        FROM bscored QUALIFY r_lex <= 20),
+      cscored AS (
+        SELECT c.vec_id AS doc_id,
+               round(list_sum(list_transform(range(1, 65),
+                 i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+                 (sqrt(list_sum(list_transform(range(1, 65),
+                   i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))) *
+                  sqrt(list_sum(list_transform(range(1, 65),
+                   i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))))), 4) AS cosine
+        FROM embeddings q JOIN embeddings c ON q.vec_id = 0 AND c.vec_id <> 0),
+      sem AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS INT) AS r_sem
+        FROM cscored QUALIFY r_sem <= 20),
+      fused AS (
+        SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, r_lex, r_sem,
+               coalesce(1.0 / (r_lex + 60), 0.0) + coalesce(1.0 / (r_sem + 60), 0.0) AS rrf
+        FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+      SELECT doc_id, r_lex, r_sem, rrf
+      FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
+    """.trim))
+
   def all: Seq[GraftQuery] =
-    Seq(q70, q71, q72, q73, q74, q76, q77, q81a, q81, q83, q94, q96, q108)
+    Seq(q70, q71, q72, q73, q74, q76, q77, q81a, q81, q83, q94, q96, q108, q121)
 }
