@@ -79,4 +79,45 @@ class PropertySpec extends SparkTestBase {
     val expectChanged = tuples.count { case (a, b) => a != b }
     assert(changed === expectChanged)
   }
+
+  test("winnowing guarantee: a shared (window+n-1)-word run always yields a shared fingerprint") {
+    import graft.operators.Dedup
+    // random word soups with a common 6-word run planted at random
+    // offsets (window=4, n=3: any shared 6-word run spans a full
+    // window on both sides, so its minimum must be selected in both)
+    val word = Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString)
+    val run = samples(word, 6)
+    val docs = samples(
+      for {
+        nPre <- Gen.chooseNum(0, 10)
+        nPost <- Gen.chooseNum(0, 10)
+        pre <- Gen.listOfN(nPre, word)
+        post <- Gen.listOfN(nPost, word)
+      } yield (pre ++ run ++ post).mkString(" "), 40)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val fps = Dedup.winnowedFingerprints(docs.toDF("doc_id", "text"),
+      "doc_id", "text")
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    // every pair shares the planted run -> every pair shares >= 1 fp
+    for (i <- docs.indices; j <- (i + 1) until docs.size)
+      assert((fps(i.toLong) intersect fps(j.toLong)).nonEmpty,
+        s"docs $i and $j share a 6-word run but no fingerprint")
+  }
+
+  test("temperature mix: rate monotone in inverse domain size, total near target") {
+    import graft.operators.Sampling
+    val sizes = Seq("a" -> 2000, "b" -> 500, "c" -> 120, "d" -> 30)
+    val docs = sizes.zipWithIndex.flatMap { case ((src, n), k) =>
+      (1 to n).map(i => ((k * 100000 + i).toLong, src))
+    }.toDF("doc_id", "src")
+    val mix = Sampling.temperatureMix(docs, "doc_id", "src", targetTotal = 400L)
+    val rates = mix.select("src", "rate_bp").distinct()
+      .as[(String, Long)].collect().toMap
+    // sqrt damping: smaller domains keep strictly higher rates
+    assert(rates("a") < rates("b") && rates("b") < rates("c") && rates("c") < rates("d"),
+      rates.toString)
+    val n = mix.count()
+    assert(n > 300 && n < 500, s"expected ~400, got $n")
+  }
 }
