@@ -701,6 +701,64 @@ object Dedup {
     (labels, i)
   }
 
+  /** Cross-document duplicated-SPAN detection — the span-level
+    * complement of document-level dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better":
+    * exact substring duplication removal; this is the distributed
+    * k-token-gram form of their suffix-array pass). Any k-token gram
+    * whose fingerprint occurs in >= 2 DISTINCT documents marks its
+    * [start, start+k) token span as duplicated; per document the
+    * flagged spans are merged and coverage is reported.
+    *
+    * Because all spans have equal length k, interval merging is a
+    * closed-form fold over the sorted start positions — no general
+    * interval algebra, no per-span window:
+    *   covered  = k + sum over consecutive gaps of min(gap, k)
+    *   segments = 1 + count(gap > k)
+    * both computed with codegen'd higher-order functions over the
+    * per-doc start array (bounded by doc token count, like the
+    * chunking and winnowing operators).
+    *
+    * Scale shape: gram hashing is narrow per-row compute; the only
+    * exchanges carry (gram_hash, doc_id, start) rows (~24 bytes) for
+    * the document-frequency aggregate and the dup-gram semi-join —
+    * document text never shuffles. dup_frac_bp is integer basis
+    * points via `div` (exact cross-engine; a double ratio is not).
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val words = T.tokens(col(textCol))
+    val grams = when(size(words) >= k,
+      transform(sequence(lit(1), size(words) - (k - 1)),
+        i => array_join(slice(words, i, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val occ = docs
+      .select(col(idCol).as("doc_id"), size(words).cast("long").as("n_tokens"),
+        graft.expressions.HashFunctions.md5_int_array32(grams).as("ghs"))
+      .filter(size(col("ghs")) > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(col("ghs")).as(Seq("s", "gh")))
+    val dupGrams = occ.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("gh"))
+    val perDoc = occ.join(dupGrams, Seq("gh"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(sort_array(collect_list(col("s"))).as("ss"),
+        count(lit(1)).as("n_dup_grams"))
+    val diffs = zip_with(
+      slice(col("ss"), lit(1), size(col("ss")) - 1),
+      slice(col("ss"), lit(2), size(col("ss")) - 1),
+      (a, b) => b - a)
+    perDoc.select(
+        col("doc_id"), col("n_tokens"), col("n_dup_grams"),
+        (lit(1) + size(filter(diffs, d => d > lit(k)))).cast("long")
+          .as("n_spans"),
+        (lit(k) + aggregate(diffs, lit(0), (acc, d) => acc + least(d, lit(k))))
+          .cast("long").as("dup_tokens"))
+      .withColumn("dup_frac_bp", expr("div(dup_tokens * 10000, n_tokens)"))
+  }
+
   /** Embedding near-dup pairs with cosine >= threshold, brute-force
     * (exact). For the approximate scale path see
     * Similarity.lshBucketedPairs.

@@ -885,7 +885,41 @@ object DedupQueries extends QueryRegistry {
       FROM mixed GROUP BY shard
     """.trim))
 
+  /** Span-level duplication (Lee et al. 2022): every 8-token gram in
+    * >= 2 distinct docs flags its span; per-doc merged coverage via
+    * the equal-length-interval fold (see Dedup.duplicateSpans). The
+    * oracle replays gram hashing, the cross-doc df filter, and the
+    * sorted-gap merge arithmetic; dup_frac_bp is integer basis points
+    * (`div` / `//`), never a double ratio.
+    */
+  val q122 = GraftQuery(
+    "q122_duplicate_spans",
+    (s, d) => Dedup.duplicateSpans(
+      Tables.documents(s, d), "doc_id", "text", k = 8),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      g AS (SELECT doc_id, len(words) AS n_tokens,
+                   unnest(range(1, len(words) - 6)) AS s, words
+            FROM w WHERE len(words) >= 8),
+      o AS (SELECT doc_id, n_tokens, s,
+                   CAST('0x' || substr(md5(array_to_string(words[s:s+7], ' ')), 1, 8) AS BIGINT) AS gh
+            FROM g),
+      dup AS (SELECT gh FROM o GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+      d AS (SELECT doc_id, n_tokens, s FROM o JOIN dup USING (gh)),
+      agg AS (SELECT doc_id, n_tokens, list_sort(list(s)) AS ss,
+                     count(*) AS n_dup_grams
+              FROM d GROUP BY doc_id, n_tokens),
+      m AS (SELECT doc_id, n_tokens, n_dup_grams,
+                   list_transform(range(1, len(ss)), i -> ss[i+1] - ss[i]) AS diffs
+            FROM agg)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, n_dup_grams,
+             CAST(1 + len(list_filter(diffs, x -> x > 8)) AS BIGINT) AS n_spans,
+             CAST(8 + coalesce(list_sum(list_transform(diffs, x -> least(x, 8))), 0) AS BIGINT) AS dup_tokens,
+             CAST((8 + coalesce(list_sum(list_transform(diffs, x -> least(x, 8))), 0)) * 10000 AS BIGINT) // n_tokens AS dup_frac_bp
+      FROM m
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q20, q21, q22, q23, q24, q39, q47, q47a, q59, q60, q61, q67, q68, q75,
-      q78, q82, q103a, q103, q105, q106, q107, q113, q120)
+      q78, q82, q103a, q103, q105, q106, q107, q113, q120, q122)
 }

@@ -409,6 +409,28 @@ class DedupSpec extends SparkTestBase {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("duplicate spans merge equal-length intervals and require cross-doc grams") {
+    // 12 shared tokens "s1..s12" = 5 duplicated 8-grams at starts 1..5
+    // (gaps of 1 -> one merged span of 12 tokens); doc 3 repeats its
+    // own 8-gram twice but shares it with no other doc -> excluded.
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val selfRep = (1 to 8).map(i => s"r$i").mkString(" ")
+    val fixture = Seq(
+      (1L, s"$shared alpha beta gamma delta epsilon zeta eta theta $shared"),
+      (2L, s"prefix0 $shared"),
+      (3L, s"$selfRep filler1 filler2 filler3 filler4 filler5 filler6 filler7 $selfRep"))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(fixture, "doc_id", "text", k = 8)
+      .select("doc_id", "n_spans", "dup_tokens", "n_dup_grams")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // doc 1: two 12-token shared runs separated by 8 unique tokens ->
+    // 2 merged segments, 24 covered tokens, 10 dup grams
+    assert(out.map(_._1).toSeq === Seq(1L, 2L))
+    assert(out(0) === ((1L, 2L, 24L, 10L)))
+    // doc 2: one 12-token run -> 1 segment, 12 tokens, 5 grams
+    assert(out(1) === ((2L, 1L, 12L, 5L)))
+  }
+
   test("shingles and fingerprint behave on edge cases") {
     val df = Seq((1L, "one two"), (2L, ""), (3L, "a b c d")).toDF("id", "t")
     val sh = df.select(T.shingles(col("t"), 3).as("s"))
