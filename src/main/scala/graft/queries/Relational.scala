@@ -538,7 +538,44 @@ object Relational extends QueryRegistry {
       GROUP BY n_name
     """.trim))
 
+  /** Bloom-runtime-filtered fact/dim join: urgent orders' keys are
+    * tree-aggregated into a Bloom filter (commutative bit-OR — one
+    * pass, MB-scale bits on the driver) and probed as a codegen'd
+    * native predicate inside the lineitem scan stage, so the fact
+    * side is pruned BEFORE the join shuffle — the move for dims too
+    * big to broadcast whose key set still fits Bloom bits. The exact
+    * join that follows removes Bloom false positives, so the result
+    * is byte-identical to the plain join (which is exactly what the
+    * oracle runs — the Bloom stage is invisible to it at every fpp).
+    * Revenue in exact integer units (q109 discipline).
+    */
+  val q123 = GraftQuery(
+    "q123_bloom_prune_join",
+    (s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      graft.operators.RuntimeFilter
+        .bloomPrunedEquiJoin(Tables.lineitem(s, d), "l_orderkey",
+          urgent, "o_orderkey", fpp = 0.01)
+        .groupBy(col("l_returnflag"), year(col("l_shipdate")).as("ship_year"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("revenue_u"))
+    },
+    Some("""
+      SELECT l_returnflag, year(l_shipdate) AS ship_year,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_u
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY 1, 2
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q17, q18,
-      q19, q109, q111, q119)
+      q19, q109, q111, q119, q123)
 }
