@@ -429,7 +429,43 @@ object ScaleQueries extends QueryRegistry {
         .mkString("\nUNION ALL\n")
     })
 
+  /** Incremental maintenance of a JOIN view (q100's algebra extended
+    * to joins): the stored orders⋈customer view absorbs an orders
+    * delta AND a customer delta via the three delta terms
+    * ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — stored view rows are never recomputed,
+    * and every delta term broadcasts its batch side (the 100 TB
+    * sides never shuffle). Deterministic key-modulo splits stand in
+    * for arrival batches; the oracle recomputes the full join from
+    * scratch, certifying the delta algebra reproduces it. Totals in
+    * exact integer cents.
+    */
+  val q124 = GraftQuery(
+    "q124_incremental_join_view",
+    (s, d) => {
+      import graft.operators.IncrementalJoin
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_c"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val aOld = orders.filter(col("o_orderkey") % 7 =!= 0)
+      val dA = orders.filter(col("o_orderkey") % 7 === 0)
+      val bOld = cust.filter(col("c_custkey") % 5 =!= 0)
+      val dB = cust.filter(col("c_custkey") % 5 === 0)
+      val stored = aOld.join(bOld, aOld("o_custkey") === bOld("c_custkey"))
+      IncrementalJoin.maintainJoinView(stored, aOld, dA, bOld, dB,
+          (l, r) => l("o_custkey") === r("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("price_c")).as("total_c"))
+    },
+    Some("""
+      SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q44, q46, q48, q50, q66, q87, q88, q97, q98, q98a, q100, q102, q104,
-      q112, q114)
+      q112, q114, q124)
 }
