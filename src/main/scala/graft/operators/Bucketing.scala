@@ -29,16 +29,22 @@ object Bucketing {
     * vacuously empty), and range/single-partition exchanges count
     * too.
     */
-  def isShuffleFree(df: DataFrame): Boolean = {
+  def isShuffleFree(df: DataFrame): Boolean = countShuffles(df) == 0
+
+  /** Number of shuffle exchanges in the executed plan (broadcast
+    * exchanges excluded — they are not data shuffles). Same
+    * AQE-aware descent as isShuffleFree.
+    */
+  def countShuffles(df: DataFrame): Int = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    def hasShuffle(p: SparkPlan): Boolean = p match {
-      case a: AdaptiveSparkPlanExec => hasShuffle(a.executedPlan)
-      case q: QueryStageExec => hasShuffle(q.plan)
-      case _: ShuffleExchangeLike => true
-      case other => other.children.exists(hasShuffle)
+    def n(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => n(a.executedPlan)
+      case q: QueryStageExec => n(q.plan)
+      case s: ShuffleExchangeLike => 1 + s.children.map(n).sum
+      case other => other.children.map(n).sum
     }
-    !hasShuffle(df.queryExecution.executedPlan)
+    n(df.queryExecution.executedPlan)
   }
 }

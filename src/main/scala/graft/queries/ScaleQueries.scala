@@ -465,7 +465,44 @@ object ScaleQueries extends QueryRegistry {
       GROUP BY c_nationkey
     """.trim))
 
+  /** Bucketed co-located join, declared end-to-end: both sides are
+    * written bucketed+sorted on the join key (the shuffle paid ONCE
+    * at write time), then the repeated fact⋈fact join plans with no
+    * shuffle exchange on either input — the amortization move for
+    * the joins a 100 TB deployment re-runs every day. The only
+    * exchange in the whole declared plan is the final tiny
+    * partial-agg rollup (asserted in PlanAssertionsSpec). Revenue in
+    * exact integer units; the oracle runs the plain join — bucketing
+    * is physically transparent.
+    */
+  val q125 = GraftQuery(
+    "q125_bucketed_colocated_join",
+    (s, d) => {
+      import graft.operators.Bucketing
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+        round(col("l_discount") * 100).cast("long").as("disc_c"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      Bucketing.writeBucketed(li, s"graft_li_bkt$tag", 8, Seq("l_orderkey"))
+      Bucketing.writeBucketed(o, s"graft_o_bkt$tag", 8, Seq("o_orderkey"))
+      s.table(s"graft_li_bkt$tag")
+        .join(s.table(s"graft_o_bkt$tag"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price_c") * (lit(100L) - col("disc_c"))).as("revenue_u"))
+    },
+    Some("""
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_u
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q44, q46, q48, q50, q66, q87, q88, q97, q98, q98a, q100, q102, q104,
-      q112, q114, q124)
+      q112, q114, q124, q125)
 }

@@ -153,4 +153,14 @@ class PlanAssertionsSpec extends SparkTestBase {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("q125: bucketed co-located join — the only exchange is the final rollup") {
+    import graft.operators.Bucketing
+    val df = ScaleQueries.q125.run(spark, sf)
+    df.collect()
+    // join inputs read pre-bucketed: zero shuffles on either side;
+    // the single remaining exchange carries the partial-agg rows
+    assert(Bucketing.countShuffles(df) <= 1,
+      df.queryExecution.executedPlan.toString)
+  }
 }
