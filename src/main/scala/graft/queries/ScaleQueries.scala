@@ -502,7 +502,35 @@ object ScaleQueries extends QueryRegistry {
       GROUP BY 1
     """.trim))
 
+  /** Statically salted shuffle join, declared end-to-end: each hot
+    * key of the large side spreads over 8 deterministic sub-keys
+    * (row-hash salt — replay/retry stable, never rand()) and the
+    * small side replicates once per sub-key, so one pathological key
+    * lands on 8 reducers instead of melting one. AQE's skew split
+    * handles the common case at runtime; this is the static fallback
+    * for the known-degenerate keys (stop-shingles, the one hot
+    * instrument). Semantically invisible: the oracle runs the plain
+    * join.
+    */
+  val q126 = GraftQuery(
+    "q126_salted_skew_join",
+    (s, d) => {
+      val large = Tables.lineitem(s, d).select(col("l_orderkey").as("k"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      val small = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(large, small, "k", 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("price_c")).as("price_c_sum"))
+    },
+    Some("""
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_c_sum
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q44, q46, q48, q50, q66, q87, q88, q97, q98, q98a, q100, q102, q104,
-      q112, q114, q124, q125)
+      q112, q114, q124, q125, q126)
 }
