@@ -44,4 +44,20 @@ object ZOrder {
       .agg(count(lit(1)).as("n_rows"),
         min(col("x")).as("min_x"), max(col("x")).as("max_x"),
         min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+
+  /** zLocality's Hilbert twin: bucket by the top bits of the Hilbert
+    * index instead of the Morton code. Hilbert index ranges have no
+    * diagonal seams (every unit step is a grid neighbor), so the
+    * same bucket granularity yields tighter per-bucket extents —
+    * compare the two locality profiles to pick a table's layout.
+    */
+  def hilbertLocality(df: DataFrame, xCol: String, yCol: String, bits: Int,
+      bucketShift: Int): DataFrame =
+    df.select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .withColumn("h",
+        graft.expressions.HilbertFunctions.hilbert2d(col("x"), col("y"), bits))
+      .groupBy(shiftright(col("h"), bucketShift).as("hbucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
 }

@@ -530,7 +530,48 @@ object ScaleQueries extends QueryRegistry {
       GROUP BY 1
     """.trim))
 
+  /** q97's Hilbert twin: locality profile of the Hilbert-curve
+    * layout over the same (user_id, item) plane. The curve index is
+    * a native codegen'd expression (one tight bit-plane loop per
+    * row, no UDF); the oracle replays the identical
+    * rotate-and-accumulate walk as a recursive CTE — per-row, 16
+    * iterations, integer-exact. (DuckDB's list_reduce over struct
+    * accumulators mis-vectorizes in v1.0.0 — probed while building
+    * this oracle — so the recursive form is the trustworthy replay.)
+    */
+  val q127 = GraftQuery(
+    "q127_hilbert_locality",
+    (s, d) => graft.operators.ZOrder.hilbertLocality(
+      Tables.events(s, d).select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item")),
+      "user_id", "item", bits = 16, bucketShift = 8),
+    Some("""
+      WITH RECURSIVE e AS (
+        SELECT user_id AS x0,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS y0
+        FROM events),
+      h AS (
+        SELECT x0, y0, CAST(x0 AS BIGINT) AS x, CAST(y0 AS BIGINT) AS y,
+               CAST(0 AS BIGINT) AS d, CAST(32768 AS BIGINT) AS s
+        FROM e
+        UNION ALL
+        SELECT x0, y0,
+          CASE WHEN ((y & s) = 0) AND ((x & s) <> 0) THEN s - 1 - y
+               WHEN ((y & s) = 0) THEN y ELSE x END,
+          CASE WHEN ((y & s) = 0) AND ((x & s) <> 0) THEN s - 1 - x
+               WHEN ((y & s) = 0) THEN x ELSE y END,
+          d + s * s * xor(CASE WHEN (x & s) <> 0 THEN 3 ELSE 0 END,
+                          CASE WHEN (y & s) <> 0 THEN 1 ELSE 0 END),
+          s // 2
+        FROM h WHERE s >= 1)
+      SELECT d >> 8 AS hbucket, CAST(count(*) AS BIGINT) AS n_rows,
+             min(x0) AS min_x, max(x0) AS max_x,
+             min(y0) AS min_y, max(y0) AS max_y
+      FROM h WHERE s = 0
+      GROUP BY hbucket
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q44, q46, q48, q50, q66, q87, q88, q97, q98, q98a, q100, q102, q104,
-      q112, q114, q124, q125, q126)
+      q112, q114, q124, q125, q126, q127)
 }
