@@ -12,14 +12,27 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Write df as a bucketed+sorted managed table. */
+  /** Write df as a bucketed+sorted managed table. Drops any previous
+    * table AND its warehouse directory first: the in-memory catalog
+    * forgets tables across JVMs while their directories survive, and
+    * a fresh session's saveAsTable refuses an orphaned location
+    * (LOCATION_ALREADY_EXISTS) — so a re-run in a new session must
+    * clear both.
+    */
   def writeBucketed(df: DataFrame, table: String, numBuckets: Int,
-      keys: Seq[String]): Unit =
+      keys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+  }
 
   /** True when the physical plan of `df` contains no shuffle
     * exchange node (broadcast exchanges do not count — they are not
