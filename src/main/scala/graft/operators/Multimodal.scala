@@ -197,6 +197,126 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------
+  // Audio: WAV container encode → REAL header + PCM16 decode →
+  // windowed integer features. Same fixture philosophy as the PNG
+  // path: the synthesized samples are pure integer arithmetic from
+  // doc_id, so the oracle predicts every feature without ever
+  // parsing a WAV — while the engine's chain really does build and
+  // parse RIFF headers and little-endian PCM16 payloads.
+  // ---------------------------------------------------------------
+
+  /** One audio clip: a complete, real WAV byte stream (44-byte RIFF
+    * PCM header + little-endian int16 mono samples).
+    */
+  final case class AudioClip(doc_id: Long, wav: Array[Byte])
+
+  /** Windowed features over decoded PCM: all integer-exact (mean
+    * square instead of RMS — no sqrt, no doubles), so any engine
+    * replays them bit-for-bit.
+    */
+  final case class AudioFrame(
+      doc_id: Long,
+      frame_idx: Int,
+      n_samples: Int,
+      sample_rate: Int,
+      mean_square: Long,
+      zero_crossings: Long,
+      peak: Long)
+
+  /** Fixture contract shared with the oracle: sample i of clip docId
+    * is ((31·docId + 7i) mod 2003) − 1001 — a full-swing integer
+    * sawtooth, no trig/IEEE anywhere.
+    */
+  def pcmSample(docId: Long, i: Int): Int =
+    (((docId * 31L + i * 7L) % 2003L) - 1001L).toInt
+
+  /** Fixture geometry: 256..511 samples; rate 8 kHz for even ids,
+    * 16 kHz for odd (the parsed rate proves the header round-trip).
+    */
+  def audioDims(docId: Long): (Int, Int) =
+    ((256 + (docId % 256)).toInt, if (docId % 2 == 0) 8000 else 16000)
+
+  /** Encode a REAL mono PCM16 WAV: canonical 44-byte RIFF header,
+    * then little-endian samples.
+    */
+  def encodeWav(docId: Long): Array[Byte] = {
+    val (n, rate) = audioDims(docId)
+    val dataBytes = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(rate)
+      .putInt(rate * 2) // byte rate
+      .putShort(2)      // block align
+      .putShort(16)     // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var i = 0
+    while (i < n) { bb.putShort(pcmSample(docId, i).toShort); i += 1 }
+    bb.array()
+  }
+
+  /** Synthesize one WAV clip per doc_id. */
+  def syntheticWavs(ids: DataFrame): Dataset[AudioClip] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col("doc_id").cast("long")).as[Long]
+      .map(id => AudioClip(id, encodeWav(id)))
+  }
+
+  /** REAL decode + feature extraction: validates the RIFF magic,
+    * reads rate/bits/channels/data-size out of the header bytes,
+    * decodes the little-endian PCM16 payload, then emits one row per
+    * `window`-sample frame every `stride` samples with integer mean
+    * square, strict-sign zero crossings, and peak |amplitude|. A
+    * broken encoder, a mis-stated header, or an endianness slip
+    * fails loudly here (magic/format checks) or flips the feature
+    * values (and the driver hash) downstream.
+    */
+  def decodeWavFrames(clips: Dataset[AudioClip], window: Int = 128,
+      stride: Int = 64): Dataset[AudioFrame] = {
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips.mapPartitions { it =>
+      it.flatMap { clip =>
+        val bb = java.nio.ByteBuffer.wrap(clip.wav)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def ascii(off: Int, n: Int) = new String(clip.wav, off, n, "US-ASCII")
+        require(ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE" &&
+          ascii(12, 4) == "fmt " && ascii(36, 4) == "data",
+          s"not a canonical PCM WAV (doc ${clip.doc_id})")
+        require(bb.getShort(20) == 1 && bb.getShort(22) == 1 &&
+          bb.getShort(34) == 16,
+          s"expected mono PCM16 (doc ${clip.doc_id})")
+        val rate = bb.getInt(24)
+        val n = bb.getInt(40) / 2
+        val samples = new Array[Int](n)
+        var i = 0
+        while (i < n) { samples(i) = bb.getShort(44 + 2 * i).toInt; i += 1 }
+        val nFrames = if (n < window) 0 else (n - window) / stride + 1
+        (0 until nFrames).iterator.map { f =>
+          val start = f * stride
+          var sumSq = 0L
+          var zc = 0L
+          var peak = 0L
+          var j = start
+          while (j < start + window) {
+            val v = samples(j).toLong
+            sumSq += v * v
+            if (v.abs > peak) peak = v.abs
+            if (j > start && samples(j - 1).toLong * v < 0) zc += 1
+            j += 1
+          }
+          AudioFrame(clip.doc_id, f, n, rate, sumSq / window, zc, peak)
+        }
+      }
+    }
+  }
+
   /** Pure-SQL binary profiling of a payload column: sizes, header
     * bytes, strided frame samples, content digest. Everything stays
     * in whole-stage codegen — this is the metadata path that must

@@ -585,7 +585,41 @@ object TextAnalysis extends QueryRegistry {
       FROM c
     """.trim))
 
+  /** Audio modality end-to-end: per-doc synthetic WAV (REAL RIFF
+    * header + little-endian PCM16 payload) decoded back through a
+    * genuine header parse, then windowed integer features (mean
+    * square / strict-sign zero crossings / peak — no doubles
+    * anywhere). The oracle replays the sample-generator arithmetic
+    * per 128-sample window; the parsed sample_rate column certifies
+    * the header round-trip (it is predictable from doc_id parity
+    * ONLY if the rate written at byte 24 survives encode → decode).
+    */
+  val q128 = GraftQuery(
+    "q128_audio_features",
+    (s, d) => Multimodal.decodeWavFrames(
+      Multimodal.syntheticWavs(Tables.documents(s, d)),
+      window = 128, stride = 64).toDF(),
+    Some("""
+      WITH dims AS (
+        SELECT doc_id, 256 + doc_id % 256 AS ns,
+               CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS rate
+        FROM documents),
+      fr AS (SELECT doc_id, ns, rate,
+                    unnest(range(0, (ns - 128) // 64 + 1)) AS f
+             FROM dims),
+      s AS (SELECT doc_id, ns, rate, f,
+                   list_transform(range(f*64, f*64 + 128),
+                     i -> CAST((doc_id * 31 + i * 7) % 2003 - 1001 AS BIGINT)) AS v
+            FROM fr)
+      SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(ns AS INT) AS n_samples,
+             CAST(rate AS INT) AS sample_rate,
+             CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) // 128 AS mean_square,
+             CAST(len(list_filter(range(2, 129), j -> v[j-1]*v[j] < 0)) AS BIGINT) AS zero_crossings,
+             CAST(list_max(list_transform(v, x -> abs(x))) AS BIGINT) AS peak
+      FROM s
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q45, q62, q63, q64, q65,
-      q80, q99, q101, q117, q118)
+      q80, q99, q101, q117, q118, q128)
 }

@@ -431,6 +431,29 @@ class DedupSpec extends SparkTestBase {
     assert(out(1) === ((2L, 1L, 12L, 5L)))
   }
 
+  test("WAV encode/decode round-trips header fields and PCM samples exactly") {
+    // direct byte-level check, no Spark: the header parse must read
+    // back exactly what the encoder wrote
+    val wav = Multimodal.encodeWav(7L)
+    val (n, rate) = Multimodal.audioDims(7L)
+    assert(new String(wav, 0, 4, "US-ASCII") === "RIFF")
+    assert(wav.length === 44 + 2 * n)
+    val ids = Seq(6L, 7L).toDF("doc_id")
+    val frames = Multimodal.decodeWavFrames(Multimodal.syntheticWavs(ids))
+      .collect().groupBy(_.doc_id)
+    assert(frames(7L).head.sample_rate === rate && rate === 16000)
+    assert(frames(6L).head.sample_rate === 8000)
+    // hand-computed window 0 of doc 7: samples 0..127
+    val s = (0 until 128).map(Multimodal.pcmSample(7L, _))
+    val f0 = frames(7L).find(_.frame_idx === 0).get
+    assert(f0.mean_square === s.map(v => v.toLong * v).sum / 128)
+    assert(f0.peak === s.map(math.abs).max.toLong)
+    assert(f0.zero_crossings ===
+      (1 until 128).count(j => s(j - 1).toLong * s(j) < 0).toLong)
+    // frame count: (n - 128) / 64 + 1
+    assert(frames(7L).length === (n - 128) / 64 + 1)
+  }
+
   test("shingles and fingerprint behave on edge cases") {
     val df = Seq((1L, "one two"), (2L, ""), (3L, "a b c d")).toDF("id", "t")
     val sh = df.select(T.shingles(col("t"), 3).as("s"))
