@@ -701,6 +701,44 @@ object Dedup {
     (labels, i)
   }
 
+  /** Retention maintenance for the signature store — the third leg of
+    * the store lifecycle (write / append / vacuum): signatures of
+    * deleted or expired documents are removed so they stop matching
+    * future batches. Rewrite-and-swap: surviving rows (anti-join on
+    * the removed-id set — batch-sized, prunes both store scans) stage
+    * to sibling dirs, then swap under a DROPPED marker. A crash
+    * anywhere leaves either the old store (marker intact, stage
+    * ignored) or a marker-less store that fails
+    * signatureStoreComplete and forces a rebuild — never a
+    * mixed-generation read. Cost: one scan of the signature tables,
+    * never of the corpus.
+    */
+  def signatureStoreVacuum(spark: org.apache.spark.sql.SparkSession,
+      removedIds: DataFrame, idCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, path: String): Unit = {
+    require(signatureStoreComplete(path, n, bands, rowsPerBand),
+      s"signature store at $path is incomplete or was built with different " +
+        s"parameters than (${storeParams(n, bands, rowsPerBand)}) — refusing to vacuum")
+    val ids = removedIds.select(col(idCol).as("id"))
+    spark.read.parquet(s"$path/shingles")
+      .join(ids, Seq("id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$path/shingles_stage")
+    spark.read.parquet(s"$path/bands")
+      .join(ids, Seq("id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$path/bands_stage")
+    storeMarker(path).delete()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("shingles", "bands").foreach { t =>
+      val live = new org.apache.hadoop.fs.Path(path, t)
+      val stage = new org.apache.hadoop.fs.Path(path, t + "_stage")
+      fs.delete(live, true)
+      fs.rename(stage, live)
+    }
+    java.nio.file.Files.write(storeMarker(path).toPath,
+      storeParams(n, bands, rowsPerBand).getBytes("UTF-8"))
+  }
+
   /** Cross-document duplicated-SPAN detection — the span-level
     * complement of document-level dedup (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better":

@@ -919,7 +919,62 @@ object DedupQueries extends QueryRegistry {
       FROM m
     """.trim))
 
+  /** Store lifecycle closed: build → VACUUM (drop signatures of
+    * retired corpus docs, id ≡ 12 mod 20 — a set that really holds
+    * match partners at sf0.01, so the vacuum visibly changes the
+    * result) → search. The oracle is q68's replay restricted to the
+    * surviving corpus: pairs whose partner was vacuumed MUST
+    * disappear. The store builds fresh each run (vacuum is
+    * destructive; the q103 build-if-absent guard pattern can't reuse
+    * an already-vacuumed store) at its own path so q103/q105 keep
+    * their full store.
+    */
+  val q130 = GraftQuery(
+    "q130_signature_store_vacuum",
+    (s, d) => {
+      val path = "/tmp/graft_q130_sig_store_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val docs = Tables.documents(s, d)
+      Dedup.signatureStoreWrite(docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", n = 3, bands = 4, rowsPerBand = 4, path)
+      Dedup.signatureStoreVacuum(s,
+        docs.filter(col("doc_id") % 20 === 12).select(col("doc_id")),
+        "doc_id", n = 3, bands = 4, rowsPerBand = 4, path)
+      Dedup.minhashLshPairsAgainstStore(
+        docs.filter(col("doc_id") % 10 === 0), path,
+        "doc_id", "text", n = 3, bands = 4, rowsPerBand = 4, threshold = 0.5)
+    },
+    Some {
+      val p = T.MinhashP
+      val sigEntries = T.MinhashAB.map { case (a, b) =>
+        s"list_aggregate(list_transform(xi, x -> (x * $a + $b) % $p), 'min')"
+      }.mkString(",\n                    ")
+      val bandEntries = (0 until 4).map { j =>
+        s"array_to_string(sg[${j * 4 + 1}:${j * 4 + 4}], ',')"
+      }.mkString(", ")
+      s"""
+      WITH $duckShingles,
+      ints AS (SELECT doc_id, s,
+                      list_transform(s, x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS xi
+               FROM sh),
+      sig AS (SELECT doc_id, s,
+                     [$sigEntries] AS sg
+              FROM ints),
+      bands AS (SELECT doc_id, s, band_idx, [$bandEntries][band_idx + 1] AS band_key
+                FROM sig, unnest([0, 1, 2, 3]) AS t(band_idx)),
+      cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+               FROM bands a JOIN bands b
+                 ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+                 AND b.doc_id % 20 <> 12),
+      verified AS (SELECT new_id, corpus_id,
+                          floor(len(list_intersect(x.s, y.s)) * 1.0 /
+                                (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) * 10000) / 10000 AS jaccard
+                   FROM cand JOIN sh x ON new_id = x.doc_id JOIN sh y ON corpus_id = y.doc_id)
+      SELECT new_id, corpus_id, jaccard FROM verified WHERE jaccard >= 0.5
+      """.trim
+    })
+
   def all: Seq[GraftQuery] =
     Seq(q20, q21, q22, q23, q24, q39, q47, q47a, q59, q60, q61, q67, q68, q75,
-      q78, q82, q103a, q103, q105, q106, q107, q113, q120, q122)
+      q78, q82, q103a, q103, q105, q106, q107, q113, q120, q122, q130)
 }

@@ -431,6 +431,41 @@ class DedupSpec extends SparkTestBase {
     assert(out(1) === ((2L, 1L, 12L, 5L)))
   }
 
+  test("store vacuum removes retired signatures and equals a rebuild from survivors") {
+    val store = tmpDir("graft_vacuum_store")
+    val rebuilt = tmpDir("graft_vacuum_rebuild")
+    val corpus = docs.filter(col("doc_id") =!= 4L) // 1, 2, 3
+    val batch = docs.filter(col("doc_id") === 4L)  // exact dup of 1
+    Dedup.signatureStoreWrite(corpus, "doc_id", "text", 3, 4, 4, store)
+    // before vacuum: the batch matches doc 1
+    val before = Dedup.minhashLshPairsAgainstStore(
+      batch, store, "doc_id", "text", 3, 4, 4, 0.5)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(before.contains(1L))
+    Dedup.signatureStoreVacuum(spark, Seq(1L).toDF("doc_id"), "doc_id",
+      3, 4, 4, store)
+    // marker survives the swap; search drops doc 1's pairs
+    assert(Dedup.signatureStoreComplete(store, 3, 4, 4))
+    val after = Dedup.minhashLshPairsAgainstStore(
+      batch, store, "doc_id", "text", 3, 4, 4, 0.5)
+    Dedup.signatureStoreWrite(corpus.filter(col("doc_id") =!= 1L),
+      "doc_id", "text", 3, 4, 4, rebuilt)
+    val fromRebuild = Dedup.minhashLshPairsAgainstStore(
+      batch, rebuilt, "doc_id", "text", 3, 4, 4, 0.5)
+    // collect both sides: each search plan carries the lsh_band_cap
+    // observe metric, and one combined plan would duplicate the name
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSet
+    assert(rows(after) === rows(fromRebuild))
+    assert(!after.select("corpus_id").as[Long].collect().contains(1L))
+    // refuse to vacuum a store whose marker is gone
+    new java.io.File(s"$store/_GRAFT_STORE_COMPLETE").delete()
+    intercept[IllegalArgumentException] {
+      Dedup.signatureStoreVacuum(spark, Seq(2L).toDF("doc_id"), "doc_id",
+        3, 4, 4, store)
+    }
+  }
+
   test("WAV encode/decode round-trips header fields and PCM samples exactly") {
     // direct byte-level check, no Spark: the header parse must read
     // back exactly what the encoder wrote
