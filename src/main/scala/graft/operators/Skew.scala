@@ -30,6 +30,23 @@ object Skew {
     saltedLarge.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Pre-flight skew diagnosis for a prospective join/group key:
+    * per-key row counts against the table total, heavy keys above a
+    * basis-point share threshold. Run it BEFORE the 100 TB join —
+    * the output (a handful of hot keys) decides between the plain
+    * plan, saltedJoin, or a broadcast of the hot subset. One
+    * map-side-combined count aggregate; the total is a 1-row
+    * broadcast; share in exact integer basis points.
+    */
+  def keySkewProfile(df: DataFrame, key: String, minShareBp: Long): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum(col("n_rows")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share_bp", expr("div(n_rows * 10000, total)"))
+      .filter(col("share_bp") >= minShareBp)
+      .select(col(key), col("n_rows"), col("total"), col("share_bp"))
+  }
+
   /** Two-phase aggregation for heavily skewed group keys: partial
     * count per (key, salt), then final combine per key. Spark's
     * map-side partial aggregation already does this for algebraic

@@ -388,6 +388,38 @@ object AnalyticsQueries extends QueryRegistry {
                    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
     """.trim))
 
+  /** Unpivot/melt — q52's inverse reshape: four lineitem measures
+    * stacked into (metric, value) rows, then profiled per metric.
+    * Values in exact integer cents BEFORE the stack so the sums are
+    * order-independent in both engines; the oracle is the canonical
+    * UNION ALL expansion.
+    */
+  val q129 = GraftQuery(
+    "q129_unpivot_measures",
+    (s, d) => Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        round(col("l_quantity") * 100).cast("long").as("quantity_c"),
+        round(col("l_extendedprice") * 100).cast("long").as("extendedprice_c"),
+        round(col("l_discount") * 100).cast("long").as("discount_c"),
+        round(col("l_tax") * 100).cast("long").as("tax_c"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("quantity_c"), col("extendedprice_c"), col("discount_c"),
+          col("tax_c")),
+        "metric", "v_c")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v_c")).as("sum_c"),
+        min(col("v_c")).as("min_c"), max(col("v_c")).as("max_c")),
+    Some {
+      Seq("quantity", "extendedprice", "discount", "tax").map { m =>
+        s"""SELECT '${m}_c' AS metric, CAST(count(*) AS BIGINT) AS n_rows,
+           |CAST(sum(CAST(round(l_$m * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+           |CAST(min(CAST(round(l_$m * 100) AS BIGINT)) AS BIGINT) AS min_c,
+           |CAST(max(CAST(round(l_$m * 100) AS BIGINT)) AS BIGINT) AS max_c
+           |FROM lineitem""".stripMargin.replace("\n", " ")
+      }.mkString("\nUNION ALL\n")
+    })
+
   def all: Seq[GraftQuery] =
-    Seq(q51, q52, q53, q54, q55, q57, q58, q69, q89, q90, q91, q92, q93, q95, q110)
+    Seq(q51, q52, q53, q54, q55, q57, q58, q69, q89, q90, q91, q92, q93, q95,
+      q110, q129)
 }

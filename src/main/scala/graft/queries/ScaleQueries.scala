@@ -571,7 +571,26 @@ object ScaleQueries extends QueryRegistry {
       GROUP BY hbucket
     """.trim))
 
+  /** Join-key skew diagnosis, declared: per-key share of the events
+    * table in exact integer basis points, heavy keys only — the
+    * pre-flight check that picks between plain, salted (q126), and
+    * hot-subset-broadcast plans. Oracle replays the count + scalar
+    * total + integral division.
+    */
+  val q131 = GraftQuery(
+    "q131_key_skew_profile",
+    (s, d) => Skew.keySkewProfile(
+      Tables.events(s, d), "event_type", minShareBp = 500L),
+    Some("""
+      WITH c AS (SELECT event_type, count(*) AS n_rows FROM events GROUP BY event_type),
+      t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM c)
+      SELECT event_type, CAST(n_rows AS BIGINT) AS n_rows, total,
+             CAST(n_rows * 10000 // total AS BIGINT) AS share_bp
+      FROM c CROSS JOIN t
+      WHERE n_rows * 10000 // total >= 500
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q44, q46, q48, q50, q66, q87, q88, q97, q98, q98a, q100, q102, q104,
-      q112, q114, q124, q125, q126, q127)
+      q112, q114, q124, q125, q126, q127, q131)
 }
