@@ -155,6 +155,53 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** All pairs with n-gram CONTAINMENT >= threshold, where
+    * C(A,B) = |A∩B| / min(|A|,|B|) (Broder's containment coefficient,
+    * "On the resemblance and containment of documents", 1997). This
+    * catches the doc-in-doc duplication Jaccard misses: a document
+    * quoted whole inside a 10x-larger page has Jaccard <= 0.1 but
+    * containment ~1.0 — the dominant near-dup mode in web-scraped
+    * training corpora (boilerplate-wrapped article copies).
+    *
+    * Same physical shape as [[ngramJaccardPairs]]: one posting-list
+    * shuffle on the shingle, pair-count aggregation, then a size
+    * lookup join — candidates shuffle (shingle, id) pairs, never
+    * documents. The df cap bounds the per-shingle quadratic blowup;
+    * pairs whose only shared shingles are stop-shingles are the ones
+    * a containment filter must NOT be trusted on anyway (boilerplate
+    * containment is what the cap deliberately ignores).
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDf: Int = 1000): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      T.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .cache()
+    val postings = sh.select(col("id"), explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(sort_array(array_distinct(collect_list(col("id")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .observe("containment_df_cap",
+        sum(when(size(col("ids")) > maxDf, 1L).otherwise(0L)).as("dropped_postings"))
+      .filter(size(col("ids")) <= maxDf)
+    val cand = postings
+      .select(posexplode(col("ids")).as(Seq("i", "id1")), col("ids"))
+      .select(col("id1"), explode(slice(col("ids"), col("i") + 2,
+        size(col("ids")))).as("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("n_sh"))
+    // inter*10000 and the min size are exact longs; their IEEE quotient
+    // is correctly rounded, so floor lands on the integer grid the
+    // oracle replays (the q21 discipline)
+    cand
+      .join(sizes.as("s1"), col("id1") === col("s1.id"))
+      .join(sizes.as("s2"), col("id2") === col("s2.id"))
+      .withColumn("containment",
+        floor(col("inter") * 10000 / least(col("s1.n_sh"), col("s2.n_sh"))) / 10000.0)
+      .filter(col("containment") >= threshold)
+      .select(col("id1"), col("id2"), col("containment"))
+  }
+
   /** MinHash + LSH near-dup pairs: shingle -> 16-hash signature ->
     * band buckets -> candidate pairs -> exact-Jaccard verify on the
     * candidates only (via array_intersect — no exploded join).

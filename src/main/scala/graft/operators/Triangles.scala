@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Triangle counting over an undirected graph — the structural signal
+  * behind clustering-coefficient curation filters (e.g. scoring how
+  * clique-like a near-dup cluster or a click-transition neighborhood
+  * is before deciding to collapse it).
+  *
+  * Scale shape: the naive wedge join is quadratic in the max degree —
+  * one celebrity node with 10M neighbors emits 10^14 wedges. The
+  * standard fix (Schank & Wagner 2005; Suri & Vassilvitskii, "Counting
+  * Triangles and the Curse of the Last Reducer", WWW'11) orients every
+  * edge from the lower to the higher endpoint in the total order
+  * (degree, node): out-degrees are then bounded by O(sqrt(m)), wedge
+  * volume by O(m^{3/2}) REGARDLESS of skew, and each triangle is
+  * generated exactly once (pivoted at its order-minimal vertex). All
+  * three stages are plain equi-joins/aggregations: nothing shuffles
+  * but (node, node) pairs, and every stage map-side combines.
+  */
+object Triangles {
+
+  /** Per-node triangle participation counts: (node, n_triangles) for
+    * every node in at least one triangle. Input edges may be directed,
+    * duplicated, or self-looped — canonicalization (least/greatest +
+    * distinct) handles all three.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val canon = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+      .cache()
+    val deg = canon.select(col("a").as("node"))
+      .unionAll(canon.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    // orient each edge along the (degree, node) total order; carry the
+    // head's degree so the wedge stage can re-apply the same order
+    // without another degree join
+    val lower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = canon
+      .join(deg.select(col("node").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("d").as("db")), "b")
+      .select(
+        when(lower, col("a")).otherwise(col("b")).as("u"),
+        when(lower, col("b")).otherwise(col("a")).as("v"),
+        when(lower, col("db")).otherwise(col("da")).as("dv"))
+      .cache()
+    // wedges: ordered out-neighbor pairs of a common pivot; the closing
+    // edge {v1, v2}, if present, is oriented v1 -> v2 by construction
+    val wedges = oriented.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+      .join(oriented.select(col("u"), col("v").as("v2"), col("dv").as("dv2")),
+        Seq("u"))
+      .filter(col("dv1") < col("dv2") ||
+        (col("dv1") === col("dv2") && col("v1") < col("v2")))
+    val tri = wedges
+      .join(oriented.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+    tri.select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+}

@@ -974,7 +974,31 @@ object DedupQueries extends QueryRegistry {
       """.trim
     })
 
+  /** n-gram CONTAINMENT pairs (Broder 1997): |A∩B| / min(|A|,|B|) —
+    * the doc-in-doc detector Jaccard misses (a page quoted whole
+    * inside a 10x-larger page scores ~1.0 here, <= 0.1 on q21).
+    * Same posting-list physical shape as q21; the score grid is
+    * exact-integer (inter*10000 over a long min) so the oracle
+    * replays it digit-for-digit.
+    */
+  val q132 = GraftQuery(
+    "q132_dedup_containment",
+    (s, d) => Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+      n = 3, threshold = 0.8),
+    Some(s"""
+      WITH $duckShingles,
+      ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      sz AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+      cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+               FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+      SELECT id1, id2,
+             floor(inter * 10000.0 / least(x.n_sh, y.n_sh)) / 10000 AS containment
+      FROM cand JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+      WHERE floor(inter * 10000.0 / least(x.n_sh, y.n_sh)) / 10000 >= 0.8
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q20, q21, q22, q23, q24, q39, q47, q47a, q59, q60, q61, q67, q68, q75,
-      q78, q82, q103a, q103, q105, q106, q107, q113, q120, q122, q130)
+      q78, q82, q103a, q103, q105, q106, q107, q113, q120, q122, q130, q132)
 }
