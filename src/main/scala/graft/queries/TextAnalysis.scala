@@ -619,7 +619,44 @@ object TextAnalysis extends QueryRegistry {
       FROM s
     """.trim))
 
+  /** Unicode NFC normalization through the native codegen'd
+    * NfcNormalize expression, driver-verified against DuckDB's
+    * nfc_normalize (utf8proc) — two independent implementations of
+    * UAX #15 canonical composition must produce byte-identical md5s.
+    * The fixture text is built deterministically per doc_id from
+    * decomposed sequences (e + U+0301, a + U+0308) plus a precomposed
+    * U+00E4, so composition genuinely fires on every row (documents
+    * text itself is ASCII, where NFC is the identity); the synthetic-
+    * fixture pattern of q45/q101/q128.
+    */
+  val q134 = GraftQuery(
+    "q134_nfc_normalize",
+    (s, d) => {
+      import graft.expressions.{UnicodeFunctions => U}
+      // Spark's chr() is mod-256 ASCII, not a codepoint constructor —
+      // the combining marks are unicode escapes here: decomposed
+      // e+U+0301 repeated, then precomposed U+00E4, then decomposed
+      // a+U+0308 — matching the DuckDB side's chr() construction
+      val raw = Tables.documents(s, d).select(col("doc_id"),
+        concat(expr("repeat('e\u0301', cast(doc_id % 5 + 1 as int))"),
+          lit("\u00e4a\u0308")).as("s"))
+      raw.select(col("doc_id"), length(col("s")).as("len_raw"),
+        length(U.nfcNormalize(col("s"))).as("len_nfc"),
+        md5(U.nfcNormalize(col("s"))).as("md5_nfc"))
+    },
+    Some("""
+      WITH raw AS (
+        SELECT doc_id,
+               repeat('e' || chr(769), CAST(doc_id % 5 + 1 AS INT)) ||
+               chr(228) || 'a' || chr(776) AS s
+        FROM documents)
+      SELECT doc_id, CAST(length(s) AS INT) AS len_raw,
+             CAST(length(nfc_normalize(s)) AS INT) AS len_nfc,
+             md5(nfc_normalize(s)) AS md5_nfc
+      FROM raw
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q45, q62, q63, q64, q65,
-      q80, q99, q101, q117, q118, q128)
+      q80, q99, q101, q117, q118, q128, q134)
 }

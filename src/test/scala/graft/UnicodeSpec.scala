@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.expressions.{NfcNormalize, UnicodeFunctions => U}
+import graft.operators.Triangles
+
+class UnicodeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("NFC composes decomposed sequences and is idempotent") {
+    val decomposed = "e\u0301a\u0308" // e + U+0301, a + U+0308
+    val composed = "\u00e9\u00e4"     // precomposed U+00E9, U+00E4
+    val df = Seq(decomposed, composed, "plain ascii", "").toDF("s")
+    val got = df.select(U.nfcNormalize(col("s")).as("n")).as[String].collect()
+    assert(got(0) === composed)
+    assert(got(1) === composed) // already-NFC input is returned unchanged
+    assert(got(2) === "plain ascii")
+    assert(got(3) === "")
+  }
+
+  test("null in, null out; non-string input is rejected at analysis") {
+    val got = Seq(Some("å"), None).toDF("s")
+      .select(U.nfcNormalize(col("s")).as("n")).collect()
+    assert(got(0).getString(0) === "å")
+    assert(got(1).isNullAt(0))
+    val err = intercept[Exception] {
+      Seq(1L).toDF("x").select(U.nfcNormalize(col("x"))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("string"))
+  }
+
+  test("normalized keys merge groups that raw keys split") {
+    val df = Seq("e\u0301", "\u00e9", "e\u0301").toDF("s")
+    assert(df.groupBy(col("s")).count().count() === 2)
+    assert(df.groupBy(U.nfcNormalize(col("s"))).count().count() === 1)
+  }
+
+  test("triangle counts: 4-clique minus an edge has two triangles sharing an edge") {
+    // K4 on {1,2,3,4} without edge {1,4}: triangles {1,2,3} and {2,3,4}
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 4L)) // includes a duplicate direction and a self-loop
+      .toDF("src", "dst")
+    val got = Triangles.triangleCounts(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("triangle counts: hub star has no triangles, closing one edge makes one") {
+    val star = (2L to 20L).map(i => (1L, i)).toDF("src", "dst")
+    assert(Triangles.triangleCounts(star, "src", "dst").count() === 0)
+    val closed = star.union(Seq((7L, 8L)).toDF("src", "dst"))
+    val got = Triangles.triangleCounts(closed, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 7L -> 1L, 8L -> 1L))
+  }
+}
