@@ -115,12 +115,41 @@ object GraftFunctions {
 
 /** SparkSessionExtensions entry point:
   * .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+  *
+  * Registers the engine's native expressions into the session's
+  * FunctionRegistry, making the full surface reachable from plain
+  * `spark.sql(...)` text (and thus from JDBC/thrift frontends that
+  * never touch the Scala API) — the library boundary a Spark-native
+  * engine is expected to expose. Literal-only arguments (bits) are
+  * validated at registration call time, not execution time.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+
+  private def literalInt(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int, got $other")
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("hilbert_2d"),
+      new ExpressionInfo(classOf[HilbertIndex2D].getName, "hilbert_2d"),
+      (exprs: Seq[Expression]) => HilbertIndex2D(exprs.head, exprs(1),
+        literalInt(exprs(2), "hilbert_2d bits"))))
+    e.injectFunction((
+      new FunctionIdentifier("md5_int_array"),
+      new ExpressionInfo(classOf[Md5IntArray].getName, "md5_int_array"),
+      (exprs: Seq[Expression]) => Md5IntArray(exprs.head,
+        literalInt(exprs(1), "md5_int_array bits"))))
   }
 }

@@ -656,7 +656,30 @@ object TextAnalysis extends QueryRegistry {
       FROM raw
     """.trim))
 
+  /** q134 re-expressed as PURE SQL TEXT through the session's
+    * FunctionRegistry (GraftExtensions): the query plans through
+    * `spark.sql` with the injected graft_nfc function — proving the
+    * engine's surface is reachable from SQL frontends that never
+    * touch the Scala API. Same semantics, same oracle; a physically
+    * identical plan arrived at through the other front door (the
+    * q81/q42 one-semantics-two-paths pattern).
+    */
+  val q135 = GraftQuery(
+    "q135_nfc_sql_surface",
+    (s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("graft_documents_sql")
+      s.sql("""
+        SELECT doc_id, length(s) AS len_raw,
+               length(graft_nfc(s)) AS len_nfc,
+               md5(graft_nfc(s)) AS md5_nfc
+        FROM (SELECT doc_id,
+                     concat(repeat('e\u0301', cast(doc_id % 5 + 1 as int)),
+                            '\u00e4a\u0308') AS s
+              FROM graft_documents_sql)""")
+    },
+    q134.oracle)
+
   def all: Seq[GraftQuery] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q45, q62, q63, q64, q65,
-      q80, q99, q101, q117, q118, q128, q134)
+      q80, q99, q101, q117, q118, q128, q134, q135)
 }

@@ -12,6 +12,7 @@ trait SparkTestBase extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
     .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

@@ -35,6 +35,30 @@ class UnicodeSpec extends SparkTestBase {
     assert(df.groupBy(U.nfcNormalize(col("s"))).count().count() === 1)
   }
 
+  test("SQL-registered functions match their Scala-API twins") {
+    import graft.expressions.{HashFunctions, HilbertFunctions}
+    val df = spark.range(0, 256)
+      .select((col("id") % 16).as("x"), (col("id") / 16).cast("long").as("y"),
+        concat(lit("w"), col("id")).as("s"))
+    df.createOrReplaceTempView("u_sql_v")
+    val viaSql = spark.sql(
+      "SELECT hilbert_2d(x, y, 4) AS h, graft_nfc(s) AS n, " +
+        "md5_int_array(array(s), 32) AS a FROM u_sql_v ORDER BY h")
+    val viaApi = df.select(
+      HilbertFunctions.hilbert2d(col("x"), col("y"), 4).as("h"),
+      U.nfcNormalize(col("s")).as("n"),
+      HashFunctions.md5_int_array32(array(col("s"))).as("a")).orderBy(col("h"))
+    assert(viaSql.collect().toSeq === viaApi.collect().toSeq)
+  }
+
+  test("SQL registration rejects a non-literal bits argument") {
+    spark.range(1).createOrReplaceTempView("u_sql_one")
+    val err = intercept[Exception] {
+      spark.sql("SELECT hilbert_2d(id, id, cast(id as int)) FROM u_sql_one").collect()
+    }
+    assert(err.getMessage.contains("literal int"))
+  }
+
   test("triangle counts: 4-clique minus an edge has two triangles sharing an edge") {
     // K4 on {1,2,3,4} without edge {1,4}: triangles {1,2,3} and {2,3,4}
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
