@@ -590,7 +590,42 @@ object ScaleQueries extends QueryRegistry {
       WHERE n_rows * 10000 // total >= 500
     """.trim))
 
+  /** Manifest-style file skipping: range-sorted layout (q66) + an
+    * explicit zone-map catalog (FileSkipping.fileStats), then a
+    * two-day range rollup read through the PRUNED file list — files
+    * whose [min, max] misses the range are never opened, the
+    * manifest shape every table format (Delta/Iceberg) builds on.
+    * The exact row predicate still applies after pruning (zone maps
+    * are conservative), so the oracle is the plain filtered rollup
+    * over the original table; FileSkippingSpec proves files are
+    * actually skipped on a handcrafted layout.
+    */
+  val q136 = GraftQuery(
+    "q136_file_skipping_rollup",
+    (s, d) => {
+      import graft.operators.FileSkipping
+      val path = "/tmp/graft_q136_layout_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.operators.Layout.rangeSortedWrite(Tables.events(s, d), "ts", 16, path)
+      val stats = FileSkipping.fileStats(s, path, "ts")
+      // [2024-01-03, 2024-01-05) in nanos (events.ts reads as nanos long)
+      val lo = lit(1704240000000000000L)
+      val hi = lit(1704412800000000000L)
+      FileSkipping.prunedRead(s, path, stats, lo, hi - 1)
+        .filter(col("ts") >= lo && col("ts") < hi)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("sum_value_c"))
+    },
+    Some("""
+      SELECT event_type, count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+        AND ts < TIMESTAMP '2024-01-05 00:00:00'
+      GROUP BY event_type
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q44, q46, q48, q50, q66, q87, q88, q97, q98, q98a, q100, q102, q104,
-      q112, q114, q124, q125, q126, q127, q131)
+      q112, q114, q124, q125, q126, q127, q131, q136)
 }
