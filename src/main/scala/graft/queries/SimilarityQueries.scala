@@ -293,5 +293,86 @@ object SimilarityQueries extends QueryRegistry {
       FROM assign LEFT JOIN dropped ON assign.id = dropped.id
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q25, q26, q28, q29, q42a, q42, q79, q84, q116)
+  /** Shared DuckDB CTE chain for product quantization (m=4 subspaces
+    * of 16 dims, k=16 codes, 1 Lloyd round from the lowest-16-id
+    * seed): subspace id is DATA (cross join with range(0,4)), so the
+    * whole per-subspace training runs in one chain — mirroring the
+    * operator, where sub is a column and all subspaces train in one
+    * pipeline. a2 is the final encoding, c1 the final codebook.
+    */
+  private val duckPqChain: String = {
+    def pqAssign(cents: String): String =
+      s"""SELECT v.id, v.s, c.code,
+            round(list_sum(list_transform(range(1, 17),
+              i -> (CAST(v.sv[i] AS DOUBLE) - c.cv[i]) *
+                   (CAST(v.sv[i] AS DOUBLE) - c.cv[i]))), 6) AS dist2
+          FROM cs v JOIN $cents c ON c.s = v.s
+          QUALIFY row_number() OVER (PARTITION BY v.id, v.s
+                                     ORDER BY dist2, c.code) = 1"""
+    s"""subs AS (SELECT CAST(t.s AS BIGINT) AS s FROM range(0, 4) t(s)),
+      cs AS (SELECT vec_id AS id, s, embedding[s*16+1 : s*16+16] AS sv
+             FROM embeddings CROSS JOIN subs),
+      seed AS (SELECT vec_id, embedding,
+                      CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+               FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+      c0 AS (SELECT s, code,
+                    list_transform(embedding[s*16+1 : s*16+16],
+                                   x -> CAST(x AS DOUBLE)) AS cv
+             FROM seed CROSS JOIN subs),
+      a1 AS (${pqAssign("c0")}),
+      m1 AS (SELECT a.s, a.code, t.i AS pos, avg(CAST(v.sv[t.i] AS DOUBLE)) AS mv
+             FROM a1 a JOIN cs v ON v.id = a.id AND v.s = a.s
+             CROSS JOIN range(1, 17) t(i)
+             GROUP BY a.s, a.code, t.i),
+      c1 AS (SELECT s, code, list(mv ORDER BY pos) AS cv FROM m1 GROUP BY s, code),
+      a2 AS (${pqAssign("c1")})"""
+  }
+
+  /** PQ codebook training (Jégou et al. 2011): per-(subspace, code)
+    * cell sizes and floored within-cell sum of squares after one
+    * Lloyd round — the oracle re-runs the whole per-subspace training
+    * in SQL (the q70 pattern, with the subspace id as data).
+    */
+  val q137 = GraftQuery(
+    "q137_pq_train",
+    (s, d) => graft.operators.ProductQuantization.trainSummary(
+      s, Tables.embeddings(s, d), "vec_id", "embedding",
+      m = 4, k = 16, subDim = 16, iters = 1),
+    Some(s"""
+      WITH $duckPqChain
+      SELECT s AS sub, code, CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(floor(sum(dist2)) AS BIGINT) AS wcss_floor
+      FROM a2 GROUP BY s, code
+    """.trim))
+
+  /** PQ asymmetric-distance search: top-10 neighbors of vector 0 by
+    * the sum of per-subspace distance-table cells in EXACT integer
+    * micro-units (round-6dp x 1e6 longs — order-independent sums, so
+    * the ranking is engine-reproducible; the compression story is
+    * 64 floats -> 4 codes per corpus vector).
+    */
+  val q138 = GraftQuery(
+    "q138_pq_adc_topk",
+    (s, d) => graft.operators.ProductQuantization.adcTopK(
+      s, Tables.embeddings(s, d), "vec_id", "embedding",
+      m = 4, k = 16, subDim = 16, iters = 1, queryId = 0L, topK = 10),
+    Some(s"""
+      WITH $duckPqChain,
+      q AS (SELECT s, list_transform(sv, x -> CAST(x AS DOUBLE)) AS qv
+            FROM cs WHERE id = 0),
+      dt AS (SELECT c.s, c.code,
+                    CAST(round(round(list_sum(list_transform(range(1, 17),
+                      i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))), 6)
+                      * 1000000) AS BIGINT) AS d_u
+             FROM c1 c JOIN q ON q.s = c.s),
+      adc AS (SELECT e.id, CAST(sum(dt.d_u) AS BIGINT) AS adc_u
+              FROM a2 e JOIN dt ON dt.s = e.s AND dt.code = e.code
+              GROUP BY e.id)
+      SELECT id AS neighbor_id, adc_u
+      FROM adc WHERE id <> 0
+      ORDER BY adc_u, id LIMIT 10
+    """.trim))
+
+  def all: Seq[GraftQuery] =
+    Seq(q25, q26, q28, q29, q42a, q42, q79, q84, q116, q137, q138)
 }
