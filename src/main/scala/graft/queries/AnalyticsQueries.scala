@@ -419,7 +419,46 @@ object AnalyticsQueries extends QueryRegistry {
       }.mkString("\nUNION ALL\n")
     })
 
+  /** Grouped ordinary-least-squares trend fit: per event type,
+    * regress value on hours-since-2024-01-01 via the closed form
+    * slope = covar_samp/var_samp — one hash aggregate over
+    * map-side-combinable moments, the way a trend fit survives 100 TB
+    * (no per-group sort, no collected series). Both engines evaluate
+    * the identical formula from their own moment sums; q58's lesson
+    * (aggregation orders agree to ~1e-10, not the ulp) makes floor4
+    * the stable cross-engine grid. x is rebased to small integers for
+    * double conditioning (shift-invariant in exact arithmetic).
+    */
+  val q139 = GraftQuery(
+    "q139_trend_fit",
+    (s, d) => Tables.events(s, d)
+      .select(col("event_type"),
+        (expr("ts div 3600000000000") - 473352L).as("x"),
+        col("value").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.QualityFunctions.floor4(
+          covar_samp(col("x"), col("y")) / var_samp(col("x"))).as("slope"),
+        graft.functions.QualityFunctions.floor4(
+          avg(col("y")) - covar_samp(col("x"), col("y")) / var_samp(col("x"))
+            * avg(col("x"))).as("intercept"),
+        graft.functions.QualityFunctions.floor4(
+          corr(col("x"), col("y")) * corr(col("x"), col("y"))).as("r2")),
+    Some("""
+      WITH t AS (
+        SELECT event_type,
+               epoch_ns(ts) // 3600000000000 - 473352 AS x,
+               value AS y
+        FROM events)
+      SELECT event_type, count(*) AS n_rows,
+             floor(covar_samp(x, y) / var_samp(x) * 10000) / 10000 AS slope,
+             floor((avg(y) - covar_samp(x, y) / var_samp(x) * avg(x)) * 10000) / 10000 AS intercept,
+             floor(corr(x, y) * corr(x, y) * 10000) / 10000 AS r2
+      FROM t
+      GROUP BY event_type
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q51, q52, q53, q54, q55, q57, q58, q69, q89, q90, q91, q92, q93, q95,
-      q110, q129)
+      q110, q129, q139)
 }
