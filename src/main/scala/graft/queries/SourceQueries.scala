@@ -180,5 +180,46 @@ object SourceQueries extends QueryRegistry {
       FROM lineitem GROUP BY l_linestatus
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115)
+  /** Schema evolution across ingest batches: an early batch without a
+    * column, a later batch that added it, one mergeSchema read over
+    * both. The unified frame backfills NULL for pre-evolution rows —
+    * the contract every long-lived ingest pipeline depends on (add a
+    * column without rewriting history). Aggregation buckets the NULLs
+    * explicitly ('pre_evolution'); the oracle replays the evolution
+    * as a UNION of the two batch projections over the original table.
+    */
+  val q140 = GraftQuery(
+    "q140_schema_evolution",
+    (s, d) => {
+      val path = "/tmp/graft_q140_evo_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val orders = graft.Tables.orders(s, d)
+      // batch 1: before the o_orderpriority column existed
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$path/batch=1")
+      // batch 2: schema evolved, the new column is populated
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$path/batch=2")
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(coalesce(col("o_orderpriority"), lit("pre_evolution"))
+          .as("priority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_price_c"))
+    },
+    Some("""
+      WITH unified AS (
+        SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 1)
+      SELECT coalesce(o_orderpriority, 'pre_evolution') AS priority,
+             count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+      FROM unified
+      GROUP BY priority
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140)
 }
