@@ -35,4 +35,31 @@ object Sketches {
     */
   def frequentItems(df: DataFrame, cols: Seq[String], support: Double): DataFrame =
     df.stat.freqItems(cols.toArray, support)
+
+  /** The MERGEABLE-sketch rollup — the reason sketches beat exact
+    * distinct at 100 TB: build one DataSketches HLL sketch per
+    * (group, bucket) — e.g. per day, at ingest time, over that day's
+    * partition only — then answer any coarser rollup by UNIONING the
+    * stored sketch bytes, never re-scanning raw data. Both levels are
+    * one hash aggregate whose state is a fixed-size sketch (lgK=12 →
+    * ~2.5 KB), map-side combinable; the union aggregate's input is
+    * |groups x buckets| sketch rows, not the corpus.
+    *
+    * Output per group: bucket count, the union-of-bucket-sketches
+    * estimate, and a direct whole-group sketch estimate (the
+    * one-pass cross-check).
+    */
+  def mergeableDistinctRollup(df: DataFrame, groupCol: String,
+      bucketExpr: Column, valueCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(groupCol), bucketExpr.as("bucket"))
+      .agg(hll_sketch_agg(col(valueCol)).as("sk"))
+    val unioned = daily.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_buckets"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("union_distinct"))
+    val direct = df.groupBy(col(groupCol))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col(valueCol)))
+        .as("direct_distinct"))
+    unioned.join(direct, Seq(groupCol))
+  }
 }

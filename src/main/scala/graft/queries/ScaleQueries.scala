@@ -625,7 +625,41 @@ object ScaleQueries extends QueryRegistry {
       GROUP BY event_type
     """.trim))
 
+  /** Mergeable-sketch rollup (DataSketches HLL): per-(type, day)
+    * sketches unioned into per-type estimates — the re-aggregation
+    * path that never re-scans raw data. The q46 tolerance pattern:
+    * the oracle computes the exact side and trivially-true flags; a
+    * drifting union or direct sketch flips a flag and fails the
+    * hash. The union estimate must also track the direct one-pass
+    * sketch (same family over the same values) within 5%.
+    */
+  val q141 = GraftQuery(
+    "q141_hll_merge_rollup",
+    (s, d) => graft.operators.Sketches.mergeableDistinctRollup(
+      Tables.events(s, d), "event_type",
+      expr("ts div 86400000000000"), "user_id")
+      .join(Tables.events(s, d).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct")),
+        Seq("event_type"))
+      .select(col("event_type"), col("n_buckets"), col("exact_distinct"),
+        (abs(col("union_distinct") - col("exact_distinct")) <=
+          col("exact_distinct") * 0.15).as("union_within_15pct"),
+        (abs(col("direct_distinct") - col("exact_distinct")) <=
+          col("exact_distinct") * 0.15).as("direct_within_15pct"),
+        (abs(col("union_distinct") - col("direct_distinct")) <=
+          col("direct_distinct") * 0.05).as("merge_consistent_5pct")),
+    Some("""
+      SELECT event_type,
+             CAST(count(DISTINCT epoch_ns(ts) // 86400000000000) AS BIGINT) AS n_buckets,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+             true AS union_within_15pct,
+             true AS direct_within_15pct,
+             true AS merge_consistent_5pct
+      FROM events
+      GROUP BY event_type
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q44, q46, q48, q50, q66, q87, q88, q97, q98, q98a, q100, q102, q104,
-      q112, q114, q124, q125, q126, q127, q131, q136)
+      q112, q114, q124, q125, q126, q127, q131, q136, q141)
 }
