@@ -68,9 +68,19 @@ object ProductQuantization {
       .select(col("sub"), col("code"),
         transform(col("sv"), x => x.cast("double")).as("cv"))
     for (_ <- 1 to iters) {
-      val assign = assignCodes(cs, cb)
-      val sums = assign.join(cs, Seq("id", "sub"))
-        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+      // carry sv THROUGH the argmin aggregate (first() — sv is
+      // functionally dependent on the (id, sub) group key) instead of
+      // re-joining the assignment back to the corpus: that join is a
+      // corpus-wide (id, sub) shuffle per Lloyd round, and it's pure
+      // waste — the rows already flowed through the aggregate
+      val assignSv = cs.join(broadcast(cb), Seq("sub"))
+        .withColumn("dist2", round(V.l2Squared(col("sv"), col("cv")), 6))
+        .groupBy(col("id"), col("sub"))
+        .agg(min(struct(col("dist2"), col("code"))).as("best"),
+          first(col("sv")).as("sv"))
+      val sums = assignSv
+        .select(col("sub"), col("best.code").as("code"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy(col("sub"), col("code"), col("pos"))
         .agg(avg(col("x").cast("double")).as("mv"))
       val next = sums.groupBy(col("sub"), col("code"))

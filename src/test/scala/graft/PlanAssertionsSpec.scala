@@ -163,4 +163,29 @@ class PlanAssertionsSpec extends SparkTestBase {
     assert(Bucketing.countShuffles(df) <= 1,
       df.queryExecution.executedPlan.toString)
   }
+
+  test("q138: PQ search never sort-merges — codebook and distance table broadcast") {
+    val df = graft.operators.ProductQuantization.adcTopK(
+      spark, Tables.embeddings(spark, sf), "vec_id", "embedding",
+      m = 4, k = 8, subDim = 16, iters = 1, queryId = 0L, topK = 5)
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q133: triangle counting plans equi-joins only — no cartesian, no nested loop") {
+    val plan = executed(MiningQueries.q133.run(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q141: sketch rollup aggregates are two-phase (partial sketches combine map-side)") {
+    val df = graft.operators.Sketches.mergeableDistinctRollup(
+      Tables.events(spark, sf), "event_type",
+      org.apache.spark.sql.functions.expr("ts div 86400000000000"), "user_id")
+    val plan = executed(df)
+    assert(plan.contains("partial_hllsketchagg") || plan.contains("partial_hll"),
+      plan)
+  }
 }
