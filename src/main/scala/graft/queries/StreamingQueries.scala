@@ -94,5 +94,24 @@ object StreamingQueries extends QueryRegistry {
       FROM events e JOIN customer c ON e.user_id = c.c_custkey
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q40, q41, q43, q49, q56)
+  /** Per-user running profile on transformWithState (Spark 4's
+    * arbitrary-state API): ValueState count/sum-cents + MapState
+    * distinct-type registry, RocksDB-backed. The batch oracle is the
+    * plain per-user aggregate — counts, sums, and type cardinality
+    * are monotone, so the max over per-batch emissions equals the
+    * final state regardless of micro-batch splits.
+    */
+  val q142 = GraftQuery(
+    "q142_stream_user_profile",
+    (s, d) => EventStreams.userProfileStreaming(s, d,
+      s"q142_mem_${System.nanoTime()}"),
+    Some("""
+      SELECT user_id, count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+      FROM events
+      GROUP BY user_id
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q40, q41, q43, q49, q56, q142)
 }

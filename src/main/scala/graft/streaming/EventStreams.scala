@@ -244,4 +244,96 @@ object EventStreams {
           out.iterator
       }.toDF()
   }
+
+  final case class UserProfile(user_id: Long, n_events: Long,
+      sum_value_c: Long, n_types: Long)
+
+  /** Per-user running profile on `transformWithState` (Spark 4's
+    * arbitrary-state API, the successor to flatMapGroupsWithState):
+    * ValueState holds the (count, sum-cents) pair, MapState the
+    * distinct event-type registry — the composed-state shape the old
+    * API forced into one monolithic tuple. State is per-key and
+    * RocksDB-backed (the API requires the RocksDB provider), so an
+    * unbounded key space spills to local disk instead of executor
+    * heap; TTLConfig.NONE here because the batch-replay oracle must
+    * see every key's final state (a deployment would set a TTL).
+    */
+  class UserProfileProcessor extends
+      org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, String, Long), UserProfile] {
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var totals: ValueState[(Long, Long)] = _
+    @transient private var types: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      totals = getHandle.getValueState[(Long, Long)]("totals",
+        E.tuple(E.scalaLong, E.scalaLong), TTLConfig.NONE)
+      types = getHandle.getMapState[String, Long]("types",
+        E.STRING, E.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, String, Long)],
+        timerValues: TimerValues): Iterator[UserProfile] = {
+      var (n, s) = if (totals.exists()) totals.get() else (0L, 0L)
+      rows.foreach { case (_, t, vc) =>
+        n += 1; s += vc
+        types.updateValue(t,
+          (if (types.containsKey(t)) types.getValue(t) else 0L) + 1L)
+      }
+      totals.update((n, s))
+      Iterator.single(UserProfile(key, n, s, types.keys().size.toLong))
+    }
+  }
+
+  /** Driver-checkable wrapper: the events stream through
+    * UserProfileProcessor, drained with AvailableNow. Counts, sums,
+    * and distinct-type cardinalities are all monotone in the event
+    * stream, so a max-aggregate over the per-batch emissions IS the
+    * final state no matter how the source splits micro-batches.
+    */
+  def userProfileStreaming(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // transformWithState requires the RocksDB provider; scope it to
+    // this query and restore the session's previous setting after
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey, graft.GraftSession.RocksDbProvider)
+    try {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(col("user_id").cast("long"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("value_c"))
+      .as[(Long, String, Long)]
+    val out = stream.groupByKey(_._1)
+      .transformWithState(new UserProfileProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // localCheckpoint: materialize before the provider conf reverts
+    spark.table(queryName)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("sum_value_c")).as("sum_value_c"),
+        max(col("n_types")).as("n_types"))
+      .localCheckpoint(true)
+    } finally {
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }

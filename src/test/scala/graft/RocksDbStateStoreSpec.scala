@@ -55,4 +55,50 @@ class RocksDbStateStoreSpec extends SparkTestBase {
       case None => spark.conf.unset(ProviderKey)
     }
   }
+
+  test("transformWithState profile accumulates across forced micro-batch splits") {
+    val root = tmpDir("tws_profile")
+    // two files, maxFilesPerTrigger=1 -> the same user spans batches,
+    // so state must survive and the monotone-max contract must hold
+    Seq((1L, "click", 100L), (1L, "view", 50L), (2L, "click", 10L))
+      .toDF("user_id", "event_type", "value_c").coalesce(1)
+      .write.parquet(s"$root/b1")
+    Seq((1L, "click", 25L), (2L, "purchase", 300L))
+      .toDF("user_id", "event_type", "value_c").coalesce(1)
+      .write.parquet(s"$root/b2")
+    val previous = spark.conf.getOption(ProviderKey)
+    try {
+      spark.conf.set(ProviderKey, GraftSession.RocksDbProvider)
+      val schema = spark.read.parquet(s"$root/b1").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(root)
+        .as[(Long, String, Long)]
+      val out = stream.groupByKey(_._1)
+        .transformWithState(new EventStreams.UserProfileProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+      val name = s"tws_${System.nanoTime()}"
+      val q = out.toDF().writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      assert(q.recentProgress.length >= 2, "expected forced multi-batch run")
+      val finalState = spark.table(name)
+        .groupBy($"user_id")
+        .agg(org.apache.spark.sql.functions.max($"n_events").as("n"),
+          org.apache.spark.sql.functions.max($"sum_value_c").as("s"),
+          org.apache.spark.sql.functions.max($"n_types").as("t"))
+        .as[(Long, Long, Long, Long)].collect()
+        .map { case (u, n, s, t) => u -> ((n, s, t)) }.toMap
+      assert(finalState === Map(
+        1L -> ((3L, 175L, 2L)),
+        2L -> ((2L, 310L, 2L))))
+    } finally previous match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None => spark.conf.unset(ProviderKey)
+    }
+  }
 }
