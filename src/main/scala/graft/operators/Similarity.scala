@@ -100,7 +100,28 @@ object Similarity {
   def ivfIndexWrite(corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String,
       centroidIdCol: String, centroidVecCol: String, path: String,
-      targetRowsPerFile: Long = 1L << 20): Unit = {
+      targetRowsPerFile: Long = 1L << 20): Unit =
+    writeAssigned(corpus, centroids, idCol, vecCol, centroidIdCol,
+      centroidVecCol, path, targetRowsPerFile, "overwrite")
+
+  /** Incremental index maintenance: assign NEW vectors against the
+    * centroids the index was built with and APPEND them into the
+    * partitioned layout — cluster directories gain files, nothing is
+    * rewritten, and the unchanged search path prunes over the union.
+    * Centroid retraining means a new index version (the
+    * signature-store lifecycle analog), never an in-place mix.
+    */
+  def ivfIndexAppend(newVecs: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String,
+      centroidIdCol: String, centroidVecCol: String, path: String,
+      targetRowsPerFile: Long = 1L << 20): Unit =
+    writeAssigned(newVecs, centroids, idCol, vecCol, centroidIdCol,
+      centroidVecCol, path, targetRowsPerFile, "append")
+
+  private def writeAssigned(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String,
+      centroidIdCol: String, centroidVecCol: String, path: String,
+      targetRowsPerFile: Long, mode: String): Unit = {
     val assign = ivfAssign(corpus, centroids, idCol, vecCol,
         centroidIdCol, centroidVecCol)
       .select(col("id"), col("cluster_id"))
@@ -122,7 +143,7 @@ object Similarity {
       salted
         .repartition(nShuffle, col("cluster_id"), col("__salt"))
         .select(col("id"), col("v"), col("cluster_id"))
-        .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+        .write.mode(mode).partitionBy("cluster_id").parquet(path)
     } finally assign.unpersist()
   }
 

@@ -293,6 +293,31 @@ object SimilarityQueries extends QueryRegistry {
       FROM assign LEFT JOIN dropped ON assign.id = dropped.id
     """.trim))
 
+  /** Incremental IVF maintenance: the index is built on 90% of the
+    * corpus, the held-out 10% is APPENDED against the same centroids
+    * (cluster dirs gain files, nothing rewritten), then q42's search
+    * runs over the union — against q28's FULL-corpus oracle. A
+    * dropped, duplicated, or misassigned appended vector changes a
+    * top-k list and breaks the hash.
+    */
+  val q143 = GraftQuery(
+    "q143_ann_ivf_append",
+    (s, d) => {
+      val path = "/tmp/graft_q143_ivf_append_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < 8)
+      Similarity.ivfIndexWrite(emb.filter(col("vec_id") % 10 =!= 0), cents,
+        "vec_id", "embedding", "vec_id", "embedding", path,
+        targetRowsPerFile = 256L)
+      Similarity.ivfIndexAppend(emb.filter(col("vec_id") % 10 === 0), cents,
+        "vec_id", "embedding", "vec_id", "embedding", path,
+        targetRowsPerFile = 256L)
+      Similarity.ivfTopKIndexed(s, path,
+        emb.filter(col("vec_id") < 3), cents,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5, nprobe = 2)
+    },
+    q28.oracle)
+
   /** Shared DuckDB CTE chain for product quantization (m=4 subspaces
     * of 16 dims, k=16 codes, 1 Lloyd round from the lowest-16-id
     * seed): subspace id is DATA (cross join with range(0,4)), so the
@@ -374,5 +399,5 @@ object SimilarityQueries extends QueryRegistry {
     """.trim))
 
   def all: Seq[GraftQuery] =
-    Seq(q25, q26, q28, q29, q42a, q42, q79, q84, q116, q137, q138)
+    Seq(q25, q26, q28, q29, q42a, q42, q79, q84, q116, q137, q138, q143)
 }

@@ -94,4 +94,33 @@ class IvfIndexSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet === direct)
   }
+
+  test("append places new vectors in existing cluster dirs; inventory equals full build") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = emb.filter(col("vec_id") < 8)
+    val partial = emb.filter(col("vec_id") % 10 =!= 0)
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    val incr = tmpDir("ivf_incr") + "/index"
+    val full = tmpDir("ivf_full") + "/index"
+
+    Similarity.ivfIndexWrite(partial, centroids, "vec_id", "embedding",
+      "vec_id", "embedding", incr)
+    Similarity.ivfIndexAppend(delta, centroids, "vec_id", "embedding",
+      "vec_id", "embedding", incr)
+    Similarity.ivfIndexWrite(emb, centroids, "vec_id", "embedding",
+      "vec_id", "embedding", full)
+
+    def inventory(p: String) = spark.read.parquet(p)
+      .groupBy(col("cluster_id")).count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(inventory(incr) === inventory(full))
+    // no new partition directories beyond the build's clusters
+    val dirs = spark.read.parquet(incr).inputFiles
+      .map(f => f.split("cluster_id=")(1).split("/")(0)).distinct.sorted
+    assert(dirs.length <= 8)
+    // appended ids are present exactly once
+    val ids = spark.read.parquet(incr).groupBy(col("id")).count()
+      .filter(col("count") > 1).count()
+    assert(ids === 0L, "append duplicated ids")
+  }
 }
