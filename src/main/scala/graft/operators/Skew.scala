@@ -47,6 +47,31 @@ object Skew {
       .select(col(key), col("n_rows"), col("total"), col("share_bp"))
   }
 
+  /** Pre-flight join-output cardinality: the EXACT row count an
+    * equi-join would produce, from per-key count aggregates alone —
+    * |A ⋈_k B| = Σ_k n_A(k)·n_B(k) — without running the join. Costs
+    * two count aggregates plus a join over the (distinct-key-sized)
+    * count tables; at 100 TB that's the difference between a
+    * pre-flight and an incident (a hidden many-to-many key turns a
+    * "join" into a cross-product, and this is the check that catches
+    * it first). Output: the topN contributing keys with their
+    * per-side multiplicities and the total estimate (1-row broadcast)
+    * — the q131 companion: q131 flags hot GROUP keys, this flags hot
+    * JOIN fan-out.
+    */
+  def joinCardinalityEstimate(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, topN: Int): DataFrame = {
+    val la = left.groupBy(col(leftKey).as("key"))
+      .agg(count(lit(1)).as("n_left"))
+    val rb = right.groupBy(col(rightKey).as("key"))
+      .agg(count(lit(1)).as("n_right"))
+    val contrib = la.join(rb, Seq("key"))
+      .withColumn("contrib", col("n_left") * col("n_right"))
+    val total = contrib.agg(sum(col("contrib")).as("total_rows"))
+    contrib.crossJoin(broadcast(total))
+      .orderBy(desc("contrib"), asc("key")).limit(topN)
+  }
+
   /** Two-phase aggregation for heavily skewed group keys: partial
     * count per (key, salt), then final combine per key. Spark's
     * map-side partial aggregation already does this for algebraic

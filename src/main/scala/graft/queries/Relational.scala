@@ -575,7 +575,39 @@ object Relational extends QueryRegistry {
       GROUP BY 1, 2
     """.trim))
 
+  /** TPC-H Q13-shaped order-count distribution: how many customers
+    * placed how many (non-low-priority) orders, INCLUDING the
+    * zero-order customers the left join preserves — the histogram
+    * shape plain inner-join aggregates can't produce. Two chained
+    * hash aggregates, both map-side combinable; the right-side
+    * predicate pre-filters before the join (equivalent to Q13's
+    * join-condition placement for LEFT OUTER).
+    */
+  val q144 = GraftQuery(
+    "q144_order_count_distribution",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority") =!= "5-LOW")
+        .select(col("o_custkey"), col("o_orderkey"))
+      c.select(col("c_custkey"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+    Some("""
+      WITH pc AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        GROUP BY c_custkey)
+      SELECT CAST(c_count AS BIGINT) AS c_count, count(*) AS custdist
+      FROM pc GROUP BY c_count
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q17, q18,
-      q19, q109, q111, q119, q123)
+      q19, q109, q111, q119, q123, q144)
 }

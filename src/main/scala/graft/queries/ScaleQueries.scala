@@ -659,7 +659,28 @@ object ScaleQueries extends QueryRegistry {
       GROUP BY event_type
     """.trim))
 
+  /** Pre-flight join-output cardinality (q131's fan-out companion):
+    * the EXACT row count the events-by-user self-join would produce,
+    * from per-key counts alone — Σ_k n(k)² — plus the top
+    * contributing keys. Two count aggregates and a distinct-key-sized
+    * join; the check that catches a hidden many-to-many key before
+    * the 100 TB join becomes a cross-product incident.
+    */
+  val q145 = GraftQuery(
+    "q145_join_cardinality",
+    (s, d) => Skew.joinCardinalityEstimate(
+      Tables.events(s, d), Tables.events(s, d), "user_id", "user_id",
+      topN = 10),
+    Some("""
+      WITH la AS (SELECT user_id AS key, count(*) AS n FROM events GROUP BY 1),
+      t AS (SELECT CAST(sum(n * n) AS BIGINT) AS total_rows FROM la)
+      SELECT key, CAST(n AS BIGINT) AS n_left, CAST(n AS BIGINT) AS n_right,
+             CAST(n * n AS BIGINT) AS contrib, total_rows
+      FROM la CROSS JOIN t
+      ORDER BY contrib DESC, key ASC LIMIT 10
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q44, q46, q48, q50, q66, q87, q88, q97, q98, q98a, q100, q102, q104,
-      q112, q114, q124, q125, q126, q127, q131, q136, q141)
+      q112, q114, q124, q125, q126, q127, q131, q136, q141, q145)
 }
