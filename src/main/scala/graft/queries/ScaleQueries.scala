@@ -680,7 +680,66 @@ object ScaleQueries extends QueryRegistry {
       ORDER BY contrib DESC, key ASC LIMIT 10
     """.trim))
 
+  /** Merkle-bucket anti-entropy between two replicas of the orders
+    * table — one with deterministic injected damage (keys % 991
+    * deleted, prices of keys % 997 restated by one dollar). Healthy
+    * buckets cost only the XOR-digest compare; the row-level
+    * drill-down is semi-join pruned to damaged buckets. Digests are
+    * md5-int60 over a concat_ws canonical string with exact-integer
+    * cents, so both engines serialize identically.
+    */
+  val q146 = GraftQuery(
+    "q146_replica_reconcile",
+    (s, d) => {
+      import graft.operators.AntiEntropy
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("pc"))
+      val damaged = base.filter(col("o_orderkey") % 991 =!= 0)
+        .withColumn("pc", when(col("o_orderkey") % 997 === 0,
+          col("pc") + 100).otherwise(col("pc")))
+      val dig = concat_ws("|", col("o_orderkey"), col("o_orderstatus"),
+        col("pc"))
+      AntiEntropy.reconcile(base, damaged, "o_orderkey", dig, dig, 64)
+    },
+    Some("""
+      WITH base AS (SELECT o_orderkey, o_orderstatus,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+                    FROM orders),
+      l AS (SELECT o_orderkey % 64 AS bucket, o_orderkey AS k,
+                   CAST('0x' || substr(md5(concat_ws('|', o_orderkey, o_orderstatus, pc)), 1, 15) AS BIGINT) AS dg
+            FROM base),
+      rb AS (SELECT o_orderkey, o_orderstatus,
+                    CASE WHEN o_orderkey % 997 = 0 THEN pc + 100 ELSE pc END AS pc
+             FROM base WHERE o_orderkey % 991 <> 0),
+      r AS (SELECT o_orderkey % 64 AS bucket, o_orderkey AS k,
+                   CAST('0x' || substr(md5(concat_ws('|', o_orderkey, o_orderstatus, pc)), 1, 15) AS BIGINT) AS dg
+            FROM rb),
+      sl AS (SELECT bucket, count(*) AS nl, bit_xor(dg) AS xl FROM l GROUP BY bucket),
+      sr AS (SELECT bucket, count(*) AS nr, bit_xor(dg) AS xr FROM r GROUP BY bucket),
+      db AS (SELECT coalesce(sl.bucket, sr.bucket) AS bucket,
+                    coalesce(nl, 0) AS n_left, coalesce(nr, 0) AS n_right
+             FROM sl FULL OUTER JOIN sr ON sl.bucket = sr.bucket
+             WHERE NOT coalesce(nl = nr AND xl = xr, false)),
+      ol AS (SELECT bucket, count(*) AS n_only_left FROM l
+             WHERE bucket IN (SELECT bucket FROM db)
+               AND NOT EXISTS (SELECT 1 FROM r
+                               WHERE r.bucket = l.bucket AND r.k = l.k AND r.dg = l.dg)
+             GROUP BY bucket),
+      orr AS (SELECT bucket, count(*) AS n_only_right FROM r
+              WHERE bucket IN (SELECT bucket FROM db)
+                AND NOT EXISTS (SELECT 1 FROM l
+                                WHERE l.bucket = r.bucket AND l.k = r.k AND l.dg = r.dg)
+              GROUP BY bucket)
+      SELECT db.bucket, CAST(n_left AS BIGINT) AS n_left,
+             CAST(n_right AS BIGINT) AS n_right,
+             CAST(coalesce(ol.n_only_left, 0) AS BIGINT) AS n_only_left,
+             CAST(coalesce(orr.n_only_right, 0) AS BIGINT) AS n_only_right
+      FROM db LEFT JOIN ol ON ol.bucket = db.bucket
+      LEFT JOIN orr ON orr.bucket = db.bucket
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q44, q46, q48, q50, q66, q87, q88, q97, q98, q98a, q100, q102, q104,
-      q112, q114, q124, q125, q126, q127, q131, q136, q141, q145)
+      q112, q114, q124, q125, q126, q127, q131, q136, q141, q145, q146)
 }
