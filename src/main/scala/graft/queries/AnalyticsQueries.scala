@@ -458,7 +458,46 @@ object AnalyticsQueries extends QueryRegistry {
       GROUP BY event_type
     """.trim))
 
+  /** Time-decayed engagement score (the trending-items counter): a
+    * trailing 7-day window with a one-day half-life, per event type.
+    * Exactness trick: with integer day ages k in [0, 6], the decayed
+    * term value_c * 2^-k is computed as value_c << (6 - k) — pure
+    * long arithmetic on a common 1/64-cent grid, so the sum is
+    * order-independent and engine-exact (a double formulation with
+    * pow/exp would be neither). Reference instant fixed at
+    * 2024-01-31T00Z (just past the data's end).
+    */
+  val q147 = GraftQuery(
+    "q147_decayed_engagement",
+    (s, d) => {
+      val refNs = 1706659200000000000L // 2024-01-31T00:00:00Z
+      val weekNs = 7L * 86400000000000L
+      Tables.events(s, d)
+        .filter(col("ts") >= lit(refNs - weekNs))
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("vc"),
+          expr(s"cast(($refNs - ts) div 86400000000000 as int)").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events_7d"),
+          sum(col("vc")).as("sum_vc"),
+          sum(expr("vc * shiftleft(cast(1 as bigint), 6 - k)"))
+            .as("decayed_score_u"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS vc,
+               CAST((1706659200000000000 - epoch_ns(ts)) // 86400000000000 AS INT) AS k
+        FROM events
+        WHERE epoch_ns(ts) >= 1706659200000000000 - 7 * 86400000000000)
+      SELECT event_type, count(*) AS n_events_7d,
+             CAST(sum(vc) AS BIGINT) AS sum_vc,
+             CAST(sum(vc * (CAST(1 AS BIGINT) << (6 - k))) AS BIGINT) AS decayed_score_u
+      FROM t
+      GROUP BY event_type
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q51, q52, q53, q54, q55, q57, q58, q69, q89, q90, q91, q92, q93, q95,
-      q110, q129, q139)
+      q110, q129, q139, q147)
 }
