@@ -113,5 +113,54 @@ object StreamingQueries extends QueryRegistry {
       GROUP BY user_id
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q40, q41, q43, q49, q56, q142)
+  /** Gap sessionization through the BUILT-IN session_window aggregate
+    * — the declarative twin of q41's explicit-state form (one
+    * semantics, two paths: Catalyst plans a session-merge aggregate,
+    * no user state code, and the same expression works unchanged in
+    * streaming mode). Semantics note: session_window merges on
+    * overlap (diff < gap), so the oracle's new-session predicate is
+    * >= gap — q41's explicit form uses > gap; the boundary case
+    * (diff exactly = gap) differs by design between the two
+    * declarations and nanosecond data never lands on it by accident.
+    */
+  val q148 = GraftQuery(
+    "q148_session_window_builtin",
+    (s, d) => {
+      import org.apache.spark.sql.functions._
+      Tables.events(s, d)
+        .select(col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("tstamp"),
+          round(col("value") * 100).cast("long").as("vc"))
+        .groupBy(col("user_id"),
+          session_window(col("tstamp"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), sum(col("vc")).as("sum_value_c"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"),
+          col("n_events"), col("sum_value_c"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events),
+      flagged AS (
+        SELECT user_id, us, vc,
+               CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w >= 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      sess AS (
+        SELECT user_id, us, vc,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged)
+      SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+             count(*) AS n_events, CAST(sum(vc) AS BIGINT) AS sum_value_c
+      FROM sess
+      GROUP BY user_id, sid
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q40, q41, q43, q49, q56, q142, q148)
 }
