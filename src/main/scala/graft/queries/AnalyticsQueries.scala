@@ -497,7 +497,52 @@ object AnalyticsQueries extends QueryRegistry {
       GROUP BY event_type
     """.trim))
 
+  /** Winsorized statistics — the outlier-clipping curation pass: per
+    * event type, clip values at the floored p05/p95 interpolated
+    * percentiles and report the clipped mean plus how many rows each
+    * clamp touched. Thresholds are FLOORED to the 4dp grid before
+    * clipping so both engines clamp at the identical boundary (the
+    * q57 percentile-parity + q58 floor4 disciplines composed); counts
+    * are exact integers.
+    */
+  val q149 = GraftQuery(
+    "q149_winsorized_stats",
+    (s, d) => {
+      val vc = round(col("value") * 100).cast("long")
+      val e = Tables.events(s, d).select(col("event_type"), vc.as("vc"))
+      val bounds = e.groupBy(col("event_type")).agg(
+        graft.functions.QualityFunctions.floor4(
+          expr("percentile(vc, 0.05)")).as("lo"),
+        graft.functions.QualityFunctions.floor4(
+          expr("percentile(vc, 0.95)")).as("hi"))
+      e.join(broadcast(bounds), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+          sum(when(col("vc") < col("lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
+          sum(when(col("vc") > col("hi"), 1L).otherwise(0L)).as("n_clipped_hi"),
+          graft.functions.QualityFunctions.floor4(
+            avg(least(greatest(col("vc").cast("double"), col("lo")), col("hi"))))
+            .as("wins_mean"))
+    },
+    Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(round(value * 100) AS BIGINT) AS vc
+                 FROM events),
+      b AS (SELECT event_type,
+                   floor(quantile_cont(vc, 0.05) * 10000) / 10000 AS lo,
+                   floor(quantile_cont(vc, 0.95) * 10000) / 10000 AS hi
+            FROM e GROUP BY event_type)
+      SELECT e.event_type, count(*) AS n_rows,
+             min(lo) AS lo, min(hi) AS hi,
+             CAST(sum(CASE WHEN vc < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+             CAST(sum(CASE WHEN vc > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+             floor(avg(least(greatest(CAST(vc AS DOUBLE), lo), hi)) * 10000) / 10000 AS wins_mean
+      FROM e JOIN b ON b.event_type = e.event_type
+      GROUP BY e.event_type
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q51, q52, q53, q54, q55, q57, q58, q69, q89, q90, q91, q92, q93, q95,
-      q110, q129, q139, q147)
+      q110, q129, q139, q147, q149)
 }
