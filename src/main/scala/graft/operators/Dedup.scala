@@ -844,6 +844,86 @@ object Dedup {
       .withColumn("dup_frac_bp", expr("div(dup_tokens * 10000, n_tokens)"))
   }
 
+  /** Sorted-neighborhood candidate pairs (Hernández & Stolfo 1995,
+    * "The Merge/Purge Problem for Large Databases"): order the corpus
+    * by a normalized blocking key and verify ONLY pairs within
+    * `window` positions of each other in that total order — the
+    * classic record-linkage blocking that catches near-dups whose
+    * normalized prefixes agree (title variants, leading-boilerplate
+    * copies) with O(n·w) candidates instead of O(n²). Complements the
+    * content-signature families (minhash/simhash/PPJoin): SNM blocks
+    * on ORDER locality, so a second pass with a different key is the
+    * standard recall lever.
+    *
+    * Scale shape — the q90/equiDepthDistributed discipline, with no
+    * RDD hop and no global Window: range-partition by (key, id), sort
+    * within partitions, decompose monotonically_increasing_id into
+    * (partition, local index), and add broadcast per-partition prefix
+    * offsets (numPartitions longs — the only driver traffic) to get
+    * each row's exact global rank. Neighborhood pairs then come from
+    * a bucket equi-join: rows at ranks r1 < r2 with r2 - r1 < w have
+    * floor(r/w) buckets differing by at most 1, so the right side
+    * explodes into its own and its predecessor bucket and each
+    * qualifying pair matches exactly once. Shingle-Jaccard verify
+    * (same integer score grid as [[ngramJaccardPairs]]) runs on
+    * candidates only.
+    *
+    * The key strips to ASCII alphanumerics BEFORE lowercasing, so the
+    * sort order is pure byte order — identical across engines and
+    * collations by construction.
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, window: Int, threshold: Double, keyLen: Int = 16,
+      numPartitions: Int = 0): DataFrame = {
+    require(window >= 2, s"window must cover at least adjacent rows, got $window")
+    val spark = docs.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val keyed = docs.select(col(idCol).cast("long").as("id"),
+      substring(lower(regexp_replace(coalesce(col(textCol), lit("")),
+        "[^A-Za-z0-9]", "")), 1, keyLen).as("skey"))
+    // cache = single evaluation: rank is a function of the total order
+    // alone, but the offset join below must see the SAME partitioning
+    // that produced each row's (pid, li) — without the boundary the
+    // a-side, b-side, and count evaluations could re-sample range
+    // boundaries independently and disagree
+    val local = keyed
+      .repartitionByRange(parts, col("skey").asc, col("id").asc)
+      .sortWithinPartitions(col("skey").asc, col("id").asc)
+      .select(col("id"), monotonically_increasing_id().as("mid"))
+      .select(col("id"), shiftrightunsigned(col("mid"), 33).as("pid"),
+        (col("mid") bitwiseAND ((1L << 33) - 1)).as("li"))
+      .cache()
+    val counts = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val offsets = (0L until parts.toLong).map { p =>
+      (p, (0L until p).map(q => counts.getOrElse(q, 0L)).sum)
+    }
+    val offDf = spark.createDataFrame(offsets).toDF("pid", "off")
+    val ranked = local.join(broadcast(offDf), "pid")
+      .select(col("id"), (col("off") + col("li")).as("r"))
+    val w = window.toLong
+    val a = ranked.select(col("id").as("id1"), col("r").as("r1"),
+      floor(col("r") / w).cast("long").as("g"))
+    val b = ranked.select(col("id").as("id2"), col("r").as("r2"),
+      explode(array(floor(col("r") / w).cast("long"),
+        floor(col("r") / w).cast("long") - 1)).as("g"))
+    val cand = a.join(b, "g")
+      .filter(col("r2") - col("r1") >= 1 && col("r2") - col("r1") <= w - 1)
+      .select(col("id1"), col("id2"), (col("r2") - col("r1")).as("rank_dist"))
+    val sh = docs.select(col(idCol).cast("long").as("id"),
+      T.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    cand
+      .join(sh.as("x"), col("id1") === col("x.id"))
+      .join(sh.as("y"), col("id2") === col("y.id"))
+      .withColumn("inter", size(array_intersect(col("x.sh"), col("y.sh"))))
+      .withColumn("jaccard",
+        floor(col("inter") / (size(col("x.sh")) + size(col("y.sh")) - col("inter")) * 10000) / 10000.0)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("rank_dist"), col("jaccard"))
+  }
+
   /** Embedding near-dup pairs with cosine >= threshold, brute-force
     * (exact). For the approximate scale path see
     * Similarity.lshBucketedPairs.

@@ -998,7 +998,38 @@ object DedupQueries extends QueryRegistry {
       WHERE floor(inter * 10000.0 / least(x.n_sh, y.n_sh)) / 10000 >= 0.8
     """.trim))
 
+  /** Sorted-neighborhood blocking (Hernández & Stolfo 1995): verify
+    * only pairs within `window` positions of each other in the
+    * normalized-prefix total order — ORDER-locality blocking, the
+    * classic merge/purge complement to the content-signature families
+    * (q21/q22/q60). The global rank comes from range partition +
+    * local sort + broadcast prefix offsets (the q90 discipline — no
+    * global Window, asserted in PlanAssertionsSpec); the oracle
+    * replays the same total order with row_number and a rank-distance
+    * self-join. The blocking key strips to ASCII alphanumerics before
+    * lowercasing, so both engines sort in pure byte order.
+    */
+  val q150 = GraftQuery(
+    "q150_dedup_sorted_neighborhood",
+    (s, d) => Dedup.sortedNeighborhoodPairs(Tables.documents(s, d), "doc_id",
+      "text", n = 3, window = 10, threshold = 0.5),
+    Some(s"""
+      WITH $duckShingles,
+      k AS (SELECT doc_id,
+                   substr(lower(regexp_replace(coalesce(text, ''), '[^A-Za-z0-9]', '', 'g')), 1, 16) AS skey
+            FROM documents),
+      rk AS (SELECT doc_id, row_number() OVER (ORDER BY skey, doc_id) - 1 AS r FROM k),
+      cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2, b.r - a.r AS rank_dist
+               FROM rk a JOIN rk b ON b.r - a.r BETWEEN 1 AND 9),
+      v AS (SELECT id1, id2, rank_dist,
+                   floor(len(list_intersect(x.s, y.s)) * 1.0 /
+                         (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) * 10000) / 10000 AS jaccard
+            FROM cand JOIN sh x ON id1 = x.doc_id JOIN sh y ON id2 = y.doc_id)
+      SELECT id1, id2, rank_dist, jaccard FROM v WHERE jaccard >= 0.5
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q20, q21, q22, q23, q24, q39, q47, q47a, q59, q60, q61, q67, q68, q75,
-      q78, q82, q103a, q103, q105, q106, q107, q113, q120, q122, q130, q132)
+      q78, q82, q103a, q103, q105, q106, q107, q113, q120, q122, q130, q132,
+      q150)
 }

@@ -33,6 +33,42 @@ class DedupSpec extends SparkTestBase {
     assert(exact.contains((1L, 2L))) // near-dup found by exact
   }
 
+  test("sorted-neighborhood finds same-prefix near-dups, misses cross-prefix ones, no Window planned") {
+    // 1-2: near-dups sharing the normalized prefix -> adjacent ranks.
+    // 9: a TRUE content near-dup of 1 whose first word sorts it past
+    // the m-prefixed fillers -> outside the window, reported by q21's
+    // content blocking but NOT here. That asymmetry is SNM semantics.
+    val snm = Seq(
+      (1L, "alpha alpha common text here one"),
+      (2L, "alpha alpha common text here two"),
+      (3L, "m01 walrus quartz banjo lantern pepper"),
+      (4L, "m02 orbit velvet crayon thunder maple"),
+      (5L, "m03 ginger falcon marble tunnel spice"),
+      (6L, "m04 copper wizard saddle prism nutmeg"),
+      (7L, "m05 hazel rocket mirror canyon tulip"),
+      (8L, "m06 ember salmon drizzle pocket quill"),
+      (9L, "zeta alpha common text here one"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.sortedNeighborhoodPairs(snm, "doc_id", "text",
+      n = 3, window = 4, threshold = 0.5, numPartitions = 3)
+    val got = pairs.select("id1", "id2", "rank_dist")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 1L)))
+    assert(!pairs.queryExecution.executedPlan.toString.contains("Window"),
+      "SNM rank must come from prefix offsets, not a global Window sort")
+    // content blocking DOES find the cross-prefix pair — the recall
+    // gap a second SNM pass with a different key would close
+    val content = Dedup.ngramJaccardPairs(snm, "doc_id", "text", 3, 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(content.contains((1L, 9L)))
+    // partition-count invariance: ranks are a function of the total
+    // order alone, so the pair set must not depend on the layout
+    val got1 = Dedup.sortedNeighborhoodPairs(snm, "doc_id", "text",
+      n = 3, window = 4, threshold = 0.5, numPartitions = 1)
+      .select("id1", "id2", "rank_dist").as[(Long, Long, Long)].collect().toSet
+    assert(got1 === got)
+  }
+
   test("signature-store search equals the in-memory cross-corpus dedup, corpus never re-tokenized") {
     val store = tmpDir("sig_store")
     val newBatch = docs.filter(col("doc_id") === 4)
