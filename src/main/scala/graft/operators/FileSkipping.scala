@@ -50,4 +50,67 @@ object FileSkipping {
     if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
     else spark.read.parquet(files: _*)
   }
+
+  /** Per-file Bloom catalog — the POINT-LOOKUP twin of [[fileStats]].
+    * Zone maps prune range queries on range-clustered layouts; on a
+    * hash-distributed layout every file's [min, max] spans the whole
+    * key domain and min/max pruning degenerates to a full read. A
+    * per-file Bloom filter (here k = 2 seeded xxhash64 lanes over m
+    * bits, stored as the sorted set bit list) prunes point lookups on
+    * exactly those layouts — the Delta bloom-filter-index /
+    * Parquet-bloom shape, lifted to the file level so non-matching
+    * files are never opened at all.
+    *
+    * Catalog size: one row per file, <= min(m, 2·n_distinct) ints of
+    * bit positions — bounded by bits/32 KB per file regardless of row
+    * count. The build is one scan of the key column.
+    */
+  def bloomFileStats(spark: SparkSession, path: String, column: String,
+      bits: Int = 1 << 16): DataFrame =
+    spark.read.parquet(path)
+      .select(input_file_name().as("file"), col(column).as("v"))
+      .select(col("file"), explode(bloomBits(col("v"), bits)).as("bit"))
+      .groupBy(col("file"))
+      .agg(sort_array(collect_set(col("bit"))).as("bits"))
+
+  /** The two Bloom lanes of one key: seeded xxhash64 positions in
+    * [0, bits). Seeding by hashing (v, laneId) keeps both engines of
+    * the build/probe pair inside Spark's own hash — probe-time
+    * constants fold at plan time for literal keys.
+    */
+  private def bloomBits(v: Column, bits: Int): Column =
+    array(pmod(xxhash64(v, lit(1)), lit(bits.toLong)),
+      pmod(xxhash64(v, lit(2)), lit(bits.toLong)))
+
+  /** Files that MIGHT contain any of `keys`: both Bloom lanes of at
+    * least one key are set. Superset of the true file set (no false
+    * negatives by construction); false positives cost an extra file
+    * read and are removed by the exact row filter that follows.
+    * Driver-side by design — bounded by file count, like
+    * [[overlappingFiles]].
+    */
+  def bloomCandidateFiles(stats: DataFrame, keys: Seq[Long],
+      bits: Int = 1 << 16): Seq[String] = {
+    require(keys.nonEmpty, "bloom probe needs at least one key")
+    val hit = keys.map { k =>
+      val b = bloomBits(lit(k), bits)
+      array_contains(col("bits"), b.getItem(0)) &&
+        array_contains(col("bits"), b.getItem(1))
+    }.reduce(_ || _)
+    stats.filter(hit).select(col("file")).collect().map(_.getString(0)).toSeq
+  }
+
+  /** Batch point lookup through the Bloom catalog: read only
+    * candidate files, then apply the exact key filter (which also
+    * removes Bloom false positives). `keys` is the caller's lookup
+    * batch — query input, bounded by construction.
+    */
+  def bloomPointRead(spark: SparkSession, path: String, stats: DataFrame,
+      column: String, keys: Seq[Long], bits: Int = 1 << 16): DataFrame = {
+    val files = bloomCandidateFiles(stats, keys, bits)
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(files: _*)
+    base.filter(col(column).isin(keys: _*))
+  }
 }

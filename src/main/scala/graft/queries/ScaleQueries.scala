@@ -739,7 +739,37 @@ object ScaleQueries extends QueryRegistry {
       LEFT JOIN orr ON orr.bucket = db.bucket
     """.trim))
 
+  /** Bloom-catalog point lookup — q136's twin for the layout zone
+    * maps cannot help: documents hash-distributed across 16 files, so
+    * every file's [min, max] doc_id range overlaps every probe and
+    * min/max pruning reads the whole table. The per-file Bloom
+    * catalog prunes the batch lookup to the files whose lanes match;
+    * the exact isin filter then removes Bloom false positives, so the
+    * oracle is the plain key-set selection. FileSkippingSpec proves
+    * candidate lists are strict subsets with zero false negatives.
+    * The key batch is collected from the table only as fixture setup
+    * — in production it is the caller's input (an index lookup
+    * batch), bounded by construction.
+    */
+  val q151 = GraftQuery(
+    "q151_bloom_file_skipping",
+    (s, d) => {
+      import graft.operators.FileSkipping
+      val path = "/tmp/graft_q151_layout_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      Tables.documents(s, d).repartition(16, col("doc_id"))
+        .write.mode("overwrite").parquet(path)
+      val stats = FileSkipping.bloomFileStats(s, path, "doc_id")
+      val keys = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq.sorted
+      FileSkipping.bloomPointRead(s, path, stats, "doc_id", keys)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    },
+    Some("""
+      SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 97 = 0
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q44, q46, q48, q50, q66, q87, q88, q97, q98, q98a, q100, q102, q104,
-      q112, q114, q124, q125, q126, q127, q131, q136, q141, q145, q146)
+      q112, q114, q124, q125, q126, q127, q131, q136, q141, q145, q146, q151)
 }

@@ -39,6 +39,41 @@ class FileSkippingSpec extends SparkTestBase {
     assert(pruned.size === 101)
   }
 
+  test("bloom catalog prunes point lookups on a hash layout where zone maps cannot") {
+    val path = tmpDir("fskip_bloom")
+    val df = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("v"))
+    df.repartition(8, col("k")).write.mode("overwrite").parquet(path)
+    val zstats = FileSkipping.fileStats(spark, path, "k").cache()
+    // hash layout: every file's range overlaps any point -> zone maps read all 8
+    assert(FileSkipping.overlappingFiles(zstats, lit(123L), lit(123L)).size === 8)
+    val bstats = FileSkipping.bloomFileStats(spark, path, "k").cache()
+    assert(bstats.count() === 8)
+    val cand = FileSkipping.bloomCandidateFiles(bstats, Seq(123L))
+    // no false negatives: the file really holding k=123 must be a candidate
+    val truth = spark.read.parquet(path).filter(col("k") === 123L)
+      .select(input_file_name()).as[String].head()
+    assert(cand.contains(truth))
+    // and at 125 keys/file vs 2^16 bits the FP odds are ~1e-5 per
+    // file: pruning must actually bite
+    assert(cand.size < 8, s"expected pruning, got ${cand.size}/8 candidates")
+    val got = FileSkipping.bloomPointRead(spark, path, bstats, "k", Seq(123L, 777L))
+      .orderBy(col("k")).as[(Long, Long)].collect().toSeq
+    assert(got === Seq((123L, 246L), (777L, 1554L)))
+  }
+
+  test("bloom probe for absent keys returns no rows even on false-positive files") {
+    val path = tmpDir("fskip_bloom_miss")
+    spark.range(0, 100).select(col("id").as("k"), col("id").as("v"))
+      .repartition(4, col("k")).write.mode("overwrite").parquet(path)
+    val bstats = FileSkipping.bloomFileStats(spark, path, "k")
+    // keys far outside the domain: candidate files may exist (FP) but
+    // the exact filter keeps the result empty
+    val got = FileSkipping.bloomPointRead(spark, path, bstats, "k",
+      Seq(100000L, 200000L))
+    assert(got.count() === 0)
+    assert(got.columns.toSeq === Seq("k", "v"))
+  }
+
   test("an out-of-domain range opens zero files and returns an empty frame") {
     val path = writeLayout(100, 4)
     val stats = FileSkipping.fileStats(spark, path, "k")
