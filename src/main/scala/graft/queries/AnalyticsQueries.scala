@@ -542,7 +542,38 @@ object AnalyticsQueries extends QueryRegistry {
       GROUP BY e.event_type
     """.trim))
 
+  /** Skyline / Pareto front (Börzsönyi et al., ICDE 2001): the parts
+    * no other part beats on BOTH price (minimize, exact cents) and
+    * size (maximize) — the best-tradeoff query ORDER BY cannot ask.
+    * The oracle runs the textbook quadratic NOT EXISTS; the Spark
+    * plan is the banded form (prefix-max over $10 price bands prunes
+    * to near-frontier rows, band-local equi-join resolves the rest —
+    * no theta join against the table, no Window; SkylineSpec proves
+    * parity with brute force on tie-heavy fixtures).
+    */
+  val q152 = GraftQuery(
+    "q152_skyline_price_size",
+    (s, d) => graft.operators.Skyline.skyline2D(
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          round(col("p_retailprice") * 100).cast("long").as("price_c"),
+          col("p_size")),
+      "p_partkey", "price_c", "p_size", bucketWidth = 1000L)
+      .select(col("id").as("part_key"), col("cost").as("price_c"),
+        col("gain").as("size")),
+    Some("""
+      WITH p AS (SELECT p_partkey,
+                        CAST(round(p_retailprice * 100) AS BIGINT) AS cost,
+                        CAST(p_size AS BIGINT) AS gain
+                 FROM part)
+      SELECT x.p_partkey AS part_key, x.cost AS price_c, x.gain AS size
+      FROM p x
+      WHERE NOT EXISTS (SELECT 1 FROM p y
+                        WHERE y.cost <= x.cost AND y.gain >= x.gain
+                          AND (y.cost < x.cost OR y.gain > x.gain))
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q51, q52, q53, q54, q55, q57, q58, q69, q89, q90, q91, q92, q93, q95,
-      q110, q129, q139, q147, q149)
+      q110, q129, q139, q147, q149, q152)
 }
