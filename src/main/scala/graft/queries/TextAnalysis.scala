@@ -679,7 +679,58 @@ object TextAnalysis extends QueryRegistry {
     },
     q134.oracle)
 
+  /** Dictionary encoding: frequency-ranked dense codes for the two
+    * bounded categoricals, joined back per document. Code order is
+    * (count DESC, value ASC) — deterministic across engines, so the
+    * oracle replays it with row_number. The vocab build is
+    * TakeOrdered + a guarded collect (the maxVocab contract);
+    * EncodingSpec proves the guard throws instead of OOMing.
+    */
+  val q153 = GraftQuery(
+    "q153_dictionary_encode",
+    (s, d) => {
+      import graft.operators.Encoding
+      val docs = Tables.documents(s, d)
+      val byLang = Encoding.encode(docs,
+        Encoding.dictionary(docs, "lang", maxVocab = 1000), "lang", "lang_code")
+      Encoding.encode(byLang,
+        Encoding.dictionary(docs, "source", maxVocab = 1000), "source",
+        "source_code")
+        .select(col("doc_id"), col("lang_code"), col("source_code"))
+    },
+    Some("""
+      WITH lv AS (SELECT lang AS v, count(*) AS n FROM documents GROUP BY lang),
+      lc AS (SELECT v, row_number() OVER (ORDER BY n DESC, v) - 1 AS code FROM lv),
+      sv AS (SELECT source AS v, count(*) AS n FROM documents GROUP BY source),
+      sc AS (SELECT v, row_number() OVER (ORDER BY n DESC, v) - 1 AS code FROM sv)
+      SELECT d.doc_id, lc.code AS lang_code, sc.code AS source_code
+      FROM documents d
+      JOIN lc ON d.lang = lc.v
+      JOIN sc ON d.source = sc.v
+    """.trim))
+
+  /** Feature hashing (Weinberger et al. 2009): tokens -> fixed
+    * 256-bucket space via md5Int32 mod dim — no vocabulary, no
+    * driver state. Declared as per-bucket corpus totals so any
+    * mis-hashed token shifts a count and fails the hash; the per-doc
+    * sparse rows are the operator output (EncodingSpec).
+    */
+  val q154 = GraftQuery(
+    "q154_feature_hashing",
+    (s, d) => graft.operators.Encoding.featureHash(
+      Tables.documents(s, d), "doc_id", "text", dim = 256)
+      .groupBy(col("feature_idx"))
+      .agg(countDistinct(col("id")).as("n_docs"), sum(col("n")).as("n_tokens")),
+    Some("""
+      WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      f AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 256 AS feature_idx
+            FROM t WHERE tok <> '')
+      SELECT feature_idx, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_tokens
+      FROM f GROUP BY feature_idx
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q45, q62, q63, q64, q65,
-      q80, q99, q101, q117, q118, q128, q134, q135)
+      q80, q99, q101, q117, q118, q128, q134, q135, q153, q154)
 }
