@@ -573,7 +573,47 @@ object AnalyticsQueries extends QueryRegistry {
                           AND (y.cost < x.cost OR y.gain > x.gain))
     """.trim))
 
+  /** Interval merge + coverage: each event projects a [ts, ts +
+    * value_cents seconds) extent; overlapping/touching extents per
+    * user coalesce and the per-user rollup reports disjoint-extent
+    * count and exact covered nanos. The general-interval sibling of
+    * q148's gap sessions — a long interval can swallow many later
+    * ones, which no fixed gap expresses. All arithmetic is exact
+    * longs — in MICROsecond units, because DuckDB TIMESTAMPs carry µs
+    * while the parquet longs carry nanos (the q141 truncation
+    * gotcha); the oracle replays the same two-window sweep.
+    */
+  val q156 = GraftQuery(
+    "q156_interval_coverage",
+    (s, d) => graft.operators.Intervals.coveragePerKey(
+      Tables.events(s, d).select(col("user_id"), expr("ts div 1000").as("s"),
+        (expr("ts div 1000") + round(col("value") * 100).cast("long") * 1000000L)
+          .as("e")),
+      "user_id", "s", "e")
+      .select(col("user_id"), col("n_intervals"), col("covered").as("covered_us"),
+        col("n_source")),
+    Some("""
+      WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                         epoch_us(ts) + CAST(round(value * 100) AS BIGINT) * 1000000 AS e
+                  FROM events),
+      m AS (SELECT user_id, s, e,
+                   max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+            FROM iv),
+      g AS (SELECT user_id, s, e,
+                   sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chain
+            FROM m),
+      mg AS (SELECT user_id, chain, min(s) AS ms, max(e) AS me, count(*) AS nsrc
+             FROM g GROUP BY user_id, chain)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+             CAST(sum(me - ms) AS BIGINT) AS covered_us,
+             CAST(sum(nsrc) AS BIGINT) AS n_source
+      FROM mg GROUP BY user_id
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q51, q52, q53, q54, q55, q57, q58, q69, q89, q90, q91, q92, q93, q95,
-      q110, q129, q139, q147, q149, q152)
+      q110, q129, q139, q147, q149, q152, q156)
 }

@@ -730,7 +730,32 @@ object TextAnalysis extends QueryRegistry {
       FROM f GROUP BY feature_idx
     """.trim))
 
+  /** Deterministic k-per-group sampling through the native bounded-
+    * heap aggregate (TopKRows, q17's machinery): score = md5Int32 of
+    * the id, so the "random" k docs per source are reproducible
+    * across engines, runs, and layouts — and each map task ships at
+    * most k rows per group to the shuffle, where the window-function
+    * form would sort every group member. The oracle replays the hash
+    * and the (score DESC, id ASC) tie order with row_number.
+    */
+  val q155 = GraftQuery(
+    "q155_group_sample_topk",
+    (s, d) => graft.operators.TopK.perGroup(
+      Tables.documents(s, d)
+        .withColumn("h", T.md5Int32(col("doc_id").cast("string"))),
+      Seq("source"), "h", "doc_id", Seq("n_chars"), k = 5),
+    Some("""
+      WITH h AS (SELECT source, doc_id, n_chars,
+                        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+                 FROM documents),
+      r AS (SELECT source, doc_id, n_chars, hv,
+                   row_number() OVER (PARTITION BY source ORDER BY hv DESC, doc_id ASC) AS rn
+            FROM h)
+      SELECT source, CAST(hv AS DOUBLE) AS h, doc_id, n_chars
+      FROM r WHERE rn <= 5
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q45, q62, q63, q64, q65,
-      q80, q99, q101, q117, q118, q128, q134, q135, q153, q154)
+      q80, q99, q101, q117, q118, q128, q134, q135, q153, q154, q155)
 }
