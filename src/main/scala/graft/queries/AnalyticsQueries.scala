@@ -613,7 +613,55 @@ object AnalyticsQueries extends QueryRegistry {
       FROM mg GROUP BY user_id
     """.trim))
 
+  /** Chi-square independence test on the lang x source contingency
+    * grid — "is document language independent of source?", the
+    * categorical-association check a curation pipeline runs before
+    * trusting per-source language mixes. All inputs are exact longs
+    * (cell counts + margins from ONE hash aggregate, re-aggregated —
+    * the corpus is scanned once); each cell term (o·n - rt·ct)² /
+    * (rt·ct·n) is IEEE-division-deterministic on identical longs, so
+    * flooring it to 1e4 units BEFORE the sum makes the statistic an
+    * exact long total — order-independent across engines and
+    * partitionings. Zero cells are materialized via the margin cross
+    * join (bounded grid: |langs| x |sources|), because observed-zero
+    * cells still carry expected mass.
+    */
+  val q157 = GraftQuery(
+    "q157_chisq_independence",
+    (s, d) => {
+      val cells = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("o"))
+      val rt = cells.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
+      val ct = cells.groupBy(col("source")).agg(sum(col("o")).as("ct"))
+      val n = cells.agg(sum(col("o")).as("n"))
+      val grid = rt.crossJoin(broadcast(ct))
+        .join(cells, Seq("lang", "source"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+        .crossJoin(broadcast(n))
+      val dv = col("o") * col("n") - col("rt") * col("ct")
+      val t4 = floor(dv * dv / (col("rt") * col("ct") * col("n")) * 10000)
+        .cast("long")
+      grid.agg(sum(t4).as("chi2_e4"), count(lit(1)).as("n_cells"),
+        max(col("n")).as("n_docs"))
+    },
+    Some("""
+      WITH c AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+      r AS (SELECT lang, sum(o) AS rt FROM c GROUP BY 1),
+      s AS (SELECT source, sum(o) AS ct FROM c GROUP BY 1),
+      t AS (SELECT sum(o) AS n FROM c),
+      grid AS (SELECT r.lang, s.source, rt, ct, coalesce(c.o, 0) AS o
+               FROM r CROSS JOIN s
+               LEFT JOIN c ON r.lang = c.lang AND s.source = c.source),
+      terms AS (SELECT CAST(floor((o*n - rt*ct)*(o*n - rt*ct) * 1.0 / (rt*ct*n) * 10000) AS BIGINT) AS t4, n
+                FROM grid CROSS JOIN t)
+      SELECT CAST(sum(t4) AS BIGINT) AS chi2_e4,
+             CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(max(n) AS BIGINT) AS n_docs
+      FROM terms
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q51, q52, q53, q54, q55, q57, q58, q69, q89, q90, q91, q92, q93, q95,
-      q110, q129, q139, q147, q149, q152, q156)
+      q110, q129, q139, q147, q149, q152, q156, q157)
 }
