@@ -611,7 +611,39 @@ object MiningQueries extends QueryRegistry {
       GROUP BY node
     """.trim))
 
+  /** Market-basket pair mining (Apriori k=2, Agrawal & Srikant 1994):
+    * part pairs sharing an order with support >= 3, plus lift vs the
+    * independence expectation. Pairs are emitted basket-locally
+    * (posexplode + slice over each order's sorted distinct parts — no
+    * exploded self-join; quadratic only in basket size, bounded by
+    * the data model). Lift inputs are exact longs, so the floor4
+    * value is engine-identical; the oracle replays the pair join and
+    * the same operation order.
+    */
+  val q158 = GraftQuery(
+    "q158_basket_pairs",
+    (s, d) => graft.operators.Association.frequentPairsWithLift(
+      Tables.lineitem(s, d), "l_orderkey", "l_partkey", minSupport = 3L)
+      .select(col("item1").as("part1"), col("item2").as("part2"),
+        col("n_baskets").as("n_orders"), col("lift4")),
+    Some("""
+      WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      f AS (SELECT l_partkey, count(*) AS nf FROM b GROUP BY 1),
+      t AS (SELECT count(DISTINCT l_orderkey) AS nt FROM b),
+      p AS (SELECT a.l_partkey AS part1, c.l_partkey AS part2, count(*) AS n_orders
+            FROM b a JOIN b c
+              ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+            GROUP BY 1, 2)
+      SELECT part1, part2, n_orders,
+             floor(n_orders * nt * 1.0 / (fa.nf * fb.nf) * 10000) / 10000 AS lift4
+      FROM p
+      JOIN f fa ON part1 = fa.l_partkey
+      JOIN f fb ON part2 = fb.l_partkey
+      CROSS JOIN t
+      WHERE n_orders >= 3
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q70, q71, q72, q73, q74, q76, q77, q81a, q81, q83, q94, q96, q108,
-      q121, q133)
+      q121, q133, q158)
 }
