@@ -661,7 +661,51 @@ object AnalyticsQueries extends QueryRegistry {
       FROM terms
     """.trim))
 
+  /** Benford first-digit audit of order totals — the numeric-column
+    * distribution check auditors run against fabricated data. The
+    * first digit comes from the exact-cents long via string head (no
+    * runtime log10 — log is not IEEE-portable across engines; the
+    * Benford expectations are literal basis points, floor(log10(1 +
+    * 1/d)·1e4), hardcoded identically in both declarations). Shares
+    * are exact integral division; one count aggregate + a 1-row
+    * broadcast total (the q131 shape).
+    */
+  val q159 = GraftQuery(
+    "q159_benford_audit",
+    (s, d) => {
+      val benford = Seq(1 -> 3010L, 2 -> 1760L, 3 -> 1249L, 4 -> 969L,
+        5 -> 791L, 6 -> 669L, 7 -> 579L, 8 -> 511L, 9 -> 457L)
+      val bexpr = benford.tail.foldLeft(
+        when(col("digit") === 1, lit(3010L))) {
+        case (acc, (dg, bp)) => acc.when(col("digit") === dg, lit(bp))
+      }
+      val counts = Tables.orders(s, d)
+        .select(substring(round(col("o_totalprice") * 100).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum(col("n")).as("nt"))
+      counts.crossJoin(broadcast(total))
+        .withColumn("share_bp", expr("div(n * 10000, nt)"))
+        .withColumn("benford_bp", bexpr)
+        .withColumn("dev_bp", abs(col("share_bp") - col("benford_bp")))
+        .select(col("digit"), col("n"), col("share_bp"), col("benford_bp"),
+          col("dev_bp"))
+    },
+    Some("""
+      WITH dg AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+                  FROM orders),
+      c AS (SELECT digit, count(*) AS n FROM dg GROUP BY digit),
+      t AS (SELECT sum(n) AS nt FROM c),
+      b(digit, benford_bp) AS (VALUES (1, 3010), (2, 1760), (3, 1249), (4, 969),
+                                      (5, 791), (6, 669), (7, 579), (8, 511), (9, 457))
+      SELECT c.digit, CAST(c.n AS BIGINT) AS n,
+             CAST(c.n * 10000 // nt AS BIGINT) AS share_bp,
+             CAST(b.benford_bp AS BIGINT) AS benford_bp,
+             CAST(abs(c.n * 10000 // nt - b.benford_bp) AS BIGINT) AS dev_bp
+      FROM c JOIN b ON c.digit = b.digit CROSS JOIN t
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q51, q52, q53, q54, q55, q57, q58, q69, q89, q90, q91, q92, q93, q95,
-      q110, q129, q139, q147, q149, q152, q156, q157)
+      q110, q129, q139, q147, q149, q152, q156, q157, q159)
 }
