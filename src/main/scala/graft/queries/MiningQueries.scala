@@ -643,7 +643,54 @@ object MiningQueries extends QueryRegistry {
       WHERE n_orders >= 3
     """.trim))
 
+  /** Multi-source BFS levels over the bounded-increment transition
+    * graph (q133's item graph, restricted to forward steps of 1..3 so
+    * hop tiers have real structure): minimum hop distance from the
+    * %25 seed items, capped at 5 hops. The frontier-expansion rounds
+    * are O(maxHops) by construction (the q47 localCheckpoint
+    * discipline per round); the oracle is DuckDB's recursive CTE with
+    * UNION dedup, min(dist) per node.
+    */
+  val q160 = GraftQuery(
+    "q160_bfs_levels",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val edges = ev.withColumn("next", lead(col("item"), 1).over(w))
+        .filter(col("next").isNotNull &&
+          (col("next") - col("item")).between(1, 3))
+        .select(col("item").as("src"), col("next").as("dst"))
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      val seeds = nodes.filter(pmod(col("node"), lit(25)) === 0)
+      graft.operators.ShortestPath.bfsLevels(
+        edges, "src", "dst", seeds, "node", maxHops = 5)
+    },
+    Some("""
+      WITH RECURSIVE ev AS (
+        SELECT user_id, ts, event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        FROM events),
+      tr AS (
+        SELECT item,
+               lead(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next
+        FROM ev),
+      e AS (SELECT DISTINCT item AS src, next AS dst
+            FROM tr WHERE next IS NOT NULL AND next - item BETWEEN 1 AND 3),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      seeds AS (SELECT node FROM nodes WHERE node % 25 = 0),
+      r(node, dist) AS (
+        SELECT node, CAST(0 AS BIGINT) FROM seeds
+        UNION
+        SELECT e.dst, r.dist + 1 FROM r JOIN e ON r.node = e.src
+        WHERE r.dist < 5)
+      SELECT node, min(dist) AS dist FROM r GROUP BY node
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q70, q71, q72, q73, q74, q76, q77, q81a, q81, q83, q94, q96, q108,
-      q121, q133, q158)
+      q121, q133, q158, q160)
 }
