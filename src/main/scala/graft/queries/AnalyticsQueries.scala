@@ -705,7 +705,122 @@ object AnalyticsQueries extends QueryRegistry {
       FROM c JOIN b ON c.digit = b.digit CROSS JOIN t
     """.trim))
 
+  /** Cramér's V effect size on the q157 grid — chi-square tells you
+    * association EXISTS; V ∈ [0, 1] tells you whether it matters.
+    * The statistic needs a square root, which IS portable (IEEE
+    * requires sqrt correctly rounded — unlike log/pow, which q159 and
+    * q147 route around): exact-long chi2 and margins in, identical
+    * doubles out, floor4 guard on top.
+    */
+  val q161 = GraftQuery(
+    "q161_cramers_v",
+    (s, d) => {
+      val cells = Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("o"))
+      val rt = cells.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
+      val ct = cells.groupBy(col("source")).agg(sum(col("o")).as("ct"))
+      val n = cells.agg(sum(col("o")).as("n"),
+        countDistinct(col("lang")).as("r_levels"),
+        countDistinct(col("source")).as("c_levels"))
+      val grid = rt.crossJoin(broadcast(ct))
+        .join(cells, Seq("lang", "source"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+        .crossJoin(broadcast(n))
+      val dv = col("o") * col("n") - col("rt") * col("ct")
+      val t4 = floor(dv * dv / (col("rt") * col("ct") * col("n")) * 10000)
+        .cast("long")
+      grid.groupBy(col("n"), col("r_levels"), col("c_levels"))
+        .agg(sum(t4).as("chi2_e4"))
+        .withColumn("mindim",
+          least(col("r_levels") - 1, col("c_levels") - 1))
+        .select(col("chi2_e4"), col("r_levels"), col("c_levels"),
+          col("n").as("n_docs"),
+          (floor(sqrt((col("chi2_e4") / 10000.0) / (col("n") * col("mindim")))
+            * 10000) / 10000.0).as("v4"))
+    },
+    Some("""
+      WITH c AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+      r AS (SELECT lang, sum(o) AS rt FROM c GROUP BY 1),
+      s AS (SELECT source, sum(o) AS ct FROM c GROUP BY 1),
+      t AS (SELECT sum(o) AS n FROM c),
+      dims AS (SELECT (SELECT count(*) FROM r) AS rl, (SELECT count(*) FROM s) AS cl),
+      grid AS (SELECT r.lang, s.source, rt, ct, coalesce(c.o, 0) AS o
+               FROM r CROSS JOIN s
+               LEFT JOIN c ON r.lang = c.lang AND s.source = c.source),
+      terms AS (SELECT CAST(floor((o*n - rt*ct)*(o*n - rt*ct) * 1.0 / (rt*ct*n) * 10000) AS BIGINT) AS t4
+                FROM grid CROSS JOIN t),
+      chi AS (SELECT sum(t4) AS chi2_e4 FROM terms)
+      SELECT CAST(chi2_e4 AS BIGINT) AS chi2_e4,
+             CAST(rl AS BIGINT) AS r_levels, CAST(cl AS BIGINT) AS c_levels,
+             CAST(n AS BIGINT) AS n_docs,
+             floor(sqrt((chi2_e4 / 10000.0) / (n * least(rl - 1, cl - 1))) * 10000) / 10000 AS v4
+      FROM chi CROSS JOIN t CROSS JOIN dims
+    """.trim))
+
+  /** First-touch attribution: per (user, 30-min session), which
+    * entry event type "owns" the session, and how often sessions it
+    * owns convert (contain a purchase). The session index is q41's
+    * lag + cumulative-flag sweep; the session's first event rides a
+    * min(struct(ts_us, event_id, type)) argmin (the PQ-update carry
+    * pattern — no re-join of the corpus). All time arithmetic in µs
+    * (the q156 lesson) with event_id tiebreak, so both engines pick
+    * the same first event even for same-microsecond pairs.
+    */
+  val q162 = GraftQuery(
+    "q162_first_touch_attribution",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(col("user_id"),
+        expr("ts div 1000").as("tsu"), col("event_id"), col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tsu").asc, col("event_id").asc)
+      val flagged = ev.withColumn("new_s",
+        when(lag(col("tsu"), 1).over(w).isNull ||
+          col("tsu") - lag(col("tsu"), 1).over(w) > 1800000000L, 1L)
+          .otherwise(0L))
+      val sess = flagged.withColumn("sid",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      val perSession = sess.groupBy(col("user_id"), col("sid"))
+        .agg(min(struct(col("tsu"), col("event_id"), col("event_type")))
+          .getField("event_type").as("first_touch"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("converted"))
+      perSession.groupBy(col("first_touch"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("converted")).as("n_converted"))
+        .withColumn("conversion_bp",
+          expr("div(n_converted * 10000, n_sessions)"))
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type FROM events),
+      flagged AS (
+        SELECT user_id, tsu, event_id, event_type,
+               CASE WHEN lag(tsu) OVER w IS NULL OR tsu - lag(tsu) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+      sess AS (
+        SELECT user_id, tsu, event_id, event_type,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged),
+      ft AS (SELECT user_id, sid, event_type AS first_touch
+             FROM (SELECT user_id, sid, event_type,
+                          row_number() OVER (PARTITION BY user_id, sid
+                                             ORDER BY tsu, event_id) AS rn
+                   FROM sess) WHERE rn = 1),
+      conv AS (SELECT user_id, sid,
+                      max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+               FROM sess GROUP BY 1, 2)
+      SELECT first_touch, CAST(count(*) AS BIGINT) AS n_sessions,
+             CAST(sum(converted) AS BIGINT) AS n_converted,
+             CAST(sum(converted) * 10000 // count(*) AS BIGINT) AS conversion_bp
+      FROM ft JOIN conv USING (user_id, sid)
+      GROUP BY first_touch
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q51, q52, q53, q54, q55, q57, q58, q69, q89, q90, q91, q92, q93, q95,
-      q110, q129, q139, q147, q149, q152, q156, q157, q159)
+      q110, q129, q139, q147, q149, q152, q156, q157, q159, q161, q162)
 }
