@@ -820,7 +820,40 @@ object AnalyticsQueries extends QueryRegistry {
       GROUP BY first_touch
     """.trim))
 
+  /** Trailing 7-day distinct users per day — sliding-window DISTINCT,
+    * the aggregation windows can't compose (distinct is not
+    * mergeable across overlapping frames). Exact plan: each event
+    * explodes into the <= 7 day-buckets whose trailing window it
+    * falls in, then one countDistinct per bucket — shuffle volume is
+    * window_days × events, the honest cost of exactness; for wide
+    * windows the q141 mergeable-HLL rollup is the scale alternative
+    * (per-day sketches, union 7 at read time). Buckets are clamped to
+    * observed days so both engines emit the same grid.
+    */
+  val q163 = GraftQuery(
+    "q163_sliding_distinct_users",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+      val obs = ev.select(col("day")).distinct()
+      ev.select(explode(sequence(col("day"), col("day") + 6)).as("day"),
+          col("user_id"))
+        .join(obs, Seq("day"), "left_semi")
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("u7_distinct"),
+          count(lit(1)).as("n7_events"))
+    },
+    Some("""
+      WITH ev AS (SELECT epoch_ns(ts) // 86400000000000 AS day, user_id FROM events),
+      ex AS (SELECT day + i AS day2, user_id FROM ev, unnest(range(0, 7)) AS t(i))
+      SELECT day2 AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS u7_distinct,
+             CAST(count(*) AS BIGINT) AS n7_events
+      FROM ex
+      WHERE day2 IN (SELECT day FROM ev)
+      GROUP BY day2
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q51, q52, q53, q54, q55, q57, q58, q69, q89, q90, q91, q92, q93, q95,
-      q110, q129, q139, q147, q149, q152, q156, q157, q159, q161, q162)
+      q110, q129, q139, q147, q149, q152, q156, q157, q159, q161, q162, q163)
 }
