@@ -874,14 +874,50 @@ object Dedup {
     */
   def sortedNeighborhoodPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, window: Int, threshold: Double, keyLen: Int = 16,
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0): DataFrame =
+    sortedNeighborhoodPairsByKey(docs, idCol, textCol, n, window, threshold,
+      substring(snmNormalized(col(textCol)), 1, keyLen), numPartitions)
+
+  /** The default SNM blocking alphabet: ASCII alphanumerics only,
+    * stripped BEFORE lowercasing — sort order is pure byte order on
+    * both engines, no collation/Unicode-casing surface.
+    */
+  def snmNormalized(text: Column): Column =
+    lower(regexp_replace(coalesce(text, lit("")), "[^A-Za-z0-9]", ""))
+
+  /** Multi-pass SNM (the standard recall protocol: Hernández & Stolfo
+    * run several passes with independent keys and union the pairs —
+    * one ordering cannot neighbor every true duplicate). Pairs found
+    * by several passes dedupe to one row keeping the smallest rank
+    * distance; the verified jaccard is key-independent, so the merge
+    * is deterministic.
+    */
+  def sortedNeighborhoodMultiPass(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, window: Int, threshold: Double,
+      sortKeys: Seq[Column], numPartitions: Int = 0): DataFrame = {
+    require(sortKeys.nonEmpty, "at least one blocking key required")
+    sortKeys.map(k => sortedNeighborhoodPairsByKey(docs, idCol, textCol, n,
+        window, threshold, k, numPartitions))
+      .reduce(_ unionAll _)
+      .groupBy(col("id1"), col("id2"))
+      .agg(min(col("rank_dist")).as("rank_dist"),
+        min(col("jaccard")).as("jaccard"))
+  }
+
+  /** [[sortedNeighborhoodPairs]] with an explicit blocking-key
+    * expression — the key IS the pass (prefix, reversed suffix,
+    * phonetic code, ...). Callers must keep the key engine-portable
+    * in byte order ([[snmNormalized]] provides the safe alphabet).
+    */
+  def sortedNeighborhoodPairsByKey(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, window: Int, threshold: Double,
+      sortKey: Column, numPartitions: Int = 0): DataFrame = {
     require(window >= 2, s"window must cover at least adjacent rows, got $window")
     val spark = docs.sparkSession
     val parts = if (numPartitions > 0) numPartitions
       else spark.sparkContext.defaultParallelism
     val keyed = docs.select(col(idCol).cast("long").as("id"),
-      substring(lower(regexp_replace(coalesce(col(textCol), lit("")),
-        "[^A-Za-z0-9]", "")), 1, keyLen).as("skey"))
+      sortKey.as("skey"))
     // cache = single evaluation: rank is a function of the total order
     // alone, but the offset join below must see the SAME partitioning
     // that produced each row's (pid, li) — without the boundary the

@@ -1028,8 +1028,46 @@ object DedupQueries extends QueryRegistry {
       SELECT id1, id2, rank_dist, jaccard FROM v WHERE jaccard >= 0.5
     """.trim))
 
+  /** Multi-pass SNM — q150's documented recall lever made real: pass
+    * 1 blocks on the normalized PREFIX, pass 2 on the reversed string
+    * (suffix blocking), pairs unioned with the smallest rank
+    * distance. A near-dup whose edit sits in the first words escapes
+    * pass 1's neighborhood but lands adjacent in pass 2 — the
+    * protocol Hernández & Stolfo prescribe. Keys stay in the ASCII
+    * byte-order alphabet, so reverse() is engine-identical.
+    */
+  val q164 = GraftQuery(
+    "q164_dedup_snm_multipass",
+    (s, d) => {
+      val norm = Dedup.snmNormalized(col("text"))
+      Dedup.sortedNeighborhoodMultiPass(Tables.documents(s, d), "doc_id",
+        "text", n = 3, window = 10, threshold = 0.5,
+        sortKeys = Seq(substring(norm, 1, 16), substring(reverse(norm), 1, 16)))
+    },
+    Some {
+      val normSql = "lower(regexp_replace(coalesce(text, ''), '[^A-Za-z0-9]', '', 'g'))"
+      def pass(tag: String, keySql: String) = s"""
+      k$tag AS (SELECT doc_id, $keySql AS skey FROM documents),
+      r$tag AS (SELECT doc_id, row_number() OVER (ORDER BY skey, doc_id) - 1 AS r FROM k$tag),
+      p$tag AS (SELECT a.doc_id AS id1, b.doc_id AS id2, b.r - a.r AS rank_dist
+                FROM r$tag a JOIN r$tag b ON b.r - a.r BETWEEN 1 AND 9)""".trim
+      s"""
+      WITH $duckShingles,
+      ${pass("1", s"substr($normSql, 1, 16)")},
+      ${pass("2", s"substr(reverse($normSql), 1, 16)")},
+      cand AS (SELECT id1, id2, min(rank_dist) AS rank_dist
+               FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+               GROUP BY 1, 2),
+      v AS (SELECT id1, id2, rank_dist,
+                   floor(len(list_intersect(x.s, y.s)) * 1.0 /
+                         (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) * 10000) / 10000 AS jaccard
+            FROM cand JOIN sh x ON id1 = x.doc_id JOIN sh y ON id2 = y.doc_id)
+      SELECT id1, id2, rank_dist, jaccard FROM v WHERE jaccard >= 0.5
+      """.trim
+    })
+
   def all: Seq[GraftQuery] =
     Seq(q20, q21, q22, q23, q24, q39, q47, q47a, q59, q60, q61, q67, q68, q75,
       q78, q82, q103a, q103, q105, q106, q107, q113, q120, q122, q130, q132,
-      q150)
+      q150, q164)
 }

@@ -69,6 +69,29 @@ class DedupSpec extends SparkTestBase {
     assert(got1 === got)
   }
 
+  test("multi-pass SNM recovers the cross-prefix near-dup via the reversed key") {
+    val snm = Seq(
+      (1L, "alpha alpha common text here one"),
+      (2L, "alpha alpha common text here two"),
+      (3L, "m01 walrus quartz banjo lantern pepper"),
+      (4L, "m02 orbit velvet crayon thunder maple"),
+      (5L, "m03 ginger falcon marble tunnel spice"),
+      (6L, "m04 copper wizard saddle prism nutmeg"),
+      (7L, "m05 hazel rocket mirror canyon tulip"),
+      (8L, "m06 ember salmon drizzle pocket quill"),
+      (9L, "zeta alpha common text here one"))
+      .toDF("doc_id", "text")
+    val norm = Dedup.snmNormalized(col("text"))
+    val multi = Dedup.sortedNeighborhoodMultiPass(snm, "doc_id", "text",
+      n = 3, window = 4, threshold = 0.5,
+      sortKeys = Seq(substring(norm, 1, 16), substring(reverse(norm), 1, 16)),
+      numPartitions = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // pass 1 (prefix) finds (1,2); only pass 2 (reversed = suffix
+    // blocking) can neighbor 1 and 9, whose difference is the FIRST word
+    assert(multi === Set((1L, 2L), (1L, 9L)))
+  }
+
   test("signature-store search equals the in-memory cross-corpus dedup, corpus never re-tokenized") {
     val store = tmpDir("sig_store")
     val newBatch = docs.filter(col("doc_id") === 4)
