@@ -59,4 +59,52 @@ object PassageDedup {
       .join(totals, Seq("doc_id"))
       .select(col("doc_id"), col("n_total"), col("n_kept"), col("text_deduped"))
   }
+
+  /** CCNet-style boilerplate removal — the complement of
+    * [[dedupPassages]]: instead of keeping each duplicated window's
+    * FIRST occurrence, drop EVERY occurrence of windows whose
+    * corpus-wide document frequency reaches `minDf` (nav menus,
+    * cookie banners, license headers — text that is boilerplate
+    * precisely because many unrelated documents share it). Documents
+    * reduced to nothing survive with empty text and n_kept = 0 so the
+    * caller can apply its own length gate afterwards.
+    *
+    * Scale shape: df is two map-side-combinable hash aggregations
+    * ((passage, doc) distinct, then per-passage count) — a window
+    * shared by a billion docs reaches the second stage as one row per
+    * map task. The drop itself is a left-anti join keyed on the
+    * passage; the hot boilerplate key is one build-side row however
+    * many probe rows carry it.
+    */
+  def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 4, minDf: Int = 3): DataFrame = {
+    val words = T.tokens(col(textCol))
+    val nChunks = floor((size(words).cast("double") + (window - 1)) / window)
+      .cast("long")
+    val chunks = docs.filter(size(words) > 0)
+      .select(col(idCol).as("doc_id"),
+        posexplode(transform(
+          sequence(lit(0L), nChunks - 1),
+          i => array_join(
+            slice(words, (i * window + 1).cast("int"), lit(window)), " "))))
+      .withColumnRenamed("pos", "idx")
+      .withColumnRenamed("col", "passage")
+    val boilerplate = chunks.select(col("passage"), col("doc_id")).distinct()
+      .groupBy(col("passage")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("passage"))
+    val kept = chunks.join(boilerplate, Seq("passage"), "left_anti")
+    val totals = chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_total"))
+    totals.join(
+        kept.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(
+              transform(array_sort(collect_list(struct(col("idx"), col("passage")))),
+                s => s.getField("passage")), " ").as("text_clean")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
 }

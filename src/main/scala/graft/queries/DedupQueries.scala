@@ -1066,8 +1066,40 @@ object DedupQueries extends QueryRegistry {
       """.trim
     })
 
+  /** CCNet-style boilerplate removal: 4-token windows shared by >= 3
+    * distinct documents are dropped from EVERY document (q78 keeps the
+    * first occurrence; boilerplate deserves no survivor). Fully-
+    * boilerplate docs stay as empty rows for the downstream length
+    * gate.
+    */
+  val q165 = GraftQuery(
+    "q165_boilerplate_removal",
+    (s, d) => graft.operators.PassageDedup.removeBoilerplate(
+      Tables.documents(s, d), "doc_id", "text", window = 4, minDf = 3),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      chunks AS (
+        SELECT doc_id, i AS idx,
+               array_to_string(words[(i*4+1):(i*4+4)], ' ') AS passage
+        FROM (SELECT doc_id, words,
+                     unnest(range(0, CAST(ceil(len(words) / 4.0) AS BIGINT))) AS i
+              FROM w WHERE len(words) > 0)),
+      hot AS (SELECT passage FROM chunks GROUP BY passage
+              HAVING count(DISTINCT doc_id) >= 3),
+      totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total
+                 FROM chunks GROUP BY doc_id),
+      kept AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(passage, ' ' ORDER BY idx) AS text_clean
+        FROM chunks ANTI JOIN hot USING (passage) GROUP BY doc_id)
+      SELECT t.doc_id, t.n_total,
+             coalesce(k.n_kept, 0) AS n_kept,
+             coalesce(k.text_clean, '') AS text_clean
+      FROM totals t LEFT JOIN kept k USING (doc_id)
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q20, q21, q22, q23, q24, q39, q47, q47a, q59, q60, q61, q67, q68, q75,
       q78, q82, q103a, q103, q105, q106, q107, q113, q120, q122, q130, q132,
-      q150, q164)
+      q150, q164, q165)
 }

@@ -39,4 +39,22 @@ class PassageDedupSpec extends SparkTestBase {
       .select("text_deduped").as[String].head()
     assert(got === "m n o p q")
   }
+
+  test("boilerplate removal drops EVERY occurrence past the df gate") {
+    val d = Seq(
+      (1L, "a b c d e f"),   // "a b c" hits df=3 -> dropped everywhere
+      (2L, "a b c x y z"),
+      (3L, "a b c a b c"),   // within-doc repeat counts once toward df
+      (4L, "x y z"))         // "x y z" df=2 -> survives (unlike keep-first)
+      .toDF("doc_id", "text")
+    val got = PassageDedup.removeBoilerplate(d, "doc_id", "text",
+        window = 3, minDf = 3)
+      .select("doc_id", "n_total", "n_kept", "text_clean")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((2L, 1L, "d e f")))
+    assert(got(2L) === ((2L, 1L, "x y z")))
+    assert(got(3L) === ((2L, 0L, "")), "fully-boilerplate doc survives empty")
+    assert(got(4L) === ((1L, 1L, "x y z")), "df=2 window is NOT boilerplate at minDf=3")
+  }
 }
