@@ -411,6 +411,67 @@ object MiningQueries extends QueryRegistry {
       """.trim
     })
 
+  /** Personalized PageRank over q108's dangling-heavy transition
+    * graph: restart AND dangling mass go to the seed set (items
+    * ending in 1), so rank measures proximity to the seeds — the
+    * graph-based data-selection primitive (seed with known-good
+    * items, harvest the neighborhood by rank). Nodes unreachable
+    * from the seeds report exactly 0.
+    */
+  val q166 = GraftQuery(
+    "q166_personalized_pagerank",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val edges = ev.withColumn("next", lead(col("item"), 1).over(w))
+        .filter(col("next").isNotNull && col("next") =!= col("item") &&
+          col("item") % 7 =!= 0)
+        .select(col("item").as("src"), col("next").as("dst"))
+      val seeds = ev.select(col("item")).filter(col("item") % 10 === 1)
+      graft.operators.PageRank.personalizedPageRank(edges, "src", "dst",
+        seeds, "item", damping = 0.85, iters = 5)
+    },
+    Some {
+      val iterCtes = (1 to 5).map { k =>
+        s"""dm$k AS (
+           |  SELECT coalesce(sum(p.rank), 0.0) AS dm FROM p${k - 1} p
+           |  WHERE p.node NOT IN (SELECT src FROM deg)),
+           |p$k AS (
+           |  SELECT b.node,
+           |         (1 - 0.85) * b.p +
+           |         0.85 * (coalesce(m.in_mass, 0.0) + dm$k.dm * b.p) AS rank
+           |  FROM base b CROSS JOIN dm$k
+           |  LEFT JOIN (SELECT e.dst AS node, sum(p.rank / d.outdeg) AS in_mass
+           |             FROM edges e JOIN p${k - 1} p ON p.node = e.src
+           |             JOIN deg d ON d.src = e.src
+           |             GROUP BY e.dst) m ON m.node = b.node)""".stripMargin
+      }.mkString(",\n      ")
+      s"""
+      WITH ev AS (
+        SELECT user_id, ts, event_id,
+               CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+        FROM events),
+      tr AS (
+        SELECT item,
+               lead(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next
+        FROM ev),
+      edges AS (
+        SELECT DISTINCT item AS src, next AS dst
+        FROM tr WHERE next IS NOT NULL AND next <> item AND item % 7 <> 0),
+      nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      scnt AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM nodes WHERE node % 10 = 1),
+      deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
+      base AS (SELECT node, CASE WHEN node % 10 = 1 THEN 1.0 / scnt.s ELSE 0.0 END AS p
+               FROM nodes CROSS JOIN scnt),
+      p0 AS (SELECT node, p AS rank FROM base),
+      $iterCtes
+      SELECT node, CAST(round(rank * 100000000) AS BIGINT) AS rank_e8 FROM p5
+      """.trim
+    })
+
   /** Temporal enrichment against the SCD2 dimension: each lineitem
     * picks the customer-priority version whose half-open validity
     * interval contains its ship date — the slowly-changing-dimension
@@ -691,6 +752,6 @@ object MiningQueries extends QueryRegistry {
     """.trim))
 
   def all: Seq[GraftQuery] =
-    Seq(q70, q71, q72, q73, q74, q76, q77, q81a, q81, q83, q94, q96, q108,
+    Seq(q70, q71, q72, q73, q74, q76, q77, q81a, q81, q83, q94, q96, q108, q166,
       q121, q133, q158, q160)
 }

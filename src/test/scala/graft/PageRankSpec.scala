@@ -51,4 +51,31 @@ class PageRankSpec extends SparkTestBase {
     // a 3-cycle is symmetric: all nodes at 1/3
     assert(r1.values.toSet.size === 1)
   }
+
+  test("personalized PageRank: mass stays near the seeds, unreachable nodes are 0") {
+    // seed 1 -> 2 -> 3(sink); separate component 4 -> 5, unreachable
+    val e = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = PageRank.personalizedPageRank(e, "src", "dst", seeds, "node",
+        iters = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got(4L) === 0L && got(5L) === 0L,
+      "no restart mass, no path => exactly zero")
+    // dangling sink 3 returns its mass to the seed: total conserved
+    assert(math.abs(got.values.sum - 100000000L) <= 5)
+    // every node on a seed path holds mass; the restarting seed
+    // outranks its 1-hop neighbor (the sink ACCUMULATES — it only
+    // leaks through the dangling return — so no claim about it)
+    assert(got(1L) > got(2L) && got(2L) > 0L && got(3L) > 0L)
+  }
+
+  test("personalized PageRank restricts seeds to graph nodes") {
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    // seed 9 is not in the graph: |S| must count only node 1
+    val got = PageRank.personalizedPageRank(e, "src", "dst",
+        Seq(1L, 9L).toDF("node"), "node", iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(!got.contains(9L))
+    assert(math.abs(got.values.sum - 100000000L) <= 5)
+  }
 }
