@@ -62,6 +62,32 @@ object Retrieval {
     top.withColumn("rn", row_number().over(w).cast("int"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. SIGIR'09) — combine
+    * heterogeneous rankers (BM25, ANN, ...) without score
+    * calibration: each ranker contributes 1/(kRrf + rank) per doc,
+    * fused docs sort by the summed contribution. Scores here are
+    * exact INTEGER micro-units (1e6 div (kRrf + rank)) so fusion is
+    * order-independent and engine-portable — no floating sum over a
+    * ranker-count that may grow.
+    *
+    * Inputs: each ranking is (idCol, rankCol) with rank 1-based and
+    * already top-k-bounded, so the union is rankers x k rows — the
+    * fusion aggregate is tiny no matter how large the corpus that
+    * produced the rankings. Output: (id, rrf_e6, n_rankers).
+    */
+  def reciprocalRankFusion(rankings: Seq[DataFrame], idCol: String,
+      rankCol: String, kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    rankings
+      .map(_.select(col(idCol).as("id"), col(rankCol).cast("long").as("r")))
+      .reduce(_ unionAll _)
+      // exact integer division — never a double on the score path
+      .select(col("id"), expr(s"1000000L div (r + $kRrf)").as("contrib"))
+      .groupBy(col("id"))
+      .agg(sum(col("contrib")).as("rrf_e6"),
+        count(lit(1)).as("n_rankers"))
+  }
+
   /** Cross-engine term bucket: md5-derived so the partition layout is
     * reproducible from SQL (Spark's Murmur3 `hash` is not).
     */

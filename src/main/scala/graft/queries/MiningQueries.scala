@@ -411,6 +411,68 @@ object MiningQueries extends QueryRegistry {
       """.trim
     })
 
+  /** Hybrid retrieval via reciprocal-rank fusion: q71's BM25 top-20
+    * (lexical) fused with the cosine top-20 around query vector 0
+    * (semantic) — no score calibration, each ranker contributes
+    * 1e6 div (60 + rank) exact micro-units. The union is rankers x k
+    * rows however large the corpus; docs surfacing in BOTH lists
+    * bubble up (n_rankers = 2).
+    */
+  val q167 = GraftQuery(
+    "q167_hybrid_rrf",
+    (s, d) => {
+      val bm = Retrieval.bm25TopK(
+        Tables.documents(s, d), "doc_id", "text", bm25Terms, k = 20)
+        .select(col("doc_id"), col("rn"))
+      val emb = Tables.embeddings(s, d)
+      val ann = graft.operators.Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rn"))
+      Retrieval.reciprocalRankFusion(Seq(bm, ann), "doc_id", "rn")
+        .withColumnRenamed("id", "doc_id")
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           t -> len(t) > 0) AS ts
+        FROM documents),
+      dl AS (SELECT doc_id, len(ts) AS dl FROM tok),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+      tf AS (
+        SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(ts) AS t FROM tok)
+        WHERE t IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})
+        GROUP BY doc_id, t),
+      dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      bscore AS (
+        SELECT tf.doc_id,
+               CAST(floor(sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+                   (tf.tf * (1.2 + 1.0)) /
+                   (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))) * 10000)
+                 AS BIGINT) AS score_bp
+        FROM tf JOIN dfq d USING (term) JOIN dl l USING (doc_id)
+        CROSS JOIN stats s
+        GROUP BY tf.doc_id),
+      bm AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score_bp DESC, doc_id) AS rn
+        FROM bscore QUALIFY rn <= 20),
+      ann AS (
+        SELECT c.vec_id AS doc_id,
+               row_number() OVER (
+                 ORDER BY round(${graft.queries.SimilarityQueries.duckCos("q", "c")}, 4) DESC,
+                          c.vec_id) AS rn
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id = 0
+        QUALIFY rn <= 20),
+      u AS (SELECT doc_id, rn FROM bm UNION ALL SELECT doc_id, rn FROM ann)
+      SELECT doc_id, CAST(sum(1000000 // (60 + rn)) AS BIGINT) AS rrf_e6,
+             CAST(count(*) AS BIGINT) AS n_rankers
+      FROM u GROUP BY doc_id
+    """.trim))
+
   /** Personalized PageRank over q108's dangling-heavy transition
     * graph: restart AND dangling mass go to the seed set (items
     * ending in 1), so rank measures proximity to the seeds — the
@@ -752,6 +814,6 @@ object MiningQueries extends QueryRegistry {
     """.trim))
 
   def all: Seq[GraftQuery] =
-    Seq(q70, q71, q72, q73, q74, q76, q77, q81a, q81, q83, q94, q96, q108, q166,
+    Seq(q70, q71, q72, q73, q74, q76, q77, q81a, q81, q83, q94, q96, q108, q166, q167,
       q121, q133, q158, q160)
 }

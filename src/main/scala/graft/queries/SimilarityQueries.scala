@@ -12,7 +12,7 @@ object SimilarityQueries extends QueryRegistry {
   /** Shared DuckDB cosine fragment over 64-dim float lists (double
     * widening + sequential sum, matching the Spark fold).
     */
-  private def duckCos(a: String, b: String): String =
+  private[graft] def duckCos(a: String, b: String): String =
     s"""(list_sum(list_transform(range(1, 65),
            i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))) /
         (sqrt(list_sum(list_transform(range(1, 65),

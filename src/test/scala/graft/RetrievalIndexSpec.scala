@@ -76,4 +76,20 @@ class RetrievalIndexSpec extends SparkTestBase {
     assert(got === direct && got.nonEmpty)
     assert(new java.io.File(path + "/postings/_SUCCESS").exists())
   }
+
+  test("reciprocal-rank fusion sums exact integer contributions per ranker") {
+    import spark.implicits._
+    val r1 = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rn")
+    val r2 = Seq((20L, 1), (10L, 2), (40L, 3)).toDF("doc_id", "rn")
+    val got = Retrieval.reciprocalRankFusion(Seq(r1, r2), "doc_id", "rn")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val c = (r: Int) => 1000000L / (60 + r)
+    assert(got(10L) === ((c(1) + c(2), 2L)))
+    assert(got(20L) === ((c(2) + c(1), 2L)))
+    assert(got(30L) === ((c(3), 1L)))
+    assert(got(40L) === ((c(3), 1L)))
+    // both-list docs dominate single-list docs at any rank here
+    assert(got(10L)._1 > got(30L)._1)
+  }
 }
