@@ -53,4 +53,32 @@ object Curation {
   def dropStats(annotated: DataFrame): DataFrame =
     annotated.groupBy(coalesce(col("drop_reason"), lit("kept")).as("outcome"))
       .agg(count(lit(1)).as("n_docs"))
+
+  /** Pairwise n-gram-vocabulary Jaccard between corpus groups
+    * (sources) — the mixture-design diagnostic: near-identical
+    * vocabularies mean two "sources" are one distribution (crawl
+    * mirrors), near-disjoint ones mean a mixture weight is really a
+    * topic weight. Only intersecting pairs emit a row.
+    *
+    * Scale shape: the corpus collapses to a (term, group) incidence
+    * set — bounded by vocabulary x groups, NOT by document count —
+    * via one distinct aggregate; the pair join fans out each term by
+    * at most groups^2, and the jaccard is pure integer arithmetic
+    * ((inter*10000) div union) off exact counts.
+    */
+  def vocabularyOverlap(docs: DataFrame, groupCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val inc = docs.select(col(groupCol).as("g"),
+        explode(T.shingles(col(textCol), n)).as("term"))
+      .distinct()
+    val vocab = inc.groupBy(col("g")).agg(count(lit(1)).as("v"))
+    inc.as("a").join(inc.as("b"),
+        col("a.term") === col("b.term") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("g1"), col("b.g").as("g2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(vocab.select(col("g").as("g1"), col("v").as("v1"))), "g1")
+      .join(broadcast(vocab.select(col("g").as("g2"), col("v").as("v2"))), "g2")
+      .select(col("g1"), col("g2"), col("inter"), col("v1"), col("v2"),
+        expr("(inter * 10000L) div (v1 + v2 - inter)").as("jac_bp"))
+  }
 }

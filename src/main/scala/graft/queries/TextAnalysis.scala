@@ -755,7 +755,32 @@ object TextAnalysis extends QueryRegistry {
       FROM r WHERE rn <= 5
     """.trim))
 
+  /** Corpus-mix diagnostic: pairwise 3-gram-vocabulary Jaccard
+    * between sources. The corpus collapses to a (term, source)
+    * incidence set (bounded by vocabulary x sources, not docs); the
+    * jaccard is exact integer basis points off exact counts.
+    */
+  val q168 = GraftQuery(
+    "q168_source_vocab_overlap",
+    (s, d) => graft.operators.Curation.vocabularyOverlap(
+      Tables.documents(s, d), "source", "text", n = 3),
+    Some("""
+      WITH w AS (SELECT source, string_split(text, ' ') AS words FROM documents),
+      sh AS (SELECT source AS g,
+                    unnest(list_distinct(list_transform(range(1, len(words) - 1),
+                           i -> array_to_string(words[i:i+2], ' ')))) AS term
+             FROM w WHERE len(words) >= 3),
+      inc AS (SELECT DISTINCT g, term FROM sh),
+      vocab AS (SELECT g, CAST(count(*) AS BIGINT) AS v FROM inc GROUP BY g),
+      pairs AS (SELECT a.g AS g1, b.g AS g2, CAST(count(*) AS BIGINT) AS inter
+                FROM inc a JOIN inc b ON a.term = b.term AND a.g < b.g
+                GROUP BY 1, 2)
+      SELECT g1, g2, inter, va.v AS v1, vb.v AS v2,
+             CAST((inter * 10000) // (va.v + vb.v - inter) AS BIGINT) AS jac_bp
+      FROM pairs JOIN vocab va ON va.g = g1 JOIN vocab vb ON vb.g = g2
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q45, q62, q63, q64, q65,
-      q80, q99, q101, q117, q118, q128, q134, q135, q153, q154, q155)
+      q80, q99, q101, q117, q118, q128, q134, q135, q153, q154, q155, q168)
 }

@@ -28,4 +28,18 @@ class CurationSpec extends SparkTestBase {
     val stats = Curation.dropStats(ann).as[(String, Long)].collect().toMap
     assert(stats("kept") === 1 && stats("too_short") === 1)
   }
+
+  test("vocabulary overlap reports exact shingle-set jaccard per group pair") {
+    // a and b share exactly the shingle "x y z" (a: 2 shingles, b: 2);
+    // c is disjoint from both -> no row for (a,c)/(b,c)
+    val d = Seq(
+      (1L, "a", "w x y z"),     // shingles: "w x y", "x y z"
+      (2L, "b", "x y z q"),     // shingles: "x y z", "y z q"
+      (3L, "c", "m n o p"))
+      .toDF("doc_id", "grp", "text")
+    val got = Curation.vocabularyOverlap(d, "grp", "text", n = 3)
+      .select("g1", "g2", "inter", "v1", "v2", "jac_bp")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(got.toSeq === Seq(("a", "b", 1L, 2L, 2L, 3333L)))
+  }
 }
