@@ -913,31 +913,13 @@ object Dedup {
       textCol: String, n: Int, window: Int, threshold: Double,
       sortKey: Column, numPartitions: Int = 0): DataFrame = {
     require(window >= 2, s"window must cover at least adjacent rows, got $window")
-    val spark = docs.sparkSession
-    val parts = if (numPartitions > 0) numPartitions
-      else spark.sparkContext.defaultParallelism
     val keyed = docs.select(col(idCol).cast("long").as("id"),
       sortKey.as("skey"))
-    // cache = single evaluation: rank is a function of the total order
-    // alone, but the offset join below must see the SAME partitioning
-    // that produced each row's (pid, li) — without the boundary the
-    // a-side, b-side, and count evaluations could re-sample range
-    // boundaries independently and disagree
-    val local = keyed
-      .repartitionByRange(parts, col("skey").asc, col("id").asc)
-      .sortWithinPartitions(col("skey").asc, col("id").asc)
-      .select(col("id"), monotonically_increasing_id().as("mid"))
-      .select(col("id"), shiftrightunsigned(col("mid"), 33).as("pid"),
-        (col("mid") bitwiseAND ((1L << 33) - 1)).as("li"))
-      .cache()
-    val counts = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val offsets = (0L until parts.toLong).map { p =>
-      (p, (0L until p).map(q => counts.getOrElse(q, 0L)).sum)
-    }
-    val offDf = spark.createDataFrame(offsets).toDF("pid", "off")
-    val ranked = local.join(broadcast(offDf), "pid")
-      .select(col("id"), (col("off") + col("li")).as("r"))
+    // Layout.globalRank owns the cache-for-single-evaluation and
+    // prefix-offset disciplines (see its doc)
+    val ranked = Layout.globalRank(keyed,
+        Seq(col("skey"), col("id")), numPartitions = numPartitions)
+      .select(col("id"), col("r"))
     val w = window.toLong
     val a = ranked.select(col("id").as("id1"), col("r").as("r1"),
       floor(col("r") / w).cast("long").as("g"))

@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Range-sorted data layout — the clustering pass that makes range
   * predicates cheap at 100 TB.
@@ -25,4 +25,45 @@ object Layout {
     df.repartitionByRange(nFiles, col(sortCol))
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite").parquet(path)
+
+  /** Windowless 0-based GLOBAL rank under a total order — the
+    * distributed prefix-sum pattern (q90/q150 discipline) factored
+    * out: range partition on the sort key, decompose
+    * `monotonically_increasing_id` into (partition, local index), and
+    * broadcast per-partition prefix offsets (numPartitions longs —
+    * the ONLY driver traffic). A `row_number()` window over the same
+    * order would sort the entire table in ONE partition; this keeps
+    * the sort distributed.
+    *
+    * The returned frame is cached and MUST stay the single evaluation
+    * point: rank is a pure function of the total order, but without
+    * the cache boundary separate downstream branches could re-sample
+    * range boundaries independently and disagree on (partition,
+    * local-index) splits. `sortCols` must be a total order (add a
+    * unique id as the last key) or ranks within ties are
+    * layout-dependent.
+    */
+  def globalRank(df: DataFrame, sortCols: Seq[Column],
+      rankName: String = "r", numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val local = df
+      .repartitionByRange(parts, sortCols.map(_.asc): _*)
+      .sortWithinPartitions(sortCols.map(_.asc): _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftrightunsigned(col("__mid"), 33))
+      .withColumn("__li", col("__mid") bitwiseAND ((1L << 33) - 1))
+      .drop("__mid")
+      .cache()
+    val counts = local.groupBy(col("__pid")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val offsets = (0L until parts.toLong).map { p =>
+      (p, (0L until p).map(q => counts.getOrElse(q, 0L)).sum)
+    }
+    val offDf = spark.createDataFrame(offsets).toDF("__pid", "__off")
+    local.join(broadcast(offDf), "__pid")
+      .withColumn(rankName, col("__off") + col("__li"))
+      .drop("__pid", "__li", "__off")
+  }
 }

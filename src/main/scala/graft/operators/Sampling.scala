@@ -117,4 +117,29 @@ object Sampling {
       Seq(stratumCol), "__neg_bucket", idCol, Nil, quota)
       .select(col(idCol), col(stratumCol),
         (-col("__neg_bucket")).cast("long").as("bucket"))
+
+  /** Deterministic epoch-shuffle manifest: for each epoch, a fresh
+    * pseudo-random permutation of the corpus as explicit (epoch, id,
+    * pos) rows — the dataloader contract that makes "shuffle each
+    * epoch" reproducible across engines, reruns, and partition
+    * layouts (sort key = md5(epoch:id), position = windowless global
+    * rank). Epochs are independent permutations, but every engine
+    * derives the SAME ones.
+    *
+    * Scale: one distributed range-sort per epoch (the honest cost of
+    * a total order); driver traffic = numPartitions offsets per
+    * epoch. Emitting the manifest instead of rewriting the data means
+    * the 100 TB corpus is never copied per epoch.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epochs: Int,
+      numPartitions: Int = 0): DataFrame = {
+    require(epochs >= 1, "need at least one epoch")
+    (0 until epochs).map { e =>
+      val keyed = df.select(col(idCol).as("id"))
+        .withColumn("skey", md5(concat_ws(":", lit(e), col("id").cast("string"))))
+      Layout.globalRank(keyed, Seq(col("skey"), col("id")), rankName = "pos",
+          numPartitions = numPartitions)
+        .select(lit(e).cast("int").as("epoch"), col("id"), col("pos"))
+    }.reduce(_ unionAll _)
+  }
 }

@@ -93,6 +93,25 @@ object ScaleQueries extends QueryRegistry {
       FROM documents GROUP BY shard
     """.trim))
 
+  /** Epoch-shuffle manifest: two independent deterministic
+    * permutations of the corpus (sort key md5(epoch:id), position =
+    * windowless global rank) — the reproducible "shuffle each epoch"
+    * dataloader contract; the corpus itself is never rewritten.
+    */
+  val q169 = GraftQuery(
+    "q169_epoch_shuffle",
+    (s, d) => graft.operators.Sampling.epochShuffle(
+      Tables.documents(s, d), "doc_id", epochs = 2),
+    Some("""
+      WITH k AS (
+        SELECT CAST(e AS INT) AS epoch, doc_id,
+               md5(CAST(e AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS skey
+        FROM documents CROSS JOIN (SELECT unnest(range(0, 2)) AS e))
+      SELECT epoch, doc_id AS id,
+             row_number() OVER (PARTITION BY epoch ORDER BY skey, doc_id) - 1 AS pos
+      FROM k
+    """.trim))
+
   /** Temperature-weighted mix (p_s ∝ sqrt(n_s), the multilingual
     * training mix rule at alpha = 0.5): per-source keep rates target
     * 150 · p_s docs, so small sources are upweighted and large ones
@@ -771,5 +790,6 @@ object ScaleQueries extends QueryRegistry {
 
   def all: Seq[GraftQuery] =
     Seq(q44, q46, q48, q50, q66, q87, q88, q97, q98, q98a, q100, q102, q104,
-      q112, q114, q124, q125, q126, q127, q131, q136, q141, q145, q146, q151)
+      q112, q114, q124, q125, q126, q127, q131, q136, q141, q145, q146, q151,
+      q169)
 }

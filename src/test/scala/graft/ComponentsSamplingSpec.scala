@@ -166,4 +166,23 @@ class ComponentsSamplingSpec extends SparkTestBase {
     assert(got(2L) === ((0L, false)))
     assert(got(3L) === ((0L, false)))
   }
+
+  test("epoch shuffle: each epoch is a complete permutation, epochs differ, reruns agree") {
+    val ids = (0L until 50L)
+    val df = ids.toDF("doc_id")
+    val m = Sampling.epochShuffle(df, "doc_id", epochs = 2, numPartitions = 4)
+      .as[(Int, Long, Long)].collect()
+    val byEpoch = m.groupBy(_._1)
+    assert(byEpoch.keySet === Set(0, 1))
+    for ((_, rows) <- byEpoch) {
+      assert(rows.map(_._2).toSet === ids.toSet, "every id appears once")
+      assert(rows.map(_._3).sorted.toSeq === ids.toSeq, "positions are 0..n-1")
+    }
+    def perm(e: Int) = byEpoch(e).sortBy(_._3).map(_._2).toSeq
+    assert(perm(0) !== perm(1), "epochs are independent permutations")
+    // reproducible under a different partitioning
+    val again = Sampling.epochShuffle(df, "doc_id", epochs = 2, numPartitions = 7)
+      .as[(Int, Long, Long)].collect()
+    assert(again.toSet === m.toSet)
+  }
 }
