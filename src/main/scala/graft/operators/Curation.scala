@@ -66,6 +66,31 @@ object Curation {
     * at most groups^2, and the jaccard is pure integer arithmetic
     * ((inter*10000) div union) off exact counts.
     */
+  /** Per-document n-gram novelty: the share of a doc's distinct
+    * shingles that appear NOWHERE else in the corpus (df = 1) — high
+    * novelty selects for fresh content, near-zero novelty marks
+    * near-dups and template text that slipped past exact dedup. The
+    * inverse signal of q132's containment.
+    *
+    * Scale shape: one exploded-distinct pass, one per-shingle df
+    * count (map-side combinable), df joined BACK onto the exploded
+    * corpus by shingle key (never a collected posting list — the q82
+    * lesson), one per-doc count aggregate. Novelty is exact integer
+    * basis points.
+    */
+  def noveltyScore(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(T.shingles(col(textCol), n)).as("sh"))
+    val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    sh.join(df, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("(n_novel * 10000L) div n_shingles").as("novelty_bp"))
+  }
+
   def vocabularyOverlap(docs: DataFrame, groupCol: String, textCol: String,
       n: Int = 3): DataFrame = {
     val inc = docs.select(col(groupCol).as("g"),

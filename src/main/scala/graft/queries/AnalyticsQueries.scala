@@ -853,7 +853,55 @@ object AnalyticsQueries extends QueryRegistry {
       GROUP BY day2
     """.trim))
 
+  /** Cohen's kappa between two heuristic quality raters (lexical-
+    * diversity gate vs stopword gate) — the label-quality check run
+    * before trusting any classifier-filtered corpus: agreement
+    * CORRECTED for chance (raw agreement of imbalanced raters is
+    * inflated). All four cells are exact longs from one scan; kappa =
+    * (n·agree - pe_num) / (n² - pe_num) is a single IEEE division on
+    * exact longs -> floor4. Gate thresholds compare floor4 values
+    * (identical doubles cross-engine by the floor4 discipline).
+    */
+  val q170 = GraftQuery(
+    "q170_rater_agreement_kappa",
+    (s, d) => {
+      import graft.functions.{QualityFunctions => Q, TextFunctions => T}
+      val m = Tables.documents(s, d)
+        .withColumn("ws", T.tokens(col("text")))
+        .select((Q.uniqueRatio(col("ws")) >= 0.55).as("a"),
+          (Q.stopwordRatio(col("ws")) <= 0.06).as("b"))
+      m.agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("a"), 1L).otherwise(0L)).as("a_yes"),
+          sum(when(col("b"), 1L).otherwise(0L)).as("b_yes"),
+          sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"))
+        .withColumn("kappa_e4", expr("""
+          CAST(floor(
+            CAST(n_docs*agree - (a_yes*b_yes + (n_docs-a_yes)*(n_docs-b_yes)) AS DOUBLE) /
+            CAST(n_docs*n_docs - (a_yes*b_yes + (n_docs-a_yes)*(n_docs-b_yes)) AS DOUBLE)
+            * 10000) AS BIGINT)"""))
+    },
+    Some("""
+      WITH w AS (SELECT list_filter(string_split(text, ' '), t -> len(t) > 0) AS ws
+                 FROM documents),
+      m AS (SELECT
+              floor(len(list_distinct(ws)) * 1.0 / len(ws) * 10000) / 10000 >= 0.55 AS a,
+              floor(len(list_filter(ws, t -> t IN ('the', 'a'))) * 1.0 / len(ws) * 10000) / 10000 <= 0.06 AS b
+            FROM w),
+      c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS a_yes,
+                   CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS b_yes,
+                   CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+            FROM m)
+      SELECT n_docs, a_yes, b_yes, agree,
+             CAST(floor((n_docs*agree - (a_yes*b_yes + (n_docs-a_yes)*(n_docs-b_yes))) * 1.0 /
+                        (n_docs*n_docs - (a_yes*b_yes + (n_docs-a_yes)*(n_docs-b_yes))) * 10000)
+               AS BIGINT) AS kappa_e4
+      FROM c
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q51, q52, q53, q54, q55, q57, q58, q69, q89, q90, q91, q92, q93, q95,
-      q110, q129, q139, q147, q149, q152, q156, q157, q159, q161, q162, q163)
+      q110, q129, q139, q147, q149, q152, q156, q157, q159, q161, q162, q163,
+      q170)
 }

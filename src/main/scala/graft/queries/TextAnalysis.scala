@@ -780,7 +780,73 @@ object TextAnalysis extends QueryRegistry {
       FROM pairs JOIN vocab va ON va.g = g1 JOIN vocab vb ON vb.g = g2
     """.trim))
 
+  /** Per-doc 3-gram novelty: share of a doc's distinct shingles with
+    * corpus df = 1 — selects fresh content, flags template text; the
+    * inverse of q132's containment. Exact integer basis points.
+    */
+  val q171 = GraftQuery(
+    "q171_ngram_novelty",
+    (s, d) => graft.operators.Curation.noveltyScore(
+      Tables.documents(s, d), "doc_id", "text", n = 3),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      sh AS (SELECT doc_id,
+                    unnest(list_distinct(list_transform(range(1, len(words) - 1),
+                           i -> array_to_string(words[i:i+2], ' ')))) AS s
+             FROM w WHERE len(words) >= 3),
+      df AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY s)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             CAST((sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 10000) // count(*)
+               AS BIGINT) AS novelty_bp
+      FROM sh JOIN df USING (s) GROUP BY doc_id
+    """.trim))
+
+  /** TF-IDF keyword extraction: top-3 terms per doc by
+    * floor(tf · ln(1 + N/df) · 1e4), through the bounded-heap TopK
+    * (each map task contributes <= 3 rows per doc to the shuffle —
+    * never a per-doc sort of the vocabulary). Ties inside a bp score
+    * break on the term's md5 int so both engines rank identically;
+    * df is joined back by term key, never collected (q82 lesson).
+    */
+  val q172 = GraftQuery(
+    "q172_tfidf_keywords",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val tf = docs.select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val sc = tf.join(dfc, "term").crossJoin(broadcast(n))
+        .withColumn("tfidf_bp",
+          floor(col("tf") * log(lit(1.0) + col("n").cast("double") / col("df"))
+            * 10000).cast("long"))
+        .withColumn("h", T.md5Int32(col("term")))
+      graft.operators.TopK.perGroup(sc, Seq("doc_id"), "tfidf_bp", "h",
+          Seq("term"), k = 3)
+        .select(col("doc_id"), col("term"),
+          col("tfidf_bp").cast("long").as("tfidf_bp"))
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS ws
+                 FROM documents),
+      tf AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+             FROM (SELECT doc_id, unnest(ws) AS t FROM w) GROUP BY 1, 2),
+      dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      sc AS (SELECT doc_id, term,
+                    CAST(floor(tf * ln(1 + n.n / df) * 10000) AS BIGINT) AS tfidf_bp,
+                    CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) AS h
+             FROM tf JOIN dfc USING (term) CROSS JOIN n),
+      r AS (SELECT doc_id, term, tfidf_bp,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf_bp DESC, h ASC) AS rn
+            FROM sc)
+      SELECT doc_id, term, tfidf_bp FROM r WHERE rn <= 3
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q45, q62, q63, q64, q65,
-      q80, q99, q101, q117, q118, q128, q134, q135, q153, q154, q155, q168)
+      q80, q99, q101, q117, q118, q128, q134, q135, q153, q154, q155, q168,
+      q171, q172)
 }
