@@ -138,4 +138,24 @@ object Histogram {
     spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), out.schema)
   }
+
+  /** Percentile-rank normalization: each row's score replaced by its
+    * corpus percentile in exact basis points — the calibration step
+    * that makes heterogeneous quality scores comparable ("top 5% by
+    * signal X" composes across signals; raw scores don't). rank via
+    * the windowless global prefix-sum (`Layout.globalRank` — a
+    * row_number window here would sort the corpus in one partition);
+    * pct_bp = (rank · 10000) div (n - 1), all-integer. `tieBreak`
+    * must complete a total order or ranks are layout-dependent.
+    */
+  def percentileRank(df: DataFrame, scoreCol: String, tieBreak: String,
+      numPartitions: Int = 0): DataFrame = {
+    val n = df.count() // one driver scalar
+    val ranked = Layout.globalRank(df,
+      Seq(col(scoreCol), col(tieBreak)), rankName = "__r",
+      numPartitions = numPartitions)
+    val denom = math.max(n - 1, 1L)
+    ranked.withColumn("pct_bp", expr(s"(__r * 10000L) div $denom"))
+      .drop("__r")
+  }
 }

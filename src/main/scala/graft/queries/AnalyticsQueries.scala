@@ -900,8 +900,28 @@ object AnalyticsQueries extends QueryRegistry {
       FROM c
     """.trim))
 
+  /** Percentile-rank normalization of document length: raw n_chars
+    * replaced by its corpus percentile in exact bp — heterogeneous
+    * quality signals become composable once each is a percentile.
+    * Windowless global rank (Layout.globalRank); all-integer bp.
+    */
+  val q174 = GraftQuery(
+    "q174_percentile_normalize",
+    (s, d) => graft.operators.Histogram.percentileRank(
+      Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+      "n_chars", "doc_id"),
+    Some("""
+      WITH r AS (SELECT doc_id, n_chars,
+                        row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS r,
+                        count(*) OVER () AS n
+                 FROM documents)
+      SELECT doc_id, n_chars,
+             CAST((r * 10000) // greatest(n - 1, 1) AS BIGINT) AS pct_bp
+      FROM r
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q51, q52, q53, q54, q55, q57, q58, q69, q89, q90, q91, q92, q93, q95,
       q110, q129, q139, q147, q149, q152, q156, q157, q159, q161, q162, q163,
-      q170)
+      q170, q174)
 }

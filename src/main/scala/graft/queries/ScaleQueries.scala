@@ -93,6 +93,34 @@ object ScaleQueries extends QueryRegistry {
       FROM documents GROUP BY shard
     """.trim))
 
+  /** CDC apply: the event stream read as a changelog (event_id % 10
+    * = 8 is a tombstone, everything else upserts item state) collapsed
+    * to the current snapshot in ONE map-side-combinable hash
+    * aggregate — max(struct(version, op, payload)) per key, deletes
+    * dropped after winning. No window, no per-key sort: a key updated
+    * a billion times reaches the reducer as one row per map task.
+    */
+  val q173 = GraftQuery(
+    "q173_cdc_latest_state",
+    (s, d) => {
+      val cdc = Tables.events(s, d).select(
+        col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"),
+        when(col("event_id") % 10 === 8, "D").otherwise("U").as("op"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      graft.operators.Cdc.latestState(cdc, Seq("user_id"),
+        Seq("ts_us", "event_id"), "op", Seq("item"))
+    },
+    Some("""
+      WITH c AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                        CASE WHEN event_id % 10 = 8 THEN 'D' ELSE 'U' END AS op,
+                        CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+                 FROM events),
+      r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts_us DESC, event_id DESC) AS rn
+            FROM c)
+      SELECT user_id, ts_us, event_id, item FROM r WHERE rn = 1 AND op <> 'D'
+    """.trim))
+
   /** Epoch-shuffle manifest: two independent deterministic
     * permutations of the corpus (sort key md5(epoch:id), position =
     * windowless global rank) — the reproducible "shuffle each epoch"
@@ -791,5 +819,5 @@ object ScaleQueries extends QueryRegistry {
   def all: Seq[GraftQuery] =
     Seq(q44, q46, q48, q50, q66, q87, q88, q97, q98, q98a, q100, q102, q104,
       q112, q114, q124, q125, q126, q127, q131, q136, q141, q145, q146, q151,
-      q169)
+      q169, q173)
 }
