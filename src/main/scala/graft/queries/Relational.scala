@@ -607,7 +607,82 @@ object Relational extends QueryRegistry {
       FROM pc GROUP BY c_count
     """.trim))
 
+  /** TPC-H Q17 shape (small-quantity-order revenue): lineitems of one
+    * brand's parts below 20% of their part's average quantity. The
+    * correlated scalar subquery decorrelates into a per-part
+    * aggregate joined back; the brand filter broadcasts FIRST so both
+    * the aggregate and the probe scan only the brand's lineitems.
+    * The 0.2·avg comparison is exact rational arithmetic
+    * (5·q·cnt < sum_q — quantities are integral), and revenue is an
+    * exact-cents integral division by 7 — no float anywhere.
+    */
+  val q175 = GraftQuery(
+    "q175_small_qty_revenue",
+    (s, d) => {
+      val p = Tables.part(s, d).filter(col("p_brand") === "Brand#23")
+        .select(col("p_partkey"))
+      val l = Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("q"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val stats = l.groupBy(col("l_partkey"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("c"))
+      l.join(stats, "l_partkey")
+        .filter(lit(5) * col("q") * col("c") < col("sq"))
+        .agg(count(lit(1)).as("n_small"),
+          expr("sum(cents) div 7").as("avg_yearly_cents"))
+    },
+    Some("""
+      WITH p AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+      l AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+            FROM lineitem JOIN p ON l_partkey = p_partkey),
+      s AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS sq, count(*) AS c
+            FROM l GROUP BY 1)
+      SELECT CAST(count(*) AS BIGINT) AS n_small,
+             CAST(sum(l.cents) // 7 AS BIGINT) AS avg_yearly_cents
+      FROM l JOIN s USING (l_partkey)
+      WHERE 5 * l.q * s.c < s.sq
+    """.trim))
+
+  /** TPC-H Q15 shape (top supplier for a quarter): per-supplier
+    * revenue in EXACT integer micro-units (cents x (100 - disc%)) so
+    * the argmax can never flip on a float ulp cross-engine; the
+    * scalar max is a 1-row broadcast; winners (all ties) join the
+    * supplier dim by key. Revenue compares exactly or not at all —
+    * that's the Q15 semantics (the view's max may tie).
+    */
+  val q176 = GraftQuery(
+    "q176_top_supplier_quarter",
+    (s, d) => {
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("l_suppkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("u"))
+      val rev = l.groupBy(col("l_suppkey")).agg(sum(col("u")).as("rev_u"))
+      val mx = rev.agg(max(col("rev_u")).as("mx"))
+      rev.crossJoin(broadcast(mx)).filter(col("rev_u") === col("mx"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("rev_u"))
+    },
+    Some("""
+      WITH l AS (SELECT l_suppkey,
+                        CAST(round(l_extendedprice * 100) AS BIGINT) *
+                        (100 - CAST(round(l_discount * 100) AS BIGINT)) AS u
+                 FROM lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                   AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'),
+      r AS (SELECT l_suppkey, CAST(sum(u) AS BIGINT) AS rev_u FROM l GROUP BY 1),
+      m AS (SELECT max(rev_u) AS mx FROM r)
+      SELECT s_suppkey, s_name, rev_u
+      FROM r CROSS JOIN m JOIN supplier ON l_suppkey = s_suppkey
+      WHERE rev_u = mx
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q17, q18,
-      q19, q109, q111, q119, q123, q144)
+      q19, q109, q111, q119, q123, q144, q175, q176)
 }
