@@ -26,14 +26,40 @@ object Triangles {
     * duplicated, or self-looped — canonicalization (least/greatest +
     * distinct) handles all three.
     */
-  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val canon = edges
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    countsFromCanon(canonEdges(edges, srcCol, dstCol))._2
+
+  /** Per-node local clustering coefficient — triangles closed over
+    * triangles possible, coeff_bp = (2·tri·10000) div (d·(d-1)) in
+    * exact integer basis points (degree-1 nodes report 0). The
+    * community-structure curation signal on top of [[triangleCounts]]
+    * at the cost of one extra left join against the (already
+    * computed) degree table.
+    */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val (deg, tri) = countsFromCanon(canonEdges(edges, srcCol, dstCol))
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("d").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("coeff_bp",
+        when(col("degree") >= 2,
+          expr("(2 * n_triangles * 10000) div (degree * (degree - 1))"))
+          .otherwise(0L))
+  }
+
+  private def canonEdges(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .distinct()
       .cache()
+
+  /** (degree table, per-node triangle counts) from canonical edges. */
+  private def countsFromCanon(canon: DataFrame): (DataFrame, DataFrame) = {
     val deg = canon.select(col("a").as("node"))
       .unionAll(canon.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
@@ -59,7 +85,9 @@ object Triangles {
         (col("dv1") === col("dv2") && col("v1") < col("v2")))
     val tri = wedges
       .join(oriented.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
-    tri.select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+    val counts = tri
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    (deg, counts)
   }
 }

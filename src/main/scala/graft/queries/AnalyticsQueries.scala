@@ -920,8 +920,47 @@ object AnalyticsQueries extends QueryRegistry {
       FROM r
     """.trim))
 
+  /** Daily event-volume anomaly flags per event type WITHOUT a single
+    * float: |z| > 2 is equivalent to (x·n - s)² > 4·(n·ss - s²) by
+    * cross-multiplying the population z-score — every term an exact
+    * long (bounded: daily counts x day counts stay far under 2^63 at
+    * any SF here), so the flag can never flip on an ulp. Two hash
+    * aggregates + a broadcast per-type stats join; the monitoring
+    * primitive over ingest volumes.
+    */
+  val q178 = GraftQuery(
+    "q178_volume_anomaly_days",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"), expr("ts div 86400000000000").as("day_idx"))
+        .groupBy(col("event_type"), col("day_idx"))
+        .agg(count(lit(1)).as("n_events"))
+      val stats = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("n_events")).as("sx"),
+          sum(col("n_events") * col("n_events")).as("sxx"))
+      daily.join(broadcast(stats), "event_type")
+        .select(col("event_type"), col("day_idx"), col("n_events"),
+          ((col("n_events") * col("n") - col("sx")) *
+            (col("n_events") * col("n") - col("sx")) >
+            lit(4L) * (col("n") * col("sxx") - col("sx") * col("sx")))
+            .as("is_anomaly"))
+    },
+    Some("""
+      WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
+                            CAST(count(*) AS BIGINT) AS n_events
+                     FROM events GROUP BY 1, 2),
+      st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(n_events) AS BIGINT) AS sx,
+                    CAST(sum(n_events * n_events) AS BIGINT) AS sxx
+             FROM daily GROUP BY 1)
+      SELECT d.event_type, d.day_idx, d.n_events,
+             (d.n_events * n - sx) * (d.n_events * n - sx) >
+               4 * (n * sxx - sx * sx) AS is_anomaly
+      FROM daily d JOIN st USING (event_type)
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q51, q52, q53, q54, q55, q57, q58, q69, q89, q90, q91, q92, q93, q95,
       q110, q129, q139, q147, q149, q152, q156, q157, q159, q161, q162, q163,
-      q170, q174)
+      q170, q174, q178)
 }

@@ -734,6 +734,59 @@ object MiningQueries extends QueryRegistry {
       GROUP BY node
     """.trim))
 
+  /** Local clustering coefficients over q133's transition graph:
+    * coeff_bp = (2·tri·10000) div (d·(d-1)) — how clique-like each
+    * item's neighborhood is; exact integer bp off the oriented-wedge
+    * triangle counts, degree table reused from the same pass.
+    */
+  val q177 = GraftQuery(
+    "q177_clustering_coefficient",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val edges = ev.withColumn("next", lead(col("item"), 1).over(w))
+        .filter(col("next").isNotNull && col("next") =!= col("item"))
+        .select(col("item").as("src"), col("next").as("dst"))
+      graft.operators.Triangles.clusteringCoefficients(edges, "src", "dst")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, ts, event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        FROM events),
+      tr AS (
+        SELECT item,
+               lead(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next
+        FROM ev),
+      e0 AS (SELECT DISTINCT least(item, next) AS a, greatest(item, next) AS b
+             FROM tr WHERE next IS NOT NULL AND next <> item),
+      deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+              FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+              GROUP BY node),
+      o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN a ELSE b END AS u,
+                   CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN b ELSE a END AS v,
+                   CASE WHEN da.d < db.d OR (da.d = db.d AND a < b) THEN db.d ELSE da.d END AS dv
+            FROM e0 JOIN deg da ON da.node = e0.a JOIN deg db ON db.node = e0.b),
+      tri AS (SELECT x.u AS n1, x.v AS n2, y.v AS n3
+              FROM o x JOIN o y ON x.u = y.u
+                AND (x.dv < y.dv OR (x.dv = y.dv AND x.v < y.v))
+              JOIN o z ON z.u = x.v AND z.v = y.v),
+      tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+             FROM (SELECT n1 AS node FROM tri
+                   UNION ALL SELECT n2 FROM tri
+                   UNION ALL SELECT n3 FROM tri)
+             GROUP BY node)
+      SELECT deg.node, deg.d AS degree,
+             coalesce(tc.n_triangles, 0) AS n_triangles,
+             CASE WHEN deg.d >= 2
+                  THEN (2 * coalesce(tc.n_triangles, 0) * 10000) // (deg.d * (deg.d - 1))
+                  ELSE 0 END AS coeff_bp
+      FROM deg LEFT JOIN tc USING (node)
+    """.trim))
+
   /** Market-basket pair mining (Apriori k=2, Agrawal & Srikant 1994):
     * part pairs sharing an order with support >= 3, plus lift vs the
     * independence expectation. Pairs are emitted basket-locally
@@ -814,6 +867,6 @@ object MiningQueries extends QueryRegistry {
     """.trim))
 
   def all: Seq[GraftQuery] =
-    Seq(q70, q71, q72, q73, q74, q76, q77, q81a, q81, q83, q94, q96, q108, q166, q167,
+    Seq(q70, q71, q72, q73, q74, q76, q77, q81a, q81, q83, q94, q96, q108, q166, q167, q177,
       q121, q133, q158, q160)
 }

@@ -77,4 +77,17 @@ class UnicodeSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 1L, 7L -> 1L, 8L -> 1L))
   }
+
+  test("clustering coefficients: triangle-with-tail separates closed from open neighborhoods") {
+    // triangle {1,2,3} plus pendant 4 attached to 3
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val got = Triangles.clusteringCoefficients(edges, "src", "dst")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((2L, 1L, 10000L)), "deg-2 node in a triangle is fully clustered")
+    assert(got(2L) === ((2L, 1L, 10000L)))
+    // node 3: degree 3, one closed pair of three -> 2*1*10000 div 6 = 3333
+    assert(got(3L) === ((3L, 1L, 3333L)))
+    assert(got(4L) === ((1L, 0L, 0L)), "degree-1 node reports 0, not a division error")
+  }
 }
