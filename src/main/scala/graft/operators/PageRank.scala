@@ -69,6 +69,42 @@ object PageRank {
     pr.select(col("node"), round(col("rank") * 1e8).cast("long").as("rank_e8"))
   }
 
+  /** Weighted PageRank: out-mass splits proportionally to edge weight
+    * (rank·w/W_src) instead of uniformly (rank/outdeg) — on a
+    * click-transition graph the weight is the observed transition
+    * COUNT, so the walk follows empirical probabilities, not graph
+    * topology. Duplicate (src, dst) rows pre-aggregate by summed
+    * weight; otherwise the iteration shape (one edge join + one dst
+    * aggregate + eager localCheckpoint per round) is [[pageRank]]'s,
+    * with the per-src weight total replacing the degree table.
+    * Dangling mass drops (the simplified variant, same caveat).
+    */
+  def weightedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, damping: Double = 0.85, iters: Int = 5): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val n = nodes.count().toDouble
+    val wsum = e.groupBy(col("src")).agg(sum(col("w")).as("wsum")).cache()
+    var pr = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val inMass = e.join(pr, col("src") === col("node"))
+        .join(wsum, "src")
+        .select(col("dst").as("node"),
+          (col("rank") * col("w") / col("wsum")).as("m"))
+        .groupBy(col("node")).agg(sum(col("m")).as("in_mass"))
+      pr = nodes.join(inMass, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1 - damping) / n) +
+            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+    }
+    pr.select(col("node"), round(col("rank") * 1e8).cast("long").as("rank_e8"))
+  }
+
   /** Personalized PageRank (random walk with restart to a SEED set —
     * Haveliwala 2002): the teleport vector is 1/|S| on seeds and 0
     * elsewhere, and dangling mass returns to the seeds, so rank mass

@@ -959,8 +959,116 @@ object AnalyticsQueries extends QueryRegistry {
       FROM daily d JOIN st USING (event_type)
     """.trim))
 
+  /** MAD-based robust outliers over order totals: median and the
+    * median absolute deviation replace mean/stddev (one extreme order
+    * cannot drag the fence). Exact cents in, floor4'd exact
+    * percentiles (the q149 grid), and the fence comparison is
+    * adev·10000 > mad·44478 (3·1.4826 in exact e4 units) — identical
+    * doubles on both engines, no libm.
+    */
+  val q179 = GraftQuery(
+    "q179_mad_outliers",
+    (s, d) => {
+      import graft.functions.QualityFunctions.floor4
+      val o = Tables.orders(s, d)
+        .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val med = o.agg(floor4(expr("percentile(cents, 0.5)")).as("med"))
+      val dev = o.crossJoin(broadcast(med))
+        .select(col("cents"), col("med"),
+          abs(col("cents").cast("double") - col("med")).as("adev"))
+      val mad = dev.agg(floor4(expr("percentile(adev, 0.5)")).as("mad"))
+      dev.crossJoin(broadcast(mad))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("med")).as("med"), min(col("mad")).as("mad"),
+          sum(when(col("adev") * 10000 > col("mad") * 44478, 1L)
+            .otherwise(0L)).as("n_outliers"))
+    },
+    Some("""
+      WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      m AS (SELECT floor(quantile_cont(cents, 0.5) * 10000) / 10000 AS med FROM o),
+      d AS (SELECT cents, med, abs(CAST(cents AS DOUBLE) - med) AS adev
+            FROM o CROSS JOIN m),
+      md AS (SELECT floor(quantile_cont(adev, 0.5) * 10000) / 10000 AS mad FROM d)
+      SELECT CAST(count(*) AS BIGINT) AS n_orders,
+             min(med) AS med, min(mad) AS mad,
+             CAST(sum(CASE WHEN adev * 10000 > mad * 44478 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_outliers
+      FROM d CROSS JOIN md
+    """.trim))
+
+  /** RFM segmentation: per-customer recency/frequency/monetary
+    * quartile codes — the classic warehouse cohort labeling. Metrics
+    * are exact longs; the nine quartile fences are floor4'd exact
+    * percentiles broadcast once; code = r·100 + f·10 + m.
+    */
+  val q180 = GraftQuery(
+    "q180_rfm_segmentation",
+    (s, d) => {
+      import graft.functions.QualityFunctions.floor4
+      def quart(v: org.apache.spark.sql.Column, p25: String, p50: String,
+          p75: String) =
+        when(v <= col(p25), 1).when(v <= col(p50), 2)
+          .when(v <= col(p75), 3).otherwise(4)
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        col("o_orderdate").cast("timestamp").cast("long").as("ep"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val rfm = o.groupBy(col("o_custkey")).agg(
+        max(col("ep")).as("last_ep"), count(lit(1)).as("freq"),
+        sum(col("cents")).as("mon"))
+      val th = rfm.agg(
+        floor4(expr("percentile(last_ep, 0.25)")).as("r25"),
+        floor4(expr("percentile(last_ep, 0.5)")).as("r50"),
+        floor4(expr("percentile(last_ep, 0.75)")).as("r75"),
+        floor4(expr("percentile(freq, 0.25)")).as("f25"),
+        floor4(expr("percentile(freq, 0.5)")).as("f50"),
+        floor4(expr("percentile(freq, 0.75)")).as("f75"),
+        floor4(expr("percentile(mon, 0.25)")).as("m25"),
+        floor4(expr("percentile(mon, 0.5)")).as("m50"),
+        floor4(expr("percentile(mon, 0.75)")).as("m75"))
+      rfm.crossJoin(broadcast(th))
+        .select(col("o_custkey"), col("last_ep"), col("freq"), col("mon"),
+          quart(col("last_ep"), "r25", "r50", "r75").as("r_q"),
+          quart(col("freq"), "f25", "f50", "f75").as("f_q"),
+          quart(col("mon"), "m25", "m50", "m75").as("m_q"))
+        .withColumn("rfm_code",
+          (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).cast("int"))
+    },
+    Some("""
+      WITH o AS (SELECT o_custkey, CAST(epoch(o_orderdate) AS BIGINT) AS ep,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders),
+      rfm AS (SELECT o_custkey, max(ep) AS last_ep,
+                     CAST(count(*) AS BIGINT) AS freq,
+                     CAST(sum(cents) AS BIGINT) AS mon
+              FROM o GROUP BY o_custkey),
+      th AS (SELECT
+               floor(quantile_cont(last_ep, 0.25) * 10000) / 10000 AS r25,
+               floor(quantile_cont(last_ep, 0.5) * 10000) / 10000 AS r50,
+               floor(quantile_cont(last_ep, 0.75) * 10000) / 10000 AS r75,
+               floor(quantile_cont(freq, 0.25) * 10000) / 10000 AS f25,
+               floor(quantile_cont(freq, 0.5) * 10000) / 10000 AS f50,
+               floor(quantile_cont(freq, 0.75) * 10000) / 10000 AS f75,
+               floor(quantile_cont(mon, 0.25) * 10000) / 10000 AS m25,
+               floor(quantile_cont(mon, 0.5) * 10000) / 10000 AS m50,
+               floor(quantile_cont(mon, 0.75) * 10000) / 10000 AS m75
+             FROM rfm),
+      coded AS (SELECT o_custkey, last_ep, freq, mon,
+                       CASE WHEN last_ep <= r25 THEN 1 WHEN last_ep <= r50 THEN 2
+                            WHEN last_ep <= r75 THEN 3 ELSE 4 END AS r_q,
+                       CASE WHEN freq <= f25 THEN 1 WHEN freq <= f50 THEN 2
+                            WHEN freq <= f75 THEN 3 ELSE 4 END AS f_q,
+                       CASE WHEN mon <= m25 THEN 1 WHEN mon <= m50 THEN 2
+                            WHEN mon <= m75 THEN 3 ELSE 4 END AS m_q
+                FROM rfm CROSS JOIN th)
+      SELECT o_custkey, last_ep, freq, mon,
+             CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
+             CAST(m_q AS INT) AS m_q,
+             CAST(r_q * 100 + f_q * 10 + m_q AS INT) AS rfm_code
+      FROM coded
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q51, q52, q53, q54, q55, q57, q58, q69, q89, q90, q91, q92, q93, q95,
       q110, q129, q139, q147, q149, q152, q156, q157, q159, q161, q162, q163,
-      q170, q174, q178)
+      q170, q174, q178, q179, q180)
 }

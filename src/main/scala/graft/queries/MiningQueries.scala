@@ -734,6 +734,61 @@ object MiningQueries extends QueryRegistry {
       GROUP BY node
     """.trim))
 
+  /** Weighted PageRank over the click-transition graph: edge weight =
+    * observed transition count, so the walk follows empirical
+    * probabilities (a 100x-traveled edge carries 100x the mass) —
+    * q83 ranks topology, this ranks behavior. Same per-round shape;
+    * the weight table replaces the degree table.
+    */
+  val q181 = GraftQuery(
+    "q181_pagerank_weighted",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val weighted = ev.withColumn("next", lead(col("item"), 1).over(w))
+        .filter(col("next").isNotNull && col("next") =!= col("item"))
+        .groupBy(col("item").as("src"), col("next").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.operators.PageRank.weightedPageRank(weighted, "src", "dst", "w",
+        damping = 0.85, iters = 5)
+    },
+    Some {
+      val iterCtes = (1 to 5).map { k =>
+        s"""p$k AS (
+           |  SELECT nodes.node,
+           |         (1 - 0.85) / cnt.n +
+           |         0.85 * coalesce(m.in_mass, 0.0) AS rank
+           |  FROM nodes CROSS JOIN cnt
+           |  LEFT JOIN (SELECT e.dst AS node, sum(p.rank * e.w / s.wsum) AS in_mass
+           |             FROM edges e JOIN p${k - 1} p ON p.node = e.src
+           |             JOIN ws s ON s.src = e.src
+           |             GROUP BY e.dst) m ON m.node = nodes.node)""".stripMargin
+      }.mkString(",\n      ")
+      s"""
+      WITH ev AS (
+        SELECT user_id, ts, event_id,
+               CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+        FROM events),
+      tr AS (
+        SELECT item,
+               lead(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next
+        FROM ev),
+      edges AS (
+        SELECT item AS src, next AS dst, CAST(count(*) AS BIGINT) AS w
+        FROM tr WHERE next IS NOT NULL AND next <> item
+        GROUP BY 1, 2),
+      nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      ws AS (SELECT src, CAST(sum(w) AS BIGINT) AS wsum FROM edges GROUP BY src),
+      p0 AS (SELECT node, 1.0 / cnt.n AS rank FROM nodes CROSS JOIN cnt),
+      $iterCtes
+      SELECT node, CAST(round(rank * 100000000) AS BIGINT) AS rank_e8 FROM p5
+      """.trim
+    })
+
   /** Local clustering coefficients over q133's transition graph:
     * coeff_bp = (2·tri·10000) div (d·(d-1)) — how clique-like each
     * item's neighborhood is; exact integer bp off the oriented-wedge
@@ -819,6 +874,54 @@ object MiningQueries extends QueryRegistry {
       WHERE n_orders >= 3
     """.trim))
 
+  /** Item-to-item recommendations (co-occurrence CF): per item, the
+    * top-3 co-clicked items by lift — q158's pair mining symmetrized,
+    * then ranked through the bounded-heap TopK (<= 3 rows per item
+    * per map task; no per-item sort of the co-occurrence list). Lift
+    * ties break on the lowest recommended id, deterministic on both
+    * engines.
+    */
+  val q183 = GraftQuery(
+    "q183_item_recommendations",
+    (s, d) => {
+      val ui = Tables.events(s, d).select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .filter(col("item").isNotNull)
+      val pairs = graft.operators.Association.frequentPairsWithLift(
+        ui, "user_id", "item", minSupport = 3L)
+      val sym = pairs.select(col("item1").as("item"), col("item2").as("rec"),
+          col("n_baskets"), col("lift4"))
+        .unionAll(pairs.select(col("item2").as("item"), col("item1").as("rec"),
+          col("n_baskets"), col("lift4")))
+      graft.operators.TopK.perGroup(sym, Seq("item"), "lift4", "rec",
+          Seq("n_baskets"), k = 3)
+        .select(col("item"), col("rec"), col("lift4"), col("n_baskets"))
+    },
+    Some("""
+      WITH ev AS (SELECT DISTINCT user_id, item
+                  FROM (SELECT user_id,
+                               CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+                        FROM events)
+                  WHERE item IS NOT NULL),
+      f AS (SELECT item, count(*) AS nf FROM ev GROUP BY 1),
+      t AS (SELECT count(DISTINCT user_id) AS nt FROM ev),
+      p AS (SELECT a.item AS i1, c.item AS i2, count(*) AS nb
+            FROM ev a JOIN ev c ON a.user_id = c.user_id AND a.item < c.item
+            GROUP BY 1, 2),
+      l AS (SELECT i1, i2, nb,
+                   floor(nb * nt * 1.0 / (fa.nf * fb.nf) * 10000) / 10000 AS lift4
+            FROM p JOIN f fa ON i1 = fa.item JOIN f fb ON i2 = fb.item
+            CROSS JOIN t WHERE nb >= 3),
+      sym AS (SELECT i1 AS item, i2 AS rec, nb AS n_baskets, lift4 FROM l
+              UNION ALL
+              SELECT i2, i1, nb, lift4 FROM l),
+      r AS (SELECT *, row_number() OVER (PARTITION BY item
+                                         ORDER BY lift4 DESC, rec ASC) AS rn
+            FROM sym)
+      SELECT item, rec, lift4, CAST(n_baskets AS BIGINT) AS n_baskets
+      FROM r WHERE rn <= 3
+    """.trim))
+
   /** Multi-source BFS levels over the bounded-increment transition
     * graph (q133's item graph, restricted to forward steps of 1..3 so
     * hop tiers have real structure): minimum hop distance from the
@@ -867,6 +970,6 @@ object MiningQueries extends QueryRegistry {
     """.trim))
 
   def all: Seq[GraftQuery] =
-    Seq(q70, q71, q72, q73, q74, q76, q77, q81a, q81, q83, q94, q96, q108, q166, q167, q177,
+    Seq(q70, q71, q72, q73, q74, q76, q77, q81a, q81, q83, q94, q96, q108, q166, q167, q177, q181, q183,
       q121, q133, q158, q160)
 }

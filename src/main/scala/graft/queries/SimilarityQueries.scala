@@ -398,6 +398,53 @@ object SimilarityQueries extends QueryRegistry {
       ORDER BY adc_u, id LIMIT 10
     """.trim))
 
+  /** Class-centroid drift matrix: pairwise cosine between per-label
+    * embedding centroids — the corpus-drift / label-confusability
+    * diagnostic (two labels whose centroids cosine ~1 are one
+    * distribution). Components become exact integer micro-units
+    * BEFORE summing (the q138 rule: float sums are order-dependent),
+    * so centroid sums, dots, and norms are all exact longs; the only
+    * floats are one sqrt (IEEE correctly-rounded) and one division
+    * per pair, then floor4. Pair-join volume is labels² x dims —
+    * independent of corpus size.
+    */
+  val q182 = GraftQuery(
+    "q182_centroid_drift_matrix",
+    (s, d) => {
+      import graft.functions.QualityFunctions.floor4
+      val e = Tables.embeddings(s, d).select(col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      val cs = e.groupBy(col("label"), col("dim"))
+        .agg(sum(round(col("v") * 1e6).cast("long")).as("sv"))
+      val norms = cs.groupBy(col("label"))
+        .agg(sum(col("sv") * col("sv")).as("nn"))
+      val pairs = cs.as("x")
+        .join(cs.as("y"),
+          col("x.dim") === col("y.dim") && col("x.label") < col("y.label"))
+        .groupBy(col("x.label").as("l1"), col("y.label").as("l2"))
+        .agg(sum(col("x.sv") * col("y.sv")).as("dot"))
+      pairs
+        .join(broadcast(norms.select(col("label").as("l1"), col("nn").as("n1"))), "l1")
+        .join(broadcast(norms.select(col("label").as("l2"), col("nn").as("n2"))), "l2")
+        .select(col("l1"), col("l2"),
+          floor4(col("dot").cast("double") /
+            (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))))
+            .as("cosine"))
+    },
+    Some("""
+      WITH e AS (SELECT label, t.i AS dim,
+                        CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT) AS sv0
+                 FROM embeddings CROSS JOIN range(1, 65) t(i)),
+      cs AS (SELECT label, dim, CAST(sum(sv0) AS BIGINT) AS sv FROM e GROUP BY 1, 2),
+      n AS (SELECT label, CAST(sum(sv * sv) AS BIGINT) AS nn FROM cs GROUP BY 1),
+      p AS (SELECT x.label AS l1, y.label AS l2, CAST(sum(x.sv * y.sv) AS BIGINT) AS dot
+            FROM cs x JOIN cs y ON x.dim = y.dim AND x.label < y.label
+            GROUP BY 1, 2)
+      SELECT l1, l2,
+             floor(dot * 1.0 / (sqrt(CAST(n1.nn AS DOUBLE)) * sqrt(CAST(n2.nn AS DOUBLE))) * 10000) / 10000 AS cosine
+      FROM p JOIN n n1 ON n1.label = p.l1 JOIN n n2 ON n2.label = p.l2
+    """.trim))
+
   def all: Seq[GraftQuery] =
-    Seq(q25, q26, q28, q29, q42a, q42, q79, q84, q116, q137, q138, q143)
+    Seq(q25, q26, q28, q29, q42a, q42, q79, q84, q116, q137, q138, q143, q182)
 }

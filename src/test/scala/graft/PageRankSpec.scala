@@ -69,6 +69,30 @@ class PageRankSpec extends SparkTestBase {
     assert(got(1L) > got(2L) && got(2L) > 0L && got(3L) > 0L)
   }
 
+  test("weighted PageRank follows edge weight, not topology") {
+    // 1 splits 3:1 between 2 and 3; unweighted would split evenly
+    val e = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val got = PageRank.weightedPageRank(e, "src", "dst", "w", iters = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got(2L) > got(3L), "the heavy edge's target must outrank")
+    val unw = PageRank.pageRank(
+      e.select($"src", $"dst"), "src", "dst", iters = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(unw(2L) === unw(3L), "topology alone cannot separate 2 and 3")
+  }
+
+  test("weighted PageRank pre-aggregates duplicate edges by summed weight") {
+    val dup = Seq((1L, 2L, 1L), (1L, 2L, 1L), (1L, 3L, 1L), (2L, 1L, 1L),
+      (3L, 1L, 1L)).toDF("src", "dst", "w")
+    val agg = Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      PageRank.weightedPageRank(df, "src", "dst", "w", iters = 5)
+        .as[(Long, Long)].collect().toMap
+    assert(run(dup) === run(agg))
+  }
+
   test("personalized PageRank restricts seeds to graph nodes") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     // seed 9 is not in the graph: |S| must count only node 1
