@@ -1067,8 +1067,130 @@ object AnalyticsQueries extends QueryRegistry {
       FROM coded
     """.trim))
 
+  /** Exact two-sample KS drift between the click and purchase value
+    * distributions — the pre-training audit "do these cohorts draw
+    * from one distribution". All integer: |i·m − j·n| over exact
+    * cents with the windowless prefix-sum (see [[graft.operators.Drift]]);
+    * the only division is one integer div at the end.
+    */
+  val q184 = GraftQuery(
+    "q184_ks_drift",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(round(col("value") * 100).cast("long").as("cents"),
+          col("event_type"))
+      graft.operators.Drift.ksStatistic(ev, "cents",
+        col("event_type") === "click", col("event_type") === "purchase")
+    },
+    Some("""
+      WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                        CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+                        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+                 FROM events WHERE event_type IN ('click', 'purchase')),
+      pv AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca, CAST(sum(b) AS BIGINT) AS cb
+             FROM e GROUP BY 1),
+      c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS ca,
+                   sum(cb) OVER (ORDER BY v) AS cb FROM pv),
+      t AS (SELECT CAST(sum(ca) AS BIGINT) AS n, CAST(sum(cb) AS BIGINT) AS m
+            FROM pv),
+      dd AS (SELECT v, abs(ca * m - cb * n) AS dv FROM c CROSS JOIN t),
+      mx AS (SELECT CAST(max(dv) AS BIGINT) AS dmax FROM dd)
+      SELECT t.n AS n_a, t.m AS n_b, mx.dmax AS d_max,
+             CAST(mx.dmax * 1000000 // (t.n * t.m) AS BIGINT) AS ks_e6,
+             (SELECT min(v) FROM dd WHERE dv = mx.dmax) AS at_value
+      FROM t CROSS JOIN mx
+    """.trim))
+
+  /** Gini coefficient + top-decile share of customer spend — the
+    * data-balance audit (is the corpus dominated by a few heavy
+    * sources). Ranks come from the windowless global rank
+    * (Layout.globalRank — range partition + broadcast offsets, no
+    * single-partition Window); Σ(i·x) accumulates in decimal(38,0)
+    * exact integers, and the only floats are two deterministic
+    * int→double conversions and one division, then floor.
+    */
+  val q185 = GraftQuery(
+    "q185_gini_spend",
+    (s, d) => {
+      val spend = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val ranked = graft.operators.Layout.globalRank(
+        spend, Seq(col("cents"), col("o_custkey")), "r")
+      val t = ranked.agg(count(lit(1)).as("n"), sum(col("cents")).as("tot"),
+        sum(((col("r") + 1).cast("decimal(38,0)") *
+          col("cents").cast("decimal(38,0)"))).as("s1"))
+      val s10 = ranked.crossJoin(broadcast(t))
+        .filter(col("r") >= col("n") - expr("n div 10"))
+        .agg(sum(col("cents")).as("s10"))
+      s10.crossJoin(broadcast(t))
+        .select(col("n").as("n_customers"), col("tot").as("total_cents"),
+          floor(
+            ((col("s1") * 2 - (col("n") + 1).cast("decimal(38,0)") *
+              col("tot").cast("decimal(38,0)")).cast("double") /
+              (col("n").cast("decimal(38,0)") *
+                col("tot").cast("decimal(38,0)")).cast("double")) * 10000)
+            .cast("long").as("gini_e4"),
+          expr("s10 * 10000L div tot").as("top10_share_e4"))
+    },
+    Some("""
+      WITH s AS (SELECT o_custkey,
+                        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+                 FROM orders GROUP BY 1),
+      r AS (SELECT o_custkey, cents,
+                   row_number() OVER (ORDER BY cents, o_custkey) AS i FROM s),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS tot,
+                   CAST(sum(CAST(i AS HUGEINT) * cents) AS HUGEINT) AS s1 FROM r),
+      sten AS (SELECT CAST(sum(cents) AS BIGINT) AS s10
+               FROM r CROSS JOIN t WHERE i > n - n // 10)
+      SELECT n AS n_customers, tot AS total_cents,
+             CAST(floor(CAST(2 * s1 - (n + 1) * CAST(tot AS HUGEINT) AS DOUBLE) /
+                        CAST(CAST(n AS HUGEINT) * tot AS DOUBLE) * 10000) AS BIGINT) AS gini_e4,
+             CAST(s10 * 10000 // tot AS BIGINT) AS top10_share_e4
+      FROM t CROSS JOIN sten
+    """.trim))
+
+  /** k-anonymity audit (k=5) over customer quasi-identifiers
+    * (nation, segment, balance-bucket): every released group must
+    * hide each row among >= k peers. One hash aggregate to group
+    * sizes, one to the summary. The balance bucket floors exact
+    * cents through double division — NOT `div`, whose
+    * truncate-toward-zero disagrees with DuckDB's floor-division
+    * `//` on negative balances.
+    */
+  val q187 = GraftQuery(
+    "q187_k_anonymity",
+    (s, d) => {
+      val g = Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(round(col("c_acctbal") * 100).cast("long")
+            .cast("double") / 100000.0).cast("long").as("bal_bucket"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      g.agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_groups"),
+        min(col("cnt")).as("k_anonymity"),
+        sum(when(col("cnt") < 5, 1L).otherwise(0L)).as("unsafe_groups"),
+        sum(when(col("cnt") < 5, col("cnt")).otherwise(0L)).as("rows_at_risk"))
+        .withColumn("suppression_bp",
+          expr("rows_at_risk * 10000L div n_rows"))
+    },
+    Some("""
+      WITH g AS (SELECT c_nationkey, c_mktsegment,
+                        CAST(floor(CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE) / 100000.0) AS BIGINT) AS bal_bucket,
+                        CAST(count(*) AS BIGINT) AS cnt
+                 FROM customer GROUP BY 1, 2, 3)
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(min(cnt) AS BIGINT) AS k_anonymity,
+             CAST(sum(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) AS BIGINT) AS unsafe_groups,
+             CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT) AS rows_at_risk,
+             CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) * 10000 // sum(cnt) AS BIGINT) AS suppression_bp
+      FROM g
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q51, q52, q53, q54, q55, q57, q58, q69, q89, q90, q91, q92, q93, q95,
       q110, q129, q139, q147, q149, q152, q156, q157, q159, q161, q162, q163,
-      q170, q174, q178, q179, q180)
+      q170, q174, q178, q179, q180, q184, q185, q187)
 }

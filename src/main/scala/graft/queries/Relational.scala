@@ -682,7 +682,48 @@ object Relational extends QueryRegistry {
       WHERE rev_u = mx
     """.trim))
 
+  /** TPC-H Q16 shape (supplier diversity): distinct suppliers per
+    * (brand, type) excluding one brand and all high-return suppliers
+    * (return rate > 35%, decided by the exact cross-multiply
+    * r·20 > n·7 — no float rates). The exclusion list is a hash-agg
+    * over lineitem broadcast into a left-anti join; part is a
+    * broadcast dimension. The two count(DISTINCT) columns expand the
+    * aggregate 3x (Spark's multi-distinct Expand) — the price of
+    * exact distincts; the HLL twin (q46 family) is the approximate
+    * escape at 100 TB.
+    */
+  val q188 = GraftQuery(
+    "q188_supplier_diversity",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val bad = li.groupBy(col("l_suppkey"))
+        .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"),
+          count(lit(1)).as("c"))
+        .filter(col("r") * 20 > col("c") * 7)
+        .select(col("l_suppkey"))
+      li.join(broadcast(bad), Seq("l_suppkey"), "left_anti")
+        .join(broadcast(Tables.part(s, d)),
+          col("p_partkey") === col("l_partkey"))
+        .filter(col("p_brand") =!= "Brand#1")
+        .groupBy(col("p_brand"), col("p_type"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("p_partkey")).as("n_parts"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some("""
+      WITH bad AS (SELECT l_suppkey FROM lineitem GROUP BY 1
+                   HAVING sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 20 > count(*) * 7)
+      SELECT p_brand, p_type,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+             CAST(count(DISTINCT p_partkey) AS BIGINT) AS n_parts,
+             CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#1'
+        AND l_suppkey NOT IN (SELECT l_suppkey FROM bad)
+      GROUP BY 1, 2
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q17, q18,
-      q19, q109, q111, q119, q123, q144, q175, q176)
+      q19, q109, q111, q119, q123, q144, q175, q176, q188)
 }

@@ -445,6 +445,62 @@ object SimilarityQueries extends QueryRegistry {
       FROM p JOIN n n1 ON n1.label = p.l1 JOIN n n2 ON n2.label = p.l2
     """.trim))
 
+  /** int8 embedding quantization audit: per-vector affine min/max
+    * scaling to the 0..254 grid, reconstruct, and measure the error —
+    * the 4x-storage-compression every embedding store applies, with
+    * the audit that says whether it is safe. All per-element math is
+    * a fixed-order scalar chain over higher-order array functions
+    * (no explode, no shuffle of cells); each |v − recon| floors to
+    * exact e7-unit longs BEFORE any aggregation (the q138 rule).
+    * Rounding is floor(x + 0.5) in BOTH engines — never `round`,
+    * whose half-tie rule is engine-defined. den = 0 (constant
+    * vector) degrades to q = 0, recon = min, error 0.
+    */
+  val q189 = GraftQuery(
+    "q189_int8_quantization",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .withColumn("mn", array_min(col("embedding")).cast("double"))
+        .withColumn("mx", array_max(col("embedding")).cast("double"))
+        .withColumn("den", col("mx") - col("mn"))
+      def qv(v: org.apache.spark.sql.Column) =
+        when(col("den") === 0, lit(0.0))
+          .otherwise(floor((v.cast("double") - col("mn")) * 254.0 / col("den")
+            + 0.5).cast("double"))
+      val cells = e
+        .withColumn("errs", transform(col("embedding"), v =>
+          floor(abs(v.cast("double") -
+            (col("mn") + qv(v) * col("den") / 254.0)) * 1e7).cast("long")))
+        .withColumn("sat", size(filter(col("embedding"), v =>
+          qv(v) <= 0.0 || qv(v) >= 254.0)).cast("long"))
+      cells.agg(count(lit(1)).as("n_vecs"),
+        max(array_max(col("errs"))).as("max_err_e7"),
+        sum(aggregate(col("errs"), lit(0L), (a, x) => a + x)).as("sum_err_e7"),
+        sum(col("sat")).as("n_saturated"))
+        .withColumn("avg_err_e7",
+          expr("sum_err_e7 div (n_vecs * 64L)"))
+    },
+    Some("""
+      WITH cells AS (SELECT vec_id, CAST(embedding[t.i] AS DOUBLE) AS v
+                     FROM embeddings CROSS JOIN range(1, 65) t(i)),
+      s AS (SELECT vec_id, min(v) AS mn, max(v) AS mx FROM cells GROUP BY 1),
+      q AS (SELECT c.vec_id, v, mn, mx, mx - mn AS den,
+                   CASE WHEN mx - mn = 0 THEN 0.0
+                        ELSE floor((v - mn) * 254.0 / (mx - mn) + 0.5) END AS qv
+            FROM cells c JOIN s USING (vec_id)),
+      er AS (SELECT vec_id,
+                    CAST(floor(abs(v - (mn + qv * den / 254.0)) * 10000000) AS BIGINT) AS err,
+                    CASE WHEN qv <= 0.0 OR qv >= 254.0 THEN 1 ELSE 0 END AS sat
+             FROM q)
+      SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+             CAST(max(err) AS BIGINT) AS max_err_e7,
+             CAST(sum(err) AS BIGINT) AS sum_err_e7,
+             CAST(sum(sat) AS BIGINT) AS n_saturated,
+             CAST(sum(err) // (count(DISTINCT vec_id) * 64) AS BIGINT) AS avg_err_e7
+      FROM er
+    """.trim))
+
   def all: Seq[GraftQuery] =
-    Seq(q25, q26, q28, q29, q42a, q42, q79, q84, q116, q137, q138, q143, q182)
+    Seq(q25, q26, q28, q29, q42a, q42, q79, q84, q116, q137, q138, q143, q182,
+      q189)
 }

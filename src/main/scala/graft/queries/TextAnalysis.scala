@@ -845,8 +845,68 @@ object TextAnalysis extends QueryRegistry {
       SELECT doc_id, term, tfidf_bp FROM r WHERE rn <= 3
     """.trim))
 
+  /** PII redaction audit — the scrubbing pass every training corpus
+    * needs before release. PII is injected deterministically from
+    * doc_id (the q45/q101 synthetic-fixture pattern: doc_id % 4
+    * selects email / phone / both / clean), then redacted with real
+    * regexes (codegen'd regexp_replace / regexp_count — the actual
+    * machinery a production scrub runs); the oracle replays the same
+    * injection + RE2 regexes so any drift in match semantics fails
+    * the hash. Patterns stay in the Java∩RE2 common dialect (char
+    * classes, bounded repeats — no lookaround, no \b).
+    */
+  val q186 = GraftQuery(
+    "q186_pii_redaction",
+    (s, d) => {
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "\\+1-555-[0-9]{4}"
+      val phone = concat(lit("+1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      val email = concat(lit("user"), col("doc_id").cast("string"),
+        lit("@mail.example.com"))
+      val pii = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0, concat(lit(" contact "), email, lit(" now")))
+            .when(col("doc_id") % 4 === 1, concat(lit(" call "), phone, lit(" now")))
+            .when(col("doc_id") % 4 === 2,
+              concat(lit(" contact "), email, lit(" or "), phone, lit(" now")))
+            .otherwise(lit(""))).as("txt"))
+      pii
+        .withColumn("ne", regexp_count(col("txt"), lit(emailRe)).cast("long"))
+        .withColumn("np", regexp_count(col("txt"), lit(phoneRe)).cast("long"))
+        .withColumn("red", regexp_replace(
+          regexp_replace(col("txt"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ne")).as("emails"),
+          sum(col("np")).as("phones"),
+          sum(when(col("ne") + col("np") === 0, 1L).otherwise(0L)).as("docs_clean"),
+          sum(length(col("txt")).cast("long") -
+            length(col("red")).cast("long")).as("chars_redacted"))
+    },
+    Some("""
+      WITH p AS (SELECT doc_id, source,
+        text || CASE
+          WHEN doc_id % 4 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+          WHEN doc_id % 4 = 1 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+          WHEN doc_id % 4 = 2 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+          ELSE '' END AS txt
+        FROM documents),
+      r AS (SELECT source, txt,
+              CAST(len(regexp_extract_all(txt, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS ne,
+              CAST(len(regexp_extract_all(txt, '\+1-555-[0-9]{4}')) AS BIGINT) AS np,
+              CAST(length(regexp_replace(regexp_replace(txt,
+                '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS BIGINT) AS lr
+            FROM p)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(ne) AS BIGINT) AS emails, CAST(sum(np) AS BIGINT) AS phones,
+             CAST(sum(CASE WHEN ne + np = 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_clean,
+             CAST(sum(CAST(length(txt) AS BIGINT) - lr) AS BIGINT) AS chars_redacted
+      FROM r GROUP BY source
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q45, q62, q63, q64, q65,
       q80, q99, q101, q117, q118, q128, q134, q135, q153, q154, q155, q168,
-      q171, q172)
+      q171, q172, q186)
 }
