@@ -1189,8 +1189,81 @@ object AnalyticsQueries extends QueryRegistry {
       FROM g
     """.trim))
 
+  /** New-vs-returning daily actives + cumulative reach — the product
+    * health panel. Per-user first day is one hash aggregate; daily
+    * splits come from comparing each active (user, day) against it;
+    * the cumulative is a running sum over DAY rows only — bounded by
+    * the calendar, not the corpus, so the single-partition window is
+    * a non-issue at any SF.
+    */
+  val q191 = GraftQuery(
+    "q191_new_vs_returning",
+    (s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+        .distinct()
+      val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("fday"))
+      val daily = ud.join(first, "user_id")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("day") === col("fday"), 1L).otherwise(0L)).as("n_new"))
+        .withColumn("n_returning", col("n_active") - col("n_new"))
+      daily.withColumn("cum_users",
+        sum(col("n_new")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("day")).rowsBetween(Long.MinValue, 0)))
+    },
+    Some("""
+      WITH ud AS (SELECT DISTINCT user_id,
+                         epoch_ns(ts) // 86400000000000 AS day
+                  FROM events),
+      f AS (SELECT user_id, min(day) AS fday FROM ud GROUP BY 1),
+      daily AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+                       CAST(sum(CASE WHEN day = fday THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+                FROM ud JOIN f USING (user_id) GROUP BY day)
+      SELECT day, n_active, n_new, n_active - n_new AS n_returning,
+             CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_users
+      FROM daily
+    """.trim))
+
+  /** Seasonal-naive forecast backtest: predict each day's per-type
+    * event count with the same weekday last week, score WAPE in exact
+    * integer counts — the baseline every real forecaster must beat,
+    * and the backtest is pure relational algebra (a self-join on
+    * day-7; no window, no state).
+    */
+  val q193 = GraftQuery(
+    "q193_seasonal_naive_backtest",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), expr("ts div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val scored = daily.as("a").join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.day") === col("b.day") + 7)
+        .select(col("a.event_type").as("event_type"),
+          abs(col("a.cnt") - col("b.cnt")).as("ae"), col("a.cnt").as("actual"))
+      scored.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("ae")).as("total_abs_err"),
+          sum(col("actual")).as("total_actual"))
+        .withColumn("wape_bp",
+          expr("total_abs_err * 10000L div total_actual"))
+    },
+    Some("""
+      WITH daily AS (SELECT event_type,
+                            epoch_ns(ts) // 86400000000000 AS day,
+                            CAST(count(*) AS BIGINT) AS cnt
+                     FROM events GROUP BY 1, 2)
+      SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(abs(a.cnt - b.cnt)) AS BIGINT) AS total_abs_err,
+             CAST(sum(a.cnt) AS BIGINT) AS total_actual,
+             CAST(sum(abs(a.cnt - b.cnt)) * 10000 // sum(a.cnt) AS BIGINT) AS wape_bp
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day = b.day + 7
+      GROUP BY 1
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q51, q52, q53, q54, q55, q57, q58, q69, q89, q90, q91, q92, q93, q95,
       q110, q129, q139, q147, q149, q152, q156, q157, q159, q161, q162, q163,
-      q170, q174, q178, q179, q180, q184, q185, q187)
+      q170, q174, q178, q179, q180, q184, q185, q187, q191, q193)
 }

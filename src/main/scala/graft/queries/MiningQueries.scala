@@ -969,7 +969,60 @@ object MiningQueries extends QueryRegistry {
       SELECT node, min(dist) AS dist FROM r GROUP BY node
     """.trim))
 
+  /** Bounded k-core peel (k=3, 6 rounds) over the click-transition
+    * item graph — the cohesion kernel: items surviving repeated
+    * low-degree removal. Bounded rounds are the declared semantics
+    * (deterministic + engine-replayable + stage-count-capped; see
+    * [[graft.operators.KCore]]); the oracle unrolls the same six
+    * peels as CTEs.
+    */
+  val q192 = GraftQuery(
+    "q192_kcore_items",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val edges = ev.withColumn("next", lead(col("item"), 1).over(w))
+        .filter(col("next").isNotNull && col("next") =!= col("item"))
+        .select(col("item").as("src"), col("next").as("dst"))
+      graft.operators.KCore.kCorePeel(edges, "src", "dst", k = 3, rounds = 6)
+    },
+    Some {
+      val peels = (1 to 6).map { r =>
+        s"""a$r AS (SELECT a AS node FROM und
+           |  JOIN a${r - 1} x ON und.a = x.node
+           |  JOIN a${r - 1} y ON und.b = y.node
+           |  GROUP BY a HAVING count(*) >= 3)""".stripMargin
+      }.mkString(",\n      ")
+      s"""
+      WITH ev AS (
+        SELECT user_id, ts, event_id,
+               CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item
+        FROM events),
+      tr AS (
+        SELECT item,
+               lead(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next
+        FROM ev),
+      und AS (SELECT DISTINCT a, b FROM (
+                SELECT item AS a, next AS b FROM tr
+                 WHERE next IS NOT NULL AND next <> item
+                UNION ALL
+                SELECT next, item FROM tr
+                 WHERE next IS NOT NULL AND next <> item)),
+      a0 AS (SELECT DISTINCT a AS node FROM und),
+      $peels,
+      fin AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM und
+              JOIN a6 x ON und.a = x.node
+              JOIN a6 y ON und.b = y.node
+              GROUP BY a)
+      SELECT a6.node, coalesce(fin.deg, 0) AS deg
+      FROM a6 LEFT JOIN fin USING (node)
+      """.trim
+    })
+
   def all: Seq[GraftQuery] =
     Seq(q70, q71, q72, q73, q74, q76, q77, q81a, q81, q83, q94, q96, q108, q166, q167, q177, q181, q183,
-      q121, q133, q158, q160)
+      q121, q133, q158, q160, q192)
 }

@@ -500,7 +500,120 @@ object SimilarityQueries extends QueryRegistry {
       FROM er
     """.trim))
 
+  /** k-NN label agreement — the label-noise audit (confident-learning
+    * lite): for each vector, how many of its 5 nearest neighbors
+    * share its label; per-label agreement rates expose mislabeled or
+    * overlapping classes. Neighbor candidates come from the q39
+    * hyperplane-LSH blocks (equi-join on (table, bucket) — never
+    * all-pairs), scored by exact-integer cosine (micro-unit
+    * components, the q138 rule) floored to an e6 grid, and the top-5
+    * selection is the bounded-heap TopK with id tie-break —
+    * deterministic end to end.
+    */
+  val q190 = GraftQuery(
+    "q190_knn_label_agreement",
+    (s, d) => {
+      import graft.operators.{Similarity, TopK}
+      val hps = Similarity.lshHyperplanes(16, 4, 64)
+      val e = Tables.embeddings(s, d).select(col("vec_id").as("id"),
+          col("label"), col("embedding"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1e6).cast("long")).as("sv"))
+        .withColumn("nn",
+          aggregate(col("sv"), lit(0L), (a, x) => a + x * x))
+        .cache()
+      val keys = hps.map { tableHp =>
+        tableHp.zipWithIndex.map { case (h, k) =>
+          val hv = array(h.map(lit): _*)
+          when(graft.functions.VectorFunctions.dot(col("embedding"), hv) >= 0,
+            lit(1L << k)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      }
+      val keyed = e.select(col("id"), posexplode(array(keys: _*)))
+        .toDF("id", "table_idx", "bucket")
+      val cand = keyed.as("a").join(keyed.as("b"),
+          col("a.table_idx") === col("b.table_idx") &&
+            col("a.bucket") === col("b.bucket") &&
+            col("a.id") =!= col("b.id"))
+        .select(col("a.id").as("id"), col("b.id").as("nb")).distinct()
+      val scored = cand
+        .join(e.select(col("id"), col("sv"), col("nn")), "id")
+        .join(e.select(col("id").as("nb"), col("sv").as("sv2"),
+          col("nn").as("nn2")), "nb")
+        .withColumn("dot", aggregate(
+          zip_with(col("sv"), col("sv2"), (x, y) => x * y),
+          lit(0L), (a, x) => a + x))
+        .withColumn("cos_e6", floor(col("dot").cast("double") /
+          (sqrt(col("nn").cast("double")) * sqrt(col("nn2").cast("double")))
+          * 1e6).cast("long"))
+        .select(col("id"), col("nb"), col("cos_e6"))
+      val top = TopK.perGroup(scored, Seq("id"), "cos_e6", "nb", Seq(), 5)
+      val ag = top
+        .join(e.select(col("id"), col("label").as("la")), "id")
+        .join(e.select(col("id").as("nb"), col("label").as("lb")), "nb")
+        .groupBy(col("la").as("label"))
+        .agg(count(lit(1)).as("n_neighbors"),
+          sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_agree"))
+      e.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+        .join(ag, Seq("label"), "left")
+        .select(col("label"), col("n_vecs"),
+          coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+          coalesce(col("n_agree"), lit(0L)).as("n_agree"),
+          coalesce(expr("n_agree * 10000L div n_neighbors"), lit(0L))
+            .as("agree_bp"))
+    },
+    Some {
+      val hps = graft.operators.Similarity.lshHyperplanes(16, 4, 64)
+      val hpRows = (for { t <- 0 until 16; k <- 0 until 4 } yield {
+        val arr = hps(t)(k).map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+        s"($t, $k, $arr)"
+      }).mkString(",\n        ")
+      s"""
+      WITH hp(table_idx, bit_idx, h) AS (VALUES
+        $hpRows),
+      sb AS (
+        SELECT e.vec_id, hp.table_idx,
+               CASE WHEN list_sum(list_transform(range(1, 65),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * hp.h[i])) >= 0
+                    THEN (CAST(1 AS BIGINT) << hp.bit_idx) ELSE CAST(0 AS BIGINT) END AS bit_val
+        FROM embeddings e CROSS JOIN hp),
+      keyed AS (SELECT vec_id, table_idx, CAST(sum(bit_val) AS BIGINT) AS bucket
+                FROM sb GROUP BY 1, 2),
+      svt AS (SELECT vec_id, label,
+                     list_transform(range(1, 65),
+                       i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+              FROM embeddings),
+      nrm AS (SELECT vec_id, label, sv,
+                     CAST(list_sum(list_transform(range(1, 65), i -> sv[i] * sv[i])) AS BIGINT) AS nn
+              FROM svt),
+      cand AS (SELECT DISTINCT a.vec_id AS id, b.vec_id AS nb
+               FROM keyed a JOIN keyed b
+                 ON a.table_idx = b.table_idx AND a.bucket = b.bucket
+                AND a.vec_id <> b.vec_id),
+      sc AS (SELECT c.id, c.nb, x.label AS la, y.label AS lb,
+                    CAST(floor(CAST(list_sum(list_transform(range(1, 65),
+                           i -> x.sv[i] * y.sv[i])) AS DOUBLE)
+                      / (sqrt(CAST(x.nn AS DOUBLE)) * sqrt(CAST(y.nn AS DOUBLE)))
+                      * 1000000) AS BIGINT) AS cos_e6
+             FROM cand c JOIN nrm x ON c.id = x.vec_id
+                         JOIN nrm y ON c.nb = y.vec_id),
+      top AS (SELECT *, row_number() OVER (PARTITION BY id
+                                           ORDER BY cos_e6 DESC, nb ASC) AS rn
+              FROM sc),
+      ag AS (SELECT la AS label, CAST(count(*) AS BIGINT) AS n_neighbors,
+                    CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+             FROM top WHERE rn <= 5 GROUP BY 1),
+      nv AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+             FROM embeddings GROUP BY 1)
+      SELECT nv.label, nv.n_vecs,
+             coalesce(ag.n_neighbors, 0) AS n_neighbors,
+             coalesce(ag.n_agree, 0) AS n_agree,
+             coalesce(ag.n_agree * 10000 // ag.n_neighbors, 0) AS agree_bp
+      FROM nv LEFT JOIN ag USING (label)
+      """.trim
+    })
+
   def all: Seq[GraftQuery] =
     Seq(q25, q26, q28, q29, q42a, q42, q79, q84, q116, q137, q138, q143, q182,
-      q189)
+      q189, q190)
 }
