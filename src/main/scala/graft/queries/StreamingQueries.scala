@@ -162,5 +162,63 @@ object StreamingQueries extends QueryRegistry {
       GROUP BY user_id, sid
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q40, q41, q43, q49, q56, q142, q148)
+  /** Stream-stream LEFT OUTER range join (q49's inner form plus
+    * watermark-driven null emission): the abandonment feed. The
+    * oracle replays the eviction cutoff — unmatched clicks appear
+    * only when the global watermark (min of both streams' max event
+    * time − 1h delay) passed click_ts + 30min before the drain
+    * ended; matched rows are cutoff-free.
+    */
+  val q194 = GraftQuery(
+    "q194_stream_outer_join",
+    (s, d) => EventStreams.clickPurchaseOuterJoinStreaming(s, d,
+      s"q194_mem_${System.nanoTime()}"),
+    Some("""
+      WITH c AS (SELECT user_id, epoch_us(ts) AS click_us FROM events
+                 WHERE event_type = 'click'),
+      p AS (SELECT user_id, epoch_us(ts) AS purchase_us FROM events
+            WHERE event_type = 'purchase'),
+      wm AS (SELECT least((SELECT max(click_us) FROM c),
+                          (SELECT max(purchase_us) FROM p))
+                    - 3600000000 AS wm_us),
+      matched AS (
+        SELECT c.user_id, c.click_us, p.purchase_us
+        FROM c JOIN p ON c.user_id = p.user_id
+          AND p.purchase_us >= c.click_us
+          AND p.purchase_us <= c.click_us + 1800000000),
+      unmatched AS (
+        SELECT c.user_id, c.click_us, CAST(NULL AS BIGINT) AS purchase_us
+        FROM c CROSS JOIN wm
+        WHERE c.click_us + 1800000000 < wm.wm_us
+          AND NOT EXISTS (
+            SELECT 1 FROM p WHERE p.user_id = c.user_id
+              AND p.purchase_us >= c.click_us
+              AND p.purchase_us <= c.click_us + 1800000000))
+      SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """.trim))
+
+  /** Sliding-window rate rollup: 10-minute windows sliding by 5 —
+    * every event counted in two overlapping windows (the SLO-monitor
+    * shape). The oracle expands each event into both windows it
+    * belongs to.
+    */
+  val q195 = GraftQuery(
+    "q195_stream_sliding_rate",
+    (s, d) => EventStreams.slidingRateStreaming(s, d,
+      s"q195_mem_${System.nanoTime()}"),
+    Some("""
+      WITH e AS (SELECT event_type,
+                        epoch_ns(ts) // 1000000000 AS sec,
+                        CAST(round(value * 100) AS BIGINT) AS vc
+                 FROM events),
+      w AS (SELECT event_type, vc, sec // 300 * 300 AS w_start FROM e
+            UNION ALL
+            SELECT event_type, vc, sec // 300 * 300 - 300 FROM e)
+      SELECT w_start, event_type, count(*) AS n_events,
+             CAST(sum(vc) AS BIGINT) AS sum_value_c
+      FROM w GROUP BY 1, 2
+    """.trim))
+
+  def all: Seq[GraftQuery] =
+    Seq(q40, q41, q43, q49, q56, q142, q148, q194, q195)
 }

@@ -158,6 +158,80 @@ object EventStreams {
     spark.table(queryName)
   }
 
+  /** Stream-stream LEFT OUTER range join: every click, matched to
+    * its purchases within 30 minutes OR emitted with nulls once the
+    * watermark proves no purchase can still arrive — the abandonment
+    * feed. Outer emission is watermark-driven state eviction: a
+    * buffered click releases its null row only when the GLOBAL
+    * watermark (min over both streams' max-event-time − delay)
+    * passes click_ts + 30min, so clicks too close to the end of the
+    * stream stay unmatched-but-unemitted (the batch oracle applies
+    * the same cutoff). Matched rows emit on arrival, cutoff-free.
+    */
+  def clickPurchaseOuterJoinStreaming(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def readType(t: String, tsName: String, userName: String) =
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+        .filter(col("event_type") === t)
+        .select(col("user_id").as(userName),
+          expr("timestamp_micros(ts div 1000)").as(tsName))
+        .withWatermark(tsName, "1 hour")
+    val clicks = readType("click", "click_ts", "user_id")
+    val purchases = readType("purchase", "purchase_ts", "p_user_id")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("interval 30 minutes"),
+      "left_outer")
+      .select(col("user_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"))
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Sliding-window rate rollup: 10-minute windows every 5 minutes
+    * per event type — each event lands in two overlapping windows,
+    * the shape rate monitors and SLO dashboards read. Complete
+    * output mode over the finite drain (the q40 pattern) so tail
+    * windows are not watermark-clipped.
+    */
+  def slidingRateStreaming(spark: SparkSession, sfDir: String,
+      queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts_sec", expr("ts div 1000000000").cast("timestamp"))
+    val agg = stream
+      .withWatermark("ts_sec", "1 hour")
+      .groupBy(window(col("ts_sec"), "10 minutes", "5 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 100) as long)")).as("sum_value_c"))
+      .select(col("window.start").cast("long").as("w_start"),
+        col("event_type"), col("n_events"), col("sum_value_c"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Stream-static enrichment join: the event stream joined to the
     * static customer dimension — the canonical streaming lookup. The
     * static side needs no watermark (it is re-planned per
