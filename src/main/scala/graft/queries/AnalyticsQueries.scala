@@ -1262,8 +1262,59 @@ object AnalyticsQueries extends QueryRegistry {
       GROUP BY 1
     """.trim))
 
+  /** Difference-in-differences cohort uplift: treatment = odd
+    * user_id, period split at day 15 — purchase rate per user-day in
+    * each (cohort, period) cell, DiD in exact e6 units. Rates are
+    * integer ratios (purchases·10^6 div user-days); the DiD is
+    * arithmetic over those exact longs, so the whole causal readout
+    * is float-free.
+    */
+  val q198 = GraftQuery(
+    "q198_cohort_uplift",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        expr("ts div 86400000000000").as("day"), col("event_type"))
+      val cell = ev
+        .withColumn("treated", (col("user_id") % 2 === 1).cast("int"))
+        .withColumn("after", (col("day") >= 19738).cast("int"))
+        .groupBy(col("treated"), col("after"))
+        .agg(countDistinct(col("user_id"), col("day")).as("user_days"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("purchases"))
+        .withColumn("rate_e6", expr("purchases * 1000000L div user_days"))
+      val p = cell.groupBy()
+        .pivot(concat(col("treated"), col("after")), Seq("00", "01", "10", "11"))
+        .agg(first(col("rate_e6")))
+      cell.agg(sum(col("user_days")).as("total_user_days"),
+          sum(col("purchases")).as("total_purchases"))
+        .crossJoin(broadcast(p))
+        .select(col("total_user_days"), col("total_purchases"),
+          (col("11") - col("10") - (col("01") - col("00"))).as("did_e6"))
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+                         event_type
+                  FROM events),
+      cell AS (SELECT CAST(user_id % 2 AS INT) AS treated,
+                      CASE WHEN day >= 19738 THEN 1 ELSE 0 END AS after,
+                      CAST(count(DISTINCT (user_id, day)) AS BIGINT) AS user_days,
+                      CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
+               FROM ev GROUP BY 1, 2),
+      r AS (SELECT treated, after, user_days, purchases,
+                   purchases * 1000000 // user_days AS rate_e6
+            FROM cell)
+      SELECT CAST(sum(user_days) AS BIGINT) AS total_user_days,
+             CAST(sum(purchases) AS BIGINT) AS total_purchases,
+             CAST(max(CASE WHEN treated = 1 AND after = 1 THEN rate_e6 END)
+                - max(CASE WHEN treated = 1 AND after = 0 THEN rate_e6 END)
+                - (max(CASE WHEN treated = 0 AND after = 1 THEN rate_e6 END)
+                 - max(CASE WHEN treated = 0 AND after = 0 THEN rate_e6 END))
+               AS BIGINT) AS did_e6
+      FROM r
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q51, q52, q53, q54, q55, q57, q58, q69, q89, q90, q91, q92, q93, q95,
       q110, q129, q139, q147, q149, q152, q156, q157, q159, q161, q162, q163,
-      q170, q174, q178, q179, q180, q184, q185, q187, q191, q193)
+      q170, q174, q178, q179, q180, q184, q185, q187, q191, q193, q198)
 }

@@ -1022,7 +1022,81 @@ object MiningQueries extends QueryRegistry {
       """.trim
     })
 
+  /** Reciprocal-best entity matching (the mutual-argmax rule record
+    * linkage uses to avoid chaining A→B→C merges): candidates from
+    * RARE-trigram blocking (df <= 20 — the ngramJaccardPairs(maxDf)
+    * stop-token discipline: 'Customer#' trigrams with df = corpus
+    * would otherwise make blocking quadratic), exact-integer trigram
+    * Jaccard, per-record argmax through the bounded-heap TopK (k=1,
+    * id tie-break), then a self-join keeps only mutual bests.
+    * Intersections are computed candidate-first (cand → postings →
+    * postings), never postings × postings.
+    */
+  val q196 = GraftQuery(
+    "q196_reciprocal_best_match",
+    (s, d) => {
+      val names = Tables.customer(s, d)
+        .select(col("c_custkey").as("id"), col("c_name").as("nm"))
+      // length guard BEFORE sequence: sequence(1, 0) descends in Spark
+      // ([1, 0]) instead of returning empty like DuckDB range(1, 1)
+      val posts = names.filter(length(col("nm")) >= 3)
+        .select(col("id"), col("nm"),
+          explode(expr("sequence(1, length(nm) - 2)")).as("i"))
+        .select(col("id"), expr("substring(nm, i, 3)").as("g"))
+        .distinct().cache()
+      val sizes = posts.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+      val rare = posts.join(
+        broadcast(posts.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 20)), "g")
+      val cand = rare.as("x").join(rare.as("y"),
+          col("x.g") === col("y.g") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+      val inter = cand
+        .join(posts.select(col("id").as("a"), col("g")), "a")
+        .join(posts.select(col("id").as("b"), col("g")), Seq("b", "g"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ninter"))
+      val jacc = inter
+        .join(broadcast(sizes.select(col("id").as("a"), col("sz").as("sa"))), "a")
+        .join(broadcast(sizes.select(col("id").as("b"), col("sz").as("sb"))), "b")
+        .withColumn("jacc_e4",
+          expr("ninter * 10000L div (sa + sb - ninter)"))
+        .select(col("a"), col("b"), col("jacc_e4"))
+      val sym = jacc.unionAll(jacc.select(col("b").as("a"), col("a").as("b"),
+        col("jacc_e4")))
+      val best = graft.operators.TopK.perGroup(sym, Seq("a"), "jacc_e4", "b",
+        Seq(), 1)
+      best.as("p").join(best.as("q"),
+          col("p.a") === col("q.b") && col("p.b") === col("q.a") &&
+            col("p.a") < col("p.b"))
+        .select(col("p.a").as("a"), col("p.b").as("b"),
+          col("p.jacc_e4").cast("long").as("jacc_e4"))
+    },
+    Some("""
+      WITH posts AS (SELECT DISTINCT c_custkey AS id,
+                            substr(c_name, CAST(t.i AS INT), 3) AS g
+                     FROM customer CROSS JOIN range(1, 63) t(i)
+                     WHERE CAST(t.i AS INT) + 2 <= length(c_name)),
+      sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM posts GROUP BY 1),
+      dfc AS (SELECT g FROM posts GROUP BY g HAVING count(*) <= 20),
+      rare AS (SELECT id, p.g FROM posts p JOIN dfc USING (g)),
+      cand AS (SELECT DISTINCT a.id AS a, b.id AS b
+               FROM rare a JOIN rare b ON a.g = b.g AND a.id < b.id),
+      inter AS (SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS ninter
+                FROM cand c JOIN posts x ON x.id = c.a
+                            JOIN posts y ON y.id = c.b AND y.g = x.g
+                GROUP BY 1, 2),
+      jacc AS (SELECT a, b, ninter * 10000 // (sa.sz + sb.sz - ninter) AS jacc_e4
+               FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b),
+      sym AS (SELECT a, b, jacc_e4 FROM jacc
+              UNION ALL SELECT b, a, jacc_e4 FROM jacc),
+      best AS (SELECT a, b, jacc_e4, row_number() OVER (PARTITION BY a
+                 ORDER BY jacc_e4 DESC, b ASC) AS rn FROM sym)
+      SELECT p.a, p.b, CAST(p.jacc_e4 AS BIGINT) AS jacc_e4
+      FROM best p JOIN best q
+        ON p.a = q.b AND p.b = q.a AND p.rn = 1 AND q.rn = 1 AND p.a < p.b
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q70, q71, q72, q73, q74, q76, q77, q81a, q81, q83, q94, q96, q108, q166, q167, q177, q181, q183,
-      q121, q133, q158, q160, q192)
+      q121, q133, q158, q160, q192, q196)
 }

@@ -816,8 +816,45 @@ object ScaleQueries extends QueryRegistry {
       SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 97 = 0
     """.trim))
 
+  /** Stratified k-fold split audit: 5 folds from q112's pure md5
+    * shard expression (reproducible across engines/runs/layouts),
+    * checked for per-language balance — bias_e4 = n_fl·N·10^4 div
+    * (N_f·N_l), the exact-integer ratio of observed to expected that
+    * a fair split keeps near 10^4. The cross-validation harness in
+    * one query: assignment + the evidence it is unbiased.
+    */
+  val q197 = GraftQuery(
+    "q197_kfold_balance",
+    (s, d) => {
+      val folded = graft.operators.Sampling.assignShards(
+        Tables.documents(s, d), "doc_id", nShards = 5)
+        .withColumnRenamed("shard", "fold")
+      val cell = folded.groupBy(col("fold"), col("lang"))
+        .agg(count(lit(1)).as("n_fl"))
+      val perFold = cell.groupBy(col("fold")).agg(sum(col("n_fl")).as("n_f"))
+      val perLang = cell.groupBy(col("lang")).agg(sum(col("n_fl")).as("n_l"))
+      val total = cell.agg(sum(col("n_fl")).as("n"))
+      cell.join(broadcast(perFold), "fold").join(broadcast(perLang), "lang")
+        .crossJoin(broadcast(total))
+        .select(col("fold"), col("lang"), col("n_fl"), col("n_f"), col("n_l"),
+          expr("n_fl * n * 10000L div (n_f * n_l)").as("bias_e4"))
+    },
+    Some("""
+      WITH folded AS (SELECT lang,
+                             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 5 AS fold
+                      FROM documents),
+      cell AS (SELECT fold, lang, CAST(count(*) AS BIGINT) AS n_fl
+               FROM folded GROUP BY 1, 2),
+      pf AS (SELECT fold, CAST(sum(n_fl) AS BIGINT) AS n_f FROM cell GROUP BY 1),
+      pl AS (SELECT lang, CAST(sum(n_fl) AS BIGINT) AS n_l FROM cell GROUP BY 1),
+      t AS (SELECT CAST(sum(n_fl) AS BIGINT) AS n FROM cell)
+      SELECT fold, lang, n_fl, n_f, n_l,
+             CAST(n_fl * n * 10000 // (n_f * n_l) AS BIGINT) AS bias_e4
+      FROM cell JOIN pf USING (fold) JOIN pl USING (lang) CROSS JOIN t
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q44, q46, q48, q50, q66, q87, q88, q97, q98, q98a, q100, q102, q104,
       q112, q114, q124, q125, q126, q127, q131, q136, q141, q145, q146, q151,
-      q169, q173)
+      q169, q173, q197)
 }

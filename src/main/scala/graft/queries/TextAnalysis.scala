@@ -905,8 +905,55 @@ object TextAnalysis extends QueryRegistry {
       FROM r GROUP BY source
     """.trim))
 
+  /** Vocabulary-growth (Heaps-law) curve: distinct vocabulary vs
+    * cumulative tokens at 250-doc milestones — the corpus-saturation
+    * diagnostic (a flattening curve says new data stops adding new
+    * language). Per-term first-appearance doc is ONE hash aggregate
+    * (min doc_id); the curve is a running sum over milestone rows
+    * only — bounded by corpus/250, never a window over terms.
+    */
+  val q199 = GraftQuery(
+    "q199_vocab_growth",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("milestone")).rowsBetween(Long.MinValue, 0)
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val newVocab = toks.groupBy(col("term"))
+        .agg(min(col("doc_id")).as("first_doc"))
+        .groupBy((expr("first_doc div 250") * 250 + 250).as("milestone"))
+        .agg(count(lit(1)).as("new_terms"))
+      val tokCnt = toks
+        .groupBy((expr("doc_id div 250") * 250 + 250).as("milestone"))
+        .agg(count(lit(1)).as("bucket_tokens"))
+      tokCnt.join(newVocab, Seq("milestone"), "left")
+        .select(col("milestone"), col("bucket_tokens"),
+          coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+        .withColumn("tokens_cum", sum(col("bucket_tokens")).over(w))
+        .withColumn("vocab_cum", sum(col("new_terms")).over(w))
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, t AS term
+                    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                          FROM documents)
+                    WHERE t <> ''),
+      nv AS (SELECT first_doc // 250 * 250 + 250 AS milestone,
+                    CAST(count(*) AS BIGINT) AS new_terms
+             FROM (SELECT term, min(doc_id) AS first_doc FROM toks GROUP BY 1)
+             GROUP BY 1),
+      tc AS (SELECT doc_id // 250 * 250 + 250 AS milestone,
+                    CAST(count(*) AS BIGINT) AS bucket_tokens
+             FROM toks GROUP BY 1)
+      SELECT tc.milestone, tc.bucket_tokens,
+             coalesce(nv.new_terms, 0) AS new_terms,
+             CAST(sum(tc.bucket_tokens) OVER (ORDER BY tc.milestone) AS BIGINT) AS tokens_cum,
+             CAST(sum(coalesce(nv.new_terms, 0)) OVER (ORDER BY tc.milestone) AS BIGINT) AS vocab_cum
+      FROM tc LEFT JOIN nv USING (milestone)
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q45, q62, q63, q64, q65,
       q80, q99, q101, q117, q118, q128, q134, q135, q153, q154, q155, q168,
-      q171, q172, q186)
+      q171, q172, q186, q199)
 }
