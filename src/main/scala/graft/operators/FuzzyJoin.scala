@@ -34,6 +34,19 @@ object FuzzyJoin {
       .otherwise(array().cast("array<string>"))))
   }
 
+  /** All <=1-deletion variants of `s` (including `s` itself),
+    * distinct — the SymSpell depth-1 neighborhood, enough to block
+    * any pair at deletion distance <= 2 when generated on BOTH
+    * sides. Empty strings return [s] (Spark's sequence(1, 0)
+    * DESCENDS instead of returning empty).
+    */
+  def deletionVariants1(s: Column): Column = {
+    val L = length(s)
+    when(L === 0, array(s)).otherwise(
+      array_distinct(concat(array(s), transform(sequence(lit(1), L),
+        i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, lit(1000000)))))))
+  }
+
   /** Distinct unordered pairs (a < b) of `valueCol` values with
     * Levenshtein distance <= maxDist (must be <= 2 — the deletion
     * neighborhood is generated to depth 2). Output: (a, b, dist).

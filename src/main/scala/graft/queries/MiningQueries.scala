@@ -1023,80 +1023,182 @@ object MiningQueries extends QueryRegistry {
     })
 
   /** Reciprocal-best entity matching (the mutual-argmax rule record
-    * linkage uses to avoid chaining A→B→C merges): candidates from
-    * RARE-trigram blocking (df <= 20 — the ngramJaccardPairs(maxDf)
-    * stop-token discipline: 'Customer#' trigrams with df = corpus
-    * would otherwise make blocking quadratic), exact-integer trigram
-    * Jaccard, per-record argmax through the bounded-heap TopK (k=1,
-    * id tie-break), then a self-join keeps only mutual bests.
-    * Intersections are computed candidate-first (cand → postings →
-    * postings), never postings × postings.
+    * linkage uses to avoid chaining A→B→C merges), on the real ER
+    * fixture: a deterministically corrupted copy of every customer
+    * name (one digit deleted at position id % 16 + 2) linked back to
+    * the clean registry. Blocking is SymSpell depth-1 deletion
+    * variants on BOTH sides (covers deletion distance <= 2, volume
+    * linear in corpus x name length — trigram blocking degenerates
+    * here: the shared 'Customer#' prefix makes common trigrams
+    * df = corpus). Score = levenshtein <= 2; per-side argmin through
+    * the bounded-heap TopK (k=1, id tie-break); only mutual bests
+    * survive — ambiguous many-zero names correctly drop out rather
+    * than chain-merge.
     */
   val q196 = GraftQuery(
     "q196_reciprocal_best_match",
     (s, d) => {
-      val names = Tables.customer(s, d)
+      import graft.operators.{FuzzyJoin, TopK}
+      val clean = Tables.customer(s, d)
         .select(col("c_custkey").as("id"), col("c_name").as("nm"))
-      // length guard BEFORE sequence: sequence(1, 0) descends in Spark
-      // ([1, 0]) instead of returning empty like DuckDB range(1, 1)
-      val posts = names.filter(length(col("nm")) >= 3)
-        .select(col("id"), col("nm"),
-          explode(expr("sequence(1, length(nm) - 2)")).as("i"))
-        .select(col("id"), expr("substring(nm, i, 3)").as("g"))
-        .distinct().cache()
-      val sizes = posts.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-      val rare = posts.join(
-        broadcast(posts.groupBy(col("g")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= 20)), "g")
-      val cand = rare.as("x").join(rare.as("y"),
-          col("x.g") === col("y.g") && col("x.id") < col("y.id"))
-        .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
-      val inter = cand
-        .join(posts.select(col("id").as("a"), col("g")), "a")
-        .join(posts.select(col("id").as("b"), col("g")), Seq("b", "g"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("ninter"))
-      val jacc = inter
-        .join(broadcast(sizes.select(col("id").as("a"), col("sz").as("sa"))), "a")
-        .join(broadcast(sizes.select(col("id").as("b"), col("sz").as("sb"))), "b")
-        .withColumn("jacc_e4",
-          expr("ninter * 10000L div (sa + sb - ninter)"))
-        .select(col("a"), col("b"), col("jacc_e4"))
-      val sym = jacc.unionAll(jacc.select(col("b").as("a"), col("a").as("b"),
-        col("jacc_e4")))
-      val best = graft.operators.TopK.perGroup(sym, Seq("a"), "jacc_e4", "b",
-        Seq(), 1)
-      best.as("p").join(best.as("q"),
-          col("p.a") === col("q.b") && col("p.b") === col("q.a") &&
-            col("p.a") < col("p.b"))
-        .select(col("p.a").as("a"), col("p.b").as("b"),
-          col("p.jacc_e4").cast("long").as("jacc_e4"))
+      val dirty = clean.select(
+        (col("id") + 10000000L).as("id"),
+        expr("""concat(substring(nm, 1, cast(id % 16 as int) + 1),
+                       substring(nm, cast(id % 16 as int) + 3, 1000000))""")
+          .as("nm"))
+      def variants(df: org.apache.spark.sql.DataFrame, idName: String) =
+        df.select(col("id").as(idName),
+          explode(FuzzyJoin.deletionVariants1(col("nm"))).as("v"))
+      val cand = variants(clean, "cid").join(variants(dirty, "did"), "v")
+        .select(col("cid"), col("did")).distinct()
+      val scored = cand
+        .join(clean.select(col("id").as("cid"), col("nm").as("cnm")), "cid")
+        .join(dirty.select(col("id").as("did"), col("nm").as("dnm")), "did")
+        .withColumn("dist", levenshtein(col("cnm"), col("dnm")))
+        .filter(col("dist") <= 2)
+        .withColumn("neg", -col("dist"))
+      val bd = TopK.perGroup(scored, Seq("did"), "neg", "cid", Seq(), 1)
+      val bc = TopK.perGroup(scored, Seq("cid"), "neg", "did", Seq(), 1)
+      bd.join(bc, Seq("cid", "did"))
+        .select(col("cid"), col("did"),
+          (-bd("neg")).cast("long").as("dist"))
     },
     Some("""
-      WITH posts AS (SELECT DISTINCT c_custkey AS id,
-                            substr(c_name, CAST(t.i AS INT), 3) AS g
-                     FROM customer CROSS JOIN range(1, 63) t(i)
-                     WHERE CAST(t.i AS INT) + 2 <= length(c_name)),
-      sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM posts GROUP BY 1),
-      dfc AS (SELECT g FROM posts GROUP BY g HAVING count(*) <= 20),
-      rare AS (SELECT id, p.g FROM posts p JOIN dfc USING (g)),
-      cand AS (SELECT DISTINCT a.id AS a, b.id AS b
-               FROM rare a JOIN rare b ON a.g = b.g AND a.id < b.id),
-      inter AS (SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS ninter
-                FROM cand c JOIN posts x ON x.id = c.a
-                            JOIN posts y ON y.id = c.b AND y.g = x.g
-                GROUP BY 1, 2),
-      jacc AS (SELECT a, b, ninter * 10000 // (sa.sz + sb.sz - ninter) AS jacc_e4
-               FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b),
-      sym AS (SELECT a, b, jacc_e4 FROM jacc
-              UNION ALL SELECT b, a, jacc_e4 FROM jacc),
-      best AS (SELECT a, b, jacc_e4, row_number() OVER (PARTITION BY a
-                 ORDER BY jacc_e4 DESC, b ASC) AS rn FROM sym)
-      SELECT p.a, p.b, CAST(p.jacc_e4 AS BIGINT) AS jacc_e4
-      FROM best p JOIN best q
-        ON p.a = q.b AND p.b = q.a AND p.rn = 1 AND q.rn = 1 AND p.a < p.b
+      WITH clean AS (SELECT c_custkey AS id, c_name AS nm FROM customer),
+      dirty AS (SELECT orig + 10000000 AS id,
+                       substr(nm, 1, pos + 1) || substr(nm, pos + 3, 1000000) AS nm
+                FROM (SELECT id AS orig, CAST(id % 16 AS INT) AS pos, nm
+                      FROM clean)),
+      cv AS (SELECT id AS cid, unnest(list_distinct(list_append(
+               list_transform(range(1, CAST(length(nm) AS INT) + 1),
+                 i -> substr(nm, 1, CAST(i AS INT) - 1) || substr(nm, CAST(i AS INT) + 1, 1000000)),
+               nm))) AS v
+             FROM clean),
+      dv AS (SELECT id AS did, unnest(list_distinct(list_append(
+               list_transform(range(1, CAST(length(nm) AS INT) + 1),
+                 i -> substr(nm, 1, CAST(i AS INT) - 1) || substr(nm, CAST(i AS INT) + 1, 1000000)),
+               nm))) AS v
+             FROM dirty),
+      cand AS (SELECT DISTINCT cid, did FROM cv JOIN dv USING (v)),
+      scored AS (SELECT cid, did, CAST(levenshtein(c.nm, dd.nm) AS BIGINT) AS dist
+                 FROM cand JOIN clean c ON c.id = cid
+                           JOIN dirty dd ON dd.id = did
+                 WHERE levenshtein(c.nm, dd.nm) <= 2),
+      r AS (SELECT cid, did, dist,
+                   row_number() OVER (PARTITION BY did ORDER BY dist, cid) AS rd,
+                   row_number() OVER (PARTITION BY cid ORDER BY dist, did) AS rc
+            FROM scored)
+      SELECT cid, did, dist FROM r WHERE rd = 1 AND rc = 1
+    """.trim))
+
+  /** Link prediction by common-neighbor count + neighborhood Jaccard
+    * (the float-free cousins of Adamic-Adar, whose 1/log(deg) weights
+    * are not cross-engine portable): candidate pairs are distance-2
+    * wedges minus existing edges, scored common·10^4 div
+    * (da+db−common). Wedge volume is Σ deg(m)² — at 100 TB the hub
+    * caps from the triangle path (degree-capped wedge generation)
+    * apply; the item graph here is hub-free by construction.
+    */
+  val q200 = GraftQuery(
+    "q200_link_prediction",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val e0 = ev.withColumn("next", lead(col("item"), 1).over(w))
+        .filter(col("next").isNotNull && col("next") =!= col("item"))
+        .select(col("item").as("a"), col("next").as("b"))
+      val und = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
+        .distinct().cache()
+      val deg = und.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+      val wedges = und.as("x").join(und.as("y"),
+          col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+        .select(col("x.b").as("a"), col("y.b").as("b"))
+      val cand = wedges.groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("common"))
+        .join(und.select(col("a"), col("b")), Seq("a", "b"), "left_anti")
+        .filter(col("common") >= 2)
+      cand
+        .join(broadcast(deg.select(col("node").as("a"), col("deg").as("da"))), "a")
+        .join(broadcast(deg.select(col("node").as("b"), col("deg").as("db"))), "b")
+        .select(col("a"), col("b"), col("common"),
+          expr("common * 10000L div (da + db - common)").as("nb_jacc_e4"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, ts, event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        FROM events),
+      tr AS (
+        SELECT item,
+               lead(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next
+        FROM ev),
+      und AS (SELECT DISTINCT a, b FROM (
+                SELECT item AS a, next AS b FROM tr
+                 WHERE next IS NOT NULL AND next <> item
+                UNION ALL
+                SELECT next, item FROM tr
+                 WHERE next IS NOT NULL AND next <> item)),
+      deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1),
+      cand AS (SELECT x.b AS a, y.b AS b, CAST(count(*) AS BIGINT) AS common
+               FROM und x JOIN und y ON x.a = y.a AND x.b < y.b
+               GROUP BY 1, 2),
+      nonedge AS (SELECT c.* FROM cand c
+                  WHERE NOT EXISTS (SELECT 1 FROM und u
+                                    WHERE u.a = c.a AND u.b = c.b)
+                    AND common >= 2)
+      SELECT n.a, n.b, n.common,
+             CAST(n.common * 10000 // (da.deg + db.deg - n.common) AS BIGINT) AS nb_jacc_e4
+      FROM nonedge n JOIN deg da ON da.node = n.a JOIN deg db ON db.node = n.b
+    """.trim))
+
+  /** Top click journeys: the 10 most common 3-item consecutive paths
+    * (consecutive repeats collapsed) — the product-analytics "common
+    * routes" readout. Global top-10 through a guarded TakeOrdered on
+    * the path-count aggregate (path cardinality << corpus), total
+    * order (cnt desc, then path) so the cut is deterministic.
+    */
+  val q202 = GraftQuery(
+    "q202_top_journeys",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev.withColumn("i2", lead(col("item"), 1).over(w))
+        .withColumn("i3", lead(col("item"), 2).over(w))
+        .filter(col("i2").isNotNull && col("i3").isNotNull &&
+          col("item") =!= col("i2") && col("i2") =!= col("i3"))
+        .groupBy(col("item").as("i1"), col("i2"), col("i3"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("i1"), col("i2"), col("i3"))
+        .limit(10)
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, ts, event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        FROM events),
+      p AS (
+        SELECT item AS i1,
+               lead(item, 1) OVER w AS i2,
+               lead(item, 2) OVER w AS i3
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      c AS (SELECT i1, i2, i3, CAST(count(*) AS BIGINT) AS cnt
+            FROM p
+            WHERE i2 IS NOT NULL AND i3 IS NOT NULL
+              AND i1 <> i2 AND i2 <> i3
+            GROUP BY 1, 2, 3),
+      r AS (SELECT *, row_number() OVER (ORDER BY cnt DESC, i1, i2, i3) AS rn
+            FROM c)
+      SELECT i1, i2, i3, cnt FROM r WHERE rn <= 10
     """.trim))
 
   def all: Seq[GraftQuery] =
     Seq(q70, q71, q72, q73, q74, q76, q77, q81a, q81, q83, q94, q96, q108, q166, q167, q177, q181, q183,
-      q121, q133, q158, q160, q192, q196)
+      q121, q133, q158, q160, q192, q196, q200, q202)
 }

@@ -853,8 +853,75 @@ object ScaleQueries extends QueryRegistry {
       FROM cell JOIN pf USING (fold) JOIN pl USING (lang) CROSS JOIN t
     """.trim))
 
+  /** Consistent-hash ring rebalance audit: docs assigned to 8 then 9
+    * nodes (16 md5 virtual nodes each, successor rule with wrap) and
+    * the moved fraction measured — the property that makes consistent
+    * hashing worth using (≈1/9 moves, vs ~8/9 for mod-N). Pure
+    * per-row arithmetic against a broadcast 144-row vnode table; ties
+    * on equal vnode hash break to the lowest node id explicitly, so
+    * both engines agree without relying on struct-min semantics.
+    */
+  val q201 = GraftQuery(
+    "q201_consistent_hash_rebalance",
+    (s, d) => {
+      val vn = s.range(0, 9).toDF("node_id")
+        .select(col("node_id"), explode(expr("sequence(0, 15)")).as("vno"))
+        .select(col("node_id"),
+          conv(substring(md5(concat(lit("vn:"), col("node_id").cast("string"),
+            lit(":"), col("vno").cast("string"))), 1, 8), 16, 10)
+            .cast("long").as("vh"))
+        .cache()
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("dh"))
+      def ring(n: Int): org.apache.spark.sql.DataFrame = {
+        val rv = vn.filter(col("node_id") < n)
+        val wrap = rv.agg(min(col("vh")).as("wvh"))
+        val succ = docs.join(broadcast(rv), col("vh") >= col("dh"), "left")
+          .groupBy(col("doc_id"), col("dh")).agg(min(col("vh")).as("svh"))
+        val owned = succ.crossJoin(broadcast(wrap))
+          .select(col("doc_id"), coalesce(col("svh"), col("wvh")).as("ovh"))
+        owned.join(broadcast(rv), col("ovh") === col("vh"))
+          .groupBy(col("doc_id")).agg(min(col("node_id")).as(s"node$n"))
+      }
+      ring(8).join(ring(9), "doc_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("node8") =!= col("node9"), 1L).otherwise(0L))
+            .as("n_moved"))
+        .withColumn("moved_bp", expr("n_moved * 10000L div n_docs"))
+    },
+    Some("""
+      WITH vn AS (SELECT n.i AS node_id,
+                         CAST('0x' || substr(md5('vn:' || CAST(n.i AS VARCHAR) || ':' || CAST(v.i AS VARCHAR)), 1, 8) AS BIGINT) AS vh
+                  FROM range(0, 9) n(i) CROSS JOIN range(0, 16) v(i)),
+      docs AS (SELECT doc_id,
+                      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS dh
+               FROM documents),
+      s8 AS (SELECT d.doc_id, min(vh) AS ovh
+             FROM docs d LEFT JOIN vn ON vn.node_id < 8 AND vn.vh >= d.dh
+             GROUP BY 1),
+      o8 AS (SELECT doc_id,
+                    coalesce(ovh, (SELECT min(vh) FROM vn WHERE node_id < 8)) AS ovh
+             FROM s8),
+      n8 AS (SELECT doc_id, min(node_id) AS node8
+             FROM o8 JOIN vn ON vn.vh = o8.ovh AND vn.node_id < 8 GROUP BY 1),
+      s9 AS (SELECT d.doc_id, min(vh) AS ovh
+             FROM docs d LEFT JOIN vn ON vn.vh >= d.dh
+             GROUP BY 1),
+      o9 AS (SELECT doc_id,
+                    coalesce(ovh, (SELECT min(vh) FROM vn)) AS ovh
+             FROM s9),
+      n9 AS (SELECT doc_id, min(node_id) AS node9
+             FROM o9 JOIN vn ON vn.vh = o9.ovh GROUP BY 1)
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN node8 <> node9 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+             CAST(sum(CASE WHEN node8 <> node9 THEN 1 ELSE 0 END) * 10000
+                  // count(*) AS BIGINT) AS moved_bp
+      FROM n8 JOIN n9 USING (doc_id)
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q44, q46, q48, q50, q66, q87, q88, q97, q98, q98a, q100, q102, q104,
       q112, q114, q124, q125, q126, q127, q131, q136, q141, q145, q146, q151,
-      q169, q173, q197)
+      q169, q173, q197, q201)
 }
