@@ -66,4 +66,45 @@ object Layout {
       .withColumn(rankName, col("__off") + col("__li"))
       .drop("__pid", "__li", "__off")
   }
+
+  /** Windowless GLOBAL inclusive prefix sum of a LONG column under a
+    * total order — [[globalRank]]'s pattern carrying a running value
+    * instead of a row count: range partition + local sorted scan +
+    * broadcast per-partition value offsets (numPartitions longs, the
+    * only driver traffic). The row_number/sum window alternative
+    * sorts the whole table in ONE partition; this stays distributed.
+    * `sortCols` must be a total order or the per-row running value is
+    * layout-dependent. Appends `cumName` to the input columns.
+    */
+  def globalPrefixSum(df: DataFrame, sortCols: Seq[Column], valueCol: String,
+      cumName: String = "cum", numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val local = df
+      .repartitionByRange(parts, sortCols.map(_.asc): _*)
+      .sortWithinPartitions(sortCols.map(_.asc): _*)
+      .cache()
+    val vIdx = local.schema.fieldIndex(valueCol)
+    require(local.schema(vIdx).dataType ==
+      org.apache.spark.sql.types.LongType, s"$valueCol must be LONG")
+    val rdd = local.rdd
+    val totals = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(vIdx)); Iterator((i, s))
+    }.collect().sortBy(_._1)
+    val offsets = new Array[Long](totals.length + 1)
+    totals.zipWithIndex.foreach { case ((_, s), k) =>
+      offsets(k + 1) = offsets(k) + s
+    }
+    val bOff = spark.sparkContext.broadcast(offsets)
+    val withCum = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = bOff.value(i)
+      it.map { r =>
+        acc += r.getLong(vIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+      }
+    }
+    spark.createDataFrame(withCum, local.schema.add(cumName,
+      org.apache.spark.sql.types.LongType, nullable = false))
+  }
 }

@@ -1313,8 +1313,99 @@ object AnalyticsQueries extends QueryRegistry {
       FROM r
     """.trim))
 
+  /** Event-type Markov transition matrix: per-user consecutive
+    * event-type pairs, row-normalized to e4 probabilities by integer
+    * div — the behavioral fingerprint (what follows a click?). 25
+    * cells; the window is the per-user ordered scan every session
+    * analysis here already pays.
+    */
+  val q204 = GraftQuery(
+    "q204_markov_transitions",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val totals = pairs.groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("row_total"))
+      pairs.join(broadcast(totals), "event_type")
+        .select(col("event_type"), col("next_type"), col("cnt"),
+          expr("cnt * 10000L div row_total").as("prob_e4"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events),
+      c AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS cnt
+            FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      t AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS row_total
+            FROM c GROUP BY 1)
+      SELECT c.event_type, c.next_type, c.cnt,
+             c.cnt * 10000 // t.row_total AS prob_e4
+      FROM c JOIN t USING (event_type)
+    """.trim))
+
+  /** Pareto / ABC inventory classification: parts ranked by exact
+    * micro-unit revenue (the q176 integer-units rule), cumulative
+    * share through [[graft.operators.Layout.globalPrefixSum]] — the
+    * distributed prefix sum, never a one-partition window over the
+    * part universe — then A/B/C at the 80/95 fences via exact
+    * cross-multiplied comparisons (cum·100 <= T·80).
+    */
+  val q205 = GraftQuery(
+    "q205_abc_classification",
+    (s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .select(col("l_partkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100) - round(col("l_discount") * 100).cast("long")))
+            .as("rev_u"))
+        .groupBy(col("l_partkey")).agg(sum(col("rev_u")).as("rev"))
+        .withColumn("neg_rev", -col("rev"))
+      val cum = graft.operators.Layout.globalPrefixSum(rev,
+        Seq(col("neg_rev"), col("l_partkey")), "rev", "cum")
+      val total = cum.agg(max(col("cum")).as("t"))
+      cum.crossJoin(broadcast(total))
+        .withColumn("cls",
+          when(col("cum") * 100 <= col("t") * 80, "A")
+            .when(col("cum") * 100 <= col("t") * 95, "B")
+            .otherwise("C"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("revenue_u"))
+        .crossJoin(broadcast(total))
+        .select(col("cls"), col("n_parts"), col("revenue_u"),
+          expr("revenue_u * 10000L div t").as("share_bp"))
+    },
+    Some("""
+      WITH rev AS (SELECT l_partkey,
+                          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                                   (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev
+                   FROM lineitem GROUP BY 1),
+      cum AS (SELECT l_partkey, rev,
+                     CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey) AS BIGINT) AS cum
+              FROM rev),
+      t AS (SELECT CAST(sum(rev) AS BIGINT) AS t FROM rev),
+      cls AS (SELECT l_partkey, rev,
+                     CASE WHEN cum * 100 <= t * 80 THEN 'A'
+                          WHEN cum * 100 <= t * 95 THEN 'B'
+                          ELSE 'C' END AS cls
+              FROM cum CROSS JOIN t)
+      SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(rev) AS BIGINT) AS revenue_u,
+             CAST(sum(rev) * 10000 // max(t) AS BIGINT) AS share_bp
+      FROM cls CROSS JOIN t
+      GROUP BY cls
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q51, q52, q53, q54, q55, q57, q58, q69, q89, q90, q91, q92, q93, q95,
       q110, q129, q139, q147, q149, q152, q156, q157, q159, q161, q162, q163,
-      q170, q174, q178, q179, q180, q184, q185, q187, q191, q193, q198)
+      q170, q174, q178, q179, q180, q184, q185, q187, q191, q193, q198,
+      q204, q205)
 }

@@ -723,7 +723,66 @@ object Relational extends QueryRegistry {
       GROUP BY 1, 2
     """.trim))
 
+  /** Referential-integrity audit across the star schema: orphan
+    * counts + coverage for every FK edge — the constraint-check half
+    * of the Expectations suite, as data instead of an exception.
+    * Each edge is one left join over DISTINCT child keys (the join
+    * carries keys, not rows — at 100 TB lineitem's billions of rows
+    * reduce map-side to their key set first); no broadcast is forced
+    * because parent sides (orders) are fact-sized — AQE picks the
+    * strategy per edge.
+    */
+  val q203 = GraftQuery(
+    "q203_referential_integrity",
+    (s, d) => {
+      def fk(rel: String, child: org.apache.spark.sql.DataFrame,
+          childKey: String, parent: org.apache.spark.sql.DataFrame,
+          parentKey: String) =
+        child.select(col(childKey).as("k")).distinct()
+          .join(parent.select(col(parentKey).as("pk")).distinct(),
+            col("k") === col("pk"), "left")
+          .agg(count(lit(1)).as("n_child"),
+            sum(when(col("pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+          .select(lit(rel).as("relation"), col("n_child"), col("n_orphans"))
+      val li = Tables.lineitem(s, d)
+      fk("lineitem->orders", li, "l_orderkey", Tables.orders(s, d), "o_orderkey")
+        .unionAll(fk("lineitem->part", li, "l_partkey",
+          Tables.part(s, d), "p_partkey"))
+        .unionAll(fk("lineitem->supplier", li, "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey"))
+        .unionAll(fk("orders->customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"))
+        .withColumn("coverage_bp",
+          expr("(n_child - n_orphans) * 10000L div n_child"))
+    },
+    Some("""
+      WITH checks AS (
+        SELECT 'lineitem->orders' AS relation,
+               CAST(count(*) AS BIGINT) AS n_child,
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        FROM (SELECT DISTINCT l_orderkey FROM lineitem) c
+        LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) p ON l_orderkey = o_orderkey
+        UNION ALL
+        SELECT 'lineitem->part', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM (SELECT DISTINCT l_partkey FROM lineitem) c
+        LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p ON l_partkey = p_partkey
+        UNION ALL
+        SELECT 'lineitem->supplier', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM (SELECT DISTINCT l_suppkey FROM lineitem) c
+        LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) p ON l_suppkey = s_suppkey
+        UNION ALL
+        SELECT 'orders->customer', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM (SELECT DISTINCT o_custkey FROM orders) c
+        LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) p ON o_custkey = c_custkey)
+      SELECT relation, n_child, n_orphans,
+             (n_child - n_orphans) * 10000 // n_child AS coverage_bp
+      FROM checks
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q17, q18,
-      q19, q109, q111, q119, q123, q144, q175, q176, q188)
+      q19, q109, q111, q119, q123, q144, q175, q176, q188, q203)
 }

@@ -50,4 +50,26 @@ class LayoutSpec extends SparkTestBase {
     assert(sortedEmitted <= n / 4,
       s"sorted layout emitted $sortedEmitted of $n — row groups not skipped")
   }
+
+  test("globalPrefixSum matches a single-partition running sum") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, (i * 37 % 101) + 1)).toDF("id", "v")
+    val got = graft.operators.Layout
+      .globalPrefixSum(df.repartition(13), Seq(org.apache.spark.sql.functions.col("id")), "v", "cum", numPartitions = 7)
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    var acc = 0L
+    (1L to 500L).foreach { i =>
+      acc += (i * 37 % 101) + 1
+      assert(got(i) === acc, s"at id $i")
+    }
+  }
+
+  test("globalPrefixSum total equals column sum regardless of partitioning") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, i)).toDF("id", "v")
+    val out = graft.operators.Layout
+      .globalPrefixSum(df.repartition(5), Seq(org.apache.spark.sql.functions.col("id")), "v", "cum", numPartitions = 3)
+    assert(out.agg(org.apache.spark.sql.functions.max("cum"))
+      .head().getLong(0) === 5050L)
+  }
 }
