@@ -782,7 +782,135 @@ object Relational extends QueryRegistry {
       FROM checks
     """.trim))
 
+  /** Order-to-ship latency SLO by priority: exact integer latency
+    * days (timestamp div — both sides date-resolution), floor4 exact
+    * percentiles on the q57/q149 grid, and 7-day attainment in bp.
+    * The logistics scorecard, float-free.
+    */
+  val q206 = GraftQuery(
+    "q206_ship_latency_slo",
+    (s, d) => {
+      import graft.functions.QualityFunctions.floor4
+      val lat = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          ((col("l_shipdate").cast("timestamp").cast("long") -
+            col("o_orderdate").cast("timestamp").cast("long")) / lit(86400L))
+            .cast("long").as("lat_days"))
+      lat.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          floor4(expr("percentile(lat_days, 0.5)")).as("p50_days"),
+          floor4(expr("percentile(lat_days, 0.9)")).as("p90_days"),
+          sum(when(col("lat_days") <= 7, 1L).otherwise(0L)).as("within_7d"))
+        .withColumn("slo_bp", expr("within_7d * 10000L div n_lines"))
+    },
+    Some("""
+      WITH lat AS (SELECT o_orderpriority,
+                          CAST((epoch(l_shipdate) - epoch(o_orderdate)) // 86400 AS BIGINT) AS lat_days
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+             floor(quantile_cont(lat_days, 0.5) * 10000) / 10000 AS p50_days,
+             floor(quantile_cont(lat_days, 0.9) * 10000) / 10000 AS p90_days,
+             CAST(sum(CASE WHEN lat_days <= 7 THEN 1 ELSE 0 END) AS BIGINT) AS within_7d,
+             CAST(sum(CASE WHEN lat_days <= 7 THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS slo_bp
+      FROM lat GROUP BY 1
+    """.trim))
+
+  /** Supplier concentration (Herfindahl index) per region: HHI_e8 =
+    * Σs²·10^8 div T² with supplier revenues s and region total T as
+    * exact integers — squares accumulate in decimal(38,0) (Spark) /
+    * HUGEINT (DuckDB), the q185 big-integer discipline, so the
+    * monopoly metric is bit-exact. Dimensions (supplier→nation→
+    * region) broadcast.
+    */
+  val q207 = GraftQuery(
+    "q207_supplier_hhi",
+    (s, d) => {
+      val dim = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("r_name"))
+      val sup = Tables.lineitem(s, d)
+        .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("r_name"), col("s_suppkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100) - round(col("l_discount") * 100).cast("long"))).as("srev"))
+      sup.groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_suppliers"), sum(col("srev")).as("total_u"),
+          sum(col("srev").cast("decimal(38,0)") *
+            col("srev").cast("decimal(38,0)")).as("ss"))
+        .select(col("r_name"), col("n_suppliers"), col("total_u"),
+          expr("""cast(ss * 100000000 div
+                       (cast(total_u as decimal(38,0)) * total_u) as long)""")
+            .as("hhi_e8"))
+    },
+    Some("""
+      WITH dim AS (SELECT s_suppkey, r_name
+                   FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                                 JOIN region ON n_regionkey = r_regionkey),
+      sup AS (SELECT r_name, s_suppkey,
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                              (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS srev
+              FROM lineitem JOIN dim ON l_suppkey = s_suppkey
+              GROUP BY 1, 2)
+      SELECT r_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(sum(srev) AS BIGINT) AS total_u,
+             CAST(sum(CAST(srev AS HUGEINT) * srev) * 100000000
+                  // (CAST(sum(srev) AS HUGEINT) * sum(srev)) AS BIGINT) AS hhi_e8
+      FROM sup GROUP BY 1
+    """.trim))
+
+  /** TPC-H Q5 shape (region-restricted snowflake rollup): revenue by
+    * nation for one region and one order-year — the canonical 6-table
+    * star join. All dimension sides broadcast; the only shuffle is
+    * the final 25-group aggregate; revenue in exact micro-units (the
+    * q176 rule).
+    */
+  val q208 = GraftQuery(
+    "q208_local_supplier_volume",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust),
+          col("o_custkey") === col("c_custkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100) - round(col("l_discount") * 100).cast("long")))
+          .as("revenue_u"))
+    },
+    Some("""
+      SELECT n_name,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_u
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q17, q18,
-      q19, q109, q111, q119, q123, q144, q175, q176, q188, q203)
+      q19, q109, q111, q119, q123, q144, q175, q176, q188, q203, q206, q207,
+      q208)
 }
