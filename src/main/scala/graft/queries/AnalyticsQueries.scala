@@ -1403,9 +1403,95 @@ object AnalyticsQueries extends QueryRegistry {
       GROUP BY cls
     """.trim))
 
+  /** Last-touch attribution with a bounded lookback: each purchase
+    * credits the most recent click by the same user within 1 day,
+    * else counts as organic — the marketing-attribution staple.
+    * The as-of lookup is [[graft.operators.AsOfJoin.asOfTime]]'s
+    * union + running-max shape (one shuffle, no per-pair join); the
+    * oracle is DuckDB's native ASOF LEFT JOIN with the same window
+    * predicate applied after the match.
+    */
+  val q213 = GraftQuery(
+    "q213_last_touch_attribution",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts").as("p_ns"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ns"))
+      graft.operators.AsOfJoin.asOfTime(purchases, clicks,
+          "user_id", "p_ns", "c_ns")
+        .withColumn("bucket",
+          when(col("asof_time").isNotNull &&
+            col("p_ns") - col("asof_time") <= 86400000000000L, "paid")
+            .otherwise("organic"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("value_c"))
+    },
+    Some("""
+      WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS p_ns,
+                        CAST(round(value * 100) AS BIGINT) AS cents
+                 FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, epoch_ns(ts) AS c_ns
+            FROM events WHERE event_type = 'click'),
+      j AS (SELECT p.event_id, p.cents,
+                   CASE WHEN c.c_ns IS NOT NULL
+                             AND p.p_ns - c.c_ns <= 86400000000000
+                        THEN 'paid' ELSE 'organic' END AS bucket
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.p_ns >= c.c_ns)
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_purchases,
+             CAST(sum(cents) AS BIGINT) AS value_c
+      FROM j GROUP BY 1
+    """.trim))
+
+  /** Cohort LTV curve: per signup-week cohort, cumulative purchase
+    * value by week age — the matrix a growth team reads daily. First
+    * week per user is one hash aggregate; the cumulative runs over
+    * (cohort, age) cells only — bounded by calendar², never by users.
+    */
+  val q214 = GraftQuery(
+    "q214_cohort_ltv",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        expr("ts div 604800000000000").as("week"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+      val cells = ev.filter(col("event_type") === "purchase")
+        .join(first, "user_id")
+        .groupBy(col("cohort"), (col("week") - col("cohort")).as("age"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("value_c"))
+      val cohortSizes = first.groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n_users"))
+      cells.join(broadcast(cohortSizes), "cohort")
+        .withColumn("cum_value_c",
+          sum(col("value_c")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cohort")).orderBy(col("age"))
+            .rowsBetween(Long.MinValue, 0)))
+        .withColumn("ltv_per_user_c", expr("cum_value_c div n_users"))
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, epoch_ns(ts) // 604800000000000 AS week,
+                         event_type, CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events),
+      f AS (SELECT user_id, min(week) AS cohort FROM ev GROUP BY 1),
+      cells AS (SELECT cohort, week - cohort AS age,
+                       CAST(count(*) AS BIGINT) AS n_purchases,
+                       CAST(sum(cents) AS BIGINT) AS value_c
+                FROM ev JOIN f USING (user_id)
+                WHERE event_type = 'purchase'
+                GROUP BY 1, 2),
+      sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users FROM f GROUP BY 1)
+      SELECT cohort, age, n_purchases, value_c, n_users,
+             CAST(sum(value_c) OVER (PARTITION BY cohort ORDER BY age) AS BIGINT) AS cum_value_c,
+             CAST(sum(value_c) OVER (PARTITION BY cohort ORDER BY age) // n_users AS BIGINT) AS ltv_per_user_c
+      FROM cells JOIN sz USING (cohort)
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q51, q52, q53, q54, q55, q57, q58, q69, q89, q90, q91, q92, q93, q95,
       q110, q129, q139, q147, q149, q152, q156, q157, q159, q161, q162, q163,
       q170, q174, q178, q179, q180, q184, q185, q187, q191, q193, q198,
-      q204, q205)
+      q204, q205, q213, q214)
 }

@@ -909,8 +909,145 @@ object Relational extends QueryRegistry {
       GROUP BY 1
     """.trim))
 
+  /** TPC-H Q6 shape (forecast revenue change): one tight scan —
+    * year + discount band + quantity cap — reduced to a single exact
+    * micro-unit scalar (cents x discount-pct, the integer-units
+    * rule). The predicate and 3-column read schema push to parquet;
+    * the discount band compares exact integer pct, not doubles.
+    */
+  val q209 = GraftQuery(
+    "q209_forecast_revenue",
+    (s, d) => Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_quantity") < 24)
+      .select(round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        round(col("l_discount") * 100).cast("long").as("disc_pct"))
+      .filter(col("disc_pct") >= 5 && col("disc_pct") <= 7)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("cents") * col("disc_pct")).as("revenue_u")),
+    Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_u
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_quantity < 24
+        AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+    """.trim))
+
+  /** TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    * revenue lost to returns in one quarter — fact-fact join on
+    * orderkey, customer+nation dims broadcast, exact micro-units,
+    * TakeOrdered with custkey tie-break.
+    */
+  val q210 = GraftQuery(
+    "q210_returned_items",
+    (s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d).filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100) - round(col("l_discount") * 100).cast("long")))
+          .as("lost_u"))
+      rev.join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"), col("lost_u"))
+        .orderBy(col("lost_u").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""
+      WITH rev AS (SELECT o_custkey,
+                          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                                   (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS lost_u
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                   WHERE l_returnflag = 'R'
+                     AND o_orderdate >= TIMESTAMP '1996-01-01'
+                     AND o_orderdate < TIMESTAMP '1996-04-01'
+                   GROUP BY 1)
+      SELECT c_custkey, c_name, n_name, lost_u
+      FROM rev JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+      ORDER BY lost_u DESC, c_custkey LIMIT 20
+    """.trim))
+
+  /** TPC-H Q14 shape (promotion effect): promo revenue share in exact
+    * bp — conditional sum over one month's lines with the part
+    * dimension broadcast; the share is an integer ratio of two exact
+    * micro-unit sums, no 100.0 * double division.
+    */
+  val q211 = GraftQuery(
+    "q211_promo_effect",
+    (s, d) => Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .join(broadcast(Tables.part(s, d)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_type"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100) - round(col("l_discount") * 100).cast("long")))
+          .as("rev_u"))
+      .agg(sum(when(col("p_type") === "PROMO", col("rev_u")).otherwise(0L))
+        .as("promo_u"),
+        sum(col("rev_u")).as("total_u"))
+      .withColumn("promo_share_bp", expr("promo_u * 10000L div total_u")),
+    Some("""
+      SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                           THEN CAST(round(l_extendedprice * 100) AS BIGINT) *
+                                (100 - CAST(round(l_discount * 100) AS BIGINT))
+                           ELSE 0 END) AS BIGINT) AS promo_u,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_u,
+             CAST(sum(CASE WHEN p_type = 'PROMO'
+                           THEN CAST(round(l_extendedprice * 100) AS BIGINT) *
+                                (100 - CAST(round(l_discount * 100) AS BIGINT))
+                           ELSE 0 END) * 10000
+                  // sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS promo_share_bp
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+    """.trim))
+
+  /** TPC-H Q18 shape (large-volume orders): orders whose total
+    * quantity exceeds 150 units, with their customer — the classic
+    * HAVING-on-fact-aggregate + dim join. Quantities are integral
+    * doubles; they become exact longs before summing. Full filtered
+    * set, no limit — the driver's hash compare is order-insensitive.
+    */
+  val q212 = GraftQuery(
+    "q212_large_volume_orders",
+    (s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+          round(col("o_totalprice") * 100).cast("long").as("price_c"),
+          col("total_qty"))
+    },
+    Some("""
+      WITH big AS (SELECT l_orderkey,
+                          CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+                   FROM lineitem GROUP BY 1 HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 150)
+      SELECT o_orderkey, c_custkey, c_name,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c, total_qty
+      FROM big JOIN orders ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q17, q18,
       q19, q109, q111, q119, q123, q144, q175, q176, q188, q203, q206, q207,
-      q208)
+      q208, q209, q210, q211, q212)
 }
