@@ -1489,9 +1489,43 @@ object AnalyticsQueries extends QueryRegistry {
       FROM cells JOIN sz USING (cohort)
     """.trim))
 
+  /** Rolling 7-day active users per day — the WAU curve. Distinct
+    * window-membership cannot compose from daily distincts, so each
+    * user-day expands into the 7 report days it supports (explode of
+    * a 7-element sequence — linear volume) and the per-day distinct
+    * is one exact aggregate. Report days clip to the observed max.
+    */
+  val q216 = GraftQuery(
+    "q216_rolling_wau",
+    (s, d) => {
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+        .distinct()
+      val mx = ud.agg(max(col("day")).as("max_day"))
+      ud.select(col("user_id"),
+          explode(expr("sequence(day, day + 6)")).as("d"))
+        .crossJoin(broadcast(mx))
+        .filter(col("d") <= col("max_day"))
+        .select(col("user_id"), col("d")).distinct()
+        .groupBy(col("d")).agg(count(lit(1)).as("wau"))
+        .withColumnRenamed("d", "day")
+    },
+    Some("""
+      WITH ud AS (SELECT DISTINCT user_id,
+                         epoch_ns(ts) // 86400000000000 AS day
+                  FROM events),
+      mx AS (SELECT max(day) AS max_day FROM ud),
+      ex AS (SELECT DISTINCT user_id, CAST(t.d AS BIGINT) AS day
+             FROM ud CROSS JOIN mx
+             CROSS JOIN unnest(generate_series(ud.day, ud.day + 6)) t(d)
+             WHERE t.d <= mx.max_day)
+      SELECT day, CAST(count(*) AS BIGINT) AS wau
+      FROM ex GROUP BY 1
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q51, q52, q53, q54, q55, q57, q58, q69, q89, q90, q91, q92, q93, q95,
       q110, q129, q139, q147, q149, q152, q156, q157, q159, q161, q162, q163,
       q170, q174, q178, q179, q180, q184, q185, q187, q191, q193, q198,
-      q204, q205, q213, q214)
+      q204, q205, q213, q214, q216)
 }

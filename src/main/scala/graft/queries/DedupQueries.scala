@@ -1098,8 +1098,85 @@ object DedupQueries extends QueryRegistry {
       FROM totals t LEFT JOIN kept k USING (doc_id)
     """.trim))
 
+  /** LSH recall self-audit: the engine measures its own
+    * approximation — q21's exact n-gram-Jaccard pairs vs q22's
+    * MinHash-LSH pairs on the same corpus and threshold, reduced to
+    * (n_exact, n_lsh, n_common, recall_bp, n_extra). n_extra must be
+    * 0 by construction (LSH candidates are exact-Jaccard-verified, so
+    * precision is 1.0 and only recall is approximate) — the audit
+    * PROVES it rather than asserting it. The oracle replays both full
+    * pipelines and the set algebra.
+    */
+  val q217 = GraftQuery(
+    "q217_lsh_recall_audit",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5).select(col("id1"), col("id2"))
+      val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, bands = 4, rowsPerBand = 4, threshold = 0.5)
+        .select(col("id1"), col("id2"))
+      val common = exact.join(lsh, Seq("id1", "id2"), "left_semi")
+      val extra = lsh.join(exact, Seq("id1", "id2"), "left_anti")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(common.agg(count(lit(1)).as("n_common")))
+        .crossJoin(extra.agg(count(lit(1)).as("n_extra")))
+        .withColumn("recall_bp", expr("n_common * 10000L div n_exact"))
+    },
+    Some {
+      val p = T.MinhashP
+      val sigEntries = T.MinhashAB.map { case (a, b) =>
+        s"list_aggregate(list_transform(xi, x -> (x * $a + $b) % $p), 'min')"
+      }.mkString(",\n                    ")
+      val bandEntries = (0 until 4).map { j =>
+        s"array_to_string(sg[${j * 4 + 1}:${j * 4 + 4}], ',')"
+      }.mkString(", ")
+      s"""
+      WITH $duckShingles,
+      ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      sz AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+      jcand AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+                FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      exact AS (SELECT id1, id2
+                FROM jcand JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+                WHERE floor(inter * 1.0 / (x.n_sh + y.n_sh - inter) * 10000) / 10000 >= 0.5),
+      ints AS (SELECT doc_id, s,
+                      list_transform(s, x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS xi
+               FROM sh),
+      sig AS (SELECT doc_id, s,
+                     [$sigEntries] AS sg
+              FROM ints),
+      bands AS (SELECT doc_id, s, band_idx, [$bandEntries][band_idx + 1] AS band_key
+                FROM sig, unnest([0, 1, 2, 3]) AS t(band_idx)),
+      lcand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                FROM bands a JOIN bands b
+                  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id),
+      lsh AS (SELECT id1, id2
+              FROM (SELECT id1, id2,
+                           floor(len(list_intersect(x.s, y.s)) * 1.0 /
+                                 (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) * 10000) / 10000 AS jaccard
+                    FROM lcand JOIN sh x ON id1 = x.doc_id JOIN sh y ON id2 = y.doc_id)
+              WHERE jaccard >= 0.5),
+      cm AS (SELECT count(*) AS n_common FROM exact
+             WHERE EXISTS (SELECT 1 FROM lsh
+                           WHERE lsh.id1 = exact.id1 AND lsh.id2 = exact.id2)),
+      xt AS (SELECT count(*) AS n_extra FROM lsh
+             WHERE NOT EXISTS (SELECT 1 FROM exact
+                               WHERE lsh.id1 = exact.id1 AND lsh.id2 = exact.id2))
+      SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+             CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
+             CAST(cm.n_common AS BIGINT) AS n_common,
+             CAST(xt.n_extra AS BIGINT) AS n_extra,
+             CAST(cm.n_common * 10000 // (SELECT count(*) FROM exact) AS BIGINT) AS recall_bp
+      FROM cm CROSS JOIN xt
+      """.trim
+    })
+
   def all: Seq[GraftQuery] =
     Seq(q20, q21, q22, q23, q24, q39, q47, q47a, q59, q60, q61, q67, q68, q75,
       q78, q82, q103a, q103, q105, q106, q107, q113, q120, q122, q130, q132,
-      q150, q164, q165)
+      q150, q164, q165, q217)
 }

@@ -1046,8 +1046,49 @@ object Relational extends QueryRegistry {
                JOIN customer ON o_custkey = c_custkey
     """.trim))
 
+  /** FK fan-out audit: children-per-parent distribution for every
+    * join edge — the pre-flight that predicts join output blowup and
+    * flags keys needing skew handling (the q144 cardinality estimate,
+    * per-edge and with a max). One hash aggregate per edge.
+    */
+  val q215 = GraftQuery(
+    "q215_fanout_audit",
+    (s, d) => {
+      def edge(rel: String, child: org.apache.spark.sql.DataFrame,
+          key: String) =
+        child.groupBy(col(key)).agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n_parents"), sum(col("c")).as("n_children"),
+            max(col("c")).as("max_fanout"))
+          .select(lit(rel).as("edge"), col("n_parents"), col("n_children"),
+            col("max_fanout"),
+            expr("n_children * 100L div n_parents").as("avg_fanout_e2"))
+      val li = Tables.lineitem(s, d)
+      edge("lineitem/order", li, "l_orderkey")
+        .unionAll(edge("lineitem/part", li, "l_partkey"))
+        .unionAll(edge("lineitem/supplier", li, "l_suppkey"))
+        .unionAll(edge("orders/customer", Tables.orders(s, d), "o_custkey"))
+    },
+    Some("""
+      WITH e1 AS (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey),
+      e2 AS (SELECT count(*) AS c FROM lineitem GROUP BY l_partkey),
+      e3 AS (SELECT count(*) AS c FROM lineitem GROUP BY l_suppkey),
+      e4 AS (SELECT count(*) AS c FROM orders GROUP BY o_custkey)
+      SELECT 'lineitem/order' AS edge, CAST(count(*) AS BIGINT) AS n_parents,
+             CAST(sum(c) AS BIGINT) AS n_children, CAST(max(c) AS BIGINT) AS max_fanout,
+             CAST(sum(c) * 100 // count(*) AS BIGINT) AS avg_fanout_e2 FROM e1
+      UNION ALL
+      SELECT 'lineitem/part', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT),
+             CAST(max(c) AS BIGINT), CAST(sum(c) * 100 // count(*) AS BIGINT) FROM e2
+      UNION ALL
+      SELECT 'lineitem/supplier', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT),
+             CAST(max(c) AS BIGINT), CAST(sum(c) * 100 // count(*) AS BIGINT) FROM e3
+      UNION ALL
+      SELECT 'orders/customer', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT),
+             CAST(max(c) AS BIGINT), CAST(sum(c) * 100 // count(*) AS BIGINT) FROM e4
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q17, q18,
       q19, q109, q111, q119, q123, q144, q175, q176, q188, q203, q206, q207,
-      q208, q209, q210, q211, q212)
+      q208, q209, q210, q211, q212, q215)
 }
