@@ -1523,9 +1523,113 @@ object AnalyticsQueries extends QueryRegistry {
       FROM ex GROUP BY 1
     """.trim))
 
+  /** CUSUM change-point detection over daily event volume — the
+    * classic "when did the level shift" statistic, float-free: with
+    * daily counts x_i, n days and total S, the cumulative deviation
+    * C_t = Σ_{i<=t}(x_i·n − S) is an exact long (each term is the
+    * deviation from the mean scaled by n, so no division ever
+    * happens); the change point is the day of max |C_t|, ties to the
+    * earliest day. The cumulative runs over calendar-bounded day rows.
+    */
+  val q218 = GraftQuery(
+    "q218_cusum_changepoint",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(expr("ts div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val t = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      val cum = daily.crossJoin(broadcast(t))
+        .withColumn("c", sum(col("x") * col("n") - col("s"))
+          .over(org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+            .rowsBetween(Long.MinValue, 0)))
+      val peak = cum.agg(max(abs(col("c"))).as("peak"))
+      cum.crossJoin(broadcast(peak))
+        .filter(abs(col("c")) === col("peak"))
+        .agg(min(col("day")).as("change_day"))
+        .crossJoin(broadcast(peak))
+        .crossJoin(broadcast(t))
+        .select(col("n").as("n_days"), col("s").as("total_events"),
+          col("change_day"), col("peak").as("cusum_peak"))
+    },
+    Some("""
+      WITH daily AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+                            CAST(count(*) AS BIGINT) AS x
+                     FROM events GROUP BY 1),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+            FROM daily),
+      cum AS (SELECT day, CAST(sum(x * n - s) OVER (ORDER BY day) AS BIGINT) AS c
+              FROM daily CROSS JOIN t),
+      pk AS (SELECT CAST(max(abs(c)) AS BIGINT) AS peak FROM cum)
+      SELECT t.n AS n_days, t.s AS total_events,
+             (SELECT min(day) FROM cum CROSS JOIN pk WHERE abs(c) = peak) AS change_day,
+             pk.peak AS cusum_peak
+      FROM t CROSS JOIN pk
+    """.trim))
+
+  /** Hash-partition skew audit: row counts per md5-derived bucket
+    * (32) for each candidate shuffle key — the pre-flight that picks
+    * a partitioning key before a 100 TB shuffle. skew_e2 = max
+    * bucket over mean in e2 units; near 100 = balanced.
+    */
+  val q219 = GraftQuery(
+    "q219_partition_skew_audit",
+    (s, d) => {
+      def audit(keyName: String, df: org.apache.spark.sql.DataFrame,
+          c: String) =
+        df.groupBy(pmod(conv(substring(md5(col(c).cast("string")), 1, 8),
+            16, 10).cast("long"), lit(32)).as("b"))
+          .agg(count(lit(1)).as("cnt"))
+          .agg(count(lit(1)).as("n_buckets"), sum(col("cnt")).as("n_rows"),
+            max(col("cnt")).as("max_bucket"))
+          .select(lit(keyName).as("key"), col("n_buckets"), col("n_rows"),
+            col("max_bucket"),
+            expr("max_bucket * 3200L div n_rows").as("skew_e2"))
+      val li = Tables.lineitem(s, d)
+      audit("l_orderkey", li, "l_orderkey")
+        .unionAll(audit("l_partkey", li, "l_partkey"))
+        .unionAll(audit("l_suppkey", li, "l_suppkey"))
+    },
+    Some("""
+      WITH b1 AS (SELECT CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 32 AS b,
+                         count(*) AS cnt FROM lineitem GROUP BY 1),
+      b2 AS (SELECT CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8) AS BIGINT) % 32 AS b,
+                    count(*) AS cnt FROM lineitem GROUP BY 1),
+      b3 AS (SELECT CAST('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 8) AS BIGINT) % 32 AS b,
+                    count(*) AS cnt FROM lineitem GROUP BY 1)
+      SELECT 'l_orderkey' AS key, CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(cnt) AS BIGINT) AS n_rows, CAST(max(cnt) AS BIGINT) AS max_bucket,
+             CAST(max(cnt) * 3200 // sum(cnt) AS BIGINT) AS skew_e2 FROM b1
+      UNION ALL
+      SELECT 'l_partkey', CAST(count(*) AS BIGINT), CAST(sum(cnt) AS BIGINT),
+             CAST(max(cnt) AS BIGINT), CAST(max(cnt) * 3200 // sum(cnt) AS BIGINT) FROM b2
+      UNION ALL
+      SELECT 'l_suppkey', CAST(count(*) AS BIGINT), CAST(sum(cnt) AS BIGINT),
+             CAST(max(cnt) AS BIGINT), CAST(max(cnt) * 3200 // sum(cnt) AS BIGINT) FROM b3
+    """.trim))
+
+  /** Deterministic review sample: the 100 documents with the
+    * smallest md5(doc_id) — a stable "random" sample that is
+    * IDENTICAL across engines, runs, partitionings, and appends of
+    * higher ids (the property review workflows need: yesterday's
+    * sample stays reviewable today). TakeOrdered on the hash, id
+    * tie-break.
+    */
+  val q220 = GraftQuery(
+    "q220_review_sample",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("doc_id")).limit(100)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+    Some("""
+      SELECT doc_id, lang, source, n_chars
+      FROM (SELECT *, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+            ORDER BY h, doc_id LIMIT 100)
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q51, q52, q53, q54, q55, q57, q58, q69, q89, q90, q91, q92, q93, q95,
       q110, q129, q139, q147, q149, q152, q156, q157, q159, q161, q162, q163,
       q170, q174, q178, q179, q180, q184, q185, q187, q191, q193, q198,
-      q204, q205, q213, q214, q216)
+      q204, q205, q213, q214, q216, q218, q219, q220)
 }
