@@ -1175,8 +1175,32 @@ object DedupQueries extends QueryRegistry {
       """.trim
     })
 
+  /** Near-dup cluster size distribution: how duplication mass is
+    * shaped — many pairs, or a few giant blobs? (The histogram that
+    * decides whether min-id canonicalization loses 1% or 30% of the
+    * corpus.) Component sizes from q47's graph, then a histogram of
+    * sizes — two hash aggregates over component ids.
+    */
+  val q222 = GraftQuery(
+    "q222_dup_cluster_sizes",
+    (s, d) => Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.5),
+        "id1", "id2")
+      .groupBy(col("component_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs")),
+    Some(s"""
+      SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+             CAST(sum(cluster_size) AS BIGINT) AS n_docs
+      FROM (SELECT component_id, CAST(count(*) AS BIGINT) AS cluster_size
+            FROM ($componentsOracleSql) GROUP BY 1)
+      GROUP BY 1
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q20, q21, q22, q23, q24, q39, q47, q47a, q59, q60, q61, q67, q68, q75,
       q78, q82, q103a, q103, q105, q106, q107, q113, q120, q122, q130, q132,
-      q150, q164, q165, q217)
+      q150, q164, q165, q217, q222)
 }

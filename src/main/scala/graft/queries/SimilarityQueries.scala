@@ -613,7 +613,52 @@ object SimilarityQueries extends QueryRegistry {
       """.trim
     })
 
+  /** Per-dimension variance profile of the embedding space — the
+    * collapsed-dimension audit (a dimension with near-zero variance
+    * carries no signal and flags a broken encoder). Components scale
+    * to exact e3-unit longs — coarser than the q138 e6 grid because
+    * the cross-multiplied variance squares TWICE (s2·n at e6 units
+    * overflows 2^63 at sf0.1); both engines rank on the same exact
+    * grid, so the cut is still deterministic. Variance is the exact
+    * cross-multiplied n·Σx²−S² (never a mean subtraction in floats);
+    * top-5 / bottom-5 dims by variance with dim tie-break.
+    */
+  val q221 = GraftQuery(
+    "q221_dim_variance_profile",
+    (s, d) => {
+      val cells = Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim"), round(col("v").cast("double") * 1000)
+          .cast("long").as("sv"))
+      val stats = cells.groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("sv")).as("sm"),
+          sum(col("sv") * col("sv")).as("s2"))
+        .select(col("dim"),
+          (col("s2") * col("n") - col("sm") * col("sm")).as("var_num"))
+      val top = stats.orderBy(col("var_num").desc, col("dim")).limit(5)
+        .withColumn("which", lit("top"))
+      val bottom = stats.orderBy(col("var_num").asc, col("dim")).limit(5)
+        .withColumn("which", lit("bottom"))
+      top.unionAll(bottom)
+    },
+    Some("""
+      WITH cells AS (SELECT t.i - 1 AS dim,
+                            CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000) AS BIGINT) AS sv
+                     FROM embeddings CROSS JOIN range(1, 65) t(i)),
+      stats AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(sv) AS BIGINT) AS sm,
+                       CAST(sum(sv * sv) AS BIGINT) AS s2
+                FROM cells GROUP BY 1),
+      v AS (SELECT CAST(dim AS INT) AS dim,
+                   CAST(s2 * n - sm * sm AS BIGINT) AS var_num FROM stats),
+      t5 AS (SELECT dim, var_num, 'top' AS which FROM v
+             ORDER BY var_num DESC, dim LIMIT 5),
+      b5 AS (SELECT dim, var_num, 'bottom' AS which FROM v
+             ORDER BY var_num ASC, dim LIMIT 5)
+      SELECT * FROM t5 UNION ALL SELECT * FROM b5
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q25, q26, q28, q29, q42a, q42, q79, q84, q116, q137, q138, q143, q182,
-      q189, q190)
+      q189, q190, q221)
 }
