@@ -37,7 +37,15 @@ object Bench {
     *    the driver's tail always parses it;
     *  - load_before/load_after expose contention: on a 32-CPU box a
     *    load far above the bench's own parallelism means the pass was
-    *    contended and its absolute numbers are suspect.
+    *    contended and its absolute numbers are suspect;
+    *  - "contaminated":true is stamped into BOTH records when the
+    *    pre-run load average exceeds SPARK_GRAFT_BENCH_MAX_LOAD
+    *    (default 3.0) — the r7 lesson: the official round record was
+    *    captured at load 5.76 and 19 queries showed spread > median,
+    *    with nothing machine-readable marking the record as noise. A
+    *    contaminated record still runs (the data is better than
+    *    nothing) but self-identifies so no reader mistakes it for a
+    *    clean baseline.
     */
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -45,6 +53,12 @@ object Bench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
     val loadBefore = loadAvg()
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "3.0").toDouble
+    val contaminated = loadBefore > maxLoad
+    if (contaminated)
+      System.err.println(s"BENCH WARNING: pre-run load average " +
+        s"$loadBefore exceeds $maxLoad — the box is contended; this " +
+        s"record will be stamped \"contaminated\":true")
     val spark = GraftSession.local(cpus)
     // warm the session (JIT, codegen cache, file index) outside timing
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -87,7 +101,7 @@ object Bench {
       s"\"$n\":[${timings(n).map(fmt).mkString(",")}]"
     }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","iters":$iters,"cpus":$cpus,"load_before":${fmt(loadBefore)},"load_after":${fmt(loadAfter)},"queries":$qs,"spread":$spreads,"passes":$passes}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","iters":$iters,"cpus":$cpus,"load_before":${fmt(loadBefore)},"load_after":${fmt(loadAfter)},"contaminated":$contaminated,"queries":$qs,"spread":$spreads,"passes":$passes}"""
     try {
       val w = new java.io.PrintWriter(fullPath, "UTF-8")
       try w.println(full) finally w.close()
@@ -100,7 +114,7 @@ object Bench {
     val worst = medians.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","iters":$iters,"cpus":$cpus,"load_before":${fmt(loadBefore)},"load_after":${fmt(loadAfter)},"queries":$worst,"n_queries":${names.size},"full":"$fullPath"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","iters":$iters,"cpus":$cpus,"load_before":${fmt(loadBefore)},"load_after":${fmt(loadAfter)},"contaminated":$contaminated,"queries":$worst,"n_queries":${names.size},"full":"$fullPath"}"""
     // Shut down BEFORE printing the result line, so the JSON is the
     // last thing on the output and no late shutdown noise can push it
     // out of a tail window (the r3 lesson: a StateStore maintenance

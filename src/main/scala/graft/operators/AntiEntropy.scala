@@ -21,14 +21,25 @@ import graft.functions.{TextFunctions => T}
   * IDENTICAL divergent rows in one bucket cancels in XOR — the count
   * catches deletions/insertions, and duplicate-key rows are excluded
   * by the unique-key contract the caller's keyCol carries.
+  *
+  * The row digest always folds the KEY in front of the caller's
+  * content digest (md5 over `key|content`): with a content-only
+  * digest, any re-keying that preserves a bucket's content multiset
+  * (two keys swapping payloads) would leave both count and XOR
+  * unchanged — a deterministic false negative the stated 1-2^-60
+  * bound does not cover. Folding the key in makes a payload swap
+  * flip both rows' digests, so it is caught like any other edit.
   */
 object AntiEntropy {
+
+  private def rowDigest(keyCol: String, digest: Column): Column =
+    T.md5Int60(concat_ws("|", col(keyCol).cast("string"), digest))
 
   /** Per-bucket (n_rows, xor of 60-bit row digests) summary. */
   def bucketDigests(df: DataFrame, keyCol: String, digest: Column,
       nBuckets: Int): DataFrame =
     df.select(pmod(col(keyCol), lit(nBuckets.toLong)).as("bucket"),
-      T.md5Int60(digest).as("dg"))
+      rowDigest(keyCol, digest).as("dg"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"), bit_xor(col("dg")).as("xor_digest"))
 
@@ -43,7 +54,7 @@ object AntiEntropy {
       leftDigest: Column, rightDigest: Column, nBuckets: Int): DataFrame = {
     def prep(df: DataFrame, digest: Column) =
       df.select(pmod(col(keyCol), lit(nBuckets.toLong)).as("bucket"),
-        col(keyCol).as("k"), T.md5Int60(digest).as("dg"))
+        col(keyCol).as("k"), rowDigest(keyCol, digest).as("dg"))
     val l = prep(left, leftDigest).cache()
     val r = prep(right, rightDigest).cache()
     def summarize(df: DataFrame, n: String, x: String) =

@@ -13,20 +13,35 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Bucketing {
 
   /** Write df as a bucketed+sorted managed table. Drops any previous
-    * table AND its warehouse directory first: the in-memory catalog
-    * forgets tables across JVMs while their directories survive, and
-    * a fresh session's saveAsTable refuses an orphaned location
-    * (LOCATION_ALREADY_EXISTS) — so a re-run in a new session must
-    * clear both.
+    * table AND its orphaned managed location first: the in-memory
+    * catalog forgets tables across JVMs while their directories
+    * survive, and a fresh session's saveAsTable refuses an orphaned
+    * location (LOCATION_ALREADY_EXISTS) — so a re-run in a new
+    * session must clear both.
+    *
+    * Only UNQUALIFIED table names in the current (default) database
+    * are accepted: the orphan path is resolved through the catalog's
+    * own defaultTablePath (never hand-derived — `db.tbl` lives under
+    * `<db>.db/tbl`, not `<warehouse>/db.tbl`), and the recursive
+    * delete is taken only when the catalog no longer knows the table
+    * — i.e. the directory can only be a leftover of a dropped managed
+    * table, never a live external location.
     */
   def writeBucketed(df: DataFrame, table: String, numBuckets: Int,
       keys: Seq[String]): Unit = {
+    require(!table.contains("."),
+      s"writeBucketed requires an unqualified table name in the current " +
+        s"database (got '$table'): qualified names resolve to a different " +
+        s"managed location than the simple warehouse-dir layout")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    if (!spark.catalog.tableExists(table)) {
+      val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(ident))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(numBuckets, keys.head, keys.tail: _*)

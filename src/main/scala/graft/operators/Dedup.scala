@@ -367,8 +367,43 @@ object Dedup {
     * the only sane shape: signature compute costs one corpus scan
     * amortized over every future ingest batch.
     */
-  private def storeMarker(path: String): java.io.File =
-    new java.io.File(s"$path/_GRAFT_STORE_COMPLETE")
+  // All marker/_SUCCESS probes go through the Hadoop FileSystem API
+  // (never java.io.File): the store path is an object-store URI in the
+  // 100 TB deployment, where java.io probes silently answer "absent"
+  // and would make every completeness check a false negative.
+  private def storeFs(path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration), p)
+  }
+
+  private def markerDelete(path: String): Unit = {
+    val (fs, p) = storeFs(path)
+    fs.delete(new org.apache.hadoop.fs.Path(p, "_GRAFT_STORE_COMPLETE"), false)
+  }
+
+  private def markerWrite(path: String, content: String): Unit = {
+    val (fs, p) = storeFs(path)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(p, "_GRAFT_STORE_COMPLETE"), true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def markerRead(path: String): Option[String] = {
+    val (fs, p) = storeFs(path)
+    val m = new org.apache.hadoop.fs.Path(p, "_GRAFT_STORE_COMPLETE")
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var r = in.read(buf)
+        while (r >= 0) { bytes.write(buf, 0, r); r = in.read(buf) }
+        Some(new String(bytes.toByteArray, "UTF-8"))
+      } finally in.close()
+    }
+  }
 
   private def storeParams(n: Int, bands: Int, rowsPerBand: Int): String =
     s"n=$n,bands=$bands,rowsPerBand=$rowsPerBand"
@@ -383,18 +418,16 @@ object Dedup {
     */
   def signatureStoreComplete(path: String, n: Int, bands: Int,
       rowsPerBand: Int): Boolean = {
-    val m = storeMarker(path)
-    new java.io.File(s"$path/shingles/_SUCCESS").exists() &&
-      new java.io.File(s"$path/bands/_SUCCESS").exists() &&
-      m.exists() &&
-      new String(java.nio.file.Files.readAllBytes(m.toPath), "UTF-8").trim ==
-        storeParams(n, bands, rowsPerBand)
+    val (fs, p) = storeFs(path)
+    fs.exists(new org.apache.hadoop.fs.Path(p, "shingles/_SUCCESS")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(p, "bands/_SUCCESS")) &&
+      markerRead(path).exists(_.trim == storeParams(n, bands, rowsPerBand))
   }
 
   def signatureStoreWrite(corpus: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, path: String): Unit = {
     // invalidate first: a crash mid-overwrite must leave NO valid marker
-    storeMarker(path).delete()
+    markerDelete(path)
     val hashed = minhashHashed(corpus, idCol, textCol, n)
     hashed.select(col("id"), col("sh"))
       .write.mode("overwrite").parquet(s"$path/shingles")
@@ -402,8 +435,7 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/bands")
     hashed.unpersist(false)
     // both tables committed: publish the store-level marker + params
-    java.nio.file.Files.write(storeMarker(path).toPath,
-      storeParams(n, bands, rowsPerBand).getBytes("UTF-8"))
+    markerWrite(path, storeParams(n, bands, rowsPerBand))
   }
 
   /** Append a new batch's signatures to an existing store — the
@@ -689,8 +721,8 @@ object Dedup {
     * (high, low) and re-attach each low neighbor (and high itself) to
     * m(high). Both preserve connectivity; fixpoint is a star per
     * component. Rounds are cut with eager localCheckpoints and the
-    * fixpoint test is an exceptAll on the (tiny, star-shaped) edge
-    * set.
+    * fixpoint test is a single-job (count, xor, sum)-of-hash summary
+    * compare between consecutive edge sets.
     */
   def connectedComponentsLargeStar(pairs: DataFrame, id1Col: String,
       id2Col: String, maxIterations: Int = 25): DataFrame =
@@ -734,8 +766,24 @@ object Dedup {
           least(col("a"), col("b")).as("l"))
         .filter(col("h") =!= col("l")).distinct()
         .localCheckpoint(true)
-      converged = small.exceptAll(edges).isEmpty &&
-        edges.exceptAll(small).isEmpty
+      // fixpoint test in ONE job: both edge sets are distinct by
+      // construction, so set equality is (count, xor-of-hash,
+      // sum-of-hash) equality — two order-independent 64-bit
+      // summaries + an exact count; a false "converged" needs a
+      // simultaneous collision in both (~2^-128). The exceptAll pair
+      // this replaces cost two full-shuffle jobs per round — at
+      // ~log n rounds the dominant non-join cost of the algorithm.
+      val summaries = small.select(lit(0).as("side"), col("h"), col("l"))
+        .unionAll(edges.select(lit(1).as("side"), col("h"), col("l")))
+        .groupBy(col("side"))
+        .agg(count(lit(1)).as("n"),
+          bit_xor(xxhash64(col("h"), col("l"))).as("hx"),
+          sum(xxhash64(col("h"), col("l")).cast("decimal(38,0)")).as("hs"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+          r.getDecimal(3).toBigInteger))
+        .toMap
+      converged = summaries.get(0) == summaries.get(1)
       edges = small
       i += 1
     }
@@ -759,6 +807,16 @@ object Dedup {
     * signatureStoreComplete and forces a rebuild — never a
     * mixed-generation read. Cost: one scan of the signature tables,
     * never of the corpus.
+    *
+    * Filesystem contract: every marker/table operation goes through
+    * the Hadoop FileSystem for the store's OWN path scheme, so the
+    * store may live on HDFS or an object store — but the delete+rename
+    * swap is only crash-atomic where rename is atomic (HDFS, POSIX).
+    * On S3-class stores rename is copy+delete: a crash mid-swap there
+    * still leaves a marker-less store that fails
+    * signatureStoreComplete and forces a rebuild (safe, not cheap) —
+    * pair the store with an atomic-rename filesystem when rebuilds
+    * must be rare.
     */
   def signatureStoreVacuum(spark: org.apache.spark.sql.SparkSession,
       removedIds: DataFrame, idCol: String,
@@ -773,7 +831,7 @@ object Dedup {
     spark.read.parquet(s"$path/bands")
       .join(ids, Seq("id"), "left_anti")
       .write.mode("overwrite").parquet(s"$path/bands_stage")
-    storeMarker(path).delete()
+    markerDelete(path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq("shingles", "bands").foreach { t =>
@@ -782,8 +840,7 @@ object Dedup {
       fs.delete(live, true)
       fs.rename(stage, live)
     }
-    java.nio.file.Files.write(storeMarker(path).toPath,
-      storeParams(n, bands, rowsPerBand).getBytes("UTF-8"))
+    markerWrite(path, storeParams(n, bands, rowsPerBand))
   }
 
   /** Cross-document duplicated-SPAN detection — the span-level

@@ -69,6 +69,15 @@ object Drift {
     }
     val n = offA(totals.length)
     val m = offB(totals.length)
+    // a KS statistic over an empty sample is undefined: without this
+    // guard n*m = 0 reaches the ks_e6 integral division (an ANSI
+    // divide-by-zero) and an all-empty input emits a row of nulls —
+    // both fail far from the actual contract violation
+    require(n > 0 && m > 0, {
+      val side = if (n == 0 && m == 0) "both samples are"
+        else if (n == 0) "sample A is" else "sample B is"
+      s"ksStatistic requires two non-empty samples: $side empty (n_a=$n, n_b=$m)"
+    })
     val bA = spark.sparkContext.broadcast(offA)
     val bB = spark.sparkContext.broadcast(offB)
     val diffs = rdd.mapPartitionsWithIndex { (i, it) =>

@@ -75,7 +75,11 @@ object Sampling {
     * is an integer (order-independent), and
     * rate_bp = min(10000, (T·w_s·10000) div (W·n_s)) uses integral
     * division — no double division whose rounding could flip a floor
-    * at a bucket boundary.
+    * at a bucket boundary. The products run in DECIMAL(38,0): at the
+    * 100 TB doc targets (targetTotal 1e8, n_s 1e10 → w_s ≈ 1e8, so
+    * T·w_s·1e4 ≈ 1e20) the triple product overflows a Long, and under
+    * ANSI mode that is a thrown error, not a wrap — decimal headroom
+    * (1e38) covers any corpus that fits in Long row counts.
     *
     * Scale: one count aggregate over the corpus (tiny (stratum, n)
     * rows), the per-stratum rate table broadcast back, and the sample
@@ -92,7 +96,8 @@ object Sampling {
       .crossJoin(broadcast(weights.agg(sum(col("wt")).as("w_sum"))))
       .withColumn("rate_bp",
         least(lit(10000L),
-          expr(s"($targetTotal * wt * 10000) div (w_sum * n)")))
+          expr(s"(CAST($targetTotal AS DECIMAL(38,0)) * wt * 10000)" +
+            " div (CAST(w_sum AS DECIMAL(38,0)) * n)")))
       .select(col(stratumCol), col("rate_bp"))
     df.join(broadcast(rates), Seq(stratumCol))
       .filter(hashBucket(col(idCol)) < col("rate_bp"))

@@ -161,7 +161,7 @@ object ScaleQueries extends QueryRegistry {
             FROM c),
       tot AS (SELECT CAST(sum(wt) AS BIGINT) AS w_sum FROM w),
       r AS (SELECT source,
-                   CAST(least(10000, (150 * wt * 10000) // (w_sum * n)) AS BIGINT) AS rate_bp
+                   CAST(least(10000, (CAST(150 AS HUGEINT) * wt * 10000) // (CAST(w_sum AS HUGEINT) * n)) AS BIGINT) AS rate_bp
             FROM w CROSS JOIN tot)
       SELECT d.doc_id, d.source, r.rate_bp
       FROM documents d JOIN r USING (source)
@@ -754,13 +754,13 @@ object ScaleQueries extends QueryRegistry {
                            CAST(round(o_totalprice * 100) AS BIGINT) AS pc
                     FROM orders),
       l AS (SELECT o_orderkey % 64 AS bucket, o_orderkey AS k,
-                   CAST('0x' || substr(md5(concat_ws('|', o_orderkey, o_orderstatus, pc)), 1, 15) AS BIGINT) AS dg
+                   CAST('0x' || substr(md5(concat_ws('|', o_orderkey, concat_ws('|', o_orderkey, o_orderstatus, pc))), 1, 15) AS BIGINT) AS dg
             FROM base),
       rb AS (SELECT o_orderkey, o_orderstatus,
                     CASE WHEN o_orderkey % 997 = 0 THEN pc + 100 ELSE pc END AS pc
              FROM base WHERE o_orderkey % 991 <> 0),
       r AS (SELECT o_orderkey % 64 AS bucket, o_orderkey AS k,
-                   CAST('0x' || substr(md5(concat_ws('|', o_orderkey, o_orderstatus, pc)), 1, 15) AS BIGINT) AS dg
+                   CAST('0x' || substr(md5(concat_ws('|', o_orderkey, concat_ws('|', o_orderkey, o_orderstatus, pc))), 1, 15) AS BIGINT) AS dg
             FROM rb),
       sl AS (SELECT bucket, count(*) AS nl, bit_xor(dg) AS xl FROM l GROUP BY bucket),
       sr AS (SELECT bucket, count(*) AS nr, bit_xor(dg) AS xr FROM r GROUP BY bucket),
