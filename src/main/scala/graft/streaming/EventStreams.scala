@@ -13,6 +13,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** The events table as a streaming source with the engine's
+    * long-nanos `ts` contract restored (graft.Tables.normalizeEventTs)
+    * — the fixture's physical encoding has varied between
+    * TIMESTAMP(NANOS) and timestamp[us] across driver regenerations,
+    * and every consumer below does long-nanos arithmetic on `ts`.
+    */
+  private def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
+  }
+
   /** Tumbling-window aggregate as a streaming query over a parquet
     * directory, drained with Trigger.AvailableNow into a memory sink
     * (complete mode), returned as a DataFrame. Batch-equivalent:
@@ -21,11 +37,7 @@ object EventStreams {
     */
   def hourlyRollupStreaming(spark: SparkSession, sfDir: String,
       queryName: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val stream = eventsStream(spark, sfDir)
       .withColumn("ts_sec", expr("ts div 1000000000").cast("timestamp"))
     val agg = stream
       .withWatermark("ts_sec", "1 hour")
@@ -68,15 +80,11 @@ object EventStreams {
     */
   def dedupSelfUnionStreaming(spark: SparkSession, sfDir: String,
       queryName: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // dedup key is the MICROSECOND timestamp: DuckDB timestamps are
     // microsecond precision, so a nanos key could never hash-match
     // the oracle (and two events inside one microsecond must collapse
     // identically in both engines)
-    def readOnce() = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    def readOnce() = eventsStream(spark, sfDir)
       .withColumn("ts_sec", expr("ts div 1000000000").cast("timestamp"))
       .withColumn("ts_us", expr("ts div 1000"))
     val doubled = readOnce().union(readOnce())
@@ -129,12 +137,8 @@ object EventStreams {
     */
   def clickPurchaseJoinStreaming(spark: SparkSession, sfDir: String,
       queryName: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     def readType(t: String, tsName: String, userName: String) =
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir)
+      eventsStream(spark, sfDir)
         .filter(col("event_type") === t)
         .select(col("user_id").as(userName),
           expr("timestamp_micros(ts div 1000)").as(tsName))
@@ -170,12 +174,8 @@ object EventStreams {
     */
   def clickPurchaseOuterJoinStreaming(spark: SparkSession, sfDir: String,
       queryName: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     def readType(t: String, tsName: String, userName: String) =
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir)
+      eventsStream(spark, sfDir)
         .filter(col("event_type") === t)
         .select(col("user_id").as(userName),
           expr("timestamp_micros(ts div 1000)").as(tsName))
@@ -208,11 +208,7 @@ object EventStreams {
     */
   def slidingRateStreaming(spark: SparkSession, sfDir: String,
       queryName: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val stream = eventsStream(spark, sfDir)
       .withColumn("ts_sec", expr("ts div 1000000000").cast("timestamp"))
     val agg = stream
       .withWatermark("ts_sec", "1 hour")
@@ -240,11 +236,7 @@ object EventStreams {
     */
   def enrichWithCustomersStreaming(spark: SparkSession, sfDir: String,
       queryName: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val stream = eventsStream(spark, sfDir)
       .select(col("user_id"), expr("ts div 1000").as("ts_us"))
     val customers = spark.read.parquet(s"$sfDir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
@@ -370,17 +362,13 @@ object EventStreams {
   def userProfileStreaming(spark: SparkSession, sfDir: String,
       queryName: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // transformWithState requires the RocksDB provider; scope it to
     // this query and restore the session's previous setting after
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey, graft.GraftSession.RocksDbProvider)
     try {
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val stream = eventsStream(spark, sfDir)
       .select(col("user_id").cast("long"),
         col("event_type"),
         round(col("value") * 100).cast("long").as("value_c"))
