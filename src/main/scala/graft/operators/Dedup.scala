@@ -834,11 +834,24 @@ object Dedup {
     markerDelete(path)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Swap under the dropped marker, CHECKING each FileSystem return:
+    // Hadoop delete/rename report failure as `false`, not an
+    // exception, and a silently-failed rename followed by markerWrite
+    // would publish a valid marker over a missing/stale table. On any
+    // failure we throw with the marker still dropped, so
+    // signatureStoreComplete stays false and the next reader is
+    // forced into the documented fallback: rebuild.
     Seq("shingles", "bands").foreach { t =>
       val live = new org.apache.hadoop.fs.Path(path, t)
       val stage = new org.apache.hadoop.fs.Path(path, t + "_stage")
-      fs.delete(live, true)
-      fs.rename(stage, live)
+      if (!fs.delete(live, true) && fs.exists(live))
+        throw new java.io.IOException(
+          s"signature store vacuum: delete of $live failed; completion " +
+            "marker remains dropped — store requires rebuild")
+      if (!fs.rename(stage, live))
+        throw new java.io.IOException(
+          s"signature store vacuum: rename $stage -> $live failed; " +
+            "completion marker remains dropped — store requires rebuild")
     }
     markerWrite(path, storeParams(n, bands, rowsPerBand))
   }

@@ -525,6 +525,32 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("vacuum whose swap rename fails leaves the store incomplete (forced rebuild)") {
+    // failrename:// = local FS whose rename REFUSES to move *_stage
+    // dirs (registered below) — the exact failure mode of the swap on
+    // a misbehaving filesystem. Parquet's own commit renames
+    // (_temporary/... -> part files) are untouched, so the staging
+    // writes inside vacuum still succeed; only the final swap fails.
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.failrename.impl", classOf[FailRenameFileSystem].getName)
+    val store = "failrename://" + tmpDir("graft_vacuum_failswap")
+    Dedup.signatureStoreWrite(docs, "doc_id", "text", 3, 4, 4, store)
+    assert(Dedup.signatureStoreComplete(store, 3, 4, 4))
+    val e = intercept[java.io.IOException] {
+      Dedup.signatureStoreVacuum(spark, Seq(1L).toDF("doc_id"), "doc_id",
+        3, 4, 4, store)
+    }
+    assert(e.getMessage.contains("rename"))
+    // the marker was dropped before the swap and must NOT have been
+    // republished over the failed rename: the store reads as
+    // incomplete, and both append and vacuum refuse it — rebuild is
+    // the only path forward, never a mixed-generation read.
+    assert(!Dedup.signatureStoreComplete(store, 3, 4, 4))
+    intercept[IllegalArgumentException] {
+      Dedup.signatureStoreAppend(docs.limit(1), "doc_id", "text", 3, 4, 4, store)
+    }
+  }
+
   test("WAV encode/decode round-trips header fields and PCM samples exactly") {
     // direct byte-level check, no Spark: the header parse must read
     // back exactly what the encoder wrote
