@@ -121,17 +121,22 @@ object Similarity {
   private def writeAssigned(corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String,
       centroidIdCol: String, centroidVecCol: String, path: String,
-      targetRowsPerFile: Long, mode: String): Unit = {
+      targetRowsPerFile: Long, mode: String,
+      extra: Option[DataFrame] = None): Unit = {
     val assign = ivfAssign(corpus, centroids, idCol, vecCol,
         centroidIdCol, centroidVecCol)
       .select(col("id"), col("cluster_id"))
       .cache()
+    // optional per-id payload columns (e.g. PQ codes) stored alongside
+    // the vector inside the partitioned layout
+    val extraCols = extra.toSeq.flatMap(_.columns).filterNot(_ == "id")
     try {
       val counts = assign.groupBy(col("cluster_id"))
         .agg(ceil(count(lit(1)) / targetRowsPerFile.toDouble)
           .cast("int").as("__n_files"))
-      val salted = assign
+      val base = assign
         .join(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), Seq("id"))
+      val salted = extra.fold(base)(e => base.join(e, Seq("id")))
         .join(broadcast(counts), Seq("cluster_id"))
         .withColumn("__salt",
           pmod(hash(col("id")), greatest(col("__n_files"), lit(1))))
@@ -142,9 +147,116 @@ object Similarity {
         counts.agg(sum(col("__n_files"))).head().getLong(0).toInt)
       salted
         .repartition(nShuffle, col("cluster_id"), col("__salt"))
-        .select(col("id"), col("v"), col("cluster_id"))
+        .select((Seq(col("id"), col("v")) ++ extraCols.map(col) :+
+          col("cluster_id")): _*)
         .write.mode(mode).partitionBy("cluster_id").parquet(path)
     } finally assign.unpersist()
+  }
+
+  /** IVF x PQ composed index — the layout a 100 TB ANN deployment
+    * actually runs (Jegou et al. 2011 §V, "IVFADC"): the corpus is
+    * partitioned by IVF cluster (ivfIndexWrite's pruned layout) and
+    * each row additionally stores its m-byte PQ code array, so the
+    * search path never scores raw floats until the final re-rank.
+    * Layout under `path`: `index/cluster_id=<c>` (id, v, codes),
+    * `codebook` (sub, code, cv), `centroids` (centroid_id, cv) —
+    * codebook and centroids persist WITH the index because codes are
+    * meaningless under any other codebook (the signature-store
+    * params-marker discipline, expressed as co-located tables).
+    */
+  def ivfPqIndexWrite(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String,
+      centroidIdCol: String, centroidVecCol: String,
+      m: Int, kCodes: Int, subDim: Int, iters: Int,
+      path: String, targetRowsPerFile: Long = 1L << 20): Unit = {
+    val spark = corpus.sparkSession
+    val cb = ProductQuantization.trainCodebooks(
+      spark, corpus, idCol, vecCol, m, kCodes, subDim, iters)
+    cb.write.mode("overwrite").parquet(s"$path/codebook")
+    centroids.select(col(centroidIdCol).as("centroid_id"),
+        col(centroidVecCol).as("cv"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    // per-id code array ordered by subspace (sub = array position)
+    val codes = ProductQuantization.assignCodes(
+        ProductQuantization.subspaces(corpus, idCol, vecCol, m, subDim), cb)
+      .groupBy(col("id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s("code")).as("codes"))
+    writeAssigned(corpus, centroids, idCol, vecCol, centroidIdCol,
+      centroidVecCol, s"$path/index", targetRowsPerFile, "overwrite",
+      extra = Some(codes))
+  }
+
+  /** Search over an ivfPqIndexWrite index: probe selection becomes a
+    * static partition filter (only nprobe cluster directories are
+    * opened — the ivfTopKIndexed pruning), candidates are scored by
+    * ADC over their STORED codes against a broadcast m x k integer
+    * micro-unit distance table (the adcTopK arithmetic — exact longs,
+    * order-independent), the per-query shortlist of `shortlistN` best
+    * ADC candidates is cut, and only that shortlist is re-ranked by
+    * exact cosine over the original vectors. Geometry (m, subDim) is
+    * read back from the stored codebook, never re-passed — a caller
+    * cannot search with mismatched PQ parameters.
+    *
+    * Scale shape: per query the scan opens nprobe directories; ADC
+    * joins a broadcast table of queries x m x kCodes rows; the only
+    * shuffle carries (query_id, id) partial ADC sums; exact cosine
+    * touches shortlistN rows per query, not the cluster.
+    */
+  def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int, shortlistN: Int): DataFrame = {
+    val cb = spark.read.parquet(s"$path/codebook")
+    val geo = cb.agg(max(col("sub")).as("ms"),
+      max(size(col("cv"))).as("sd")).head()
+    val m = geo.getLong(0).toInt + 1
+    val subDim = geo.getInt(1)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probe = broadcast(q).join(broadcast(cents))
+      .withColumn("dist2", round(V.l2Squared(col("qv"), col("cv")), 6))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(asc("dist2"), asc("centroid_id"))
+    val probed = probe.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"),
+        col("centroid_id").cast("string").as("cluster_id"))
+    // bounded driver hop (nQueries x nprobe strings) -> static isin
+    // partition filter: Catalyst prunes to the probed directories
+    val probedIds = probed.select(col("cluster_id"))
+      .distinct().collect().map(_.getString(0))
+    val corpus = spark.read.parquet(s"$path/index")
+      .filter(col("cluster_id").isin(probedIds.toSeq: _*))
+    val qSub = ProductQuantization.subspaces(q, "query_id", "qv", m, subDim)
+      .select(col("id").as("query_id"), col("sub"),
+        transform(col("sv"), x => x.cast("double")).as("qsv"))
+    val dt = broadcast(cb).join(broadcast(qSub), Seq("sub"))
+      .withColumn("d6", round(V.l2Squared(col("qsv"), col("cv")), 6))
+      .select(col("query_id"), col("sub"), col("code"),
+        round(col("d6") * 1e6).cast("long").as("d_u"))
+    val member = probed.join(corpus, Seq("cluster_id"))
+      .filter(col("query_id") =!= col("id"))
+    // qv/v ride the ADC aggregate via first() (functionally dependent
+    // on the group key) so the shortlist re-rank needs no second scan
+    val adc = member
+      .select(col("query_id"), col("qv"), col("id"), col("v"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(dt), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("d_u")).as("adc_u"),
+        first(col("qv")).as("qv"), first(col("v")).as("v"))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(asc("adc_u"), asc("id"))
+    val short = adc.withColumn("srn", row_number().over(ws))
+      .filter(col("srn") <= shortlistN)
+    val rr = short.withColumn("cosine", round(V.cosine(col("qv"), col("v")), 4))
+    val wk = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), asc("id"))
+    rr.withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("adc_u"), col("cosine"))
   }
 
   /** IVF top-k over a written index (see ivfIndexWrite): the probe

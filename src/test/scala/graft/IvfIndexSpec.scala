@@ -123,4 +123,46 @@ class IvfIndexSpec extends SparkTestBase {
       .filter(col("count") > 1).count()
     assert(ids === 0L, "append duplicated ids")
   }
+
+  test("IVF x PQ search prunes the index scan to probed clusters (IVFADC composition)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = emb.filter(col("vec_id") < 8)
+    val queries = emb.filter(col("vec_id") < 3)
+    val root = tmpDir("ivfpq_idx")
+
+    Similarity.ivfPqIndexWrite(emb, centroids, "vec_id", "embedding",
+      "vec_id", "embedding", m = 4, kCodes = 16, subDim = 16, iters = 1, root)
+    // the partitioned layout survives the extra codes column
+    val allFiles = spark.read.parquet(root + "/index").inputFiles.length
+    assert(allFiles === 8, s"expected 8 one-file cluster partitions, got $allFiles")
+    // stored codes are m=4 entries in [0, kCodes)
+    val codes = spark.read.parquet(root + "/index")
+      .select(col("codes")).head().getSeq[Long](0)
+    assert(codes.length === 4 && codes.forall(c => c >= 0 && c < 16),
+      s"stored PQ codes malformed: $codes")
+
+    val out = Similarity.ivfPqTopK(spark, root, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2, shortlistN = 20)
+    val rows = out.collect()
+    assert(rows.length === 15, s"expected 3 queries x 5 neighbors, got ${rows.length}")
+
+    // the index scan opened at most nQueries*nprobe (=6) of 8 cluster
+    // files — probe selection became a partition filter
+    val scan = scans(out.queryExecution.executedPlan)
+      .filter(_.metadata.getOrElse("Location", "").contains("index"))
+    assert(scan.nonEmpty, "no FileSourceScan over the index found")
+    val filesRead = scan.map(_.metrics("numFiles").value).max
+    assert(filesRead < allFiles && filesRead <= 6,
+      s"scan read $filesRead of $allFiles cluster files — not pruned")
+    assert(scan.exists(_.partitionFilters.exists(_.toString.contains("cluster_id"))),
+      "no partition filter on cluster_id")
+
+    // ADC is a lower-bound screen, exact cosine the final order: each
+    // query's list is sorted by (cosine desc, id asc) and self-free
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(r => (-r.getDouble(3), r.getLong(1)))
+      assert(rs.toSeq === sorted.toSeq, s"query $q result not re-ranked by cosine")
+      assert(!rs.exists(_.getLong(1) == q), s"query $q matched itself")
+    }
+  }
 }
