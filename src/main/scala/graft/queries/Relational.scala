@@ -1087,8 +1087,143 @@ object Relational extends QueryRegistry {
              CAST(max(c) AS BIGINT), CAST(sum(c) * 100 // count(*) AS BIGINT) FROM e4
     """.trim))
 
+  /** TPC-H Q4 shape: orders with a correlated EXISTS — at least one
+    * lineitem shipped more than 30 days after the order date (the
+    * commit/receipt-date correlation re-expressed on this schema's
+    * columns), counted by priority. The decorrelation pattern nothing
+    * else in the suite exercises: the EXISTS predicate references the
+    * OUTER row (o_orderdate) inside the subquery, so it must become a
+    * LEFT SEMI join with the correlated comparison in the join
+    * condition — never a full join + distinct (which would double
+    * count multi-line orders) and never a cartesian.
+    */
+  val q224 = GraftQuery(
+    "q224_priority_late_semi",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("interval 30 days"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    },
+    Some("""
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders o
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+        AND EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+      GROUP BY 1
+    """.trim))
+
+  /** TPC-H Q21 shape (suppliers who kept the order waiting): for each
+    * finished-order lineitem flagged 'R', the supplier is counted iff
+    * ANOTHER supplier participated in the order (EXISTS -> LEFT SEMI
+    * on the same fact table, inequality in the join condition) and NO
+    * other supplier's line was also flagged (NOT EXISTS -> LEFT ANTI,
+    * same shape) — the classic multi-level semi/anti chain over one
+    * fact table, the hardest of the canonical TPC-H plans. Supplier
+    * dim broadcasts; the two self-joins shuffle on l_orderkey only,
+    * carrying three narrow columns. Top-20 cut is deterministic:
+    * (numwait DESC, s_name ASC) and s_name is unique.
+    */
+  val q225 = GraftQuery(
+    "q225_waiting_supplier_anti_chain",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+      val l2 = li.select(col("l_orderkey").as("l2_orderkey"),
+        col("l_suppkey").as("l2_suppkey"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("l3_orderkey"),
+          col("l_suppkey").as("l3_suppkey"))
+      l1.join(l2,
+          col("l_orderkey") === col("l2_orderkey") &&
+            col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
+        .join(l3,
+          col("l_orderkey") === col("l3_orderkey") &&
+            col("l3_suppkey") =!= col("l_suppkey"), "left_anti")
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), asc("s_name"))
+        .limit(20)
+    },
+    Some("""
+      SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 20
+    """.trim))
+
+  /** TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
+    * both join sides (brand x size x quantity bands) — the classic
+    * test that a DISJUNCTION still pushes down: Catalyst must extract
+    * the per-side implications (the brand/size OR-chain to the part
+    * scan, the quantity OR-chain to the lineitem scan) so both scans
+    * prune before the join, while the full disjunction is re-checked
+    * after it. PushedFilters evidence recorded in PLANS.md; part
+    * broadcasts. Revenue in exact integer micro-units (cents x
+    * discount-pct, the q208/q209 rule).
+    */
+  val q226 = GraftQuery(
+    "q226_disjunctive_pushdown",
+    (s, d) => {
+      val cond =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity") >= 1 && col("l_quantity") <= 11) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity") >= 10 && col("l_quantity") <= 20) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity") >= 20 && col("l_quantity") <= 30)
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("p_partkey") === col("l_partkey"))
+        .filter(cond)
+        .agg(count(lit(1)).as("n_lines"),
+          sum(round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100) - round(col("l_discount") * 100).cast("long")))
+            .as("revenue_u"))
+    },
+    Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_u
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+             AND l_quantity >= 1 AND l_quantity <= 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+             AND l_quantity >= 10 AND l_quantity <= 20)
+         OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+             AND l_quantity >= 20 AND l_quantity <= 30)
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q17, q18,
       q19, q109, q111, q119, q123, q144, q175, q176, q188, q203, q206, q207,
-      q208, q209, q210, q211, q212, q215)
+      q208, q209, q210, q211, q212, q215, q224, q225, q226)
 }

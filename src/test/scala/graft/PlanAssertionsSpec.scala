@@ -188,4 +188,40 @@ class PlanAssertionsSpec extends SparkTestBase {
     assert(plan.contains("partial_hllsketchagg") || plan.contains("partial_hll"),
       plan)
   }
+
+  test("q224: correlated EXISTS decorrelates to a LEFT SEMI join, no cartesian") {
+    val plan = executed(Relational.q224.run(spark, sf))
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q225: the EXISTS/NOT-EXISTS chain plans one semi and one anti join") {
+    val plan = executed(Relational.q225.run(spark, sf))
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q226: the disjunction's per-side implications push to BOTH scans") {
+    val df = Relational.q226.run(spark, sf)
+    // static plan, NOT executedPlan: at sf0.001 the filtered part side
+    // is empty and AQE's empty-relation propagation erases both scans
+    // from the final plan — pushdown is a compile-time property
+    val ss = scans(df.queryExecution.sparkPlan)
+    assert(ss.nonEmpty,
+      s"no FileSourceScans found in:\n${df.queryExecution.sparkPlan}")
+    def pushedFor(table: String): String = ss
+      .filter(_.metadata.getOrElse("Location", "").contains(table))
+      .map(_.metadata.getOrElse("PushedFilters", "[]")).mkString
+    // lineitem scan: the quantity OR-chain extracted from the disjunction
+    val lPushed = pushedFor("lineitem")
+    assert(lPushed.contains("Or") && lPushed.contains("l_quantity"),
+      s"quantity disjunction not pushed to lineitem scan: $lPushed")
+    // part scan: the brand/size OR-chain
+    val pPushed = pushedFor("part")
+    assert(pPushed.contains("Or") && pPushed.contains("p_brand"),
+      s"brand/size disjunction not pushed to part scan: $pPushed")
+  }
 }
