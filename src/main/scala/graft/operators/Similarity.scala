@@ -235,22 +235,35 @@ object Similarity {
       .withColumn("d6", round(V.l2Squared(col("qsv"), col("cv")), 6))
       .select(col("query_id"), col("sub"), col("code"),
         round(col("d6") * 1e6).cast("long").as("d_u"))
-    val member = probed.join(corpus, Seq("cluster_id"))
+    // ADC branch reads CODES ONLY — the point of PQ at 100 TB: the
+    // 64-float vector column (16x the codes) stays columnar-pruned
+    // out of this scan (asserted in IvfIndexSpec); the shuffle
+    // carries one (query_id, id, partial adc) row per candidate
+    val member = probed.select(col("query_id"), col("cluster_id"))
+      .join(corpus.select(col("cluster_id"), col("id"), col("codes")),
+        Seq("cluster_id"))
       .filter(col("query_id") =!= col("id"))
-    // qv/v ride the ADC aggregate via first() (functionally dependent
-    // on the group key) so the shortlist re-rank needs no second scan
     val adc = member
-      .select(col("query_id"), col("qv"), col("id"), col("v"),
+      .select(col("query_id"), col("id"),
         posexplode(col("codes")).as(Seq("sub", "code")))
       .join(broadcast(dt), Seq("query_id", "sub", "code"))
       .groupBy(col("query_id"), col("id"))
-      .agg(sum(col("d_u")).as("adc_u"),
-        first(col("qv")).as("qv"), first(col("v")).as("v"))
+      .agg(sum(col("d_u")).as("adc_u"))
     val ws = Window.partitionBy(col("query_id"))
       .orderBy(asc("adc_u"), asc("id"))
     val short = adc.withColumn("srn", row_number().over(ws))
       .filter(col("srn") <= shortlistN)
-    val rr = short.withColumn("cosine", round(V.cosine(col("qv"), col("v")), 4))
+      .select(col("query_id"), col("id"), col("adc_u"))
+    // exact re-rank: the bounded shortlist (queries x shortlistN rows)
+    // broadcasts onto a SECOND pruned scan that reads (id, v) only —
+    // the original floats are touched for shortlist rows, never for
+    // the whole probed cluster
+    val rr = spark.read.parquet(s"$path/index")
+      .filter(col("cluster_id").isin(probedIds.toSeq: _*))
+      .select(col("id"), col("v"))
+      .join(broadcast(short), Seq("id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", round(V.cosine(col("qv"), col("v")), 4))
     val wk = Window.partitionBy(col("query_id"))
       .orderBy(desc("cosine"), asc("id"))
     rr.withColumn("rnk", row_number().over(wk))

@@ -1222,8 +1222,140 @@ object Relational extends QueryRegistry {
              AND l_quantity >= 20 AND l_quantity <= 30)
     """.trim))
 
+  /** TPC-H Q20 shape (excess-volume suppliers): suppliers who, for
+    * some 'red' part, shipped more than 30% of that part's total
+    * 1996 volume — the nested correlated-aggregate chain: a
+    * (part, supplier) aggregate compared against a correlated
+    * part-level aggregate, the survivors semi-joined up to the
+    * supplier dim. Decorrelated form: both aggregates come from ONE
+    * shuffle lineage (pair re-aggregates to tot), the threshold is a
+    * co-partitioned join on l_partkey (no second fact scan), part
+    * filter broadcasts into the pair side, supplier dim broadcasts at
+    * the end. Quantities in exact centi-units; the 30% test is
+    * integer cross-multiplication, never a double ratio.
+    */
+  val q227 = GraftQuery(
+    "q227_excess_volume_supplier",
+    (s, d) => {
+      val pair = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(round(sum(col("l_quantity")) * 100).cast("long").as("qty_c"))
+      val redPair = pair.join(
+        broadcast(Tables.part(s, d).filter(col("p_name").like("red%"))
+          .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      val tot = pair.groupBy(col("l_partkey"))
+        .agg(sum(col("qty_c")).as("tot_c"))
+      redPair.join(tot, Seq("l_partkey"))
+        .filter(col("qty_c") * 10 > col("tot_c") * 3)
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n_parts"))
+    },
+    Some("""
+      WITH pair AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(round(sum(l_quantity) * 100) AS BIGINT) AS qty_c
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2),
+      tot AS (SELECT l_partkey, CAST(sum(qty_c) AS BIGINT) AS tot_c
+              FROM pair GROUP BY 1),
+      excess AS (
+        SELECT p.l_suppkey
+        FROM pair p
+        JOIN part ON p_partkey = p.l_partkey AND p_name LIKE 'red%'
+        JOIN tot t ON t.l_partkey = p.l_partkey
+        WHERE p.qty_c * 10 > t.tot_c * 3)
+      SELECT s_name, CAST(count(*) AS BIGINT) AS n_parts
+      FROM supplier JOIN excess ON l_suppkey = s_suppkey
+      GROUP BY s_name
+    """.trim))
+
+  /** TPC-H Q11 shape (important stock): per-part revenue kept only
+    * where it exceeds 1.5x the average per-part revenue — the
+    * HAVING-over-a-global-scalar-subquery pattern. Decorrelated form:
+    * the global (count, sum) is a one-row aggregate of the SAME
+    * per-part aggregate (shared lineage, no second scan), broadcast
+    * back over the per-part rows as a cross join; the threshold
+    * itself is exact integer cross-multiplication. The relative
+    * (x average) threshold — unlike Q11's absolute fraction — keeps
+    * the selectivity meaningful at every scale factor.
+    */
+  val q228 = GraftQuery(
+    "q228_revenue_above_average",
+    (s, d) => {
+      val pr = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100) - round(col("l_discount") * 100).cast("long")))
+          .as("rev_u"))
+      val g = pr.agg(count(lit(1)).as("n_parts_g"),
+        sum(col("rev_u")).as("tot_u"))
+      pr.crossJoin(broadcast(g))
+        .filter(col("rev_u") * col("n_parts_g") * 10 > col("tot_u") * 15)
+        .select(col("l_partkey"), col("rev_u"))
+    },
+    Some("""
+      WITH pr AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                        (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_u
+        FROM lineitem GROUP BY 1)
+      SELECT l_partkey, rev_u FROM pr
+      WHERE rev_u * (SELECT count(*) FROM pr) * 10 > (SELECT sum(rev_u) FROM pr) * 15
+    """.trim))
+
+  /** TPC-H Q2 shape (min-cost supplier): for each SMALL-type part,
+    * the supplier(s) achieving the MINIMUM unit price — the
+    * correlated-min-subquery pattern, kept tie-preserving exactly as
+    * Q2 is (a struct-argmin would drop tied suppliers). Decorrelated
+    * form: the per-(part, supplier) unit price and the per-part min
+    * share one shuffle lineage; the "= (SELECT min ...)" becomes a
+    * co-partitioned join back on l_partkey; part filter and supplier
+    * dim broadcast. Unit price in exact rounded centi-units.
+    */
+  val q229 = GraftQuery(
+    "q229_min_unit_price_supplier",
+    (s, d) => {
+      val pl = Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 0)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(round(col("l_extendedprice") * 100 / col("l_quantity")))
+          .cast("long").as("unit_c"))
+      val mn = pl.groupBy(col("l_partkey"))
+        .agg(min(col("unit_c")).as("min_c"))
+      pl.join(mn, Seq("l_partkey"))
+        .filter(col("unit_c") === col("min_c"))
+        .join(broadcast(Tables.part(s, d).filter(col("p_type") === "SMALL")
+          .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("s_name"), col("unit_c"))
+    },
+    Some("""
+      WITH pl AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(min(round(l_extendedprice * 100 / l_quantity)) AS BIGINT) AS unit_c
+        FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2)
+      SELECT p.p_partkey, s.s_name, pl.unit_c
+      FROM part p
+      JOIN pl ON pl.l_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = pl.l_suppkey
+      WHERE p.p_type = 'SMALL'
+        AND pl.unit_c = (SELECT min(unit_c) FROM pl x
+                         WHERE x.l_partkey = p.p_partkey)
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q17, q18,
       q19, q109, q111, q119, q123, q144, q175, q176, q188, q203, q206, q207,
-      q208, q209, q210, q211, q212, q215, q224, q225, q226)
+      q208, q209, q210, q211, q212, q215, q224, q225, q226, q227, q228, q229)
 }

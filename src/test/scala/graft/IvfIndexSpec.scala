@@ -156,6 +156,11 @@ class IvfIndexSpec extends SparkTestBase {
       s"scan read $filesRead of $allFiles cluster files — not pruned")
     assert(scan.exists(_.partitionFilters.exists(_.toString.contains("cluster_id"))),
       "no partition filter on cluster_id")
+    // the ADC branch reads codes WITHOUT the float vector column —
+    // PQ's compression pays off only if the big column stays pruned
+    val readSchemas = scan.map(_.metadata.getOrElse("ReadSchema", ""))
+    assert(readSchemas.exists(rs => rs.contains("codes") && !rs.contains("v:")),
+      s"no codes-only ADC scan found; ReadSchemas: $readSchemas")
 
     // ADC is a lower-bound screen, exact cosine the final order: each
     // query's list is sorted by (cosine desc, id asc) and self-free
