@@ -1354,8 +1354,44 @@ object Relational extends QueryRegistry {
                          WHERE x.l_partkey = p.p_partkey)
     """.trim))
 
+  /** TPC-H Q12 shape (priority mix per line status): the fact-to-fact
+    * join with CONDITIONAL aggregation — two complementary CASE-WHEN
+    * sums in one pass (never two filtered scans), grouped by a
+    * low-cardinality dimension. The 1996 ship-date filter pushes to
+    * the lineitem scan; only (l_orderkey, l_linestatus) survive the
+    * scan projection; the orders side carries (o_orderkey,
+    * o_orderpriority). Both counts are exact longs.
+    */
+  val q231 = GraftQuery(
+    "q231_linestatus_priority_mix",
+    (s, d) => {
+      val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linestatus"))
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(urgent, 0L).otherwise(1L)).as("low_line_count"))
+    },
+    Some("""
+      SELECT l_linestatus,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q17, q18,
       q19, q109, q111, q119, q123, q144, q175, q176, q188, q203, q206, q207,
-      q208, q209, q210, q211, q212, q215, q224, q225, q226, q227, q228, q229)
+      q208, q209, q210, q211, q212, q215, q224, q225, q226, q227, q228, q229,
+      q231)
 }

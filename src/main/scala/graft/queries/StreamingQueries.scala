@@ -219,6 +219,48 @@ object StreamingQueries extends QueryRegistry {
       FROM w GROUP BY 1, 2
     """.trim))
 
+  /** Streaming IVF index maintenance — q143's append lifecycle driven
+    * by an actual stream: the index is built on 90% of the corpus,
+    * the held-out 10% arrives as a Structured Streaming source and
+    * each micro-batch APPENDS into the partitioned layout inside
+    * foreachBatch (cluster dirs gain files, nothing rewritten — the
+    * dedup-store discipline applied to ANN: index state lives in the
+    * sink table, not in operator state). The search then runs over
+    * the union through the partition-pruned path, against q28's
+    * FULL-corpus oracle — a dropped or double-appended micro-batch
+    * row changes a top-k list and breaks the hash.
+    */
+  val q230 = GraftQuery(
+    "q230_stream_ivf_append",
+    (s, d) => {
+      import org.apache.spark.sql.functions.col
+      val Sim = graft.operators.Similarity
+      val path = "/tmp/graft_q230_stream_ivf_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < 8)
+      Sim.ivfIndexWrite(emb.filter(col("vec_id") % 10 =!= 0), cents,
+        "vec_id", "embedding", "vec_id", "embedding", path,
+        targetRowsPerFile = 256L)
+      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val delta = s.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(d)
+        .filter(col("vec_id") % 10 === 0)
+      val q = delta.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            Sim.ivfIndexAppend(batch, cents, "vec_id", "embedding",
+              "vec_id", "embedding", path, targetRowsPerFile = 256L)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Sim.ivfTopKIndexed(s, path, emb.filter(col("vec_id") < 3), cents,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5, nprobe = 2)
+    },
+    SimilarityQueries.q28.oracle)
+
   def all: Seq[GraftQuery] =
-    Seq(q40, q41, q43, q49, q56, q142, q148, q194, q195)
+    Seq(q40, q41, q43, q49, q56, q142, q148, q194, q195, q230)
 }
