@@ -1389,9 +1389,46 @@ object Relational extends QueryRegistry {
       GROUP BY 1
     """.trim))
 
+  /** TPC-H Q9 shape (product profit by nation and year): lineitem
+    * restricted to a part-name LIKE filter (pushed into the broadcast
+    * part dim's scan as StringContains), routed supplier -> nation,
+    * grouped by (nation, ship year). Q9's distinctive plan features
+    * on this schema: a LIKE-filtered dim driving the fact join, two
+    * more broadcast dims stacked on the same fact scan, and a
+    * two-column composite group key where one key is COMPUTED
+    * (year extraction) — all in one pass, exact micro-unit revenue.
+    */
+  val q232 = GraftQuery(
+    "q232_profit_by_nation_year",
+    (s, d) => Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+        .filter(col("p_name").like("%blue%")).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("l_shipdate")).as("o_year"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100) - round(col("l_discount") * 100).cast("long")))
+        .as("revenue_u")),
+    Some("""
+      SELECT n_name, year(l_shipdate) AS o_year,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_u
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE p_name LIKE '%blue%'
+      GROUP BY 1, 2
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q17, q18,
       q19, q109, q111, q119, q123, q144, q175, q176, q188, q203, q206, q207,
       q208, q209, q210, q211, q212, q215, q224, q225, q226, q227, q228, q229,
-      q231)
+      q231, q232)
 }
