@@ -204,6 +204,15 @@ class PlanAssertionsSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q228: the global scalar re-aggregate REUSES the per-part exchange (one fact scan)") {
+    val df = Relational.q228.run(spark, sf)
+    val plan = executed(df)
+    // the per-part aggregate feeds both the probe side and the global
+    // (count, sum); AQE must reuse the shuffle stage, not re-scan
+    assert(plan.contains("ReusedExchange"),
+      s"pr exchange not reused — lineitem scanned twice:\n$plan")
+  }
+
   test("q226: the disjunction's per-side implications push to BOTH scans") {
     val df = Relational.q226.run(spark, sf)
     // static plan, NOT executedPlan: at sf0.001 the filtered part side
