@@ -1,0 +1,66 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.sql.functions._
+import graft.pipeline.ReconcileJob
+import graft.streaming.Scheduled
+
+/** S6 coverage: the in-engine recurring cadence (rate-source clock +
+  * ProcessingTime trigger) fires the job body repeatedly with
+  * monotonic batch ids, and stopping the query halts it — the
+  * EventBridge-cron semantics, held inside the engine.
+  */
+class ScheduledSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def awaitAtLeast(counter: AtomicLong, n: Long, timeoutMs: Long): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (counter.get() < n && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+  }
+
+  test("cadence invokes the job once per tick with increasing batch ids, until stopped") {
+    val fires = new AtomicLong(0)
+    val lastBatch = new AtomicLong(-1)
+    val monotonic = new AtomicLong(1) // 1 = true
+    val q = Scheduled.cadence(spark, "200 milliseconds") { batchId =>
+      if (batchId <= lastBatch.get()) monotonic.set(0)
+      lastBatch.set(batchId)
+      fires.incrementAndGet()
+      ()
+    }
+    try {
+      awaitAtLeast(fires, 3, timeoutMs = 60000)
+      assert(fires.get() >= 3, s"scheduled job fired only ${fires.get()} times")
+      assert(monotonic.get() == 1, "batch ids were not strictly increasing")
+    } finally q.stop()
+    val after = fires.get()
+    Thread.sleep(600)
+    assert(fires.get() == after, "job kept firing after the query was stopped")
+  }
+
+  test("a reconcile run per tick is idempotent: every scheduled pass reports the same state") {
+    val FIXED_NOW = 1768500000L
+    val tables = tmpDir("sched_tables")
+    Seq(("run1", "instr1", "K1", FIXED_NOW))
+      .toDF("run_id", "instrument_id", "s3_key", "processed_at")
+      .write.parquet(s"$tables/sync_runs")
+    val listing = Seq(("K2", 10L, FIXED_NOW - 100))
+      .toDF("key", "size", "last_modified_epoch")
+    val reports = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val fires = new AtomicLong(0)
+    val q = Scheduled.cadence(spark, "200 milliseconds") { _ =>
+      val rep = ReconcileJob.run(spark, listing, tables, FIXED_NOW)
+      reports.add((rep.orphanedInS3, rep.orphanedInDb))
+      fires.incrementAndGet()
+      ()
+    }
+    try awaitAtLeast(fires, 2, timeoutMs = 120000) finally q.stop()
+    assert(fires.get() >= 2, s"reconcile ran only ${fires.get()} times")
+    // the weekly job re-run on a cadence is a pure report: every pass
+    // sees the same orphans, none mutates state
+    import scala.jdk.CollectionConverters._
+    assert(reports.asScala.toSet == Set((1L, 1L)),
+      s"scheduled reconcile passes disagreed: ${reports.asScala.toList}")
+  }
+}
