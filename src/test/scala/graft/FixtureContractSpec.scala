@@ -86,4 +86,37 @@ class FixtureContractSpec extends SparkTestBase {
     assertContract("embeddings", "vec_id" -> LongType,
       "embedding" -> ArrayType(FloatType), "label" -> IntegerType)
   }
+
+  test("a mutated events encoding fails loudly at load, naming the column") {
+    import spark.implicits._
+    val dir = tmpDir("mutated_fixture")
+    // the one encoding class the loader cannot adapt: ts as a string
+    Seq((1L, "2024-01-01T00:00:00", 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException] { Tables.load(spark, dir, "events") }
+    assert(e.getMessage.contains("events.ts"),
+      s"mutation failure message does not name the column: ${e.getMessage}")
+  }
+
+  test("NTZ and UTC-instant encodings of the same wall clock load to the same nanos") {
+    import spark.implicits._
+    val micros = Seq(1706000000000000L, 1706000000123456L)
+    val base = micros.toDF("us")
+    val ntzDir = tmpDir("events_ntz")
+    val tzDir = tmpDir("events_tz")
+    base.selectExpr("us as event_id",
+        "cast(timestamp_micros(us) as timestamp_ntz) as ts")
+      .write.parquet(s"$ntzDir/events.parquet")
+    base.selectExpr("us as event_id", "timestamp_micros(us) as ts")
+      .write.parquet(s"$tzDir/events.parquet")
+    def loaded(d: String): Seq[(Long, Long)] =
+      Tables.load(spark, d, "events").selectExpr("event_id", "ts")
+        .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    val ntz = loaded(ntzDir)
+    val tz = loaded(tzDir)
+    assert(ntz == tz, s"encodings disagree: $ntz vs $tz")
+    assert(ntz.map(_._2) == micros.map(_ * 1000L).sorted,
+      s"nanos contract broken: ${ntz.map(_._2)}")
+  }
 }
