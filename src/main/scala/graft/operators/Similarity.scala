@@ -188,6 +188,30 @@ object Similarity {
       extra = Some(codes))
   }
 
+  /** Build-if-absent guard for ivfPqIndexWrite: all three tables are
+    * committed AND the stored codebook's geometry equals the
+    * requested (m, kCodes, subDim) — the signature-store
+    * params-marker discipline, read from the data itself: a stale
+    * index built under different PQ parameters must trigger a
+    * rebuild, never a silently-reused mismatched store.
+    */
+  def ivfPqIndexComplete(spark: org.apache.spark.sql.SparkSession,
+      path: String, m: Int, kCodes: Int, subDim: Int): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = Seq("index", "codebook", "centroids").forall(t =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$t/_SUCCESS")))
+    committed && {
+      val g = spark.read.parquet(s"$path/codebook")
+        .agg(countDistinct(col("sub")).as("m"),
+          countDistinct(col("code")).as("k"),
+          max(size(col("cv"))).as("sd"), min(size(col("cv"))).as("sd2"))
+        .head()
+      g.getLong(0) == m && g.getLong(1) == kCodes &&
+        g.getInt(2) == subDim && g.getInt(3) == subDim
+    }
+  }
+
   /** Search over an ivfPqIndexWrite index: probe selection becomes a
     * static partition filter (only nprobe cluster directories are
     * opened — the ivfTopKIndexed pruning), candidates are scored by

@@ -675,8 +675,10 @@ object SimilarityQueries extends QueryRegistry {
     "q223_ann_ivf_pq_search",
     (s, d) => {
       val path = "/tmp/graft_q223_ivfpq_" + d.replaceAll("[^A-Za-z0-9.]", "_")
-      val ok = Seq("index", "codebook", "centroids")
-        .forall(t => new java.io.File(s"$path/$t/_SUCCESS").exists())
+      // completeness AND geometry: a stale index with different PQ
+      // parameters rebuilds instead of silently serving wrong codes
+      val ok = Similarity.ivfPqIndexComplete(s, path, m = 4, kCodes = 16,
+        subDim = 16)
       val emb = Tables.embeddings(s, d)
       if (!ok)
         Similarity.ivfPqIndexWrite(emb, emb.filter(col("vec_id") < 8),

@@ -132,6 +132,11 @@ class IvfIndexSpec extends SparkTestBase {
 
     Similarity.ivfPqIndexWrite(emb, centroids, "vec_id", "embedding",
       "vec_id", "embedding", m = 4, kCodes = 16, subDim = 16, iters = 1, root)
+    // completeness guard validates the stored geometry, not just
+    // _SUCCESS markers: mismatched PQ parameters force a rebuild
+    assert(Similarity.ivfPqIndexComplete(spark, root, 4, 16, 16))
+    assert(!Similarity.ivfPqIndexComplete(spark, root, 8, 16, 8),
+      "geometry-mismatched store passed the completeness check")
     // the partitioned layout survives the extra codes column
     val allFiles = spark.read.parquet(root + "/index").inputFiles.length
     assert(allFiles === 8, s"expected 8 one-file cluster partitions, got $allFiles")
