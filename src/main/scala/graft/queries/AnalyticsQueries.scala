@@ -1627,9 +1627,33 @@ object AnalyticsQueries extends QueryRegistry {
             ORDER BY h, doc_id LIMIT 100)
     """.trim))
 
+  /** CUBE over (returnflag, linestatus) — q53's ROLLUP sibling with
+    * ALL four grouping levels (the cross-combinations ROLLUP omits:
+    * per-linestatus subtotals without a returnflag). One Expand +
+    * two-phase aggregate pass, exactly like ROLLUP — the level count
+    * changes, the plan shape does not.
+    */
+  val q233 = GraftQuery(
+    "q233_cube_grouping_sets",
+    (s, d) => Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"),
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty")),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+             CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+             count(*) AS n,
+             round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q51, q52, q53, q54, q55, q57, q58, q69, q89, q90, q91, q92, q93, q95,
       q110, q129, q139, q147, q149, q152, q156, q157, q159, q161, q162, q163,
       q170, q174, q178, q179, q180, q184, q185, q187, q191, q193, q198,
-      q204, q205, q213, q214, q216, q218, q219, q220)
+      q204, q205, q213, q214, q216, q218, q219, q220, q233)
 }
