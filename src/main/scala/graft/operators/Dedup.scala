@@ -377,19 +377,19 @@ object Dedup {
       .sparkContext.hadoopConfiguration), p)
   }
 
-  private def markerDelete(path: String): Unit = {
+  private[operators] def markerDelete(path: String): Unit = {
     val (fs, p) = storeFs(path)
     fs.delete(new org.apache.hadoop.fs.Path(p, "_GRAFT_STORE_COMPLETE"), false)
   }
 
-  private def markerWrite(path: String, content: String): Unit = {
+  private[operators] def markerWrite(path: String, content: String): Unit = {
     val (fs, p) = storeFs(path)
     val out = fs.create(
       new org.apache.hadoop.fs.Path(p, "_GRAFT_STORE_COMPLETE"), true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
-  private def markerRead(path: String): Option[String] = {
+  private[operators] def markerRead(path: String): Option[String] = {
     val (fs, p) = storeFs(path)
     val m = new org.apache.hadoop.fs.Path(p, "_GRAFT_STORE_COMPLETE")
     if (!fs.exists(m)) None

@@ -164,12 +164,23 @@ object Similarity {
     * meaningless under any other codebook (the signature-store
     * params-marker discipline, expressed as co-located tables).
     */
+  private def pqStoreParams(m: Int, kCodes: Int, subDim: Int): String =
+    s"m=$m,kCodes=$kCodes,subDim=$subDim"
+
   def ivfPqIndexWrite(corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String,
       centroidIdCol: String, centroidVecCol: String,
       m: Int, kCodes: Int, subDim: Int, iters: Int,
       path: String, targetRowsPerFile: Long = 1L << 20): Unit = {
     val spark = corpus.sparkSession
+    // invalidate FIRST (the signature-store markerDelete-first
+    // discipline): codebook, centroids, and index are three separate
+    // overwrites, and a crash between any two would otherwise leave a
+    // mixed-generation store whose per-table _SUCCESS files all look
+    // valid — e.g. an old index decoded against a new codebook. With
+    // the marker dropped up front, any partial write fails
+    // ivfPqIndexComplete and forces a rebuild.
+    Dedup.markerDelete(path)
     val cb = ProductQuantization.trainCodebooks(
       spark, corpus, idCol, vecCol, m, kCodes, subDim, iters)
     cb.write.mode("overwrite").parquet(s"$path/codebook")
@@ -186,30 +197,96 @@ object Similarity {
     writeAssigned(corpus, centroids, idCol, vecCol, centroidIdCol,
       centroidVecCol, s"$path/index", targetRowsPerFile, "overwrite",
       extra = Some(codes))
+    // all three tables committed: publish the store-level marker
+    Dedup.markerWrite(path, pqStoreParams(m, kCodes, subDim))
   }
 
   /** Build-if-absent guard for ivfPqIndexWrite: all three tables are
-    * committed AND the stored codebook's geometry equals the
-    * requested (m, kCodes, subDim) — the signature-store
-    * params-marker discipline, read from the data itself: a stale
-    * index built under different PQ parameters must trigger a
-    * rebuild, never a silently-reused mismatched store.
+    * committed AND the store-level marker carries the requested
+    * (m, kCodes, subDim) — the signature-store params-marker
+    * discipline. The params live in the marker, written after the
+    * last table commit, not reverse-engineered from the stored
+    * codebook: inference via countDistinct(code) falsely rejects a
+    * valid store whose Lloyd round dropped an empty cell (legal for
+    * kCodes > corpus diversity), and per-table _SUCCESS files alone
+    * cannot detect a crash between the three overwrites. A stale or
+    * partial store must trigger a rebuild, never a silently-reused
+    * mismatched one.
     */
   def ivfPqIndexComplete(spark: org.apache.spark.sql.SparkSession,
       path: String, m: Int, kCodes: Int, subDim: Int): Boolean = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed = Seq("index", "codebook", "centroids").forall(t =>
-      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$t/_SUCCESS")))
-    committed && {
-      val g = spark.read.parquet(s"$path/codebook")
-        .agg(countDistinct(col("sub")).as("m"),
-          countDistinct(col("code")).as("k"),
-          max(size(col("cv"))).as("sd"), min(size(col("cv"))).as("sd2"))
-        .head()
-      g.getLong(0) == m && g.getLong(1) == kCodes &&
-        g.getInt(2) == subDim && g.getInt(3) == subDim
+    Seq("index", "codebook", "centroids").forall(t =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$t/_SUCCESS"))) &&
+      Dedup.markerRead(path).exists(
+        _.trim == pqStoreParams(m, kCodes, subDim))
+  }
+
+  /** Retention maintenance for the IVFADC index — the delete leg of
+    * the lifecycle (write / append / search / vacuum): vectors of
+    * deleted or re-embedded documents are removed so they stop
+    * appearing in top-k lists, WITHOUT a full rebuild. The index is
+    * partitioned by cluster_id, so deletion is partition-local:
+    *
+    *  1. a column-pruned (id, cluster_id) scan joined against the
+    *     delete set finds the AFFECTED clusters (bounded driver hop —
+    *     at most one cluster id per deleted key);
+    *  2. survivors of only those clusters stage to a sibling dir
+    *     (partition-pruned scan: untouched clusters are never read);
+    *  3. the affected cluster directories swap under the dropped
+    *     store marker, CHECKING every FileSystem return (the
+    *     signature-store vacuum discipline) — a failed delete/rename
+    *     throws with the marker still dropped, so the next reader is
+    *     forced into the documented fallback: rebuild.
+    *
+    * Untouched cluster directories are never read, staged, or
+    * renamed — byte-identical before and after. Codes and the
+    * codebook are untouched: deletion never re-encodes. Cost: one
+    * narrow scan of (id, cluster_id) plus a rewrite of the affected
+    * clusters only — at 100 TB with 1024 clusters, deleting a batch
+    * touching 10 clusters rewrites ~1% of the index.
+    */
+  def ivfPqIndexVacuum(spark: org.apache.spark.sql.SparkSession,
+      removedIds: DataFrame, idCol: String,
+      m: Int, kCodes: Int, subDim: Int, path: String): Unit = {
+    require(ivfPqIndexComplete(spark, path, m, kCodes, subDim),
+      s"IVFADC index at $path is incomplete or was built with different " +
+        s"parameters than (${pqStoreParams(m, kCodes, subDim)}) — refusing to vacuum")
+    val ids = removedIds.select(col(idCol).as("id"))
+    // narrow (id, cluster_id) scan: the codes and the 16x-wider float
+    // vector column stay columnar-pruned out of the affected-cluster
+    // probe; the delete set broadcasts (it is batch-sized by nature)
+    val affected = spark.read.parquet(s"$path/index")
+      .select(col("id"), col("cluster_id").cast("string").as("cluster_id"))
+      .join(broadcast(ids), Seq("id"))
+      .select(col("cluster_id")).distinct()
+      .collect().map(_.getString(0)).sorted
+    if (affected.isEmpty) return
+    // survivors of affected clusters only — partition-pruned scan
+    spark.read.parquet(s"$path/index")
+      .filter(col("cluster_id").isin(affected.toSeq: _*))
+      .join(broadcast(ids), Seq("id"), "left_anti")
+      .write.mode("overwrite").partitionBy("cluster_id")
+      .parquet(s"$path/index_stage")
+    Dedup.markerDelete(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.foreach { c =>
+      val live = new org.apache.hadoop.fs.Path(s"$path/index/cluster_id=$c")
+      val stage = new org.apache.hadoop.fs.Path(s"$path/index_stage/cluster_id=$c")
+      if (!fs.delete(live, true) && fs.exists(live))
+        throw new java.io.IOException(
+          s"IVFADC vacuum: delete of $live failed; completion marker " +
+            "remains dropped — index requires rebuild")
+      // a fully-emptied cluster has no staged dir: the delete IS the swap
+      if (fs.exists(stage) && !fs.rename(stage, live))
+        throw new java.io.IOException(
+          s"IVFADC vacuum: rename $stage -> $live failed; completion " +
+            "marker remains dropped — index requires rebuild")
     }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/index_stage"), true)
+    Dedup.markerWrite(path, pqStoreParams(m, kCodes, subDim))
   }
 
   /** Search over an ivfPqIndexWrite index: probe selection becomes a

@@ -1297,8 +1297,13 @@ object Relational extends QueryRegistry {
           .as("rev_u"))
       val g = pr.agg(count(lit(1)).as("n_parts_g"),
         sum(col("rev_u")).as("tot_u"))
+      // threshold compares in DecimalType: rev_u * n_parts * 10 can
+      // exceed 2^63 at large SF, where Spark's long multiply wraps
+      // silently (non-ANSI) while DuckDB promotes to HUGEINT — the
+      // decimal(38,0) compare keeps both engines exact and aligned
       pr.crossJoin(broadcast(g))
-        .filter(col("rev_u") * col("n_parts_g") * 10 > col("tot_u") * 15)
+        .filter(col("rev_u").cast("decimal(38,0)") * col("n_parts_g") * 10 >
+          col("tot_u").cast("decimal(38,0)") * 15)
         .select(col("l_partkey"), col("rev_u"))
     },
     Some("""
@@ -1308,7 +1313,8 @@ object Relational extends QueryRegistry {
                         (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_u
         FROM lineitem GROUP BY 1)
       SELECT l_partkey, rev_u FROM pr
-      WHERE rev_u * (SELECT count(*) FROM pr) * 10 > (SELECT sum(rev_u) FROM pr) * 15
+      WHERE CAST(rev_u AS HUGEINT) * (SELECT count(*) FROM pr) * 10 >
+            CAST((SELECT sum(rev_u) FROM pr) AS HUGEINT) * 15
     """.trim))
 
   /** TPC-H Q2 shape (min-cost supplier): for each SMALL-type part,

@@ -735,7 +735,87 @@ object SimilarityQueries extends QueryRegistry {
                                  ORDER BY cosine DESC, s.id) <= 5
     """.trim))
 
+  /** IVFADC index vacuum — the delete leg of the ANN index lifecycle
+    * (write / append / search / VACUUM), completing the store
+    * discipline the signature store already has (q130): vectors of
+    * deleted documents (vec_id % 10 = 7 here) are removed from the
+    * index by rewriting ONLY the affected cluster partitions
+    * (partition-pruned staging scan, staged-swap under the dropped
+    * store marker, every FileSystem return checked), then the q223
+    * search runs over the vacuumed index. The oracle replays the full
+    * IVFADC composition with the deleted ids excluded from the corpus
+    * side — a vector that survived the vacuum, or an untouched
+    * cluster that lost a row, breaks the hash. Codebook and centroids
+    * are untouched: deletion never re-encodes (codes of survivors are
+    * byte-identical, asserted file-level in IvfIndexSpec).
+    */
+  val q234 = GraftQuery(
+    "q234_ann_ivf_pq_vacuum",
+    (s, d) => {
+      val path = "/tmp/graft_q234_ivfpq_vac_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val emb = Tables.embeddings(s, d)
+      if (!Similarity.ivfPqIndexComplete(s, path, m = 4, kCodes = 16,
+          subDim = 16))
+        Similarity.ivfPqIndexWrite(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", "vec_id", "embedding",
+          m = 4, kCodes = 16, subDim = 16, iters = 1, path,
+          targetRowsPerFile = 256L)
+      // idempotent across runs: a second vacuum of the same ids finds
+      // no affected clusters and is a no-op
+      Similarity.ivfPqIndexVacuum(s,
+        emb.filter(col("vec_id") % 10 === 7).select(col("vec_id")),
+        "vec_id", m = 4, kCodes = 16, subDim = 16, path)
+      Similarity.ivfPqTopK(s, path, emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", k = 5, nprobe = 2, shortlistN = 20)
+    },
+    Some(s"""
+      WITH $duckPqChain,
+      ivfd AS (
+        SELECT v.vec_id AS id, c.vec_id AS centroid_id,
+               round(list_sum(list_transform(range(1, 65),
+                 i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) *
+                      (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))), 6) AS dist2
+        FROM embeddings v JOIN embeddings c ON c.vec_id < 8),
+      iassign AS (
+        SELECT id, centroid_id AS cluster_id FROM ivfd
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist2, centroid_id) = 1),
+      probe AS (
+        SELECT id AS query_id, centroid_id AS cluster_id FROM ivfd
+        WHERE id < 3
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist2, centroid_id) <= 2),
+      qsub AS (
+        SELECT id AS query_id, s,
+               list_transform(sv, x -> CAST(x AS DOUBLE)) AS qsv
+        FROM cs WHERE id < 3),
+      dt AS (
+        SELECT q.query_id, c.s, c.code,
+               CAST(round(round(list_sum(list_transform(range(1, 17),
+                 i -> (q.qsv[i] - c.cv[i]) * (q.qsv[i] - c.cv[i]))), 6)
+                 * 1000000) AS BIGINT) AS d_u
+        FROM c1 c JOIN qsub q ON q.s = c.s),
+      member AS (
+        SELECT p.query_id, a.id
+        FROM probe p JOIN iassign a ON a.cluster_id = p.cluster_id
+        WHERE a.id <> p.query_id AND a.id % 10 <> 7),
+      adc AS (
+        SELECT m.query_id, m.id, CAST(sum(dt.d_u) AS BIGINT) AS adc_u
+        FROM member m
+        JOIN a2 e ON e.id = m.id
+        JOIN dt ON dt.query_id = m.query_id AND dt.s = e.s AND dt.code = e.code
+        GROUP BY m.query_id, m.id),
+      short AS (
+        SELECT query_id, id, adc_u FROM adc
+        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc_u, id) <= 20)
+      SELECT s.query_id, s.id AS neighbor_id, s.adc_u,
+             round(${duckCos("x", "y")}, 4) AS cosine
+      FROM short s
+      JOIN embeddings x ON s.query_id = x.vec_id
+      JOIN embeddings y ON s.id = y.vec_id
+      QUALIFY row_number() OVER (PARTITION BY s.query_id
+                                 ORDER BY cosine DESC, s.id) <= 5
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q25, q26, q28, q29, q42a, q42, q79, q84, q116, q137, q138, q143, q182,
-      q189, q190, q221, q223)
+      q189, q190, q221, q223, q234)
 }

@@ -15,6 +15,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * lives wherever the SparkSession does), and composable with every
   * other streaming query in the session.
   *
+  * Restart semantics: the cadence does NOT restart itself — a killed
+  * driver resumes ticking only when the caller re-invokes `cadence`
+  * on startup (the same contract as every Structured Streaming
+  * query). Pass `checkpointLocation` to make batch ids MONOTONIC
+  * across those restarts; without it the query uses a temporary
+  * checkpoint and batch ids reset to 0 on every invocation.
+  *
   * An external orchestrator (cron/Airflow → spark-submit) remains the
   * right choice when the cluster should not sit idle between runs;
   * this operator covers the reference semantic when it should.
@@ -28,11 +35,15 @@ object Scheduled {
     * interval regardless of tick backlog (a slow job run never queues
     * a burst of catch-up invocations — the EventBridge semantics).
     */
-  def cadence(spark: SparkSession, interval: String)
-      (job: Long => Unit): StreamingQuery =
-    spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+  def cadence(spark: SparkSession, interval: String,
+      checkpointLocation: Option[String] = None)
+      (job: Long => Unit): StreamingQuery = {
+    val writer = spark.readStream.format("rate")
+      .option("rowsPerSecond", "1").load()
       .writeStream
       .trigger(Trigger.ProcessingTime(interval))
       .foreachBatch { (_: DataFrame, batchId: Long) => job(batchId) }
+    checkpointLocation.fold(writer)(writer.option("checkpointLocation", _))
       .start()
+  }
 }

@@ -175,4 +175,90 @@ class IvfIndexSpec extends SparkTestBase {
       assert(!rs.exists(_.getLong(1) == q), s"query $q matched itself")
     }
   }
+
+  test("IVFADC vacuum removes deleted vectors; untouched cluster files stay byte-identical") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = emb.filter(col("vec_id") < 8)
+    val root = tmpDir("ivfpq_vac")
+    Similarity.ivfPqIndexWrite(emb, centroids, "vec_id", "embedding",
+      "vec_id", "embedding", m = 4, kCodes = 16, subDim = 16, iters = 1, root)
+
+    // delete two ids from ONE cluster so exactly one partition dir is affected
+    val byCluster = spark.read.parquet(root + "/index")
+      .select(col("cluster_id").cast("string").as("c"), col("id"))
+      .collect().groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted)
+    val (victimCluster, victimIds) =
+      byCluster.find { case (_, ids) => ids.length >= 3 && !ids.take(2).exists(_ < 3) }
+        .map { case (c, ids) => (c, ids.filter(_ >= 3).take(2)) }.get
+
+    def fileState(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root + "/index"))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = fileState()
+
+    Similarity.ivfPqIndexVacuum(spark, victimIds.toSeq.toDF("vec_id"),
+      "vec_id", m = 4, kCodes = 16, subDim = 16, root)
+
+    // marker survives the swap; deleted ids are gone from the index
+    assert(Similarity.ivfPqIndexComplete(spark, root, 4, 16, 16))
+    assert(spark.read.parquet(root + "/index")
+      .filter(col("id").isin(victimIds.toSeq: _*)).count() === 0L)
+    // the stage dir was cleaned up
+    assert(!new java.io.File(root + "/index_stage").exists())
+
+    // untouched clusters: every file byte-identical (path, length, mtime);
+    // the affected cluster's files were rewritten
+    val after = fileState()
+    val untouched = before.keys.filter(p => !p.contains(s"cluster_id=$victimCluster")
+      && !p.endsWith("_SUCCESS"))
+    untouched.foreach { p =>
+      assert(after.get(p).contains(before(p)), s"untouched file changed: $p")
+    }
+    assert(before.keys.exists(p => p.contains(s"cluster_id=$victimCluster") &&
+      !after.contains(p)), "affected cluster files were not rewritten")
+
+    // search no longer returns the deleted ids, for a query probing that cluster
+    val out = Similarity.ivfPqTopK(spark, root, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 5, nprobe = 8, shortlistN = 500)
+    assert(!out.select("neighbor_id").as[Long].collect().toSet
+      .exists(victimIds.contains), "vacuumed ids still reachable via search")
+
+    // refusal: a marker-less (incomplete) store must not be vacuumed
+    new java.io.File(s"$root/_GRAFT_STORE_COMPLETE").delete()
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqIndexVacuum(spark, Seq(99L).toDF("vec_id"),
+        "vec_id", m = 4, kCodes = 16, subDim = 16, root)
+    }
+  }
+
+  test("IVFADC vacuum whose swap rename fails leaves the index incomplete (forced rebuild)") {
+    import spark.implicits._
+    // failrename:// refuses to move cluster_id=* dirs out of *_stage
+    // parents — the silent swap failure; parquet committer renames
+    // (src parent = task dir) are unaffected, so staging still works
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.failrename.impl", classOf[FailRenameFileSystem].getName)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = emb.filter(col("vec_id") < 8)
+    val root = "failrename://" + tmpDir("ivfpq_vac_failswap")
+    Similarity.ivfPqIndexWrite(emb, centroids, "vec_id", "embedding",
+      "vec_id", "embedding", m = 4, kCodes = 16, subDim = 16, iters = 1, root)
+    assert(Similarity.ivfPqIndexComplete(spark, root, 4, 16, 16))
+    val e = intercept[java.io.IOException] {
+      Similarity.ivfPqIndexVacuum(spark, Seq(11L).toDF("vec_id"),
+        "vec_id", m = 4, kCodes = 16, subDim = 16, root)
+    }
+    assert(e.getMessage.contains("rename"))
+    // marker dropped before the swap, never republished: the index
+    // reads as incomplete and only a rebuild brings it back
+    assert(!Similarity.ivfPqIndexComplete(spark, root, 4, 16, 16))
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqIndexVacuum(spark, Seq(12L).toDF("vec_id"),
+        "vec_id", m = 4, kCodes = 16, subDim = 16, root)
+    }
+  }
 }

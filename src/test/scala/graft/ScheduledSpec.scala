@@ -39,6 +39,32 @@ class ScheduledSpec extends SparkTestBase {
     assert(fires.get() == after, "job kept firing after the query was stopped")
   }
 
+  test("cadence with a checkpointLocation resumes batch ids monotonically across restart") {
+    val ckpt = tmpDir("sched_ckpt")
+    val maxBefore = new AtomicLong(-1)
+    val fires1 = new AtomicLong(0)
+    val q1 = Scheduled.cadence(spark, "200 milliseconds", Some(ckpt)) { batchId =>
+      maxBefore.updateAndGet(m => math.max(m, batchId))
+      fires1.incrementAndGet()
+      ()
+    }
+    try awaitAtLeast(fires1, 2, timeoutMs = 60000) finally q1.stop()
+    assert(fires1.get() >= 2, s"first run fired only ${fires1.get()} times")
+    // restart against the SAME checkpoint: the first batch id must
+    // continue past the pre-restart maximum, never reset to 0
+    val minAfter = new AtomicLong(Long.MaxValue)
+    val fires2 = new AtomicLong(0)
+    val q2 = Scheduled.cadence(spark, "200 milliseconds", Some(ckpt)) { batchId =>
+      minAfter.updateAndGet(m => math.min(m, batchId))
+      fires2.incrementAndGet()
+      ()
+    }
+    try awaitAtLeast(fires2, 1, timeoutMs = 60000) finally q2.stop()
+    assert(fires2.get() >= 1, "restarted cadence never fired")
+    assert(minAfter.get() > maxBefore.get(),
+      s"batch ids reset after restart: pre-max=${maxBefore.get()} post-min=${minAfter.get()}")
+  }
+
   test("a reconcile run per tick is idempotent: every scheduled pass reports the same state") {
     val FIXED_NOW = 1768500000L
     val tables = tmpDir("sched_tables")
