@@ -815,7 +815,124 @@ object SimilarityQueries extends QueryRegistry {
                                  ORDER BY cosine DESC, s.id) <= 5
     """.trim))
 
+  /** IVFADC recall self-audit — the q217 discipline applied to the
+    * flagship ANN index: q223 proves the index DETERMINISTIC (the
+    * oracle replays the same ADC arithmetic); this query measures how
+    * GOOD it is, as recall@5 of the real `ivfPqTopK` search against
+    * `bruteForceTopK` exact-cosine ground truth on the same corpus,
+    * at three (nprobe, shortlistN) operating points. A 100 TB
+    * deployment tunes exactly these two knobs off exactly this curve:
+    * nprobe buys recall with opened partitions, shortlistN buys
+    * recall with exact re-rank rows. The oracle replays BOTH
+    * pipelines and the set algebra — ground truth, the per-setting
+    * probe/ADC/shortlist/re-rank composition, and the hit counts —
+    * so a recall number that flatters the index breaks the hash.
+    */
+  // the operating-point sweep: nprobe doubles up to the full cluster
+  // count (8 = every partition opened, isolating shortlist loss)
+  private val recallSettings: Seq[(Int, Int)] =
+    Seq((1, 10), (2, 20), (4, 40), (8, 100))
+
+  val q235 = GraftQuery(
+    "q235_ivfpq_recall_audit",
+    (s, d) => {
+      val path = "/tmp/graft_q235_ivfpq_recall_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val emb = Tables.embeddings(s, d)
+      if (!Similarity.ivfPqIndexComplete(s, path, m = 4, kCodes = 16,
+          subDim = 16))
+        Similarity.ivfPqIndexWrite(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", "vec_id", "embedding",
+          m = 4, kCodes = 16, subDim = 16, iters = 1, path,
+          targetRowsPerFile = 256L)
+      val queries = emb.filter(col("vec_id") < 3)
+      val truth = Similarity.bruteForceTopK(queries, emb,
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .cache()
+      recallSettings.map { case (np, sl) =>
+        val res = Similarity.ivfPqTopK(s, path, queries,
+            "vec_id", "embedding", k = 5, nprobe = np, shortlistN = sl)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = truth.join(res, Seq("query_id", "neighbor_id"), "left_semi")
+        truth.agg(count(lit(1)).as("n_truth"))
+          .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+          .select(lit(np).as("nprobe"), lit(sl).as("shortlist_n"),
+            col("n_truth"), col("n_hit"),
+            expr("n_hit * 10000L div n_truth").as("recall_bp"))
+      }.reduce(_ unionAll _)
+    },
+    Some {
+      val perSetting = recallSettings.map { case (np, sl) =>
+        s"""SELECT $np AS nprobe, $sl AS shortlist_n,
+               (SELECT count(*) FROM truth) AS n_truth,
+               (SELECT count(*)
+                FROM truth t JOIN
+                  (SELECT c.query_id, c.id FROM cosall c JOIN
+                     (SELECT query_id, id FROM adcall
+                      WHERE cluster_rank <= $np
+                      QUALIFY row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY adc_u, id) <= $sl) s
+                     ON s.query_id = c.query_id AND s.id = c.id
+                   QUALIFY row_number() OVER (PARTITION BY c.query_id
+                                              ORDER BY c.cosine DESC, c.id) <= 5) r
+                  ON t.query_id = r.query_id AND t.neighbor_id = r.id) AS n_hit"""
+      }.mkString("\n      UNION ALL\n      ")
+      s"""
+      WITH $duckPqChain,
+      ivfd AS (
+        SELECT v.vec_id AS id, c.vec_id AS centroid_id,
+               round(list_sum(list_transform(range(1, 65),
+                 i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) *
+                      (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))), 6) AS dist2
+        FROM embeddings v JOIN embeddings c ON c.vec_id < 8),
+      iassign AS (
+        SELECT id, centroid_id AS cluster_id FROM ivfd
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist2, centroid_id) = 1),
+      crank AS (
+        SELECT id AS query_id, centroid_id AS cluster_id,
+               row_number() OVER (PARTITION BY id ORDER BY dist2, centroid_id) AS cluster_rank
+        FROM ivfd WHERE id < 3),
+      qsub AS (
+        SELECT id AS query_id, s,
+               list_transform(sv, x -> CAST(x AS DOUBLE)) AS qsv
+        FROM cs WHERE id < 3),
+      dt AS (
+        SELECT q.query_id, c.s, c.code,
+               CAST(round(round(list_sum(list_transform(range(1, 17),
+                 i -> (q.qsv[i] - c.cv[i]) * (q.qsv[i] - c.cv[i]))), 6)
+                 * 1000000) AS BIGINT) AS d_u
+        FROM c1 c JOIN qsub q ON q.s = c.s),
+      adcall AS (
+        SELECT p.query_id, a.id, p.cluster_rank,
+               CAST(sum(dt.d_u) AS BIGINT) AS adc_u
+        FROM crank p
+        JOIN iassign a ON a.cluster_id = p.cluster_id
+        JOIN a2 e ON e.id = a.id
+        JOIN dt ON dt.query_id = p.query_id
+          AND dt.s = e.s AND dt.code = e.code
+        WHERE a.id <> p.query_id
+        GROUP BY p.query_id, a.id, p.cluster_rank),
+      cosall AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS id,
+               round(${duckCos("q", "c")}, 4) AS cosine
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id < 3 AND c.vec_id <> q.vec_id),
+      truth AS (
+        SELECT query_id, id AS neighbor_id FROM cosall
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, id) <= 5),
+      summary AS (
+      $perSetting
+      )
+      SELECT nprobe, shortlist_n,
+             CAST(n_truth AS BIGINT) AS n_truth,
+             CAST(n_hit AS BIGINT) AS n_hit,
+             CAST(n_hit * 10000 // n_truth AS BIGINT) AS recall_bp
+      FROM summary
+      """.trim
+    })
+
   def all: Seq[GraftQuery] =
     Seq(q25, q26, q28, q29, q42a, q42, q79, q84, q116, q137, q138, q143, q182,
-      q189, q190, q221, q223, q234)
+      q189, q190, q221, q223, q234, q235)
 }
