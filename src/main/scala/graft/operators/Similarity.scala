@@ -223,6 +223,40 @@ object Similarity {
         _.trim == pqStoreParams(m, kCodes, subDim))
   }
 
+  /** Incremental maintenance for the IVFADC index — the append leg:
+    * new vectors are PQ-encoded against the STORED codebook and
+    * cluster-assigned against the STORED centroids, then appended
+    * into the partitioned layout (cluster directories gain files,
+    * nothing is rewritten) — so the streamed-into index is
+    * search-ready immediately, with no re-encode pass. The geometry
+    * guard refuses a store whose marker does not carry the requested
+    * (m, kCodes, subDim): codes encoded under one codebook are
+    * meaningless under another, and codebook retraining means a new
+    * index version (the signature-store lifecycle), never an
+    * in-place mix. Ids must be new to the index (the admission
+    * contract, as for signatureStoreAppend); the caller dedups —
+    * e.g. an at-least-once micro-batch anti-joins against stored ids
+    * before appending.
+    */
+  def ivfPqIndexAppend(spark: org.apache.spark.sql.SparkSession,
+      newVecs: DataFrame, idCol: String, vecCol: String,
+      m: Int, kCodes: Int, subDim: Int, path: String,
+      targetRowsPerFile: Long = 1L << 20): Unit = {
+    require(ivfPqIndexComplete(spark, path, m, kCodes, subDim),
+      s"IVFADC index at $path is incomplete or was built with different " +
+        s"parameters than (${pqStoreParams(m, kCodes, subDim)}) — refusing to append")
+    val cb = spark.read.parquet(s"$path/codebook")
+    val cents = spark.read.parquet(s"$path/centroids")
+    val codes = ProductQuantization.assignCodes(
+        ProductQuantization.subspaces(newVecs, idCol, vecCol, m, subDim), cb)
+      .groupBy(col("id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s("code")).as("codes"))
+    writeAssigned(newVecs, cents, idCol, vecCol, "centroid_id", "cv",
+      s"$path/index", targetRowsPerFile, "append", extra = Some(codes))
+  }
+
   /** Retention maintenance for the IVFADC index — the delete leg of
     * the lifecycle (write / append / search / vacuum): vectors of
     * deleted or re-embedded documents are removed so they stop

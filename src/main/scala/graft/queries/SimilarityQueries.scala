@@ -325,33 +325,99 @@ object SimilarityQueries extends QueryRegistry {
     * operator, where sub is a column and all subspaces train in one
     * pipeline. a2 is the final encoding, c1 the final codebook.
     */
-  private val duckPqChain: String = {
-    def pqAssign(cents: String): String =
+  /** `trainWhere(idCol)` restricts the TRAINING corpus (seed pick +
+    * Lloyd assignment/update) to a subset, while `a2` still encodes
+    * EVERY vector against the resulting codebook — the shape of an
+    * index built on a base corpus and then streamed into (q236). The
+    * default `_ => "TRUE"` trains on everything (q137/q138/q223).
+    */
+  private def duckPqChainFor(trainWhere: String => String): String = {
+    def pqAssign(src: String, cents: String): String =
       s"""SELECT v.id, v.s, c.code,
             round(list_sum(list_transform(range(1, 17),
               i -> (CAST(v.sv[i] AS DOUBLE) - c.cv[i]) *
                    (CAST(v.sv[i] AS DOUBLE) - c.cv[i]))), 6) AS dist2
-          FROM cs v JOIN $cents c ON c.s = v.s
+          FROM $src v JOIN $cents c ON c.s = v.s
           QUALIFY row_number() OVER (PARTITION BY v.id, v.s
                                      ORDER BY dist2, c.code) = 1"""
     s"""subs AS (SELECT CAST(t.s AS BIGINT) AS s FROM range(0, 4) t(s)),
       cs AS (SELECT vec_id AS id, s, embedding[s*16+1 : s*16+16] AS sv
              FROM embeddings CROSS JOIN subs),
+      cst AS (SELECT * FROM cs WHERE ${trainWhere("id")}),
       seed AS (SELECT vec_id, embedding,
                       CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
-               FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+               FROM (SELECT * FROM embeddings WHERE ${trainWhere("vec_id")}
+                     ORDER BY vec_id LIMIT 16)),
       c0 AS (SELECT s, code,
                     list_transform(embedding[s*16+1 : s*16+16],
                                    x -> CAST(x AS DOUBLE)) AS cv
              FROM seed CROSS JOIN subs),
-      a1 AS (${pqAssign("c0")}),
+      a1 AS (${pqAssign("cst", "c0")}),
       m1 AS (SELECT a.s, a.code, t.i AS pos, avg(CAST(v.sv[t.i] AS DOUBLE)) AS mv
-             FROM a1 a JOIN cs v ON v.id = a.id AND v.s = a.s
+             FROM a1 a JOIN cst v ON v.id = a.id AND v.s = a.s
              CROSS JOIN range(1, 17) t(i)
              GROUP BY a.s, a.code, t.i),
       c1 AS (SELECT s, code, list(mv ORDER BY pos) AS cv FROM m1 GROUP BY s, code),
-      a2 AS (${pqAssign("c1")})"""
+      a2 AS (${pqAssign("cs", "c1")})"""
   }
+
+  private val duckPqChain: String = duckPqChainFor(_ => "TRUE")
+
+  /** Oracle for the full IVFADC search composition (q223 and its
+    * lifecycle variants): PQ training over `trainWhere`, IVF
+    * assignment, probe selection, ADC over stored codes, shortlist
+    * cut, exact-cosine re-rank. `memberWhere` restricts the corpus
+    * side (e.g. excluding vacuumed ids, q234); the search always runs
+    * with k=5, nprobe=2, shortlistN=20 over queries vec_id < 3.
+    */
+  private[queries] def ivfPqSearchOracleSql(
+      trainWhere: String => String, memberWhere: String): String =
+    s"""
+      WITH ${duckPqChainFor(trainWhere)},
+      ivfd AS (
+        SELECT v.vec_id AS id, c.vec_id AS centroid_id,
+               round(list_sum(list_transform(range(1, 65),
+                 i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) *
+                      (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))), 6) AS dist2
+        FROM embeddings v JOIN embeddings c ON c.vec_id < 8),
+      iassign AS (
+        SELECT id, centroid_id AS cluster_id FROM ivfd
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist2, centroid_id) = 1),
+      probe AS (
+        SELECT id AS query_id, centroid_id AS cluster_id FROM ivfd
+        WHERE id < 3
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist2, centroid_id) <= 2),
+      qsub AS (
+        SELECT id AS query_id, s,
+               list_transform(sv, x -> CAST(x AS DOUBLE)) AS qsv
+        FROM cs WHERE id < 3),
+      dt AS (
+        SELECT q.query_id, c.s, c.code,
+               CAST(round(round(list_sum(list_transform(range(1, 17),
+                 i -> (q.qsv[i] - c.cv[i]) * (q.qsv[i] - c.cv[i]))), 6)
+                 * 1000000) AS BIGINT) AS d_u
+        FROM c1 c JOIN qsub q ON q.s = c.s),
+      member AS (
+        SELECT p.query_id, a.id
+        FROM probe p JOIN iassign a ON a.cluster_id = p.cluster_id
+        WHERE a.id <> p.query_id$memberWhere),
+      adc AS (
+        SELECT m.query_id, m.id, CAST(sum(dt.d_u) AS BIGINT) AS adc_u
+        FROM member m
+        JOIN a2 e ON e.id = m.id
+        JOIN dt ON dt.query_id = m.query_id AND dt.s = e.s AND dt.code = e.code
+        GROUP BY m.query_id, m.id),
+      short AS (
+        SELECT query_id, id, adc_u FROM adc
+        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc_u, id) <= 20)
+      SELECT s.query_id, s.id AS neighbor_id, s.adc_u,
+             round(${duckCos("x", "y")}, 4) AS cosine
+      FROM short s
+      JOIN embeddings x ON s.query_id = x.vec_id
+      JOIN embeddings y ON s.id = y.vec_id
+      QUALIFY row_number() OVER (PARTITION BY s.query_id
+                                 ORDER BY cosine DESC, s.id) <= 5
+    """.trim
 
   /** PQ codebook training (Jégou et al. 2011): per-(subspace, code)
     * cell sizes and floored within-cell sum of squares after one
@@ -688,52 +754,7 @@ object SimilarityQueries extends QueryRegistry {
       Similarity.ivfPqTopK(s, path, emb.filter(col("vec_id") < 3),
         "vec_id", "embedding", k = 5, nprobe = 2, shortlistN = 20)
     },
-    Some(s"""
-      WITH $duckPqChain,
-      ivfd AS (
-        SELECT v.vec_id AS id, c.vec_id AS centroid_id,
-               round(list_sum(list_transform(range(1, 65),
-                 i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) *
-                      (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))), 6) AS dist2
-        FROM embeddings v JOIN embeddings c ON c.vec_id < 8),
-      iassign AS (
-        SELECT id, centroid_id AS cluster_id FROM ivfd
-        QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist2, centroid_id) = 1),
-      probe AS (
-        SELECT id AS query_id, centroid_id AS cluster_id FROM ivfd
-        WHERE id < 3
-        QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist2, centroid_id) <= 2),
-      qsub AS (
-        SELECT id AS query_id, s,
-               list_transform(sv, x -> CAST(x AS DOUBLE)) AS qsv
-        FROM cs WHERE id < 3),
-      dt AS (
-        SELECT q.query_id, c.s, c.code,
-               CAST(round(round(list_sum(list_transform(range(1, 17),
-                 i -> (q.qsv[i] - c.cv[i]) * (q.qsv[i] - c.cv[i]))), 6)
-                 * 1000000) AS BIGINT) AS d_u
-        FROM c1 c JOIN qsub q ON q.s = c.s),
-      member AS (
-        SELECT p.query_id, a.id
-        FROM probe p JOIN iassign a ON a.cluster_id = p.cluster_id
-        WHERE a.id <> p.query_id),
-      adc AS (
-        SELECT m.query_id, m.id, CAST(sum(dt.d_u) AS BIGINT) AS adc_u
-        FROM member m
-        JOIN a2 e ON e.id = m.id
-        JOIN dt ON dt.query_id = m.query_id AND dt.s = e.s AND dt.code = e.code
-        GROUP BY m.query_id, m.id),
-      short AS (
-        SELECT query_id, id, adc_u FROM adc
-        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc_u, id) <= 20)
-      SELECT s.query_id, s.id AS neighbor_id, s.adc_u,
-             round(${duckCos("x", "y")}, 4) AS cosine
-      FROM short s
-      JOIN embeddings x ON s.query_id = x.vec_id
-      JOIN embeddings y ON s.id = y.vec_id
-      QUALIFY row_number() OVER (PARTITION BY s.query_id
-                                 ORDER BY cosine DESC, s.id) <= 5
-    """.trim))
+    Some(ivfPqSearchOracleSql(_ => "TRUE", "")))
 
   /** IVFADC index vacuum — the delete leg of the ANN index lifecycle
     * (write / append / search / VACUUM), completing the store
@@ -768,52 +789,7 @@ object SimilarityQueries extends QueryRegistry {
       Similarity.ivfPqTopK(s, path, emb.filter(col("vec_id") < 3),
         "vec_id", "embedding", k = 5, nprobe = 2, shortlistN = 20)
     },
-    Some(s"""
-      WITH $duckPqChain,
-      ivfd AS (
-        SELECT v.vec_id AS id, c.vec_id AS centroid_id,
-               round(list_sum(list_transform(range(1, 65),
-                 i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) *
-                      (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))), 6) AS dist2
-        FROM embeddings v JOIN embeddings c ON c.vec_id < 8),
-      iassign AS (
-        SELECT id, centroid_id AS cluster_id FROM ivfd
-        QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist2, centroid_id) = 1),
-      probe AS (
-        SELECT id AS query_id, centroid_id AS cluster_id FROM ivfd
-        WHERE id < 3
-        QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist2, centroid_id) <= 2),
-      qsub AS (
-        SELECT id AS query_id, s,
-               list_transform(sv, x -> CAST(x AS DOUBLE)) AS qsv
-        FROM cs WHERE id < 3),
-      dt AS (
-        SELECT q.query_id, c.s, c.code,
-               CAST(round(round(list_sum(list_transform(range(1, 17),
-                 i -> (q.qsv[i] - c.cv[i]) * (q.qsv[i] - c.cv[i]))), 6)
-                 * 1000000) AS BIGINT) AS d_u
-        FROM c1 c JOIN qsub q ON q.s = c.s),
-      member AS (
-        SELECT p.query_id, a.id
-        FROM probe p JOIN iassign a ON a.cluster_id = p.cluster_id
-        WHERE a.id <> p.query_id AND a.id % 10 <> 7),
-      adc AS (
-        SELECT m.query_id, m.id, CAST(sum(dt.d_u) AS BIGINT) AS adc_u
-        FROM member m
-        JOIN a2 e ON e.id = m.id
-        JOIN dt ON dt.query_id = m.query_id AND dt.s = e.s AND dt.code = e.code
-        GROUP BY m.query_id, m.id),
-      short AS (
-        SELECT query_id, id, adc_u FROM adc
-        QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc_u, id) <= 20)
-      SELECT s.query_id, s.id AS neighbor_id, s.adc_u,
-             round(${duckCos("x", "y")}, 4) AS cosine
-      FROM short s
-      JOIN embeddings x ON s.query_id = x.vec_id
-      JOIN embeddings y ON s.id = y.vec_id
-      QUALIFY row_number() OVER (PARTITION BY s.query_id
-                                 ORDER BY cosine DESC, s.id) <= 5
-    """.trim))
+    Some(ivfPqSearchOracleSql(_ => "TRUE", " AND a.id % 10 <> 7")))
 
   /** IVFADC recall self-audit — the q217 discipline applied to the
     * flagship ANN index: q223 proves the index DETERMINISTIC (the

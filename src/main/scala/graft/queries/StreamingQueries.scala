@@ -249,9 +249,20 @@ object StreamingQueries extends QueryRegistry {
       val q = delta.writeStream
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          if (!batch.isEmpty)
-            Sim.ivfIndexAppend(batch, cents, "vec_id", "embedding",
-              "vec_id", "embedding", path, targetRowsPerFile = 256L)
+          // foreachBatch is at-least-once: a replayed micro-batch must
+          // not double-append (a duplicated row changes top-k lists).
+          // Idempotence = anti-join the batch against ids already in
+          // the index — the (id)-only read is columnar-pruned and the
+          // replay window is one batch, so the check is a narrow scan,
+          // not a second copy of the index
+          if (!batch.isEmpty) {
+            val present = s.read.parquet(path).select(col("id"))
+            val fresh = batch.join(present,
+              batch("vec_id") === present("id"), "left_anti")
+            if (!fresh.isEmpty)
+              Sim.ivfIndexAppend(fresh, cents, "vec_id", "embedding",
+                "vec_id", "embedding", path, targetRowsPerFile = 256L)
+          }
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -261,6 +272,59 @@ object StreamingQueries extends QueryRegistry {
     },
     SimilarityQueries.q28.oracle)
 
+  /** Streaming IVFADC maintenance — q230's lifecycle upgraded to the
+    * composed index: the IVFADC store (codes + codebook + centroids)
+    * is built on 90% of the corpus, the held-out 10% arrives as a
+    * stream, and each micro-batch is PQ-ENCODED AGAINST THE STORED
+    * CODEBOOK and appended into the partitioned layout
+    * (ivfPqIndexAppend's geometry guard refuses a mismatched store) —
+    * so the streamed-into index is search-ready with no re-encode
+    * pass. Appends are idempotent under foreachBatch's at-least-once
+    * contract (anti-join on stored ids). The search then runs the
+    * full ADC + re-rank path over base + appended codes, against an
+    * oracle that replays the composition with PQ training restricted
+    * to the base 90% but encoding over everything — a batch row
+    * encoded against the wrong codebook breaks the hash.
+    */
+  val q236 = GraftQuery(
+    "q236_stream_ivfpq_append",
+    (s, d) => {
+      import org.apache.spark.sql.functions.col
+      val Sim = graft.operators.Similarity
+      val path = "/tmp/graft_q236_stream_ivfpq_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < 8)
+      if (!Sim.ivfPqIndexComplete(s, path, m = 4, kCodes = 16, subDim = 16))
+        Sim.ivfPqIndexWrite(emb.filter(col("vec_id") % 10 =!= 0), cents,
+          "vec_id", "embedding", "vec_id", "embedding",
+          m = 4, kCodes = 16, subDim = 16, iters = 1, path,
+          targetRowsPerFile = 256L)
+      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val delta = s.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(d)
+        .filter(col("vec_id") % 10 === 0)
+      val q = delta.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val present = s.read.parquet(s"$path/index").select(col("id"))
+            val fresh = batch.join(present,
+              batch("vec_id") === present("id"), "left_anti")
+            if (!fresh.isEmpty)
+              Sim.ivfPqIndexAppend(s, fresh, "vec_id", "embedding",
+                m = 4, kCodes = 16, subDim = 16, path,
+                targetRowsPerFile = 256L)
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Sim.ivfPqTopK(s, path, emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", k = 5, nprobe = 2, shortlistN = 20)
+    },
+    Some(SimilarityQueries.ivfPqSearchOracleSql(c => s"$c % 10 <> 0", "")))
+
   def all: Seq[GraftQuery] =
-    Seq(q40, q41, q43, q49, q56, q142, q148, q194, q195, q230)
+    Seq(q40, q41, q43, q49, q56, q142, q148, q194, q195, q230, q236)
 }

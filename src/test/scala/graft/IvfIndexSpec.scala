@@ -176,6 +176,39 @@ class IvfIndexSpec extends SparkTestBase {
     }
   }
 
+  test("IVFADC append encodes against the stored codebook; mismatched geometry refused") {
+    import graft.operators.ProductQuantization
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = emb.filter(col("vec_id") < 8)
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    val root = tmpDir("ivfpq_append")
+    Similarity.ivfPqIndexWrite(base, centroids, "vec_id", "embedding",
+      "vec_id", "embedding", m = 4, kCodes = 16, subDim = 16, iters = 1, root)
+    Similarity.ivfPqIndexAppend(spark, delta, "vec_id", "embedding",
+      m = 4, kCodes = 16, subDim = 16, root)
+    val idx = spark.read.parquet(root + "/index")
+    // every id present exactly once after the append
+    assert(idx.groupBy(col("id")).count().filter(col("count") > 1).count() === 0L)
+    assert(idx.count() === emb.count())
+    // appended codes = re-encoding the delta against the STORED codebook
+    val cb = spark.read.parquet(root + "/codebook")
+    val expected = ProductQuantization.assignCodes(
+        ProductQuantization.subspaces(delta, "vec_id", "embedding", 4, 16), cb)
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s("code")).as("codes"))
+    val mismatches = idx.select(col("id"), col("codes"))
+      .join(expected.withColumnRenamed("codes", "exp_codes"), Seq("id"))
+      .filter(col("codes") =!= col("exp_codes")).count()
+    assert(mismatches === 0L, "appended codes differ from stored-codebook encoding")
+    // the geometry guard refuses an append under different PQ params
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqIndexAppend(spark, delta, "vec_id", "embedding",
+        m = 8, kCodes = 16, subDim = 8, root)
+    }
+  }
+
   test("IVFADC vacuum removes deleted vectors; untouched cluster files stay byte-identical") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
