@@ -72,6 +72,76 @@ object Skew {
       .orderBy(desc("contrib"), asc("key")).limit(topN)
   }
 
+  /** The decision table behind [[statsDrivenJoin]]: for each hot key
+    * of the large side (share >= minShareBp, from [[keySkewProfile]]),
+    * the small side's row count for that key and the chosen remedy —
+    * `broadcast_hot` when the small side's hot-key rows fit a
+    * broadcast (n_small <= broadcastRowLimit), `salted` otherwise.
+    * Exposed as its own operator so the plan choice is itself
+    * auditable (and driver-verified, q237a) rather than buried in
+    * the join.
+    */
+  def joinPlanDecisions(large: DataFrame, small: DataFrame, key: String,
+      minShareBp: Long, broadcastRowLimit: Long): DataFrame = {
+    val smallCounts = small.groupBy(col(key)).agg(count(lit(1)).as("n_small"))
+    keySkewProfile(large, key, minShareBp)
+      .join(smallCounts, Seq(key), "left")
+      .select(col(key), col("n_rows"), col("share_bp"),
+        coalesce(col("n_small"), lit(0L)).as("n_small"),
+        when(coalesce(col("n_small"), lit(0L)) <= broadcastRowLimit,
+          lit("broadcast_hot")).otherwise(lit("salted")).as("strategy"))
+  }
+
+  /** Stats-driven equi-join: the pre-flight profiles COMPOSED with
+    * their remedies. [[keySkewProfile]] diagnoses the large side's
+    * hot keys; each key-group then takes the plan its stats call for:
+    *
+    *   - cold keys (share < minShareBp): the plain shuffle join —
+    *     AQE handles residual runtime skew;
+    *   - hot keys whose small-side rows fit a broadcast: the large
+    *     side's hot rows join a broadcast of ONLY those small rows —
+    *     zero shuffle for the worst keys;
+    *   - hot keys too wide to broadcast: [[saltedJoin]] spreads each
+    *     over `saltFactor` sub-keys.
+    *
+    * Output is semantically identical to `large.join(small, key)`
+    * (inner): the key-groups partition the key space, and each branch
+    * is the plain join restricted to its group. The profile costs one
+    * map-side-combined count per side; the hot-key set is bounded by
+    * construction (at most 10000/minShareBp keys), so the driver hop
+    * and the isin filters stay small at any corpus size. This is the
+    * operator a 100 TB join actually wants: the q131/q145 pre-flights
+    * stop being advisory output and start choosing the plan.
+    */
+  def statsDrivenJoin(large: DataFrame, small: DataFrame, key: String,
+      minShareBp: Long, saltFactor: Int,
+      broadcastRowLimit: Long): DataFrame = {
+    // a null hot key would make the isin filters three-valued; an
+    // inner join drops null keys regardless, so leave them to the
+    // cold branch (where the join itself discards them)
+    val decisions = joinPlanDecisions(large, small, key, minShareBp,
+      broadcastRowLimit).collect().filter(_.get(0) != null)
+    val bcastKeys = decisions.filter(_.getString(4) == "broadcast_hot")
+      .map(_.get(0)).toSeq
+    val saltKeys = decisions.filter(_.getString(4) == "salted")
+      .map(_.get(0)).toSeq
+    val hotKeys = bcastKeys ++ saltKeys
+    val cold =
+      if (hotKeys.isEmpty) large.join(small, Seq(key))
+      else large.filter(!col(key).isin(hotKeys: _*))
+        .join(small, Seq(key))
+    val branches = Seq(
+      Some(cold),
+      if (bcastKeys.isEmpty) None
+      else Some(large.filter(col(key).isin(bcastKeys: _*))
+        .join(broadcast(small.filter(col(key).isin(bcastKeys: _*))), Seq(key))),
+      if (saltKeys.isEmpty) None
+      else Some(saltedJoin(large.filter(col(key).isin(saltKeys: _*)),
+        small.filter(col(key).isin(saltKeys: _*)), key, saltFactor))
+    ).flatten
+    branches.reduce(_ unionByName _)
+  }
+
   /** Two-phase aggregation for heavily skewed group keys: partial
     * count per (key, salt), then final combine per key. Spark's
     * map-side partial aggregation already does this for algebraic

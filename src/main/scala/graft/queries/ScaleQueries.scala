@@ -920,8 +920,92 @@ object ScaleQueries extends QueryRegistry {
       FROM n8 JOIN n9 USING (doc_id)
     """.trim))
 
+  /** The stats-driven join planner's DECISION TABLE, declared on its
+    * own: q131's skew profile joined with the small side's per-key
+    * rows and reduced to a remedy per hot key (broadcast_hot when the
+    * small side's hot rows fit a broadcast, salted otherwise). The
+    * plan choice is data, auditable and driver-verified — not a
+    * heuristic buried inside the join operator.
+    */
+  val q237a = GraftQuery(
+    "q237a_join_plan_decisions",
+    (s, d) => {
+      val events = Tables.events(s, d)
+      val dim = events.groupBy(col("event_type"))
+        .agg(min(col("user_id")).as("first_user"))
+      Skew.joinPlanDecisions(events, dim, "event_type",
+        minShareBp = 2000L, broadcastRowLimit = 1000L)
+    },
+    Some("""
+      WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+                 FROM events GROUP BY 1),
+      t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM c),
+      dim AS (SELECT event_type, min(user_id) AS first_user
+              FROM events GROUP BY 1),
+      sc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_small
+             FROM dim GROUP BY 1)
+      SELECT c.event_type, c.n_rows,
+             CAST(c.n_rows * 10000 // t.total AS BIGINT) AS share_bp,
+             coalesce(sc.n_small, 0) AS n_small,
+             CASE WHEN coalesce(sc.n_small, 0) <= 1000
+                  THEN 'broadcast_hot' ELSE 'salted' END AS strategy
+      FROM c CROSS JOIN t LEFT JOIN sc USING (event_type)
+      WHERE c.n_rows * 10000 // t.total >= 2000
+    """.trim))
+
+  /** Stats-driven join, SALTED hot path: the planner composed
+    * end-to-end — keys above 20% share take the salted plan
+    * (broadcastRowLimit=0 forces the salt remedy), cold keys the
+    * plain shuffle join, and the union is provably the plain join:
+    * the oracle runs exactly that. PlanAssertionsSpec proves the hot
+    * key's rows actually flow through the salt machinery.
+    */
+  val q237 = GraftQuery(
+    "q237_stats_driven_join",
+    (s, d) => {
+      val events = Tables.events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("value_c"))
+      val dim = Tables.events(s, d).groupBy(col("event_type"))
+        .agg(min(col("user_id")).as("first_user"))
+      Skew.statsDrivenJoin(events, dim, "event_type",
+          minShareBp = 2000L, saltFactor = 8, broadcastRowLimit = 0L)
+        .groupBy(col("event_type"), col("first_user"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("value_c")).as("value_c_sum"))
+    },
+    statsJoinOracle)
+
+  /** Stats-driven join, BROADCAST hot path: the same planner with a
+    * broadcast budget (hot keys' single dim row each fits easily), so
+    * the worst keys pay ZERO shuffle — and the result is still the
+    * plain join, proven by the identical oracle as q237.
+    */
+  val q237b = GraftQuery(
+    "q237b_stats_join_hot_broadcast",
+    (s, d) => {
+      val events = Tables.events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("value_c"))
+      val dim = Tables.events(s, d).groupBy(col("event_type"))
+        .agg(min(col("user_id")).as("first_user"))
+      Skew.statsDrivenJoin(events, dim, "event_type",
+          minShareBp = 2000L, saltFactor = 8, broadcastRowLimit = 1000L)
+        .groupBy(col("event_type"), col("first_user"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("value_c")).as("value_c_sum"))
+    },
+    statsJoinOracle)
+
+  private lazy val statsJoinOracle: Option[String] = Some("""
+      WITH dim AS (SELECT event_type, min(user_id) AS first_user
+                   FROM events GROUP BY 1)
+      SELECT e.event_type, d.first_user, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c_sum
+      FROM events e JOIN dim d USING (event_type)
+      GROUP BY 1, 2
+    """.trim)
+
   def all: Seq[GraftQuery] =
     Seq(q44, q46, q48, q50, q66, q87, q88, q97, q98, q98a, q100, q102, q104,
       q112, q114, q124, q125, q126, q127, q131, q136, q141, q145, q146, q151,
-      q169, q173, q197, q201)
+      q169, q173, q197, q201, q237a, q237, q237b)
 }

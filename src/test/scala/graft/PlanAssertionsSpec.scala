@@ -233,4 +233,35 @@ class PlanAssertionsSpec extends SparkTestBase {
     assert(pPushed.contains("Or") && pPushed.contains("p_brand"),
       s"brand/size disjunction not pushed to part scan: $pPushed")
   }
+
+  test("statsDrivenJoin: each hot key takes the remedy its stats chose; output = plain join") {
+    import spark.implicits._
+    import graft.operators.Skew
+    // crafted skew: key 0 = 60% of rows with a 1-row dim (fits the
+    // broadcast budget), key 1 = 30% with a 5-row dim (exceeds it),
+    // keys 2..11 cold at 1% each
+    val large = ((1 to 600).map(i => (0L, i)) ++ (1 to 300).map(i => (1L, i)) ++
+      (2 to 11).flatMap(k => (1 to 10).map(i => (k.toLong, i)))).toDF("k", "v")
+    val small = ((0L, 100) +: (1 to 5).map(i => (1L, 200 + i)) ++:
+      (2 to 11).map(k => (k.toLong, 300 + k))).toDF("k", "w")
+
+    val decisions = Skew.joinPlanDecisions(large, small, "k",
+        minShareBp = 2000L, broadcastRowLimit = 1L)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(decisions === Map(0L -> "broadcast_hot", 1L -> "salted"),
+      s"wrong per-key remedies: $decisions")
+
+    val out = Skew.statsDrivenJoin(large, small, "k",
+      minShareBp = 2000L, saltFactor = 4, broadcastRowLimit = 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "w").as[(Long, Int, Int)]
+        .collect().sorted.toSeq
+    assert(rows(out) === rows(large.join(small, Seq("k"))),
+      "stats-driven join diverged from the plain join")
+    // the hot-wide key's rows actually flowed through the salt
+    // machinery, and the hot-narrow key through a broadcast join
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"no salted branch in plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast branch in plan:\n$plan")
+  }
 }
