@@ -1432,9 +1432,61 @@ object Relational extends QueryRegistry {
       GROUP BY 1, 2
     """.trim))
 
+  /** TPC-H Q3 shape (shipping priority): unshipped revenue of one
+    * market segment — orders placed BEFORE the cutoff whose lineitems
+    * ship AFTER it, top-10 order groups by revenue. The last absent
+    * member of the canonical decorrelation family (q224-q232). Plan
+    * shape at 100 TB: both date filters push into the parquet scans
+    * (each side reads its own slice), the segment-filtered customer
+    * list broadcasts into orders, the only shuffle joins lineitem to
+    * the surviving orders on l_orderkey, and the top-10 is a
+    * TakeOrderedAndProject streaming heap (asserted in
+    * PlanAssertionsSpec), never a global sort. Revenue in exact
+    * integer micro-units; the cut is fully deterministic —
+    * (revenue DESC, o_orderdate ASC, l_orderkey ASC) and l_orderkey
+    * is unique per group.
+    */
+  val q238 = GraftQuery(
+    "q238_shipping_priority_top10",
+    (s, d) => {
+      val cut = lit("1997-06-01").cast("timestamp")
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < cut)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_orderpriority"))
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
+        .select(col("l_orderkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            .as("rev_u"))
+      val oc = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      l.join(oc, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("rev_u")).as("revenue_u"))
+        .orderBy(col("revenue_u").desc, col("o_orderdate").asc,
+          col("l_orderkey").asc)
+        .limit(10)
+    },
+    Some("""
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_u
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1997-06-01'
+        AND l_shipdate > TIMESTAMP '1997-06-01'
+      GROUP BY 1, 2, 3
+      ORDER BY revenue_u DESC, o_orderdate ASC, l_orderkey ASC
+      LIMIT 10
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q17, q18,
       q19, q109, q111, q119, q123, q144, q175, q176, q188, q203, q206, q207,
       q208, q209, q210, q211, q212, q215, q224, q225, q226, q227, q228, q229,
-      q231, q232)
+      q231, q232, q238)
 }

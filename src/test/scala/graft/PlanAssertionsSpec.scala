@@ -234,6 +234,12 @@ class PlanAssertionsSpec extends SparkTestBase {
       s"brand/size disjunction not pushed to part scan: $pPushed")
   }
 
+  test("q238: customer dim broadcasts; top-10 is a TakeOrderedAndProject heap, no global sort") {
+    val plan = executed(Relational.q238.run(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("statsDrivenJoin: each hot key takes the remedy its stats chose; output = plain join") {
     import spark.implicits._
     import graft.operators.Skew
