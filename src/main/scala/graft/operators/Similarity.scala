@@ -501,7 +501,7 @@ object Similarity {
     * each cluster only — pairwise cosine is confined to cluster
     * members, the paper's trick that keeps semantic dedup out of the
     * all-pairs regime at corpus scale (the global all-pairs form is
-    * q24's by-design-quadratic verifier). Keep rule: a vector is
+    * the spec-only all-pairs verifier). Keep rule: a vector is
     * dropped iff some smaller-id member of its cluster is within
     * `threshold` cosine of it (greedy min-id canonical, the repo's
     * dedup convention). Output: one row per vector —

@@ -123,18 +123,12 @@ object DedupQueries extends QueryRegistry {
       """.trim
   }
 
-  /** SimHash near-dup pairs (60-bit shingle fingerprints, bucketed by
-    * the pigeonhole chunk trick — no cross join). maxHamming=12 is the
-    * PERMISSIVE-radius verifier: 13 chunks of 5 bits leave only 32
-    * distinct values per chunk index, so candidate generation is
-    * O(n^2/32) per chunk — quadratic-class at scale (see PLANS.md
-    * radius-economics note). The production radius is q60.
-    */
-  val q23 = GraftQuery(
-    "q23_dedup_simhash",
-    (s, d) => Dedup.simhashBucketedPairs(Tables.documents(s, d), "doc_id", "text",
-      n = 3, maxHamming = 12),
-    Some(simhashOracle(12)))
+  // The permissive-radius simhash verifier (maxHamming=12: 13 chunks
+  // of 5 bits, O(n^2/32) candidates — quadratic-class at scale) was
+  // declared as q23 through r9; demoted to spec-only in r10 because
+  // that PLAN does not survive 100x. DedupSpec keeps the coverage
+  // (bucketed == cross-join at radius 12, MIH equivalence); q60 below
+  // is the declared production-radius form.
 
   /** SimHash at the production radius (hamming <= 3): 4 chunks of 15
     * bits give the candidate equi-join ~2^15 distinct values per chunk
@@ -225,32 +219,19 @@ object DedupQueries extends QueryRegistry {
       """.trim
     })
 
-  /** Embedding-cosine near-dup pairs, brute-force exact. */
-  val q24 = GraftQuery(
-    "q24_dedup_embedding_cosine",
-    (s, d) => Dedup.embeddingNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
-      threshold = 0.4),
-    Some("""
-      WITH pairs AS (
-        SELECT a.vec_id AS id1, b.vec_id AS id2,
-               round(
-                 list_sum(list_transform(range(1, 65),
-                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
-                 (sqrt(list_sum(list_transform(range(1, 65),
-                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
-                  sqrt(list_sum(list_transform(range(1, 65),
-                   i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 4) AS cosine
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-      SELECT id1, id2, cosine FROM pairs WHERE cosine >= 0.4
-    """.trim))
+  // The exact-cosine all-pairs verifier (Dedup.embeddingNearDupPairs)
+  // was declared as q24 through r9; demoted to spec-only in r10 — an
+  // all-pairs nested loop is by design not a 100x plan. LshPairsSpec
+  // keeps it as the ground truth for the bucketed path's measured
+  // precision/recall; q39 below is the declared scale form.
 
   /** Embedding near-dup pairs via multi-table hyperplane LSH — the
-    * bucketed scale path for q24's exact all-pairs join. The oracle
+    * bucketed scale path for the exact all-pairs join. The oracle
     * mirrors the full pipeline (hyperplane sign bits -> per-table
     * bucket keys -> within-bucket candidates -> exact-cosine verify),
     * so the driver checks the whole approximate pipeline bit-for-bit;
-    * LshPairsSpec separately measures precision/recall against q24's
-    * exact output.
+    * LshPairsSpec separately measures precision/recall against the
+    * exact all-pairs verifier's output.
     */
   val q39 = GraftQuery(
     "q39_dedup_embedding_lsh",
@@ -745,12 +726,12 @@ object DedupQueries extends QueryRegistry {
     },
     q68.oracle)
 
-  /** q23's permissive radius (hamming <= 12) through the multi-index
+  /** The permissive radius (hamming <= 12) through the multi-index
     * Hamming path: wide 15-bit chunks + popcount-bounded neighbor
-    * enumeration keep the candidate join linear where q23's 5-bit
-    * pigeonhole is quadratic-class. Identical output, same oracle —
-    * the q28/q42 pattern: one semantics, two physical plans, the
-    * scale-shaped one declared alongside the verifier.
+    * enumeration keep the candidate join linear where the 5-bit
+    * pigeonhole verifier (spec-only since r10) is quadratic-class.
+    * Identical output, same oracle — the q28/q42 pattern: one
+    * semantics, two physical plans, the scale-shaped one declared.
     */
   val q75 = GraftQuery(
     "q75_dedup_simhash_mih",
@@ -1200,7 +1181,7 @@ object DedupQueries extends QueryRegistry {
     """.trim))
 
   def all: Seq[GraftQuery] =
-    Seq(q20, q21, q22, q23, q24, q39, q47, q47a, q59, q60, q61, q67, q68, q75,
+    Seq(q20, q21, q22, q39, q47, q47a, q59, q60, q61, q67, q68, q75,
       q78, q82, q103a, q103, q105, q106, q107, q113, q120, q122, q130, q132,
       q150, q164, q165, q217, q222)
 }

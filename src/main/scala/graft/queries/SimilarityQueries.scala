@@ -259,7 +259,7 @@ object SimilarityQueries extends QueryRegistry {
     * centroids (q26's assignment), then near-duplicates removed WITHIN
     * clusters only — pairwise cosine confined to cluster members, the
     * published semantic-dedup recipe at the scale-right shape (the
-    * global all-pairs form stays q24's verifier). A vector is dropped
+    * global all-pairs form stays the spec-only verifier). A vector is dropped
     * iff a smaller-id cluster-mate is within 0.4 cosine. The oracle
     * replays assignment + within-cluster pairs + the keep rule, so
     * cluster membership AND the dedup verdict are verified per row.
