@@ -1484,9 +1484,194 @@ object Relational extends QueryRegistry {
       LIMIT 10
     """.trim))
 
+  /** TPC-H Q13 shape (customer order distribution): how many
+    * customers placed 0, 1, 2, ... qualifying orders — the
+    * outer-join-preserving double aggregation. The zero bucket is the
+    * whole point: the order filter (priority not '4-NOT SPECIFIED',
+    * standing in for Q13's comment pattern) lives in the JOIN
+    * CONDITION, not a WHERE — pushed to a WHERE it would delete the
+    * zero-order customers the query exists to count. Plan shape at
+    * 100 TB: orders shuffles once on o_custkey (count(o_orderkey)
+    * skips outer-join nulls for free), the second aggregate is over
+    * at-most-|distinct counts| rows, and nothing ever sorts.
+    */
+  val q239 = GraftQuery(
+    "q239_customer_order_distribution",
+    (s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey"))
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"))
+      c.join(o,
+          c("c_custkey") === o("o_custkey") &&
+            o("o_orderpriority") =!= "4-NOT SPECIFIED",
+          "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+    Some("""
+      WITH co AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey
+         AND o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY c_custkey)
+      SELECT CAST(c_count AS BIGINT) AS c_count,
+             CAST(count(*) AS BIGINT) AS custdist
+      FROM co GROUP BY c_count
+    """.trim))
+
+  /** TPC-H Q15 shape (top supplier): the supplier(s) whose revenue
+    * over one ship quarter EQUALS the maximum such revenue — the
+    * aggregate-view-consumed-twice pattern (Q15's CREATE VIEW).
+    * Decorrelated form: the per-supplier revenue aggregate is ONE
+    * lineage feeding both the one-row max scalar and the equality
+    * filter; AQE materializes the partial-agg exchange once
+    * (ReusedExchange, plan-asserted — the q228 discipline), so the
+    * fact table is scanned once. Tie-preserving by construction:
+    * every supplier at the exact integer max survives, which is why
+    * revenue stays in micro-units end to end — a double would make
+    * "equals the max" float-luck.
+    */
+  val q240 = GraftQuery(
+    "q240_top_supplier_revenue",
+    (s, d) => {
+      // the explicit isNotNull matches the constraint the supplier
+      // join pushes into the probe branch — without it the two
+      // consumers' exchange subtrees differ by that one filter and
+      // AQE cannot reuse the stage (= a second full fact scan)
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_suppkey").isNotNull &&
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100) - round(col("l_discount") * 100).cast("long")))
+          .as("total_revenue_u"))
+      val mx = rev.agg(max(col("total_revenue_u")).as("max_revenue_u"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue_u") === col("max_revenue_u"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue_u"))
+    },
+    Some("""
+      WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                        (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_revenue_u
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY 1)
+      SELECT s_suppkey, s_name, total_revenue_u
+      FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      WHERE total_revenue_u = (SELECT max(total_revenue_u) FROM rev)
+    """.trim))
+
+  /** TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    * count per (brand, type, size) over qualifying parts, EXCLUDING a
+    * blocked supplier list — the NOT IN → LeftAnti pattern. Reshaped
+    * to this schema: the part-supplier association is the distinct
+    * (l_partkey, l_suppkey) pairs from lineitem (no partsupp table),
+    * and the blocked list is suppliers with a negative account
+    * balance (no s_comment). Plan shape at 100 TB: the pair distinct
+    * is a hash aggregate on exactly the two join columns (never an
+    * Expand — the distinct happens BEFORE the count, q98a's rule),
+    * the blocked list and the part dim both broadcast, and one
+    * shuffle groups the three-column key.
+    */
+  val q241 = GraftQuery(
+    "q241_supplier_count_by_part",
+    (s, d) => {
+      val ps = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val blocked = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      val p = Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#45" &&
+          !col("p_type").startsWith("MEDIUM") &&
+          col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      ps.join(broadcast(blocked), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    },
+    Some("""
+      WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      SELECT p_brand, p_type, p_size,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM ps
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#45'
+        AND p_type NOT LIKE 'MEDIUM%'
+        AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+      GROUP BY 1, 2, 3
+    """.trim))
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): revenue from
+    * lineitems of one brand whose quantity is below 20% of that
+    * part's average quantity — the correlated-scalar-AVG pattern.
+    * Decorrelated form: a PARTITIONED window carries the per-part
+    * (sum, count) to every row in the same pass — one fact scan, one
+    * shuffle on l_partkey, no self-join (a join-back form scans the
+    * fact twice: column pruning gives the two branches different
+    * projections, so their exchanges can never be shared). The
+    * window partition is rows-per-part — bounded by order volume per
+    * part (~30 in TPC-H at every SF), never corpus-proportional, so
+    * the plan survives 100×. The 20%-of-average test is exact
+    * integer cross-multiplication — qty*5*cnt < sum(qty) — never a
+    * double ratio; quantities in centi-units (integral in the data,
+    * exact after round). The yearly figure is the exact total
+    * centi-unit sum (the /7.0 presentation divide belongs to the
+    * report, not the engine).
+    */
+  val q242 = GraftQuery(
+    "q242_small_quantity_revenue",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bp = broadcast(Tables.part(s, d)
+        .filter(col("p_brand") === "Brand#23")
+        .select(col("p_partkey")))
+      val w = Window.partitionBy(col("l_partkey"))
+      Tables.lineitem(s, d)
+        .join(bp, col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"),
+          round(col("l_quantity") * 100).cast("long").as("qty_c"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+        .withColumn("sum_qty_c", sum(col("qty_c")).over(w))
+        .withColumn("n_lines", count(lit(1)).over(w))
+        .filter(col("qty_c") * 5 * col("n_lines") < col("sum_qty_c"))
+        .agg(count(lit(1)).as("n_small"),
+          sum(col("price_c")).as("revenue_c"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT l_partkey,
+               CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23'),
+      wi AS (
+        SELECT qty_c, price_c,
+               sum(qty_c) OVER (PARTITION BY l_partkey) AS sum_qty_c,
+               count(*) OVER (PARTITION BY l_partkey) AS n_lines
+        FROM li)
+      SELECT CAST(count(*) AS BIGINT) AS n_small,
+             CAST(sum(price_c) AS BIGINT) AS revenue_c
+      FROM wi
+      WHERE qty_c * 5 * n_lines < sum_qty_c
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q17, q18,
       q19, q109, q111, q119, q123, q144, q175, q176, q188, q203, q206, q207,
       q208, q209, q210, q211, q212, q215, q224, q225, q226, q227, q228, q229,
-      q231, q232, q238)
+      q231, q232, q238, q239, q240, q241, q242)
 }

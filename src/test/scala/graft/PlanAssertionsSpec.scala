@@ -240,6 +240,42 @@ class PlanAssertionsSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q239: the order filter stays in the outer join; zero-order customers survive") {
+    val df = Relational.q239.run(spark, sf)
+    val plan = executed(df)
+    // the priority filter must NOT become a customer-deleting inner
+    // join — LeftOuter is the query's semantics, not an accident
+    assert(plan.contains("LeftOuter"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q240: the revenue view's exchange is reused by the max scalar (one fact scan)") {
+    val plan = executed(Relational.q240.run(spark, sf))
+    assert(plan.contains("ReusedExchange"),
+      s"rev exchange not reused — lineitem scanned twice:\n$plan")
+  }
+
+  test("q241: blocked suppliers are a broadcast LeftAnti; distinct count has no Expand") {
+    val plan = executed(Relational.q241.run(spark, sf))
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // single-distinct aggregate plans as a two-level hash aggregate,
+    // never the multi-distinct Expand blow-up
+    assert(!plan.contains("Expand"), plan)
+  }
+
+  test("q242: the correlated average is a partitioned window — one fact scan, no self-join") {
+    val df = Relational.q242.run(spark, sf)
+    val plan = executed(df)
+    // Window partitioned by l_partkey (bounded rows per part), never
+    // the join-back form that scans lineitem twice
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val nScans = scans(df.queryExecution.executedPlan)
+      .count(_.metadata.getOrElse("Location", "").contains("lineitem"))
+    assert(nScans <= 1, s"lineitem scanned $nScans times:\n$plan")
+  }
+
   test("statsDrivenJoin: each hot key takes the remedy its stats chose; output = plain join") {
     import spark.implicits._
     import graft.operators.Skew
