@@ -37,15 +37,30 @@ object Clustering {
   def kmeansAssign(spark: SparkSession, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, iters: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    Similarity.ivfAssign(c,
+      kmeansCentroids(spark, corpus, idCol, vecCol, k, iters),
+      "id", "v", "centroid_id", "cv")
+  }
+
+  /** The TRAINED centroids themselves — (centroid_id, cv) after
+    * `iters` Lloyd rounds. The IVF family takes centroids as an
+    * input, so this is the piece that upgrades an index from
+    * arbitrary seed vectors to real coarse centroids (which is what
+    * makes residual PQ coding pay — see ResidualRecallProbe /
+    * PLANS.md).
+    */
+  def kmeansCentroids(spark: SparkSession, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, iters: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     // deterministic seed: k lowest ids, centroid_id = rank in id order
     val seedW = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
     var cents: DataFrame = c.orderBy(col("id")).limit(k)
       .withColumn("centroid_id", (row_number().over(seedW) - 1).cast("long"))
       .select(col("centroid_id"),
         transform(col("v"), x => x.cast("double")).as("cv"))
-    var assign: DataFrame =
-      Similarity.ivfAssign(c, cents, "id", "v", "centroid_id", "cv")
     for (_ <- 1 to iters) {
+      val assign =
+        Similarity.ivfAssign(c, cents, "id", "v", "centroid_id", "cv")
       val sums = assign.join(c, "id")
         .select(col("cluster_id"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cluster_id"), col("pos"))
@@ -58,9 +73,8 @@ object Clustering {
       val rows = next.collect()
       cents = spark.createDataFrame(
         spark.sparkContext.parallelize(rows.toIndexedSeq, 1), next.schema)
-      assign = Similarity.ivfAssign(c, cents, "id", "v", "centroid_id", "cv")
     }
-    assign
+    cents
   }
 
   /** Per-cluster training summary: size and floor(within-cluster sum

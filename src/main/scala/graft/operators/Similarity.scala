@@ -164,14 +164,45 @@ object Similarity {
     * meaningless under any other codebook (the signature-store
     * params-marker discipline, expressed as co-located tables).
     */
-  private def pqStoreParams(m: Int, kCodes: Int, subDim: Int): String =
-    s"m=$m,kCodes=$kCodes,subDim=$subDim"
+  private def pqStoreParams(m: Int, kCodes: Int, subDim: Int,
+      residual: Boolean = false): String =
+    s"m=$m,kCodes=$kCodes,subDim=$subDim" +
+      (if (residual) ",residual" else "")
+
+  /** (id, rv): each vector minus its assigned IVF centroid — the
+    * residual Jégou et al. 2011 §V actually quantizes. The published
+    * rationale: displacements from TRAINED coarse centroids are small
+    * and share one codebook across clusters. Whether that pays is a
+    * property of the DATA — on this repo's near-isotropic synthetic
+    * embeddings the measured recall gain is noise-to-negative
+    * (q244 vs q235; tools.ResidualRecallProbe sweeps the full
+    * centroid-kind x coding 2x2 — PLANS.md) — which is exactly why
+    * both codings exist behind one flag and one audit. Components are
+    * exact double differences of the float inputs, so both engines
+    * reproduce them bit-for-bit.
+    */
+  private[graft] def residualVectors(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String,
+      centroidIdCol: String, centroidVecCol: String): DataFrame = {
+    val cent = centroids.select(col(centroidIdCol).as("cluster_id"),
+      col(centroidVecCol).as("ccv"))
+    ivfAssign(corpus, centroids, idCol, vecCol, centroidIdCol,
+        centroidVecCol)
+      .select(col("id"), col("cluster_id"))
+      .join(broadcast(cent), Seq("cluster_id"))
+      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("v")),
+        Seq("id"))
+      .select(col("id"),
+        zip_with(col("v"), col("ccv"),
+          (x, y) => x.cast("double") - y.cast("double")).as("rv"))
+  }
 
   def ivfPqIndexWrite(corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String,
       centroidIdCol: String, centroidVecCol: String,
       m: Int, kCodes: Int, subDim: Int, iters: Int,
-      path: String, targetRowsPerFile: Long = 1L << 20): Unit = {
+      path: String, targetRowsPerFile: Long = 1L << 20,
+      residual: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     // invalidate FIRST (the signature-store markerDelete-first
     // discipline): codebook, centroids, and index are three separate
@@ -181,15 +212,23 @@ object Similarity {
     // the marker dropped up front, any partial write fails
     // ivfPqIndexComplete and forces a rebuild.
     Dedup.markerDelete(path)
+    // residual mode trains AND encodes on (v - centroid(v)); the
+    // stored codes are then displacement codes, and search must build
+    // its distance tables from the query's residual per probed cluster
+    val (codeCorpus, cIdCol, cVecCol) =
+      if (residual)
+        (residualVectors(corpus, centroids, idCol, vecCol,
+          centroidIdCol, centroidVecCol), "id", "rv")
+      else (corpus, idCol, vecCol)
     val cb = ProductQuantization.trainCodebooks(
-      spark, corpus, idCol, vecCol, m, kCodes, subDim, iters)
+      spark, codeCorpus, cIdCol, cVecCol, m, kCodes, subDim, iters)
     cb.write.mode("overwrite").parquet(s"$path/codebook")
     centroids.select(col(centroidIdCol).as("centroid_id"),
         col(centroidVecCol).as("cv"))
       .write.mode("overwrite").parquet(s"$path/centroids")
     // per-id code array ordered by subspace (sub = array position)
     val codes = ProductQuantization.assignCodes(
-        ProductQuantization.subspaces(corpus, idCol, vecCol, m, subDim), cb)
+        ProductQuantization.subspaces(codeCorpus, cIdCol, cVecCol, m, subDim), cb)
       .groupBy(col("id"))
       .agg(transform(
         array_sort(collect_list(struct(col("sub"), col("code")))),
@@ -198,7 +237,7 @@ object Similarity {
       centroidVecCol, s"$path/index", targetRowsPerFile, "overwrite",
       extra = Some(codes))
     // all three tables committed: publish the store-level marker
-    Dedup.markerWrite(path, pqStoreParams(m, kCodes, subDim))
+    Dedup.markerWrite(path, pqStoreParams(m, kCodes, subDim, residual))
   }
 
   /** Build-if-absent guard for ivfPqIndexWrite: all three tables are
@@ -214,13 +253,14 @@ object Similarity {
     * mismatched one.
     */
   def ivfPqIndexComplete(spark: org.apache.spark.sql.SparkSession,
-      path: String, m: Int, kCodes: Int, subDim: Int): Boolean = {
+      path: String, m: Int, kCodes: Int, subDim: Int,
+      residual: Boolean = false): Boolean = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq("index", "codebook", "centroids").forall(t =>
       fs.exists(new org.apache.hadoop.fs.Path(s"$path/$t/_SUCCESS"))) &&
       Dedup.markerRead(path).exists(
-        _.trim == pqStoreParams(m, kCodes, subDim))
+        _.trim == pqStoreParams(m, kCodes, subDim, residual))
   }
 
   /** Incremental maintenance for the IVFADC index — the append leg:
@@ -241,14 +281,20 @@ object Similarity {
   def ivfPqIndexAppend(spark: org.apache.spark.sql.SparkSession,
       newVecs: DataFrame, idCol: String, vecCol: String,
       m: Int, kCodes: Int, subDim: Int, path: String,
-      targetRowsPerFile: Long = 1L << 20): Unit = {
-    require(ivfPqIndexComplete(spark, path, m, kCodes, subDim),
+      targetRowsPerFile: Long = 1L << 20,
+      residual: Boolean = false): Unit = {
+    require(ivfPqIndexComplete(spark, path, m, kCodes, subDim, residual),
       s"IVFADC index at $path is incomplete or was built with different " +
-        s"parameters than (${pqStoreParams(m, kCodes, subDim)}) — refusing to append")
+        s"parameters than (${pqStoreParams(m, kCodes, subDim, residual)}) — refusing to append")
     val cb = spark.read.parquet(s"$path/codebook")
     val cents = spark.read.parquet(s"$path/centroids")
+    val (codeVecs, cIdCol, cVecCol) =
+      if (residual)
+        (residualVectors(newVecs, cents, idCol, vecCol,
+          "centroid_id", "cv"), "id", "rv")
+      else (newVecs, idCol, vecCol)
     val codes = ProductQuantization.assignCodes(
-        ProductQuantization.subspaces(newVecs, idCol, vecCol, m, subDim), cb)
+        ProductQuantization.subspaces(codeVecs, cIdCol, cVecCol, m, subDim), cb)
       .groupBy(col("id"))
       .agg(transform(
         array_sort(collect_list(struct(col("sub"), col("code")))),
@@ -283,10 +329,11 @@ object Similarity {
     */
   def ivfPqIndexVacuum(spark: org.apache.spark.sql.SparkSession,
       removedIds: DataFrame, idCol: String,
-      m: Int, kCodes: Int, subDim: Int, path: String): Unit = {
-    require(ivfPqIndexComplete(spark, path, m, kCodes, subDim),
+      m: Int, kCodes: Int, subDim: Int, path: String,
+      residual: Boolean = false): Unit = {
+    require(ivfPqIndexComplete(spark, path, m, kCodes, subDim, residual),
       s"IVFADC index at $path is incomplete or was built with different " +
-        s"parameters than (${pqStoreParams(m, kCodes, subDim)}) — refusing to vacuum")
+        s"parameters than (${pqStoreParams(m, kCodes, subDim, residual)}) — refusing to vacuum")
     val ids = removedIds.select(col(idCol).as("id"))
     // narrow (id, cluster_id) scan: the codes and the 16x-wider float
     // vector column stay columnar-pruned out of the affected-cluster
@@ -320,7 +367,7 @@ object Similarity {
             "marker remains dropped — index requires rebuild")
     }
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/index_stage"), true)
-    Dedup.markerWrite(path, pqStoreParams(m, kCodes, subDim))
+    Dedup.markerWrite(path, pqStoreParams(m, kCodes, subDim, residual))
   }
 
   /** Search over an ivfPqIndexWrite index: probe selection becomes a
@@ -341,7 +388,8 @@ object Similarity {
     */
   def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nprobe: Int, shortlistN: Int): DataFrame = {
+      k: Int, nprobe: Int, shortlistN: Int,
+      residual: Boolean = false): DataFrame = {
     val cb = spark.read.parquet(s"$path/codebook")
     val geo = cb.agg(max(col("sub")).as("ms"),
       max(size(col("cv"))).as("sd")).head()
@@ -355,7 +403,7 @@ object Similarity {
       .orderBy(asc("dist2"), asc("centroid_id"))
     val probed = probe.withColumn("rn", row_number().over(wp))
       .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("qv"),
+      .select(col("query_id"), col("qv"), col("cv"),
         col("centroid_id").cast("string").as("cluster_id"))
     // bounded driver hop (nQueries x nprobe strings) -> static isin
     // partition filter: Catalyst prunes to the probed directories
@@ -363,13 +411,36 @@ object Similarity {
       .distinct().collect().map(_.getString(0))
     val corpus = spark.read.parquet(s"$path/index")
       .filter(col("cluster_id").isin(probedIds.toSeq: _*))
-    val qSub = ProductQuantization.subspaces(q, "query_id", "qv", m, subDim)
-      .select(col("id").as("query_id"), col("sub"),
-        transform(col("sv"), x => x.cast("double")).as("qsv"))
-    val dt = broadcast(cb).join(broadcast(qSub), Seq("sub"))
-      .withColumn("d6", round(V.l2Squared(col("qsv"), col("cv")), 6))
-      .select(col("query_id"), col("sub"), col("code"),
-        round(col("d6") * 1e6).cast("long").as("d_u"))
+    // distance table: raw mode keys per query (codes quantize raw
+    // positions); residual mode keys per (query, probed cluster) —
+    // stored codes quantize (v - centroid), so the query side must be
+    // the query's OWN residual against that cluster's centroid. Still
+    // broadcast-bounded: nQueries x nprobe x m x kCodes rows.
+    val dt =
+      if (residual) {
+        val qres = probed.select(col("query_id"), col("cluster_id"),
+          zip_with(col("qv"), col("cv"),
+            (x, y) => x.cast("double") - y.cast("double")).as("rqv"))
+        val qSub = qres.select(col("query_id"), col("cluster_id"),
+            explode(transform(sequence(lit(0L), lit(m - 1L)),
+              j => struct(j.as("sub"),
+                slice(col("rqv"), (j * subDim + 1).cast("int"),
+                  lit(subDim)).as("qsv")))).as("e"))
+          .select(col("query_id"), col("cluster_id"),
+            col("e.sub").as("sub"), col("e.qsv").as("qsv"))
+        broadcast(cb).join(broadcast(qSub), Seq("sub"))
+          .withColumn("d6", round(V.l2Squared(col("qsv"), col("cv")), 6))
+          .select(col("query_id"), col("cluster_id"), col("sub"),
+            col("code"), round(col("d6") * 1e6).cast("long").as("d_u"))
+      } else {
+        val qSub = ProductQuantization.subspaces(q, "query_id", "qv", m, subDim)
+          .select(col("id").as("query_id"), col("sub"),
+            transform(col("sv"), x => x.cast("double")).as("qsv"))
+        broadcast(cb).join(broadcast(qSub), Seq("sub"))
+          .withColumn("d6", round(V.l2Squared(col("qsv"), col("cv")), 6))
+          .select(col("query_id"), col("sub"), col("code"),
+            round(col("d6") * 1e6).cast("long").as("d_u"))
+      }
     // ADC branch reads CODES ONLY — the point of PQ at 100 TB: the
     // 64-float vector column (16x the codes) stays columnar-pruned
     // out of this scan (asserted in IvfIndexSpec); the shuffle
@@ -378,10 +449,13 @@ object Similarity {
       .join(corpus.select(col("cluster_id"), col("id"), col("codes")),
         Seq("cluster_id"))
       .filter(col("query_id") =!= col("id"))
+    val dtKeys =
+      if (residual) Seq("query_id", "cluster_id", "sub", "code")
+      else Seq("query_id", "sub", "code")
     val adc = member
-      .select(col("query_id"), col("id"),
+      .select(col("query_id"), col("cluster_id"), col("id"),
         posexplode(col("codes")).as(Seq("sub", "code")))
-      .join(broadcast(dt), Seq("query_id", "sub", "code"))
+      .join(broadcast(dt), dtKeys)
       .groupBy(col("query_id"), col("id"))
       .agg(sum(col("d_u")).as("adc_u"))
     val ws = Window.partitionBy(col("query_id"))

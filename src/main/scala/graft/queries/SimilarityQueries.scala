@@ -908,7 +908,224 @@ object SimilarityQueries extends QueryRegistry {
       """.trim
     })
 
+  /** Shared DuckDB chain for the RESIDUAL-coded IVFADC (Jégou et al.
+    * 2011 §V as actually published: PQ quantizes v − centroid(v),
+    * not v): IVF assignment first, residual vectors as exact double
+    * differences, then the same one-Lloyd-round PQ training/encoding
+    * over residuals. `ra2` is the residual encoding, `rc1` the
+    * residual codebook, `iassign`/`ivfd` the cluster geometry.
+    */
+  private val duckResidualPqChain: String = {
+    def rPqAssign(src: String, cents: String): String =
+      s"""SELECT v.id, v.s, c.code,
+            round(list_sum(list_transform(range(1, 17),
+              i -> (v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i]))), 6) AS dist2
+          FROM $src v JOIN $cents c ON c.s = v.s
+          QUALIFY row_number() OVER (PARTITION BY v.id, v.s
+                                     ORDER BY dist2, c.code) = 1"""
+    s"""ivfd AS (
+        SELECT v.vec_id AS id, c.vec_id AS centroid_id,
+               round(list_sum(list_transform(range(1, 65),
+                 i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) *
+                      (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))), 6) AS dist2
+        FROM embeddings v JOIN embeddings c ON c.vec_id < 8),
+      iassign AS (
+        SELECT id, centroid_id AS cluster_id FROM ivfd
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist2, centroid_id) = 1),
+      res AS (
+        SELECT a.id, a.cluster_id,
+               list_transform(range(1, 65),
+                 i -> CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) AS rv
+        FROM iassign a
+        JOIN embeddings v ON v.vec_id = a.id
+        JOIN embeddings c ON c.vec_id = a.cluster_id),
+      subs AS (SELECT CAST(t.s AS BIGINT) AS s FROM range(0, 4) t(s)),
+      rcs AS (SELECT id, s, rv[s*16+1 : s*16+16] AS sv
+              FROM res CROSS JOIN subs),
+      rseed AS (SELECT id, rv,
+                       CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS code
+                FROM (SELECT * FROM res ORDER BY id LIMIT 16)),
+      rc0 AS (SELECT s, code, rv[s*16+1 : s*16+16] AS cv
+              FROM rseed CROSS JOIN subs),
+      ra1 AS (${rPqAssign("rcs", "rc0")}),
+      rm1 AS (SELECT a.s, a.code, t.i AS pos, avg(v.sv[t.i]) AS mv
+              FROM ra1 a JOIN rcs v ON v.id = a.id AND v.s = a.s
+              CROSS JOIN range(1, 17) t(i)
+              GROUP BY a.s, a.code, t.i),
+      rc1 AS (SELECT s, code, list(mv ORDER BY pos) AS cv
+              FROM rm1 GROUP BY s, code),
+      ra2 AS (${rPqAssign("rcs", "rc1")})"""
+  }
+
+  /** Search fragment over the residual chain: probe, per-(query,
+    * probed-cluster) residual distance table, ADC, shortlist, exact
+    * re-rank — shared by q243 (search) and q244 (recall audit).
+    * Produces `rshort` (query_id, id, adc_u) at the given
+    * (nprobe, shortlistN).
+    */
+  private def duckResidualSearchCtes(np: Int, sl: Int,
+      pfx: String = ""): String =
+    s"""${pfx}probe AS (
+        SELECT id AS query_id, centroid_id AS cluster_id FROM ivfd
+        WHERE id < 3
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist2, centroid_id) <= $np),
+      ${pfx}qres AS (
+        SELECT p.query_id, p.cluster_id,
+               list_transform(range(1, 65),
+                 i -> CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) AS rqv
+        FROM ${pfx}probe p
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN embeddings c ON c.vec_id = p.cluster_id),
+      ${pfx}qsub AS (
+        SELECT query_id, cluster_id, s, rqv[s*16+1 : s*16+16] AS qsv
+        FROM ${pfx}qres CROSS JOIN subs),
+      ${pfx}dt AS (
+        SELECT q.query_id, q.cluster_id, c.s, c.code,
+               CAST(round(round(list_sum(list_transform(range(1, 17),
+                 i -> (q.qsv[i] - c.cv[i]) * (q.qsv[i] - c.cv[i]))), 6)
+                 * 1000000) AS BIGINT) AS d_u
+        FROM rc1 c JOIN ${pfx}qsub q ON q.s = c.s),
+      ${pfx}member AS (
+        SELECT p.query_id, p.cluster_id, a.id
+        FROM ${pfx}probe p JOIN iassign a ON a.cluster_id = p.cluster_id
+        WHERE a.id <> p.query_id),
+      ${pfx}adc AS (
+        SELECT m.query_id, m.id, CAST(sum(dt.d_u) AS BIGINT) AS adc_u
+        FROM ${pfx}member m
+        JOIN ra2 e ON e.id = m.id
+        JOIN ${pfx}dt dt ON dt.query_id = m.query_id
+          AND dt.cluster_id = m.cluster_id
+          AND dt.s = e.s AND dt.code = e.code
+        GROUP BY m.query_id, m.id),
+      ${pfx}rshort AS (
+        SELECT query_id, id, adc_u FROM ${pfx}adc
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_u, id) <= $sl)"""
+
+  /** RESIDUAL-coded IVFADC search — the composition as Jégou et al.
+    * 2011 actually publish it: PQ codes quantize the residual
+    * v − centroid(v), so one shared codebook models every cluster's
+    * displacement distribution instead of the clusters' absolute
+    * positions, at the same 4-byte code budget. Search-side changes:
+    * the ADC distance table is keyed per (query, probed cluster) —
+    * the query's OWN residual against that cluster's centroid —
+    * still broadcast-bounded at nQueries x nprobe x m x kCodes rows.
+    * Everything else (partition-pruned probe, codes-only ADC scan,
+    * bounded exact re-rank) is the q223 shape. The oracle replays the
+    * whole residual composition: IVF assign, residual PQ training,
+    * per-cluster distance tables, ADC, shortlist, re-rank. Whether
+    * residual coding BEATS raw coding is measured, not assumed —
+    * q244 vs q235 (and the ResidualRecallProbe 2x2 in PLANS.md): on
+    * this corpus's near-isotropic embeddings it does not.
+    */
+  val q243 = GraftQuery(
+    "q243_ann_ivf_pq_residual_search",
+    (s, d) => {
+      val path = "/tmp/graft_q243_ivfpq_res_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val emb = Tables.embeddings(s, d)
+      if (!Similarity.ivfPqIndexComplete(s, path, m = 4, kCodes = 16,
+          subDim = 16, residual = true))
+        Similarity.ivfPqIndexWrite(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", "vec_id", "embedding",
+          m = 4, kCodes = 16, subDim = 16, iters = 1, path,
+          targetRowsPerFile = 256L, residual = true)
+      Similarity.ivfPqTopK(s, path, emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", k = 5, nprobe = 2, shortlistN = 20,
+        residual = true)
+    },
+    Some(s"""
+      WITH $duckResidualPqChain,
+      ${duckResidualSearchCtes(2, 20)}
+      SELECT s.query_id, s.id AS neighbor_id, s.adc_u,
+             round(${duckCos("x", "y")}, 4) AS cosine
+      FROM rshort s
+      JOIN embeddings x ON s.query_id = x.vec_id
+      JOIN embeddings y ON s.id = y.vec_id
+      QUALIFY row_number() OVER (PARTITION BY s.query_id
+                                 ORDER BY cosine DESC, s.id) <= 5
+    """.trim))
+
+  /** Residual-IVFADC recall self-audit at the SAME operating points
+    * as q235 — the two curves are directly comparable, so the recall
+    * DELTA of residual coding (at identical storage and search cost)
+    * is a measured, oracle-verified number, not a paper citation.
+    * The measured answer on this corpus: residual loses at small
+    * shortlists (20.0% vs 46.7% at nprobe=1) and converges at high
+    * settings — near-isotropic synthetic embeddings have no cluster
+    * structure for residuals to exploit, and the audit is what
+    * catches that before a deployment ships the "paper-correct"
+    * choice. Same discipline as q235: the oracle replays ground
+    * truth, every per-setting residual search, and the hit counts.
+    */
+  val q244 = GraftQuery(
+    "q244_ivfpq_residual_recall",
+    (s, d) => {
+      val path = "/tmp/graft_q244_ivfpq_resrec_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val emb = Tables.embeddings(s, d)
+      if (!Similarity.ivfPqIndexComplete(s, path, m = 4, kCodes = 16,
+          subDim = 16, residual = true))
+        Similarity.ivfPqIndexWrite(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", "vec_id", "embedding",
+          m = 4, kCodes = 16, subDim = 16, iters = 1, path,
+          targetRowsPerFile = 256L, residual = true)
+      val queries = emb.filter(col("vec_id") < 3)
+      val truth = Similarity.bruteForceTopK(queries, emb,
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .cache()
+      recallSettings.map { case (np, sl) =>
+        val res = Similarity.ivfPqTopK(s, path, queries,
+            "vec_id", "embedding", k = 5, nprobe = np, shortlistN = sl,
+            residual = true)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = truth.join(res, Seq("query_id", "neighbor_id"), "left_semi")
+        truth.agg(count(lit(1)).as("n_truth"))
+          .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+          .select(lit(np).as("nprobe"), lit(sl).as("shortlist_n"),
+            col("n_truth"), col("n_hit"),
+            expr("n_hit * 10000L div n_truth").as("recall_bp"))
+      }.reduce(_ unionAll _)
+    },
+    Some {
+      val settingCtes = recallSettings.map { case (np, sl) =>
+        duckResidualSearchCtes(np, sl, s"s${np}_")
+      }.mkString(",\n      ")
+      val perSetting = recallSettings.map { case (np, sl) =>
+        s"""SELECT $np AS nprobe, $sl AS shortlist_n,
+               (SELECT count(*) FROM truth) AS n_truth,
+               (SELECT count(*)
+                FROM truth t JOIN
+                  (SELECT c.query_id, c.id FROM cosall c
+                   JOIN s${np}_rshort s
+                     ON s.query_id = c.query_id AND s.id = c.id
+                   QUALIFY row_number() OVER (PARTITION BY c.query_id
+                                              ORDER BY c.cosine DESC, c.id) <= 5) r
+                  ON t.query_id = r.query_id AND t.neighbor_id = r.id) AS n_hit"""
+      }.mkString("\n      UNION ALL\n      ")
+      s"""
+      WITH $duckResidualPqChain,
+      $settingCtes,
+      cosall AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS id,
+               round(${duckCos("q", "c")}, 4) AS cosine
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id < 3 AND c.vec_id <> q.vec_id),
+      truth AS (
+        SELECT query_id, id AS neighbor_id FROM cosall
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, id) <= 5),
+      summary AS (
+      $perSetting
+      )
+      SELECT nprobe, shortlist_n,
+             CAST(n_truth AS BIGINT) AS n_truth,
+             CAST(n_hit AS BIGINT) AS n_hit,
+             CAST(n_hit * 10000 // n_truth AS BIGINT) AS recall_bp
+      FROM summary
+      """.trim
+    })
+
   def all: Seq[GraftQuery] =
     Seq(q25, q26, q28, q29, q42a, q42, q79, q84, q116, q137, q138, q143, q182,
-      q189, q190, q221, q223, q234, q235)
+      q189, q190, q221, q223, q234, q235, q243, q244)
 }

@@ -294,4 +294,62 @@ class IvfIndexSpec extends SparkTestBase {
         "vec_id", m = 4, kCodes = 16, subDim = 16, root)
     }
   }
+
+  test("residual and raw IVFADC stores are mutually invalid; residual append re-encodes residuals") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = emb.filter(col("vec_id") < 8)
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    val root = tmpDir("ivfpq_residual")
+    Similarity.ivfPqIndexWrite(base, centroids, "vec_id", "embedding",
+      "vec_id", "embedding", m = 4, kCodes = 16, subDim = 16, iters = 1,
+      root, residual = true)
+    // the marker distinguishes the coding: residual codes decoded as
+    // raw codes (or vice versa) would be silent garbage, so a store
+    // built under one coding must read as incomplete under the other
+    assert(Similarity.ivfPqIndexComplete(spark, root, 4, 16, 16, residual = true))
+    assert(!Similarity.ivfPqIndexComplete(spark, root, 4, 16, 16))
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqIndexAppend(spark, delta, "vec_id", "embedding",
+        m = 4, kCodes = 16, subDim = 16, root) // raw append onto residual store
+    }
+    // residual append: the streamed-in delta is searchable, and the
+    // whole index equals a residual full rebuild row-for-row
+    Similarity.ivfPqIndexAppend(spark, delta, "vec_id", "embedding",
+      m = 4, kCodes = 16, subDim = 16, root, residual = true)
+    val appended = Similarity.ivfPqTopK(spark, root,
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+      k = 5, nprobe = 2, shortlistN = 20, residual = true)
+    val rebuiltRoot = tmpDir("ivfpq_residual_rebuild")
+    Similarity.ivfPqIndexWrite(emb, centroids, "vec_id", "embedding",
+      "vec_id", "embedding", m = 4, kCodes = 16, subDim = 16, iters = 1,
+      rebuiltRoot, residual = true)
+    val rebuilt = Similarity.ivfPqTopK(spark, rebuiltRoot,
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+      k = 5, nprobe = 2, shortlistN = 20, residual = true)
+    // NOTE: codebooks differ (trained on base vs full corpus), so
+    // only compare when training corpora match — here they do not;
+    // instead prove the append against ITS OWN store's re-encoding
+    val cb = spark.read.parquet(root + "/codebook")
+    val cents = spark.read.parquet(root + "/centroids")
+    import graft.operators.ProductQuantization
+    val rv = Similarity.residualVectors(delta, cents,
+      "vec_id", "embedding", "centroid_id", "cv")
+    val expected = ProductQuantization.assignCodes(
+        ProductQuantization.subspaces(rv, "id", "rv", 4, 16), cb)
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s("code")).as("codes"))
+    val idx = spark.read.parquet(root + "/index")
+    val mismatches = idx.select(col("id"), col("codes"))
+      .join(expected.withColumnRenamed("codes", "exp_codes"), Seq("id"))
+      .filter(col("codes") =!= col("exp_codes")).count()
+    assert(mismatches === 0L,
+      "appended residual codes differ from stored-codebook residual encoding")
+    // both searches return k rows per query regardless
+    assert(appended.groupBy(col("query_id")).count()
+      .filter(col("count") =!= 5).count() === 0L)
+    assert(rebuilt.groupBy(col("query_id")).count()
+      .filter(col("count") =!= 5).count() === 0L)
+  }
 }
