@@ -1198,7 +1198,51 @@ object MiningQueries extends QueryRegistry {
       SELECT i1, i2, i3, cnt FROM r WHERE rn <= 10
     """.trim))
 
+  /** DSIR-shaped importance selection (Xie et al. 2023): keep the 100
+    * documents whose hashed-token distribution looks most like the
+    * English slice relative to the raw corpus. The distributional
+    * machinery is a 64-row bucket table (hashed feature space —
+    * bounded by construction); its add-one log-ratios are
+    * floor-quantized to e6 integers BEFORE touching the corpus, so
+    * every document score is an exact integer sum and the top-100 cut
+    * (score desc, doc_id) is engine-reproducible. The oracle replays
+    * the md5 bucketing, both distributions, the quantized ratio
+    * table, and the selection.
+    */
+  val q245 = GraftQuery(
+    "q245_dsir_importance_selection",
+    (s, d) => graft.operators.ImportanceResampling.selectTopK(
+      Tables.documents(s, d), "doc_id", "text",
+      isTarget = col("lang") === "en", buckets = 64, k = 100),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        FROM documents),
+      tb AS (
+        SELECT doc_id, lang,
+               CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 64 AS b
+        FROM tok),
+      counts AS (
+        SELECT b, CAST(count(*) AS BIGINT) AS c_s,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+        FROM tb GROUP BY 1),
+      tot AS (SELECT CAST(sum(c_s) AS BIGINT) AS n_s,
+                     CAST(sum(c_t) AS BIGINT) AS n_t FROM counts),
+      lr AS (
+        SELECT b,
+               CAST(floor(ln(CAST((c_t + 1) * (n_s + 64) AS DOUBLE) /
+                             CAST((c_s + 1) * (n_t + 64) AS DOUBLE))
+                          * 1000000) AS BIGINT) AS lr_e6
+        FROM counts CROSS JOIN tot)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(lr_e6) AS BIGINT) AS score_e6
+      FROM tb JOIN lr USING (b)
+      GROUP BY doc_id
+      ORDER BY score_e6 DESC, doc_id ASC
+      LIMIT 100
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q70, q71, q72, q73, q74, q76, q77, q81a, q81, q83, q94, q96, q108, q166, q167, q177, q181, q183,
-      q121, q133, q158, q160, q192, q196, q200, q202)
+      q121, q133, q158, q160, q192, q196, q200, q202, q245)
 }
