@@ -317,6 +317,93 @@ object Multimodal {
     }
   }
 
+  /** One frame's 64-bit perceptual average-hash, as four 16-bit chunk
+    * values (chunk c = bits [16c, 16c+16) — chunked for pigeonhole
+    * bucketing AND to keep every engine's arithmetic in safe positive
+    * integers; bit 63 of a packed BIGINT would be the sign bit).
+    */
+  final case class FrameHash(
+      doc_id: Long, frame_idx: Int, c0: Long, c1: Long, c2: Long, c3: Long)
+
+  /** aHash over a decoded raster: nearest-neighbor-sample an 8x8
+    * grid (sample k at (((k%8)*w)/8, ((k/8)*h)/8) — the resizeNearest
+    * mapping), threshold each sample against the grid mean, pack the
+    * 64 bits into four 16-bit chunks. The mean test is exact integer
+    * cross-multiplication (s*64 >= sum), never a divided average —
+    * bit-for-bit replayable from the fixture's pixel formula.
+    */
+  def aHashChunks(px: Array[Byte], w: Int, h: Int): Array[Long] = {
+    val s = new Array[Int](64)
+    var tot = 0
+    var k = 0
+    while (k < 64) {
+      val sx = (k % 8) * w / 8
+      val sy = (k / 8) * h / 8
+      val v = px(sy * w + sx) & 0xff
+      s(k) = v
+      tot += v
+      k += 1
+    }
+    val out = new Array[Long](4)
+    k = 0
+    while (k < 64) {
+      if (s(k) * 64 >= tot) out(k / 16) |= 1L << (k % 16)
+      k += 1
+    }
+    out
+  }
+
+  /** Perceptual hash per REAL decoded frame — the content-identity
+    * signal that survives re-encoding and resizing (the 8x8 grid is
+    * resolution-independent), which byte-level md5 (binaryProfile)
+    * does not.
+    */
+  def perceptualHashes(decoded: Dataset[DecodedFrame]): Dataset[FrameHash] = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.map { f =>
+      val c = aHashChunks(f.pixels, f.width, f.height)
+      FrameHash(f.doc_id, f.frame_idx, c(0), c(1), c(2), c(3))
+    }
+  }
+
+  /** Near-duplicate image pairs by perceptual-hash hamming distance —
+    * multimodal dedup, the reason training pipelines compute pHashes
+    * at all. Pigeonhole bucketing (the simhashBucketedPairs
+    * discipline): a pair within hamming<=3 agrees on at least one of
+    * the four 16-bit chunks, so candidates come from an equi-join on
+    * (chunk_idx, chunk_val) — never a cross join; the hamming filter
+    * runs BEFORE distinct so the dedup shuffle carries near-pairs
+    * only. One pre-partitioned cached chunk table feeds both join
+    * sides (one shuffle). maxHamming must stay <= 3 for 4 chunks.
+    */
+  def perceptualNearDupPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      s"4x16-bit pigeonhole covers hamming<=3; got $maxHamming")
+    val chunkCols = Seq("c0", "c1", "c2", "c3")
+    val chunked = hashes.select(col("doc_id"), col("frame_idx"),
+        col("c0"), col("c1"), col("c2"), col("c3"),
+        posexplode(array(chunkCols.map(col): _*))
+          .as(Seq("chunk_idx", "chunk_val")))
+      .repartition(col("chunk_idx"), col("chunk_val"))
+      .cache()
+    val hamming = chunkCols.map(c =>
+      bit_count(col(s"a.$c").bitwiseXOR(col(s"b.$c"))))
+      .reduce(_ + _)
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          (col("a.doc_id") < col("b.doc_id") ||
+            (col("a.doc_id") === col("b.doc_id") &&
+              col("a.frame_idx") < col("b.frame_idx"))))
+      .select(col("a.doc_id").as("id1"), col("a.frame_idx").as("frame1"),
+        col("b.doc_id").as("id2"), col("b.frame_idx").as("frame2"),
+        hamming.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Pure-SQL binary profiling of a payload column: sizes, header
     * bytes, strided frame samples, content digest. Everything stays
     * in whole-stage codegen — this is the metadata path that must

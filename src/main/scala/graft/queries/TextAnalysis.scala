@@ -952,8 +952,61 @@ object TextAnalysis extends QueryRegistry {
       FROM tc LEFT JOIN nv USING (milestone)
     """.trim))
 
+  /** Multimodal near-dup detection: perceptual average-hash over the
+    * REAL decoded rasters (encode → ImageIO decode → 8x8
+    * nearest-neighbor mean-threshold hash), then hamming<=3 pairs via
+    * 4x16-bit pigeonhole buckets — image dedup, the reason a training
+    * pipeline computes pHashes at all (byte-md5 misses re-encoded or
+    * resized duplicates; the 8x8 grid is resolution-independent).
+    * The engine path is bucketed (equi-join candidates, hamming
+    * filter before distinct, one cached chunk shuffle); the ORACLE is
+    * the exhaustive cross-compare over hashes replayed from the
+    * fixture's pixel formula — so a pair the buckets missed, a wrong
+    * decoded pixel, or a broken threshold all fail the compare.
+    */
+  val q246 = GraftQuery(
+    "q246_image_neardup_pairs",
+    (s, d) => Multimodal.perceptualNearDupPairs(
+      Multimodal.perceptualHashes(Multimodal.decodeFrames(
+        Multimodal.syntheticClips(Tables.documents(s, d)))).toDF(),
+      maxHamming = 3),
+    Some("""
+      WITH dims AS (
+        SELECT doc_id,
+               16 + doc_id % 17 AS w,
+               16 + doc_id % 13 AS hh,
+               1 + doc_id % 3 AS nf
+        FROM documents),
+      fr AS (SELECT doc_id, w, hh, unnest(range(0, nf)) AS f FROM dims),
+      samp AS (
+        SELECT doc_id, f, t.k,
+               ((((t.k % 8) * w) // 8) * 7 + (((t.k // 8) * hh) // 8) * 13 +
+                doc_id * 31 + f * 101) % 256 AS s
+        FROM fr CROSS JOIN range(0, 64) t(k)),
+      tot AS (SELECT doc_id, f, sum(s) AS tot FROM samp GROUP BY 1, 2),
+      bits AS (
+        SELECT s.doc_id, s.f, s.k,
+               CASE WHEN s.s * 64 >= t.tot THEN 1 ELSE 0 END AS b
+        FROM samp s JOIN tot t ON t.doc_id = s.doc_id AND t.f = s.f),
+      hash AS (
+        SELECT doc_id, f,
+               CAST(sum(CASE WHEN k < 16 THEN b * (1 << (k % 16)) ELSE 0 END) AS BIGINT) AS c0,
+               CAST(sum(CASE WHEN k >= 16 AND k < 32 THEN b * (1 << (k % 16)) ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN k >= 32 AND k < 48 THEN b * (1 << (k % 16)) ELSE 0 END) AS BIGINT) AS c2,
+               CAST(sum(CASE WHEN k >= 48 THEN b * (1 << (k % 16)) ELSE 0 END) AS BIGINT) AS c3
+        FROM bits GROUP BY 1, 2)
+      SELECT a.doc_id AS id1, CAST(a.f AS INT) AS frame1,
+             b.doc_id AS id2, CAST(b.f AS INT) AS frame2,
+             CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+                  bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS INT) AS hamming
+      FROM hash a JOIN hash b
+        ON (a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.f < b.f))
+      WHERE bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1)) +
+            bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q45, q62, q63, q64, q65,
       q80, q99, q101, q117, q118, q128, q134, q135, q153, q154, q155, q168,
-      q171, q172, q186, q199)
+      q171, q172, q186, q199, q246)
 }

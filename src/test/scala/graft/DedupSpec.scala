@@ -369,6 +369,45 @@ class DedupSpec extends SparkTestBase {
     assert(kept === Array(0, 2))
   }
 
+  test("aHash matches the hand-computed pattern hash; bucketed pairs equal exhaustive") {
+    // hand-replay the 8x8 mean-threshold hash for doc 5, frame 0
+    val (w, h, _) = Multimodal.clipDims(5L)
+    val samples = (0 until 64).map { k =>
+      Multimodal.patternPixel(5L, 0, (k % 8) * w / 8, (k / 8) * h / 8)
+    }
+    val tot = samples.sum
+    val expected = new Array[Long](4)
+    samples.zipWithIndex.foreach { case (s, k) =>
+      if (s * 64 >= tot) expected(k / 16) |= 1L << (k % 16)
+    }
+    val hashed = Multimodal.perceptualHashes(Multimodal.decodeFrames(
+        Multimodal.syntheticClips(Seq(5L).toDF("doc_id"))))
+      .filter(col("frame_idx") === 0).head()
+    assert(Seq(hashed.c0, hashed.c1, hashed.c2, hashed.c3) === expected.toSeq,
+      "decoded-raster aHash differs from the pattern-formula hash")
+
+    // pigeonhole recall proof: bucketed pairs == exhaustive cross-compare
+    val ids = (0L until 60L).toDF("doc_id")
+    val hashes = Multimodal.perceptualHashes(Multimodal.decodeFrames(
+      Multimodal.syntheticClips(ids))).toDF().cache()
+    val bucketed = Multimodal.perceptualNearDupPairs(hashes, maxHamming = 3)
+      .select("id1", "frame1", "id2", "frame2").collect().map(_.toSeq).toSet
+    val a = hashes.select(col("doc_id").as("id1"), col("frame_idx").as("frame1"),
+      col("c0").as("a0"), col("c1").as("a1"), col("c2").as("a2"), col("c3").as("a3"))
+    val b = hashes.select(col("doc_id").as("id2"), col("frame_idx").as("frame2"),
+      col("c0").as("b0"), col("c1").as("b1"), col("c2").as("b2"), col("c3").as("b3"))
+    val ham = (0 until 4).map(i =>
+      bit_count(col(s"a$i").bitwiseXOR(col(s"b$i")))).reduce(_ + _)
+    val exhaustive = a.crossJoin(b)
+      .filter(col("id1") < col("id2") ||
+        (col("id1") === col("id2") && col("frame1") < col("frame2")))
+      .filter(ham <= 3)
+      .select("id1", "frame1", "id2", "frame2").collect().map(_.toSeq).toSet
+    assert(bucketed === exhaustive,
+      s"bucketed pairs missed ${(exhaustive -- bucketed).size} / gained ${(bucketed -- exhaustive).size}")
+    assert(exhaustive.nonEmpty, "fixture produced no near-dup pairs to verify")
+  }
+
   test("signature store marker validates build parameters as a unit") {
     val store = tmpDir("sig_store_params")
     Dedup.signatureStoreWrite(docs, "doc_id", "text", 3, 4, 4, store)
