@@ -147,4 +147,38 @@ object Sampling {
         .select(lit(e).cast("int").as("epoch"), col("id"), col("pos"))
     }.reduce(_ unionAll _)
   }
+
+  /** TOKEN-budget source mix — the data-mixture knob a pretraining
+    * run actually tunes: keep, per source, the greedy md5-ordered
+    * prefix of documents whose cumulative TOKEN count stays within
+    * that source's budget. Budgets are in tokens, not documents
+    * (sources with long documents contribute fewer of them), the
+    * md5 order makes the kept set stable across runs/engines/appends
+    * (the q220 discipline), and a kept document is never truncated —
+    * the last doc that would cross the budget is dropped, not split.
+    *
+    * Scale shape: the per-source cumulative is NOT a per-source
+    * window (a 5-source corpus would put 20% of 100 TB in one window
+    * partition). Instead ONE `Layout.globalPrefixSum` ordered by
+    * (source, md5key, id) carries the running token count; per-source
+    * offsets are the |sources|-row aggregate min(cum - n_tokens)
+    * broadcast back, and the budget test is a pure filter. One range
+    * shuffle + one bounded aggregate, regardless of corpus size.
+    */
+  def tokenBudgetMix(docs: DataFrame, idCol: String, srcCol: String,
+      tokenCount: Column, budgetPerSource: Long,
+      numPartitions: Int = 0): DataFrame = {
+    val keyed = docs.select(col(idCol).as("id"), col(srcCol).as("source"),
+        tokenCount.cast("long").as("n_tokens"))
+      .withColumn("md5key", md5(col("id").cast("string")))
+    val pref = Layout.globalPrefixSum(keyed,
+      Seq(col("source"), col("md5key"), col("id")), "n_tokens",
+      cumName = "cum_global", numPartitions = numPartitions)
+    val offsets = pref.groupBy(col("source"))
+      .agg(min(col("cum_global") - col("n_tokens")).as("src_offset"))
+    pref.join(broadcast(offsets), Seq("source"))
+      .withColumn("cum_source", col("cum_global") - col("src_offset"))
+      .filter(col("cum_source") <= budgetPerSource)
+      .select(col("id"), col("source"), col("n_tokens"), col("cum_source"))
+  }
 }

@@ -1004,8 +1004,44 @@ object ScaleQueries extends QueryRegistry {
       GROUP BY 1, 2
     """.trim)
 
+  /** Token-budget source mix: per source, the greedy md5-ordered
+    * document prefix within an 800-token budget — mixture control in
+    * the unit a pretraining run actually budgets (tokens, not
+    * documents). The per-source cumulative rides ONE global prefix
+    * sum ordered by (source, md5key, id) with |sources|-row offsets
+    * broadcast back — never a per-source window (20 sources at
+    * 100 TB would put 5 TB in one window partition). The oracle
+    * replays tokenization, md5 order, the per-source running sum,
+    * and the prefix cut.
+    */
+  val q247 = GraftQuery(
+    "q247_token_budget_mix",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Sampling.tokenBudgetMix(docs, "doc_id", "source",
+          size(graft.functions.TextFunctions.tokens(col("text"))),
+          budgetPerSource = 800L)
+        .select(col("id").as("doc_id"), col("source"),
+          col("n_tokens"), col("cum_source"))
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS md5key
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source
+                                   ORDER BY md5key, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_source
+        FROM tok)
+      SELECT doc_id, source, n_tokens, CAST(cum_source AS BIGINT) AS cum_source
+      FROM c WHERE cum_source <= 800
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q44, q46, q48, q50, q66, q87, q88, q97, q98, q98a, q100, q102, q104,
       q112, q114, q124, q125, q126, q127, q131, q136, q141, q145, q146, q151,
-      q169, q173, q197, q201, q237a, q237, q237b)
+      q169, q173, q197, q201, q237a, q237, q237b, q247)
 }

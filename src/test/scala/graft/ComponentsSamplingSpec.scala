@@ -185,4 +185,37 @@ class ComponentsSamplingSpec extends SparkTestBase {
       .as[(Int, Long, Long)].collect()
     assert(again.toSet === m.toSet)
   }
+
+  test("token-budget mix: budgets respected, prefixes maximal, partition-invariant") {
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 120L).map(i =>
+      (i, s"s${i % 3}", 10L + i % 17)).toDF("doc_id", "src", "n_tok")
+    val mix = Sampling.tokenBudgetMix(docs, "doc_id", "src",
+      col("n_tok"), budgetPerSource = 300L).cache()
+    // budget never exceeded
+    val over = mix.groupBy(col("source")).agg(max(col("cum_source")).as("m"))
+      .filter(col("m") > 300L).count()
+    assert(over === 0L)
+    // maximality: per source, the FIRST md5-ordered doc not kept
+    // would have crossed the budget
+    val keptTotals = mix.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("kept")).as[(String, Long)].collect().toMap
+    val ordered = docs
+      .withColumn("md5key", md5(col("doc_id").cast("string")))
+      .orderBy(col("src"), col("md5key"), col("doc_id"))
+      .as[(Long, String, Long, String)].collect()
+    val keptIds = mix.select(col("id")).as[Long].collect().toSet
+    ordered.groupBy(_._2).foreach { case (src, rows) =>
+      val firstDropped = rows.find(r => !keptIds.contains(r._1))
+      firstDropped.foreach { r =>
+        assert(keptTotals.getOrElse(src, 0L) + r._3 > 300L,
+          s"$src dropped doc ${r._1} though it still fit the budget")
+      }
+    }
+    // same kept set under a different partition count
+    val again = Sampling.tokenBudgetMix(docs, "doc_id", "src",
+      col("n_tok"), budgetPerSource = 300L, numPartitions = 7)
+      .select(col("id")).as[Long].collect().toSet
+    assert(again === keptIds)
+  }
 }
