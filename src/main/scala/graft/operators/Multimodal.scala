@@ -404,6 +404,39 @@ object Multimodal {
       .distinct()
   }
 
+  /** Acoustic fingerprint per clip: the sign bits of consecutive
+    * window-energy deltas (the Haitsma-Kalker 2002 shape, energy-band
+    * simplification) over the REAL decoded PCM — bit i is set when
+    * window i+1 carries more energy than window i. Robust to gain
+    * changes (a constant volume scale preserves every comparison) —
+    * which byte-level md5 is not. `bits` deltas from the first
+    * bits+1 windows; clips with fewer windows are dropped. Per-clip
+    * work is a bounded collect_list fold (bits+1 rows), map-side
+    * combined.
+    */
+  def audioFingerprints(frames: Dataset[AudioFrame], bits: Int): DataFrame =
+    frames.toDF()
+      .filter(col("frame_idx") <= bits)
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("frame_idx"), col("mean_square"))))
+        .as("ms"), count(lit(1)).as("n_win"))
+      .filter(col("n_win") === bits + 1)
+      .select(col("doc_id"),
+        expr(s"aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) -> " +
+          "acc + IF(ms[i+1].mean_square > ms[i].mean_square, " +
+          "shiftleft(1L, CAST(i AS INT)), 0L))").as("fp"))
+
+  /** Exact-fingerprint audio dedup groups: clips sharing an acoustic
+    * fingerprint collapse to one canonical (min-id) representative —
+    * the q20 exact-dedup shape applied to the audio modality. One
+    * fingerprint aggregate + one group aggregate; nothing ever
+    * compares clip pairs.
+    */
+  def audioDedupGroups(frames: Dataset[AudioFrame], bits: Int): DataFrame =
+    audioFingerprints(frames, bits)
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_clips"), min(col("doc_id")).as("canonical_id"))
+
   /** Pure-SQL binary profiling of a payload column: sizes, header
     * bytes, strided frame samples, content digest. Everything stays
     * in whole-stage codegen — this is the metadata path that must

@@ -520,6 +520,54 @@ object Similarity {
       .select(col("query_id"), col("id").as("neighbor_id"), col("cosine"))
   }
 
+  /** Hard-negative mining for contrastive training (dense retriever /
+    * embedding-model fine-tuning): for each anchor, the k
+    * HIGHEST-cosine candidates strictly BELOW a near-duplicate
+    * ceiling. Candidates at or above the ceiling are presumed
+    * positives or duplicates — mining them as "negatives" poisons a
+    * contrastive loss with false negatives, which is why the band
+    * filter is part of the operator, not caller postprocessing.
+    *
+    * Scale shape: identical to ivfTopKIndexed — the probe set becomes
+    * a static partition filter on the written index (only nprobe
+    * cluster directories open per anchor), cosine runs in codegen
+    * over the pruned scan, the ceiling test compares the ROUNDED
+    * basis-point value as an exact long (engine-reproducible), and
+    * the per-anchor top-k is a bounded window over probed candidates.
+    */
+  def hardNegatives(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String,
+      centroidIdCol: String, centroidVecCol: String,
+      k: Int, nprobe: Int, dupCeilingBp: Long): DataFrame = {
+    val cent = centroids.select(col(centroidIdCol).as("centroid_id"),
+      col(centroidVecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probe = broadcast(q).join(broadcast(cent))
+      .withColumn("dist2", round(V.l2Squared(col("qv"), col("cv")), 6))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(asc("dist2"), asc("centroid_id"))
+    val probed = probe.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id").as("cluster_id"))
+    val probedIds = probed.select(col("cluster_id").cast("string"))
+      .distinct().collect().map(_.getString(0))
+    val corpus = spark.read.parquet(indexPath)
+      .filter(col("cluster_id").isin(probedIds.toSeq: _*))
+    val scored = probed.withColumn("cluster_id", col("cluster_id").cast("string"))
+      .join(corpus, Seq("cluster_id"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("cosine", round(V.cosine(col("qv"), col("v")), 4))
+      .withColumn("cosine_bp", round(col("cosine") * 10000).cast("long"))
+      .filter(col("cosine_bp") < dupCeilingBp)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), asc("id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("id").as("negative_id"),
+        col("cosine_bp"), col("rnk"))
+  }
+
   /** Random-hyperplane LSH bucketing for cosine: sign bits of dot
     * products against fixed hyperplanes form a bucket key; near
     * vectors collide with high probability. Hyperplane values are

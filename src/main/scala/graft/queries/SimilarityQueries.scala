@@ -214,6 +214,57 @@ object SimilarityQueries extends QueryRegistry {
     },
     q28.oracle)
 
+  /** Hard-negative mining through the written IVF index: for each of
+    * five anchors, the five highest-cosine candidates strictly BELOW
+    * the repo's near-dup ceiling (4000 bp — the q24/q39 threshold:
+    * anything at/above it is a presumed duplicate/positive, and
+    * mining those as negatives poisons a contrastive loss with false
+    * negatives). The training-pair generation step of a dense
+    * retriever pipeline, run at the ANN index's scale shape: probed
+    * partitions only, exact-long basis-point band test, bounded
+    * per-anchor top-k. Oracle replays assignment, probe, cosine, the
+    * band, and the rank.
+    */
+  val q248 = GraftQuery(
+    "q248_hard_negative_mining",
+    (s, d) => {
+      val path = ivfIndexPath(d)
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) buildIndex(s, d)
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegatives(s, path,
+        emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nprobe = 2, dupCeilingBp = 4000L)
+    },
+    Some(s"""
+      WITH dists AS (
+        SELECT v.vec_id AS id, c.vec_id AS centroid_id,
+               round(list_sum(list_transform(range(1, 65),
+                 i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) *
+                      (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))), 6) AS dist2
+        FROM embeddings v JOIN embeddings c ON c.vec_id < 8),
+      assign AS (
+        SELECT id, centroid_id AS cluster_id FROM dists
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist2, centroid_id) = 1),
+      probe AS (
+        SELECT id AS query_id, centroid_id AS cluster_id FROM dists
+        WHERE id < 5
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist2, centroid_id) <= 2),
+      cand AS (
+        SELECT p.query_id, a.id,
+               CAST(round(round(${duckCos("x", "y")}, 4) * 10000) AS BIGINT) AS cosine_bp
+        FROM probe p
+        JOIN assign a ON a.cluster_id = p.cluster_id AND a.id <> p.query_id
+        JOIN embeddings x ON p.query_id = x.vec_id
+        JOIN embeddings y ON a.id = y.vec_id)
+      SELECT query_id, id AS negative_id, cosine_bp,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_bp DESC, id) AS INT) AS rnk
+      FROM cand
+      WHERE cosine_bp < 4000
+      QUALIFY rnk <= 5
+    """.trim))
+
   /** JL random projection of the 64-dim embeddings to 8 dims via the
     * fixed Achlioptas sign matrix; long-form (id, dim, value) output.
     * The oracle regenerates the identical sign literals.
@@ -1127,5 +1178,5 @@ object SimilarityQueries extends QueryRegistry {
 
   def all: Seq[GraftQuery] =
     Seq(q25, q26, q28, q29, q42a, q42, q79, q84, q116, q137, q138, q143, q182,
-      q189, q190, q221, q223, q234, q235, q243, q244)
+      q189, q190, q221, q223, q234, q235, q243, q244, q248)
 }

@@ -1005,8 +1005,45 @@ object TextAnalysis extends QueryRegistry {
             bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) <= 3
     """.trim))
 
+  /** Audio dedup by acoustic fingerprint: 12 energy-delta sign bits
+    * (Haitsma-Kalker shape) over the REAL decoded PCM windows
+    * (window 32, stride 16 — every fixture clip has >= 15 windows),
+    * then exact-fingerprint groups with a min-id canonical — the
+    * audio modality's q20. Gain-invariant where byte md5 is not. The
+    * oracle replays the sawtooth PCM formula, the windowed integer
+    * mean squares, the 12 delta-sign bits, and the grouping — a
+    * mis-decoded sample, a wrong window boundary, or a flipped
+    * comparison all change a fingerprint and fail the hash.
+    */
+  val q249 = GraftQuery(
+    "q249_audio_dedup_groups",
+    (s, d) => Multimodal.audioDedupGroups(
+      Multimodal.decodeWavFrames(
+        Multimodal.syntheticWavs(Tables.documents(s, d)),
+        window = 32, stride = 16),
+      bits = 12),
+    Some("""
+      WITH dims AS (SELECT doc_id, 256 + doc_id % 256 AS n FROM documents),
+      fr AS (SELECT doc_id, unnest(range(0, 13)) AS f FROM dims),
+      sm AS (
+        SELECT doc_id, f,
+               ((doc_id * 31 + (f * 16 + t.i) * 7) % 2003) - 1001 AS v
+        FROM fr CROSS JOIN range(0, 32) t(i)),
+      e AS (SELECT doc_id, f, CAST(sum(v * v) // 32 AS BIGINT) AS ms
+            FROM sm GROUP BY 1, 2),
+      fp AS (
+        SELECT a.doc_id,
+               CAST(sum(CASE WHEN b.ms > a.ms THEN (1 << a.f) ELSE 0 END) AS BIGINT) AS fp
+        FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+        WHERE a.f < 12
+        GROUP BY 1)
+      SELECT fp, CAST(count(*) AS BIGINT) AS n_clips,
+             CAST(min(doc_id) AS BIGINT) AS canonical_id
+      FROM fp GROUP BY fp
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q45, q62, q63, q64, q65,
       q80, q99, q101, q117, q118, q128, q134, q135, q153, q154, q155, q168,
-      q171, q172, q186, q199, q246)
+      q171, q172, q186, q199, q246, q249)
 }
