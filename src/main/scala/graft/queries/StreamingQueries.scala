@@ -325,6 +325,80 @@ object StreamingQueries extends QueryRegistry {
     },
     Some(SimilarityQueries.ivfPqSearchOracleSql(c => s"$c % 10 <> 0", "")))
 
+  /** Streaming perceptual-hash store — incremental multimodal dedup:
+    * clips arrive as micro-batches, each batch pays the EXPENSIVE
+    * work once (real PNG decode → aHash) and appends its hashes to a
+    * parquet store (idempotent under at-least-once replay via a
+    * doc_id anti-join — the q230 discipline); duplicate RESOLUTION
+    * happens at read time as a min-id-per-fingerprint view over the
+    * append-only hash log, so the outcome is independent of how the
+    * stream was batched (a first-write-wins store would make the
+    * canonical depend on batch boundaries). The oracle replays every
+    * frame-0 hash from the fixture's pixel formula and the grouping.
+    */
+  val q250 = GraftQuery(
+    "q250_stream_image_hash_store",
+    (s, d) => {
+      import org.apache.spark.sql.functions.{col, count, lit, min}
+      val M = graft.operators.Multimodal
+      val path = "/tmp/graft_q250_stream_phash_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+        .select(col("doc_id"))
+      val q = src.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val hashes = M.perceptualHashes(M.decodeFrames(
+                M.syntheticClips(batch))).toDF()
+              .filter(col("frame_idx") === 0)
+              .select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"))
+            val fresh =
+              if (new java.io.File(s"$path/_SUCCESS").exists()) {
+                val present = s.read.parquet(path).select(col("doc_id").as("pid"))
+                hashes.join(present, hashes("doc_id") === col("pid"), "left_anti")
+              } else hashes
+            if (!fresh.isEmpty)
+              fresh.write.mode("append").parquet(path)
+          }
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(path)
+        .groupBy(col("c0"), col("c1"), col("c2"), col("c3"))
+        .agg(count(lit(1)).as("n_clips"), min(col("doc_id")).as("canonical_id"))
+    },
+    Some("""
+      WITH dims AS (
+        SELECT doc_id,
+               16 + doc_id % 17 AS w,
+               16 + doc_id % 13 AS hh
+        FROM documents),
+      samp AS (
+        SELECT doc_id, t.k,
+               ((((t.k % 8) * w) // 8) * 7 + (((t.k // 8) * hh) // 8) * 13 +
+                doc_id * 31) % 256 AS s
+        FROM dims CROSS JOIN range(0, 64) t(k)),
+      tot AS (SELECT doc_id, sum(s) AS tot FROM samp GROUP BY 1),
+      bits AS (
+        SELECT s.doc_id, s.k,
+               CASE WHEN s.s * 64 >= t.tot THEN 1 ELSE 0 END AS b
+        FROM samp s JOIN tot t ON t.doc_id = s.doc_id),
+      hash AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN k < 16 THEN b * (1 << (k % 16)) ELSE 0 END) AS BIGINT) AS c0,
+               CAST(sum(CASE WHEN k >= 16 AND k < 32 THEN b * (1 << (k % 16)) ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN k >= 32 AND k < 48 THEN b * (1 << (k % 16)) ELSE 0 END) AS BIGINT) AS c2,
+               CAST(sum(CASE WHEN k >= 48 THEN b * (1 << (k % 16)) ELSE 0 END) AS BIGINT) AS c3
+        FROM bits GROUP BY 1)
+      SELECT c0, c1, c2, c3, CAST(count(*) AS BIGINT) AS n_clips,
+             CAST(min(doc_id) AS BIGINT) AS canonical_id
+      FROM hash GROUP BY 1, 2, 3, 4
+    """.trim))
+
   def all: Seq[GraftQuery] =
-    Seq(q40, q41, q43, q49, q56, q142, q148, q194, q195, q230, q236)
+    Seq(q40, q41, q43, q49, q56, q142, q148, q194, q195, q230, q236, q250)
 }
