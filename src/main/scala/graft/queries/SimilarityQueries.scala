@@ -856,9 +856,13 @@ object SimilarityQueries extends QueryRegistry {
     * so a recall number that flatters the index breaks the hash.
     */
   // the operating-point sweep: nprobe doubles up to the full cluster
-  // count (8 = every partition opened, isolating shortlist loss)
+  // count (8 = every partition opened, isolating shortlist loss), and
+  // the final point unbounds the shortlist too — at (8, 999) the
+  // exact re-rank sees every candidate, so recall MUST be 100%: the
+  // measured proof that all loss below it is shortlist truncation,
+  // not a probe or decode defect
   private val recallSettings: Seq[(Int, Int)] =
-    Seq((1, 10), (2, 20), (4, 40), (8, 100))
+    Seq((1, 10), (2, 20), (4, 40), (8, 100), (8, 999))
 
   val q235 = GraftQuery(
     "q235_ivfpq_recall_audit",
@@ -1139,7 +1143,7 @@ object SimilarityQueries extends QueryRegistry {
     },
     Some {
       val settingCtes = recallSettings.map { case (np, sl) =>
-        duckResidualSearchCtes(np, sl, s"s${np}_")
+        duckResidualSearchCtes(np, sl, s"s${np}_${sl}_")
       }.mkString(",\n      ")
       val perSetting = recallSettings.map { case (np, sl) =>
         s"""SELECT $np AS nprobe, $sl AS shortlist_n,
@@ -1147,7 +1151,7 @@ object SimilarityQueries extends QueryRegistry {
                (SELECT count(*)
                 FROM truth t JOIN
                   (SELECT c.query_id, c.id FROM cosall c
-                   JOIN s${np}_rshort s
+                   JOIN s${np}_${sl}_rshort s
                      ON s.query_id = c.query_id AND s.id = c.id
                    QUALIFY row_number() OVER (PARTITION BY c.query_id
                                               ORDER BY c.cosine DESC, c.id) <= 5) r
