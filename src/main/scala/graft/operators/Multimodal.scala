@@ -404,6 +404,39 @@ object Multimodal {
       .distinct()
   }
 
+  /** CLIP-level near-duplicate pairs by frame-hash containment: two
+    * clips are near-dups when at least `minSharedBp`/10000 of the
+    * smaller clip's DISTINCT frame hashes appear in the other — the
+    * video-dedup grain above q246's frame grain (a clip re-cut from
+    * another shares most frames; frame-level pairs alone don't say
+    * which CLIPS to drop). Distinct-per-clip first, so repeated
+    * frames inside one clip never inflate the overlap; candidates
+    * come from an exact equi-join on the full 64-bit hash (all four
+    * chunks) — no cross join; output is intersection-bounded.
+    */
+  def clipNearDupPairs(hashes: DataFrame, minSharedBp: Long): DataFrame = {
+    val h = hashes.select(col("doc_id"), col("c0"), col("c1"), col("c2"),
+      col("c3")).distinct().cache()
+    val sizes = h.groupBy(col("doc_id")).agg(count(lit(1)).as("n_hashes"))
+    val shared = h.as("a")
+      .join(h.as("b"),
+        col("a.c0") === col("b.c0") && col("a.c1") === col("b.c1") &&
+          col("a.c2") === col("b.c2") && col("a.c3") === col("b.c3") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "id1")
+        .withColumnRenamed("n_hashes", "n1"), Seq("id1"))
+      .join(sizes.withColumnRenamed("doc_id", "id2")
+        .withColumnRenamed("n_hashes", "n2"), Seq("id2"))
+      .withColumn("containment_bp",
+        expr("n_shared * 10000L div least(n1, n2)"))
+      .filter(col("containment_bp") >= minSharedBp)
+      .select(col("id1"), col("id2"), col("n_shared"), col("n1"),
+        col("n2"), col("containment_bp"))
+  }
+
   /** Acoustic fingerprint per clip: the sign bits of consecutive
     * window-energy deltas (the Haitsma-Kalker 2002 shape, energy-band
     * simplification) over the REAL decoded PCM — bit i is set when

@@ -1042,8 +1042,64 @@ object TextAnalysis extends QueryRegistry {
       FROM fp GROUP BY fp
     """.trim))
 
+  /** Clip-level video dedup: pairs of clips sharing at least half of
+    * the smaller clip's DISTINCT frame hashes (containment >= 5000
+    * bp) — the grain above q246's frame pairs: a re-cut clip shares
+    * most frames with its source, and THIS is the query that says
+    * which clips to drop. Candidates from an exact equi-join on the
+    * full 64-bit hash; the oracle replays every frame hash from the
+    * pixel formula, the per-clip distinct, the intersection counts,
+    * and the containment arithmetic.
+    */
+  val q251 = GraftQuery(
+    "q251_clip_neardup_containment",
+    (s, d) => Multimodal.clipNearDupPairs(
+      Multimodal.perceptualHashes(Multimodal.decodeFrames(
+        Multimodal.syntheticClips(Tables.documents(s, d)))).toDF(),
+      minSharedBp = 5000L),
+    Some("""
+      WITH dims AS (
+        SELECT doc_id,
+               16 + doc_id % 17 AS w,
+               16 + doc_id % 13 AS hh,
+               1 + doc_id % 3 AS nf
+        FROM documents),
+      fr AS (SELECT doc_id, w, hh, unnest(range(0, nf)) AS f FROM dims),
+      samp AS (
+        SELECT doc_id, f, t.k,
+               ((((t.k % 8) * w) // 8) * 7 + (((t.k // 8) * hh) // 8) * 13 +
+                doc_id * 31 + f * 101) % 256 AS s
+        FROM fr CROSS JOIN range(0, 64) t(k)),
+      tot AS (SELECT doc_id, f, sum(s) AS tot FROM samp GROUP BY 1, 2),
+      bits AS (
+        SELECT s.doc_id, s.f, s.k,
+               CASE WHEN s.s * 64 >= t.tot THEN 1 ELSE 0 END AS b
+        FROM samp s JOIN tot t ON t.doc_id = s.doc_id AND t.f = s.f),
+      hash AS (
+        SELECT DISTINCT doc_id, c0, c1, c2, c3 FROM (
+          SELECT doc_id, f,
+                 CAST(sum(CASE WHEN k < 16 THEN b * (1 << (k % 16)) ELSE 0 END) AS BIGINT) AS c0,
+                 CAST(sum(CASE WHEN k >= 16 AND k < 32 THEN b * (1 << (k % 16)) ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(sum(CASE WHEN k >= 32 AND k < 48 THEN b * (1 << (k % 16)) ELSE 0 END) AS BIGINT) AS c2,
+                 CAST(sum(CASE WHEN k >= 48 THEN b * (1 << (k % 16)) ELSE 0 END) AS BIGINT) AS c3
+          FROM bits GROUP BY doc_id, f)),
+      sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM hash GROUP BY 1),
+      shared AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS n_shared
+        FROM hash a JOIN hash b
+          ON a.c0 = b.c0 AND a.c1 = b.c1 AND a.c2 = b.c2 AND a.c3 = b.c3
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT s.id1, s.id2, s.n_shared, s1.n AS n1, s2.n AS n2,
+             CAST(s.n_shared * 10000 // least(s1.n, s2.n) AS BIGINT) AS containment_bp
+      FROM shared s
+      JOIN sizes s1 ON s1.doc_id = s.id1
+      JOIN sizes s2 ON s2.doc_id = s.id2
+      WHERE s.n_shared * 10000 // least(s1.n, s2.n) >= 5000
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q45, q62, q63, q64, q65,
       q80, q99, q101, q117, q118, q128, q134, q135, q153, q154, q155, q168,
-      q171, q172, q186, q199, q246, q249)
+      q171, q172, q186, q199, q246, q249, q251)
 }
