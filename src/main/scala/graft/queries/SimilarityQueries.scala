@@ -1180,7 +1180,171 @@ object SimilarityQueries extends QueryRegistry {
       """.trim
     })
 
+  /** Parameterized DuckDB PQ chain — duckPqChainFor generalized over
+    * (m, subDim) for the code-budget sweep (q252): same training
+    * recipe (16 lowest-id seeds, one Lloyd round, round-6 distances,
+    * (dist2, code) tie-break), with the subspace count and slice
+    * width as literals. `${pfx}a2` is the final encoding, `${pfx}c1`
+    * the codebook.
+    */
+  private def duckPqChainM(m: Int, subDim: Int, pfx: String): String = {
+    def pqAssign(src: String, cents: String): String =
+      s"""SELECT v.id, v.s, c.code,
+            round(list_sum(list_transform(range(1, ${subDim + 1}),
+              i -> (CAST(v.sv[i] AS DOUBLE) - c.cv[i]) *
+                   (CAST(v.sv[i] AS DOUBLE) - c.cv[i]))), 6) AS dist2
+          FROM $src v JOIN $cents c ON c.s = v.s
+          QUALIFY row_number() OVER (PARTITION BY v.id, v.s
+                                     ORDER BY dist2, c.code) = 1"""
+    s"""${pfx}subs AS (SELECT CAST(t.s AS BIGINT) AS s FROM range(0, $m) t(s)),
+      ${pfx}cs AS (SELECT vec_id AS id, s,
+                          embedding[s*$subDim+1 : s*$subDim+$subDim] AS sv
+                   FROM embeddings CROSS JOIN ${pfx}subs),
+      ${pfx}seed AS (SELECT vec_id, embedding,
+                            CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+                     FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+      ${pfx}c0 AS (SELECT s, code,
+                          list_transform(embedding[s*$subDim+1 : s*$subDim+$subDim],
+                                         x -> CAST(x AS DOUBLE)) AS cv
+                   FROM ${pfx}seed CROSS JOIN ${pfx}subs),
+      ${pfx}a1 AS (${pqAssign(s"${pfx}cs", s"${pfx}c0")}),
+      ${pfx}m1 AS (SELECT a.s, a.code, t.i AS pos, avg(CAST(v.sv[t.i] AS DOUBLE)) AS mv
+                   FROM ${pfx}a1 a JOIN ${pfx}cs v ON v.id = a.id AND v.s = a.s
+                   CROSS JOIN range(1, ${subDim + 1}) t(i)
+                   GROUP BY a.s, a.code, t.i),
+      ${pfx}c1 AS (SELECT s, code, list(mv ORDER BY pos) AS cv
+                   FROM ${pfx}m1 GROUP BY s, code),
+      ${pfx}a2 AS (${pqAssign(s"${pfx}cs", s"${pfx}c1")})"""
+  }
+
+  /** One full-probe IVFADC search at (nprobe=8, shortlistN=20) over
+    * the m-subspace encoding, reduced to its hit count vs `truth` —
+    * the per-m row of the code-budget sweep.
+    */
+  private def duckCodeBudgetHits(m: Int, subDim: Int): String = {
+    val pfx = s"m${m}_"
+    s"""${duckPqChainM(m, subDim, pfx)},
+      ${pfx}probe AS (
+        SELECT id AS query_id, centroid_id AS cluster_id FROM ivfd
+        WHERE id < 3
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist2, centroid_id) <= 8),
+      ${pfx}qsub AS (
+        SELECT id AS query_id, s,
+               list_transform(sv, x -> CAST(x AS DOUBLE)) AS qsv
+        FROM ${pfx}cs WHERE id < 3),
+      ${pfx}dt AS (
+        SELECT q.query_id, c.s, c.code,
+               CAST(round(round(list_sum(list_transform(range(1, ${subDim + 1}),
+                 i -> (q.qsv[i] - c.cv[i]) * (q.qsv[i] - c.cv[i]))), 6)
+                 * 1000000) AS BIGINT) AS d_u
+        FROM ${pfx}c1 c JOIN ${pfx}qsub q ON q.s = c.s),
+      ${pfx}member AS (
+        SELECT p.query_id, a.id
+        FROM ${pfx}probe p JOIN iassign a ON a.cluster_id = p.cluster_id
+        WHERE a.id <> p.query_id),
+      ${pfx}adc AS (
+        SELECT mm.query_id, mm.id, CAST(sum(dt.d_u) AS BIGINT) AS adc_u
+        FROM ${pfx}member mm
+        JOIN ${pfx}a2 e ON e.id = mm.id
+        JOIN ${pfx}dt dt ON dt.query_id = mm.query_id
+          AND dt.s = e.s AND dt.code = e.code
+        GROUP BY mm.query_id, mm.id),
+      ${pfx}rshort AS (
+        SELECT query_id, id, adc_u FROM ${pfx}adc
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_u, id) <= 20),
+      ${pfx}res AS (
+        SELECT c.query_id, c.id FROM cosall c
+        JOIN ${pfx}rshort s ON s.query_id = c.query_id AND s.id = c.id
+        QUALIFY row_number() OVER (PARTITION BY c.query_id
+                                   ORDER BY c.cosine DESC, c.id) <= 5)"""
+  }
+
+  // the code-budget sweep: m subspaces of 64/m dims each — bytes per
+  // vector = m; every other knob pinned (full probe, shortlist 20)
+  private val codeBudgets: Seq[(Int, Int)] = Seq((2, 32), (4, 16), (8, 8))
+
+  /** ANN code-budget sweep — the THIRD knob of the IVFADC tuning
+    * triangle, measured like the other two (q235: nprobe/shortlistN;
+    * this: bytes per vector): recall@5 at FULL probe and fixed
+    * shortlist for m = 2 / 4 / 8 one-byte codes per vector. Full
+    * probing removes probe loss from the reading, so the curve
+    * isolates what finer codes buy. Storage cost is the x-axis: m
+    * bytes against the 256-byte float vector. The oracle replays all
+    * three trainings, encodings, ADC searches, re-ranks, and hit
+    * counts.
+    */
+  val q252 = GraftQuery(
+    "q252_pq_code_budget_sweep",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 3)
+      val truth = Similarity.bruteForceTopK(queries, emb,
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .cache()
+      codeBudgets.map { case (m, subDim) =>
+        val path = s"/tmp/graft_q252_ivfpq_m${m}_" +
+          d.replaceAll("[^A-Za-z0-9.]", "_")
+        if (!Similarity.ivfPqIndexComplete(s, path, m = m, kCodes = 16,
+            subDim = subDim))
+          Similarity.ivfPqIndexWrite(emb, emb.filter(col("vec_id") < 8),
+            "vec_id", "embedding", "vec_id", "embedding",
+            m = m, kCodes = 16, subDim = subDim, iters = 1, path,
+            targetRowsPerFile = 256L)
+        val res = Similarity.ivfPqTopK(s, path, queries,
+            "vec_id", "embedding", k = 5, nprobe = 8, shortlistN = 20)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = truth.join(res, Seq("query_id", "neighbor_id"), "left_semi")
+        truth.agg(count(lit(1)).as("n_truth"))
+          .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+          .select(lit(m).as("m_codes"), lit(subDim).as("sub_dim"),
+            col("n_truth"), col("n_hit"),
+            expr("n_hit * 10000L div n_truth").as("recall_bp"))
+      }.reduce(_ unionAll _)
+    },
+    Some {
+      val perM = codeBudgets.map { case (m, _) =>
+        s"""SELECT $m AS m_codes, ${64 / m} AS sub_dim,
+               (SELECT count(*) FROM truth) AS n_truth,
+               (SELECT count(*) FROM truth t JOIN m${m}_res r
+                  ON t.query_id = r.query_id AND t.neighbor_id = r.id) AS n_hit"""
+      }.mkString("\n      UNION ALL\n      ")
+      val chains = codeBudgets.map { case (m, sd) =>
+        duckCodeBudgetHits(m, sd)
+      }.mkString(",\n      ")
+      s"""
+      WITH ivfd AS (
+        SELECT v.vec_id AS id, c.vec_id AS centroid_id,
+               round(list_sum(list_transform(range(1, 65),
+                 i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) *
+                      (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))), 6) AS dist2
+        FROM embeddings v JOIN embeddings c ON c.vec_id < 8),
+      iassign AS (
+        SELECT id, centroid_id AS cluster_id FROM ivfd
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist2, centroid_id) = 1),
+      cosall AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS id,
+               round(${duckCos("q", "c")}, 4) AS cosine
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id < 3 AND c.vec_id <> q.vec_id),
+      truth AS (
+        SELECT query_id, id AS neighbor_id FROM cosall
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, id) <= 5),
+      $chains,
+      summary AS (
+      $perM
+      )
+      SELECT m_codes, sub_dim,
+             CAST(n_truth AS BIGINT) AS n_truth,
+             CAST(n_hit AS BIGINT) AS n_hit,
+             CAST(n_hit * 10000 // n_truth AS BIGINT) AS recall_bp
+      FROM summary
+      """.trim
+    })
+
   def all: Seq[GraftQuery] =
     Seq(q25, q26, q28, q29, q42a, q42, q79, q84, q116, q137, q138, q143, q182,
-      q189, q190, q221, q223, q234, q235, q243, q244, q248)
+      q189, q190, q221, q223, q234, q235, q243, q244, q248, q252)
 }
