@@ -1651,9 +1651,86 @@ object AnalyticsQueries extends QueryRegistry {
       GROUP BY CUBE (l_returnflag, l_linestatus)
     """.trim))
 
+  /** Population stability index per event type — THE industry drift
+    * scorecard metric (credit-risk lineage; the 0.1/0.25 action
+    * thresholds every monitoring runbook quotes), comparing the value
+    * distribution of the first half-month (reference) against the
+    * second (current) over 10 fixed 50-unit bins with add-one
+    * smoothing. Exactness: bin ids and counts are exact integers; the
+    * per-bin double term (p−q)·ln(p/q) is computed once per (type,
+    * bin) — a 10-row table per type — and floor-quantized to e6
+    * BEFORE summation; since each PSI term is ≥ 0 by construction,
+    * the quantized sum is an order-independent exact long (the q245
+    * discipline). Missing bins participate via an explicit
+    * type × bin grid, not by accident of the data.
+    */
+  val q253 = GraftQuery(
+    "q253_psi_drift",
+    (s, d) => {
+      val midNs = 1705363200000000000L // 2024-01-16T00:00:00Z
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("least(cast(round(value * 100) as long) div 5000, 9L)")
+            .as("bin"),
+          (col("ts") < midNs).as("is_ref"))
+      val counts = ev.groupBy(col("event_type"), col("bin"))
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_cur"))
+      val grid = ev.select(col("event_type")).distinct()
+        .crossJoin(s.range(0, 10).select(col("id").as("bin")))
+      val tot = counts.groupBy(col("event_type"))
+        .agg(sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"))
+      grid.join(counts, Seq("event_type", "bin"), "left_outer")
+        .na.fill(0L, Seq("c_ref", "c_cur"))
+        .join(tot, Seq("event_type"))
+        .withColumn("p", (col("c_ref") + 1L).cast("double") /
+          (col("n_ref") + 10L).cast("double"))
+        .withColumn("q", (col("c_cur") + 1L).cast("double") /
+          (col("n_cur") + 10L).cast("double"))
+        .withColumn("term_e6",
+          floor((col("p") - col("q")) * log(col("p") / col("q")) * 1e6)
+            .cast("long"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+          sum(col("term_e6")).as("psi_e6"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type,
+               least(CAST(round(value * 100) AS BIGINT) // 5000, 9) AS bin,
+               (epoch_ns(ts) < 1705363200000000000) AS is_ref
+        FROM events),
+      counts AS (
+        SELECT event_type, bin,
+               CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+               CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS c_cur
+        FROM ev GROUP BY 1, 2),
+      grid AS (
+        SELECT event_type, CAST(t.b AS BIGINT) AS bin
+        FROM (SELECT DISTINCT event_type FROM ev) CROSS JOIN range(0, 10) t(b)),
+      tot AS (
+        SELECT event_type, CAST(sum(c_ref) AS BIGINT) AS n_ref,
+               CAST(sum(c_cur) AS BIGINT) AS n_cur
+        FROM counts GROUP BY 1),
+      terms AS (
+        SELECT g.event_type, t.n_ref, t.n_cur,
+               CAST(floor(
+                 (CAST(coalesce(c.c_ref, 0) + 1 AS DOUBLE) / (t.n_ref + 10) -
+                  CAST(coalesce(c.c_cur, 0) + 1 AS DOUBLE) / (t.n_cur + 10)) *
+                 ln((CAST(coalesce(c.c_ref, 0) + 1 AS DOUBLE) / (t.n_ref + 10)) /
+                    (CAST(coalesce(c.c_cur, 0) + 1 AS DOUBLE) / (t.n_cur + 10)))
+                 * 1000000) AS BIGINT) AS term_e6
+        FROM grid g
+        LEFT JOIN counts c ON c.event_type = g.event_type AND c.bin = g.bin
+        JOIN tot t ON t.event_type = g.event_type)
+      SELECT event_type, n_ref, n_cur,
+             CAST(sum(term_e6) AS BIGINT) AS psi_e6
+      FROM terms GROUP BY 1, 2, 3
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q51, q52, q53, q54, q55, q57, q58, q69, q89, q90, q91, q92, q93, q95,
       q110, q129, q139, q147, q149, q152, q156, q157, q159, q161, q162, q163,
       q170, q174, q178, q179, q180, q184, q185, q187, q191, q193, q198,
-      q204, q205, q213, q214, q216, q218, q219, q220, q233)
+      q204, q205, q213, q214, q216, q218, q219, q220, q233, q253)
 }
