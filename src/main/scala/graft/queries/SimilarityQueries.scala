@@ -1344,7 +1344,162 @@ object SimilarityQueries extends QueryRegistry {
       """.trim
     })
 
+  /** d-dim cosine fragment over slices (double widening, matching the
+    * Spark fold over a sliced array).
+    */
+  private def duckCosD(a: String, b: String, d: Int): String =
+    s"""(list_sum(list_transform(range(1, ${d + 1}),
+           i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))) /
+        (sqrt(list_sum(list_transform(range(1, ${d + 1}),
+           i -> CAST($a.embedding[i] AS DOUBLE) * CAST($a.embedding[i] AS DOUBLE)))) *
+         sqrt(list_sum(list_transform(range(1, ${d + 1}),
+           i -> CAST($b.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE))))))"""
+
+  // the dimension-budget sweep: leading-prefix truncations of the
+  // 64-dim embedding (the Matryoshka/MRL serving trick: store or
+  // search on a prefix, pay proportionally less memory and compute)
+  private val dimBudgets: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** Embedding DIMENSION-budget recall curve — the storage/compute
+    * knob orthogonal to PQ codes (q252): search on the leading d of
+    * 64 dims and measure recall@5 against full-dimension ground
+    * truth. d=64 is the built-in control (identical vectors, recall
+    * must be 100%). The measured curve is what decides whether a
+    * deployment can serve from a truncated prefix (d× less memory
+    * bandwidth) before re-ranking on full vectors. Oracle replays
+    * every truncated search and the hit counts.
+    */
+  val q254 = GraftQuery(
+    "q254_dim_budget_recall",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 3)
+      val truth = Similarity.bruteForceTopK(queries, emb,
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .cache()
+      dimBudgets.map { dd =>
+        val tq = queries.select(col("vec_id"),
+          slice(col("embedding"), 1, dd).as("embedding"))
+        val tc = emb.select(col("vec_id"),
+          slice(col("embedding"), 1, dd).as("embedding"))
+        val res = Similarity.bruteForceTopK(tq, tc,
+            "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val hits = truth.join(res, Seq("query_id", "neighbor_id"), "left_semi")
+        truth.agg(count(lit(1)).as("n_truth"))
+          .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+          .select(lit(dd).as("n_dims"), col("n_truth"), col("n_hit"),
+            expr("n_hit * 10000L div n_truth").as("recall_bp"))
+      }.reduce(_ unionAll _)
+    },
+    Some {
+      val perD = dimBudgets.map { dd =>
+        s"""SELECT $dd AS n_dims,
+               (SELECT count(*) FROM truth) AS n_truth,
+               (SELECT count(*) FROM truth t JOIN
+                  (SELECT query_id, id FROM cos$dd
+                   QUALIFY row_number() OVER (PARTITION BY query_id
+                                              ORDER BY cosine DESC, id) <= 5) r
+                  ON t.query_id = r.query_id AND t.neighbor_id = r.id) AS n_hit"""
+      }.mkString("\n      UNION ALL\n      ")
+      val cosCtes = dimBudgets.map { dd =>
+        s"""cos$dd AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS id,
+               round(${duckCosD("q", "c", dd)}, 4) AS cosine
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id < 3 AND c.vec_id <> q.vec_id)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH $cosCtes,
+      truth AS (
+        SELECT query_id, id AS neighbor_id FROM cos64
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, id) <= 5),
+      summary AS (
+      $perD
+      )
+      SELECT n_dims, CAST(n_truth AS BIGINT) AS n_truth,
+             CAST(n_hit AS BIGINT) AS n_hit,
+             CAST(n_hit * 10000 // n_truth AS BIGINT) AS recall_bp
+      FROM summary
+      """.trim
+    })
+
+  /** int8 quantization SEARCH-loss audit — q29 measures per-vector
+    * round-trip fidelity; this measures what actually matters to a
+    * deployment: recall@5 when the CORPUS is served from symmetric
+    * absmax int8 (4× less memory) and queries stay float — the
+    * asymmetric serving shape. Oracle replays the quantize→
+    * dequantize arithmetic inside the search and the hit counts.
+    */
+  val q255 = GraftQuery(
+    "q255_int8_search_recall",
+    (s, d) => {
+      import graft.functions.{VectorFunctions => V}
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 3)
+      val truth = Similarity.bruteForceTopK(queries, emb,
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .cache()
+      val deq = emb
+        .withColumn("scale", V.absmaxScale(col("embedding")))
+        .filter(col("scale") > 0)
+        .select(col("vec_id"),
+          V.dequantizedInt8(col("embedding"), col("scale")).as("embedding"))
+      val res = Similarity.bruteForceTopK(queries, deq,
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = truth.join(res, Seq("query_id", "neighbor_id"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_truth"), col("n_hit"),
+          expr("n_hit * 10000L div n_truth").as("recall_bp"))
+    },
+    Some(s"""
+      WITH cosall AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS id,
+               round(${duckCos("q", "c")}, 4) AS cosine
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id < 3 AND c.vec_id <> q.vec_id),
+      truth AS (
+        SELECT query_id, id AS neighbor_id FROM cosall
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, id) <= 5),
+      deq AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5) * scale / 127.0) AS dq
+        FROM (SELECT vec_id, embedding,
+                     list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS scale
+              FROM embeddings)
+        WHERE scale > 0),
+      qres AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS id,
+               round(
+                 list_sum(list_transform(range(1, 65),
+                   i -> CAST(q.embedding[i] AS DOUBLE) * c.dq[i])) /
+                 (sqrt(list_sum(list_transform(range(1, 65),
+                   i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))) *
+                  sqrt(list_sum(list_transform(range(1, 65),
+                   i -> c.dq[i] * c.dq[i])))), 4) AS cosine
+        FROM embeddings q JOIN deq c
+          ON q.vec_id < 3 AND c.vec_id <> q.vec_id),
+      res AS (
+        SELECT query_id, id FROM qres
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, id) <= 5)
+      SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+             CAST((SELECT count(*) FROM truth t JOIN res r
+                     ON t.query_id = r.query_id AND t.neighbor_id = r.id) AS BIGINT) AS n_hit,
+             CAST((SELECT count(*) FROM truth t JOIN res r
+                     ON t.query_id = r.query_id AND t.neighbor_id = r.id) * 10000 //
+                  (SELECT count(*) FROM truth) AS BIGINT) AS recall_bp
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q25, q26, q28, q29, q42a, q42, q79, q84, q116, q137, q138, q143, q182,
-      q189, q190, q221, q223, q234, q235, q243, q244, q248, q252)
+      q189, q190, q221, q223, q234, q235, q243, q244, q248, q252, q254, q255)
 }
