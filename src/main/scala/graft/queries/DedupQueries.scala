@@ -1180,8 +1180,94 @@ object DedupQueries extends QueryRegistry {
       GROUP BY 1
     """.trim))
 
+  /** The round-10 curation recipe end-to-end — q120's composition
+    * discipline applied to this round's operators, ONE oracle over
+    * the whole chain: char-entropy quality gate → exact dedup
+    * (min-id canonical per md5(text)) → DSIR importance selection
+    * (top-150 most target-like survivors, English slice as target,
+    * scored against the SURVIVOR distribution — selection composes
+    * after dedup, not before) → token-budget source mix (400-token
+    * md5-ordered prefix per source). Output is the final kept-doc
+    * inventory with per-doc token evidence; any stage dropping or
+    * admitting one wrong document changes the hash. Every stage is
+    * the already-audited scale shape (bounded bucket table for DSIR,
+    * one global prefix sum for the mix).
+    */
+  val q256 = GraftQuery(
+    "q256_curation_recipe_r10",
+    (s, d) => {
+      import graft.functions.{QualityFunctions => Q, TextFunctions => T}
+      val docs = Tables.documents(s, d)
+      val kept1 = docs
+        .filter(Q.charEntropy(col("text")) >= 3.95)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+        .cache()
+      // exact dedup: min-id canonical per full-text hash
+      val canon = kept1.groupBy(md5(col("text")).as("th"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val kept2 = kept1.join(canon, Seq("doc_id"), "left_semi").cache()
+      // DSIR selection over the survivors (target = English slice)
+      val sel = graft.operators.ImportanceResampling.selectTopK(
+          kept2, "doc_id", "text",
+          isTarget = col("lang") === "en", buckets = 64, k = 150)
+        .select(col("doc_id"))
+      val selected = kept2.join(sel, Seq("doc_id"), "left_semi")
+      // token-budget mix over the selected docs
+      graft.operators.Sampling.tokenBudgetMix(selected, "doc_id", "source",
+          size(T.tokens(col("text"))), budgetPerSource = 400L)
+        .select(col("id").as("doc_id"), col("source"),
+          col("n_tokens"), col("cum_source"))
+    },
+    Some("""
+      WITH ch AS (SELECT doc_id, source, lang, text,
+                         list_filter(string_split(text, ''), x -> x <> '') AS chars
+                  FROM documents),
+      ent AS (SELECT doc_id, source, lang, text,
+              CASE WHEN len(chars) > 0 THEN
+                floor(-list_sum(list_transform(list_distinct(chars),
+                  c2 -> (CAST(len(list_filter(chars, x -> x = c2)) AS DOUBLE) / len(chars)) *
+                        log2(CAST(len(list_filter(chars, x -> x = c2)) AS DOUBLE) / len(chars))))
+                  * 10000) / 10000 + 0.0
+              ELSE 0.0 END AS h
+              FROM ch),
+      kept1 AS (SELECT doc_id, source, lang, text FROM ent WHERE h >= 3.95),
+      canon AS (SELECT min(doc_id) AS doc_id FROM kept1 GROUP BY md5(text)),
+      kept2 AS (SELECT k.* FROM kept1 k JOIN canon c USING (doc_id)),
+      tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+              FROM kept2),
+      tb AS (SELECT doc_id, lang,
+                    CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 64 AS b
+             FROM tok),
+      counts AS (SELECT b, CAST(count(*) AS BIGINT) AS c_s,
+                        CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+                 FROM tb GROUP BY 1),
+      tot AS (SELECT CAST(sum(c_s) AS BIGINT) AS n_s,
+                     CAST(sum(c_t) AS BIGINT) AS n_t FROM counts),
+      lr AS (SELECT b,
+                    CAST(floor(ln(CAST((c_t + 1) * (n_s + 64) AS DOUBLE) /
+                                  CAST((c_s + 1) * (n_t + 64) AS DOUBLE))
+                               * 1000000) AS BIGINT) AS lr_e6
+             FROM counts CROSS JOIN tot),
+      score AS (SELECT tb.doc_id, CAST(sum(lr.lr_e6) AS BIGINT) AS score_e6
+                FROM tb JOIN lr USING (b) GROUP BY 1),
+      sel AS (SELECT doc_id FROM score
+              ORDER BY score_e6 DESC, doc_id ASC LIMIT 150),
+      mtok AS (SELECT k.doc_id, k.source,
+                      CAST(len(string_split(k.text, ' ')) AS BIGINT) AS n_tokens,
+                      md5(CAST(k.doc_id AS VARCHAR)) AS md5key
+               FROM kept2 k JOIN sel USING (doc_id)),
+      c AS (SELECT doc_id, source, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY source
+                                       ORDER BY md5key, doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum_source
+            FROM mtok)
+      SELECT doc_id, source, n_tokens, CAST(cum_source AS BIGINT) AS cum_source
+      FROM c WHERE cum_source <= 400
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q20, q21, q22, q39, q47, q47a, q59, q60, q61, q67, q68, q75,
       q78, q82, q103a, q103, q105, q106, q107, q113, q120, q122, q130, q132,
-      q150, q164, q165, q217, q222)
+      q150, q164, q165, q217, q222, q256)
 }
