@@ -1728,9 +1728,44 @@ object AnalyticsQueries extends QueryRegistry {
       FROM terms GROUP BY 1, 2, 3
     """.trim))
 
+  /** k-anonymity audit (Sweeney 2002) over a would-be event release
+    * with quasi-identifiers (day, value band): per event type, how
+    * many equivalence classes fall below k=5 and what fraction of
+    * rows they expose — the data-governance pre-release check, in
+    * exact integer basis points. One hash aggregate over the QI
+    * tuple, then a bounded rollup; oracle replays the banding, the
+    * class sizes, and the risk arithmetic.
+    */
+  val q257 = GraftQuery(
+    "q257_k_anonymity_audit",
+    (s, d) => graft.operators.Privacy.kAnonymityAudit(
+        Tables.events(s, d),
+        qi = Seq(expr("ts div 86400000000000").as("day"),
+          expr("cast(round(value * 100) as long) div 10000").as("value_band")),
+        reportBy = col("event_type"), k = 5L)
+      .withColumnRenamed("grp", "event_type"),
+    Some("""
+      WITH qi AS (
+        SELECT event_type,
+               epoch_ns(ts) // 86400000000000 AS day,
+               CAST(round(value * 100) AS BIGINT) // 10000 AS value_band
+        FROM events),
+      cls AS (
+        SELECT event_type, day, value_band, CAST(count(*) AS BIGINT) AS n
+        FROM qi GROUP BY 1, 2, 3)
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_classes,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+             CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 10000 //
+                  sum(n) AS BIGINT) AS risk_bp
+      FROM cls GROUP BY 1
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q51, q52, q53, q54, q55, q57, q58, q69, q89, q90, q91, q92, q93, q95,
       q110, q129, q139, q147, q149, q152, q156, q157, q159, q161, q162, q163,
       q170, q174, q178, q179, q180, q184, q185, q187, q191, q193, q198,
-      q204, q205, q213, q214, q216, q218, q219, q220, q233, q253)
+      q204, q205, q213, q214, q216, q218, q219, q220, q233, q253, q257)
 }
