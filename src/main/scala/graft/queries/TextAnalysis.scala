@@ -1098,8 +1098,55 @@ object TextAnalysis extends QueryRegistry {
       WHERE s.n_shared * 10000 // least(s1.n, s2.n) >= 5000
     """.trim))
 
+  /** Lang-ID accuracy self-audit: the confusion matrix of the
+    * engine's language-ID heuristic against the labeled `lang`
+    * column, with per-label share in exact basis points (diagonal
+    * share = per-language accuracy) — the q217/q235 discipline
+    * applied to the text-classification heuristic: the engine
+    * MEASURES its own classifier instead of assuming it. The oracle
+    * replays the signature-token scores and the alphabetical-tie
+    * argmax per document.
+    */
+  val q258 = GraftQuery(
+    "q258_langid_confusion_audit",
+    (s, d) => {
+      import graft.functions.{QualityFunctions => Q, TextFunctions => T}
+      val words = T.tokens(col("text"))
+      val pred = Tables.documents(s, d)
+        .select(col("lang"), Q.predictedLang(words).as("pred_lang"))
+      val conf = pred.groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+      val tot = conf.groupBy(col("lang")).agg(sum(col("n")).as("n_lang"))
+      conf.join(tot, Seq("lang"))
+        .withColumn("share_bp", expr("n * 10000L div n_lang"))
+    },
+    Some {
+      val profiles = graft.functions.QualityFunctions.LangProfiles
+      val scoreCols = profiles.map { case (l, p) =>
+        s"len(list_filter(words, w -> w IN (${p.map(t => s"'$t'").mkString(", ")}))) AS s_$l"
+      }.mkString(",\n               ")
+      val langs = profiles.map(_._1)
+      val greatest = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+      val argmax = langs.map(l => s"WHEN s_$l = m THEN '$l'")
+        .mkString("CASE ", " ", " END")
+      s"""
+      WITH w AS (SELECT lang, string_split(text, ' ') AS words FROM documents),
+      sc AS (SELECT lang,
+               $scoreCols
+             FROM w),
+      p AS (SELECT lang, $argmax AS pred_lang
+            FROM (SELECT *, $greatest AS m FROM sc)),
+      conf AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+               FROM p GROUP BY 1, 2),
+      tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM conf GROUP BY 1)
+      SELECT c.lang, c.pred_lang, c.n, t.n_lang,
+             CAST(c.n * 10000 // t.n_lang AS BIGINT) AS share_bp
+      FROM conf c JOIN tot t ON t.lang = c.lang
+      """.trim
+    })
+
   def all: Seq[GraftQuery] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q45, q62, q63, q64, q65,
       q80, q99, q101, q117, q118, q128, q134, q135, q153, q154, q155, q168,
-      q171, q172, q186, q199, q246, q249, q251)
+      q171, q172, q186, q199, q246, q249, q251, q258)
 }
