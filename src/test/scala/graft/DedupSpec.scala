@@ -369,6 +369,25 @@ class DedupSpec extends SparkTestBase {
     assert(kept === Array(0, 2))
   }
 
+  test("audio fingerprint matches the hand-computed energy-delta bits") {
+    // replay the sawtooth contract for doc 7: windows of 32 samples
+    // every 16, integer mean square, sign-of-delta bits
+    val (n, _) = Multimodal.audioDims(7L)
+    val samples = (0 until n).map(i => Multimodal.pcmSample(7L, i))
+    val ms = (0 to 12).map { f =>
+      samples.slice(f * 16, f * 16 + 32).map(v => v.toLong * v).sum / 32
+    }
+    var expected = 0L
+    (0 until 12).foreach(b => if (ms(b + 1) > ms(b)) expected |= 1L << b)
+    val got = Multimodal.audioFingerprints(
+      Multimodal.decodeWavFrames(
+        Multimodal.syntheticWavs(Seq(7L).toDF("doc_id")),
+        window = 32, stride = 16),
+      bits = 12).head().getLong(1)
+    assert(got === expected,
+      "decoded-PCM fingerprint differs from the formula-replayed bits")
+  }
+
   test("aHash matches the hand-computed pattern hash; bucketed pairs equal exhaustive") {
     // hand-replay the 8x8 mean-threshold hash for doc 5, frame 0
     val (w, h, _) = Multimodal.clipDims(5L)

@@ -306,4 +306,38 @@ class PlanAssertionsSpec extends SparkTestBase {
     assert(plan.contains("__salt"), s"no salted branch in plan:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast branch in plan:\n$plan")
   }
+
+  test("q245: the DSIR ratio table broadcasts; selection is a TakeOrdered heap") {
+    val plan = executed(SparkEntry.queries("q245_dsir_importance_selection")(spark, sf))
+    // the 64-row bucket table must never shuffle-join the token stream
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q246: image near-dup candidates are an equi-join — no cartesian, no nested loop") {
+    val plan = executed(SparkEntry.queries("q246_image_neardup_pairs")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q247: token-budget mix has no Window; the offset table broadcasts") {
+    val df = SparkEntry.queries("q247_token_budget_mix")(spark, sf)
+    val plan = executed(df)
+    // the per-source cumulative must ride the global prefix sum
+    // (whose single range shuffle lives inside the prefix-sum RDD
+    // lineage, upstream of this SQL plan), never a per-source window
+    // — one window partition per source would carry a corpus share
+    // at scale; the |sources|-row offset table must broadcast
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q257: k-anonymity audit is two hash aggregates — nothing sorts or collects") {
+    val plan = executed(SparkEntry.queries("q257_k_anonymity_audit")(spark, sf))
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
