@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned parquet table with atomic manifest commits — the
+  * publish primitive under every "table format": writers never mutate
+  * what readers see, a commit is ONE filesystem rename, and history
+  * stays queryable until retention removes it.
+  *
+  * Layout under `path`:
+  *   data/b<N>/  — the batch committed by version N, an immutable
+  *                 parquet directory written exactly once;
+  *   _v<N>.manifest — newline-separated batch-dir names composing
+  *                 version N (each version = its predecessor's dirs
+  *                 plus its own batch). Written to a temp name and
+  *                 RENAMED into place: the rename IS the commit
+  *                 point, so a crash anywhere before it leaves the
+  *                 previous version fully intact and the orphaned
+  *                 batch dir invisible (vacuum reclaims it).
+  *
+  * Reads: `readAt(version)` opens exactly the dirs that version's
+  * manifest lists — time travel is manifest selection, zero data
+  * movement. `latestVersion` is a directory listing, not a scan.
+  *
+  * Retention: `vacuum(keep)` deletes manifests older than the newest
+  * `keep` versions and any batch dir no kept manifest references
+  * (including crash orphans); every filesystem return value is
+  * checked (the signature-store discipline). Time travel to a
+  * vacuumed version fails loudly at the manifest check — never a
+  * silent partial read.
+  *
+  * At 100 TB: batches are partitioned parquet writes, manifests stay
+  * KB-sized (a name per batch, not per file), and the single-rename
+  * commit is exactly the atomicity object stores provide for small
+  * control files.
+  */
+object VersionedTable {
+
+  private def fs(path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    // the session's hadoop conf, so test/deployment filesystem
+    // registrations (e.g. custom schemes) apply to the control files
+    // exactly as they do to the data writes
+    (p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration), p)
+  }
+
+  private val ManifestRe = "_v(\\d+)\\.manifest".r
+
+  def latestVersion(path: String): Option[Long] = {
+    val (f, p) = fs(path)
+    if (!f.exists(p)) return None
+    val vs = f.listStatus(p).map(_.getPath.getName).collect {
+      case ManifestRe(n) => n.toLong
+    }
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  private def manifestDirs(path: String, version: Long): Seq[String] = {
+    val (f, p) = fs(path)
+    val m = new Path(p, s"_v$version.manifest")
+    require(f.exists(m),
+      s"version $version of $path does not exist (never committed, or vacuumed)")
+    val in = f.open(m)
+    val text =
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var r = in.read(buf)
+        while (r >= 0) { bytes.write(buf, 0, r); r = in.read(buf) }
+        new String(bytes.toByteArray, "UTF-8")
+      } finally in.close()
+    text.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Append `df` as a new version; returns the committed version
+    * number. The batch dir is written first; the manifest rename is
+    * the commit point.
+    */
+  def append(df: DataFrame, path: String): Long = {
+    val next = latestVersion(path).getOrElse(0L) + 1
+    val prev =
+      if (next == 1) Seq.empty
+      else manifestDirs(path, next - 1)
+    val batch = s"b$next"
+    df.write.mode("overwrite").parquet(s"$path/data/$batch")
+    val (f, p) = fs(path)
+    val tmp = new Path(p, s"_v$next.manifest.tmp")
+    val out = f.create(tmp, true)
+    try out.write((prev :+ batch).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val fin = new Path(p, s"_v$next.manifest")
+    if (!f.rename(tmp, fin))
+      throw new java.io.IOException(
+        s"VersionedTable: commit rename $tmp -> $fin failed; version $next " +
+          "is NOT published (previous version remains intact)")
+    next
+  }
+
+  /** Read the table as of `version` — exactly the dirs its manifest
+    * lists.
+    */
+  def readAt(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val dirs = manifestDirs(path, version).map(b => s"$path/data/$b")
+    spark.read.parquet(dirs: _*)
+  }
+
+  def readLatest(spark: SparkSession, path: String): DataFrame = {
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $path"))
+    readAt(spark, path, v)
+  }
+
+  /** Drop history: keep the newest `keep` versions' manifests, delete
+    * older manifests and every batch dir no kept manifest references
+    * (including crash-orphaned dirs that were never committed).
+    */
+  def vacuum(path: String, keep: Int): Unit = {
+    require(keep >= 1, "must keep at least the latest version")
+    val (f, p) = fs(path)
+    val latest = latestVersion(path).getOrElse(return)
+    val keptVersions = (math.max(1L, latest - keep + 1) to latest)
+    val referenced = keptVersions.flatMap(v => manifestDirs(path, v)).toSet
+    // old manifests first: a reader landing mid-vacuum sees either a
+    // kept version (complete) or a missing manifest (loud failure) —
+    // never a manifest whose dirs are partially deleted
+    f.listStatus(p).map(_.getPath).foreach { mp =>
+      mp.getName match {
+        case ManifestRe(n) if n.toLong < keptVersions.head =>
+          if (!f.delete(mp, false) && f.exists(mp))
+            throw new java.io.IOException(
+              s"VersionedTable vacuum: delete of manifest $mp failed")
+        case _ => ()
+      }
+    }
+    val dataDir = new Path(p, "data")
+    if (f.exists(dataDir)) {
+      f.listStatus(dataDir).map(_.getPath).foreach { bp =>
+        if (!referenced.contains(bp.getName)) {
+          if (!f.delete(bp, true) && f.exists(bp))
+            throw new java.io.IOException(
+              s"VersionedTable vacuum: delete of batch dir $bp failed")
+        }
+      }
+    }
+  }
+}

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.Tables
 import graft.operators.Similarity
 
 /** S4/S8 sources + the LSH bucketing scale path. */
@@ -221,5 +222,64 @@ object SourceQueries extends QueryRegistry {
       GROUP BY priority
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140)
+  /** Time-travel read over the versioned table (AS OF version 1):
+    * the table is committed in two versions — v1 = orders before the
+    * 1997 cutoff, v2 appends the rest — and this query reads v1
+    * AFTER v2 exists: the manifest selects exactly v1's batch dirs,
+    * so history is a read-time choice with zero data movement. The
+    * oracle is the date-filtered base table: one extra or missing
+    * row in the time-traveled read breaks the hash. Build-if-absent
+    * keyed on the latest version (the q42 pattern).
+    */
+  private def versionedOrdersPath(d: String): String =
+    "/tmp/graft_q259_vt_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+
+  private def ensureVersionedOrders(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    import graft.operators.VersionedTable
+    val path = versionedOrdersPath(d)
+    if (!VersionedTable.latestVersion(path).exists(_ >= 2L)) {
+      val cut = lit("1997-01-01").cast("timestamp")
+      val o = Tables.orders(s, d)
+      VersionedTable.append(o.filter(col("o_orderdate") < cut), path)
+      VersionedTable.append(o.filter(col("o_orderdate") >= cut), path)
+    }
+    path
+  }
+
+  val q259 = GraftQuery(
+    "q259_time_travel_read",
+    (s, d) => graft.operators.VersionedTable
+      .readAt(s, ensureVersionedOrders(s, d), version = 1L)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_c")),
+    Some("""
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1
+    """.trim))
+
+  /** Latest-version read over the same versioned table: v2 = the
+    * append-composed whole, equal to the full base table — proving
+    * the append published every row exactly once across the two
+    * manifests.
+    */
+  val q260 = GraftQuery(
+    "q260_versioned_latest_read",
+    (s, d) => graft.operators.VersionedTable
+      .readLatest(s, ensureVersionedOrders(s, d))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_c")),
+    Some("""
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+      FROM orders
+      GROUP BY 1
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260)
 }

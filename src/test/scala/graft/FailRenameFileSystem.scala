@@ -24,5 +24,7 @@ class FailRenameFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
     if (src.getName.endsWith("_stage")) false
     else if (src.getName.startsWith("cluster_id=") &&
       Option(src.getParent).exists(_.getName.endsWith("_stage"))) false
+    // the VersionedTable commit point (manifest tmp -> final)
+    else if (src.getName.endsWith(".manifest.tmp")) false
     else super.rename(src, dst)
 }
