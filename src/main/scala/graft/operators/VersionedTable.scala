@@ -111,6 +111,27 @@ object VersionedTable {
     readAt(spark, path, v)
   }
 
+  /** Incremental read: only the batches committed AFTER `fromVersion`
+    * up to `toVersion` — the consumer primitive versioning exists
+    * for ("give me what's new since my checkpoint"), computed as a
+    * manifest set difference over KB-sized control files. A consumer
+    * that stores its last-seen version gets exactly-once batch
+    * delivery without any log infrastructure.
+    */
+  def readChanges(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    val to = manifestDirs(path, toVersion).toSet
+    val from =
+      if (fromVersion == 0) Set.empty[String]
+      else manifestDirs(path, fromVersion).toSet
+    val fresh = (to -- from).toSeq.sorted.map(b => s"$path/data/$b")
+    if (fresh.isEmpty)
+      readAt(spark, path, toVersion).limit(0)
+    else spark.read.parquet(fresh: _*)
+  }
+
   /** Drop history: keep the newest `keep` versions' manifests, delete
     * older manifests and every batch dir no kept manifest references
     * (including crash-orphaned dirs that were never committed).

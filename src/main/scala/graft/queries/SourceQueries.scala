@@ -281,5 +281,29 @@ object SourceQueries extends QueryRegistry {
       GROUP BY 1
     """.trim))
 
-  def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260)
+  /** Incremental read between versions — the consumer primitive
+    * versioning exists for: everything committed after v1 up to v2
+    * (here: the post-cutoff orders), computed as a manifest set
+    * difference over KB-sized control files; a consumer carrying its
+    * last-seen version gets exactly-once batch delivery with no log
+    * infrastructure. The oracle is the complement of q259's.
+    */
+  val q261 = GraftQuery(
+    "q261_versioned_read_changes",
+    (s, d) => graft.operators.VersionedTable
+      .readChanges(s, ensureVersionedOrders(s, d),
+        fromVersion = 1L, toVersion = 2L)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_c")),
+    Some("""
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      GROUP BY 1
+    """.trim))
+
+  def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
+    q261)
 }
