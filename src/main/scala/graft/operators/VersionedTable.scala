@@ -56,7 +56,7 @@ object VersionedTable {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  private def manifestDirs(path: String, version: Long): Seq[String] = {
+  private def manifestLines(path: String, version: Long): Seq[String] = {
     val (f, p) = fs(path)
     val m = new Path(p, s"_v$version.manifest")
     require(f.exists(m),
@@ -73,12 +73,33 @@ object VersionedTable {
     text.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
   }
 
+  private def manifestDirs(path: String, version: Long): Seq[String] =
+    manifestLines(path, version).filterNot(_.startsWith("#"))
+
+  /** The writer transaction id carried by `version`'s manifest, if
+    * its commit declared one.
+    */
+  def committedTxn(path: String, version: Long): Option[String] =
+    manifestLines(path, version)
+      .find(_.startsWith("#txn=")).map(_.stripPrefix("#txn="))
+
   /** Append `df` as a new version; returns the committed version
     * number. The batch dir is written first; the manifest rename is
-    * the commit point.
+    * the commit point. `txnId` makes the commit IDEMPOTENT for
+    * at-least-once writers (a streaming foreachBatch): when the
+    * LATEST version already carries the same txn id, the replayed
+    * commit is a no-op returning that version — the Delta-style txn
+    * guard, so a replayed micro-batch can never double-publish.
     */
-  def append(df: DataFrame, path: String): Long = {
-    val next = latestVersion(path).getOrElse(0L) + 1
+  def append(df: DataFrame, path: String,
+      txnId: Option[String] = None): Long = {
+    val latest = latestVersion(path)
+    txnId.foreach { t =>
+      latest.foreach { v =>
+        if (committedTxn(path, v).contains(t)) return v
+      }
+    }
+    val next = latest.getOrElse(0L) + 1
     val prev =
       if (next == 1) Seq.empty
       else manifestDirs(path, next - 1)
@@ -86,8 +107,9 @@ object VersionedTable {
     df.write.mode("overwrite").parquet(s"$path/data/$batch")
     val (f, p) = fs(path)
     val tmp = new Path(p, s"_v$next.manifest.tmp")
+    val lines = txnId.map(t => s"#txn=$t").toSeq ++ prev :+ batch
     val out = f.create(tmp, true)
-    try out.write((prev :+ batch).mkString("\n").getBytes("UTF-8"))
+    try out.write(lines.mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val fin = new Path(p, s"_v$next.manifest")
     if (!f.rename(tmp, fin))

@@ -399,6 +399,49 @@ object StreamingQueries extends QueryRegistry {
       FROM hash GROUP BY 1, 2, 3, 4
     """.trim))
 
+  /** Streaming publish into the versioned table with the txn guard:
+    * each micro-batch commits as a new version carrying its batchId
+    * as the transaction id, so foreachBatch's at-least-once replay
+    * can never double-publish — a replayed batch finds its txn on
+    * the latest manifest and no-ops (the Delta-style idempotent-sink
+    * discipline, spec-proven in VersionedTableSpec). The declared
+    * result reads the LATEST version back; a dropped or
+    * double-committed batch changes the aggregate and breaks the
+    * full-table oracle.
+    */
+  val q262 = GraftQuery(
+    "q262_stream_versioned_publish",
+    (s, d) => {
+      import org.apache.spark.sql.functions.{col, count, lit, round, sum}
+      val VT = graft.operators.VersionedTable
+      val path = "/tmp/graft_q262_stream_vt_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val schema = s.read.parquet(s"$d/orders.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(d)
+      val q = src.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          if (!batch.isEmpty)
+            VT.append(batch, path, txnId = Some(s"stream-$bid"))
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      VT.readLatest(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("total_c"))
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+      FROM orders
+      GROUP BY 1
+    """.trim))
+
   def all: Seq[GraftQuery] =
-    Seq(q40, q41, q43, q49, q56, q142, q148, q194, q195, q230, q236, q250)
+    Seq(q40, q41, q43, q49, q56, q142, q148, q194, q195, q230, q236, q250,
+      q262)
 }

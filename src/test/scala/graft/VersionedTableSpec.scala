@@ -47,6 +47,25 @@ class VersionedTableSpec extends SparkTestBase {
     }
   }
 
+  test("txn-guarded append: a replayed commit is a no-op returning the committed version") {
+    val path = tmpDir("vt_txn")
+    val v1 = VersionedTable.append((1 to 5).toDF("x"), path,
+      txnId = Some("batch-0"))
+    // at-least-once replay of the SAME micro-batch: no new version,
+    // no duplicate rows
+    val replay = VersionedTable.append((1 to 5).toDF("x"), path,
+      txnId = Some("batch-0"))
+    assert(v1 === 1L && replay === 1L)
+    assert(VersionedTable.latestVersion(path) === Some(1L))
+    assert(VersionedTable.readLatest(spark, path).count() === 5L)
+    // the NEXT batch commits normally and carries its own txn
+    val v2 = VersionedTable.append((6 to 7).toDF("x"), path,
+      txnId = Some("batch-1"))
+    assert(v2 === 2L)
+    assert(VersionedTable.committedTxn(path, 2) === Some("batch-1"))
+    assert(VersionedTable.readLatest(spark, path).count() === 7L)
+  }
+
   test("vacuum drops expired versions and crash orphans, keeps referenced batches byte-identical") {
     val path = tmpDir("vt_vacuum")
     VersionedTable.append((1 to 4).toDF("x"), path)
