@@ -120,11 +120,15 @@ object VersionedTable {
   }
 
   /** Read the table as of `version` — exactly the dirs its manifest
-    * lists.
+    * lists. `mergeSchema` unions the batch schemas (schema
+    * EVOLUTION across versions: batches written before a column
+    * existed read back NULL-filled under the merged schema — the
+    * add-a-column migration with zero rewrites).
     */
-  def readAt(spark: SparkSession, path: String, version: Long): DataFrame = {
+  def readAt(spark: SparkSession, path: String, version: Long,
+      mergeSchema: Boolean = false): DataFrame = {
     val dirs = manifestDirs(path, version).map(b => s"$path/data/$b")
-    spark.read.parquet(dirs: _*)
+    spark.read.option("mergeSchema", mergeSchema.toString).parquet(dirs: _*)
   }
 
   def readLatest(spark: SparkSession, path: String): DataFrame = {

@@ -304,6 +304,50 @@ object SourceQueries extends QueryRegistry {
       GROUP BY 1
     """.trim))
 
+  /** Schema evolution across versions: v1 commits (orderkey,
+    * total_c), v2 appends rows that ALSO carry o_orderpriority — the
+    * add-a-column migration with zero rewrites. The merged-schema
+    * read NULL-fills the pre-schema batch, and the aggregate groups
+    * those rows under an explicit bucket; the oracle replays the
+    * union-with-NULLs, so a pre-schema row that lost its place (or a
+    * new row that lost its column) breaks the hash.
+    */
+  val q263 = GraftQuery(
+    "q263_versioned_schema_evolution",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val path = "/tmp/graft_q263_vt_evo_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      if (!VersionedTable.latestVersion(path).exists(_ >= 2L)) {
+        val cut = lit("1997-01-01").cast("timestamp")
+        val o = Tables.orders(s, d)
+        VersionedTable.append(o.filter(col("o_orderdate") < cut)
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("total_c")), path)
+        VersionedTable.append(o.filter(col("o_orderdate") >= cut)
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("total_c"),
+            col("o_orderpriority")), path)
+      }
+      VersionedTable.readAt(s, path, version = 2L, mergeSchema = true)
+        .groupBy(coalesce(col("o_orderpriority"), lit("<pre-schema>"))
+          .as("prio"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("total_c")).as("total_c"))
+    },
+    Some("""
+      WITH u AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS total_c,
+               NULL AS o_orderpriority
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        UNION ALL
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS total_c,
+               o_orderpriority
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+      SELECT coalesce(o_orderpriority, '<pre-schema>') AS prio,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(total_c) AS BIGINT) AS total_c
+      FROM u GROUP BY 1
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
-    q261)
+    q261, q263)
 }
