@@ -73,8 +73,21 @@ object VersionedTable {
     text.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
   }
 
-  private def manifestDirs(path: String, version: Long): Seq[String] =
+  /** All manifest entries (data and tombstone batches), comments
+    * stripped. Data batches are plain dir names; tombstone batches
+    * (committed by `deleteKeys`) carry a `~` prefix.
+    */
+  private def manifestEntries(path: String, version: Long): Seq[String] =
     manifestLines(path, version).filterNot(_.startsWith("#"))
+
+  private def dataDirsOf(entries: Seq[String]): Seq[String] =
+    entries.filterNot(_.startsWith("~"))
+
+  private def tombstoneDirsOf(entries: Seq[String]): Seq[String] =
+    entries.filter(_.startsWith("~")).map(_.stripPrefix("~"))
+
+  private def manifestDirs(path: String, version: Long): Seq[String] =
+    dataDirsOf(manifestEntries(path, version))
 
   /** The writer transaction id carried by `version`'s manifest, if
     * its commit declared one.
@@ -102,33 +115,77 @@ object VersionedTable {
     val next = latest.getOrElse(0L) + 1
     val prev =
       if (next == 1) Seq.empty
-      else manifestDirs(path, next - 1)
+      else manifestEntries(path, next - 1)
     val batch = s"b$next"
     df.write.mode("overwrite").parquet(s"$path/data/$batch")
+    commitManifest(path, next,
+      txnId.map(t => s"#txn=$t").toSeq ++ prev :+ batch)
+    next
+  }
+
+  private def commitManifest(path: String, version: Long,
+      lines: Seq[String]): Unit = {
     val (f, p) = fs(path)
-    val tmp = new Path(p, s"_v$next.manifest.tmp")
-    val lines = txnId.map(t => s"#txn=$t").toSeq ++ prev :+ batch
+    val tmp = new Path(p, s"_v$version.manifest.tmp")
     val out = f.create(tmp, true)
     try out.write(lines.mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    val fin = new Path(p, s"_v$next.manifest")
+    val fin = new Path(p, s"_v$version.manifest")
     if (!f.rename(tmp, fin))
       throw new java.io.IOException(
-        s"VersionedTable: commit rename $tmp -> $fin failed; version $next " +
+        s"VersionedTable: commit rename $tmp -> $fin failed; version $version " +
           "is NOT published (previous version remains intact)")
+  }
+
+  /** MERGE-ON-READ delete: commit the keys as a tombstone batch — no
+    * data file is rewritten; `readAt` anti-joins live rows against
+    * the accumulated tombstones. Deletion is itself versioned (time
+    * travel BEFORE the delete still sees the rows — spec-proven),
+    * and a rewrite-on-delete compaction can fold tombstones in later
+    * without changing any reader's view.
+    */
+  def deleteKeys(keys: DataFrame, keyCol: String, path: String,
+      txnId: Option[String] = None): Long = {
+    val latest = latestVersion(path)
+    require(latest.nonEmpty, s"cannot delete from empty table $path")
+    txnId.foreach { t =>
+      latest.foreach { v =>
+        if (committedTxn(path, v).contains(t)) return v
+      }
+    }
+    val next = latest.get + 1
+    val prev = manifestEntries(path, next - 1)
+    val batch = s"b$next"
+    keys.select(keys(keyCol)).distinct()
+      .write.mode("overwrite").parquet(s"$path/data/$batch")
+    commitManifest(path, next,
+      txnId.map(t => s"#txn=$t").toSeq ++ prev :+ s"~$batch")
     next
   }
 
   /** Read the table as of `version` — exactly the dirs its manifest
-    * lists. `mergeSchema` unions the batch schemas (schema
+    * lists, minus rows whose key appears in any tombstone batch
+    * (merge-on-read). `mergeSchema` unions the batch schemas (schema
     * EVOLUTION across versions: batches written before a column
     * existed read back NULL-filled under the merged schema — the
     * add-a-column migration with zero rewrites).
     */
   def readAt(spark: SparkSession, path: String, version: Long,
       mergeSchema: Boolean = false): DataFrame = {
-    val dirs = manifestDirs(path, version).map(b => s"$path/data/$b")
-    spark.read.option("mergeSchema", mergeSchema.toString).parquet(dirs: _*)
+    val entries = manifestEntries(path, version)
+    val dirs = dataDirsOf(entries).map(b => s"$path/data/$b")
+    val live = spark.read
+      .option("mergeSchema", mergeSchema.toString).parquet(dirs: _*)
+    val tombs = tombstoneDirsOf(entries).map(b => s"$path/data/$b")
+    if (tombs.isEmpty) live
+    else {
+      val keys = spark.read.parquet(tombs: _*)
+      val keyCol = keys.columns.head
+      require(live.columns.contains(keyCol),
+        s"tombstone key column $keyCol absent from the data schema")
+      live.join(keys.select(keys(keyCol)).distinct(),
+        Seq(keyCol), "left_anti")
+    }
   }
 
   def readLatest(spark: SparkSession, path: String): DataFrame = {
@@ -167,7 +224,12 @@ object VersionedTable {
     val (f, p) = fs(path)
     val latest = latestVersion(path).getOrElse(return)
     val keptVersions = (math.max(1L, latest - keep + 1) to latest)
-    val referenced = keptVersions.flatMap(v => manifestDirs(path, v)).toSet
+    // data AND tombstone batches: a kept version's delete set is as
+    // load-bearing as its rows
+    val referenced = keptVersions.flatMap { v =>
+      val e = manifestEntries(path, v)
+      dataDirsOf(e) ++ tombstoneDirsOf(e)
+    }.toSet
     // old manifests first: a reader landing mid-vacuum sees either a
     // kept version (complete) or a missing manifest (loud failure) —
     // never a manifest whose dirs are partially deleted

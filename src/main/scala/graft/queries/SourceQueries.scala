@@ -348,6 +348,44 @@ object SourceQueries extends QueryRegistry {
       FROM u GROUP BY 1
     """.trim))
 
+  /** Merge-on-read DELETE: urgent orders are deleted as a tombstone
+    * commit (v3) — no data file rewritten, the deletion itself
+    * versioned (time travel to v2 still sees them, spec-proven) —
+    * and the latest read anti-joins the tombstones. The oracle is
+    * the base table minus the deleted keys; one surviving deleted
+    * row (or one over-deleted neighbor) breaks the hash.
+    */
+  val q264 = GraftQuery(
+    "q264_versioned_merge_on_read_delete",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val path = "/tmp/graft_q264_vt_del_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      if (!VersionedTable.latestVersion(path).exists(_ >= 3L)) {
+        val cut = lit("1997-01-01").cast("timestamp")
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("total_c"),
+          col("o_orderdate"))
+        VersionedTable.append(o.filter(col("o_orderdate") < cut), path)
+        VersionedTable.append(o.filter(col("o_orderdate") >= cut), path)
+        VersionedTable.deleteKeys(
+          Tables.orders(s, d)
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey")),
+          "o_orderkey", path)
+      }
+      VersionedTable.readLatest(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("total_c")).as("total_c"))
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+      FROM orders
+      WHERE o_orderpriority <> '1-URGENT'
+      GROUP BY 1
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
-    q261, q263)
+    q261, q263, q264)
 }

@@ -66,6 +66,26 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.readLatest(spark, path).count() === 7L)
   }
 
+  test("merge-on-read delete: deletion is versioned; time travel sees pre-delete rows") {
+    val path = tmpDir("vt_delete")
+    VersionedTable.append((1 to 10).toDF("x"), path)
+    VersionedTable.append((11 to 15).toDF("x"), path)
+    val v3 = VersionedTable.deleteKeys(Seq(2, 4, 11).toDF("x"), "x", path)
+    assert(v3 === 3L)
+    assert(VersionedTable.readLatest(spark, path).as[Int].collect().sorted
+      === (1 to 15).filterNot(Set(2, 4, 11)).toArray)
+    // the delete did not rewrite history: v2 still has every row
+    assert(VersionedTable.readAt(spark, path, 2).count() === 15L)
+    // vacuum to the delete version only: the tombstone batch is as
+    // referenced as the data batches and must survive
+    VersionedTable.vacuum(path, keep = 1)
+    assert(VersionedTable.readLatest(spark, path).count() === 12L)
+    // deleting from an empty path refuses
+    intercept[IllegalArgumentException] {
+      VersionedTable.deleteKeys(Seq(1).toDF("x"), "x", tmpDir("vt_del_empty"))
+    }
+  }
+
   test("vacuum drops expired versions and crash orphans, keeps referenced batches byte-identical") {
     val path = tmpDir("vt_vacuum")
     VersionedTable.append((1 to 4).toDF("x"), path)
