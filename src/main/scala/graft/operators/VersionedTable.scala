@@ -194,6 +194,25 @@ object VersionedTable {
     readAt(spark, path, v)
   }
 
+  /** Compaction (OPTIMIZE): rewrite the CURRENT content — tombstones
+    * folded in — as one batch and commit it as a new version whose
+    * manifest references only that batch. Readers of the new version
+    * stop paying the merge-on-read anti-join and the many-batch scan;
+    * prior versions stay time-travelable until vacuum reclaims them.
+    * Content-identical by construction (the new batch IS readAt of
+    * the old latest), spec-asserted.
+    */
+  def compact(spark: SparkSession, path: String): Long = {
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"nothing to compact at $path"))
+    val next = v + 1
+    val batch = s"b$next"
+    readAt(spark, path, v)
+      .write.mode("overwrite").parquet(s"$path/data/$batch")
+    commitManifest(path, next, Seq(batch))
+    next
+  }
+
   /** Incremental read: only the batches committed AFTER `fromVersion`
     * up to `toVersion` — the consumer primitive versioning exists
     * for ("give me what's new since my checkpoint"), computed as a

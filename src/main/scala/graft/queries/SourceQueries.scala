@@ -386,6 +386,47 @@ object SourceQueries extends QueryRegistry {
       GROUP BY 1
     """.trim))
 
+  /** The versioned table's full maintenance cycle in one declared
+    * lifecycle: two appends, a tombstone delete, COMPACT (current
+    * content rewritten as one batch — readers stop paying the
+    * merge-on-read anti-join), then vacuum to the compacted version
+    * only. The read after all of it must still equal the
+    * base-minus-deleted oracle — maintenance is never allowed to
+    * change content, and the driver hash enforces exactly that.
+    */
+  val q265 = GraftQuery(
+    "q265_versioned_compact_lifecycle",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val path = "/tmp/graft_q265_vt_opt_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      if (!VersionedTable.latestVersion(path).exists(_ >= 4L)) {
+        val cut = lit("1997-01-01").cast("timestamp")
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("total_c"),
+          col("o_orderdate"))
+        VersionedTable.append(o.filter(col("o_orderdate") < cut), path)
+        VersionedTable.append(o.filter(col("o_orderdate") >= cut), path)
+        VersionedTable.deleteKeys(
+          Tables.orders(s, d)
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey")),
+          "o_orderkey", path)
+        VersionedTable.compact(s, path)
+        VersionedTable.vacuum(path, keep = 1)
+      }
+      VersionedTable.readLatest(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("total_c")).as("total_c"))
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+      FROM orders
+      WHERE o_orderpriority <> '1-URGENT'
+      GROUP BY 1
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
-    q261, q263, q264)
+    q261, q263, q264, q265)
 }

@@ -86,6 +86,27 @@ class VersionedTableSpec extends SparkTestBase {
     }
   }
 
+  test("compact folds tombstones into one batch; content identical; history until vacuum") {
+    val path = tmpDir("vt_compact")
+    VersionedTable.append((1 to 10).toDF("x"), path)
+    VersionedTable.append((11 to 15).toDF("x"), path)
+    VersionedTable.deleteKeys(Seq(3, 12).toDF("x"), "x", path)
+    val before = VersionedTable.readLatest(spark, path)
+      .as[Int].collect().sorted
+    val v4 = VersionedTable.compact(spark, path)
+    assert(v4 === 4L)
+    assert(VersionedTable.readLatest(spark, path).as[Int].collect().sorted
+      === before, "compaction changed the table content")
+    // pre-compaction versions still time-travel until vacuumed
+    assert(VersionedTable.readAt(spark, path, 2).count() === 15L)
+    VersionedTable.vacuum(path, keep = 1)
+    val dirs = new java.io.File(s"$path/data").listFiles().map(_.getName)
+    assert(dirs.toSeq === Seq("b4"),
+      s"vacuum after compact should leave only the compacted batch: ${dirs.toSeq}")
+    assert(VersionedTable.readLatest(spark, path).as[Int].collect().sorted
+      === before)
+  }
+
   test("vacuum drops expired versions and crash orphans, keeps referenced batches byte-identical") {
     val path = tmpDir("vt_vacuum")
     VersionedTable.append((1 to 4).toDF("x"), path)
