@@ -148,6 +148,32 @@ object Sampling {
     }.reduce(_ unionAll _)
   }
 
+  /** Leakage-safe train/val/test split: the SPLIT UNIT is the
+    * near-duplicate cluster, never the document — a near-dup pair
+    * straddling train and test is evaluation leakage (the model
+    * "generalizes" to a paraphrase of its own training data), and
+    * document-level hashing produces exactly those pairs.
+    * `components` is (id, component_id) from the dedup graph
+    * (singletons absent — they become their own cluster); the split
+    * is the md5 bucket of the CLUSTER id, so every member of a
+    * cluster lands in the same split by construction, deterministic
+    * across runs/engines/appends. Output: (id, cluster_id, split).
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String,
+      components: DataFrame, trainBp: Long, valBp: Long): DataFrame = {
+    require(trainBp + valBp <= 10000L, "train + val shares exceed 100%")
+    val labeled = docs.select(col(idCol).as("id"))
+      .join(components.select(col("id"), col("component_id")), Seq("id"),
+        "left_outer")
+      .withColumn("cluster_id", coalesce(col("component_id"), col("id")))
+    labeled
+      .withColumn("split",
+        when(hashBucket(col("cluster_id")) < trainBp, "train")
+          .when(hashBucket(col("cluster_id")) < trainBp + valBp, "val")
+          .otherwise("test"))
+      .select(col("id"), col("cluster_id"), col("split"))
+  }
+
   /** TOKEN-budget source mix — the data-mixture knob a pretraining
     * run actually tunes: keep, per source, the greedy md5-ordered
     * prefix of documents whose cumulative TOKEN count stays within

@@ -1266,8 +1266,101 @@ object DedupQueries extends QueryRegistry {
       FROM c WHERE cum_source <= 400
     """.trim))
 
+  /** Leakage-safe splitting, with the naive scheme's damage MEASURED:
+    * the split unit is the near-dup CLUSTER (q47's components), so no
+    * near-dup pair can straddle train and test — the cluster scheme's
+    * leak count is zero BY CONSTRUCTION and the driver hash proves
+    * it; the document-level md5 split (what a pipeline without dedup
+    * integration ships) is audited side by side with its measured
+    * leaked-pair count. Same 80/10/10 md5 rule for both schemes, so
+    * the only variable is the split unit. The oracle replays the
+    * shingle graph, the recursive components, both split
+    * assignments, and both leak counts.
+    */
+  val q266 = GraftQuery(
+    "q266_leakage_safe_split",
+    (s, d) => {
+      import graft.operators.Sampling
+      val docsDf = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docsDf, "doc_id", "text",
+        n = 3, threshold = 0.5).cache()
+      val comps = Dedup.connectedComponents(pairs, "id1", "id2")
+      val safe = Sampling.leakageSafeSplit(docsDf, "doc_id", comps,
+        trainBp = 8000L, valBp = 1000L)
+      val naive = docsDf.select(col("doc_id").as("id"))
+        .withColumn("split",
+          when(Sampling.hashBucket(col("id")) < 8000L, "train")
+            .when(Sampling.hashBucket(col("id")) < 9000L, "val")
+            .otherwise("test"))
+      def audit(asg: org.apache.spark.sql.DataFrame, scheme: String) = {
+        val leak = pairs
+          .join(asg.select(col("id").as("id1"), col("split").as("s1")),
+            Seq("id1"))
+          .join(asg.select(col("id").as("id2"), col("split").as("s2")),
+            Seq("id2"))
+          .agg(sum(when(col("s1") =!= col("s2"), 1L).otherwise(0L))
+            .as("leak_pairs"))
+        asg.agg(
+            sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+            sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+            sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+          .crossJoin(leak)
+          .select(lit(scheme).as("scheme"), col("n_train"), col("n_val"),
+            col("n_test"), col("leak_pairs"))
+      }
+      audit(safe, "cluster") unionAll audit(naive, "document")
+    },
+    Some {
+      def splitCase(key: String): String =
+        s"""CASE WHEN CAST('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < 8000 THEN 'train'
+                 WHEN CAST('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 8) AS BIGINT) % 10000 < 9000 THEN 'val'
+                 ELSE 'test' END"""
+      s"""
+      WITH RECURSIVE $duckShingles,
+      ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+      sz AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+      cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+               FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+      pairs AS (
+        SELECT id1, id2
+        FROM cand JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+        WHERE floor(inter * 1.0 / (x.n_sh + y.n_sh - inter) * 10000) / 10000 >= 0.5),
+      edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                UNION SELECT id2, id1 FROM pairs),
+      reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, re.r FROM edges e JOIN reach re ON e.dst = re.id),
+      comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id),
+      asg AS (
+        SELECT d.doc_id AS id,
+               ${splitCase("coalesce(c.component_id, d.doc_id)")} AS cl_split,
+               ${splitCase("d.doc_id")} AS doc_split
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+      lk AS (
+        SELECT
+          CAST(sum(CASE WHEN a.cl_split <> b.cl_split THEN 1 ELSE 0 END) AS BIGINT) AS cl_leaks,
+          CAST(sum(CASE WHEN a.doc_split <> b.doc_split THEN 1 ELSE 0 END) AS BIGINT) AS doc_leaks
+        FROM pairs p JOIN asg a ON a.id = p.id1 JOIN asg b ON b.id = p.id2)
+      SELECT 'cluster' AS scheme,
+             CAST(sum(CASE WHEN cl_split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+             CAST(sum(CASE WHEN cl_split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+             CAST(sum(CASE WHEN cl_split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+             (SELECT cl_leaks FROM lk) AS leak_pairs
+      FROM asg
+      UNION ALL
+      SELECT 'document',
+             CAST(sum(CASE WHEN doc_split = 'train' THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN doc_split = 'val' THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN doc_split = 'test' THEN 1 ELSE 0 END) AS BIGINT),
+             (SELECT doc_leaks FROM lk)
+      FROM asg
+      """.trim
+    })
+
   def all: Seq[GraftQuery] =
     Seq(q20, q21, q22, q39, q47, q47a, q59, q60, q61, q67, q68, q75,
       q78, q82, q103a, q103, q105, q106, q107, q113, q120, q122, q130, q132,
-      q150, q164, q165, q217, q222, q256)
+      q150, q164, q165, q217, q222, q256, q266)
 }
