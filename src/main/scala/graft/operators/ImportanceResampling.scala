@@ -50,10 +50,14 @@ object ImportanceResampling {
         sum(when(col("is_target"), 1L).otherwise(0L)).as("c_t"))
     val tot = counts.agg(sum(col("c_s")).as("n_s"), sum(col("c_t")).as("n_t"))
     counts.crossJoin(broadcast(tot))
+      // each factor cast to double BEFORE the multiply: the products
+      // can pass 2^63 at extreme token counts, and a signed wraparound
+      // would produce garbage log-ratios — as doubles the failure mode
+      // is rounding (the scaladoc's 2^53 note), never overflow
       .withColumn("lr_e6",
         floor(log(
-          ((col("c_t") + 1L) * (col("n_s") + buckets.toLong)).cast("double") /
-            ((col("c_s") + 1L) * (col("n_t") + buckets.toLong)).cast("double"))
+          ((col("c_t") + 1L).cast("double") * (col("n_s") + buckets.toLong).cast("double")) /
+            ((col("c_s") + 1L).cast("double") * (col("n_t") + buckets.toLong).cast("double")))
           * 1e6).cast("long"))
       .select(col("b"), col("c_s"), col("c_t"), col("lr_e6"))
   }

@@ -7,42 +7,49 @@ import graft.operators.Similarity
 /** S4/S8 sources + the LSH bucketing scale path. */
 object SourceQueries extends QueryRegistry {
 
-  /** Fixed materialization point for the q16 listing: the oracle SQL
-    * is a static string, so the path must be SF-independent; Verify
-    * runs queries sequentially, so each run overwrites before the
-    * checker reads.
-    */
-  val ListingPath = "/tmp/graft_q16_listing"
-
   /** S4 + S8 (SURVEY §2.1): metadata-only object listing via the
-    * binaryFile source — (name, length) without reading content
-    * (column pruning keeps payload bytes out of the scan). The
-    * object-store analog of list_objects_v2 / head_object. DuckDB
-    * cannot stat files, so the listing is materialized and the oracle
-    * reads it back joined against the statically-known table file
-    * names: a missing, extra, or misnamed file in the listing becomes
-    * a row-count/hash mismatch.
+    * binaryFile source — the object-store analog of list_objects_v2 —
+    * followed by a per-object HEAD-style probe that reads ONLY the
+    * parquet footer (`ParquetFileReader.getRecordCount`: file
+    * metadata, zero data pages). Output is (file_name, n_rows), which
+    * the static oracle recomputes from the immutable tables
+    * themselves — no materialized listing, no shared mutable state
+    * (the r10 design kept a fixed /tmp path that a concurrent
+    * different-SF sweep could overwrite between this query's Spark
+    * phase and its DuckDB check; this form is race-free by
+    * construction). A missing, extra, or misnamed file in the listing
+    * — or a footer count that disagrees with the table's true
+    * cardinality — breaks the row count or hash.
+    *
+    * The listing is collected driver-side: it is bounded by the
+    * TABLE count (one row per parquet file in the data dir), never by
+    * data volume, so the hop stays ~10 rows at any corpus scale.
     */
   val q16 = GraftQuery(
     "q16_listing_scan",
     (s, d) => {
-      s.read.format("binaryFile")
+      import s.implicits._
+      val listed = s.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
         .load(d)
-        .select(element_at(split(col("path"), "/"), -1).as("file_name"),
-          col("length"))
-        .write.mode("overwrite").parquet(ListingPath)
-      s.read.parquet(ListingPath).orderBy(col("file_name"))
+        .select(col("path"),
+          element_at(split(col("path"), "/"), -1).as("file_name"))
+        .collect()
+      val conf = s.sparkContext.hadoopConfiguration
+      val rows = listed.toSeq.map { r =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(r.getString(0)), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val n = try reader.getRecordCount finally reader.close()
+        (r.getString(1), n)
+      }
+      rows.toDF("file_name", "n_rows").orderBy(col("file_name"))
     },
     Some {
-      val known = Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings")
-        .map(t => s"('$t.parquet')").mkString(", ")
-      s"""
-      SELECT l.file_name, l.length
-      FROM read_parquet('$ListingPath/*.parquet') l
-      JOIN (VALUES $known) t(fn) ON l.file_name = t.fn
-      """.trim
+      Seq("customer", "documents", "embeddings", "events", "lineitem",
+        "nation", "orders", "part", "region", "supplier")
+        .map(t => s"SELECT '$t.parquet' AS file_name, CAST(count(*) AS BIGINT) AS n_rows FROM $t")
+        .mkString("\nUNION ALL\n")
     })
 
   /** Deterministic random-hyperplane LSH bucket assignment — the
