@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Versioned parquet table with atomic manifest commits — the
   * publish primitive under every "table format": writers never mutate
@@ -9,15 +10,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * stays queryable until retention removes it.
   *
   * Layout under `path`:
-  *   data/b<N>/  — the batch committed by version N, an immutable
-  *                 parquet directory written exactly once;
-  *   _v<N>.manifest — newline-separated batch-dir names composing
-  *                 version N (each version = its predecessor's dirs
-  *                 plus its own batch). Written to a temp name and
-  *                 RENAMED into place: the rename IS the commit
-  *                 point, so a crash anywhere before it leaves the
-  *                 previous version fully intact and the orphaned
-  *                 batch dir invisible (vacuum reclaims it).
+  *   data/<dir>/ — immutable parquet directories, each written
+  *                 exactly once by the commit attempt that created it.
+  *                 Dir names carry a per-attempt unique token, so two
+  *                 concurrent writers racing for the same version can
+  *                 NEVER write into each other's directory: the loser
+  *                 leaves an orphan (reclaimed by vacuum), the
+  *                 winner's committed bytes are untouched.
+  *   _v<N>.manifest — newline-separated entries composing version N
+  *                 (each version = its predecessor's entries plus its
+  *                 own). Entry grammar, in commit order:
+  *                   `#txn=<id>`  writer-transaction comment;
+  *                   `<dir>`      a data batch;
+  *                   `~<dir>`     a tombstone batch (deleted keys) —
+  *                                applies ONLY to data batches that
+  *                                PRECEDE it in the manifest, so a
+  *                                key deleted at version N and
+  *                                re-appended at N+1 is visible again
+  *                                (Delta/Iceberg merge-on-read
+  *                                semantics);
+  *                   `=<dir>`     a compaction batch: read as data,
+  *                                but flagged dataChange=false so the
+  *                                change feed never re-delivers the
+  *                                whole table across an OPTIMIZE.
+  *
+  * Commit protocol: batch dirs first, then the manifest is written to
+  * a temp name and RENAMED into place — the rename IS the commit
+  * point, so a crash anywhere before it leaves the previous version
+  * fully intact and the orphaned dirs invisible. Concurrent commits
+  * to the same version: the commit refuses if the target manifest
+  * already exists, and the unique dir tokens guarantee the loser
+  * never mutated committed data. Atomicity honesty: on HDFS the
+  * rename itself refuses an existing destination atomically; on the
+  * local filesystem the exists-check narrows but does not close the
+  * window (test-grade); on raw S3 there is no atomic rename at all —
+  * [[commitManifest]] is the single commit point to swap for a
+  * conditional put (`If-None-Match`) when deploying there.
   *
   * Reads: `readAt(version)` opens exactly the dirs that version's
   * manifest lists — time travel is manifest selection, zero data
@@ -31,9 +59,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * silent partial read.
   *
   * At 100 TB: batches are partitioned parquet writes, manifests stay
-  * KB-sized (a name per batch, not per file), and the single-rename
-  * commit is exactly the atomicity object stores provide for small
-  * control files.
+  * KB-sized (a name per batch, not per file), and all control-plane
+  * work (txn scan, change-feed set difference, vacuum listing) is
+  * bounded by the retained version count, never by data volume.
   */
 object VersionedTable {
 
@@ -47,6 +75,13 @@ object VersionedTable {
 
   private val ManifestRe = "_v(\\d+)\\.manifest".r
 
+  /** Per-attempt unique token for batch dir names — the guarantee
+    * that two writers racing for the same version never share a
+    * directory.
+    */
+  private def newToken(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+
   def latestVersion(path: String): Option[Long] = {
     val (f, p) = fs(path)
     if (!f.exists(p)) return None
@@ -54,6 +89,14 @@ object VersionedTable {
       case ManifestRe(n) => n.toLong
     }
     if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  private def committedVersions(path: String): Seq[Long] = {
+    val (f, p) = fs(path)
+    if (!f.exists(p)) return Seq.empty
+    f.listStatus(p).map(_.getPath.getName).collect {
+      case ManifestRe(n) => n.toLong
+    }.toSeq.sorted
   }
 
   private def manifestLines(path: String, version: Long): Seq[String] = {
@@ -73,21 +116,15 @@ object VersionedTable {
     text.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
   }
 
-  /** All manifest entries (data and tombstone batches), comments
-    * stripped. Data batches are plain dir names; tombstone batches
-    * (committed by `deleteKeys`) carry a `~` prefix.
+  /** All manifest entries (data, compaction, and tombstone batches),
+    * comments stripped, in commit order.
     */
   private def manifestEntries(path: String, version: Long): Seq[String] =
     manifestLines(path, version).filterNot(_.startsWith("#"))
 
-  private def dataDirsOf(entries: Seq[String]): Seq[String] =
-    entries.filterNot(_.startsWith("~"))
-
-  private def tombstoneDirsOf(entries: Seq[String]): Seq[String] =
-    entries.filter(_.startsWith("~")).map(_.stripPrefix("~"))
-
-  private def manifestDirs(path: String, version: Long): Seq[String] =
-    dataDirsOf(manifestEntries(path, version))
+  private def isTombstone(e: String): Boolean = e.startsWith("~")
+  private def isCompaction(e: String): Boolean = e.startsWith("=")
+  private def dirOf(e: String): String = e.stripPrefix("~").stripPrefix("=")
 
   /** The writer transaction id carried by `version`'s manifest, if
     * its commit declared one.
@@ -96,41 +133,59 @@ object VersionedTable {
     manifestLines(path, version)
       .find(_.startsWith("#txn=")).map(_.stripPrefix("#txn="))
 
+  /** The newest retained version whose manifest carries `txnId` —
+    * scanned across ALL retained manifests (not just the latest), so
+    * the idempotency guard holds even when other commits (another
+    * stream, a delete, a compact) interleave between a failed
+    * micro-batch and its replay. Cost: one KB-sized manifest read per
+    * retained version, bounded by vacuum retention.
+    */
+  private def txnCommittedAt(path: String, txnId: String): Option[Long] =
+    committedVersions(path).sorted(Ordering[Long].reverse)
+      .find(v => committedTxn(path, v).contains(txnId))
+
   /** Append `df` as a new version; returns the committed version
     * number. The batch dir is written first; the manifest rename is
     * the commit point. `txnId` makes the commit IDEMPOTENT for
-    * at-least-once writers (a streaming foreachBatch): when the
-    * LATEST version already carries the same txn id, the replayed
+    * at-least-once writers (a streaming foreachBatch): when any
+    * retained version already carries the same txn id, the replayed
     * commit is a no-op returning that version — the Delta-style txn
-    * guard, so a replayed micro-batch can never double-publish.
+    * guard, so a replayed micro-batch can never double-publish even
+    * if other commits interleaved before the replay.
     */
   def append(df: DataFrame, path: String,
       txnId: Option[String] = None): Long = {
-    val latest = latestVersion(path)
-    txnId.foreach { t =>
-      latest.foreach { v =>
-        if (committedTxn(path, v).contains(t)) return v
-      }
-    }
-    val next = latest.getOrElse(0L) + 1
+    txnId.flatMap(txnCommittedAt(path, _)).foreach(return _)
+    val next = latestVersion(path).getOrElse(0L) + 1
     val prev =
       if (next == 1) Seq.empty
       else manifestEntries(path, next - 1)
-    val batch = s"b$next"
+    val batch = s"b${next}_${newToken()}"
     df.write.mode("overwrite").parquet(s"$path/data/$batch")
     commitManifest(path, next,
       txnId.map(t => s"#txn=$t").toSeq ++ prev :+ batch)
     next
   }
 
-  private def commitManifest(path: String, version: Long,
+  /** The single commit point: write the manifest to a temp name, then
+    * rename into place. Refuses when the destination version already
+    * exists (a concurrent writer won the race) — on HDFS the rename
+    * itself also refuses atomically; on raw S3 swap this rename for a
+    * conditional put (`If-None-Match: *`).
+    */
+  private[graft] def commitManifest(path: String, version: Long,
       lines: Seq[String]): Unit = {
     val (f, p) = fs(path)
+    val fin = new Path(p, s"_v$version.manifest")
+    if (f.exists(fin))
+      throw new java.io.IOException(
+        s"VersionedTable: version $version of $path is already committed " +
+          "(concurrent writer won the race); this attempt is NOT published " +
+          "and its batch dirs are orphans for vacuum")
     val tmp = new Path(p, s"_v$version.manifest.tmp")
     val out = f.create(tmp, true)
     try out.write(lines.mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    val fin = new Path(p, s"_v$version.manifest")
     if (!f.rename(tmp, fin))
       throw new java.io.IOException(
         s"VersionedTable: commit rename $tmp -> $fin failed; version $version " +
@@ -138,24 +193,22 @@ object VersionedTable {
   }
 
   /** MERGE-ON-READ delete: commit the keys as a tombstone batch — no
-    * data file is rewritten; `readAt` anti-joins live rows against
-    * the accumulated tombstones. Deletion is itself versioned (time
-    * travel BEFORE the delete still sees the rows — spec-proven),
-    * and a rewrite-on-delete compaction can fold tombstones in later
-    * without changing any reader's view.
+    * data file is rewritten; `readAt` anti-joins PRIOR batches'
+    * rows against the tombstone. Deletion is itself versioned (time
+    * travel BEFORE the delete still sees the rows — spec-proven), it
+    * only affects rows that existed at delete time (a later
+    * re-append of the same key is visible — spec-proven), and
+    * compaction folds tombstones in without changing any reader's
+    * view.
     */
   def deleteKeys(keys: DataFrame, keyCol: String, path: String,
       txnId: Option[String] = None): Long = {
     val latest = latestVersion(path)
     require(latest.nonEmpty, s"cannot delete from empty table $path")
-    txnId.foreach { t =>
-      latest.foreach { v =>
-        if (committedTxn(path, v).contains(t)) return v
-      }
-    }
+    txnId.flatMap(txnCommittedAt(path, _)).foreach(return _)
     val next = latest.get + 1
     val prev = manifestEntries(path, next - 1)
-    val batch = s"b$next"
+    val batch = s"b${next}_${newToken()}"
     keys.select(keys(keyCol)).distinct()
       .write.mode("overwrite").parquet(s"$path/data/$batch")
     commitManifest(path, next,
@@ -163,30 +216,106 @@ object VersionedTable {
     next
   }
 
-  /** Read the table as of `version` — exactly the dirs its manifest
-    * lists, minus rows whose key appears in any tombstone batch
-    * (merge-on-read). `mergeSchema` unions the batch schemas (schema
-    * EVOLUTION across versions: batches written before a column
-    * existed read back NULL-filled under the merged schema — the
-    * add-a-column migration with zero rewrites).
+  /** MERGE (upsert) as ONE atomic commit: a tombstone for `df`'s keys
+    * followed by `df` itself in the same manifest — the tombstone's
+    * position-scoping deletes only PRIOR rows of matched keys, so the
+    * new rows survive their own commit. This is the engine's J4
+    * last-writer-wins parity on the versioned table: matched keys are
+    * replaced, unmatched keys are inserted, and a reader can never
+    * observe the deletion without the insertion (both ride the same
+    * manifest rename — spec-proven).
+    *
+    * `insertOnly = true` gives J3 insert-if-absent instead: rows whose
+    * key already exists in the current view are dropped (existing
+    * rows win) and no tombstone is committed. This reads the current
+    * view once for the anti-join — the same price Delta MERGE pays to
+    * match the target.
+    *
+    * `txnId`: same replay-idempotence guard as [[append]].
+    */
+  def upsert(df: DataFrame, keyCol: String, path: String,
+      txnId: Option[String] = None, insertOnly: Boolean = false): Long = {
+    txnId.flatMap(txnCommittedAt(path, _)).foreach(return _)
+    val latest = latestVersion(path)
+    val next = latest.getOrElse(0L) + 1
+    val prev =
+      if (next == 1) Seq.empty
+      else manifestEntries(path, next - 1)
+    val tok = newToken()
+    val dataBatch = s"b${next}_${tok}_m"
+    if (insertOnly && latest.nonEmpty) {
+      val current = readAt(df.sparkSession, path, latest.get)
+      df.join(current.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+        .write.mode("overwrite").parquet(s"$path/data/$dataBatch")
+      commitManifest(path, next,
+        txnId.map(t => s"#txn=$t").toSeq ++ prev :+ dataBatch)
+    } else if (insertOnly || latest.isEmpty) {
+      // empty table: every row inserts, no tombstone needed
+      df.write.mode("overwrite").parquet(s"$path/data/$dataBatch")
+      commitManifest(path, next,
+        txnId.map(t => s"#txn=$t").toSeq ++ prev :+ dataBatch)
+    } else {
+      val tombBatch = s"b${next}_${tok}_k"
+      df.select(df(keyCol)).distinct()
+        .write.mode("overwrite").parquet(s"$path/data/$tombBatch")
+      df.write.mode("overwrite").parquet(s"$path/data/$dataBatch")
+      // tombstone BEFORE the data batch: position-scoping makes it
+      // apply to prior batches only, never to the rows it rides with
+      commitManifest(path, next,
+        txnId.map(t => s"#txn=$t").toSeq ++ prev ++
+          Seq(s"~$tombBatch", dataBatch))
+    }
+    next
+  }
+
+  /** Read the table as of `version`. Data batches are anti-joined
+    * against ONLY the tombstone batches committed after them
+    * (position-scoped merge-on-read): consecutive data batches with
+    * the same applicable tombstone set share one scan and one
+    * anti-join, so the plan stays one scan + one join in the common
+    * append-heavy case. `mergeSchema` unions the batch schemas
+    * (schema EVOLUTION across versions: batches written before a
+    * column existed read back NULL-filled under the merged schema —
+    * the add-a-column migration with zero rewrites).
     */
   def readAt(spark: SparkSession, path: String, version: Long,
       mergeSchema: Boolean = false): DataFrame = {
     val entries = manifestEntries(path, version)
-    val dirs = dataDirsOf(entries).map(b => s"$path/data/$b")
-    val live = spark.read
-      .option("mergeSchema", mergeSchema.toString).parquet(dirs: _*)
-    val tombs = tombstoneDirsOf(entries).map(b => s"$path/data/$b")
-    if (tombs.isEmpty) live
-    else {
-      val keys = spark.read.parquet(tombs: _*)
-      val keyCol = keys.columns.head
-      require(live.columns.contains(keyCol),
-        s"tombstone key column $keyCol absent from the data schema")
-      live.join(keys.select(keys(keyCol)).distinct(),
-        Seq(keyCol), "left_anti")
+    // walk from the end accumulating the tombstones seen so far:
+    // each data batch's applicable set = tombstones AFTER it
+    var tombsAfter = List.empty[String]
+    val assigned = entries.reverse.flatMap { e =>
+      if (isTombstone(e)) { tombsAfter ::= dirOf(e); None }
+      else Some(dirOf(e) -> tombsAfter)
+    }.reverse
+    require(assigned.nonEmpty, s"version $version of $path lists no data batches")
+    val parts = assigned.groupBy(_._2).toSeq.map { case (tombDirs, pairs) =>
+      val live = spark.read
+        .option("mergeSchema", mergeSchema.toString)
+        .parquet(pairs.map(pr => s"$path/data/${pr._1}"): _*)
+      applyTombstones(spark, path, live, tombDirs)
     }
+    parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = mergeSchema))
   }
+
+  /** Anti-join `live` against each distinct key column among the
+    * applicable tombstone batches (typically one; compaction folds
+    * them away). Tombstone schema reads are footer-only and bounded
+    * by the manifest's batch count.
+    */
+  private def applyTombstones(spark: SparkSession, path: String,
+      live: DataFrame, tombDirs: Seq[String]): DataFrame =
+    if (tombDirs.isEmpty) live
+    else {
+      val byKey = tombDirs.map(d => spark.read.parquet(s"$path/data/$d"))
+        .groupBy(_.columns.head)
+      byKey.toSeq.foldLeft(live) { case (acc, (keyCol, frames)) =>
+        require(acc.columns.contains(keyCol),
+          s"tombstone key column $keyCol absent from the data schema")
+        val keys = frames.map(_.select(col(keyCol))).reduce(_ union _).distinct()
+        acc.join(keys, Seq(keyCol), "left_anti")
+      }
+    }
 
   def readLatest(spark: SparkSession, path: String): DataFrame = {
     val v = latestVersion(path).getOrElse(
@@ -196,9 +325,12 @@ object VersionedTable {
 
   /** Compaction (OPTIMIZE): rewrite the CURRENT content — tombstones
     * folded in — as one batch and commit it as a new version whose
-    * manifest references only that batch. Readers of the new version
-    * stop paying the merge-on-read anti-join and the many-batch scan;
-    * prior versions stay time-travelable until vacuum reclaims them.
+    * manifest references only that batch, flagged `=` (dataChange =
+    * false): readers of the new version stop paying the merge-on-read
+    * anti-join and the many-batch scan, and [[readChanges]] skips the
+    * batch entirely, so an incremental consumer checkpointed before
+    * the compaction is never re-delivered the whole table. Prior
+    * versions stay time-travelable until vacuum reclaims them.
     * Content-identical by construction (the new batch IS readAt of
     * the old latest), spec-asserted.
     */
@@ -206,55 +338,110 @@ object VersionedTable {
     val v = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"nothing to compact at $path"))
     val next = v + 1
-    val batch = s"b$next"
+    val batch = s"b${next}_${newToken()}"
     readAt(spark, path, v)
       .write.mode("overwrite").parquet(s"$path/data/$batch")
-    commitManifest(path, next, Seq(batch))
+    commitManifest(path, next, Seq(s"=$batch"))
     next
   }
 
-  /** Incremental read: only the batches committed AFTER `fromVersion`
-    * up to `toVersion` — the consumer primitive versioning exists
-    * for ("give me what's new since my checkpoint"), computed as a
-    * manifest set difference over KB-sized control files. A consumer
-    * that stores its last-seen version gets exactly-once batch
-    * delivery without any log infrastructure.
+  /** Incremental read — the consumer primitive versioning exists for
+    * ("give me what's new since my checkpoint"), computed as a
+    * manifest set difference over KB-sized control files.
+    *
+    *   - `fromVersion = 0` is the INITIAL SNAPSHOT: the full view at
+    *     `toVersion` (tombstones applied) — what a new consumer
+    *     should seed from (the Delta streaming-source convention);
+    *   - otherwise: exactly the data batches committed after
+    *     `fromVersion`, EXCLUDING compaction batches (`=`,
+    *     dataChange = false) — a consumer checkpointed before an
+    *     OPTIMIZE sees zero re-delivered rows (spec- and
+    *     driver-proven);
+    *   - deletes are not delivered (the feed carries appended rows;
+    *     consumers needing delete propagation read tombstone versions
+    *     via [[readAt]] time travel).
     */
   def readChanges(spark: SparkSession, path: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion > toVersion $toVersion")
-    val to = manifestDirs(path, toVersion).toSet
-    val from =
-      if (fromVersion == 0) Set.empty[String]
-      else manifestDirs(path, fromVersion).toSet
-    val fresh = (to -- from).toSeq.sorted.map(b => s"$path/data/$b")
+    if (fromVersion == 0) return readAt(spark, path, toVersion)
+    val fromDirs = manifestEntries(path, fromVersion).map(dirOf).toSet
+    val fresh = manifestEntries(path, toVersion)
+      .filterNot(isTombstone)
+      .filterNot(isCompaction)
+      .map(dirOf)
+      .filterNot(fromDirs.contains)
+      .sorted
     if (fresh.isEmpty)
       readAt(spark, path, toVersion).limit(0)
-    else spark.read.parquet(fresh: _*)
+    else spark.read.parquet(fresh.map(b => s"$path/data/$b"): _*)
+  }
+
+  /** Checkpointed AvailableNow-style consumer: read the last-seen
+    * version from `checkpointDir`, deliver `readChanges(last,
+    * latest)` to `f`, then atomically advance the checkpoint (temp +
+    * rename — the same commit discipline as the table itself).
+    * Returns the delivered (fromVersion, toVersion), or None when
+    * there is nothing new. A crash BEFORE the checkpoint rename
+    * replays the delivery (at-least-once — spec-proven); pair the
+    * sink with the [[append]] txn guard (e.g. txnId =
+    * s"consume-$toVersion") for end-to-end exactly-once.
+    */
+  def consumeChanges(spark: SparkSession, path: String,
+      checkpointDir: String)(f: (DataFrame, Long, Long) => Unit): Option[(Long, Long)] = {
+    val latest = latestVersion(path).getOrElse(return None)
+    val (cfs, cp) = fs(checkpointDir)
+    val verFile = new Path(cp, "_version")
+    val last =
+      if (!cfs.exists(verFile)) 0L
+      else {
+        val in = cfs.open(verFile)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      }
+    if (latest <= last) return None
+    f(readChanges(spark, path, last, latest), last, latest)
+    val tmp = new Path(cp, "_version.tmp")
+    val out = cfs.create(tmp, true)
+    try out.write(latest.toString.getBytes("UTF-8"))
+    finally out.close()
+    if (cfs.exists(verFile) && !cfs.delete(verFile, false))
+      throw new java.io.IOException(
+        s"consumeChanges: could not replace checkpoint $verFile")
+    if (!cfs.rename(tmp, verFile))
+      throw new java.io.IOException(
+        s"consumeChanges: checkpoint rename $tmp -> $verFile failed; " +
+          "the delivery will replay (at-least-once)")
+    Some((last, latest))
   }
 
   /** Drop history: keep the newest `keep` versions' manifests, delete
     * older manifests and every batch dir no kept manifest references
     * (including crash-orphaned dirs that were never committed).
+    * Versions inside the keep window whose manifests an EARLIER,
+    * narrower vacuum already removed are skipped, so widening the
+    * retention later never aborts.
     */
   def vacuum(path: String, keep: Int): Unit = {
     require(keep >= 1, "must keep at least the latest version")
     val (f, p) = fs(path)
     val latest = latestVersion(path).getOrElse(return)
-    val keptVersions = (math.max(1L, latest - keep + 1) to latest)
+    val floor = math.max(1L, latest - keep + 1)
+    // only versions whose manifest still exists: an earlier vacuum
+    // with a smaller keep may have removed part of the window
+    val keptVersions = committedVersions(path).filter(_ >= floor)
     // data AND tombstone batches: a kept version's delete set is as
     // load-bearing as its rows
     val referenced = keptVersions.flatMap { v =>
-      val e = manifestEntries(path, v)
-      dataDirsOf(e) ++ tombstoneDirsOf(e)
+      manifestEntries(path, v).map(dirOf)
     }.toSet
     // old manifests first: a reader landing mid-vacuum sees either a
     // kept version (complete) or a missing manifest (loud failure) —
     // never a manifest whose dirs are partially deleted
     f.listStatus(p).map(_.getPath).foreach { mp =>
       mp.getName match {
-        case ManifestRe(n) if n.toLong < keptVersions.head =>
+        case ManifestRe(n) if n.toLong < floor =>
           if (!f.delete(mp, false) && f.exists(mp))
             throw new java.io.IOException(
               s"VersionedTable vacuum: delete of manifest $mp failed")

@@ -434,6 +434,180 @@ object SourceQueries extends QueryRegistry {
       GROUP BY 1
     """.trim))
 
+  /** MERGE/upsert as ONE atomic commit (the versioned table's J3/J4
+    * parity): v1/v2 publish the orders in two appends, v3 upserts a
+    * corrections batch — every 1-URGENT order re-published with
+    * total_c + 10000 (the "restate urgent totals" correction) PLUS a
+    * synthetic insert per urgent order under a fresh key with status
+    * 'X' — in a single manifest rename: matched keys replaced,
+    * unmatched inserted, and no reader can ever observe the deletion
+    * without the corrected rows (same-commit tombstone+data,
+    * spec-proven). The oracle replays replace-and-insert over the
+    * base table; one stale pre-correction row surviving (or one
+    * correction applied twice) breaks the hash.
+    */
+  val q267 = GraftQuery(
+    "q267_versioned_upsert",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val path = "/tmp/graft_q267_vt_up_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      if (!VersionedTable.latestVersion(path).exists(_ >= 3L)) {
+        val cut = lit("1997-01-01").cast("timestamp")
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("total_c"),
+          col("o_orderdate"))
+        VersionedTable.append(
+          o.filter(col("o_orderdate") < cut).drop("o_orderdate"), path)
+        VersionedTable.append(
+          o.filter(col("o_orderdate") >= cut).drop("o_orderdate"), path)
+        val urgent = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            round(col("o_totalprice") * 100).cast("long").as("total_c"))
+        val corrections = urgent
+          .withColumn("total_c", col("total_c") + 10000L)
+        val inserts = urgent
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            lit("X").as("o_orderstatus"), col("total_c"))
+        VersionedTable.upsert(corrections.unionByName(inserts),
+          "o_orderkey", path, txnId = Some("corrections-1"))
+      }
+      VersionedTable.readLatest(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("total_c")).as("total_c"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS total_c
+        FROM orders),
+      merged AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN total_c + 10000 ELSE total_c END AS total_c
+        FROM base
+        UNION ALL
+        SELECT 'X' AS o_orderstatus, total_c
+        FROM base WHERE o_orderpriority = '1-URGENT')
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(total_c) AS BIGINT) AS total_c
+      FROM merged GROUP BY 1
+    """.trim))
+
+  /** Change feed across compaction (dataChange = false): v1/v2
+    * publish two date slices, v3 COMPACTS the table, v4 appends the
+    * post-cutoff slice. A consumer checkpointed at v2 catching up to
+    * v4 must receive EXACTLY v4's rows — the compaction batch is
+    * flagged `=` in the manifest and the change feed skips it, so an
+    * OPTIMIZE never re-delivers the whole table to incremental
+    * consumers (the Delta dataChange=false contract). The oracle is
+    * v4's defining filter alone: one re-delivered compacted row
+    * doubles a count and breaks the hash.
+    */
+  val q268 = GraftQuery(
+    "q268_versioned_changefeed_compaction",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val path = "/tmp/graft_q268_vt_cf_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      if (!VersionedTable.latestVersion(path).exists(_ >= 4L)) {
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_orderdate"),
+          round(col("o_totalprice") * 100).cast("long").as("total_c"))
+        val c95 = lit("1995-01-01").cast("timestamp")
+        val c97 = lit("1997-01-01").cast("timestamp")
+        VersionedTable.append(o.filter(col("o_orderdate") < c95), path)
+        VersionedTable.append(
+          o.filter(col("o_orderdate") >= c95 && col("o_orderdate") < c97), path)
+        VersionedTable.compact(s, path)
+        VersionedTable.append(o.filter(col("o_orderdate") >= c97), path)
+      }
+      VersionedTable.readChanges(s, path, fromVersion = 2L, toVersion = 4L)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("total_c")).as("total_c"))
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      GROUP BY 1
+    """.trim))
+
+  /** The consume side of the versioned publish (q262's missing half):
+    * a checkpointed AvailableNow consumer drains the table twice —
+    * delivery 1 seeds from the initial snapshot (pre-cutoff orders at
+    * v1), then the publisher compacts AND appends, and delivery 2
+    * carries ONLY the new batch (the compaction between the two
+    * consumptions is dataChange=false and contributes nothing). Each
+    * delivery lands in an append-only parquet sink tagged with its
+    * kind; the checkpoint advance is atomic, so a re-run of the whole
+    * query delivers nothing new and the sink is stable (idempotent
+    * re-verification). The oracle replays both deliveries from the
+    * base table; a re-delivered or dropped row in either breaks the
+    * hash.
+    */
+  val q269 = GraftQuery(
+    "q269_versioned_checkpointed_consume",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val suffix = d.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = s"/tmp/graft_q269_vt_src_$suffix"
+      val ckpt = s"/tmp/graft_q269_vt_ckpt_$suffix"
+      val sink = s"/tmp/graft_q269_vt_sink_$suffix"
+      val cut = lit("1997-01-01").cast("timestamp")
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("total_c"))
+      val conf = s.sparkContext.hadoopConfiguration
+      def exists(dir: String): Boolean = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(conf).exists(p)
+      }
+      val complete = VersionedTable.latestVersion(path).exists(_ >= 3L) &&
+        exists(ckpt) && exists(sink)
+      if (!complete) {
+        // partial state from a crashed earlier build would corrupt the
+        // sink contract — start from a clean slate
+        Seq(path, ckpt, sink).foreach { dir =>
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val f = p.getFileSystem(conf)
+          if (f.exists(p)) f.delete(p, true)
+        }
+        VersionedTable.append(o.filter(col("o_orderdate") < cut), path)
+        VersionedTable.consumeChanges(s, path, ckpt) { (df, _, _) =>
+          df.withColumn("delivery", lit("snapshot"))
+            .write.mode("append").parquet(sink)
+        }
+        VersionedTable.compact(s, path)
+        VersionedTable.append(o.filter(col("o_orderdate") >= cut), path)
+        VersionedTable.consumeChanges(s, path, ckpt) { (df, _, _) =>
+          df.withColumn("delivery", lit("incremental"))
+            .write.mode("append").parquet(sink)
+        }
+      }
+      // steady state: nothing new → no delivery, sink unchanged
+      VersionedTable.consumeChanges(s, path, ckpt) { (_, _, _) =>
+        throw new IllegalStateException("nothing new, yet a delivery fired")
+      }
+      s.read.parquet(sink)
+        .groupBy(col("delivery"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("total_c")).as("total_c"))
+    },
+    Some("""
+      WITH deliveries AS (
+        SELECT 'snapshot' AS delivery, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS total_c
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        UNION ALL
+        SELECT 'incremental' AS delivery, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS total_c
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+      SELECT delivery, o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(total_c) AS BIGINT) AS total_c
+      FROM deliveries GROUP BY 1, 2
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
-    q261, q263, q264, q265)
+    q261, q263, q264, q265, q267, q268, q269)
 }

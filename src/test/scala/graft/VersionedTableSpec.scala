@@ -101,10 +101,168 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.readAt(spark, path, 2).count() === 15L)
     VersionedTable.vacuum(path, keep = 1)
     val dirs = new java.io.File(s"$path/data").listFiles().map(_.getName)
-    assert(dirs.toSeq === Seq("b4"),
+    assert(dirs.length === 1 && dirs.head.startsWith("b4_"),
       s"vacuum after compact should leave only the compacted batch: ${dirs.toSeq}")
     assert(VersionedTable.readLatest(spark, path).as[Int].collect().sorted
       === before)
+  }
+
+  test("position-scoped tombstones: a key deleted then re-appended is visible again") {
+    val path = tmpDir("vt_reappend")
+    VersionedTable.append((1 to 5).toDF("x"), path)
+    VersionedTable.deleteKeys(Seq(3).toDF("x"), "x", path)
+    // v2: 3 is gone
+    assert(VersionedTable.readAt(spark, path, 2).as[Int].collect().sorted
+      === Array(1, 2, 4, 5))
+    // v3 re-appends 3 (plus a fresh 6): the delete only affected rows
+    // that existed at delete time, so the re-append is visible — the
+    // Delta/Iceberg merge-on-read semantics, not delete-wins-forever
+    VersionedTable.append(Seq(3, 6).toDF("x"), path)
+    assert(VersionedTable.readLatest(spark, path).as[Int].collect().sorted
+      === Array(1, 2, 3, 4, 5, 6))
+    // and the delete version still reads as it did
+    assert(VersionedTable.readAt(spark, path, 2).as[Int].collect().sorted
+      === Array(1, 2, 4, 5))
+    // compaction preserves the re-appended content
+    VersionedTable.compact(spark, path)
+    assert(VersionedTable.readLatest(spark, path).as[Int].collect().sorted
+      === Array(1, 2, 3, 4, 5, 6))
+  }
+
+  test("upsert: one-commit replace-or-insert; readers never see delete without insert") {
+    val path = tmpDir("vt_upsert")
+    VersionedTable.append(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), path)
+    // replace k=2, insert k=9 — ONE commit
+    val v2 = VersionedTable.upsert(Seq((2, "B"), (9, "z")).toDF("k", "v"), "k", path)
+    assert(v2 === 2L)
+    assert(VersionedTable.readLatest(spark, path).as[(Int, String)].collect().sorted
+      === Array((1, "a"), (2, "B"), (3, "c"), (9, "z")))
+    // time travel: the pre-upsert version is untouched
+    assert(VersionedTable.readAt(spark, path, 1).as[(Int, String)].collect().sorted
+      === Array((1, "a"), (2, "b"), (3, "c")))
+    // there is no intermediate version where k=2 is deleted but "B"
+    // absent: versions go straight 1 -> 2
+    assert(VersionedTable.latestVersion(path) === Some(2L))
+    // replayed upsert with the same txn id is a no-op
+    val v3 = VersionedTable.upsert(Seq((3, "C")).toDF("k", "v"), "k", path,
+      txnId = Some("up-1"))
+    val replay = VersionedTable.upsert(Seq((3, "C")).toDF("k", "v"), "k", path,
+      txnId = Some("up-1"))
+    assert(v3 === 3L && replay === 3L)
+    assert(VersionedTable.readLatest(spark, path).count() === 4L)
+    // upsert into an empty table is a plain insert
+    val fresh = tmpDir("vt_upsert_empty")
+    VersionedTable.upsert(Seq((1, "a")).toDF("k", "v"), "k", fresh)
+    assert(VersionedTable.readLatest(spark, fresh).count() === 1L)
+  }
+
+  test("upsert insertOnly: existing keys win (J3 insert-if-absent)") {
+    val path = tmpDir("vt_upsert_io")
+    VersionedTable.append(Seq((1, "a"), (2, "b")).toDF("k", "v"), path)
+    VersionedTable.upsert(Seq((2, "CLOBBER"), (5, "e")).toDF("k", "v"), "k",
+      path, insertOnly = true)
+    // k=2 kept its original value; k=5 inserted
+    assert(VersionedTable.readLatest(spark, path).as[(Int, String)].collect().sorted
+      === Array((1, "a"), (2, "b"), (5, "e")))
+  }
+
+  test("txn guard holds across interleaved commits, not just the latest manifest") {
+    val path = tmpDir("vt_txn_interleaved")
+    val v1 = VersionedTable.append((1 to 5).toDF("x"), path,
+      txnId = Some("batch-A"))
+    // another writer interleaves: a delete (no txn line at all)
+    VersionedTable.deleteKeys(Seq(5).toDF("x"), "x", path)
+    // and a compact (its manifest carries no txn either)
+    VersionedTable.compact(spark, path)
+    // the replayed micro-batch must STILL no-op — the guard scans all
+    // retained manifests, not just the latest
+    val replay = VersionedTable.append((1 to 5).toDF("x"), path,
+      txnId = Some("batch-A"))
+    assert(v1 === 1L && replay === 1L)
+    assert(VersionedTable.latestVersion(path) === Some(3L))
+    assert(VersionedTable.readLatest(spark, path).count() === 4L)
+  }
+
+  test("a commit racing into an already-committed version refuses and mutates nothing") {
+    val path = tmpDir("vt_race")
+    VersionedTable.append((1 to 5).toDF("x"), path)
+    VersionedTable.append((6 to 8).toDF("x"), path)
+    val before = VersionedTable.readLatest(spark, path).as[Int].collect().sorted
+    // simulate the loser of a two-writer race: its attempt computed
+    // next = 2, wrote its own (unique) batch dir, and now tries to
+    // commit version 2 — the manifest already exists, so the commit
+    // must refuse, and the winner's committed bytes are untouched
+    // (the loser's dir name is attempt-unique by construction)
+    (100 to 101).toDF("x").write.parquet(s"$path/data/b2_loser")
+    val e = intercept[java.io.IOException] {
+      VersionedTable.commitManifest(path, 2, Seq("b2_loser"))
+    }
+    assert(e.getMessage.contains("already committed"))
+    assert(VersionedTable.readLatest(spark, path).as[Int].collect().sorted
+      === before)
+    // vacuum reclaims the loser's orphan
+    VersionedTable.vacuum(path, keep = 2)
+    assert(!new java.io.File(s"$path/data").listFiles().map(_.getName)
+      .contains("b2_loser"))
+  }
+
+  test("vacuum with a widened keep skips versions an earlier vacuum removed") {
+    val path = tmpDir("vt_vacuum_widen")
+    (1 to 5).foreach(i => VersionedTable.append(Seq(i).toDF("x"), path))
+    VersionedTable.vacuum(path, keep = 1)
+    // widening retention later must not abort on the missing manifests
+    VersionedTable.vacuum(path, keep = 5)
+    assert(VersionedTable.readLatest(spark, path).count() === 5L)
+  }
+
+  test("change feed skips compaction batches (dataChange=false); deliveries are exact") {
+    val path = tmpDir("vt_changefeed")
+    VersionedTable.append((1 to 10).toDF("x"), path)   // v1
+    VersionedTable.append((11 to 15).toDF("x"), path)  // v2
+    VersionedTable.compact(spark, path)                // v3 (= batch)
+    VersionedTable.append((16 to 18).toDF("x"), path)  // v4
+    // consumer checkpointed at v2, catching up to v4: ONLY v4's rows —
+    // the compaction batch is flagged dataChange=false and skipped
+    assert(VersionedTable.readChanges(spark, path, 2, 4).as[Int].collect().sorted
+      === (16 to 18).toArray)
+    // checkpointed exactly at the compaction: nothing but v4 either
+    assert(VersionedTable.readChanges(spark, path, 3, 4).as[Int].collect().sorted
+      === (16 to 18).toArray)
+    // initial snapshot (from = 0): the full current view, not raw batches
+    assert(VersionedTable.readChanges(spark, path, 0, 4).count() === 18L)
+  }
+
+  test("checkpointed consumer: at-least-once on crash, no redelivery after success") {
+    val path = tmpDir("vt_consume")
+    val ckpt = tmpDir("vt_consume_ckpt")
+    VersionedTable.append((1 to 10).toDF("x"), path)
+    // first delivery: the initial snapshot
+    var delivered = Seq.empty[Int]
+    val d1 = VersionedTable.consumeChanges(spark, path, ckpt) { (df, from, to) =>
+      assert(from === 0L && to === 1L)
+      delivered = df.as[Int].collect().toSeq.sorted
+    }
+    assert(d1 === Some((0L, 1L)) && delivered === (1 to 10))
+    // nothing new: no delivery, checkpoint untouched
+    assert(VersionedTable.consumeChanges(spark, path, ckpt)((_, _, _) =>
+      fail("delivered with nothing new")) === None)
+    // publisher moves on: compact + append
+    VersionedTable.compact(spark, path)
+    VersionedTable.append((11 to 12).toDF("x"), path)
+    // a crashing consumer does NOT advance the checkpoint ...
+    intercept[RuntimeException] {
+      VersionedTable.consumeChanges(spark, path, ckpt)((_, _, _) =>
+        throw new RuntimeException("sink crashed"))
+    }
+    // ... so the next attempt re-delivers the SAME range (at-least-once),
+    // and the compaction batch is never part of it
+    val d2 = VersionedTable.consumeChanges(spark, path, ckpt) { (df, from, to) =>
+      assert(from === 1L && to === 3L)
+      delivered = df.as[Int].collect().toSeq.sorted
+    }
+    assert(d2 === Some((1L, 3L)) && delivered === Seq(11, 12))
+    assert(VersionedTable.consumeChanges(spark, path, ckpt)((_, _, _) =>
+      fail("redelivered after success")) === None)
   }
 
   test("vacuum drops expired versions and crash orphans, keeps referenced batches byte-identical") {
@@ -115,7 +273,8 @@ class VersionedTableSpec extends SparkTestBase {
     // crash orphan: a batch dir that no manifest references
     (100 to 101).toDF("x").write.parquet(s"$path/data/b99_orphan")
     val fsDir = new java.io.File(s"$path/data")
-    val before = new java.io.File(s"$path/data/b3").listFiles().map(f =>
+    val b3 = fsDir.listFiles().map(_.getName).find(_.startsWith("b3_")).get
+    val before = new java.io.File(s"$path/data/$b3").listFiles().map(f =>
       f.getName -> f.length()).toMap
 
     intercept[IllegalArgumentException] { VersionedTable.vacuum(path, 0) }
@@ -130,7 +289,7 @@ class VersionedTableSpec extends SparkTestBase {
     }
     assert(!fsDir.listFiles().map(_.getName).contains("b99_orphan"),
       "crash orphan survived the vacuum")
-    val after = new java.io.File(s"$path/data/b3").listFiles().map(f =>
+    val after = new java.io.File(s"$path/data/$b3").listFiles().map(f =>
       f.getName -> f.length()).toMap
     assert(after === before, "a referenced batch dir was touched by vacuum")
   }
