@@ -19,15 +19,22 @@ object Skew {
   /** Equi-join `large` with `small` on `key`, spreading each key of
     * the large side over `saltFactor` sub-keys and replicating the
     * small side once per sub-key. Semantically identical to
-    * large.join(small, key) for inner joins.
+    * large.join(small, key, joinType) for inner and left joins: a
+    * large-side row carries exactly one salt, so an unmatched row
+    * null-extends exactly once in left mode (the small side is
+    * replicated to every salt, never the other way around — which is
+    * also why right/full modes are NOT offered: the small side's
+    * replicas would multiply unmatched small rows).
     */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
-      saltFactor: Int): DataFrame = {
+      saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"saltedJoin supports inner/left joins, not $joinType")
     val saltedLarge = large.withColumn("__salt",
       pmod(hash(struct(large.columns.map(col): _*)), lit(saltFactor)))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
-    saltedLarge.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
+    saltedLarge.join(saltedSmall, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
   /** Pre-flight skew diagnosis for a prospective join/group key:
@@ -104,21 +111,32 @@ object Skew {
     *   - hot keys too wide to broadcast: [[saltedJoin]] spreads each
     *     over `saltFactor` sub-keys.
     *
-    * Output is semantically identical to `large.join(small, key)`
-    * (inner): the key-groups partition the key space, and each branch
-    * is the plain join restricted to its group. The profile costs one
-    * map-side-combined count per side; the hot-key set is bounded by
-    * construction (at most 10000/minShareBp keys), so the driver hop
-    * and the isin filters stay small at any corpus size. This is the
-    * operator a 100 TB join actually wants: the q131/q145 pre-flights
-    * stop being advisory output and start choosing the plan.
+    * Output is semantically identical to `large.join(small, key,
+    * joinType)` for inner and left joins: the key-groups partition
+    * the key space, and each branch is the plain join restricted to
+    * its group. Left mode is where skew hurts most in practice
+    * (fact-to-dim with missing dims): unmatched hot-key rows
+    * null-extend inside their branch — including a hot key whose
+    * small side is EMPTY, which rides the broadcast branch with an
+    * empty broadcast — and null-key large rows survive through the
+    * cold branch (its filter keeps them explicitly; inner mode leaves
+    * them there too, where the join itself discards them). The
+    * profile costs one map-side-combined count per side; the hot-key
+    * set is bounded by construction (at most 10000/minShareBp keys),
+    * so the driver hop and the isin filters stay small at any corpus
+    * size. This is the operator a 100 TB join actually wants: the
+    * q131/q145 pre-flights stop being advisory output and start
+    * choosing the plan.
     */
   def statsDrivenJoin(large: DataFrame, small: DataFrame, key: String,
       minShareBp: Long, saltFactor: Int,
-      broadcastRowLimit: Long): DataFrame = {
-    // a null hot key would make the isin filters three-valued; an
-    // inner join drops null keys regardless, so leave them to the
-    // cold branch (where the join itself discards them)
+      broadcastRowLimit: Long, joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"statsDrivenJoin supports inner/left joins, not $joinType")
+    val left = joinType != "inner"
+    // hot keys are never null: a null profile row goes to the cold
+    // branch, where inner mode's join discards it and left mode's
+    // filter keeps it for null-extension
     val decisions = joinPlanDecisions(large, small, key, minShareBp,
       broadcastRowLimit).collect().filter(_.get(0) != null)
     val bcastKeys = decisions.filter(_.getString(4) == "broadcast_hot")
@@ -126,18 +144,21 @@ object Skew {
     val saltKeys = decisions.filter(_.getString(4) == "salted")
       .map(_.get(0)).toSeq
     val hotKeys = bcastKeys ++ saltKeys
+    val notHot =
+      if (left) col(key).isNull || !col(key).isin(hotKeys: _*)
+      else !col(key).isin(hotKeys: _*)
     val cold =
-      if (hotKeys.isEmpty) large.join(small, Seq(key))
-      else large.filter(!col(key).isin(hotKeys: _*))
-        .join(small, Seq(key))
+      if (hotKeys.isEmpty) large.join(small, Seq(key), joinType)
+      else large.filter(notHot).join(small, Seq(key), joinType)
     val branches = Seq(
       Some(cold),
       if (bcastKeys.isEmpty) None
       else Some(large.filter(col(key).isin(bcastKeys: _*))
-        .join(broadcast(small.filter(col(key).isin(bcastKeys: _*))), Seq(key))),
+        .join(broadcast(small.filter(col(key).isin(bcastKeys: _*))),
+          Seq(key), joinType)),
       if (saltKeys.isEmpty) None
       else Some(saltedJoin(large.filter(col(key).isin(saltKeys: _*)),
-        small.filter(col(key).isin(saltKeys: _*)), key, saltFactor))
+        small.filter(col(key).isin(saltKeys: _*)), key, saltFactor, joinType))
     ).flatten
     branches.reduce(_ unionByName _)
   }

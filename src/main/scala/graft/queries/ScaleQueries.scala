@@ -995,6 +995,48 @@ object ScaleQueries extends QueryRegistry {
     },
     statsJoinOracle)
 
+  /** Stats-driven join, LEFT mode — fact-to-dim with missing dims,
+    * where skew hurts most in practice. The dim side drops two event
+    * types entirely, and every 10th user's fact row carries a NULL
+    * key: unmatched hot keys must null-extend inside their branch
+    * (here via an EMPTY broadcast — n_small = 0 fits any budget),
+    * matched hot keys ride the salted left join, and the null-key
+    * rows survive through the cold branch. The oracle is the plain
+    * LEFT JOIN: one dropped null-key row, one double-delivered
+    * unmatched row, or a hot row lost between branches breaks the
+    * count or the hash.
+    */
+  val q270 = GraftQuery(
+    "q270_stats_driven_left_join",
+    (s, d) => {
+      val events = Tables.events(s, d)
+        .select(when(expr("user_id % 10 = 0"), lit(null).cast("string"))
+            .otherwise(col("event_type")).as("event_type"),
+          round(col("value") * 100).cast("long").as("value_c"))
+      val dim = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "error", "purchase"))
+        .groupBy(col("event_type"))
+        .agg(min(col("user_id")).as("first_user"))
+      Skew.statsDrivenJoin(events, dim, "event_type",
+          minShareBp = 2000L, saltFactor = 8, broadcastRowLimit = 0L,
+          joinType = "left")
+        .groupBy(col("event_type"), col("first_user"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("value_c")).as("value_c_sum"))
+    },
+    Some("""
+      WITH facts AS (
+        SELECT CASE WHEN user_id % 10 = 0 THEN NULL ELSE event_type END AS event_type,
+               CAST(round(value * 100) AS BIGINT) AS value_c
+        FROM events),
+      dim AS (SELECT event_type, min(user_id) AS first_user
+              FROM events WHERE event_type IN ('click', 'error', 'purchase')
+              GROUP BY 1)
+      SELECT f.event_type, d.first_user, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(value_c) AS BIGINT) AS value_c_sum
+      FROM facts f LEFT JOIN dim d USING (event_type)
+      GROUP BY 1, 2
+    """.trim))
+
   private lazy val statsJoinOracle: Option[String] = Some("""
       WITH dim AS (SELECT event_type, min(user_id) AS first_user
                    FROM events GROUP BY 1)
@@ -1043,5 +1085,5 @@ object ScaleQueries extends QueryRegistry {
   def all: Seq[GraftQuery] =
     Seq(q44, q46, q48, q50, q66, q87, q88, q97, q98, q98a, q100, q102, q104,
       q112, q114, q124, q125, q126, q127, q131, q136, q141, q145, q146, q151,
-      q169, q173, q197, q201, q237a, q237, q237b, q247)
+      q169, q173, q197, q201, q237a, q237, q237b, q247, q270)
 }

@@ -307,6 +307,38 @@ class PlanAssertionsSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast branch in plan:\n$plan")
   }
 
+  test("statsDrivenJoin left mode: null keys and unmatched keys survive; output = plain left join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Skew
+    // key 0 hot with a 1-row dim (broadcast), key 1 hot with NO dim
+    // rows at all (empty broadcast must still null-extend), key 2 hot
+    // and too wide for the budget (salted left), null keys cold
+    val large = ((1 to 500).map(i => (Some(0L), i)) ++
+      (1 to 300).map(i => (Some(1L), i)) ++
+      (1 to 250).map(i => (Some(2L), i)) ++
+      (1 to 30).map(i => (Option.empty[Long], i)) ++
+      (3 to 8).flatMap(k => (1 to 5).map(i => (Some(k.toLong), i))))
+      .toDF("k", "v")
+    val small = ((0L, 100) +: (1 to 5).map(i => (2L, 200 + i)) ++:
+      (3 to 8).map(k => (k.toLong, 300 + k))).toDF("k", "w")
+
+    val out = Skew.statsDrivenJoin(large, small, "k",
+      minShareBp = 2000L, saltFactor = 4, broadcastRowLimit = 1L,
+      joinType = "left")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "w").as[(Option[Long], Int, Option[Int])]
+        .collect().sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(rows(out) === rows(large.join(small, Seq("k"), "left")),
+      "stats-driven left join diverged from the plain left join")
+    // every null-key row survived, null-extended, exactly once
+    assert(out.filter(col("k").isNull).count() === 30L)
+    // the no-dim hot key null-extended all its rows
+    assert(out.filter(col("k") === 1L && col("w").isNull).count() === 300L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"no salted branch in plan:\n$plan")
+  }
+
   test("q245: the DSIR ratio table broadcasts; selection is a TakeOrdered heap") {
     val plan = executed(SparkEntry.queries("q245_dsir_importance_selection")(spark, sf))
     // the 64-row bucket table must never shuffle-join the token stream
