@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Character-n-gram language identification — the rank-profile method
+  * of Cavnar & Trenkle 1994 ("N-Gram-Based Text Categorization"),
+  * implemented as pure DataFrame algebra with NO model file: profiles
+  * are trained from a (lang, text) corpus at build time (the repo
+  * ships one as source literals, [[graft.functions.LangCorpus]]) and
+  * classification is an out-of-place rank distance against them.
+  *
+  * Method: lowercase the text, slide character windows of EVERY
+  * length in `ns` (the paper's mixed-length design — default 1/2/3;
+  * spaces included, as word-boundary grams are among the most
+  * discriminative), rank each language's grams by frequency (ties
+  * broken by gram bytes, so the rank is total and
+  * engine-reproducible), keep the top `topK`. A document is ranked
+  * the same way against itself; its distance to a language is
+  * Σ over its grams of |docRank − langRank|, with a fixed `topK`
+  * penalty for grams absent from the profile. Predicted language =
+  * argmin distance, ties broken by language code. The mixed lengths
+  * are load-bearing for CJK: distinct Chinese sentences rarely share
+  * a trigram, but share characters heavily — with trigrams alone a
+  * held-out zh sentence misses every profile and the tie-break
+  * decides (measured: 2/12 zh correct trigram-only vs 12/12 mixed);
+  * unigrams and bigrams carry that signal, while trigrams separate
+  * the latin languages.
+  *
+  * Every step is integer arithmetic over deterministic ranks, so the
+  * DuckDB oracle replays it bit-for-bit. Scale shape: training
+  * touches the corpus once (explode + one hash aggregate; the rank
+  * window is partitioned per language over the GRAM VOCABULARY, which
+  * is bounded by alphabet size, not corpus size); classification is
+  * one explode + one per-doc aggregate + a broadcast join against the
+  * 5·topK-row profile table + a per-doc argmin over |langs| rows —
+  * per-document work bounded by document length, no corpus-wide
+  * shuffle beyond the per-doc aggregate.
+  */
+object LanguageId {
+
+  /** Character n-grams of `lower(c)` for every length in `ns`,
+    * concatenated; each length contributes positions 1..len−n+1, or
+    * nothing when the text is shorter than `n` (mirrors DuckDB
+    * `range(1, length(s) − n + 2)` which is empty then).
+    */
+  def charGrams(c: Column, ns: Seq[Int] = Seq(1, 2, 3)): Column = {
+    val s = lower(c)
+    val perLength = ns.map { n =>
+      when(length(s) >= n,
+        transform(sequence(lit(1), length(s) - (n - 1)),
+          i => s.substr(i, lit(n))))
+        .otherwise(array().cast("array<string>"))
+    }
+    if (perLength.size == 1) perLength.head else concat(perLength: _*)
+  }
+
+  /** Train rank profiles: (lang, g, r) with r = 1..topK by descending
+    * frequency, ties broken by gram bytes. The window input is the
+    * per-language gram vocabulary — bounded by the alphabet, not the
+    * corpus.
+    */
+  def trainProfiles(corpus: DataFrame, langCol: String, textCol: String,
+      topK: Int, ns: Seq[Int] = Seq(1, 2, 3)): DataFrame =
+    corpus
+      .select(col(langCol).as("lang"),
+        explode(charGrams(col(textCol), ns)).as("g"))
+      .groupBy(col("lang"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("g").asc)))
+      .filter(col("r") <= topK)
+      .select(col("lang"), col("g"), col("r"))
+
+  /** Classify each document against `profiles` (as produced by
+    * [[trainProfiles]] with the same `topK`/`n`): output
+    * (id, pred_lang, dist). The profile table broadcasts; the
+    * per-doc argmin is a |langs|-row window per document.
+    */
+  def classify(docs: DataFrame, idCol: String, textCol: String,
+      profiles: DataFrame, topK: Int, ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    val docGrams = docs
+      .select(col(idCol).as("id"),
+        explode(charGrams(col(textCol), ns)).as("g"))
+      .groupBy(col("id"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rd", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("cnt").desc, col("g").asc)))
+      .filter(col("rd") <= topK)
+      .select(col("id"), col("g"), col("rd"))
+    val langs = profiles.select(col("lang")).distinct()
+    val scored = docGrams
+      .crossJoin(broadcast(langs))
+      .join(broadcast(profiles.withColumnRenamed("r", "rl")),
+        Seq("lang", "g"), "left")
+      .groupBy(col("id"), col("lang"))
+      .agg(sum(coalesce(abs(col("rd") - col("rl")), lit(topK.toLong)))
+        .as("dist"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("dist").asc, col("lang").asc)))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("lang").as("pred_lang"), col("dist"))
+  }
+}
