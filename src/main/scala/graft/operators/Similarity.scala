@@ -370,6 +370,73 @@ object Similarity {
     Dedup.markerWrite(path, pqStoreParams(m, kCodes, subDim, residual))
   }
 
+  /** Centroid refresh for the IVFADC index — the REBALANCE leg that
+    * completes the lifecycle (write / append / search / vacuum /
+    * rebalance): after heavy append+vacuum churn the coarse centroids
+    * drift from the data, so fixed-nprobe recall decays (the right
+    * neighbors sit in clusters the probe no longer ranks first).
+    * Retrains k coarse centroids from the CURRENT stored vectors
+    * (Clustering.kmeansCentroids — deterministic seed, `kmIters`
+    * Lloyd rounds), reassigns every stored row, and rewrites the
+    * partitioned layout.
+    *
+    * What it deliberately does NOT do: re-encode. Raw-mode PQ codes
+    * quantize the vectors themselves, independent of any centroid, so
+    * the stored codes (and the codebook) are carried over
+    * byte-for-byte — rebalance pays one layout rewrite, never a
+    * training+encode pass over the corpus. Residual-coded stores are
+    * REFUSED: their codes quantize (v − centroid(v)), so new
+    * centroids invalidate every code and the honest operation is a
+    * full `ivfPqIndexWrite` rebuild.
+    *
+    * Commit discipline (the vacuum/signature-store ladder): the new
+    * layout and centroids stage to sibling dirs while searchers keep
+    * the committed index; the marker drops only when the swap begins,
+    * every FileSystem return is checked, and a failure leaves the
+    * marker dropped so the next reader is forced into the documented
+    * fallback (rebuild) instead of a mixed-generation read.
+    *
+    * Acceptance is MEASURED, not assumed: q274 runs the q235 recall
+    * audit on the same churned corpus under stale vs rebalanced
+    * centroids and the driver hash pins both curves.
+    */
+  def ivfPqIndexRebalance(spark: org.apache.spark.sql.SparkSession,
+      kClusters: Int, kmIters: Int, m: Int, kCodes: Int, subDim: Int,
+      path: String, targetRowsPerFile: Long = 1L << 20): Unit = {
+    require(ivfPqIndexComplete(spark, path, m, kCodes, subDim, residual = false),
+      s"IVFADC index at $path is incomplete, residual-coded, or was built " +
+        s"with different parameters than (${pqStoreParams(m, kCodes, subDim)}) " +
+        "— refusing to rebalance (residual stores must rebuild: their codes " +
+        "quantize against the centroids being replaced)")
+    val stored = spark.read.parquet(s"$path/index")
+    val vecs = stored.select(col("id"), col("v"))
+    val codes = stored.select(col("id"), col("codes"))
+    val newCents = Clustering.kmeansCentroids(spark, vecs, "id", "v",
+      kClusters, kmIters)
+    // stage while the committed index stays searchable
+    newCents.select(col("centroid_id"), col("cv"))
+      .write.mode("overwrite").parquet(s"$path/centroids_stage")
+    writeAssigned(vecs, newCents, "id", "v", "centroid_id", "cv",
+      s"$path/index_stage", targetRowsPerFile, "overwrite",
+      extra = Some(codes))
+    Dedup.markerDelete(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("index", "centroids").foreach { t =>
+      val live = new org.apache.hadoop.fs.Path(s"$path/$t")
+      val stage = new org.apache.hadoop.fs.Path(s"$path/${t}_stage")
+      if (!fs.delete(live, true) && fs.exists(live))
+        throw new java.io.IOException(
+          s"IVFADC rebalance: delete of $live failed; completion marker " +
+            "remains dropped — index requires rebuild")
+      if (!fs.rename(stage, live))
+        throw new java.io.IOException(
+          s"IVFADC rebalance: rename $stage -> $live failed; completion " +
+            "marker remains dropped — index requires rebuild")
+    }
+    Dedup.markerWrite(path, pqStoreParams(m, kCodes, subDim))
+  }
+
   /** Search over an ivfPqIndexWrite index: probe selection becomes a
     * static partition filter (only nprobe cluster directories are
     * opened — the ivfTopKIndexed pruning), candidates are scored by

@@ -1499,7 +1499,229 @@ object SimilarityQueries extends QueryRegistry {
                   (SELECT count(*) FROM truth) AS BIGINT) AS recall_bp
     """.trim))
 
+  /** IVFADC rebalance acceptance — the q235 recall audit run TWICE on
+    * the same DRIFTED index content: built (centroids + codebook
+    * trained) on the embedding[0]<0 half-space only, then the entire
+    * other half-space streamed in and every 7th id vacuumed — the
+    * drift a production index accumulates. Once measured with the
+    * STALE build-time centroids, once after `ivfPqIndexRebalance`
+    * retrained the coarse centroids (1 Lloyd round) and rewrote the
+    * layout with codes carried over unchanged. Queries come from the
+    * drifted (appended) region, where stale centroids hurt.
+    *
+    * Measured (both SFs share the 500-vector table): rebalance takes
+    * recall@5 from 1333 → 2666 bp at (nprobe=1, shortlist=10) and
+    * 1333 → 3333 bp at (2, 20) — the retrain DOUBLES tight-probe
+    * recall on drifted data — while the lossless (8, 999) control is
+    * 100% for BOTH variants: rebalance moves every row between
+    * clusters, so full-probe recall surviving proves no row was lost
+    * or duplicated in the rewrite. (Same-distribution churn, measured
+    * while building this query, moves recall by ±1 hit — rebalance
+    * pays when there IS drift, and the operator's scaladoc says so.)
+    * The oracle replays EVERYTHING: PQ training on the base slice,
+    * the churned membership, the stale seed geometry, the full
+    * k-means retrain (seed = 8 lowest surviving ids, one Lloyd round
+    * over the churned corpus), both probe/ADC/shortlist/re-rank
+    * pipelines, and the set algebra against brute-force ground truth.
+    */
+  private val rebalanceSettings: Seq[(Int, Int)] = Seq((1, 10), (2, 20), (8, 999))
+
+  private def q274ChurnedIndex(s: org.apache.spark.sql.SparkSession,
+      d: String, rebalance: Boolean): String = {
+    val path = "/tmp/graft_q274_ivfpq_" +
+      (if (rebalance) "rb_" else "st_") + d.replaceAll("[^A-Za-z0-9.]", "_")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val doneFlag = new org.apache.hadoop.fs.Path(s"$path/_churn_done")
+    if (!fs.exists(doneFlag)) {
+      // the churn sequence is not re-runnable piecemeal (a replayed
+      // append would duplicate ids): rebuild from a clean slate
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val emb = Tables.embeddings(s, d)
+      // REAL drift, not same-distribution churn: the index is built
+      // (and its centroids + codebook trained) on the embedding[0]<0
+      // half-space only; the entire other half-space then streams in.
+      // Stale coarse centroids all sit in the old region, so the
+      // appended vectors crowd into the few borderline clusters —
+      // the drift a production index accumulates before a rebalance.
+      val oldHalf = emb.filter(element_at(col("embedding"), 1) < 0.0)
+      val newHalf = emb.filter(element_at(col("embedding"), 1) >= 0.0)
+      Similarity.ivfPqIndexWrite(oldHalf,
+        oldHalf.orderBy(col("vec_id")).limit(8), "vec_id", "embedding",
+        "vec_id", "embedding", m = 4, kCodes = 16, subDim = 16, iters = 1,
+        path, targetRowsPerFile = 256L)
+      Similarity.ivfPqIndexAppend(s, newHalf,
+        "vec_id", "embedding", m = 4, kCodes = 16, subDim = 16, path,
+        targetRowsPerFile = 256L)
+      Similarity.ivfPqIndexVacuum(s,
+        emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
+        "vec_id", m = 4, kCodes = 16, subDim = 16, path)
+      if (rebalance)
+        Similarity.ivfPqIndexRebalance(s, kClusters = 8, kmIters = 1,
+          m = 4, kCodes = 16, subDim = 16, path, targetRowsPerFile = 256L)
+      fs.create(doneFlag, true).close()
+    }
+    path
+  }
+
+  val q274 = GraftQuery(
+    "q274_ivfpq_rebalance_recall",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.filter(col("vec_id") % 7 =!= 3)
+      // queries from the DRIFTED region (the appended half-space) —
+      // where stale centroids hurt and a rebalance must help
+      val queries = emb.filter(element_at(col("embedding"), 1) >= 0.0)
+        .orderBy(col("vec_id")).limit(3)
+      val truth = Similarity.bruteForceTopK(queries, corpus,
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .cache()
+      Seq("rebalanced" -> true, "stale" -> false).map { case (name, rb) =>
+        val path = q274ChurnedIndex(s, d, rb)
+        rebalanceSettings.map { case (np, sl) =>
+          val res = Similarity.ivfPqTopK(s, path, queries,
+              "vec_id", "embedding", k = 5, nprobe = np, shortlistN = sl)
+            .select(col("query_id"), col("neighbor_id"))
+          val hits = truth.join(res, Seq("query_id", "neighbor_id"), "left_semi")
+          truth.agg(count(lit(1)).as("n_truth"))
+            .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+            .select(lit(name).as("variant"),
+              lit(np).as("nprobe"), lit(sl).as("shortlist_n"),
+              col("n_truth"), col("n_hit"),
+              expr("n_hit * 10000L div n_truth").as("recall_bp"))
+        }.reduce(_ unionAll _)
+      }.reduce(_ unionAll _)
+    },
+    Some {
+      def perSetting(variant: String, adcall: String): String =
+        rebalanceSettings.map { case (np, sl) =>
+          s"""SELECT '$variant' AS variant, $np AS nprobe, $sl AS shortlist_n,
+               (SELECT count(*) FROM truth) AS n_truth,
+               (SELECT count(*)
+                FROM truth t JOIN
+                  (SELECT c.query_id, c.id FROM cosall c JOIN
+                     (SELECT query_id, id FROM $adcall
+                      WHERE cluster_rank <= $np
+                      QUALIFY row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY adc_u, id) <= $sl) s
+                     ON s.query_id = c.query_id AND s.id = c.id
+                   QUALIFY row_number() OVER (PARTITION BY c.query_id
+                                              ORDER BY c.cosine DESC, c.id) <= 5) r
+                  ON t.query_id = r.query_id AND t.neighbor_id = r.id) AS n_hit"""
+        }.mkString("\n      UNION ALL\n      ")
+      s"""
+      WITH ${duckPqChainFor(c =>
+        s"$c IN (SELECT vec_id FROM embeddings WHERE embedding[1] < 0)")},
+      corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 3),
+      qids AS (SELECT vec_id FROM embeddings WHERE embedding[1] >= 0
+               ORDER BY vec_id LIMIT 3),
+      stcent AS (SELECT vec_id, embedding FROM embeddings
+                 WHERE embedding[1] < 0 ORDER BY vec_id LIMIT 8),
+      ivfd_st AS (
+        SELECT v.vec_id AS id, c.vec_id AS centroid_id,
+               round(list_sum(list_transform(range(1, 65),
+                 i -> (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) *
+                      (CAST(v.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))), 6) AS dist2
+        FROM embeddings v CROSS JOIN stcent c),
+      iassign_st AS (
+        SELECT id, centroid_id AS cluster_id FROM ivfd_st
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist2, centroid_id) = 1),
+      crank_st AS (
+        SELECT id AS query_id, centroid_id AS cluster_id,
+               row_number() OVER (PARTITION BY id ORDER BY dist2, centroid_id) AS cluster_rank
+        FROM ivfd_st WHERE id IN (SELECT vec_id FROM qids)),
+      kseed AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS centroid_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        FROM (SELECT vec_id, embedding FROM corp ORDER BY vec_id LIMIT 8)),
+      kd0 AS (
+        SELECT v.vec_id AS id, c.centroid_id,
+               round(list_sum(list_transform(range(1, 65),
+                 i -> (CAST(v.embedding[i] AS DOUBLE) - c.cv[i]) *
+                      (CAST(v.embedding[i] AS DOUBLE) - c.cv[i]))), 6) AS dist2
+        FROM corp v CROSS JOIN kseed c),
+      ka0 AS (
+        SELECT id, centroid_id AS cluster_id FROM kd0
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist2, centroid_id) = 1),
+      km1 AS (
+        SELECT a.cluster_id, t.i AS pos, avg(CAST(v.embedding[t.i] AS DOUBLE)) AS mv
+        FROM ka0 a JOIN corp v ON v.vec_id = a.id
+        CROSS JOIN range(1, 65) t(i)
+        GROUP BY a.cluster_id, t.i),
+      kc1 AS (SELECT cluster_id AS centroid_id, list(mv ORDER BY pos) AS cv
+              FROM km1 GROUP BY cluster_id),
+      ivfd_rb AS (
+        -- over ALL ids: members are filtered to the churned corpus in
+        -- adcall_rb, but probe ranking must cover every query id even
+        -- if the query itself was vacuumed
+        SELECT v.vec_id AS id, c.centroid_id,
+               round(list_sum(list_transform(range(1, 65),
+                 i -> (CAST(v.embedding[i] AS DOUBLE) - c.cv[i]) *
+                      (CAST(v.embedding[i] AS DOUBLE) - c.cv[i]))), 6) AS dist2
+        FROM embeddings v CROSS JOIN kc1 c),
+      iassign_rb AS (
+        SELECT id, centroid_id AS cluster_id FROM ivfd_rb
+        QUALIFY row_number() OVER (PARTITION BY id ORDER BY dist2, centroid_id) = 1),
+      crank_rb AS (
+        SELECT id AS query_id, centroid_id AS cluster_id,
+               row_number() OVER (PARTITION BY id ORDER BY dist2, centroid_id) AS cluster_rank
+        FROM ivfd_rb WHERE id IN (SELECT vec_id FROM qids)),
+      qsub AS (
+        SELECT id AS query_id, s,
+               list_transform(sv, x -> CAST(x AS DOUBLE)) AS qsv
+        FROM cs WHERE id IN (SELECT vec_id FROM qids)),
+      dt AS (
+        SELECT q.query_id, c.s, c.code,
+               CAST(round(round(list_sum(list_transform(range(1, 17),
+                 i -> (q.qsv[i] - c.cv[i]) * (q.qsv[i] - c.cv[i]))), 6)
+                 * 1000000) AS BIGINT) AS d_u
+        FROM c1 c JOIN qsub q ON q.s = c.s),
+      adcall_st AS (
+        SELECT p.query_id, a.id, p.cluster_rank,
+               CAST(sum(dt.d_u) AS BIGINT) AS adc_u
+        FROM crank_st p
+        JOIN iassign_st a ON a.cluster_id = p.cluster_id
+        JOIN a2 e ON e.id = a.id
+        JOIN dt ON dt.query_id = p.query_id
+          AND dt.s = e.s AND dt.code = e.code
+        WHERE a.id <> p.query_id AND a.id % 7 <> 3
+        GROUP BY p.query_id, a.id, p.cluster_rank),
+      adcall_rb AS (
+        SELECT p.query_id, a.id, p.cluster_rank,
+               CAST(sum(dt.d_u) AS BIGINT) AS adc_u
+        FROM crank_rb p
+        JOIN iassign_rb a ON a.cluster_id = p.cluster_id
+        JOIN a2 e ON e.id = a.id
+        JOIN dt ON dt.query_id = p.query_id
+          AND dt.s = e.s AND dt.code = e.code
+        WHERE a.id <> p.query_id AND a.id % 7 <> 3
+        GROUP BY p.query_id, a.id, p.cluster_rank),
+      cosall AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS id,
+               round(${duckCos("q", "c")}, 4) AS cosine
+        FROM embeddings q JOIN embeddings c
+          ON c.vec_id <> q.vec_id AND c.vec_id % 7 <> 3
+        WHERE q.vec_id IN (SELECT vec_id FROM qids)),
+      truth AS (
+        SELECT query_id, id AS neighbor_id FROM cosall
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, id) <= 5),
+      summary AS (
+      ${perSetting("rebalanced", "adcall_rb")}
+      UNION ALL
+      ${perSetting("stale", "adcall_st")}
+      )
+      SELECT variant, nprobe, shortlist_n,
+             CAST(n_truth AS BIGINT) AS n_truth,
+             CAST(n_hit AS BIGINT) AS n_hit,
+             CAST(n_hit * 10000 // n_truth AS BIGINT) AS recall_bp
+      FROM summary
+      """.trim
+    })
+
   def all: Seq[GraftQuery] =
     Seq(q25, q26, q28, q29, q42a, q42, q79, q84, q116, q137, q138, q143, q182,
-      q189, q190, q221, q223, q234, q235, q243, q244, q248, q252, q254, q255)
+      q189, q190, q221, q223, q234, q235, q243, q244, q248, q252, q254, q255,
+      q274)
 }

@@ -295,6 +295,76 @@ class IvfIndexSpec extends SparkTestBase {
     }
   }
 
+  test("IVFADC rebalance preserves content exactly; codes carried over; residual refused") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = emb.filter(col("vec_id") < 8)
+    val root = tmpDir("ivfpq_rebalance")
+    Similarity.ivfPqIndexWrite(emb, centroids, "vec_id", "embedding",
+      "vec_id", "embedding", m = 4, kCodes = 16, subDim = 16, iters = 1,
+      root, targetRowsPerFile = 256L)
+    val before = spark.read.parquet(s"$root/index")
+      .select(col("id"), col("codes")).as[(Long, Seq[Long])]
+      .collect().sortBy(_._1).toSeq
+    // full-probe search before, as content ground truth
+    val fullBefore = Similarity.ivfPqTopK(spark, root,
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 5, nprobe = 8, shortlistN = 999)
+      .select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().sorted.toSeq
+
+    Similarity.ivfPqIndexRebalance(spark, kClusters = 8, kmIters = 1,
+      m = 4, kCodes = 16, subDim = 16, root, targetRowsPerFile = 256L)
+
+    assert(Similarity.ivfPqIndexComplete(spark, root, 4, 16, 16))
+    // every (id, codes) row survives byte-for-byte: rebalance moves
+    // rows between clusters but NEVER re-encodes
+    val after = spark.read.parquet(s"$root/index")
+      .select(col("id"), col("codes")).as[(Long, Seq[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(after === before, "rebalance changed ids or codes")
+    // staging dirs are gone; centroids are the retrained ones (doubles)
+    assert(!new java.io.File(s"$root/index_stage").exists())
+    assert(!new java.io.File(s"$root/centroids_stage").exists())
+    // full-probe search equals pre-rebalance: layout changed, content identical
+    val fullAfter = Similarity.ivfPqTopK(spark, root,
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 5, nprobe = 8, shortlistN = 999)
+      .select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().sorted.toSeq
+    assert(fullAfter === fullBefore, "rebalance changed full-probe results")
+
+    // residual stores are refused: their codes quantize against the
+    // centroids being replaced
+    val resRoot = tmpDir("ivfpq_rebalance_residual")
+    Similarity.ivfPqIndexWrite(emb, centroids, "vec_id", "embedding",
+      "vec_id", "embedding", m = 4, kCodes = 16, subDim = 16, iters = 1,
+      resRoot, residual = true)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqIndexRebalance(spark, kClusters = 8, kmIters = 1,
+        m = 4, kCodes = 16, subDim = 16, resRoot)
+    }
+  }
+
+  test("IVFADC rebalance whose swap fails leaves the index incomplete (forced rebuild)") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.failrename.impl", classOf[FailRenameFileSystem].getName)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val root = "failrename://" + tmpDir("ivfpq_rb_failswap")
+    Similarity.ivfPqIndexWrite(emb, emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding", "vec_id", "embedding",
+      m = 4, kCodes = 16, subDim = 16, iters = 1, root)
+    assert(Similarity.ivfPqIndexComplete(spark, root, 4, 16, 16))
+    val e = intercept[java.io.IOException] {
+      Similarity.ivfPqIndexRebalance(spark, kClusters = 8, kmIters = 1,
+        m = 4, kCodes = 16, subDim = 16, root)
+    }
+    assert(e.getMessage.contains("rename"))
+    // marker dropped before the swap, never republished
+    assert(!Similarity.ivfPqIndexComplete(spark, root, 4, 16, 16))
+  }
+
   test("residual and raw IVFADC stores are mutually invalid; residual append re-encodes residuals") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val centroids = emb.filter(col("vec_id") < 8)
