@@ -124,7 +124,22 @@ object VersionedTable {
 
   private def isTombstone(e: String): Boolean = e.startsWith("~")
   private def isCompaction(e: String): Boolean = e.startsWith("=")
-  private def dirOf(e: String): String = e.stripPrefix("~").stripPrefix("=")
+
+  /** An entry is `<dir>` optionally followed by `;col:min:max` stats
+    * segments (see [[append]]'s `statsCols`); stats ride the entry so
+    * they are copied forward verbatim by every later commit.
+    */
+  private def dirOf(e: String): String =
+    e.stripPrefix("~").stripPrefix("=").split(";").head
+
+  /** Per-column (min, max) long stats carried by a data entry. */
+  private def statsOf(e: String): Map[String, (Long, Long)] =
+    e.split(";").drop(1).flatMap { seg =>
+      seg.split(":") match {
+        case Array(c, lo, hi) => Some(c -> (lo.toLong, hi.toLong))
+        case _ => None
+      }
+    }.toMap
 
   /** The writer transaction id carried by `version`'s manifest, if
     * its commit declared one.
@@ -152,20 +167,91 @@ object VersionedTable {
     * commit is a no-op returning that version — the Delta-style txn
     * guard, so a replayed micro-batch can never double-publish even
     * if other commits interleaved before the replay.
+    *
+    * `statsCols` (LONG-typed columns) records per-batch min/max on
+    * the manifest entry — the data-skipping stats [[readAtPruned]]
+    * prunes with. Cost: one column-pruned aggregate over the
+    * just-written batch (footer-friendly); entries carry their stats
+    * forward verbatim through every later commit.
+    *
+    * A version conflict (another writer committed first) fails
+    * loudly; [[appendWithRetry]] is the optimistic-concurrency
+    * variant that re-commits the manifest without rewriting data.
     */
   def append(df: DataFrame, path: String,
-      txnId: Option[String] = None): Long = {
+      txnId: Option[String] = None,
+      statsCols: Seq[String] = Nil): Long =
+    appendRetrying(df, path, txnId, statsCols, maxRetries = 0, _ => ())
+
+  /** Optimistic-concurrency append (the Delta protocol for
+    * commute-safe commits): the batch dir is written ONCE under its
+    * attempt-unique name; on a version-conflict refusal the commit —
+    * and only the commit, one KB-sized manifest write — retries
+    * against the new latest version. Appends always commute with
+    * interleaved appends, deletes, and compactions because manifest
+    * entries are append-ordered, so the retry needs no conflict
+    * analysis. Gives up after `maxRetries` conflicts (pathological
+    * contention should back off at the caller).
+    */
+  def appendWithRetry(df: DataFrame, path: String,
+      txnId: Option[String] = None, statsCols: Seq[String] = Nil,
+      maxRetries: Int = 10): Long =
+    appendRetrying(df, path, txnId, statsCols, maxRetries, _ => ())
+
+  /** Test seam: `beforeCommit(version)` runs before each commit
+    * attempt, letting a spec inject a deterministic competing commit.
+    */
+  private[graft] def appendRetrying(df: DataFrame, path: String,
+      txnId: Option[String], statsCols: Seq[String], maxRetries: Int,
+      beforeCommit: Long => Unit): Long = {
     txnId.flatMap(txnCommittedAt(path, _)).foreach(return _)
-    val next = latestVersion(path).getOrElse(0L) + 1
-    val prev =
-      if (next == 1) Seq.empty
-      else manifestEntries(path, next - 1)
-    val batch = s"b${next}_${newToken()}"
+    val first = latestVersion(path).getOrElse(0L) + 1
+    val batch = s"b${first}_${newToken()}"
     df.write.mode("overwrite").parquet(s"$path/data/$batch")
-    commitManifest(path, next,
-      txnId.map(t => s"#txn=$t").toSeq ++ prev :+ batch)
-    next
+    // stats from the WRITTEN batch (column-pruned re-read), so the
+    // source plan is never executed twice
+    val entry = batch +
+      statsSuffix(df.sparkSession, s"$path/data/$batch", statsCols)
+    var attempt = 0
+    while (true) {
+      val next = latestVersion(path).getOrElse(0L) + 1
+      val prev =
+        if (next == 1) Seq.empty
+        else manifestEntries(path, next - 1)
+      beforeCommit(next)
+      try {
+        commitManifest(path, next,
+          txnId.map(t => s"#txn=$t").toSeq ++ prev :+ entry)
+        return next
+      } catch {
+        case e: java.io.IOException
+            if e.getMessage.contains("already committed") &&
+              attempt < maxRetries =>
+          attempt += 1
+      }
+    }
+    -1L // unreachable
   }
+
+  private def statsSuffix(spark: SparkSession, batchDir: String,
+      statsCols: Seq[String]): String =
+    if (statsCols.isEmpty) ""
+    else {
+      statsCols.foreach { c =>
+        require(!c.exists(";:".contains(_)),
+          s"stats column name $c would corrupt the manifest grammar")
+      }
+      val batch = spark.read.parquet(batchDir)
+      val aggs = statsCols.flatMap(c => Seq(
+        org.apache.spark.sql.functions.min(col(c)).cast("long"),
+        org.apache.spark.sql.functions.max(col(c)).cast("long")))
+      val row = batch.agg(aggs.head, aggs.tail: _*).head()
+      statsCols.zipWithIndex.flatMap { case (c, i) =>
+        // an empty batch (or all-null column) makes no claim
+        if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
+        else Some(s";$c:${row.getLong(2 * i)}:${row.getLong(2 * i + 1)}")
+      }.mkString
+    }
 
   /** The single commit point: write the manifest to a temp name, then
     * rename into place. Refuses when the destination version already
@@ -279,16 +365,45 @@ object VersionedTable {
     * the add-a-column migration with zero rewrites).
     */
   def readAt(spark: SparkSession, path: String, version: Long,
-      mergeSchema: Boolean = false): DataFrame = {
+      mergeSchema: Boolean = false): DataFrame =
+    readAtFiltered(spark, path, version, mergeSchema, _ => true)
+
+  /** [[readAt]] restricted to data batches whose recorded min/max
+    * stats for `pruneCol` (see [[append]]'s `statsCols`) intersect
+    * [lo, hi] — MANIFEST-LEVEL data skipping: non-matching batches
+    * are dropped before any file (or footer) is opened, from stats
+    * held in the KB-sized manifest alone. Batches carrying no stats
+    * for the column are never pruned (no stats = no claim), so the
+    * result is always a SUPERSET of the rows matching the range —
+    * the caller applies its own filter on top, exactly like parquet
+    * row-group skipping. At 100 TB with date-keyed batch commits, a
+    * one-month query opens one month's batches.
+    */
+  def readAtPruned(spark: SparkSession, path: String, version: Long,
+      pruneCol: String, lo: Long, hi: Long,
+      mergeSchema: Boolean = false): DataFrame =
+    readAtFiltered(spark, path, version, mergeSchema, { e =>
+      statsOf(e).get(pruneCol).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    })
+
+  private def readAtFiltered(spark: SparkSession, path: String,
+      version: Long, mergeSchema: Boolean,
+      keep: String => Boolean): DataFrame = {
     val entries = manifestEntries(path, version)
     // walk from the end accumulating the tombstones seen so far:
     // each data batch's applicable set = tombstones AFTER it
     var tombsAfter = List.empty[String]
     val assigned = entries.reverse.flatMap { e =>
       if (isTombstone(e)) { tombsAfter ::= dirOf(e); None }
-      else Some(dirOf(e) -> tombsAfter)
+      else if (keep(e)) Some(dirOf(e) -> tombsAfter)
+      else None
     }.reverse
-    require(assigned.nonEmpty, s"version $version of $path lists no data batches")
+    require(entries.exists(e => !isTombstone(e)),
+      s"version $version of $path lists no data batches")
+    if (assigned.isEmpty)
+      // every batch pruned: an empty frame under the version's schema
+      return readAtFiltered(spark, path, version, mergeSchema, _ => true)
+        .limit(0)
     val parts = assigned.groupBy(_._2).toSeq.map { case (tombDirs, pairs) =>
       val live = spark.read
         .option("mergeSchema", mergeSchema.toString)

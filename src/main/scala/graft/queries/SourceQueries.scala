@@ -608,6 +608,131 @@ object SourceQueries extends QueryRegistry {
       FROM deliveries GROUP BY 1, 2
     """.trim))
 
+  /** Manifest-level data skipping: the table commits three date-keyed
+    * batches with per-batch min/max stats on the epoch-seconds order
+    * date riding the manifest entries (`statsCols`), and a
+    * twelve-month range query reads via `readAtPruned` — batches
+    * whose [min,max] misses the range are dropped from KB-sized
+    * manifest stats BEFORE any file or footer is opened (the
+    * Delta/Iceberg skipping idea at batch grain: at 100 TB a
+    * one-month query opens one month's batches). Pruning is a
+    * superset guarantee; the query applies its own filter on top,
+    * and the oracle is the plain filtered aggregate — an over-pruned
+    * batch (lost rows) or an unapplied filter breaks the hash.
+    * VersionedTableSpec proves via inputFiles that non-matching
+    * batches are never touched.
+    */
+  val q275 = GraftQuery(
+    "q275_versioned_pruned_read",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val path = "/tmp/graft_q275_vt_skip_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      if (!VersionedTable.latestVersion(path).exists(_ >= 3L)) {
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("total_c"),
+          col("o_orderdate").cast("timestamp").cast("long").as("o_date_s"))
+        val c95 = lit("1995-01-01").cast("timestamp").cast("long")
+        val c97 = lit("1997-01-01").cast("timestamp").cast("long")
+        VersionedTable.append(o.filter(col("o_date_s") < c95), path,
+          statsCols = Seq("o_date_s"))
+        VersionedTable.append(
+          o.filter(col("o_date_s") >= c95 && col("o_date_s") < c97), path,
+          statsCols = Seq("o_date_s"))
+        VersionedTable.append(o.filter(col("o_date_s") >= c97), path,
+          statsCols = Seq("o_date_s"))
+      }
+      val lo = 804556800L  // 1995-07-01T00:00:00Z
+      val hi = 836179200L  // 1996-07-01T00:00:00Z (exclusive)
+      VersionedTable.readAtPruned(s, path, version = 3L, "o_date_s",
+          lo, hi - 1)
+        .filter(col("o_date_s") >= lo && col("o_date_s") < hi)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("total_c")).as("total_c"))
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+        AND o_orderdate < TIMESTAMP '1996-07-01'
+      GROUP BY 1
+    """.trim))
+
+  /** End-to-end exactly-once incremental pipeline — the versioned
+    * primitives COMPOSED: a source table publishes in two commits; a
+    * checkpointed consumer ([[graft.operators.VersionedTable.consumeChanges]])
+    * drains each delivery, reduces it to per-status PARTIAL aggregates
+    * (the incremental-view-maintenance shape: delivery-sized work, not
+    * table-sized), and publishes them to a RESULT versioned table with
+    * txnId = "agg-<toVersion>" — so a crashed-and-replayed delivery
+    * can never double-publish (at-least-once consumer + idempotent
+    * txn-guarded sink = exactly once, end to end). The read merges
+    * partials by summing. The oracle is the full recompute from the
+    * base table: one lost, duplicated, or double-counted delivery
+    * anywhere in the chain breaks the hash. Re-running the whole
+    * query is a no-op on both tables (steady-state consume returns
+    * None; the txn guard holds).
+    */
+  val q276 = GraftQuery(
+    "q276_versioned_incremental_pipeline",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val suffix = d.replaceAll("[^A-Za-z0-9.]", "_")
+      val src = s"/tmp/graft_q276_vt_src_$suffix"
+      val ckpt = s"/tmp/graft_q276_vt_ckpt_$suffix"
+      val agg = s"/tmp/graft_q276_vt_agg_$suffix"
+      val conf = s.sparkContext.hadoopConfiguration
+      def exists(dir: String): Boolean = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(conf).exists(p)
+      }
+      val complete = VersionedTable.latestVersion(src).exists(_ >= 2L) &&
+        exists(ckpt) && VersionedTable.latestVersion(agg).nonEmpty
+      if (!complete) {
+        Seq(src, ckpt, agg).foreach { dir =>
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val f = p.getFileSystem(conf)
+          if (f.exists(p)) f.delete(p, true)
+        }
+        val cut = lit("1997-01-01").cast("timestamp")
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("total_c"),
+          col("o_orderdate"))
+        def drain(): Unit = {
+          VersionedTable.consumeChanges(s, src, ckpt) { (df, _, to) =>
+            VersionedTable.append(
+              df.groupBy(col("o_orderstatus"))
+                .agg(count(lit(1)).as("n_partial"),
+                  sum(col("total_c")).as("total_partial")),
+              agg, txnId = Some(s"agg-$to"))
+          }
+          ()
+        }
+        VersionedTable.append(o.filter(col("o_orderdate") < cut)
+          .drop("o_orderdate"), src)
+        drain()
+        VersionedTable.append(o.filter(col("o_orderdate") >= cut)
+          .drop("o_orderdate"), src)
+        drain()
+      }
+      // steady state: nothing new — no delivery fires, tables stable
+      VersionedTable.consumeChanges(s, src, ckpt) { (_, _, _) =>
+        throw new IllegalStateException("nothing new, yet a delivery fired")
+      }
+      VersionedTable.readLatest(s, agg)
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("n_partial")).as("n_orders"),
+          sum(col("total_partial")).as("total_c"))
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+      FROM orders
+      GROUP BY 1
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
-    q261, q263, q264, q265, q267, q268, q269)
+    q261, q263, q264, q265, q267, q268, q269, q275, q276)
 }

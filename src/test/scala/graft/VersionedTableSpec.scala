@@ -265,6 +265,71 @@ class VersionedTableSpec extends SparkTestBase {
       fail("redelivered after success")) === None)
   }
 
+  test("optimistic append: a version conflict retries the commit only, no data rewrite") {
+    val path = tmpDir("vt_retry")
+    VersionedTable.append((1 to 5).toDF("x"), path)
+    // deterministic race: a competing writer commits version 2 right
+    // before OUR first commit attempt — the test seam injects it
+    var injected = false
+    val v = VersionedTable.appendRetrying((6 to 8).toDF("x"), path,
+      txnId = None, statsCols = Nil, maxRetries = 5, beforeCommit = { _ =>
+        if (!injected) {
+          injected = true
+          VersionedTable.append(Seq(100).toDF("x"), path)
+        }
+      })
+    // the retry landed AFTER the competing commit; nothing was lost
+    assert(v === 3L)
+    assert(VersionedTable.readLatest(spark, path).as[Int].collect().sorted
+      === ((1 to 8) :+ 100).sorted.toArray)
+    // exactly one batch dir was written for the retried append: the
+    // conflict re-committed the manifest, it did not rewrite data
+    val dirs = new java.io.File(s"$path/data").listFiles().map(_.getName)
+    assert(dirs.length === 3, s"unexpected batch dirs: ${dirs.toSeq}")
+    // with retries exhausted, the conflict surfaces loudly
+    val e = intercept[java.io.IOException] {
+      VersionedTable.appendRetrying(Seq(9).toDF("x"), path,
+        txnId = None, statsCols = Nil, maxRetries = 0, beforeCommit = { _ =>
+          if (VersionedTable.latestVersion(path).contains(3L))
+            VersionedTable.append(Seq(101).toDF("x"), path)
+        })
+    }
+    assert(e.getMessage.contains("already committed"))
+  }
+
+  test("manifest stats + readAtPruned: non-matching batches are never opened") {
+    val path = tmpDir("vt_stats")
+    VersionedTable.append(Seq((1L, "a"), (10L, "b")).toDF("k", "v"), path,
+      statsCols = Seq("k"))
+    VersionedTable.append(Seq((20L, "c"), (30L, "d")).toDF("k", "v"), path,
+      statsCols = Seq("k"))
+    VersionedTable.append(Seq((40L, "e")).toDF("k", "v"), path,
+      statsCols = Seq("k"))
+    // range [15, 35] intersects only batch 2
+    val pruned = VersionedTable.readAtPruned(spark, path, 3, "k", 15L, 35L)
+    assert(pruned.as[(Long, String)].collect().sorted
+      === Array((20L, "c"), (30L, "d")))
+    // the pruned plan opens ONLY the matching batch dir — skipping
+    // happened at the manifest, before any file was touched
+    val touched = pruned.inputFiles.toSeq
+    assert(touched.nonEmpty && touched.forall(_.contains("/data/b2_")),
+      s"pruned read touched non-matching batches: $touched")
+    // a range matching nothing: empty result, correct schema
+    val none = VersionedTable.readAtPruned(spark, path, 3, "k", 500L, 600L)
+    assert(none.count() === 0L && none.columns.toSeq === Seq("k", "v"))
+    // stats survive later commits (entries copied forward) and
+    // tombstones still apply on the pruned read
+    VersionedTable.deleteKeys(Seq(30L).toDF("k"), "k", path)
+    val afterDelete = VersionedTable.readAtPruned(spark, path, 4, "k", 15L, 35L)
+    assert(afterDelete.as[(Long, String)].collect().toSeq === Seq((20L, "c")))
+    // a batch WITHOUT stats is never pruned (no stats = no claim)
+    VersionedTable.append(Seq((1000L, "z")).toDF("k", "v"), path)
+    val withUnstated = VersionedTable.readAtPruned(spark, path, 5, "k", 15L, 35L)
+    assert(withUnstated.as[(Long, String)].collect().sorted
+      === Array((20L, "c"), (1000L, "z")),
+      "a stats-less batch must survive pruning for the caller's filter")
+  }
+
   test("vacuum drops expired versions and crash orphans, keeps referenced batches byte-identical") {
     val path = tmpDir("vt_vacuum")
     VersionedTable.append((1 to 4).toDF("x"), path)
