@@ -19,6 +19,51 @@ import org.apache.spark.sql.functions._
   */
 object Privacy {
 
+  /** PII patterns for the scan/redact pair — ASCII-only, expressible
+    * identically in Java regex (Spark codegen) and RE2 (DuckDB), so
+    * the oracle replays every match. Ordered: redaction applies in
+    * this sequence, and the patterns are mutually non-overlapping on
+    * the placeholder text each earlier redaction leaves behind
+    * (spec-proven: a full redact re-scans to zero in every category).
+    * This is detection for the COMMON shapes (the curation-pipeline
+    * scrub step), not a compliance guarantee — context-dependent PII
+    * (names, addresses) needs NER, which is a model, not a regex.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> """[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}""",
+    "card" -> """\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b""",
+    "phone" -> """\b\d{3}[-.]\d{3}[-.]\d{4}\b""",
+    "ipv4" -> """\b(?:\d{1,3}\.){3}\d{1,3}\b""")
+
+  /** Per-document match counts for every PII category (long-form:
+    * doc_id, category, n_matches > 0 rows only) — one codegen'd
+    * regexp_count per pattern per row, no shuffle before the
+    * per-category rollup the caller runs.
+    */
+  def piiScan(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counted = docs.select(
+      (col(idCol).as("doc_id") +:
+        PiiPatterns.map { case (cat, re) =>
+          regexp_count(col(textCol), lit(re)).cast("long").as(cat)
+        }): _*)
+    counted.select(col("doc_id"),
+        explode(array(PiiPatterns.map { case (cat, _) =>
+          struct(lit(cat).as("category"), col(cat).as("n_matches"))
+        }: _*)).as("e"))
+      .select(col("doc_id"), col("e.category").as("category"),
+        col("e.n_matches").as("n_matches"))
+      .filter(col("n_matches") > 0)
+  }
+
+  /** The text with every PII category replaced by its placeholder
+    * (`<EMAIL>`, `<CARD>`, ...), applied in [[PiiPatterns]] order —
+    * the scrub a training corpus runs before release.
+    */
+  def piiRedact(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (cat, re)) =>
+      regexp_replace(acc, re, s"<${cat.toUpperCase}>")
+    }
+
   /** Per report group: class count, classes below k, rows at risk,
     * and the at-risk fraction in exact basis points.
     */

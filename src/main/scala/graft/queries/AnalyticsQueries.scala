@@ -1763,9 +1763,89 @@ object AnalyticsQueries extends QueryRegistry {
       FROM cls GROUP BY 1
     """.trim))
 
+  /** PII scan + redaction audit — the scrub step every releasable
+    * training corpus runs. The fixture text carries no PII, so the
+    * query INJECTS it deterministically (an id-derived email, phone,
+    * IPv4, or card number appended to every 10th document per
+    * category — the oracle replays the injection literally), scans
+    * with the four shared Java/RE2 patterns, redacts in pattern
+    * order, and RE-SCANS the redacted text: per category the output
+    * is (docs hit, matches found, residual matches after redaction) —
+    * and the residual must be 0, proving the redaction catches
+    * exactly what the scan counts. One codegen'd regexp per pattern
+    * per row, no shuffle before the 4-row rollup.
+    */
+  val q277 = GraftQuery(
+    "q277_pii_scan_redact",
+    (s, d) => {
+      import graft.operators.Privacy
+      val id = col("doc_id")
+      val injected = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(id % 10 === 0, concat(lit(" contact user"),
+            id.cast("string"), lit("@mail.example.com"))).otherwise(lit("")),
+          when(id % 10 === 1, concat(lit(" call 555-"),
+            lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+          when(id % 10 === 2, concat(lit(" host 10.0.0."),
+            (id % 256).cast("string"))).otherwise(lit("")),
+          when(id % 10 === 3, concat(lit(" card 4111 1111 1111 "),
+            lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+          .as("text"))
+      val summary = Privacy.piiScan(injected, "doc_id", "text")
+        .groupBy(col("category"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("n_matches")).as("n_matches"))
+      val residual = Privacy.piiScan(
+          injected.select(col("doc_id"),
+            Privacy.piiRedact(col("text")).as("text")),
+          "doc_id", "text")
+        .groupBy(col("category")).agg(sum(col("n_matches")).as("n_residual"))
+      summary.join(residual, Seq("category"), "left")
+        .select(col("category"), col("n_docs"), col("n_matches"),
+          coalesce(col("n_residual"), lit(0L)).as("n_residual"))
+    },
+    Some {
+      val patterns = graft.operators.Privacy.PiiPatterns
+      val injectSql = """text ||
+               CASE WHEN doc_id % 10 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END ||
+               CASE WHEN doc_id % 10 = 1 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+               CASE WHEN doc_id % 10 = 2 THEN ' host 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) ELSE '' END ||
+               CASE WHEN doc_id % 10 = 3 THEN ' card 4111 1111 1111 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"""
+      val redactSql = patterns.foldLeft("text") { case (acc, (cat, re)) =>
+        s"regexp_replace($acc, '$re', '<${cat.toUpperCase}>', 'g')"
+      }
+      val scanRows = patterns.map { case (cat, re) =>
+        s"SELECT doc_id, '$cat' AS category, CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS n_matches FROM injected"
+      }.mkString("\n        UNION ALL\n        ")
+      val residualRows = patterns.map { case (cat, re) =>
+        s"SELECT '$cat' AS category, CAST(len(regexp_extract_all(redacted, '$re')) AS BIGINT) AS n_matches FROM redactedt"
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH injected AS (
+        SELECT doc_id,
+               $injectSql AS text
+        FROM documents),
+      scan AS (
+        $scanRows),
+      summary AS (
+        SELECT category, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(sum(n_matches) AS BIGINT) AS n_matches
+        FROM scan WHERE n_matches > 0 GROUP BY 1),
+      redactedt AS (
+        SELECT doc_id, $redactSql AS redacted FROM injected),
+      residual AS (
+        SELECT category, CAST(sum(n_matches) AS BIGINT) AS n_residual
+        FROM ($residualRows) WHERE n_matches > 0 GROUP BY 1)
+      SELECT s.category, s.n_docs, s.n_matches,
+             coalesce(r.n_residual, 0) AS n_residual
+      FROM summary s LEFT JOIN residual r ON r.category = s.category
+      """.trim
+    })
+
   def all: Seq[GraftQuery] =
     Seq(q51, q52, q53, q54, q55, q57, q58, q69, q89, q90, q91, q92, q93, q95,
       q110, q129, q139, q147, q149, q152, q156, q157, q159, q161, q162, q163,
       q170, q174, q178, q179, q180, q184, q185, q187, q191, q193, q198,
-      q204, q205, q213, q214, q216, q218, q219, q220, q233, q253, q257)
+      q204, q205, q213, q214, q216, q218, q219, q220, q233, q253, q257, q277)
 }
