@@ -339,6 +339,49 @@ class PlanAssertionsSpec extends SparkTestBase {
     assert(plan.contains("__salt"), s"no salted branch in plan:\n$plan")
   }
 
+  test("q272: the lang-ID profile table broadcasts; no shuffle join anywhere") {
+    val plan = executed(SparkEntry.queries("q272_langid_holdout_accuracy")(spark, sf))
+    // the 5x200-row profile table must never shuffle-join the gram
+    // stream; the only windows are per-doc / per-language (bounded).
+    // Assert on the FINAL AQE plan: the tiny confusion/total join is
+    // SMJ in the initial plan and runtime-converted to broadcast —
+    // exactly the AQE behavior we rely on
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"), plan)
+    assert(!finalPlan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q273: the chi-squared grid is broadcast-composed; one corpus scan family") {
+    val plan = executed(SparkEntry.queries("q273_langid_fixture_independence")(spark, sf))
+    // margins and the total broadcast onto the 155-cell grid — the
+    // corpus-sized side never sort-merge-joins
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q275: manifest stats pruning keeps non-matching batch dirs out of the scan") {
+    val df = SparkEntry.queries("q275_versioned_pruned_read")(spark, sf)
+    val files = df.inputFiles.toSeq
+    // three date-keyed batches committed; the 12-month range
+    // intersects only the middle one. b3 carries stats and misses the
+    // range -> pruned from the manifest before any file opens. (b1 is
+    // EMPTY at sf0.001, so it recorded no stats and is correctly kept
+    // — no stats = no claim; an empty batch contributes no rows.)
+    assert(files.exists(_.contains("/data/b2_")),
+      s"the matching batch is missing from the scan: $files")
+    assert(!files.exists(_.contains("/data/b3_")),
+      s"a stats-carrying non-matching batch was not pruned: $files")
+  }
+
+  test("q277: PII scan is scan-local — no shuffle before the 4-row rollup") {
+    val plan = executed(SparkEntry.queries("q277_pii_scan_redact")(spark, sf))
+    // regexp work happens per-row in codegen; the only exchanges
+    // carry category rollups (and the final tiny join)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("q245: the DSIR ratio table broadcasts; selection is a TakeOrdered heap") {
     val plan = executed(SparkEntry.queries("q245_dsir_importance_selection")(spark, sf))
     // the 64-row bucket table must never shuffle-join the token stream
