@@ -460,6 +460,69 @@ object VersionedTable {
     next
   }
 
+  /** CLUSTERING compaction (OPTIMIZE ZORDER-lite): rewrite the
+    * current content RANGE-BUCKETED on `rangeCol` (a LONG column) —
+    * one write pass partitioned into `nBuckets` exact-quantile
+    * ranges, committed as `nBuckets` manifest entries, each flagged
+    * `=` (dataChange = false, invisible to the change feed) and each
+    * carrying its own tight min/max stats. Where [[compact]] retires
+    * the merge-on-read cost, this ALSO restores data skipping after
+    * churn: appends arrive in arrival order with whatever stats they
+    * came with, and the clustering pass re-sorts the table so a
+    * [[readAtPruned]] range query opens ~1/nBuckets of the data
+    * again — the maintenance loop a 100 TB date-queried table runs.
+    * Content-identical by construction (the buckets partition the
+    * rows of readAt(latest)); rows with a NULL rangeCol land in
+    * bucket 0 (no stats claim is violated: stats ignore nulls and
+    * pruning keeps every bucket whose range intersects — callers
+    * filtering on the column drop nulls anyway, and full reads see
+    * every bucket).
+    */
+  def compactByRange(spark: SparkSession, path: String, rangeCol: String,
+      nBuckets: Int): Long = {
+    require(nBuckets >= 1, "need at least one bucket")
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"nothing to compact at $path"))
+    val next = v + 1
+    val parent = s"b${next}_${newToken()}"
+    val content = readAt(spark, path, v)
+    // exact quantile boundaries (relativeError 0), so bucketing is
+    // deterministic; ties collapse into the lower bucket
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds =
+      if (nBuckets == 1) Array.empty[Double]
+      else content.stat.approxQuantile(rangeCol, probs, 0.0)
+    val bucketExpr = bounds.zipWithIndex.foldRight(
+      org.apache.spark.sql.functions.lit(nBuckets - 1)) {
+      case ((b, i), acc) =>
+        org.apache.spark.sql.functions
+          .when(col(rangeCol) <= b || col(rangeCol).isNull, i).otherwise(acc)
+    }
+    content.withColumn("__rb", bucketExpr)
+      .repartition(col("__rb"))
+      .write.mode("overwrite").partitionBy("__rb")
+      .parquet(s"$path/data/$parent")
+    // one entry per non-empty bucket, each with its own tight stats
+    // (footer-light column-pruned aggregate per bucket dir)
+    val (f, _) = fs(path)
+    val bucketEntries = (0 until nBuckets).flatMap { i =>
+      val dir = s"$parent/__rb=$i"
+      if (!f.exists(new Path(s"$path/data/$dir"))) None
+      else Some("=" + dir + statsSuffix(spark, s"$path/data/$dir", Seq(rangeCol)))
+    }
+    // a fully-empty table (everything deleted) produces no bucket
+    // dirs; commit one empty batch so the manifest stays readable
+    val entries =
+      if (bucketEntries.nonEmpty) bucketEntries
+      else {
+        content.limit(0).write.mode("overwrite")
+          .parquet(s"$path/data/${parent}_empty")
+        Seq(s"=${parent}_empty")
+      }
+    commitManifest(path, next, entries)
+    next
+  }
+
   /** Incremental read — the consumer primitive versioning exists for
     * ("give me what's new since my checkpoint"), computed as a
     * manifest set difference over KB-sized control files.
@@ -547,9 +610,12 @@ object VersionedTable {
     // with a smaller keep may have removed part of the window
     val keptVersions = committedVersions(path).filter(_ >= floor)
     // data AND tombstone batches: a kept version's delete set is as
-    // load-bearing as its rows
+    // load-bearing as its rows. Entries may reference NESTED dirs
+    // (compactByRange buckets live under one parent) — the unit of
+    // reclamation is the TOP-LEVEL child of data/, so referencing any
+    // nested dir keeps its parent
     val referenced = keptVersions.flatMap { v =>
-      manifestEntries(path, v).map(dirOf)
+      manifestEntries(path, v).map(e => dirOf(e).split("/").head)
     }.toSet
     // old manifests first: a reader landing mid-vacuum sees either a
     // kept version (complete) or a missing manifest (loud failure) —

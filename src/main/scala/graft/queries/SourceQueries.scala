@@ -733,6 +733,52 @@ object SourceQueries extends QueryRegistry {
       GROUP BY 1
     """.trim))
 
+  /** Clustering compaction (OPTIMIZE ZORDER-lite): the table arrives
+    * in arrival order — three appends each spanning the FULL date
+    * range (orderkey-parity slices), so batch-grain stats cannot
+    * skip anything — then `compactByRange` rewrites the content
+    * range-bucketed on the epoch-seconds date into four
+    * exact-quantile buckets, each a manifest entry flagged `=`
+    * (dataChange=false) carrying its own tight min/max. The same
+    * 12-month range read as q275 then opens a strict subset of the
+    * bucket dirs (spec-proven via inputFiles), and the oracle is the
+    * plain filtered aggregate — clustering is maintenance and must
+    * never change content. This is the loop a 100 TB date-queried
+    * table runs: stream in by arrival, periodically recluster, keep
+    * range queries ~1/nBuckets-priced.
+    */
+  val q278 = GraftQuery(
+    "q278_versioned_clustering_compaction",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val path = "/tmp/graft_q278_vt_clus_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      if (!VersionedTable.latestVersion(path).exists(_ >= 4L)) {
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("total_c"),
+          col("o_orderdate").cast("timestamp").cast("long").as("o_date_s"))
+        (0 until 3).foreach { i =>
+          VersionedTable.append(o.filter(col("o_orderkey") % 3 === i), path)
+        }
+        VersionedTable.compactByRange(s, path, "o_date_s", nBuckets = 4)
+      }
+      val lo = 804556800L  // 1995-07-01T00:00:00Z
+      val hi = 836179200L  // 1996-07-01T00:00:00Z (exclusive)
+      VersionedTable.readAtPruned(s, path, version = 4L, "o_date_s",
+          lo, hi - 1)
+        .filter(col("o_date_s") >= lo && col("o_date_s") < hi)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("total_c")).as("total_c"))
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+        AND o_orderdate < TIMESTAMP '1996-07-01'
+      GROUP BY 1
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
-    q261, q263, q264, q265, q267, q268, q269, q275, q276)
+    q261, q263, q264, q265, q267, q268, q269, q275, q276, q278)
 }

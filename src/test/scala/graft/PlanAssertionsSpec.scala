@@ -374,6 +374,14 @@ class PlanAssertionsSpec extends SparkTestBase {
       s"a stats-carrying non-matching batch was not pruned: $files")
   }
 
+  test("q278: after clustering compaction the range read opens a strict subset of buckets") {
+    val df = SparkEntry.queries("q278_versioned_clustering_compaction")(spark, sf)
+    val buckets = df.inputFiles.toSeq
+      .flatMap(_.split("/").find(_.startsWith("__rb="))).distinct
+    assert(buckets.nonEmpty && buckets.size < 4,
+      s"clustered range read opened $buckets of 4 buckets — no skipping")
+  }
+
   test("q277: PII scan is scan-local — no shuffle before the 4-row rollup") {
     val plan = executed(SparkEntry.queries("q277_pii_scan_redact")(spark, sf))
     // regexp work happens per-row in codegen; the only exchanges

@@ -330,6 +330,41 @@ class VersionedTableSpec extends SparkTestBase {
       "a stats-less batch must survive pruning for the caller's filter")
   }
 
+  test("compactByRange: content identical, tight per-bucket stats, skipping restored after churn") {
+    val path = tmpDir("vt_cluster")
+    // arrival-order churn: each append spans the FULL key range, so
+    // per-batch stats (if any) would be useless for range queries
+    VersionedTable.append(Seq((1L, "a"), (50L, "b"), (99L, "c")).toDF("k", "v"), path)
+    VersionedTable.append(Seq((10L, "d"), (60L, "e"), (90L, "f")).toDF("k", "v"), path)
+    VersionedTable.append(Seq((5L, "g"), (55L, "h"), (95L, "i")).toDF("k", "v"), path)
+    val before = VersionedTable.readLatest(spark, path)
+      .as[(Long, String)].collect().sorted.toSeq
+
+    val v4 = VersionedTable.compactByRange(spark, path, "k", nBuckets = 3)
+    assert(v4 === 4L)
+    assert(VersionedTable.readLatest(spark, path)
+      .as[(Long, String)].collect().sorted.toSeq === before,
+      "clustering compaction changed the table content")
+    // a narrow range query now opens a strict subset of bucket dirs
+    val pruned = VersionedTable.readAtPruned(spark, path, v4, "k", 50L, 60L)
+    assert(pruned.filter(col("k").between(50L, 60L))
+      .as[(Long, String)].collect().sorted.toSeq
+      === before.filter(t => t._1 >= 50L && t._1 <= 60L))
+    val touched = pruned.inputFiles.toSeq.flatMap(
+      _.split("/").find(_.startsWith("__rb="))).distinct
+    val all = VersionedTable.readAt(spark, path, v4).inputFiles.toSeq
+      .flatMap(_.split("/").find(_.startsWith("__rb="))).distinct
+    assert(all.size === 3 && touched.size < all.size,
+      s"clustering did not restore skipping: touched $touched of $all")
+    // dataChange=false: a consumer checkpointed before the clustering
+    // is re-delivered nothing
+    assert(VersionedTable.readChanges(spark, path, 3, v4).count() === 0L)
+    // vacuum keeps the (nested) clustered layout intact
+    VersionedTable.vacuum(path, keep = 1)
+    assert(VersionedTable.readLatest(spark, path)
+      .as[(Long, String)].collect().sorted.toSeq === before)
+  }
+
   test("vacuum drops expired versions and crash orphans, keeps referenced batches byte-identical") {
     val path = tmpDir("vt_vacuum")
     VersionedTable.append((1 to 4).toDF("x"), path)
