@@ -1340,8 +1340,140 @@ object TextAnalysis extends QueryRegistry {
       FROM grid
     """.trim))
 
+  /** The round-11 curation recipe — this round's new operators
+    * COMPOSED as one oracle-verified funnel over the documents
+    * corpus: (1) classify every document with the TRAINED
+    * Cavnar–Trenkle lang-ID (q271's profiles) and keep the
+    * 'en'-predicted slice; (2) PII-scrub the survivors (q277's
+    * redaction — a deterministic no-op on this corpus, but the chain
+    * replays it so a corpus WITH PII flows the same); (3) exact-dedup
+    * on the scrubbed text (min-id canonical per md5); (4) quality
+    * gate at score >= 0.72 (set where it bites: the corpus min is
+    * 0.56, so the gate measurably drops the low-diversity tail). Output is the stage funnel (stage, docs,
+    * tokens): one wrongly classified, wrongly scrubbed, wrongly
+    * deduped, or wrongly gated document anywhere in the chain breaks
+    * the hash — the q256 discipline applied to the round-11
+    * components. Scale shape: every stage is the audited plan
+    * (broadcast profiles, codegen regexps, hash-agg dedup, scalar
+    * gate); the funnel aggregate is 4 rows.
+    */
+  val q279 = GraftQuery(
+    "q279_curation_recipe_r11",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.LangCorpus
+      import graft.operators.{LanguageId, Privacy}
+      val docs = Tables.documents(s, d)
+      val profiles = LanguageId.trainProfiles(
+        LangCorpus.Train.toDF("lang", "text"), "lang", "text", topK = 200)
+      val pred = LanguageId.classify(
+        docs.select(col("doc_id").as("id"), col("text")),
+        "id", "text", profiles, topK = 200)
+      val en = docs.join(
+          pred.filter(col("pred_lang") === "en").select(col("id")),
+          docs("doc_id") === col("id"))
+        .select(col("doc_id"), col("text"))
+      val scrubbed = en.select(col("doc_id"),
+        Privacy.piiRedact(col("text")).as("text"))
+      val fp = scrubbed.withColumn("fp", md5(col("text")))
+      val canon = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      val deduped = fp.join(canon, Seq("fp", "doc_id")).drop("fp")
+      val gated = deduped.filter(
+        Q.qualityScore(T.tokens(col("text"))) >= 0.72)
+      def stage(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"),
+            sum(size(T.tokens(col("text")))).cast("long").as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+      stage("1_classified_en", en)
+        .unionAll(stage("2_scrubbed", scrubbed))
+        .unionAll(stage("3_deduped", deduped))
+        .unionAll(stage("4_quality_gated", gated))
+    },
+    Some {
+      import graft.functions.LangCorpus
+      import graft.operators.Privacy
+      val redactSql = Privacy.PiiPatterns.foldLeft("d.text") {
+        case (acc, (cat, re)) =>
+          s"regexp_replace($acc, '$re', '<${cat.toUpperCase}>', 'g')"
+      }
+      s"""
+      WITH train(lang, text) AS (VALUES
+        ${LangCorpus.sqlValues(LangCorpus.Train)}),
+      tg AS (
+        SELECT lang, unnest($duckGrams) AS g
+        FROM train),
+      tc AS (SELECT lang, g, count(*) AS cnt FROM tg GROUP BY 1, 2),
+      tr AS (
+        SELECT lang, g, r FROM (
+          SELECT lang, g,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY cnt DESC, g ASC) AS r
+          FROM tc) WHERE r <= 200),
+      dg AS (
+        SELECT doc_id AS id, unnest($duckGrams) AS g
+        FROM documents),
+      dc AS (SELECT id, g, count(*) AS cnt FROM dg GROUP BY 1, 2),
+      dr AS (
+        SELECT id, g, rd FROM (
+          SELECT id, g,
+                 row_number() OVER (PARTITION BY id
+                                    ORDER BY cnt DESC, g ASC) AS rd
+          FROM dc) WHERE rd <= 200),
+      langs AS (SELECT DISTINCT lang FROM tr),
+      scored AS (
+        SELECT dr.id, l.lang,
+               sum(CASE WHEN tr.r IS NULL THEN 200
+                        ELSE abs(dr.rd - tr.r) END) AS dist
+        FROM dr CROSS JOIN langs l
+        LEFT JOIN tr ON tr.lang = l.lang AND tr.g = dr.g
+        GROUP BY 1, 2),
+      pred AS (
+        SELECT id, lang AS pred_lang FROM (
+          SELECT id, lang,
+                 row_number() OVER (PARTITION BY id
+                                    ORDER BY dist ASC, lang ASC) AS rn
+          FROM scored) WHERE rn = 1),
+      en AS (
+        SELECT d.doc_id, d.text
+        FROM documents d JOIN pred p ON p.id = d.doc_id
+        WHERE p.pred_lang = 'en'),
+      scrubbed AS (
+        SELECT d.doc_id, $redactSql AS text FROM en d),
+      fp AS (SELECT doc_id, text, md5(text) AS f FROM scrubbed),
+      canon AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY 1),
+      deduped AS (
+        SELECT fp.doc_id, fp.text
+        FROM fp JOIN canon c ON c.f = fp.f AND c.doc_id = fp.doc_id),
+      gated AS (
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text, string_split(text, ' ') AS words
+          FROM deduped)
+        WHERE floor((least(CAST(len(words) AS DOUBLE) / 50.0, 1.0) * 0.4 +
+              (1.0 - CAST(len(list_filter(words, x -> x IN ('the', 'a'))) AS DOUBLE) / len(words)) * 0.3 +
+              (CAST(len(list_distinct(words)) AS DOUBLE) / len(words)) * 0.3) * 10000) / 10000 >= 0.72),
+      funnel AS (
+        SELECT '1_classified_en' AS stage,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM en
+        UNION ALL
+        SELECT '2_scrubbed', CAST(count(*) AS BIGINT),
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        FROM scrubbed
+        UNION ALL
+        SELECT '3_deduped', CAST(count(*) AS BIGINT),
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        FROM deduped
+        UNION ALL
+        SELECT '4_quality_gated', CAST(count(*) AS BIGINT),
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        FROM gated)
+      SELECT stage, n_docs, n_tokens FROM funnel
+      """.trim
+    })
+
   def all: Seq[GraftQuery] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q45, q62, q63, q64, q65,
       q80, q99, q101, q117, q118, q128, q134, q135, q153, q154, q155, q168,
-      q171, q172, q186, q199, q246, q249, q251, q258, q271, q272, q273)
+      q171, q172, q186, q199, q246, q249, q251, q258, q271, q272, q273, q279)
 }
