@@ -77,6 +77,13 @@ object LanguageId {
     * [[trainProfiles]] with the same `topK`/`n`): output
     * (id, pred_lang, dist). The profile table broadcasts; the
     * per-doc argmin is a |langs|-row window per document.
+    *
+    * Distance decomposition (identical arithmetic, scale-shaped):
+    * dist(d, l) = Σ_matched |rd − rl| + topK · (|grams(d)| − matched)
+    * — so the gram stream inner-joins ONLY the profile rows it hits
+    * (≤ |langs| per gram, usually fewer), never a blanket
+    * grams × langs cross join, and the |langs|-per-doc grid exists
+    * only at the bounded per-doc level for the penalty term.
     */
   def classify(docs: DataFrame, idCol: String, textCol: String,
       profiles: DataFrame, topK: Int, ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
@@ -89,14 +96,21 @@ object LanguageId {
         Window.partitionBy(col("id")).orderBy(col("cnt").desc, col("g").asc)))
       .filter(col("rd") <= topK)
       .select(col("id"), col("g"), col("rd"))
-    val langs = profiles.select(col("lang")).distinct()
-    val scored = docGrams
-      .crossJoin(broadcast(langs))
-      .join(broadcast(profiles.withColumnRenamed("r", "rl")),
-        Seq("lang", "g"), "left")
+    val docTotals = docGrams.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val matched = docGrams
+      .join(broadcast(profiles.withColumnRenamed("r", "rl")), Seq("g"))
       .groupBy(col("id"), col("lang"))
-      .agg(sum(coalesce(abs(col("rd") - col("rl")), lit(topK.toLong)))
-        .as("dist"))
+      .agg(sum(abs(col("rd") - col("rl"))).as("matched_dist"),
+        count(lit(1)).as("n_matched"))
+    val langs = profiles.select(col("lang")).distinct()
+    val scored = docTotals.crossJoin(broadcast(langs))
+      .join(matched, Seq("id", "lang"), "left")
+      .select(col("id"), col("lang"),
+        (coalesce(col("matched_dist"), lit(0L)) +
+          lit(topK.toLong) *
+            (col("n_grams") - coalesce(col("n_matched"), lit(0L))))
+          .as("dist"))
     scored
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("dist").asc, col("lang").asc)))

@@ -1369,13 +1369,17 @@ object TextAnalysis extends QueryRegistry {
       val pred = LanguageId.classify(
         docs.select(col("doc_id").as("id"), col("text")),
         "id", "text", profiles, topK = 200)
-      val en = docs.join(
+      // cache the classified+scrubbed base: every funnel stage reads
+      // it, and without the materialization boundary each stage
+      // aggregate would re-run the whole classifier chain
+      val base = docs.join(
           pred.filter(col("pred_lang") === "en").select(col("id")),
           docs("doc_id") === col("id"))
-        .select(col("doc_id"), col("text"))
-      val scrubbed = en.select(col("doc_id"),
-        Privacy.piiRedact(col("text")).as("text"))
-      val fp = scrubbed.withColumn("fp", md5(col("text")))
+        .select(col("doc_id"), col("text"),
+          Privacy.piiRedact(col("text")).as("scrubbed"))
+        .cache()
+      val fp = base.select(col("doc_id"), col("scrubbed").as("text"))
+        .withColumn("fp", md5(col("text")))
       val canon = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       val deduped = fp.join(canon, Seq("fp", "doc_id")).drop("fp")
       val gated = deduped.filter(
@@ -1384,8 +1388,9 @@ object TextAnalysis extends QueryRegistry {
         df.agg(count(lit(1)).as("n_docs"),
             sum(size(T.tokens(col("text")))).cast("long").as("n_tokens"))
           .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
-      stage("1_classified_en", en)
-        .unionAll(stage("2_scrubbed", scrubbed))
+      stage("1_classified_en", base.select(col("doc_id"), col("text")))
+        .unionAll(stage("2_scrubbed",
+          base.select(col("doc_id"), col("scrubbed").as("text"))))
         .unionAll(stage("3_deduped", deduped))
         .unionAll(stage("4_quality_gated", gated))
     },
