@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Versioned parquet table with atomic manifest commits — the
   * publish primitive under every "table format": writers never mutate
@@ -390,6 +390,19 @@ object VersionedTable {
       version: Long, mergeSchema: Boolean,
       keep: String => Boolean): DataFrame = {
     val entries = manifestEntries(path, version)
+    require(entries.exists(e => !isTombstone(e)),
+      s"version $version of $path lists no data batches")
+    viewOf(spark, path, entries, mergeSchema, keep).getOrElse(
+      // every batch pruned: an empty frame under the version's schema
+      viewOf(spark, path, entries, mergeSchema, _ => true).get.limit(0))
+  }
+
+  /** The position-scoped merge-on-read view composed from an ordered
+    * entry list; None when no data entry survives `keep`.
+    */
+  private def viewOf(spark: SparkSession, path: String,
+      entries: Seq[String], mergeSchema: Boolean,
+      keep: String => Boolean): Option[DataFrame] = {
     // walk from the end accumulating the tombstones seen so far:
     // each data batch's applicable set = tombstones AFTER it
     var tombsAfter = List.empty[String]
@@ -398,19 +411,15 @@ object VersionedTable {
       else if (keep(e)) Some(dirOf(e) -> tombsAfter)
       else None
     }.reverse
-    require(entries.exists(e => !isTombstone(e)),
-      s"version $version of $path lists no data batches")
-    if (assigned.isEmpty)
-      // every batch pruned: an empty frame under the version's schema
-      return readAtFiltered(spark, path, version, mergeSchema, _ => true)
-        .limit(0)
+    if (assigned.isEmpty) return None
     val parts = assigned.groupBy(_._2).toSeq.map { case (tombDirs, pairs) =>
       val live = spark.read
         .option("mergeSchema", mergeSchema.toString)
         .parquet(pairs.map(pr => s"$path/data/${pr._1}"): _*)
       applyTombstones(spark, path, live, tombDirs)
     }
-    parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = mergeSchema))
+    Some(parts.reduce((a, b) =>
+      a.unionByName(b, allowMissingColumns = mergeSchema)))
   }
 
   /** Anti-join `live` against each distinct key column among the
@@ -535,9 +544,9 @@ object VersionedTable {
     *     dataChange = false) — a consumer checkpointed before an
     *     OPTIMIZE sees zero re-delivered rows (spec- and
     *     driver-proven);
-    *   - deletes are not delivered (the feed carries appended rows;
-    *     consumers needing delete propagation read tombstone versions
-    *     via [[readAt]] time travel).
+    *   - deletes are not delivered (this feed carries appended rows
+    *     only; consumers needing delete propagation use
+    *     [[readChangeFeed]], which tags every change).
     */
   def readChanges(spark: SparkSession, path: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
@@ -554,6 +563,72 @@ object VersionedTable {
     if (fresh.isEmpty)
       readAt(spark, path, toVersion).limit(0)
     else spark.read.parquet(fresh.map(b => s"$path/data/$b"): _*)
+  }
+
+  /** CHANGE DATA FEED — [[readChanges]] completed with delete
+    * propagation (the Delta CDF shape): every row committed after
+    * `fromVersion` up to `toVersion`, tagged `_change_type`:
+    *
+    *   - new data batches → their rows as `insert` (compaction
+    *     batches skipped, dataChange = false);
+    *   - new TOMBSTONE batches → the rows they deleted as `delete` —
+    *     materialized by semi-joining the tombstone's keys against
+    *     the position-scoped view just before it, so the feed
+    *     carries the full deleted ROWS (including rows from batches
+    *     older than `fromVersion` — the case [[readChanges]] cannot
+    *     express), not just keys;
+    *   - an [[upsert]] in the range yields the replaced rows as
+    *     `delete` plus the new rows as `insert` — the
+    *     preimage/postimage pair;
+    *   - a row inserted AND deleted inside the range appears twice
+    *     (once per tag), which is what an incremental materializer
+    *     needs to stay exact;
+    *   - `fromVersion = 0` = the initial snapshot, all `insert`.
+    *
+    * The feed iterates PER COMMIT over the retained manifests
+    * (endpoint set-difference would silently lose every change an
+    * intermediate compaction folded away — caught by the spec's
+    * apply-the-feed exactness check), so its range is bounded by
+    * manifest retention exactly like Delta's CDF: a vacuumed
+    * intermediate version fails loudly at the manifest read.
+    *
+    * Cost: inserts are raw batch reads; each delete commit in the
+    * range pays one filtered scan of its prefix view bounded by the
+    * tombstone's key count — at 100 TB, keep feed ranges short by
+    * compacting (the `=` flag keeps compactions out of the feed).
+    */
+  def readChangeFeed(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    if (fromVersion == 0)
+      return readAt(spark, path, toVersion)
+        .withColumn("_change_type", lit("insert"))
+    val changes = (fromVersion + 1 to toVersion).flatMap { v =>
+      val prevDirs = manifestEntries(path, v - 1).map(dirOf).toSet
+      val cur = manifestEntries(path, v)
+      cur.zipWithIndex.flatMap { case (e, idx) =>
+        val dir = dirOf(e)
+        if (prevDirs.contains(dir) || isCompaction(e)) None
+        else if (isTombstone(e)) {
+          val keys = spark.read.parquet(s"$path/data/$dir")
+          val keyCol = keys.columns.head
+          // the position-scoped view just before this tombstone, at
+          // THIS commit — the rows it actually deleted
+          viewOf(spark, path, cur.take(idx), mergeSchema = false,
+            _ => true).map(pre =>
+            pre.join(keys.select(keys(keyCol)).distinct(), Seq(keyCol),
+                "left_semi")
+              .withColumn("_change_type", lit("delete")))
+        } else
+          Some(spark.read.parquet(s"$path/data/$dir")
+            .withColumn("_change_type", lit("insert")))
+      }
+    }
+    if (changes.isEmpty)
+      readAt(spark, path, toVersion)
+        .withColumn("_change_type", lit("insert")).limit(0)
+    else changes.reduce(_ unionByName _)
   }
 
   /** Checkpointed AvailableNow-style consumer: read the last-seen

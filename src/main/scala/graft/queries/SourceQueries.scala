@@ -779,6 +779,60 @@ object SourceQueries extends QueryRegistry {
       GROUP BY 1
     """.trim))
 
+  /** Change data feed with DELETE propagation (Delta CDF shape —
+    * readChanges' documented gap closed): v1 publishes the pre-1997
+    * orders, v2 tombstones the urgent keys, v3 appends the rest; the
+    * feed from v1 to v3 must carry v3's rows tagged `insert` AND the
+    * FULL deleted rows tagged `delete` — materialized by semi-joining
+    * each tombstone's keys against the position-scoped view just
+    * before it, per commit over the retained manifests (an endpoint
+    * manifest diff would silently lose changes an intermediate
+    * compaction folded — spec-caught, and the spec also proves
+    * applying the feed to the v1 view reproduces readAt(v3) exactly).
+    * The oracle replays both legs from the base table; one missing
+    * or extra change row breaks the hash.
+    */
+  val q280 = GraftQuery(
+    "q280_versioned_change_data_feed",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val path = "/tmp/graft_q280_vt_cdf_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      if (!VersionedTable.latestVersion(path).exists(_ >= 3L)) {
+        val cut = lit("1997-01-01").cast("timestamp")
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("total_c"),
+          col("o_orderdate"))
+        VersionedTable.append(o.filter(col("o_orderdate") < cut)
+          .drop("o_orderdate"), path)
+        VersionedTable.deleteKeys(
+          Tables.orders(s, d)
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey")),
+          "o_orderkey", path)
+        VersionedTable.append(o.filter(col("o_orderdate") >= cut)
+          .drop("o_orderdate"), path)
+      }
+      VersionedTable.readChangeFeed(s, path, fromVersion = 1L, toVersion = 3L)
+        .groupBy(col("_change_type"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("total_c")).as("total_c"))
+    },
+    Some("""
+      WITH feed AS (
+        SELECT 'insert' AS _change_type, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS total_c
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        UNION ALL
+        SELECT 'delete' AS _change_type, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS total_c
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1997-01-01'
+          AND o_orderpriority = '1-URGENT')
+      SELECT _change_type, o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(total_c) AS BIGINT) AS total_c
+      FROM feed GROUP BY 1, 2
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
-    q261, q263, q264, q265, q267, q268, q269, q275, q276, q278)
+    q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280)
 }

@@ -365,6 +365,42 @@ class VersionedTableSpec extends SparkTestBase {
       .as[(Long, String)].collect().sorted.toSeq === before)
   }
 
+  test("change data feed: inserts and full deleted rows tagged; upsert = preimage/postimage") {
+    val path = tmpDir("vt_cdf")
+    VersionedTable.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), path) // v1
+    VersionedTable.append(Seq((4L, "d")).toDF("k", "v"), path)                        // v2
+    VersionedTable.deleteKeys(Seq(2L, 4L).toDF("k"), "k", path)                       // v3
+    VersionedTable.compact(spark, path)                                               // v4
+    VersionedTable.upsert(Seq((3L, "C"), (9L, "z")).toDF("k", "v"), "k", path)        // v5
+
+    def feed(from: Long, to: Long): Seq[(Long, String, String)] =
+      VersionedTable.readChangeFeed(spark, path, from, to)
+        .select(col("k"), col("v"), col("_change_type"))
+        .as[(Long, String, String)].collect().sorted.toSeq
+
+    // v1 -> v3: insert of v2's row, deletes of the FULL rows (2,"b")
+    // from pre-range v1 and (4,"d") from in-range v2 — both tagged
+    assert(feed(1, 3) === Seq((2L, "b", "delete"), (4L, "d", "delete"),
+      (4L, "d", "insert")))
+    // across the compaction: nothing re-delivered (dataChange=false)
+    assert(feed(3, 4) === Seq.empty[(Long, String, String)])
+    // the upsert delivers the replaced row as delete + new rows as insert
+    assert(feed(4, 5) === Seq((3L, "C", "insert"), (3L, "c", "delete"),
+      (9L, "z", "insert")))
+    // initial snapshot: the current view, all insert
+    assert(feed(0, 5).count(_._3 == "insert") === 3 &&
+      feed(0, 5).forall(_._3 == "insert"))
+    // applying the v1->v5 feed to the v1 view reproduces readAt(v5):
+    // the exactness an incremental materializer depends on
+    val v1 = VersionedTable.readAt(spark, path, 1)
+      .as[(Long, String)].collect().toSet
+    val f = feed(1, 5)
+    val applied = (v1 ++ f.filter(_._3 == "insert").map(t => (t._1, t._2)))
+      .diff(f.filter(_._3 == "delete").map(t => (t._1, t._2)).toSet)
+    assert(applied === VersionedTable.readLatest(spark, path)
+      .as[(Long, String)].collect().toSet)
+  }
+
   test("vacuum drops expired versions and crash orphans, keeps referenced batches byte-identical") {
     val path = tmpDir("vt_vacuum")
     VersionedTable.append((1 to 4).toDF("x"), path)
