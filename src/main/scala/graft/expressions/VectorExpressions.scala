@@ -133,6 +133,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // automatic manifest-stats data skipping for versioned-table
+    // scans (see graft.plans.VersionedStatsPruning): runs with the
+    // session optimizer, after Catalyst has pushed user filters down
+    // to the scans this rule prunes.
+    e.injectOptimizerRule(_ => graft.plans.VersionedStatsPruning)
     e.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),

@@ -386,13 +386,27 @@ object VersionedTable {
       statsOf(e).get(pruneCol).forall { case (mn, mx) => mx >= lo && mn <= hi }
     })
 
+  /** [[readAt]] whose scans carry the manifest's per-batch min/max
+    * stats as a read option, so ANY `.filter` the caller composes on
+    * top prunes batches automatically at optimize time (the
+    * [[graft.plans.VersionedStatsPruning]] rule, injected by
+    * `GraftExtensions`) — [[readAtPruned]] without restating the
+    * predicate as explicit bounds. Same merge-on-read semantics and
+    * result as [[readAt]]; pruning never changes the answer, only
+    * which batch dirs the scan opens.
+    */
+  def readAtAuto(spark: SparkSession, path: String, version: Long,
+      mergeSchema: Boolean = false): DataFrame =
+    readAtFiltered(spark, path, version, mergeSchema, _ => true,
+      auto = true)
+
   private def readAtFiltered(spark: SparkSession, path: String,
       version: Long, mergeSchema: Boolean,
-      keep: String => Boolean): DataFrame = {
+      keep: String => Boolean, auto: Boolean = false): DataFrame = {
     val entries = manifestEntries(path, version)
     require(entries.exists(e => !isTombstone(e)),
       s"version $version of $path lists no data batches")
-    viewOf(spark, path, entries, mergeSchema, keep).getOrElse(
+    viewOf(spark, path, entries, mergeSchema, keep, auto).getOrElse(
       // every batch pruned: an empty frame under the version's schema
       viewOf(spark, path, entries, mergeSchema, _ => true).get.limit(0))
   }
@@ -402,7 +416,14 @@ object VersionedTable {
     */
   private def viewOf(spark: SparkSession, path: String,
       entries: Seq[String], mergeSchema: Boolean,
-      keep: String => Boolean): Option[DataFrame] = {
+      keep: String => Boolean, auto: Boolean = false): Option[DataFrame] = {
+    // dir -> raw `;col:min:max...` stats suffix, for the auto path
+    val statsSuffixOf: Map[String, String] = entries.filterNot(isTombstone)
+      .map { e =>
+        val raw = e.stripPrefix("~").stripPrefix("=")
+        val dir = raw.split(";").head
+        dir -> raw.substring(dir.length)
+      }.toMap
     // walk from the end accumulating the tombstones seen so far:
     // each data batch's applicable set = tombstones AFTER it
     var tombsAfter = List.empty[String]
@@ -413,9 +434,14 @@ object VersionedTable {
     }.reverse
     if (assigned.isEmpty) return None
     val parts = assigned.groupBy(_._2).toSeq.map { case (tombDirs, pairs) =>
-      val live = spark.read
+      val reader = spark.read
         .option("mergeSchema", mergeSchema.toString)
-        .parquet(pairs.map(pr => s"$path/data/${pr._1}"): _*)
+      val tagged =
+        if (!auto) reader
+        else reader.option(graft.plans.VersionedStatsPruning.StatsOption,
+          graft.plans.VersionedStatsPruning.encode(
+            pairs.map(pr => pr._1 -> statsSuffixOf.getOrElse(pr._1, ""))))
+      val live = tagged.parquet(pairs.map(pr => s"$path/data/${pr._1}"): _*)
       applyTombstones(spark, path, live, tombDirs)
     }
     Some(parts.reduce((a, b) =>

@@ -1,0 +1,156 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{FileStatusCache, HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+
+/** AUTOMATIC manifest-stats data skipping for versioned-table scans —
+  * the optimizer-integrated completion of `readAtPruned`, which
+  * requires the CALLER to restate its predicate as explicit bounds.
+  * With this rule a user writes plain declarative Spark —
+  *
+  *   VersionedTable.readAtAuto(spark, path, v).filter($"k" > 100)
+  *
+  * — and the filter itself prunes batches from the manifest's
+  * KB-sized min/max stats before any parquet file (or footer) is
+  * opened, the same contract Delta Lake's add-file-stats skipping and
+  * Iceberg's manifest evaluator provide on top of Spark. At 100 TB
+  * with date-keyed commits, the where-clause alone confines a
+  * one-month query to one month's batch dirs.
+  *
+  * Mechanics: `readAtAuto`'s scans carry a `graft.stats` read option
+  * mapping each batch dir to its manifest min/max longs. This rule
+  * (injected via [[graft.expressions.GraftExtensions]], so it runs in
+  * the session's normal optimizer alongside Catalyst's own
+  * PushDownPredicates — which has already pushed the user's filter
+  * through the merge-on-read anti-joins to sit directly on the scan)
+  * matches Filter-over-scan, folds the filter's top-level conjuncts
+  * into per-column required intervals, and rebuilds the scan's
+  * FileIndex with only the batch dirs whose recorded ranges
+  * intersect every requirement.
+  *
+  * Strictly conservative, like all zone-map pruning:
+  *  - only deterministic conjuncts of shape `col <op> literal` /
+  *    `literal <op> col` (op in =, <, <=, >, >=) on integral columns
+  *    contribute — matching exactly what `statsSuffix` records
+  *    (long-cast min/max); strict bounds are widened to inclusive, so
+  *    a kept batch may still hold no matching rows;
+  *  - a batch with no recorded stats for a constrained column is
+  *    never pruned (no stats = no claim — the `readAtPruned`
+  *    superset contract);
+  *  - the Filter always stays on top: pruning is a physical
+  *    optimization, never the semantic predicate;
+  *  - every batch pruned → the scan collapses to an empty
+  *    LocalRelation under the same output attributes (provably no
+  *    row can match).
+  *
+  * The rewritten scan is tagged `graft.pruned` so the fixed-point
+  * optimizer batch reaches a stable plan instead of re-pruning.
+  */
+object VersionedStatsPruning extends Rule[LogicalPlan] {
+
+  /** Read option carrying `dir;col:min:max[;col:min:max...]` lines. */
+  val StatsOption = "graft.stats"
+
+  /** Marker option: this scan has already been pruned. */
+  val PrunedOption = "graft.pruned"
+
+  /** Encode per-dir stats for the scan's read option. */
+  def encode(dirStats: Seq[(String, String)]): String =
+    dirStats.map { case (dir, stats) =>
+      if (stats.isEmpty) dir else s"$dir$stats"
+    }.mkString("\n")
+
+  private def decode(s: String): Seq[(String, Map[String, (Long, Long)])] =
+    s.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      val parts = line.split(";")
+      val stats = parts.drop(1).flatMap(_.split(":") match {
+        case Array(c, lo, hi) => Some(c -> (lo.toLong, hi.toLong))
+        case _ => None
+      }).toMap
+      parts.head -> stats
+    }
+
+  private def litLong(l: Literal): Option[Long] = l.value match {
+    case v: java.lang.Long => Some(v.longValue)
+    case v: java.lang.Integer => Some(v.longValue)
+    case v: java.lang.Short => Some(v.longValue)
+    case v: java.lang.Byte => Some(v.longValue)
+    case _ => None
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** Per-column required [lo, hi] interval implied by the condition's
+    * usable top-level conjuncts (intersection when a column appears
+    * more than once). Strict comparisons widen to inclusive —
+    * conservative in the keep direction.
+    */
+  private[plans] def intervals(cond: Expression): Map[String, (Long, Long)] = {
+    val bounds = conjuncts(cond).filter(_.deterministic).flatMap {
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        litLong(l).map(v => (a.name, v, v))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        litLong(l).map(v => (a.name, v, v))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        litLong(l).map(v => (a.name, v, Long.MaxValue))
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        litLong(l).map(v => (a.name, v, Long.MaxValue))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        litLong(l).map(v => (a.name, Long.MinValue, v))
+      case LessThan(a: AttributeReference, l: Literal) =>
+        litLong(l).map(v => (a.name, Long.MinValue, v))
+      // mirrored literal-first forms
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        litLong(l).map(v => (a.name, Long.MinValue, v))
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        litLong(l).map(v => (a.name, Long.MinValue, v))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        litLong(l).map(v => (a.name, v, Long.MaxValue))
+      case LessThan(l: Literal, a: AttributeReference) =>
+        litLong(l).map(v => (a.name, v, Long.MaxValue))
+      case _ => None
+    }
+    bounds.groupBy(_._1).map { case (c, bs) =>
+      c -> (bs.map(_._2).max, bs.map(_._3).min)
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, lr: LogicalRelation) =>
+      lr.relation match {
+        case fs: HadoopFsRelation
+            if fs.options.contains(StatsOption) &&
+              !fs.options.contains(PrunedOption) =>
+          val req = intervals(cond)
+          if (req.isEmpty) f
+          else {
+            val dirStats = decode(fs.options(StatsOption))
+            val roots = fs.location.rootPaths
+            val kept = roots.filter { r =>
+              val rs = r.toString
+              dirStats.find { case (dir, _) => rs.endsWith("/" + dir) } match {
+                case Some((_, stats)) => req.forall { case (c, (lo, hi)) =>
+                  stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+                }
+                case None => true // dir not in the map: no claim, keep
+              }
+            }
+            if (kept.size == roots.size) f
+            else if (kept.isEmpty) f.copy(child = LocalRelation(lr.output))
+            else {
+              val opts = fs.options + (PrunedOption -> "true")
+              val idx = new InMemoryFileIndex(fs.sparkSession, kept, opts,
+                Some(fs.dataSchema), FileStatusCache.getOrCreate(fs.sparkSession))
+              val rel = fs.copy(location = idx, options = opts)(fs.sparkSession)
+              f.copy(child = lr.copy(relation = rel))
+            }
+          }
+        case _ => f
+      }
+  }
+}

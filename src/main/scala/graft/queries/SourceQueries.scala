@@ -833,6 +833,66 @@ object SourceQueries extends QueryRegistry {
       FROM feed GROUP BY 1, 2
     """.trim))
 
+  /** AUTOMATIC data skipping — q275's manifest-stats pruning with the
+    * caller-supplied bounds deleted: the table is committed in three
+    * date-ranged batches with `statsCols`, a keyed delete adds a
+    * merge-on-read tombstone, and the query is plain declarative
+    * Spark — `readAtAuto(...).filter(range)` — with NO pruning hint.
+    * The injected [[graft.plans.VersionedStatsPruning]] rule derives
+    * the batch pruning from the filter itself at optimize time (the
+    * Delta/Iceberg stats-skipping contract, optimizer-integrated);
+    * PlanAssertionsSpec proves the final plan scans exactly one of
+    * the three data batches, and the oracle proves pruning never
+    * changed the answer. At 100 TB: the user's where-clause alone
+    * confines the scan to the intersecting commits — no API beyond
+    * `.filter` to hold wrong.
+    */
+  val q281 = GraftQuery(
+    "q281_versioned_auto_skipping",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val path = "/tmp/graft_q281_vt_auto_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      if (!VersionedTable.latestVersion(path).exists(_ >= 4L)) {
+        // clean-slate rebuild: a partial build (appends without the
+        // delete) must not append twice
+        val p = new org.apache.hadoop.fs.Path(path)
+        val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (f.exists(p)) f.delete(p, true)
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("total_c"),
+          col("o_orderdate").cast("timestamp").cast("long").as("o_date_s"))
+        val c95 = lit("1995-01-01").cast("timestamp").cast("long")
+        val c97 = lit("1997-01-01").cast("timestamp").cast("long")
+        VersionedTable.append(o.filter(col("o_date_s") < c95), path,
+          statsCols = Seq("o_date_s"))
+        VersionedTable.append(
+          o.filter(col("o_date_s") >= c95 && col("o_date_s") < c97), path,
+          statsCols = Seq("o_date_s"))
+        VersionedTable.append(o.filter(col("o_date_s") >= c97), path,
+          statsCols = Seq("o_date_s"))
+        VersionedTable.deleteKeys(
+          Tables.orders(s, d).filter(col("o_orderkey") % 10 === 3)
+            .select(col("o_orderkey")),
+          "o_orderkey", path)
+      }
+      val lo = 804556800L  // 1995-07-01T00:00:00Z
+      val hi = 820454400L  // 1996-01-01T00:00:00Z (exclusive)
+      VersionedTable.readAtAuto(s, path, version = 4L)
+        .filter(col("o_date_s") >= lo && col("o_date_s") < hi)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("total_c")).as("total_c"))
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+        AND o_orderdate < TIMESTAMP '1996-01-01'
+        AND o_orderkey % 10 <> 3
+      GROUP BY 1
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
-    q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280)
+    q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281)
 }

@@ -374,6 +374,20 @@ class PlanAssertionsSpec extends SparkTestBase {
       s"a stats-carrying non-matching batch was not pruned: $files")
   }
 
+  test("q281: the filter ALONE prunes versioned batches (no pruning hint in the query)") {
+    val df = SparkEntry.queries("q281_versioned_auto_skipping")(spark, sf)
+    val files = df.inputFiles.toSeq
+    // q275's layout, but the query carries no readAtPruned bounds —
+    // the injected VersionedStatsPruning rule derives the pruning
+    // from the plain .filter. The six-month range intersects only b2
+    // among the stats-carrying batches; b3 must be gone from the
+    // final plan. (b1 is empty at sf0.001: no stats, correctly kept.)
+    assert(files.exists(_.contains("/data/b2_")),
+      s"the matching batch is missing from the scan: $files")
+    assert(!files.exists(_.contains("/data/b3_")),
+      s"the filter did not prune the stats-carrying non-matching batch: $files")
+  }
+
   test("q278: after clustering compaction the range read opens a strict subset of buckets") {
     val df = SparkEntry.queries("q278_versioned_clustering_compaction")(spark, sf)
     val buckets = df.inputFiles.toSeq
