@@ -558,6 +558,91 @@ object VersionedTable {
     next
   }
 
+  /** TWO-DIMENSIONAL clustering compaction (OPTIMIZE ZORDER): rewrite
+    * the current content ordered by the Morton interleave of the two
+    * columns' QUANTILE-GRID cells — Delta's OPTIMIZE ZORDER shape
+    * (range-partition ids per column, then bit interleave), built
+    * from [[graft.operators.ZOrder.mortonCode]] on codegen'd
+    * built-ins. Each column is first mapped to its 2^bits
+    * exact-quantile bucket (rank space, so skew and negative values
+    * cost nothing), the interleaved cell code is range-bucketed into
+    * `nBuckets` commit dirs, and every bucket's manifest entry
+    * carries tight min/max stats for BOTH columns.
+    *
+    * Why this beats [[compactByRange]] when queries filter on either
+    * of two columns: a 1-D clustering gives one column ~1/nBuckets
+    * skipping and leaves the other column's per-bucket range spanning
+    * the whole domain (zero skipping). The z-layout bounds both
+    * dimensions inside every bucket, so a single-column range filter
+    * on EITHER column — via [[readAtPruned]] or just
+    * `readAtAuto(...).filter` — opens a strict subset
+    * (~sqrt-partitioned), the classic multi-dimensional zone-map
+    * trade. Content-identical by construction; NULLs land in cell 0
+    * of their dimension (stats ignore nulls; pruning keeps every
+    * intersecting bucket).
+    *
+    * At 100 TB: both approxQuantile passes here use relativeError 0
+    * for bit-exact determinism under the oracle; on a real cluster
+    * pass 0.001 — boundaries only steer layout, never correctness.
+    */
+  def compactByZOrder(spark: SparkSession, path: String,
+      xCol: String, yCol: String, nBuckets: Int, bits: Int = 4): Long = {
+    require(nBuckets >= 1, "need at least one bucket")
+    require(bits >= 1 && bits <= 16, "bits must be in [1, 16]")
+    val v = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"nothing to compact at $path"))
+    val next = v + 1
+    val parent = s"b${next}_${newToken()}"
+    val content = readAt(spark, path, v)
+    val cells = 1 << bits
+    // rank-space grid: exact-quantile cell boundaries per column
+    def cellExpr(c: String): org.apache.spark.sql.Column = {
+      val probs = (1 until cells).map(_.toDouble / cells).toArray
+      val bounds =
+        if (cells == 1) Array.empty[Double]
+        else content.stat.approxQuantile(c, probs, 0.0)
+      bounds.zipWithIndex.foldRight(
+        org.apache.spark.sql.functions.lit((cells - 1).toLong)) {
+        case ((b, i), acc) =>
+          org.apache.spark.sql.functions
+            .when(col(c) <= b || col(c).isNull, i.toLong).otherwise(acc)
+      }
+    }
+    val coded = content.withColumn("__z",
+      ZOrder.mortonCode(cellExpr(xCol), cellExpr(yCol), bits))
+    // z cells -> nBuckets contiguous commit ranges, again by exact
+    // quantile so buckets are row-balanced regardless of occupancy
+    val zprobs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val zbounds =
+      if (nBuckets == 1) Array.empty[Double]
+      else coded.stat.approxQuantile("__z", zprobs, 0.0)
+    val zbucket = zbounds.zipWithIndex.foldRight(
+      org.apache.spark.sql.functions.lit(nBuckets - 1)) {
+      case ((b, i), acc) =>
+        org.apache.spark.sql.functions.when(col("__z") <= b, i).otherwise(acc)
+    }
+    coded.withColumn("__zb", zbucket).drop("__z")
+      .repartition(col("__zb"))
+      .write.mode("overwrite").partitionBy("__zb")
+      .parquet(s"$path/data/$parent")
+    val (f, _) = fs(path)
+    val bucketEntries = (0 until nBuckets).flatMap { i =>
+      val dir = s"$parent/__zb=$i"
+      if (!f.exists(new Path(s"$path/data/$dir"))) None
+      else Some("=" + dir +
+        statsSuffix(spark, s"$path/data/$dir", Seq(xCol, yCol)))
+    }
+    val entries =
+      if (bucketEntries.nonEmpty) bucketEntries
+      else {
+        content.limit(0).write.mode("overwrite")
+          .parquet(s"$path/data/${parent}_empty")
+        Seq(s"=${parent}_empty")
+      }
+    commitManifest(path, next, entries)
+    next
+  }
+
   /** Incremental read — the consumer primitive versioning exists for
     * ("give me what's new since my checkpoint"), computed as a
     * manifest set difference over KB-sized control files.

@@ -893,6 +893,68 @@ object SourceQueries extends QueryRegistry {
       GROUP BY 1
     """.trim))
 
+  /** TWO-DIMENSIONAL clustering (OPTIMIZE ZORDER) — q278's
+    * maintenance loop extended to the case 1-D clustering cannot
+    * serve: a table queried by range on TWO columns. Orders arrive in
+    * two arrival-order commits with NO stats (nothing can prune);
+    * `compactByZOrder(o_date_s, o_custkey)` rewrites them ordered by
+    * the Morton interleave of each column's exact-quantile grid cell
+    * (Delta's OPTIMIZE ZORDER shape), each bucket's manifest entry
+    * carrying tight min/max for BOTH columns. The query then runs a
+    * date-range slice AND a customer-range slice — both plain
+    * `readAtAuto(...).filter`, both auto-pruned by the
+    * VersionedStatsPruning rule — and aggregates each; the spec
+    * measures that either filter opens a strict subset of buckets
+    * while 1-D range clustering leaves the second column at zero
+    * skipping. Maintenance never changes content: the oracle
+    * recomputes both slices from the base table.
+    */
+  val q282 = GraftQuery(
+    "q282_versioned_zorder_compaction",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val path = "/tmp/graft_q282_vt_zorder_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      if (!VersionedTable.latestVersion(path).exists(_ >= 3L)) {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (f.exists(p)) f.delete(p, true)
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("total_c"),
+          col("o_orderdate").cast("timestamp").cast("long").as("o_date_s"))
+        // arrival order (keyed by orderkey parity), deliberately
+        // WITHOUT statsCols: pre-maintenance, nothing prunes
+        VersionedTable.append(o.filter(col("o_orderkey") % 2 === 0), path)
+        VersionedTable.append(o.filter(col("o_orderkey") % 2 === 1), path)
+        VersionedTable.compactByZOrder(s, path, "o_date_s", "o_custkey",
+          nBuckets = 16, bits = 2)
+      }
+      val lo = 804556800L  // 1995-07-01T00:00:00Z
+      val hi = 820454400L  // 1996-01-01T00:00:00Z (exclusive)
+      val t = VersionedTable.readAtAuto(s, path, version = 3L)
+      val byDate = t.filter(col("o_date_s") >= lo && col("o_date_s") < hi)
+        .agg(count(lit(1)).as("n_orders"), sum(col("total_c")).as("total_c"))
+        .withColumn("slice", lit("by_date"))
+      val byCust = t.filter(col("o_custkey") <= 40)
+        .agg(count(lit(1)).as("n_orders"), sum(col("total_c")).as("total_c"))
+        .withColumn("slice", lit("by_cust"))
+      byDate.unionByName(byCust)
+    },
+    Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c,
+             'by_date' AS slice
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+        AND o_orderdate < TIMESTAMP '1996-01-01'
+      UNION ALL
+      SELECT CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c,
+             'by_cust' AS slice
+      FROM orders WHERE o_custkey <= 40
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
-    q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281)
+    q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
+    q282)
 }

@@ -388,6 +388,19 @@ class PlanAssertionsSpec extends SparkTestBase {
       s"the filter did not prune the stats-carrying non-matching batch: $files")
   }
 
+  test("q282: both z-ordered slices auto-prune — the union scans a strict subset of the 16 buckets") {
+    val df = SparkEntry.queries("q282_versioned_zorder_compaction")(spark, sf)
+    val buckets = df.inputFiles.toSeq.flatMap { f =>
+      "__zb=\\d+".r.findFirstIn(f)
+    }.toSet
+    assert(buckets.nonEmpty, "expected z-bucket dirs in the scan")
+    // two single-column range filters over a 16-bucket z-layout:
+    // even their UNION must leave buckets unopened (each slice alone
+    // is ~1/4; the spec measures the per-slice subsets)
+    assert(buckets.size < 16,
+      s"z-order auto-pruning opened every bucket: $buckets")
+  }
+
   test("q278: after clustering compaction the range read opens a strict subset of buckets") {
     val df = SparkEntry.queries("q278_versioned_clustering_compaction")(spark, sf)
     val buckets = df.inputFiles.toSeq

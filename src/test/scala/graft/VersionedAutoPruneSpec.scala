@@ -90,6 +90,50 @@ class VersionedAutoPruneSpec extends SparkTestBase {
     assert(auto.count() === 148L) // 150 minus the two in-range deletes
   }
 
+  test("compactByZOrder bounds BOTH dimensions: either column's filter opens a strict subset; 1-D clustering cannot") {
+    import org.apache.spark.sql.DataFrame
+    // x uniform 0..399; y a decorrelated permutation (x*7 mod 400) —
+    // three arrival-order appends with NO stats, so before any
+    // maintenance nothing can prune
+    def fresh(prefix: String): String = {
+      val path = tmpDir(prefix)
+      val rows = (0 until 400).map(x => (x.toLong, (x * 7 % 400).toLong))
+      Seq(rows.filter(_._1 % 3 == 0), rows.filter(_._1 % 3 == 1),
+        rows.filter(_._1 % 3 == 2)).foreach { part =>
+        VersionedTable.append(part.toDF("x", "y"), path)
+      }
+      path
+    }
+    def dirsFor(path: String, v: Long, f: DataFrame => DataFrame): Set[String] =
+      scannedDirs(f(VersionedTable.readAtAuto(spark, path, v)))
+
+    // 1-D clustering on x: x-filters skip, y-filters cannot
+    val oneD = fresh("vt_zorder_1d")
+    VersionedTable.compactByRange(spark, oneD, "x", 16)
+    val oneDx = dirsFor(oneD, 4, _.filter($"x" < 100))
+    val oneDy = dirsFor(oneD, 4, _.filter($"y" < 100))
+    assert(oneDx.size <= 5, s"x-clustered x-filter should skip: $oneDx")
+    assert(oneDy.size === 16,
+      "1-D layout gives the OTHER column zero skipping — the measured baseline")
+
+    // z-order on (x, y): both single-column filters skip
+    val zD = fresh("vt_zorder_2d")
+    VersionedTable.compactByZOrder(spark, zD, "x", "y", nBuckets = 16, bits = 2)
+    val zx = dirsFor(zD, 4, _.filter($"x" < 100))
+    val zy = dirsFor(zD, 4, _.filter($"y" < 100))
+    assert(zx.size < 16 && zx.size <= 8, s"z-layout x-filter must skip: ${zx.size}")
+    assert(zy.size < 16 && zy.size <= 8, s"z-layout y-filter must skip: ${zy.size}")
+
+    // maintenance never changes content: both layouts answer every
+    // filter identically to the pre-compaction table
+    val before = VersionedTable.readAt(spark, zD, 3)
+      .filter($"y" < 100).as[(Long, Long)].collect().sorted
+    assert(VersionedTable.readAtAuto(spark, zD, 4).filter($"y" < 100)
+      .as[(Long, Long)].collect().sorted === before)
+    assert(VersionedTable.readAt(spark, oneD, 4).filter($"y" < 100)
+      .as[(Long, Long)].collect().sorted === before)
+  }
+
   test("disjunctions and non-integral predicates prune nothing but stay correct") {
     val path = buildTable("vt_auto_disj")
     val auto = VersionedTable.readAtAuto(spark, path, 4)
