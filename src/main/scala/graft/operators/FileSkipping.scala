@@ -78,7 +78,7 @@ object FileSkipping {
     * the build/probe pair inside Spark's own hash — probe-time
     * constants fold at plan time for literal keys.
     */
-  private def bloomBits(v: Column, bits: Int): Column =
+  private[operators] def bloomBits(v: Column, bits: Int): Column =
     array(pmod(xxhash64(v, lit(1)), lit(bits.toLong)),
       pmod(xxhash64(v, lit(2)), lit(bits.toLong)))
 

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, explode, lit, pmod, xxhash64}
 
 /** Versioned parquet table with atomic manifest commits — the
   * publish primitive under every "table format": writers never mutate
@@ -179,9 +179,11 @@ object VersionedTable {
     * variant that re-commits the manifest without rewriting data.
     */
   def append(df: DataFrame, path: String,
+      bloomCols: Seq[String] = Nil,
       txnId: Option[String] = None,
       statsCols: Seq[String] = Nil): Long =
-    appendRetrying(df, path, txnId, statsCols, maxRetries = 0, _ => ())
+    appendRetrying(df, path, txnId, statsCols, maxRetries = 0, _ => (),
+      bloomCols = bloomCols)
 
   /** Optimistic-concurrency append (the Delta protocol for
     * commute-safe commits): the batch dir is written ONCE under its
@@ -203,13 +205,14 @@ object VersionedTable {
     */
   private[graft] def appendRetrying(df: DataFrame, path: String,
       txnId: Option[String], statsCols: Seq[String], maxRetries: Int,
-      beforeCommit: Long => Unit): Long = {
+      beforeCommit: Long => Unit, bloomCols: Seq[String] = Nil): Long = {
     txnId.flatMap(txnCommittedAt(path, _)).foreach(return _)
     val first = latestVersion(path).getOrElse(0L) + 1
     val batch = s"b${first}_${newToken()}"
     df.write.mode("overwrite").parquet(s"$path/data/$batch")
     // stats from the WRITTEN batch (column-pruned re-read), so the
     // source plan is never executed twice
+    writeBloomSidecar(df.sparkSession, s"$path/data/$batch", bloomCols)
     val entry = batch +
       statsSuffix(df.sparkSession, s"$path/data/$batch", statsCols)
     var attempt = 0
@@ -252,6 +255,98 @@ object VersionedTable {
         else Some(s";$c:${row.getLong(2 * i)}:${row.getLong(2 * i + 1)}")
       }.mkString
     }
+
+  /** Per-batch key Bloom filters, the POINT-LOOKUP index zone maps
+    * cannot be: on hash- or arrival-distributed layouts every batch's
+    * [min, max] spans the whole key domain and stats pruning
+    * degenerates to a full read ([[graft.operators.FileSkipping]]'s
+    * file-level argument, lifted to the table's commit grain). The
+    * sidecar lives INSIDE the batch dir as `_bloom/` — the
+    * underscore prefix keeps it invisible to every data scan (the
+    * parquet hidden-file convention), it travels with the batch
+    * through manifest copy-forward, and vacuum reclaims it with its
+    * batch. Self-describing (col, bit, bits) rows, k = 2 seeded
+    * xxhash64 lanes — the same lanes as `FileSkipping.bloomBits`, so
+    * build and probe share one hash definition. No manifest grammar
+    * change: presence of `_bloom` IS the index.
+    */
+  private def writeBloomSidecar(spark: SparkSession, batchDir: String,
+      bloomCols: Seq[String], bits: Int = BloomBits): Unit =
+    if (bloomCols.nonEmpty) {
+      val batch = spark.read.parquet(batchDir)
+      bloomCols.map { c =>
+        batch.select(lit(c).as("col"),
+          explode(FileSkipping.bloomBits(col(c), bits)).as("bit"))
+      }.reduce(_ unionByName _)
+        .distinct()
+        .withColumn("bits", lit(bits.toLong))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$batchDir/_bloom")
+    }
+
+  /** Default Bloom domain: 2^16 bit positions per batch — ~16 KB of
+    * sidecar per ~30k distinct keys at a useful false-positive rate;
+    * size up with batch key cardinality at cluster scale (a
+    * saturated Bloom prunes nothing but never lies).
+    */
+  val BloomBits: Int = 1 << 16
+
+  private def bloomSidecar(spark: SparkSession, path: String,
+      dir: String): Option[DataFrame] = {
+    val (f, _) = fs(path)
+    val p = new Path(s"$path/data/$dir/_bloom")
+    if (f.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Data dirs that MIGHT contain at least one of `keys` under
+    * `keyCol`: both Bloom lanes of some key are set in the dir's
+    * sidecar. Dirs without a sidecar are always candidates (no index
+    * = no claim — the stats-skipping superset contract). Driver-side
+    * result, bounded by the manifest's batch count.
+    */
+  private def bloomCandidateDirs(spark: SparkSession, path: String,
+      dataDirs: Seq[String], keyCol: String,
+      keys: DataFrame): Set[String] = {
+    val (indexed, unindexed) = dataDirs.partition(d =>
+      bloomSidecar(spark, path, d).nonEmpty)
+    if (indexed.isEmpty) return dataDirs.toSet
+    val blooms = indexed.map { d =>
+      bloomSidecar(spark, path, d).get
+        .filter(col("col") === keyCol)
+        .select(lit(d).as("batch"), col("bit"), col("bits"))
+    }.reduce(_ unionByName _)
+    val ks = keys.select(col(keyCol).as("k")).distinct()
+    // per (key, batch): lane-1 hit AND lane-2 hit. Each lane is an
+    // equi-join on the lane's bit position (hashable — no cartesian);
+    // sidecars are KB-sized, so both joins broadcast.
+    def laneHits(lane: Int) = ks.join(blooms,
+      pmod(xxhash64(col("k"), lit(lane)), col("bits")) === col("bit"))
+      .select(col("k"), col("batch")).distinct()
+    val hit = laneHits(1).join(laneHits(2), Seq("k", "batch"), "left_semi")
+    hit.select(col("batch")).distinct().collect()
+      .map(_.getString(0)).toSet ++ unindexed
+  }
+
+  /** Batch point lookup: read only the batch dirs whose Bloom
+    * sidecar might contain one of `keys`, apply the position-scoped
+    * tombstones of the surviving batches, then the exact key filter
+    * (which also removes Bloom false positives) — [[readAt]]
+    * semantics at index cost. On layouts where zone maps are blind
+    * (hash/arrival distribution), this is the difference between
+    * opening every batch and opening the one or two that matter.
+    */
+  def lookupKeys(spark: SparkSession, path: String, version: Long,
+      keyCol: String, keys: Seq[Long]): DataFrame = {
+    require(keys.nonEmpty, "lookupKeys needs at least one key")
+    import spark.implicits._
+    val entries = manifestEntries(path, version)
+    val dataDirs = entries.filterNot(isTombstone).map(dirOf)
+    val cand = bloomCandidateDirs(spark, path, dataDirs, keyCol,
+      keys.toDF(keyCol))
+    readAtFiltered(spark, path, version, mergeSchema = false,
+      e => cand.contains(dirOf(e)))
+      .filter(col(keyCol).isin(keys: _*))
+  }
 
   /** The single commit point: write the manifest to a temp name, then
     * rename into place. Refuses when the destination version already
@@ -320,7 +415,8 @@ object VersionedTable {
     * `txnId`: same replay-idempotence guard as [[append]].
     */
   def upsert(df: DataFrame, keyCol: String, path: String,
-      txnId: Option[String] = None, insertOnly: Boolean = false): Long = {
+      txnId: Option[String] = None, insertOnly: Boolean = false,
+      bloomCols: Seq[String] = Nil): Long = {
     txnId.flatMap(txnCommittedAt(path, _)).foreach(return _)
     val latest = latestVersion(path)
     val next = latest.getOrElse(0L) + 1
@@ -330,14 +426,24 @@ object VersionedTable {
     val tok = newToken()
     val dataBatch = s"b${next}_${tok}_m"
     if (insertOnly && latest.nonEmpty) {
-      val current = readAt(df.sparkSession, path, latest.get)
+      // insert-if-absent existence check, Bloom-pruned: batches whose
+      // sidecar proves they hold none of the incoming keys never
+      // enter the anti-join scan (no false negatives -> identical
+      // result, spec-proven); sidecar-less batches always scan
+      val cand = bloomCandidateDirs(df.sparkSession, path,
+        manifestEntries(path, latest.get).filterNot(isTombstone).map(dirOf),
+        keyCol, df.select(col(keyCol)))
+      val current = readAtFiltered(df.sparkSession, path, latest.get,
+        mergeSchema = false, e => cand.contains(dirOf(e)))
       df.join(current.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
         .write.mode("overwrite").parquet(s"$path/data/$dataBatch")
+      writeBloomSidecar(df.sparkSession, s"$path/data/$dataBatch", bloomCols)
       commitManifest(path, next,
         txnId.map(t => s"#txn=$t").toSeq ++ prev :+ dataBatch)
     } else if (insertOnly || latest.isEmpty) {
       // empty table: every row inserts, no tombstone needed
       df.write.mode("overwrite").parquet(s"$path/data/$dataBatch")
+      writeBloomSidecar(df.sparkSession, s"$path/data/$dataBatch", bloomCols)
       commitManifest(path, next,
         txnId.map(t => s"#txn=$t").toSeq ++ prev :+ dataBatch)
     } else {
@@ -345,6 +451,7 @@ object VersionedTable {
       df.select(df(keyCol)).distinct()
         .write.mode("overwrite").parquet(s"$path/data/$tombBatch")
       df.write.mode("overwrite").parquet(s"$path/data/$dataBatch")
+      writeBloomSidecar(df.sparkSession, s"$path/data/$dataBatch", bloomCols)
       // tombstone BEFORE the data batch: position-scoping makes it
       // apply to prior batches only, never to the rows it rides with
       commitManifest(path, next,

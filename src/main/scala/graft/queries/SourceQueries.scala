@@ -954,7 +954,59 @@ object SourceQueries extends QueryRegistry {
       FROM orders WHERE o_custkey <= 40
     """.trim))
 
+  /** Bloom-sidecar POINT LOOKUP — the index for the layout zone maps
+    * cannot serve: orders striped by `o_orderkey % 4` across four
+    * commits, so every batch's [min, max] spans the whole key domain
+    * and q275/q281-style stats pruning degenerates to a full read.
+    * Each append writes a `_bloom/` sidecar INSIDE its batch dir
+    * (invisible to data scans via the underscore convention,
+    * vacuum-reclaimed with its batch, no manifest grammar change);
+    * `lookupKeys` probes the sidecars with both xxhash64 lanes and
+    * reads only candidate batches, tombstones still applied —
+    * PlanAssertionsSpec proves the scan subset, the oracle that
+    * pruning never changed a row (Bloom has no false negatives;
+    * false positives are removed by the exact key filter). The same
+    * probe prunes the insert-if-absent anti-join in `upsert`
+    * (VersionedBloomSpec equality proof). At 100 TB: a 10-key lookup
+    * or a small MERGE touches KB-sized sidecars plus the one or two
+    * batches that matter, not the table.
+    */
+  val q283 = GraftQuery(
+    "q283_versioned_bloom_lookup",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val path = "/tmp/graft_q283_vt_bloom_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      if (!VersionedTable.latestVersion(path).exists(_ >= 5L)) {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (f.exists(p)) f.delete(p, true)
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("total_c"))
+        (0 until 4).foreach { stripe =>
+          VersionedTable.append(o.filter(col("o_orderkey") % 4 === stripe),
+            path, bloomCols = Seq("o_orderkey"))
+        }
+        VersionedTable.deleteKeys(
+          Tables.orders(s, d).filter(col("o_orderkey") % 10 === 7)
+            .select(col("o_orderkey")),
+          "o_orderkey", path)
+      }
+      // all probed keys are odd -> stripes 1 and 3 only: the Bloom
+      // probe confines the lookup to 2 of the 4 batches
+      // (PlanAssertionsSpec proves it); 17 and 1337 are tombstoned
+      VersionedTable.lookupKeys(s, path, version = 5L, "o_orderkey",
+        Seq(3L, 17L, 555L, 999L, 1001L, 1337L))
+    },
+    Some("""
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS total_c
+      FROM orders
+      WHERE o_orderkey IN (3, 17, 555, 999, 1001, 1337)
+        AND o_orderkey % 10 <> 7
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
-    q282)
+    q282, q283)
 }

@@ -401,6 +401,19 @@ class PlanAssertionsSpec extends SparkTestBase {
       s"z-order auto-pruning opened every bucket: $buckets")
   }
 
+  test("q283: the bloom probe confines the point lookup to the odd-stripe batches") {
+    val df = SparkEntry.queries("q283_versioned_bloom_lookup")(spark, sf)
+    // four data batches striped by o_orderkey % 4 (b1..b4 hold
+    // stripes 0..3); every probed key is odd, so only the stripe-1
+    // and stripe-3 batches (b2, b4) can match. min/max stats are
+    // BLIND on this layout — only the sidecar probe can prune.
+    val dataBatches = df.inputFiles.toSeq
+      .flatMap("/data/(b[1-4])_[0-9a-f]+/".r.findFirstMatchIn(_).map(_.group(1)))
+      .toSet
+    assert(dataBatches === Set("b2", "b4"),
+      s"bloom pruning should open exactly the odd stripes: $dataBatches")
+  }
+
   test("q278: after clustering compaction the range read opens a strict subset of buckets") {
     val df = SparkEntry.queries("q278_versioned_clustering_compaction")(spark, sf)
     val buckets = df.inputFiles.toSeq

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.VersionedTable
+
+/** Per-batch Bloom sidecars: point lookups and insert-if-absent
+  * existence checks open only the batches that might hold the probed
+  * keys — on hash/arrival-distributed layouts where min/max stats
+  * are blind — and pruning NEVER changes an answer (no false
+  * negatives by construction; false positives only cost a scan).
+  */
+class VersionedBloomSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** keys striped MOD 4 across four appends: every batch's [min,max]
+    * spans the whole domain, so zone maps cannot prune anything —
+    * the layout Bloom sidecars exist for.
+    */
+  private def buildStriped(prefix: String, blooms: Boolean): String = {
+    val path = tmpDir(prefix)
+    (0 until 4).foreach { stripe =>
+      val rows = (0 until 400).filter(_ % 4 == stripe)
+        .map(k => (k.toLong, k.toLong * 10))
+      VersionedTable.append(rows.toDF("k", "v"), path,
+        bloomCols = if (blooms) Seq("k") else Nil)
+    }
+    path
+  }
+
+  test("lookupKeys opens only candidate batches and matches the full-scan answer") {
+    val path = buildStriped("vt_bloom_lookup", blooms = true)
+    // keys 8 and 17 live in stripes 0 and 1 -> at most 2 candidate
+    // batches (plus Bloom false positives, none at this density)
+    val hit = VersionedTable.lookupKeys(spark, path, 4L, "k", Seq(8L, 17L))
+    val batches = hit.inputFiles.toSeq.flatMap("b\\d+_[0-9a-f]+".r.findFirstIn(_)).toSet
+    assert(batches.size <= 2, s"bloom pruning opened $batches")
+    val expected = VersionedTable.readAt(spark, path, 4L)
+      .filter($"k".isin(8L, 17L)).as[(Long, Long)].collect().sorted
+    assert(hit.as[(Long, Long)].collect().sorted === expected)
+    // the sidecar is invisible to data scans
+    assert(VersionedTable.readAt(spark, path, 4L).count() === 400L)
+  }
+
+  test("a tombstoned key stays deleted through the pruned lookup") {
+    val path = buildStriped("vt_bloom_tomb", blooms = true)
+    VersionedTable.deleteKeys(Seq(8L).toDF("k"), "k", path)
+    val hit = VersionedTable.lookupKeys(spark, path, 5L, "k", Seq(8L, 17L))
+    assert(hit.as[(Long, Long)].collect().toSeq === Seq((17L, 170L)))
+  }
+
+  test("sidecar-less batches are always candidates (no index = no claim)") {
+    val path = buildStriped("vt_bloom_mixed", blooms = true)
+    // a fifth batch WITHOUT a sidecar: it must be scanned even though
+    // no Bloom admits the probed key
+    VersionedTable.append(Seq((1000L, 1L)).toDF("k", "v"), path)
+    val hit = VersionedTable.lookupKeys(spark, path, 5L, "k", Seq(1000L))
+    assert(hit.as[(Long, Long)].collect().toSeq === Seq((1000L, 1L)))
+  }
+
+  test("bloom-pruned insert-if-absent equals the unpruned semantics exactly") {
+    val pruned = buildStriped("vt_bloom_upsert_p", blooms = true)
+    val plain = buildStriped("vt_bloom_upsert_n", blooms = false)
+    // 50 and 151 exist (stripes 2 and 3), 500 is new; existing keys'
+    // CHANGED values must be ignored by insert-if-absent
+    val incoming = Seq((50L, -1L), (151L, -1L), (500L, 5000L)).toDF("k", "v")
+    VersionedTable.upsert(incoming, "k", pruned, insertOnly = true,
+      bloomCols = Seq("k"))
+    VersionedTable.upsert(incoming, "k", plain, insertOnly = true)
+    val a = VersionedTable.readLatest(spark, pruned)
+      .as[(Long, Long)].collect().sorted
+    val b = VersionedTable.readLatest(spark, plain)
+      .as[(Long, Long)].collect().sorted
+    assert(a === b)
+    assert(a.length === 401)
+    assert(a.find(_._1 == 50L).get._2 === 500L, "existing value must survive")
+    assert(a.find(_._1 == 500L).get._2 === 5000L, "new key must insert")
+  }
+}
