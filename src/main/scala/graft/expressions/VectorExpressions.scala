@@ -138,6 +138,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // session optimizer, after Catalyst has pushed user filters down
     // to the scans this rule prunes.
     e.injectOptimizerRule(_ => graft.plans.VersionedStatsPruning)
+    // graft_versioned('<path>'[, <version>]) — the versioned table as
+    // a SQL table-valued function: time travel, merge-on-read, and
+    // (through the rule above) automatic stats skipping, all
+    // reachable from plain SQL text. The builder resolves the
+    // KB-sized manifest at analysis time and splices in readAtAuto's
+    // analyzed plan; a WHERE on the result is an ordinary Filter
+    // over the tagged scans, so SQL queries prune exactly like
+    // DataFrame ones (spec-proven).
+    e.injectTableFunction((
+      new FunctionIdentifier("graft_versioned"),
+      new ExpressionInfo("graft.operators.VersionedTable", "graft_versioned"),
+      (exprs: Seq[Expression]) => {
+        import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+        val spark = org.apache.spark.sql.SparkSession.active
+        val path = exprs.headOption match {
+          case Some(Literal(s, StringType)) if s != null => s.toString
+          case _ => throw new IllegalArgumentException(
+            "graft_versioned expects a literal string path as its first argument")
+        }
+        val version = exprs.lift(1) match {
+          case Some(Literal(v: Int, IntegerType)) => v.toLong
+          case Some(Literal(v: Long, LongType)) => v
+          case None => graft.operators.VersionedTable.latestVersion(path)
+            .getOrElse(throw new IllegalArgumentException(
+              s"graft_versioned: no committed version at $path"))
+          case other => throw new IllegalArgumentException(
+            s"graft_versioned expects a literal integer version, got $other")
+        }
+        require(exprs.size <= 2,
+          "graft_versioned takes (path[, version])")
+        graft.operators.VersionedTable.readAtAuto(spark, path, version)
+          .queryExecution.analyzed
+      }))
     e.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),

@@ -887,6 +887,46 @@ object VersionedTable {
     Some((last, latest))
   }
 
+  /** DESCRIBE HISTORY: one row per retained commit — (version, kind,
+    * n_add, n_delete, txn) — derived entirely from the KB-sized
+    * manifests (metadata-only at any table size). `kind` classifies
+    * the commit by its NEW entries relative to the previous retained
+    * manifest: `append` (data only), `delete` (tombstones only),
+    * `upsert` (tombstones + data in one commit), `compact` (any
+    * `=`-flagged rewrite — OPTIMIZE, range clustering, z-order);
+    * the oldest retained version after a vacuum reads
+    * `history-truncated` when its predecessor's manifest is gone
+    * (its entry list is cumulative state, not one commit's delta —
+    * the Delta DESCRIBE HISTORY retention caveat). `txn` surfaces
+    * the writer-transaction id when the commit declared one.
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val versions = committedVersions(path)
+    val rows = versions.map { v =>
+      val cur = manifestEntries(path, v)
+      val txn = committedTxn(path, v).orNull
+      if (v > 1 && !versions.contains(v - 1))
+        (v, "history-truncated", cur.count(!isTombstone(_)).toLong,
+          cur.count(isTombstone).toLong, txn)
+      else {
+        val prevSet =
+          if (v == 1) Set.empty[String]
+          else manifestEntries(path, v - 1).toSet
+        val fresh = cur.filterNot(prevSet)
+        val kind =
+          if (fresh.exists(isCompaction)) "compact"
+          else if (fresh.exists(isTombstone) && fresh.exists(!isTombstone(_)))
+            "upsert"
+          else if (fresh.exists(isTombstone)) "delete"
+          else "append"
+        (v, kind, fresh.count(!isTombstone(_)).toLong,
+          fresh.count(isTombstone).toLong, txn)
+      }
+    }
+    rows.toDF("version", "kind", "n_add", "n_delete", "txn")
+  }
+
   /** Drop history: keep the newest `keep` versions' manifests, delete
     * older manifests and every batch dir no kept manifest references
     * (including crash-orphaned dirs that were never committed).

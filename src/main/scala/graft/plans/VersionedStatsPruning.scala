@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
@@ -104,6 +104,14 @@ object VersionedStatsPruning extends Rule[LogicalPlan] {
         litLong(l).map(v => (a.name, Long.MinValue, v))
       case LessThan(a: AttributeReference, l: Literal) =>
         litLong(l).map(v => (a.name, Long.MinValue, v))
+      // IN-list: the required interval is the values' envelope —
+      // conservative (a batch covering the envelope may hold none of
+      // the listed values), which is all zone maps can say
+      case In(a: AttributeReference, vs) if vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        val longs = vs.map(v => litLong(v.asInstanceOf[Literal]))
+        if (longs.exists(_.isEmpty)) None
+        else Some((a.name, longs.flatten.min, longs.flatten.max))
       // mirrored literal-first forms
       case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
         litLong(l).map(v => (a.name, Long.MinValue, v))

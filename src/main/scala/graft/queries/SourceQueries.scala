@@ -1006,7 +1006,105 @@ object SourceQueries extends QueryRegistry {
         AND o_orderkey % 10 <> 7
     """.trim))
 
+  /** The versioned table from PLAIN SQL TEXT — `graft_versioned(path,
+    * version)` injected as a table-valued function via
+    * SparkSessionExtensions: time travel, merge-on-read tombstones,
+    * and automatic stats skipping all reachable from a JDBC/thrift
+    * frontend that never touches the Scala API (the library boundary
+    * GraftExtensions exists for). The WHERE clause here is an
+    * ordinary SQL predicate; the VersionedStatsPruning rule prunes
+    * batches from it exactly as for DataFrame filters
+    * (VersionedAutoPruneSpec proves the same scan subset through
+    * both surfaces). Same table recipe as q281, own path — the gate
+    * queries stay independently runnable.
+    */
+  val q284 = GraftQuery(
+    "q284_versioned_sql_tvf",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val path = "/tmp/graft_q284_vt_sql_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      if (!VersionedTable.latestVersion(path).exists(_ >= 4L)) {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (f.exists(p)) f.delete(p, true)
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("total_c"),
+          col("o_orderdate").cast("timestamp").cast("long").as("o_date_s"))
+        val c95 = lit("1995-01-01").cast("timestamp").cast("long")
+        val c97 = lit("1997-01-01").cast("timestamp").cast("long")
+        VersionedTable.append(o.filter(col("o_date_s") < c95), path,
+          statsCols = Seq("o_date_s"))
+        VersionedTable.append(
+          o.filter(col("o_date_s") >= c95 && col("o_date_s") < c97), path,
+          statsCols = Seq("o_date_s"))
+        VersionedTable.append(o.filter(col("o_date_s") >= c97), path,
+          statsCols = Seq("o_date_s"))
+        VersionedTable.deleteKeys(
+          Tables.orders(s, d).filter(col("o_orderkey") % 10 === 6)
+            .select(col("o_orderkey")),
+          "o_orderkey", path)
+      }
+      s.sql(s"""
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(total_c) AS BIGINT) AS total_c
+        FROM graft_versioned('$path', 4)
+        WHERE o_date_s >= 815184000 AND o_date_s < 830908800
+        GROUP BY o_orderstatus
+      """) // [1995-11-01, 1996-05-01) — inside the middle batch
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-11-01'
+        AND o_orderdate < TIMESTAMP '1996-05-01'
+        AND o_orderkey % 10 <> 6
+      GROUP BY 1
+    """.trim))
+
+  /** DESCRIBE HISTORY — the commit log as a queryable table, derived
+    * entirely from the KB-sized manifests (metadata-only at any
+    * table size): per retained version its kind (append / delete /
+    * upsert / compact, classified from the commit's NEW entries),
+    * entry deltas, and the writer txn id. The build replays one of
+    * each commit kind; the oracle is the literal expected log — a
+    * misclassified or miscounted commit anywhere breaks the hash.
+    */
+  val q285 = GraftQuery(
+    "q285_versioned_history",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val path = "/tmp/graft_q285_vt_hist_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      if (!VersionedTable.latestVersion(path).exists(_ >= 5L)) {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (f.exists(p)) f.delete(p, true)
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderstatus"))
+        VersionedTable.append(o.filter(col("o_orderkey") % 4 === 0), path)
+        VersionedTable.append(o.filter(col("o_orderkey") % 4 === 1), path,
+          txnId = Some("load-2"))
+        VersionedTable.deleteKeys(
+          o.filter(col("o_orderkey") % 10 === 4).select(col("o_orderkey")),
+          "o_orderkey", path)
+        VersionedTable.upsert(
+          o.filter(col("o_orderkey") % 4 === 2), "o_orderkey", path)
+        VersionedTable.compact(s, path)
+      }
+      VersionedTable.history(s, path)
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        (1, 'append',  1, 0, NULL),
+        (2, 'append',  1, 0, 'load-2'),
+        (3, 'delete',  0, 1, NULL),
+        (4, 'upsert',  1, 1, NULL),
+        (5, 'compact', 1, 0, NULL))
+        AS t(version, kind, n_add, n_delete, txn)
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
-    q282, q283)
+    q282, q283, q284, q285)
 }

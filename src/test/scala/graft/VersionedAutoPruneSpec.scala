@@ -134,6 +134,28 @@ class VersionedAutoPruneSpec extends SparkTestBase {
       .as[(Long, Long)].collect().sorted === before)
   }
 
+  test("an IN-list prunes to its value envelope") {
+    val path = buildTable("vt_auto_in")
+    val auto = VersionedTable.readAtAuto(spark, path, 4)
+      .filter($"k".isin(110L, 150L, 190L))
+    val dirs = scannedDirs(auto)
+    assert(dirs.size === 1 && base(dirs.head).startsWith("b2_"), s"scanned $dirs")
+    assert(auto.select("v").as[Int].collect().sorted === Array(220, 300, 380))
+  }
+
+  test("the SQL surface prunes identically: graft_versioned TVF + WHERE") {
+    val path = buildTable("vt_auto_sql")
+    val df = spark.sql(
+      s"SELECT k, v FROM graft_versioned('$path', 4) WHERE k >= 250")
+    val dirs = scannedDirs(df)
+    assert(dirs.size === 2 &&
+      dirs.forall(d => base(d).startsWith("b3_") || base(d).startsWith("b4_")),
+      s"SQL WHERE should prune like the DataFrame filter: $dirs")
+    assert(df.count() === 150L)
+    // versionless form reads the latest version
+    assert(spark.sql(s"SELECT * FROM graft_versioned('$path')").count() === 400L)
+  }
+
   test("disjunctions and non-integral predicates prune nothing but stay correct") {
     val path = buildTable("vt_auto_disj")
     val auto = VersionedTable.readAtAuto(spark, path, 4)

@@ -57,6 +57,29 @@ class VersionedBloomSpec extends SparkTestBase {
     assert(hit.as[(Long, Long)].collect().toSeq === Seq((1000L, 1L)))
   }
 
+  test("history classifies commit kinds and marks the vacuum retention floor") {
+    val path = tmpDir("vt_history")
+    VersionedTable.append(Seq((1L, 1L)).toDF("k", "v"), path)
+    VersionedTable.append(Seq((2L, 2L)).toDF("k", "v"), path,
+      txnId = Some("t2"))
+    VersionedTable.deleteKeys(Seq(1L).toDF("k"), "k", path)
+    VersionedTable.upsert(Seq((2L, 20L), (3L, 3L)).toDF("k", "v"), "k", path)
+    VersionedTable.compact(spark, path)
+    val h = VersionedTable.history(spark, path)
+      .select("version", "kind", "txn").as[(Long, String, String)]
+      .collect().sortBy(_._1)
+    assert(h.map(_._2).toSeq ===
+      Seq("append", "append", "delete", "upsert", "compact"))
+    assert(h(1)._3 === "t2")
+    // vacuum to the last two versions: the oldest retained manifest
+    // is cumulative state, not a single commit's delta — history
+    // must say so instead of misclassifying it
+    VersionedTable.vacuum(path, keep = 2)
+    val hv = VersionedTable.history(spark, path)
+      .select("version", "kind").as[(Long, String)].collect().sortBy(_._1)
+    assert(hv.toSeq === Seq((4L, "history-truncated"), (5L, "compact")))
+  }
+
   test("bloom-pruned insert-if-absent equals the unpruned semantics exactly") {
     val pruned = buildStriped("vt_bloom_upsert_p", blooms = true)
     val plain = buildStriped("vt_bloom_upsert_n", blooms = false)
