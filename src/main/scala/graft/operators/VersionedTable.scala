@@ -887,6 +887,44 @@ object VersionedTable {
     Some((last, latest))
   }
 
+  /** Metadata-only COUNT(*): when `version`'s manifest carries no
+    * tombstone (none ever committed, or a later compaction absorbed
+    * them all), the table's cardinality is the sum of its data
+    * batches' parquet FOOTER record counts — file metadata, zero
+    * data pages (the q16 HEAD-probe discipline at table grain, the
+    * instant `SELECT count(*)` Delta answers from add-file
+    * numRecords). Hidden sidecars (`_bloom/`) are excluded exactly
+    * as data scans exclude them. With unabsorbed tombstones the true
+    * count needs the merge-on-read anti-join, so this returns None
+    * and the caller falls back to `readAt(...).count()` —
+    * correctness is never approximated.
+    */
+  def countAt(spark: SparkSession, path: String,
+      version: Long): Option[Long] = {
+    val entries = manifestEntries(path, version)
+    if (entries.exists(isTombstone)) return None
+    val conf = spark.sparkContext.hadoopConfiguration
+    var total = 0L
+    entries.map(dirOf).foreach { d =>
+      val dir = new Path(s"$path/data/$d")
+      val f = dir.getFileSystem(conf)
+      val it = f.listFiles(dir, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toString
+        val hidden = rel.split("/").exists(seg =>
+          seg.startsWith("_") || seg.startsWith("."))
+        if (st.isFile && rel.endsWith(".parquet") && !hidden) {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(st.getPath, conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try total += reader.getRecordCount finally reader.close()
+        }
+      }
+    }
+    Some(total)
+  }
+
   /** DESCRIBE HISTORY: one row per retained commit — (version, kind,
     * n_add, n_delete, txn) — derived entirely from the KB-sized
     * manifests (metadata-only at any table size). `kind` classifies

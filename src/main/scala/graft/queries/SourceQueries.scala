@@ -1104,7 +1104,63 @@ object SourceQueries extends QueryRegistry {
         AS t(version, kind, n_add, n_delete, txn)
     """.trim))
 
+  /** Metadata-only COUNT(*) — `countAt` answers cardinality from
+    * parquet FOOTER record counts alone (zero data pages; the q16
+    * HEAD-probe discipline at table grain, Delta's numRecords
+    * answer) whenever the manifest carries no unabsorbed tombstone,
+    * and refuses (None) when it does — correctness is never
+    * approximated. The query walks the table through its lifecycle:
+    * after two appends (metadata count valid), after a delete
+    * (refused → merge-on-read recount), after the compaction absorbs
+    * the tombstones (metadata count valid again, now net of
+    * deletes). One row per stage with the count source labeled; the
+    * oracle recomputes every stage from the base table — a footer
+    * count that disagrees with true cardinality anywhere (e.g. a
+    * Bloom sidecar miscounted as data) breaks the hash.
+    */
+  val q286 = GraftQuery(
+    "q286_versioned_metadata_count",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val path = "/tmp/graft_q286_vt_count_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      if (!VersionedTable.latestVersion(path).exists(_ >= 4L)) {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (f.exists(p)) f.delete(p, true)
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderstatus"))
+        // bloomCols on purpose: the sidecar's parquet files must NOT
+        // leak into the footer count
+        VersionedTable.append(o.filter(col("o_orderkey") % 2 === 0), path,
+          bloomCols = Seq("o_orderkey"))
+        VersionedTable.append(o.filter(col("o_orderkey") % 2 === 1), path,
+          bloomCols = Seq("o_orderkey"))
+        VersionedTable.deleteKeys(
+          o.filter(col("o_orderkey") % 5 === 0).select(col("o_orderkey")),
+          "o_orderkey", path)
+        VersionedTable.compact(s, path)
+      }
+      def stage(v: Long, label: String): (String, Long, Boolean) =
+        VersionedTable.countAt(s, path, v) match {
+          case Some(n) => (label, n, true)
+          case None => (label, VersionedTable.readAt(s, path, v).count(), false)
+        }
+      Seq(stage(2L, "appended"), stage(3L, "deleted"), stage(4L, "compacted"))
+        .toDF("stage", "n_rows", "from_metadata")
+    },
+    Some("""
+      SELECT 'appended' AS stage, CAST(count(*) AS BIGINT) AS n_rows,
+             TRUE AS from_metadata FROM orders
+      UNION ALL
+      SELECT 'deleted', CAST(count(*) AS BIGINT), FALSE
+      FROM orders WHERE o_orderkey % 5 <> 0
+      UNION ALL
+      SELECT 'compacted', CAST(count(*) AS BIGINT), TRUE
+      FROM orders WHERE o_orderkey % 5 <> 0
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
-    q282, q283, q284, q285)
+    q282, q283, q284, q285, q286)
 }

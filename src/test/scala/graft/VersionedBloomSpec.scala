@@ -57,6 +57,18 @@ class VersionedBloomSpec extends SparkTestBase {
     assert(hit.as[(Long, Long)].collect().toSeq === Seq((1000L, 1L)))
   }
 
+  test("countAt: footer-only counts, sidecar-proof, tombstones refuse") {
+    val path = buildStriped("vt_count", blooms = true)
+    // blooms on: the sidecar parquet files must not inflate the count
+    assert(VersionedTable.countAt(spark, path, 4L) === Some(400L))
+    VersionedTable.deleteKeys(Seq(8L, 9L).toDF("k"), "k", path)
+    // unabsorbed tombstone: metadata cannot answer — refuse, never lie
+    assert(VersionedTable.countAt(spark, path, 5L) === None)
+    VersionedTable.compact(spark, path)
+    assert(VersionedTable.countAt(spark, path, 6L) === Some(398L))
+    assert(VersionedTable.readAt(spark, path, 6L).count() === 398L)
+  }
+
   test("history classifies commit kinds and marks the vacuum retention floor") {
     val path = tmpDir("vt_history")
     VersionedTable.append(Seq((1L, 1L)).toDF("k", "v"), path)
