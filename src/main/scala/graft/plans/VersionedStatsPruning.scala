@@ -1,6 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, In, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, XxHash64}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
@@ -29,6 +30,17 @@ import org.apache.spark.sql.execution.datasources.{FileStatusCache, HadoopFsRela
   * into per-column required intervals, and rebuilds the scan's
   * FileIndex with only the batch dirs whose recorded ranges
   * intersect every requirement.
+  *
+  * Point predicates go one step further: for `col = v` / `col IN
+  * (v...)` conjuncts the rule ALSO probes each surviving batch's
+  * `_bloom/` sidecar (when one was written — `append(bloomCols)`),
+  * read driver-side with parquet-hadoop (KB per batch, no nested
+  * Spark job inside the optimizer), with hash lanes evaluated
+  * through Spark's own XxHash64 expression so build and probe cannot
+  * drift. That makes `WHERE k IN (3, 17)` on a hash-distributed
+  * layout — where min/max envelopes are blind — open only the
+  * batches that might hold those keys, with NO API beyond the
+  * predicate: `lookupKeys`' pruning, optimizer-integrated.
   *
   * Strictly conservative, like all zone-map pruning:
   *  - only deterministic conjuncts of shape `col <op> literal` /
@@ -128,6 +140,76 @@ object VersionedStatsPruning extends Rule[LogicalPlan] {
     }
   }
 
+  /** Literal point-set conjuncts — `col = v` and `col IN (v...)` —
+    * the predicates a Bloom sidecar can answer. Each conjunct is kept
+    * separately: a batch survives only if EVERY point conjunct has at
+    * least one admitted value. Capped at 64 values per list; larger
+    * lists fall back to the interval envelope.
+    */
+  private def pointProbes(cond: Expression): Seq[(String, Seq[Literal])] =
+    conjuncts(cond).filter(_.deterministic).flatMap {
+      case EqualTo(a: AttributeReference, l: Literal) => Some((a.name, Seq(l)))
+      case EqualTo(l: Literal, a: AttributeReference) => Some((a.name, Seq(l)))
+      case In(a: AttributeReference, vs) if vs.nonEmpty && vs.size <= 64 &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        Some((a.name, vs.map(_.asInstanceOf[Literal])))
+      case _ => None
+    }
+
+  /** Driver-side Bloom sidecar probe of one batch dir: true when the
+    * batch MIGHT satisfy every point conjunct. No sidecar (or no
+    * rows for a probed column, or any read failure) = no claim =
+    * keep — pruning stays strictly conservative. Reads the KB-sized
+    * `_bloom/` parquet with parquet-hadoop directly (no nested Spark
+    * job inside the optimizer); hash lanes are evaluated through
+    * Spark's own XxHash64 expression, so build and probe cannot
+    * drift.
+    */
+  private def bloomAdmits(root: Path,
+      conf: org.apache.hadoop.conf.Configuration,
+      probes: Seq[(String, Seq[Literal])]): Boolean =
+    try {
+      val bloomDir = new Path(root, "_bloom")
+      val f = bloomDir.getFileSystem(conf)
+      if (!f.exists(bloomDir)) return true
+      val bitsByCol = scala.collection.mutable.Map
+        .empty[String, (Long, scala.collection.mutable.Set[Long])]
+      f.listStatus(bloomDir).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).foreach { part =>
+          val reader = org.apache.parquet.hadoop.ParquetReader
+            .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+              part)
+            .withConf(conf).build()
+          try {
+            var g = reader.read()
+            while (g != null) {
+              val c = g.getString("col", 0)
+              val entry = bitsByCol.getOrElseUpdate(c,
+                (g.getLong("bits", 0), scala.collection.mutable.Set.empty[Long]))
+              entry._2 += g.getLong("bit", 0)
+              g = reader.read()
+            }
+          } finally reader.close()
+        }
+      probes.forall { case (c, lits) =>
+        bitsByCol.get(c) match {
+          case None => true // sidecar makes no claim for this column
+          case Some((bits, set)) => lits.exists { l =>
+            def lane(i: Int): Long = {
+              val h = XxHash64(Seq(l, Literal(i)), 42L)
+                .eval(null).asInstanceOf[Long]
+              ((h % bits) + bits) % bits
+            }
+            set.contains(lane(1)) && set.contains(lane(2))
+          }
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"bloom probe of $root failed; keeping the batch", e)
+        true
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, lr: LogicalRelation) =>
       lr.relation match {
@@ -135,11 +217,12 @@ object VersionedStatsPruning extends Rule[LogicalPlan] {
             if fs.options.contains(StatsOption) &&
               !fs.options.contains(PrunedOption) =>
           val req = intervals(cond)
-          if (req.isEmpty) f
+          val probes = pointProbes(cond)
+          if (req.isEmpty && probes.isEmpty) f
           else {
             val dirStats = decode(fs.options(StatsOption))
             val roots = fs.location.rootPaths
-            val kept = roots.filter { r =>
+            val statsKept = roots.filter { r =>
               val rs = r.toString
               dirStats.find { case (dir, _) => rs.endsWith("/" + dir) } match {
                 case Some((_, stats)) => req.forall { case (c, (lo, hi)) =>
@@ -148,7 +231,22 @@ object VersionedStatsPruning extends Rule[LogicalPlan] {
                 case None => true // dir not in the map: no claim, keep
               }
             }
-            if (kept.size == roots.size) f
+            val kept =
+              if (probes.isEmpty) statsKept
+              else {
+                val conf = fs.sparkSession.sessionState.newHadoopConf()
+                statsKept.filter(r => bloomAdmits(r, conf, probes))
+              }
+            if (kept.size == roots.size) {
+              if (probes.isEmpty) f // pure interval math: free to re-run
+              else {
+                // probe did IO and pruned nothing: tag the scan (same
+                // FileIndex) so the fixed-point batch doesn't re-probe
+                val opts = fs.options + (PrunedOption -> "true")
+                val rel = fs.copy(options = opts)(fs.sparkSession)
+                f.copy(child = lr.copy(relation = rel))
+              }
+            }
             else if (kept.isEmpty) f.copy(child = LocalRelation(lr.output))
             else {
               val opts = fs.options + (PrunedOption -> "true")

@@ -57,6 +57,35 @@ class VersionedBloomSpec extends SparkTestBase {
     assert(hit.as[(Long, Long)].collect().toSeq === Seq((1000L, 1L)))
   }
 
+  test("the optimizer probes sidecars for point predicates: WHERE IN prunes with no API") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def scanned(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+      }.flatten.toSet
+    val path = buildStriped("vt_bloom_rule", blooms = true)
+    // NO statsCols on this table: the min/max envelope is blind; only
+    // the sidecar probe can prune. Keys 8, 17 live in stripes 0, 1.
+    val auto = VersionedTable.readAtAuto(spark, path, 4L)
+      .filter($"k".isin(8L, 17L))
+    val dirs = scanned(auto)
+    assert(dirs.size === 2, s"bloom rule should keep 2 of 4 stripes: $dirs")
+    assert(auto.as[(Long, Long)].collect().sorted ===
+      Array((8L, 80L), (17L, 170L)))
+    // equality probe, through the SQL TVF surface
+    val sqlDf = spark.sql(s"SELECT v FROM graft_versioned('$path', 4) WHERE k = 8")
+    assert(scanned(sqlDf).size === 1, s"k = 8 is one stripe: ${scanned(sqlDf)}")
+    assert(sqlDf.as[Long].collect() === Array(80L))
+    // a key no batch holds: the scan folds to an empty LocalRelation
+    val none = VersionedTable.readAtAuto(spark, path, 4L)
+      .filter($"k" === 40400L)
+    assert(none.count() === 0L)
+    assert(scanned(none).isEmpty, "all batches bloom-pruned")
+  }
+
   test("countAt: footer-only counts, sidecar-proof, tombstones refuse") {
     val path = buildStriped("vt_count", blooms = true)
     // blooms on: the sidecar parquet files must not inflate the count
