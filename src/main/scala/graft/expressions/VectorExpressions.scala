@@ -171,6 +171,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.operators.VersionedTable.readAtAuto(spark, path, version)
           .queryExecution.analyzed
       }))
+    // graft_history('<path>') — DESCRIBE HISTORY as a TVF: the commit
+    // log (kind / entry deltas / txn) queryable from SQL text,
+    // manifest-metadata only.
+    e.injectTableFunction((
+      new FunctionIdentifier("graft_history"),
+      new ExpressionInfo("graft.operators.VersionedTable", "graft_history"),
+      (exprs: Seq[Expression]) => {
+        import org.apache.spark.sql.types.StringType
+        require(exprs.size == 1, "graft_history takes (path)")
+        val path = exprs.head match {
+          case Literal(s, StringType) if s != null => s.toString
+          case _ => throw new IllegalArgumentException(
+            "graft_history expects a literal string path")
+        }
+        graft.operators.VersionedTable
+          .history(org.apache.spark.sql.SparkSession.active, path)
+          .queryExecution.analyzed
+      }))
+    // graft_changes('<path>', from, to) — the change data feed as a
+    // TVF: every insert/delete between two versions, `_change_type`
+    // tagged, straight from SQL text (the Delta `table_changes`
+    // shape).
+    e.injectTableFunction((
+      new FunctionIdentifier("graft_changes"),
+      new ExpressionInfo("graft.operators.VersionedTable", "graft_changes"),
+      (exprs: Seq[Expression]) => {
+        import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+        require(exprs.size == 3, "graft_changes takes (path, from, to)")
+        val path = exprs.head match {
+          case Literal(s, StringType) if s != null => s.toString
+          case _ => throw new IllegalArgumentException(
+            "graft_changes expects a literal string path")
+        }
+        def ver(x: Expression, what: String): Long = x match {
+          case Literal(v: Int, IntegerType) => v.toLong
+          case Literal(v: Long, LongType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_changes expects a literal integer $what, got $other")
+        }
+        graft.operators.VersionedTable.readChangeFeed(
+          org.apache.spark.sql.SparkSession.active, path,
+          ver(exprs(1), "fromVersion"), ver(exprs(2), "toVersion"))
+          .queryExecution.analyzed
+      }))
     e.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),

@@ -591,14 +591,21 @@ object VersionedTable {
     * Content-identical by construction (the new batch IS readAt of
     * the old latest), spec-asserted.
     */
-  def compact(spark: SparkSession, path: String): Long = {
+  def compact(spark: SparkSession, path: String,
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     val v = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"nothing to compact at $path"))
     val next = v + 1
     val batch = s"b${next}_${newToken()}"
     readAt(spark, path, v)
       .write.mode("overwrite").parquet(s"$path/data/$batch")
-    commitManifest(path, next, Seq(s"=$batch"))
+    // maintenance must not strip the index layer: stats and Bloom
+    // sidecars are REBUILT for the rewritten batch on request (the
+    // rewrite changes batch composition, so carrying old entries
+    // forward would be wrong — rebuild is the only honest path)
+    writeBloomSidecar(spark, s"$path/data/$batch", bloomCols)
+    commitManifest(path, next,
+      Seq("=" + batch + statsSuffix(spark, s"$path/data/$batch", statsCols)))
     next
   }
 
@@ -621,7 +628,7 @@ object VersionedTable {
     * every bucket).
     */
   def compactByRange(spark: SparkSession, path: String, rangeCol: String,
-      nBuckets: Int): Long = {
+      nBuckets: Int, bloomCols: Seq[String] = Nil): Long = {
     require(nBuckets >= 1, "need at least one bucket")
     val v = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"nothing to compact at $path"))
@@ -650,7 +657,10 @@ object VersionedTable {
     val bucketEntries = (0 until nBuckets).flatMap { i =>
       val dir = s"$parent/__rb=$i"
       if (!f.exists(new Path(s"$path/data/$dir"))) None
-      else Some("=" + dir + statsSuffix(spark, s"$path/data/$dir", Seq(rangeCol)))
+      else {
+        writeBloomSidecar(spark, s"$path/data/$dir", bloomCols)
+        Some("=" + dir + statsSuffix(spark, s"$path/data/$dir", Seq(rangeCol)))
+      }
     }
     // a fully-empty table (everything deleted) produces no bucket
     // dirs; commit one empty batch so the manifest stays readable
@@ -693,7 +703,8 @@ object VersionedTable {
     * pass 0.001 — boundaries only steer layout, never correctness.
     */
   def compactByZOrder(spark: SparkSession, path: String,
-      xCol: String, yCol: String, nBuckets: Int, bits: Int = 4): Long = {
+      xCol: String, yCol: String, nBuckets: Int, bits: Int = 4,
+      bloomCols: Seq[String] = Nil): Long = {
     require(nBuckets >= 1, "need at least one bucket")
     require(bits >= 1 && bits <= 16, "bits must be in [1, 16]")
     val v = latestVersion(path).getOrElse(
@@ -736,8 +747,11 @@ object VersionedTable {
     val bucketEntries = (0 until nBuckets).flatMap { i =>
       val dir = s"$parent/__zb=$i"
       if (!f.exists(new Path(s"$path/data/$dir"))) None
-      else Some("=" + dir +
-        statsSuffix(spark, s"$path/data/$dir", Seq(xCol, yCol)))
+      else {
+        writeBloomSidecar(spark, s"$path/data/$dir", bloomCols)
+        Some("=" + dir +
+          statsSuffix(spark, s"$path/data/$dir", Seq(xCol, yCol)))
+      }
     }
     val entries =
       if (bucketEntries.nonEmpty) bucketEntries

@@ -156,6 +156,21 @@ class VersionedAutoPruneSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT * FROM graft_versioned('$path')").count() === 400L)
   }
 
+  test("graft_history and graft_changes TVFs: the commit log and the change feed from SQL text") {
+    val path = buildTable("vt_tvf_hist")
+    VersionedTable.deleteKeys(Seq(10).toDF("k"), "k", path)
+    val kinds = spark.sql(
+      s"SELECT kind FROM graft_history('$path') ORDER BY version")
+      .as[String].collect()
+    assert(kinds.toSeq === Seq("append", "append", "append", "append", "delete"))
+    val feed = spark.sql(s"""
+      SELECT _change_type, count(*) AS n
+      FROM graft_changes('$path', 3, 5) GROUP BY 1 ORDER BY 1""")
+      .as[(String, Long)].collect()
+    // v4 appends 100 rows; v5 deletes one existing key
+    assert(feed.toSeq === Seq(("delete", 1L), ("insert", 100L)))
+  }
+
   test("disjunctions and non-integral predicates prune nothing but stay correct") {
     val path = buildTable("vt_auto_disj")
     val auto = VersionedTable.readAtAuto(spark, path, 4)

@@ -86,6 +86,38 @@ class VersionedBloomSpec extends SparkTestBase {
     assert(scanned(none).isEmpty, "all batches bloom-pruned")
   }
 
+  test("clustering compaction rebuilds the index layer: range stats on x, blooms on y") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def scanned(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+      }.flatten.toSet
+    val path = tmpDir("vt_compact_index")
+    val rows = (0 until 400).map(x => (x.toLong, (x * 7 % 400).toLong))
+    VersionedTable.append(rows.toDF("x", "y"), path)
+    // cluster on x, Bloom on y: range queries prune by stats, point
+    // queries on the OTHER column prune by sidecar — maintenance
+    // leaves the table with both access paths
+    VersionedTable.compactByRange(spark, path, "x", 4, bloomCols = Seq("y"))
+    // <= 99, not < 100: the rule widens strict bounds to inclusive,
+    // so < 100 would conservatively keep the bucket starting at 100
+    val range = VersionedTable.readAtAuto(spark, path, 2L).filter($"x" <= 99)
+    assert(scanned(range).size === 1, s"x-range should open one bucket: ${scanned(range)}")
+    val point = VersionedTable.readAtAuto(spark, path, 2L).filter($"y" === 77L)
+    assert(scanned(point).size < 4, s"y-point should bloom-prune: ${scanned(point)}")
+    assert(point.as[(Long, Long)].collect().toSeq === Seq((11L, 77L)))
+    // plain compact keeps the layer too when asked
+    val p2 = tmpDir("vt_compact_index2")
+    VersionedTable.append(rows.toDF("x", "y"), p2)
+    VersionedTable.compact(spark, p2, statsCols = Seq("x"), bloomCols = Seq("x"))
+    assert(VersionedTable.countAt(spark, p2, 2L) === Some(400L))
+    assert(VersionedTable.readAtAuto(spark, p2, 2L).filter($"x" === 13L)
+      .as[(Long, Long)].collect().toSeq === Seq((13L, 91L)))
+  }
+
   test("countAt: footer-only counts, sidecar-proof, tombstones refuse") {
     val path = buildStriped("vt_count", blooms = true)
     // blooms on: the sidecar parquet files must not inflate the count
