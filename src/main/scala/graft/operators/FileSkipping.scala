@@ -51,6 +51,50 @@ object FileSkipping {
     else spark.read.parquet(files: _*)
   }
 
+  /** AUTOMATIC zone-map reads on plain parquet directories — the
+    * [[prunedRead]] contract with the caller-supplied bounds deleted,
+    * by the same optimizer integration the versioned table's
+    * `readAtAuto` rides: the returned frame's scan carries the
+    * catalog's per-FILE min/max as a read option (file-grain roots,
+    * one per catalog row), and any `.filter` the caller composes on
+    * top is folded into file pruning at optimize time by
+    * `graft.plans.VersionedStatsPruning`. Multiple columns' catalogs
+    * compose — pass several (column, fileStats) pairs and each
+    * filter column prunes independently.
+    *
+    * Integral-typed columns only (the rule's stats domain; values are
+    * recorded cast to long). The driver-side collect is the catalog
+    * lookup every table format pays — one row per file, never data.
+    */
+  def taggedRead(spark: SparkSession, path: String,
+      colStats: (String, DataFrame)*): DataFrame = {
+    require(colStats.nonEmpty, "taggedRead needs at least one catalog")
+    val perFile = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    colStats.foreach { case (c, stats) =>
+      require(!c.exists(";:".contains(_)),
+        s"column name $c would corrupt the stats grammar")
+      stats.select(col("file"),
+          col("min_v").cast("long"), col("max_v").cast("long"))
+        .collect().foreach { r =>
+          if (!r.isNullAt(1) && !r.isNullAt(2)) {
+            val f = r.getString(0)
+            perFile(f) = perFile.getOrElse(f, "") +
+              s";$c:${r.getLong(1)}:${r.getLong(2)}"
+          }
+        }
+    }
+    val files = perFile.keys.toSeq
+    // keys are full file URIs; the rule matches roots by suffix, and
+    // a file IS its own root here, so the basename suffices
+    val lines = graft.plans.VersionedStatsPruning.encode(
+      perFile.toSeq.map { case (f, stats) =>
+        f.substring(f.lastIndexOf('/') + 1) -> stats
+      })
+    spark.read
+      .option(graft.plans.VersionedStatsPruning.StatsOption, lines)
+      .parquet(files: _*)
+  }
+
   /** Per-file Bloom catalog — the POINT-LOOKUP twin of [[fileStats]].
     * Zone maps prune range queries on range-clustered layouts; on a
     * hash-distributed layout every file's [min, max] spans the whole

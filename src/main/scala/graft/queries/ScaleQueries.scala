@@ -1082,8 +1082,44 @@ object ScaleQueries extends QueryRegistry {
       FROM c WHERE cum_source <= 800
     """.trim))
 
+  /** q136's zone-map skipping with the caller-supplied bounds DELETED
+    * — `FileSkipping.taggedRead` carries the catalog's per-file
+    * min/max on the scan and the plain `.filter` prunes files at
+    * optimize time through the same injected rule the versioned
+    * table's `readAtAuto` rides (graft.plans.VersionedStatsPruning).
+    * Plain parquet directories get Delta-style automatic data
+    * skipping with no table format at all: catalog once, then every
+    * query's where-clause is its own pruning hint. Same range and
+    * rollup as q136, so the two forms must hash identically against
+    * one oracle shape; FileSkippingSpec proves files are actually
+    * skipped and that a second column's catalog composes.
+    */
+  val q287 = GraftQuery(
+    "q287_file_skipping_auto",
+    (s, d) => {
+      import graft.operators.FileSkipping
+      val path = "/tmp/graft_q287_layout_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.operators.Layout.rangeSortedWrite(Tables.events(s, d), "ts", 16, path)
+      val stats = FileSkipping.fileStats(s, path, "ts")
+      val lo = 1704240000000000000L  // 2024-01-03 in nanos
+      val hi = 1704412800000000000L  // 2024-01-05 (exclusive)
+      FileSkipping.taggedRead(s, path, "ts" -> stats)
+        .filter(col("ts") >= lo && col("ts") < hi)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("sum_value_c"))
+    },
+    Some("""
+      SELECT event_type, count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+        AND ts < TIMESTAMP '2024-01-05 00:00:00'
+      GROUP BY event_type
+    """.trim))
+
   def all: Seq[GraftQuery] =
     Seq(q44, q46, q48, q50, q66, q87, q88, q97, q98, q98a, q100, q102, q104,
       q112, q114, q124, q125, q126, q127, q131, q136, q141, q145, q146, q151,
-      q169, q173, q197, q201, q237a, q237, q237b, q247, q270)
+      q169, q173, q197, q201, q237a, q237, q237b, q247, q270, q287)
 }

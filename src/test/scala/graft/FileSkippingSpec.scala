@@ -39,6 +39,27 @@ class FileSkippingSpec extends SparkTestBase {
     assert(pruned.size === 101)
   }
 
+  test("taggedRead: the filter alone prunes files from the catalog, no bounds restated") {
+    val path = writeLayout(1000, 8)
+    val stats = FileSkipping.fileStats(spark, path, "k")
+    val auto = FileSkipping.taggedRead(spark, path, "k" -> stats)
+      .filter(col("k").between(100L, 200L))
+    val opened = auto.inputFiles.length
+    assert(opened < 8 && opened > 0, s"expected file pruning, opened $opened/8")
+    val full = spark.read.parquet(path)
+      .filter(col("k").between(100L, 200L)).orderBy(col("k"))
+      .as[(Long, Long)].collect().toSeq
+    assert(auto.orderBy(col("k")).as[(Long, Long)].collect().toSeq === full)
+    // a second column's catalog composes: v = 2k, so a v-filter
+    // prunes on its own catalog
+    val vstats = FileSkipping.fileStats(spark, path, "v")
+    val both = FileSkipping.taggedRead(spark, path,
+      "k" -> stats, "v" -> vstats)
+    val vAuto = both.filter(col("v") >= 1800L)
+    assert(vAuto.inputFiles.length < 8, "v-catalog should prune too")
+    assert(vAuto.count() === 100L)
+  }
+
   test("bloom catalog prunes point lookups on a hash layout where zone maps cannot") {
     val path = tmpDir("fskip_bloom")
     val df = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("v"))

@@ -414,6 +414,15 @@ class PlanAssertionsSpec extends SparkTestBase {
       s"bloom pruning should open exactly the odd stripes: $dataBatches")
   }
 
+  test("q287: the filter alone prunes catalog-tagged files on a plain parquet dir") {
+    val df = SparkEntry.queries("q287_file_skipping_auto")(spark, sf)
+    val opened = df.inputFiles.length
+    // 16-file range-sorted layout, two-day range: most files must
+    // never enter the plan — with NO bounds restated in the query
+    assert(opened > 0 && opened < 16,
+      s"expected automatic file pruning, opened $opened/16")
+  }
+
   test("q278: after clustering compaction the range read opens a strict subset of buckets") {
     val df = SparkEntry.queries("q278_versioned_clustering_compaction")(spark, sf)
     val buckets = df.inputFiles.toSeq
