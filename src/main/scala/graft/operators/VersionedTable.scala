@@ -939,6 +939,50 @@ object VersionedTable {
     Some(total)
   }
 
+  /** Metadata-only MIN/MAX: batch stats are EXACT aggregates of their
+    * batch, so with no unabsorbed tombstone the table-wide range of
+    * `column` is the envelope of the manifest's entries — zero data
+    * pages, like [[countAt]]. Honesty rules: any tombstone → None (a
+    * deleted row may carry the extremum); a stats-less entry is
+    * consulted by FOOTER count — truly empty batches contribute
+    * nothing (an empty write records no stats, q275's sf0.001 case),
+    * but a NON-empty stats-less batch forces None (its rows make
+    * claims the manifest cannot bound). Never an approximation.
+    */
+  def statsRange(spark: SparkSession, path: String, version: Long,
+      column: String): Option[(Long, Long)] = {
+    val entries = manifestEntries(path, version)
+    if (entries.exists(isTombstone)) return None
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ranges = entries.map { e =>
+      statsOf(e).get(column) match {
+        case some @ Some(_) => some
+        case None =>
+          // no stats: only an actually-EMPTY batch is ignorable
+          var n = 0L
+          val dir = new Path(s"$path/data/${dirOf(e)}")
+          val f = dir.getFileSystem(conf)
+          val it = f.listFiles(dir, true)
+          while (it.hasNext && n == 0L) {
+            val st = it.next()
+            val rel = st.getPath.toString
+            val hidden = rel.split("/").exists(seg =>
+              seg.startsWith("_") || seg.startsWith("."))
+            if (st.isFile && rel.endsWith(".parquet") && !hidden) {
+              val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromPath(st.getPath, conf)
+              val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+              try n += reader.getRecordCount finally reader.close()
+            }
+          }
+          if (n == 0L) None else return None // non-empty without stats
+      }
+    }
+    val present = ranges.flatten
+    if (present.isEmpty) None
+    else Some((present.map(_._1).min, present.map(_._2).max))
+  }
+
   /** DESCRIBE HISTORY: one row per retained commit — (version, kind,
     * n_add, n_delete, txn) — derived entirely from the KB-sized
     * manifests (metadata-only at any table size). `kind` classifies

@@ -1160,7 +1160,73 @@ object SourceQueries extends QueryRegistry {
       FROM orders WHERE o_orderkey % 5 <> 0
     """.trim))
 
+  /** Metadata-only MIN/MAX — `statsRange` answers a column's
+    * table-wide range from the manifest envelope alone (batch stats
+    * are EXACT per-batch aggregates), with [[q286]]'s honesty rules:
+    * unabsorbed tombstones refuse (a deleted row may carry the
+    * extremum), a stats-less batch is consulted by footer count so a
+    * truly EMPTY batch (this build commits one deliberately) never
+    * forces the fallback but a non-empty one does. The lifecycle:
+    * metadata answer after the stats-carrying appends, merge-on-read
+    * recompute after a date-cutoff delete ACTUALLY MOVES the min,
+    * metadata again once compaction re-derives stats. The oracle
+    * recomputes every stage from the base table.
+    */
+  val q288 = GraftQuery(
+    "q288_versioned_metadata_minmax",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.VersionedTable
+      val path = "/tmp/graft_q288_vt_range_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      if (!VersionedTable.latestVersion(path).exists(_ >= 5L)) {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (f.exists(p)) f.delete(p, true)
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").cast("long").as("o_date_s"))
+        val c95 = lit("1995-01-01").cast("timestamp").cast("long")
+        VersionedTable.append(o.filter(col("o_date_s") < c95), path,
+          statsCols = Seq("o_date_s"))
+        VersionedTable.append(o.filter(col("o_date_s") >= c95), path,
+          statsCols = Seq("o_date_s"))
+        // a deliberately EMPTY stats-less batch: ignorable by footer
+        // count, must not force the fallback
+        VersionedTable.append(o.filter(lit(false)), path)
+        VersionedTable.deleteKeys(
+          o.filter(col("o_date_s") < lit("1993-07-01").cast("timestamp")
+            .cast("long")).select(col("o_orderkey")),
+          "o_orderkey", path)
+        VersionedTable.compact(s, path, statsCols = Seq("o_date_s"))
+      }
+      def stage(v: Long, label: String): (String, Long, Long, Boolean) =
+        VersionedTable.statsRange(s, path, v, "o_date_s") match {
+          case Some((lo, hi)) => (label, lo, hi, true)
+          case None =>
+            val r = VersionedTable.readAt(s, path, v)
+              .agg(org.apache.spark.sql.functions.min(col("o_date_s")),
+                org.apache.spark.sql.functions.max(col("o_date_s"))).head()
+            (label, r.getLong(0), r.getLong(1), false)
+        }
+      Seq(stage(3L, "appended"), stage(4L, "deleted"), stage(5L, "compacted"))
+        .toDF("stage", "lo_s", "hi_s", "from_metadata")
+    },
+    Some("""
+      SELECT 'appended' AS stage,
+             CAST(epoch(min(o_orderdate)) AS BIGINT) AS lo_s,
+             CAST(epoch(max(o_orderdate)) AS BIGINT) AS hi_s,
+             TRUE AS from_metadata
+      FROM orders
+      UNION ALL
+      SELECT 'deleted', CAST(epoch(min(o_orderdate)) AS BIGINT),
+             CAST(epoch(max(o_orderdate)) AS BIGINT), FALSE
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1993-07-01'
+      UNION ALL
+      SELECT 'compacted', CAST(epoch(min(o_orderdate)) AS BIGINT),
+             CAST(epoch(max(o_orderdate)) AS BIGINT), TRUE
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1993-07-01'
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
-    q282, q283, q284, q285, q286)
+    q282, q283, q284, q285, q286, q288)
 }

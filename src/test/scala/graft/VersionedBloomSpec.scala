@@ -130,6 +130,24 @@ class VersionedBloomSpec extends SparkTestBase {
     assert(VersionedTable.readAt(spark, path, 6L).count() === 398L)
   }
 
+  test("statsRange: exact envelope, empty-batch tolerance, honest refusals") {
+    val path = tmpDir("vt_range")
+    VersionedTable.append((0L to 9L).toDF("k"), path, statsCols = Seq("k"))
+    VersionedTable.append((20L to 29L).toDF("k"), path, statsCols = Seq("k"))
+    assert(VersionedTable.statsRange(spark, path, 2L, "k") === Some((0L, 29L)))
+    // an EMPTY stats-less batch is ignorable (footer count 0)
+    VersionedTable.append(spark.range(0).select(col("id").as("k")), path)
+    assert(VersionedTable.statsRange(spark, path, 3L, "k") === Some((0L, 29L)))
+    // a NON-empty stats-less batch makes unbounded claims: refuse
+    VersionedTable.append(Seq(100L).toDF("k"), path)
+    assert(VersionedTable.statsRange(spark, path, 4L, "k") === None)
+    // a tombstone may have held the extremum: refuse
+    val p2 = tmpDir("vt_range2")
+    VersionedTable.append((0L to 9L).toDF("k"), p2, statsCols = Seq("k"))
+    VersionedTable.deleteKeys(Seq(9L).toDF("k"), "k", p2)
+    assert(VersionedTable.statsRange(spark, p2, 2L, "k") === None)
+  }
+
   test("history classifies commit kinds and marks the vacuum retention floor") {
     val path = tmpDir("vt_history")
     VersionedTable.append(Seq((1L, 1L)).toDF("k", "v"), path)
