@@ -416,49 +416,120 @@ object VersionedTable {
     */
   def upsert(df: DataFrame, keyCol: String, path: String,
       txnId: Option[String] = None, insertOnly: Boolean = false,
-      bloomCols: Seq[String] = Nil): Long = {
+      bloomCols: Seq[String] = Nil): Long =
+    upsertRetrying(df, keyCol, path, txnId, insertOnly, bloomCols,
+      maxRetries = 0, _ => ())
+
+  /** Optimistic-concurrency MERGE — [[upsert]] that survives
+    * interleaved commits, with the conflict analysis each mode
+    * actually needs (Delta's write-write rules, specialized to
+    * key-literal merges):
+    *
+    *  - **last-writer-wins** (`insertOnly = false`): the commit is
+    *    retried BLINDLY, and that is provably serializable — our
+    *    tombstone position-scopes over the interleaved batches too,
+    *    so the outcome equals the serial order "them, then us" for
+    *    our keys, and interleaved commits' other keys are untouched;
+    *  - **insert-if-absent** (`insertOnly = true`): the anti-join was
+    *    computed against the START snapshot, so an interleaved
+    *    commit that inserted one of OUR keys would leave a duplicate
+    *    (no serial order produces one). On conflict the retry probes
+    *    the interleaved data dirs (Bloom-pruned where sidecars
+    *    exist) and, only when they might hold our keys, REWRITES the
+    *    pending batch anti-joined against them before committing —
+    *    restoring the serial order "them, then us" (their row wins,
+    *    ours drops). The rewrite goes to a fresh dir; the orphan is
+    *    vacuum-reclaimed, committed data is never mutated.
+    *
+    * Batch dirs are written once against the snapshot; retries re-pay
+    * only the KB-sized manifest commit (plus the insert-only conflict
+    * probe). Bounded by `maxRetries`, loud failure after.
+    */
+  def upsertWithRetry(df: DataFrame, keyCol: String, path: String,
+      txnId: Option[String] = None, insertOnly: Boolean = false,
+      bloomCols: Seq[String] = Nil, maxRetries: Int = 3): Long =
+    upsertRetrying(df, keyCol, path, txnId, insertOnly, bloomCols,
+      maxRetries, _ => ())
+
+  private[graft] def upsertRetrying(df: DataFrame, keyCol: String,
+      path: String, txnId: Option[String], insertOnly: Boolean,
+      bloomCols: Seq[String], maxRetries: Int,
+      beforeCommit: Long => Unit): Long = {
     txnId.flatMap(txnCommittedAt(path, _)).foreach(return _)
-    val latest = latestVersion(path)
-    val next = latest.getOrElse(0L) + 1
-    val prev =
-      if (next == 1) Seq.empty
-      else manifestEntries(path, next - 1)
+    val spark = df.sparkSession
+    val snapshot = latestVersion(path).getOrElse(0L)
     val tok = newToken()
-    val dataBatch = s"b${next}_${tok}_m"
-    if (insertOnly && latest.nonEmpty) {
+    var dataBatch = s"b${snapshot + 1}_${tok}_m"
+    val tombBatch = s"b${snapshot + 1}_${tok}_k"
+    val withTomb = !insertOnly && snapshot > 0
+    if (insertOnly && snapshot > 0) {
       // insert-if-absent existence check, Bloom-pruned: batches whose
       // sidecar proves they hold none of the incoming keys never
       // enter the anti-join scan (no false negatives -> identical
       // result, spec-proven); sidecar-less batches always scan
-      val cand = bloomCandidateDirs(df.sparkSession, path,
-        manifestEntries(path, latest.get).filterNot(isTombstone).map(dirOf),
+      val cand = bloomCandidateDirs(spark, path,
+        manifestEntries(path, snapshot).filterNot(isTombstone).map(dirOf),
         keyCol, df.select(col(keyCol)))
-      val current = readAtFiltered(df.sparkSession, path, latest.get,
+      val current = readAtFiltered(spark, path, snapshot,
         mergeSchema = false, e => cand.contains(dirOf(e)))
       df.join(current.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
         .write.mode("overwrite").parquet(s"$path/data/$dataBatch")
-      writeBloomSidecar(df.sparkSession, s"$path/data/$dataBatch", bloomCols)
-      commitManifest(path, next,
-        txnId.map(t => s"#txn=$t").toSeq ++ prev :+ dataBatch)
-    } else if (insertOnly || latest.isEmpty) {
-      // empty table: every row inserts, no tombstone needed
-      df.write.mode("overwrite").parquet(s"$path/data/$dataBatch")
-      writeBloomSidecar(df.sparkSession, s"$path/data/$dataBatch", bloomCols)
-      commitManifest(path, next,
-        txnId.map(t => s"#txn=$t").toSeq ++ prev :+ dataBatch)
     } else {
-      val tombBatch = s"b${next}_${tok}_k"
+      df.write.mode("overwrite").parquet(s"$path/data/$dataBatch")
+    }
+    writeBloomSidecar(spark, s"$path/data/$dataBatch", bloomCols)
+    if (withTomb)
+      // tombstone BEFORE the data batch in the manifest:
+      // position-scoping makes it apply to prior batches only, never
+      // to the rows it rides with
       df.select(df(keyCol)).distinct()
         .write.mode("overwrite").parquet(s"$path/data/$tombBatch")
-      df.write.mode("overwrite").parquet(s"$path/data/$dataBatch")
-      writeBloomSidecar(df.sparkSession, s"$path/data/$dataBatch", bloomCols)
-      // tombstone BEFORE the data batch: position-scoping makes it
-      // apply to prior batches only, never to the rows it rides with
-      commitManifest(path, next,
-        txnId.map(t => s"#txn=$t").toSeq ++ prev ++
-          Seq(s"~$tombBatch", dataBatch))
+    val snapDirs =
+      if (snapshot == 0) Set.empty[String]
+      else manifestEntries(path, snapshot).toSet
+    var attempt = 0
+    while (true) {
+      val next = latestVersion(path).getOrElse(0L) + 1
+      val prev =
+        if (next == 1) Seq.empty
+        else manifestEntries(path, next - 1)
+      if (insertOnly && next != snapshot + 1) {
+        // commits interleaved since the snapshot: their data batches
+        // may hold keys our snapshot-time anti-join could not see
+        val interleaved = prev.filterNot(snapDirs).filterNot(isTombstone)
+          .map(dirOf)
+        if (interleaved.nonEmpty) {
+          val mine = spark.read.parquet(s"$path/data/$dataBatch")
+          val cand = bloomCandidateDirs(spark, path, interleaved, keyCol,
+            mine.select(col(keyCol)))
+          if (cand.nonEmpty) {
+            val theirKeys = cand.toSeq
+              .map(dd => spark.read.parquet(s"$path/data/$dd")
+                .select(col(keyCol)))
+              .reduce(_ union _).distinct()
+            val rewritten = s"b${next}_${newToken()}_m"
+            mine.join(theirKeys, Seq(keyCol), "left_anti")
+              .write.mode("overwrite").parquet(s"$path/data/$rewritten")
+            writeBloomSidecar(spark, s"$path/data/$rewritten", bloomCols)
+            dataBatch = rewritten // the old dir is a vacuum orphan
+          }
+        }
+      }
+      beforeCommit(next)
+      try {
+        commitManifest(path, next,
+          txnId.map(t => s"#txn=$t").toSeq ++ prev ++
+            (if (withTomb) Seq(s"~$tombBatch", dataBatch)
+             else Seq(dataBatch)))
+        return next
+      } catch {
+        case e: java.io.IOException
+            if e.getMessage.contains("already committed") &&
+              attempt < maxRetries =>
+          attempt += 1
+      }
     }
-    next
+    -1L // unreachable
   }
 
   /** Read the table as of `version`. Data batches are anti-joined

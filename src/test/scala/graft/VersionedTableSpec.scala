@@ -429,4 +429,80 @@ class VersionedTableSpec extends SparkTestBase {
       f.getName -> f.length()).toMap
     assert(after === before, "a referenced batch dir was touched by vacuum")
   }
+
+  test("OCC upsert, last-writer-wins: a blind retry is serializable as them-then-us") {
+    val path = tmpDir("vt_occ_upsert")
+    VersionedTable.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), path)
+    var injected = false
+    val v = VersionedTable.upsertRetrying(
+      Seq((2L, 200L), (3L, 300L)).toDF("k", "v"), "k", path,
+      txnId = None, insertOnly = false, bloomCols = Nil, maxRetries = 5,
+      beforeCommit = { _ =>
+        if (!injected) {
+          injected = true
+          // the competitor also writes key 2 AND an unrelated key
+          VersionedTable.append(Seq((2L, -2L), (7L, 70L)).toDF("k", "v"), path)
+        }
+      })
+    assert(v === 3L)
+    val rows = VersionedTable.readLatest(spark, path)
+      .as[(Long, Long)].collect().toMap
+    // serial order "them, then us": our tombstone position-scopes
+    // over the interleaved batch, so OUR value wins for key 2; the
+    // competitor's unrelated key survives untouched
+    assert(rows === Map(1L -> 10L, 2L -> 200L, 3L -> 300L, 7L -> 70L))
+  }
+
+  test("OCC insert-if-absent: a conflicting interleaved insert forces the batch rewrite") {
+    val path = tmpDir("vt_occ_insonly")
+    VersionedTable.append(Seq((1L, 10L)).toDF("k", "v"), path,
+      bloomCols = Seq("k"))
+    var injected = false
+    val v = VersionedTable.upsertRetrying(
+      Seq((1L, -1L), (5L, 50L), (6L, 60L)).toDF("k", "v"), "k", path,
+      txnId = None, insertOnly = true, bloomCols = Seq("k"), maxRetries = 5,
+      beforeCommit = { _ =>
+        if (!injected) {
+          injected = true
+          // the competitor inserts key 5 first
+          VersionedTable.append(Seq((5L, -5L)).toDF("k", "v"), path,
+            bloomCols = Seq("k"))
+        }
+      })
+    assert(v === 3L)
+    val rows = VersionedTable.readLatest(spark, path)
+      .as[(Long, Long)].collect().toMap
+    // no duplicate key 5: the retry anti-joined the pending batch
+    // against the interleaved commit, so the competitor's row wins
+    // (serial them-then-us); key 1 was dropped at the snapshot
+    // anti-join; key 6 is genuinely new and inserts
+    assert(rows === Map(1L -> 10L, 5L -> -5L, 6L -> 60L))
+    assert(VersionedTable.readLatest(spark, path).count() === 3L)
+  }
+
+  test("OCC insert-if-absent: a NON-conflicting interleave commits without a rewrite") {
+    val path = tmpDir("vt_occ_noconf")
+    VersionedTable.append(Seq((1L, 10L)).toDF("k", "v"), path,
+      bloomCols = Seq("k"))
+    var injected = false
+    val v = VersionedTable.upsertRetrying(
+      Seq((8L, 80L)).toDF("k", "v"), "k", path,
+      txnId = None, insertOnly = true, bloomCols = Seq("k"), maxRetries = 5,
+      beforeCommit = { _ =>
+        if (!injected) {
+          injected = true
+          VersionedTable.append(Seq((9L, 90L)).toDF("k", "v"), path,
+            bloomCols = Seq("k"))
+        }
+      })
+    assert(v === 3L)
+    assert(VersionedTable.readLatest(spark, path)
+      .as[(Long, Long)].collect().toMap ===
+      Map(1L -> 10L, 8L -> 80L, 9L -> 90L))
+    // the Bloom probe proved no key overlap, so the pending batch
+    // committed AS WRITTEN: exactly three data dirs on disk (no
+    // rewrite orphan)
+    val dirs = new java.io.File(s"$path/data").listFiles().map(_.getName)
+    assert(dirs.length === 3, s"unexpected rewrite orphan: ${dirs.toSeq}")
+  }
 }
