@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, explode, lit, pmod, xxhash64}
+import org.apache.spark.sql.functions.{coalesce, col, explode, lit, pmod, xxhash64}
 
 /** Versioned parquet table with atomic manifest commits — the
   * publish primitive under every "table format": writers never mutate
@@ -371,6 +371,94 @@ object VersionedTable {
       throw new java.io.IOException(
         s"VersionedTable: commit rename $tmp -> $fin failed; version $version " +
           "is NOT published (previous version remains intact)")
+  }
+
+  /** COMMIT-TIME CONSTRAINTS (Delta CHECK constraints / DLT
+    * expectations, on the versioned table): validate the WRITTEN
+    * batch before any manifest references it, so a reader can never
+    * observe a constraint-violating version.
+    *
+    *  - all rules pass → the batch commits as written (one write,
+    *    one validation scan of the written dir — the source plan
+    *    never executes twice);
+    *  - violations with `quarantine = Some(dlq)` → ROW-LOCAL rules
+    *    (NotNull / Check / InReference) split the batch: valid rows
+    *    commit here, violating rows are appended to the `dlq`
+    *    versioned table (the engine's K7 dead-letter parity, itself
+    *    versioned and auditable). A [[graft.operators.Expectations.Unique]]
+    *    violation still REFUSES even in quarantine mode — dropping
+    *    "the duplicate" is not attributable to a row;
+    *  - violations without quarantine → IllegalStateException naming
+    *    each failed rule and its count; the batch dir stays an
+    *    orphan for vacuum, the previous version fully intact (the
+    *    failed-commit discipline).
+    */
+  def appendChecked(df: DataFrame, path: String,
+      rules: Seq[Expectations.Rule],
+      quarantine: Option[String] = None,
+      txnId: Option[String] = None, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long = {
+    require(rules.nonEmpty, "appendChecked without rules is append")
+    txnId.flatMap(txnCommittedAt(path, _)).foreach(return _)
+    val spark = df.sparkSession
+    val tok = newToken()
+    val staged = s"b0_${tok}_chk" // version-less name: never committed as-is
+    df.write.mode("overwrite").parquet(s"$path/data/$staged")
+    val written = spark.read.parquet(s"$path/data/$staged")
+    val report = Expectations.validate(written, rules)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val failed = report.filter(_._2 > 0)
+    def commitDir(dir: String): Long = {
+      writeBloomSidecar(spark, s"$path/data/$dir", bloomCols)
+      val entry = dir + statsSuffix(spark, s"$path/data/$dir", statsCols)
+      val next = latestVersion(path).getOrElse(0L) + 1
+      val prev = if (next == 1) Seq.empty else manifestEntries(path, next - 1)
+      commitManifest(path, next,
+        txnId.map(t => s"#txn=$t").toSeq ++ prev :+ entry)
+      next
+    }
+    if (failed.isEmpty) return commitDir(staged)
+    quarantine match {
+      case None =>
+        throw new IllegalStateException(
+          "appendChecked refused: " + failed.toSeq.sorted
+            .map { case (r, n) => s"$r ($n rows)" }.mkString(", ") +
+            s"; the staged dir $staged is an orphan for vacuum")
+      case Some(dlq) =>
+        val unique = failed.keys.filter(_.startsWith("unique:"))
+        if (unique.nonEmpty)
+          throw new IllegalStateException(
+            "appendChecked refused: " + unique.mkString(", ") +
+              " violated — a duplicate is not attributable to a row, " +
+              "so quarantine cannot split it")
+        // row-local violation flag, null-safe: a rule FAILS the row
+        // when its predicate does not definitely hold. Scalar rules
+        // fold into one expression; each InReference adds a broadcast
+        // ref-key join marking rows whose key misses the reference.
+        val refRules = rules.collect {
+          case r: Expectations.InReference => r }
+        val scalarViol = rules.collect {
+          case Expectations.NotNull(c) => col(c).isNull
+          case Expectations.Check(_, p) => !coalesce(p, lit(false))
+        }
+        var marked = written.withColumn("__viol",
+          scalarViol.reduceOption(_ || _).getOrElse(lit(false)))
+        refRules.foreach { r =>
+          val refKeys = r.ref.select(col(r.refColumn).as(r.column)).distinct()
+          val hit = marked.join(org.apache.spark.sql.functions
+            .broadcast(refKeys.withColumn("__ref_hit", lit(true))),
+            Seq(r.column), "left")
+          marked = hit.withColumn("__viol",
+            col("__viol") ||
+              (col(r.column).isNotNull && col("__ref_hit").isNull))
+            .drop("__ref_hit")
+        }
+        val validDir = s"b0_${newToken()}_ok"
+        marked.filter(!col("__viol")).drop("__viol")
+          .write.mode("overwrite").parquet(s"$path/data/$validDir")
+        append(marked.filter(col("__viol")).drop("__viol"), dlq)
+        commitDir(validDir) // staged dir becomes a vacuum orphan
+    }
   }
 
   /** MERGE-ON-READ delete: commit the keys as a tombstone batch — no

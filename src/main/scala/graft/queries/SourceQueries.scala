@@ -1226,7 +1226,85 @@ object SourceQueries extends QueryRegistry {
       FROM orders WHERE o_orderdate >= TIMESTAMP '1993-07-01'
     """.trim))
 
+  /** COMMIT-TIME CONSTRAINTS with a quarantine DLQ — Delta CHECK /
+    * DLT expectations on the versioned table, V-family parity
+    * (junk filter + K7 dead-letter) made transactional: the batch is
+    * validated BEFORE any manifest references it, valid rows commit,
+    * violating rows land in a quarantine table that is itself
+    * versioned and auditable. The build injects three deterministic
+    * defect classes into orders (a NULL status, a negative amount, a
+    * dangling customer FK — each keyed by orderkey residues); the
+    * query reports committed/quarantined cardinalities and the
+    * quarantined total. The oracle replays the same mutations and
+    * split in SQL — one row routed to the wrong side anywhere breaks
+    * the hash.
+    */
+  val q289 = GraftQuery(
+    "q289_versioned_checked_ingest",
+    (s, d) => {
+      import s.implicits._
+      import graft.operators.{Expectations, VersionedTable}
+      val suffix = d.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = s"/tmp/graft_q289_vt_chk_$suffix"
+      val dlq = s"/tmp/graft_q289_vt_dlq_$suffix"
+      val complete = VersionedTable.latestVersion(path).exists(_ >= 1L) &&
+        VersionedTable.latestVersion(dlq).exists(_ >= 1L)
+      if (!complete) {
+        Seq(path, dlq).foreach { dir =>
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (f.exists(p)) f.delete(p, true)
+        }
+        val incoming = Tables.orders(s, d).select(
+          col("o_orderkey"),
+          when(col("o_orderkey") % 97 === 3, lit(null))
+            .otherwise(col("o_orderstatus")).as("status"),
+          when(col("o_orderkey") % 89 === 7, -col("o_custkey"))
+            .otherwise(col("o_custkey")).as("custkey"),
+          (round(col("o_totalprice") * 100).cast("long") *
+            when(col("o_orderkey") % 101 === 5, -1L).otherwise(1L))
+            .as("total_c"))
+        VersionedTable.appendChecked(incoming, path,
+          Seq(Expectations.NotNull("status"),
+            Expectations.Check("total_nonneg", col("total_c") >= 0),
+            Expectations.InReference("custkey",
+              Tables.customer(s, d).select(col("c_custkey")), "c_custkey")),
+          quarantine = Some(dlq))
+      }
+      val committed = VersionedTable.readLatest(s, path)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("total_c")).as("sum_total_c"))
+        .withColumn("side", lit("committed"))
+      val quarantined = VersionedTable.readLatest(s, dlq)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("total_c")).as("sum_total_c"))
+        .withColumn("side", lit("quarantined"))
+      committed.unionByName(quarantined)
+    },
+    Some("""
+      WITH inc AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 97 = 3 THEN NULL ELSE o_orderstatus END AS status,
+               CASE WHEN o_orderkey % 89 = 7 THEN -o_custkey ELSE o_custkey END AS custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT)
+                 * (CASE WHEN o_orderkey % 101 = 5 THEN -1 ELSE 1 END) AS total_c
+        FROM orders),
+      v AS (
+        SELECT *,
+               (status IS NULL) OR (total_c < 0)
+                 OR (custkey NOT IN (SELECT c_custkey FROM customer)) AS bad
+        FROM inc)
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(total_c) AS BIGINT) AS sum_total_c,
+             'committed' AS side
+      FROM v WHERE NOT bad
+      UNION ALL
+      SELECT CAST(count(*) AS BIGINT), CAST(sum(total_c) AS BIGINT),
+             'quarantined'
+      FROM v WHERE bad
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
-    q282, q283, q284, q285, q286, q288)
+    q282, q283, q284, q285, q286, q288, q289)
 }

@@ -130,6 +130,50 @@ class VersionedBloomSpec extends SparkTestBase {
     assert(VersionedTable.readAt(spark, path, 6L).count() === 398L)
   }
 
+  test("appendChecked: clean commits, loud refusals with an intact table, quarantine splits") {
+    import graft.operators.Expectations._
+    val path = tmpDir("vt_checked")
+    val ok = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    val rules = Seq(NotNull("v"), Check("v_nonneg", $"v" >= 0))
+    assert(VersionedTable.appendChecked(ok, path, rules) === 1L)
+    // a violating batch without quarantine: refused, previous version
+    // intact, staged dir is an orphan the manifest never references
+    val bad = Seq((3L, 30L), (4L, -4L)).toDF("k", "v")
+    val e = intercept[IllegalStateException] {
+      VersionedTable.appendChecked(bad, path, rules)
+    }
+    assert(e.getMessage.contains("v_nonneg (1 rows)"))
+    assert(VersionedTable.latestVersion(path) === Some(1L))
+    assert(VersionedTable.readLatest(spark, path).count() === 2L)
+    // with quarantine: valid rows commit, violators land in the DLQ
+    // (itself a versioned table)
+    val dlq = tmpDir("vt_checked_dlq")
+    val mixed = Seq[(java.lang.Long, java.lang.Long)](
+      (5L, 50L), (6L, -6L), (7L, null)).toDF("k", "v")
+    assert(VersionedTable.appendChecked(mixed, path, rules,
+      quarantine = Some(dlq)) === 2L)
+    assert(VersionedTable.readLatest(spark, path).select("k")
+      .as[Long].collect().sorted === Array(1L, 2L, 5L))
+    assert(VersionedTable.readLatest(spark, dlq).select("k")
+      .as[Long].collect().sorted === Array(6L, 7L))
+    // a unique violation is not row-attributable: quarantine refuses
+    val dupes = Seq((9L, 1L), (9L, 2L)).toDF("k", "v")
+    val e2 = intercept[IllegalStateException] {
+      VersionedTable.appendChecked(dupes, path, rules :+ Unique(Seq("k")),
+        quarantine = Some(dlq))
+    }
+    assert(e2.getMessage.contains("unique:k"))
+    // referential rule splits through the broadcast ref-key mark
+    val ref = Seq(1L, 2L, 5L).toDF("rk")
+    val fk = Seq((5L, 1L), (8L, 99L)).toDF("k", "fk")
+    val p2 = tmpDir("vt_checked_fk")
+    assert(VersionedTable.appendChecked(fk, p2,
+      Seq(InReference("fk", ref.select($"rk".as("fk")), "fk")),
+      quarantine = Some(dlq)) === 1L)
+    assert(VersionedTable.readLatest(spark, p2).select("k")
+      .as[Long].collect() === Array(5L))
+  }
+
   test("statsRange: exact envelope, empty-batch tolerance, honest refusals") {
     val path = tmpDir("vt_range")
     VersionedTable.append((0L to 9L).toDF("k"), path, statsCols = Seq("k"))
