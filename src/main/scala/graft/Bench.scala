@@ -62,7 +62,16 @@ object Bench {
     val spark = GraftSession.local(cpus)
     // warm the session (JIT, codegen cache, file index) outside timing
     spark.range(1000).selectExpr("sum(id)").collect()
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_BENCH_ONLY=q281,q282 limits the run to queries with
+    // those name prefixes — the scale-slope probe's harness (same
+    // timing discipline as the full suite, subset of queries)
+    val allNames = SparkEntry.queries.keys.toSeq.sorted
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(list) =>
+        val wanted = list.split(",").map(_.trim).filter(_.nonEmpty)
+        allNames.filter(n => wanted.exists(n.startsWith))
+      case None => allNames
+    }
     // iterate suite-major (all queries per pass, not all passes per
     // query): consecutive same-query runs would share a warm page
     // cache / JIT profile that the driver's single-pass run never has
