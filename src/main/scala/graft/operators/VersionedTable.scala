@@ -392,6 +392,14 @@ object VersionedTable {
     *    each failed rule and its count; the batch dir stays an
     *    orphan for vacuum, the previous version fully intact (the
     *    failed-commit discipline).
+    *
+    * Atomicity boundary, stated honestly: the quarantine split spans
+    * TWO tables and cannot be one rename. The DLQ commits FIRST
+    * under `<txnId>-dlq`, so with a caller-supplied `txnId` a replay
+    * after a crash between the two commits no-ops on both sides
+    * (exactly-once end to end, spec-proven); without one the DLQ leg
+    * is at-least-once, and the ordering guarantees a quarantined row
+    * is never lost.
     */
   def appendChecked(df: DataFrame, path: String,
       rules: Seq[Expectations.Rule],
@@ -456,7 +464,15 @@ object VersionedTable {
         val validDir = s"b0_${newToken()}_ok"
         marked.filter(!col("__viol")).drop("__viol")
           .write.mode("overwrite").parquet(s"$path/data/$validDir")
-        append(marked.filter(col("__viol")).drop("__viol"), dlq)
+        // the split spans TWO tables, so it cannot be one rename: the
+        // DLQ commits first under a derived txn id — a caller that
+        // passes `txnId` and replays after a crash between the two
+        // commits no-ops on BOTH sides (its own guard covers this
+        // table); without a txnId the DLQ leg is at-least-once, and
+        // this ordering at least guarantees no quarantined row is
+        // ever lost
+        append(marked.filter(col("__viol")).drop("__viol"), dlq,
+          txnId = txnId.map(t => s"$t-dlq"))
         commitDir(validDir) // staged dir becomes a vacuum orphan
     }
   }
@@ -1181,6 +1197,28 @@ object VersionedTable {
     }
     rows.toDF("version", "kind", "n_add", "n_delete", "txn")
   }
+
+  /** CONTINUOUS change consumption — the versioned table's
+    * `readStream` equivalent, composed from the engine's own parts:
+    * [[graft.streaming.Scheduled.cadence]] (the Structured Streaming
+    * clock) drives the checkpointed consumer ([[consumeChanges]])
+    * once per `interval`. Each tick delivers at most one contiguous
+    * (from, to] version range to `f` and atomically advances the
+    * checkpoint; ticks with nothing new are free (one manifest
+    * listing). Crash/restart: re-invoke on startup — the checkpoint
+    * resumes the range, a delivery interrupted before its checkpoint
+    * rename replays (at-least-once), and a txn-guarded sink
+    * (txnId = s"consume-$to") makes the pipeline exactly-once end to
+    * end, exactly as q276 proves for the single-shot form. Stop via
+    * the returned StreamingQuery.
+    */
+  def streamChanges(spark: SparkSession, path: String,
+      checkpointDir: String, interval: String,
+      cadenceCheckpoint: Option[String] = None)
+      (f: (DataFrame, Long, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.Scheduled.cadence(spark, interval, cadenceCheckpoint) {
+      _ => consumeChanges(spark, path, checkpointDir)(f); ()
+    }
 
   /** Drop history: keep the newest `keep` versions' manifests, delete
     * older manifests and every batch dir no kept manifest references

@@ -174,6 +174,29 @@ class VersionedBloomSpec extends SparkTestBase {
       .as[Long].collect() === Array(5L))
   }
 
+  test("appendChecked quarantine is exactly-once under txnId, even across the two-commit window") {
+    import graft.operators.Expectations._
+    val path = tmpDir("vt_chk_txn")
+    val dlq = tmpDir("vt_chk_txn_dlq")
+    val batch = Seq((1L, 10L), (2L, -2L)).toDF("k", "v")
+    val rules = Seq(Check("v_nonneg", $"v" >= 0))
+    // simulate the crash window: the DLQ leg committed, the table
+    // commit did not — then the whole appendChecked replays
+    VersionedTable.append(batch.filter($"v" < 0), dlq,
+      txnId = Some("load7-dlq"))
+    val v = VersionedTable.appendChecked(batch, path, rules,
+      quarantine = Some(dlq), txnId = Some("load7"))
+    assert(v === 1L)
+    // and a full second replay no-ops on BOTH tables
+    assert(VersionedTable.appendChecked(batch, path, rules,
+      quarantine = Some(dlq), txnId = Some("load7")) === 1L)
+    assert(VersionedTable.readLatest(spark, path)
+      .as[(Long, Long)].collect().toSeq === Seq((1L, 10L)))
+    assert(VersionedTable.readLatest(spark, dlq)
+      .as[(Long, Long)].collect().toSeq === Seq((2L, -2L)))
+    assert(VersionedTable.latestVersion(dlq) === Some(1L))
+  }
+
   test("statsRange: exact envelope, empty-batch tolerance, honest refusals") {
     val path = tmpDir("vt_range")
     VersionedTable.append((0L to 9L).toDF("k"), path, statsCols = Seq("k"))

@@ -505,4 +505,35 @@ class VersionedTableSpec extends SparkTestBase {
     val dirs = new java.io.File(s"$path/data").listFiles().map(_.getName)
     assert(dirs.length === 3, s"unexpected rewrite orphan: ${dirs.toSeq}")
   }
+
+  test("streamChanges: the cadence-driven consumer delivers contiguous ranges without polling") {
+    val path = tmpDir("vt_stream_changes")
+    val ckpt = tmpDir("vt_stream_changes_ckpt")
+    VersionedTable.append((1 to 10).toDF("x"), path)
+    val delivered = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val q = VersionedTable.streamChanges(spark, path, ckpt, "1 second") {
+      (df, from, to) => delivered.add((from, to, df.count()))
+    }
+    try {
+      def awaitTotal(n: Long): Unit = {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (delivered.toArray.map(_.asInstanceOf[(Long, Long, Long)]._3).sum < n
+            && System.nanoTime() < deadline) Thread.sleep(100)
+      }
+      awaitTotal(10)
+      VersionedTable.append((11 to 15).toDF("x"), path)
+      awaitTotal(15)
+      VersionedTable.append((16 to 17).toDF("x"), path)
+      awaitTotal(17)
+      val ds = delivered.toArray.map(_.asInstanceOf[(Long, Long, Long)]).toSeq
+      assert(ds.map(_._3).sum === 17L, s"deliveries: $ds")
+      // ranges are contiguous and non-overlapping: each delivery
+      // starts where the previous checkpoint ended
+      ds.sliding(2).foreach {
+        case Seq(a, b) => assert(a._2 === b._1, s"gap between $a and $b")
+        case _ => ()
+      }
+      assert(ds.head._1 === 0L, "the first delivery is the initial snapshot")
+    } finally q.stop()
+  }
 }
