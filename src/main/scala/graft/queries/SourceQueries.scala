@@ -1304,7 +1304,122 @@ object SourceQueries extends QueryRegistry {
       FROM v WHERE bad
     """.trim))
 
+  /** THE LAKEHOUSE LIFECYCLE, COMPOSED (the q279 discipline for the
+    * third batch): constraint-checked ingestion with a quarantine
+    * DLQ in two commits → a keyed delete → z-order clustering
+    * compaction that REBUILDS the index layer (both-column stats +
+    * an orderkey Bloom) → analytics over the SQL TVF surface where
+    * the WHERE clauses alone drive both pruning regimes (a date
+    * range through the stats envelope, a key IN-list through the
+    * sidecar probe) → a commit-log audit. One frame, one oracle:
+    * a row misrouted at ingest, lost in maintenance, or mis-pruned
+    * by either skipping path breaks the hash.
+    */
+  val q290 = GraftQuery(
+    "q290_lakehouse_recipe",
+    (s, d) => {
+      import graft.operators.{Expectations, VersionedTable}
+      val suffix = d.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = s"/tmp/graft_q290_vt_life_$suffix"
+      val dlq = s"/tmp/graft_q290_vt_lifedlq_$suffix"
+      val complete = VersionedTable.latestVersion(path).exists(_ >= 4L) &&
+        VersionedTable.latestVersion(dlq).nonEmpty
+      if (!complete) {
+        Seq(path, dlq).foreach { dir =>
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (f.exists(p)) f.delete(p, true)
+        }
+        val incoming = Tables.orders(s, d).select(
+          col("o_orderkey"),
+          when(col("o_orderkey") % 93 === 2, lit(null))
+            .otherwise(col("o_orderstatus")).as("status"),
+          when(col("o_orderkey") % 87 === 6, -col("o_custkey"))
+            .otherwise(col("o_custkey")).as("custkey"),
+          (round(col("o_totalprice") * 100).cast("long") *
+            when(col("o_orderkey") % 91 === 4, -1L).otherwise(1L))
+            .as("total_c"),
+          col("o_orderdate").cast("timestamp").cast("long").as("o_date_s"))
+        val rules = Seq(Expectations.NotNull("status"),
+          Expectations.Check("total_nonneg", col("total_c") >= 0),
+          Expectations.InReference("custkey",
+            Tables.customer(s, d).select(col("c_custkey")), "c_custkey"))
+        val c95 = lit("1995-01-01").cast("timestamp").cast("long")
+        VersionedTable.appendChecked(incoming.filter(col("o_date_s") < c95),
+          path, rules, quarantine = Some(dlq), txnId = Some("life-1"))
+        VersionedTable.appendChecked(incoming.filter(col("o_date_s") >= c95),
+          path, rules, quarantine = Some(dlq), txnId = Some("life-2"))
+        VersionedTable.deleteKeys(
+          Tables.orders(s, d).filter(col("o_orderkey") % 10 === 9)
+            .select(col("o_orderkey")),
+          "o_orderkey", path)
+        VersionedTable.compactByZOrder(s, path, "o_date_s", "custkey",
+          nBuckets = 8, bits = 2, bloomCols = Seq("o_orderkey"))
+      }
+      val committed = VersionedTable.readLatest(s, path)
+        .agg(count(lit(1)).as("n_rows"), sum(col("total_c")).as("total_c"))
+        .withColumn("metric", lit("committed"))
+      val quarantined = VersionedTable.readLatest(s, dlq)
+        .agg(count(lit(1)).as("n_rows"), sum(col("total_c")).as("total_c"))
+        .withColumn("metric", lit("quarantined"))
+      val slice = s.sql(s"""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(total_c) AS BIGINT) AS total_c,
+               'date_slice' AS metric
+        FROM graft_versioned('$path', 4)
+        WHERE o_date_s >= 804556800 AND o_date_s < 820454400""")
+      val lookup = s.sql(s"""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(total_c) AS BIGINT) AS total_c,
+               'point_lookup' AS metric
+        FROM graft_versioned('$path', 4)
+        WHERE o_orderkey IN (3, 41, 555, 997, 1203)""")
+      val commits = s.sql(s"""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(version) AS BIGINT) AS total_c,
+               'commits' AS metric
+        FROM graft_history('$path')""")
+      committed.unionByName(quarantined).unionByName(slice)
+        .unionByName(lookup).unionByName(commits)
+    },
+    Some("""
+      WITH inc AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 93 = 2 THEN NULL ELSE o_orderstatus END AS status,
+               CASE WHEN o_orderkey % 87 = 6 THEN -o_custkey ELSE o_custkey END AS custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT)
+                 * (CASE WHEN o_orderkey % 91 = 4 THEN -1 ELSE 1 END) AS total_c,
+               o_orderdate
+        FROM orders),
+      v AS (
+        SELECT *,
+               (status IS NULL) OR (total_c < 0)
+                 OR (custkey NOT IN (SELECT c_custkey FROM customer)) AS bad
+        FROM inc),
+      live AS (
+        SELECT * FROM v WHERE NOT bad AND o_orderkey % 10 <> 9)
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(total_c) AS BIGINT) AS total_c, 'committed' AS metric
+      FROM live
+      UNION ALL
+      SELECT CAST(count(*) AS BIGINT), CAST(sum(total_c) AS BIGINT),
+             'quarantined'
+      FROM v WHERE bad
+      UNION ALL
+      SELECT CAST(count(*) AS BIGINT), CAST(sum(total_c) AS BIGINT),
+             'date_slice'
+      FROM live
+      WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+        AND o_orderdate < TIMESTAMP '1996-01-01'
+      UNION ALL
+      SELECT CAST(count(*) AS BIGINT), CAST(sum(total_c) AS BIGINT),
+             'point_lookup'
+      FROM live WHERE o_orderkey IN (3, 41, 555, 997, 1203)
+      UNION ALL
+      SELECT 4, 10, 'commits'
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
-    q282, q283, q284, q285, q286, q288, q289)
+    q282, q283, q284, q285, q286, q288, q289, q290)
 }

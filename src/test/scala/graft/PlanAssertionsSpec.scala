@@ -423,6 +423,28 @@ class PlanAssertionsSpec extends SparkTestBase {
       s"expected automatic file pruning, opened $opened/16")
   }
 
+  test("q290: both pruning regimes fire through the SQL surface on the lifecycle table") {
+    SparkEntry.queries("q290_lakehouse_recipe")(spark, sf).collect() // build
+    val path = "/tmp/graft_q290_vt_life_" + sf.replaceAll("[^A-Za-z0-9.]", "_")
+    val slice = spark.sql(s"""
+      SELECT count(*) FROM graft_versioned('$path', 4)
+      WHERE o_date_s >= 804556800 AND o_date_s < 820454400""")
+    slice.collect()
+    val sliceFiles = slice.inputFiles.length
+    val lookup = spark.sql(s"""
+      SELECT count(*) FROM graft_versioned('$path', 4)
+      WHERE o_orderkey IN (3, 41, 555, 997, 1203)""")
+    lookup.collect()
+    val lookupFiles = lookup.inputFiles.length
+    val full = spark.sql(s"SELECT count(*) FROM graft_versioned('$path', 4)")
+      .inputFiles.length
+    // 8 z-buckets: the date range must prune by the stats envelope,
+    // the IN-list by the orderkey Bloom sidecars — both from plain
+    // SQL WHERE clauses
+    assert(sliceFiles < full, s"date slice opened $sliceFiles/$full")
+    assert(lookupFiles < full, s"point lookup opened $lookupFiles/$full")
+  }
+
   test("q278: after clustering compaction the range read opens a strict subset of buckets") {
     val df = SparkEntry.queries("q278_versioned_clustering_compaction")(spark, sf)
     val buckets = df.inputFiles.toSeq
