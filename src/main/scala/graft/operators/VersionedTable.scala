@@ -300,31 +300,67 @@ object VersionedTable {
 
   /** Data dirs that MIGHT contain at least one of `keys` under
     * `keyCol`: both Bloom lanes of some key are set in the dir's
-    * sidecar. Dirs without a sidecar are always candidates (no index
-    * = no claim — the stats-skipping superset contract). Driver-side
-    * result, bounded by the manifest's batch count.
+    * sidecar. The no-false-negative contract needs two guards beyond
+    * the lane joins:
+    *
+    *  - a dir can claim absence ONLY if its sidecar carries rows for
+    *    `keyCol` — a sidecar built for OTHER columns (or no sidecar
+    *    at all) makes no claim and stays a candidate;
+    *  - probe keys are CAST to each batch's native column type before
+    *    hashing, because the sidecar bits were built by hashing the
+    *    stored column as-is and XxHash64 hashes IntegerType and
+    *    LongType differently — a long-typed probe of an int-typed
+    *    column would miss both lanes on every batch and prune rows
+    *    that exist (spec-proven with an int key column). Batches are
+    *    probed per distinct native type (footer-only schema reads,
+    *    bounded by batch count); a cast-overflowed or null probe
+    *    value can at worst keep an extra batch, never drop one, since
+    *    the caller's exact filter runs on top.
+    *
+    * Driver-side result, bounded by the manifest's batch count.
     */
   private def bloomCandidateDirs(spark: SparkSession, path: String,
       dataDirs: Seq[String], keyCol: String,
       keys: DataFrame): Set[String] = {
-    val (indexed, unindexed) = dataDirs.partition(d =>
-      bloomSidecar(spark, path, d).nonEmpty)
-    if (indexed.isEmpty) return dataDirs.toSet
-    val blooms = indexed.map { d =>
-      bloomSidecar(spark, path, d).get
-        .filter(col("col") === keyCol)
-        .select(lit(d).as("batch"), col("bit"), col("bits"))
-    }.reduce(_ unionByName _)
-    val ks = keys.select(col(keyCol).as("k")).distinct()
-    // per (key, batch): lane-1 hit AND lane-2 hit. Each lane is an
-    // equi-join on the lane's bit position (hashable — no cartesian);
-    // sidecars are KB-sized, so both joins broadcast.
-    def laneHits(lane: Int) = ks.join(blooms,
-      pmod(xxhash64(col("k"), lit(lane)), col("bits")) === col("bit"))
-      .select(col("k"), col("batch")).distinct()
-    val hit = laneHits(1).join(laneHits(2), Seq("k", "batch"), "left_semi")
-    hit.select(col("batch")).distinct().collect()
-      .map(_.getString(0)).toSet ++ unindexed
+    val sidecars = dataDirs.flatMap(d =>
+      bloomSidecar(spark, path, d).map(d -> _))
+    val unindexed = dataDirs.toSet -- sidecars.map(_._1)
+    if (sidecars.isEmpty) return dataDirs.toSet
+    // dirs whose sidecar actually covers keyCol (one scan of the
+    // KB-sized sidecar union); the rest make no claim
+    val claiming = sidecars.map { case (d, df) =>
+      df.filter(col("col") === keyCol).select(lit(d).as("batch")).limit(1)
+    }.reduce(_ unionByName _).distinct()
+      .collect().map(_.getString(0)).toSet
+    val unclaiming = sidecars.map(_._1).filterNot(claiming).toSet
+    if (claiming.isEmpty) return dataDirs.toSet
+    val sidecarOf = sidecars.toMap
+    // probe per native key-column type, so build and probe hash the
+    // same physical type; a batch whose schema lacks keyCol entirely
+    // keeps candidate status (no claim)
+    val byType = claiming.toSeq.groupBy { d =>
+      spark.read.parquet(s"$path/data/$d").schema
+        .find(_.name == keyCol).map(_.dataType)
+    }
+    val hits = byType.toSeq.flatMap {
+      case (None, dirs) => dirs
+      case (Some(dt), dirs) =>
+        val ks = keys.select(col(keyCol).cast(dt).as("k"))
+          .filter(col("k").isNotNull).distinct()
+        val blooms = dirs.map { d =>
+          sidecarOf(d).filter(col("col") === keyCol)
+            .select(lit(d).as("batch"), col("bit"), col("bits"))
+        }.reduce(_ unionByName _)
+        // per (key, batch): lane-1 hit AND lane-2 hit. Each lane is an
+        // equi-join on the lane's bit position (hashable — no
+        // cartesian); sidecars are KB-sized, so both joins broadcast.
+        def laneHits(lane: Int) = ks.join(blooms,
+          pmod(xxhash64(col("k"), lit(lane)), col("bits")) === col("bit"))
+          .select(col("k"), col("batch")).distinct()
+        laneHits(1).join(laneHits(2), Seq("k", "batch"), "left_semi")
+          .select(col("batch")).distinct().collect().map(_.getString(0))
+    }
+    hits.toSet ++ unindexed ++ unclaiming
   }
 
   /** Batch point lookup: read only the batch dirs whose Bloom
@@ -538,12 +574,25 @@ object VersionedTable {
     *    computed against the START snapshot, so an interleaved
     *    commit that inserted one of OUR keys would leave a duplicate
     *    (no serial order produces one). On conflict the retry probes
-    *    the interleaved data dirs (Bloom-pruned where sidecars
-    *    exist) and, only when they might hold our keys, REWRITES the
-    *    pending batch anti-joined against them before committing —
-    *    restoring the serial order "them, then us" (their row wins,
-    *    ours drops). The rewrite goes to a fresh dir; the orphan is
+    *    the interleaved commits (Bloom-pruned where sidecars exist)
+    *    and, only when they might hold our keys, REWRITES the
+    *    pending batch anti-joined against the POSITION-SCOPED view
+    *    of the interleaved entries — tombstones applied, so a key
+    *    the interleave inserted and then deleted does NOT suppress
+    *    our insert (it does not exist at our commit time). Their
+    *    surviving row wins, ours drops: the serial order "them, then
+    *    us" per key. The rewrite goes to a fresh dir; the orphan is
     *    vacuum-reclaimed, committed data is never mutated.
+    *    Serializability scope, stated honestly: the guarantee is
+    *    PER KEY. One edge mixes orders across keys — an interleaved
+    *    DELETE of a key that existed in our start snapshot and that
+    *    our batch also carries: the snapshot-time anti-join already
+    *    dropped our row (the outcome of the serial order "us, then
+    *    them" for that key), and the dropped row is not recoverable
+    *    without re-executing the caller's plan, which this method
+    *    never does. Every per-key outcome still equals a legal
+    *    serial order of the two commits; no duplicates, no lost
+    *    interleaved rows.
     *
     * Batch dirs are written once against the snapshot; retries re-pay
     * only the KB-sized manifest commit (plus the insert-only conflict
@@ -599,18 +648,24 @@ object VersionedTable {
         else manifestEntries(path, next - 1)
       if (insertOnly && next != snapshot + 1) {
         // commits interleaved since the snapshot: their data batches
-        // may hold keys our snapshot-time anti-join could not see
-        val interleaved = prev.filterNot(snapDirs).filterNot(isTombstone)
+        // may hold keys our snapshot-time anti-join could not see.
+        // The entry SUBSEQUENCE (tombstones included, order kept) is
+        // what matters: a key the interleave inserted and then
+        // deleted is NOT an existing key at our commit time, so the
+        // rewrite anti-joins against the POSITION-SCOPED view of the
+        // interleaved entries, not their raw data dirs — our insert
+        // of such a key survives (spec-proven)
+        val interleavedEntries = prev.filterNot(snapDirs)
+        val interleavedData = interleavedEntries.filterNot(isTombstone)
           .map(dirOf)
-        if (interleaved.nonEmpty) {
+        if (interleavedData.nonEmpty) {
           val mine = spark.read.parquet(s"$path/data/$dataBatch")
-          val cand = bloomCandidateDirs(spark, path, interleaved, keyCol,
+          val cand = bloomCandidateDirs(spark, path, interleavedData, keyCol,
             mine.select(col(keyCol)))
-          if (cand.nonEmpty) {
-            val theirKeys = cand.toSeq
-              .map(dd => spark.read.parquet(s"$path/data/$dd")
-                .select(col(keyCol)))
-              .reduce(_ union _).distinct()
+          val theirAlive = viewOf(spark, path, interleavedEntries,
+            mergeSchema = true, e => cand.contains(dirOf(e)))
+          theirAlive.foreach { alive =>
+            val theirKeys = alive.select(col(keyCol)).distinct()
             val rewritten = s"b${next}_${newToken()}_m"
             mine.join(theirKeys, Seq(keyCol), "left_anti")
               .write.mode("overwrite").parquet(s"$path/data/$rewritten")
@@ -940,8 +995,8 @@ object VersionedTable {
   }
 
   /** Incremental read — the consumer primitive versioning exists for
-    * ("give me what's new since my checkpoint"), computed as a
-    * manifest set difference over KB-sized control files.
+    * ("give me what's new since my checkpoint"), computed from
+    * KB-sized control files only.
     *
     *   - `fromVersion = 0` is the INITIAL SNAPSHOT: the full view at
     *     `toVersion` (tombstones applied) — what a new consumer
@@ -954,19 +1009,34 @@ object VersionedTable {
     *   - deletes are not delivered (this feed carries appended rows
     *     only; consumers needing delete propagation use
     *     [[readChangeFeed]], which tags every change).
+    *
+    * The fresh set is collected by a PER-COMMIT walk over the range's
+    * manifests, exactly like [[readChangeFeed]] — NOT an endpoint set
+    * difference, which would silently lose any batch appended inside
+    * the range and folded away by a LATER in-range compaction
+    * (checkpoint v1, append v2, compact v3: the v2 batch is absent
+    * from v3's manifest but its rows were never delivered; the walk
+    * picks it up at v2 and the `=` flag keeps the compaction itself
+    * out — spec-proven, append-then-compact inside one consumer
+    * interval). The batch dirs themselves outlive their manifest
+    * presence until vacuum, so the read stays valid; consequently the
+    * feed range is bounded by manifest AND batch retention, the same
+    * contract as [[readChangeFeed]] — a vacuumed intermediate version
+    * fails loudly at the manifest read.
     */
   def readChanges(spark: SparkSession, path: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion > toVersion $toVersion")
     if (fromVersion == 0) return readAt(spark, path, toVersion)
-    val fromDirs = manifestEntries(path, fromVersion).map(dirOf).toSet
-    val fresh = manifestEntries(path, toVersion)
-      .filterNot(isTombstone)
-      .filterNot(isCompaction)
-      .map(dirOf)
-      .filterNot(fromDirs.contains)
-      .sorted
+    val fresh = (fromVersion + 1 to toVersion).flatMap { v =>
+      val prevDirs = manifestEntries(path, v - 1).map(dirOf).toSet
+      manifestEntries(path, v)
+        .filterNot(isTombstone)
+        .filterNot(isCompaction)
+        .map(dirOf)
+        .filterNot(prevDirs.contains)
+    }.distinct.sorted
     if (fresh.isEmpty)
       readAt(spark, path, toVersion).limit(0)
     else spark.read.parquet(fresh.map(b => s"$path/data/$b"): _*)
@@ -1038,42 +1108,113 @@ object VersionedTable {
     else changes.reduce(_ unionByName _)
   }
 
+  private val CheckpointRe = "_version\\.(\\d+)".r
+
+  /** The consumer position recorded in `checkpointDir`: the MAX over
+    * all `_version.<N>` marker files (plus a legacy `_version`
+    * content file, read for upgrade compatibility). Max-on-read makes
+    * any crash state safe: extra stale markers only ever UNDER-state
+    * the position by staying around, never erase it.
+    */
+  private def checkpointVersion(checkpointDir: String): Long = {
+    val (cfs, cp) = fs(checkpointDir)
+    if (!cfs.exists(cp)) return 0L
+    val marked = cfs.listStatus(cp).map(_.getPath.getName).collect {
+      case CheckpointRe(n) => n.toLong
+    }
+    val legacyFile = new Path(cp, "_version")
+    val legacy =
+      if (!cfs.exists(legacyFile)) None
+      else {
+        val in = cfs.open(legacyFile)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim.toLong)
+        finally in.close()
+      }
+    (marked ++ legacy).foldLeft(0L)(math.max)
+  }
+
   /** Checkpointed AvailableNow-style consumer: read the last-seen
     * version from `checkpointDir`, deliver `readChanges(last,
-    * latest)` to `f`, then atomically advance the checkpoint (temp +
-    * rename — the same commit discipline as the table itself).
-    * Returns the delivered (fromVersion, toVersion), or None when
-    * there is nothing new. A crash BEFORE the checkpoint rename
-    * replays the delivery (at-least-once — spec-proven); pair the
-    * sink with the [[append]] txn guard (e.g. txnId =
-    * s"consume-$toVersion") for end-to-end exactly-once.
+    * latest)` to `f`, then advance the checkpoint by creating a NEW
+    * versioned marker `_version.<latest>` (temp + rename to a fresh
+    * name) and only then best-effort deleting superseded markers.
+    * The position is the MAX over markers, so there is NO lost-state
+    * window: a crash at any point leaves the previous marker (or
+    * both) in place — the worst case is a replay of the same range
+    * (at-least-once), never a full-snapshot re-delivery from a
+    * vanished checkpoint (the delete-then-rename hazard this design
+    * replaces, spec-proven by injecting a delete-refusing
+    * filesystem). Returns the delivered (fromVersion, toVersion), or
+    * None when there is nothing new. Pair the sink with the
+    * [[append]] txn guard (e.g. txnId = s"consume-$toVersion") for
+    * end-to-end exactly-once.
     */
   def consumeChanges(spark: SparkSession, path: String,
       checkpointDir: String)(f: (DataFrame, Long, Long) => Unit): Option[(Long, Long)] = {
     val latest = latestVersion(path).getOrElse(return None)
     val (cfs, cp) = fs(checkpointDir)
-    val verFile = new Path(cp, "_version")
-    val last =
-      if (!cfs.exists(verFile)) 0L
-      else {
-        val in = cfs.open(verFile)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-        finally in.close()
-      }
+    val last = checkpointVersion(checkpointDir)
     if (latest <= last) return None
     f(readChanges(spark, path, last, latest), last, latest)
-    val tmp = new Path(cp, "_version.tmp")
+    val marker = new Path(cp, s"_version.$latest")
+    val tmp = new Path(cp, s"_version.$latest.tmp")
     val out = cfs.create(tmp, true)
     try out.write(latest.toString.getBytes("UTF-8"))
     finally out.close()
-    if (cfs.exists(verFile) && !cfs.delete(verFile, false))
+    if (!cfs.rename(tmp, marker) && !cfs.exists(marker))
       throw new java.io.IOException(
-        s"consumeChanges: could not replace checkpoint $verFile")
-    if (!cfs.rename(tmp, verFile))
-      throw new java.io.IOException(
-        s"consumeChanges: checkpoint rename $tmp -> $verFile failed; " +
+        s"consumeChanges: checkpoint rename $tmp -> $marker failed; " +
           "the delivery will replay (at-least-once)")
+    // superseded markers (and any legacy content file) are cleanup,
+    // not correctness: a refused delete leaves a LOWER marker behind,
+    // which max-on-read ignores
+    cfs.listStatus(cp).map(_.getPath).foreach { mp =>
+      val stale = mp.getName match {
+        case CheckpointRe(n) => n.toLong < latest
+        case "_version" => true
+        case _ => false
+      }
+      if (stale) { cfs.delete(mp, false); () }
+    }
     Some((last, latest))
+  }
+
+  /** Sum of parquet footer record counts over the visible data files
+    * of one batch dir — file metadata, zero data pages. Hidden-ness
+    * is judged ONLY on path segments BELOW the batch dir root (the
+    * manifest entry's dir), because clustered entries are themselves
+    * nested dirs named `__rb=N`/`__zb=N`: judging the FULL path would
+    * misread every file under them as hidden and silently count a
+    * populated bucket as zero. With `stopAtFirstRow` the walk stops
+    * as soon as any row is found (the emptiness probe).
+    */
+  private def footerRowCount(conf: org.apache.hadoop.conf.Configuration,
+      dirPath: String, stopAtFirstRow: Boolean = false): Long = {
+    val dir = new Path(dirPath)
+    val f = dir.getFileSystem(conf)
+    val rootPrefix = f.makeQualified(dir).toString.stripSuffix("/") + "/"
+    var total = 0L
+    val it = f.listFiles(dir, true)
+    while (it.hasNext && !(stopAtFirstRow && total > 0L)) {
+      val st = it.next()
+      val full = st.getPath.toString
+      // segments below the batch dir root only; a file listed under a
+      // different qualification than makeQualified produced would be a
+      // filesystem contract violation, so the strip is total here
+      val rel =
+        if (full.startsWith(rootPrefix)) full.substring(rootPrefix.length)
+        else full
+      val hidden = rel.split("/").exists(seg =>
+        seg.startsWith("_") || seg.startsWith("."))
+      if (st.isFile && full.endsWith(".parquet") && !hidden) {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(st.getPath, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try total += reader.getRecordCount finally reader.close()
+      }
+    }
+    total
   }
 
   /** Metadata-only COUNT(*): when `version`'s manifest carries no
@@ -1083,35 +1224,19 @@ object VersionedTable {
     * data pages (the q16 HEAD-probe discipline at table grain, the
     * instant `SELECT count(*)` Delta answers from add-file
     * numRecords). Hidden sidecars (`_bloom/`) are excluded exactly
-    * as data scans exclude them. With unabsorbed tombstones the true
-    * count needs the merge-on-read anti-join, so this returns None
-    * and the caller falls back to `readAt(...).count()` —
-    * correctness is never approximated.
+    * as data scans exclude them — judged below each batch dir root,
+    * so clustered `__rb=`/`__zb=` bucket dirs count correctly
+    * (spec-proven after compactByRange/compactByZOrder). With
+    * unabsorbed tombstones the true count needs the merge-on-read
+    * anti-join, so this returns None and the caller falls back to
+    * `readAt(...).count()` — correctness is never approximated.
     */
   def countAt(spark: SparkSession, path: String,
       version: Long): Option[Long] = {
     val entries = manifestEntries(path, version)
     if (entries.exists(isTombstone)) return None
     val conf = spark.sparkContext.hadoopConfiguration
-    var total = 0L
-    entries.map(dirOf).foreach { d =>
-      val dir = new Path(s"$path/data/$d")
-      val f = dir.getFileSystem(conf)
-      val it = f.listFiles(dir, true)
-      while (it.hasNext) {
-        val st = it.next()
-        val rel = st.getPath.toString
-        val hidden = rel.split("/").exists(seg =>
-          seg.startsWith("_") || seg.startsWith("."))
-        if (st.isFile && rel.endsWith(".parquet") && !hidden) {
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(st.getPath, conf)
-          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try total += reader.getRecordCount finally reader.close()
-        }
-      }
-    }
-    Some(total)
+    Some(entries.map(e => footerRowCount(conf, s"$path/data/${dirOf(e)}")).sum)
   }
 
   /** Metadata-only MIN/MAX: batch stats are EXACT aggregates of their
@@ -1133,23 +1258,12 @@ object VersionedTable {
       statsOf(e).get(column) match {
         case some @ Some(_) => some
         case None =>
-          // no stats: only an actually-EMPTY batch is ignorable
-          var n = 0L
-          val dir = new Path(s"$path/data/${dirOf(e)}")
-          val f = dir.getFileSystem(conf)
-          val it = f.listFiles(dir, true)
-          while (it.hasNext && n == 0L) {
-            val st = it.next()
-            val rel = st.getPath.toString
-            val hidden = rel.split("/").exists(seg =>
-              seg.startsWith("_") || seg.startsWith("."))
-            if (st.isFile && rel.endsWith(".parquet") && !hidden) {
-              val in = org.apache.parquet.hadoop.util.HadoopInputFile
-                .fromPath(st.getPath, conf)
-              val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-              try n += reader.getRecordCount finally reader.close()
-            }
-          }
+          // no stats: only an actually-EMPTY batch is ignorable — the
+          // emptiness probe shares footerRowCount's below-the-root
+          // hidden-ness rule, so a populated clustered bucket
+          // (`__rb=`/`__zb=` dir) is never misread as empty
+          val n = footerRowCount(conf, s"$path/data/${dirOf(e)}",
+            stopAtFirstRow = true)
           if (n == 0L) None else return None // non-empty without stats
       }
     }
