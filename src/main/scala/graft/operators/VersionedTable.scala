@@ -168,11 +168,15 @@ object VersionedTable {
     * guard, so a replayed micro-batch can never double-publish even
     * if other commits interleaved before the replay.
     *
-    * `statsCols` (LONG-typed columns) records per-batch min/max on
-    * the manifest entry — the data-skipping stats [[readAtPruned]]
-    * prunes with. Cost: one column-pruned aggregate over the
-    * just-written batch (footer-friendly); entries carry their stats
-    * forward verbatim through every later commit.
+    * `statsCols` records TYPED per-batch min/max on the manifest
+    * entry — long stats for integral columns (the legacy grammar,
+    * unchanged on disk), and `@`-tagged typed stats for date /
+    * timestamp / string / decimal / double columns (see
+    * [[statsSuffix]]) — the data-skipping stats [[readAtPruned]]
+    * (longs) and the [[readAtAuto]] optimizer rule (all types) prune
+    * with. Cost: one column-pruned aggregate over the just-written
+    * batch (footer-friendly); entries carry their stats forward
+    * verbatim through every later commit.
     *
     * A version conflict (another writer committed first) fails
     * loudly; [[appendWithRetry]] is the optimistic-concurrency
@@ -236,6 +240,43 @@ object VersionedTable {
     -1L // unreachable
   }
 
+  /** Longest string prefix recorded as a stats bound — the Delta
+    * truncated-stats convention: a KB-sized manifest must not carry
+    * arbitrarily long document keys. A truncated MIN prefix is still
+    * a valid lower bound (a prefix orders <= every extension in
+    * binary order); a truncated MAX cannot claim an upper bound, so
+    * it is recorded as unbounded (`*`) — strictly conservative.
+    */
+  private val StringStatsPrefixChars = 64
+
+  private def hexEncode(s: String): String =
+    "x" + s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+
+  /** TYPED per-batch min/max manifest stats, one column-pruned agg
+    * pass over the written batch (footer-friendly). Encoding by the
+    * column's NATIVE type — the grammar stays `;`-segmented with `:`
+    * fields, values never contain either character:
+    *
+    *   - integral (byte/short/int/long): the legacy 3-field
+    *     `col:<lo>:<hi>` longs — unchanged on disk, so every
+    *     pre-round-12 manifest reads back identically;
+    *   - DateType:       `col:@d:<epochDayLo>:<epochDayHi>`;
+    *   - TimestampType:  `col:@t:<microsLo>:<microsHi>`;
+    *   - StringType:     `col:@s:x<hexLo>:x<hexHi>` — UTF-8 hex of a
+    *     <=64-char prefix; a truncated max becomes `*` (no upper
+    *     claim); min/max follow Spark's binary UTF8 ordering;
+    *   - DecimalType:    `col:@m:<plain>:<plain>` (BigDecimal plain
+    *     strings — exact);
+    *   - Double/Float:   `col:@f:<repr>:<repr>` (shortest
+    *     round-trip repr; NaN ordered greatest, as Spark orders it).
+    *
+    * Any other type records nothing (no stats = no claim — the
+    * conservative default every pruning path already honors). This
+    * is what makes a plain `.filter($"o_date" >= lit(d))` on a
+    * date-typed column prune batch dirs through
+    * [[graft.plans.VersionedStatsPruning]] — THE 100 TB predicate —
+    * instead of requiring the caller to pre-encode epoch longs.
+    */
   private def statsSuffix(spark: SparkSession, batchDir: String,
       statsCols: Seq[String]): String =
     if (statsCols.isEmpty) ""
@@ -244,15 +285,67 @@ object VersionedTable {
         require(!c.exists(";:".contains(_)),
           s"stats column name $c would corrupt the manifest grammar")
       }
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.functions.{min, max, datediff, unix_micros}
       val batch = spark.read.parquet(batchDir)
-      val aggs = statsCols.flatMap(c => Seq(
-        org.apache.spark.sql.functions.min(col(c)).cast("long"),
-        org.apache.spark.sql.functions.max(col(c)).cast("long")))
+      val typeOf = batch.schema.map(f => f.name -> f.dataType).toMap
+      val aggs = statsCols.flatMap { c =>
+        typeOf.get(c) match {
+          case Some(ByteType | ShortType | IntegerType | LongType) =>
+            Seq(min(col(c)).cast("long"), max(col(c)).cast("long"))
+          case Some(DateType) =>
+            Seq(datediff(min(col(c)), lit("1970-01-01")).cast("long"),
+              datediff(max(col(c)), lit("1970-01-01")).cast("long"))
+          case Some(TimestampType) =>
+            Seq(unix_micros(min(col(c))), unix_micros(max(col(c))))
+          case Some(StringType | _: DecimalType | DoubleType | FloatType) =>
+            Seq(min(col(c)), max(col(c)))
+          case _ => Seq.empty // unsupported/absent: no claim
+        }
+      }
+      if (aggs.isEmpty) return ""
       val row = batch.agg(aggs.head, aggs.tail: _*).head()
-      statsCols.zipWithIndex.flatMap { case (c, i) =>
-        // an empty batch (or all-null column) makes no claim
-        if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) None
-        else Some(s";$c:${row.getLong(2 * i)}:${row.getLong(2 * i + 1)}")
+      var i = 0
+      statsCols.flatMap { c =>
+        typeOf.get(c) match {
+          case Some(dt @ (ByteType | ShortType | IntegerType | LongType |
+              DateType | TimestampType)) =>
+            val (lo, hi) = (i, i + 1); i += 2
+            if (row.isNullAt(lo) || row.isNullAt(hi)) None
+            else {
+              val tag = dt match {
+                case DateType => "@d:"
+                case TimestampType => "@t:"
+                case _ => ""
+              }
+              Some(s";$c:$tag${row.getLong(lo)}:${row.getLong(hi)}")
+            }
+          case Some(StringType) =>
+            val (lo, hi) = (i, i + 1); i += 2
+            if (row.isNullAt(lo) || row.isNullAt(hi)) None
+            else {
+              val mn = row.getString(lo); val mx = row.getString(hi)
+              val mnEnc = hexEncode(mn.take(StringStatsPrefixChars))
+              val mxEnc =
+                if (mx.length <= StringStatsPrefixChars) hexEncode(mx)
+                else "*"
+              Some(s";$c:@s:$mnEnc:$mxEnc")
+            }
+          case Some(_: DecimalType) =>
+            val (lo, hi) = (i, i + 1); i += 2
+            if (row.isNullAt(lo) || row.isNullAt(hi)) None
+            else Some(s";$c:@m:${row.getDecimal(lo).toPlainString}" +
+              s":${row.getDecimal(hi).toPlainString}")
+          case Some(DoubleType | FloatType) =>
+            val (lo, hi) = (i, i + 1); i += 2
+            val get = (j: Int) => row.get(j) match {
+              case d: java.lang.Double => d.doubleValue
+              case f: java.lang.Float => f.doubleValue
+            }
+            if (row.isNullAt(lo) || row.isNullAt(hi)) None
+            else Some(s";$c:@f:${get(lo)}:${get(hi)}")
+          case _ => None
+        }
       }.mkString
     }
 
@@ -857,6 +950,28 @@ object VersionedTable {
     * filtering on the column drop nulls anyway, and full reads see
     * every bucket).
     */
+  /** A clustering column lifted into a quantile-able numeric shadow:
+    * identity for numerics, epoch days for dates, epoch micros for
+    * timestamps. Strings refuse loudly — there is no numeric rank
+    * space to quantile them into (their TYPED prefix stats still
+    * skip on plain appends; clustering them needs a sampled-boundary
+    * pass this engine does not claim).
+    */
+  private def numericShadow(df: DataFrame, c: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    df.schema.find(_.name == c).map(_.dataType) match {
+      case Some(DateType) =>
+        org.apache.spark.sql.functions
+          .datediff(col(c), lit("1970-01-01")).cast("long")
+      case Some(TimestampType) =>
+        org.apache.spark.sql.functions.unix_micros(col(c))
+      case Some(StringType) => throw new IllegalArgumentException(
+        s"clustering on string column $c is not supported: no numeric " +
+          "rank space to quantile (typed prefix stats still skip appends)")
+      case _ => col(c)
+    }
+  }
+
   def compactByRange(spark: SparkSession, path: String, rangeCol: String,
       nBuckets: Int, bloomCols: Seq[String] = Nil): Long = {
     require(nBuckets >= 1, "need at least one bucket")
@@ -864,20 +979,24 @@ object VersionedTable {
       throw new IllegalArgumentException(s"nothing to compact at $path"))
     val next = v + 1
     val parent = s"b${next}_${newToken()}"
-    val content = readAt(spark, path, v)
+    val base = readAt(spark, path, v)
+    // typed columns (date/timestamp) bucket through their numeric
+    // shadow; stats per bucket are re-recorded TYPED by statsSuffix,
+    // so the clustered layout prunes from date literals directly
+    val content = base.withColumn("__rc", numericShadow(base, rangeCol))
     // exact quantile boundaries (relativeError 0), so bucketing is
     // deterministic; ties collapse into the lower bucket
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     val bounds =
       if (nBuckets == 1) Array.empty[Double]
-      else content.stat.approxQuantile(rangeCol, probs, 0.0)
+      else content.stat.approxQuantile("__rc", probs, 0.0)
     val bucketExpr = bounds.zipWithIndex.foldRight(
       org.apache.spark.sql.functions.lit(nBuckets - 1)) {
       case ((b, i), acc) =>
         org.apache.spark.sql.functions
-          .when(col(rangeCol) <= b || col(rangeCol).isNull, i).otherwise(acc)
+          .when(col("__rc") <= b || col("__rc").isNull, i).otherwise(acc)
     }
-    content.withColumn("__rb", bucketExpr)
+    content.withColumn("__rb", bucketExpr).drop("__rc")
       .repartition(col("__rb"))
       .write.mode("overwrite").partitionBy("__rb")
       .parquet(s"$path/data/$parent")
@@ -897,7 +1016,7 @@ object VersionedTable {
     val entries =
       if (bucketEntries.nonEmpty) bucketEntries
       else {
-        content.limit(0).write.mode("overwrite")
+        base.limit(0).write.mode("overwrite")
           .parquet(s"$path/data/${parent}_empty")
         Seq(s"=${parent}_empty")
       }
@@ -934,30 +1053,56 @@ object VersionedTable {
     */
   def compactByZOrder(spark: SparkSession, path: String,
       xCol: String, yCol: String, nBuckets: Int, bits: Int = 4,
+      bloomCols: Seq[String] = Nil): Long =
+    compactByZOrderN(spark, path, Seq(xCol, yCol), nBuckets, bits, bloomCols)
+
+  /** N-DIMENSIONAL clustering compaction — [[compactByZOrder]]
+    * generalized to any number of columns via the round-robin Morton
+    * interleave ([[graft.operators.ZOrder.mortonCodeN]]; bit-identical
+    * to the 2-D code for n = 2, so the 2-D oracle is unchanged) and
+    * to TYPED columns via the numeric shadow (a date x key x region
+    * layout prunes on ANY of the three from plain typed literals —
+    * the q282 measured-asymmetry discipline, n-wide). Each column
+    * maps to its 2^bits exact-quantile rank cell; `bits * n` is
+    * capped at 62 so the interleaved code fits a long. Every bucket
+    * entry carries tight TYPED stats for ALL n columns. The n-D
+    * trade is the classic one: per-dimension skipping weakens as n
+    * grows (~(1/nBuckets)^(1/n) of the data per single-column
+    * slice), which is why the cap is a design choice, not a limit to
+    * engineer away.
+    */
+  def compactByZOrderN(spark: SparkSession, path: String,
+      cols: Seq[String], nBuckets: Int, bits: Int = 4,
       bloomCols: Seq[String] = Nil): Long = {
     require(nBuckets >= 1, "need at least one bucket")
-    require(bits >= 1 && bits <= 16, "bits must be in [1, 16]")
+    require(cols.size >= 2, "z-order needs at least two columns")
+    require(bits >= 1 && bits * cols.size <= 62,
+      s"bits * dims must fit a long: got $bits * ${cols.size}")
     val v = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"nothing to compact at $path"))
     val next = v + 1
     val parent = s"b${next}_${newToken()}"
     val content = readAt(spark, path, v)
     val cells = 1 << bits
-    // rank-space grid: exact-quantile cell boundaries per column
+    // rank-space grid: exact-quantile cell boundaries per column,
+    // computed over the column's numeric shadow (typed columns
+    // quantile as epoch days/micros; identity for numerics)
     def cellExpr(c: String): org.apache.spark.sql.Column = {
+      val shadowed = content.withColumn("__sc", numericShadow(content, c))
       val probs = (1 until cells).map(_.toDouble / cells).toArray
       val bounds =
         if (cells == 1) Array.empty[Double]
-        else content.stat.approxQuantile(c, probs, 0.0)
+        else shadowed.stat.approxQuantile("__sc", probs, 0.0)
+      val sc = numericShadow(content, c)
       bounds.zipWithIndex.foldRight(
         org.apache.spark.sql.functions.lit((cells - 1).toLong)) {
         case ((b, i), acc) =>
           org.apache.spark.sql.functions
-            .when(col(c) <= b || col(c).isNull, i.toLong).otherwise(acc)
+            .when(sc <= b || sc.isNull, i.toLong).otherwise(acc)
       }
     }
     val coded = content.withColumn("__z",
-      ZOrder.mortonCode(cellExpr(xCol), cellExpr(yCol), bits))
+      ZOrder.mortonCodeN(cols.map(cellExpr), bits))
     // z cells -> nBuckets contiguous commit ranges, again by exact
     // quantile so buckets are row-balanced regardless of occupancy
     val zprobs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
@@ -980,7 +1125,7 @@ object VersionedTable {
       else {
         writeBloomSidecar(spark, s"$path/data/$dir", bloomCols)
         Some("=" + dir +
-          statsSuffix(spark, s"$path/data/$dir", Seq(xCol, yCol)))
+          statsSuffix(spark, s"$path/data/$dir", cols))
       }
     }
     val entries =

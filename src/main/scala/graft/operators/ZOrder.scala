@@ -25,6 +25,23 @@ object ZOrder {
         shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1)
     }.reduce(_ + _)
 
+  /** N-dimensional Morton code — the 2-D interleave generalized: bit
+    * b of dimension i lands at position `b*n + i` (round-robin), so
+    * for n = 2 this is bit-identical to [[mortonCode]]. Terms occupy
+    * disjoint positions; summing equals OR-ing. `bits * n` must fit a
+    * long (enforced by callers; [[VersionedTable.compactByZOrderN]]
+    * requires `bits * n <= 62`).
+    */
+  def mortonCodeN(cols: Seq[Column], bits: Int): Column = {
+    require(cols.nonEmpty, "mortonCodeN needs at least one dimension")
+    val n = cols.size
+    cols.zipWithIndex.map { case (c, i) =>
+      (0 until bits).map { b =>
+        shiftleft(shiftright(c, b).bitwiseAND(lit(1L)), b * n + i)
+      }.reduce(_ + _)
+    }.reduce(_ + _)
+  }
+
   /** The DuckDB expression for the same code (oracle mirror). */
   def mortonSql(x: String, y: String, bits: Int): String =
     (0 until bits).map { b =>

@@ -44,10 +44,15 @@ import org.apache.spark.sql.execution.datasources.{FileStatusCache, HadoopFsRela
   *
   * Strictly conservative, like all zone-map pruning:
   *  - only deterministic conjuncts of shape `col <op> literal` /
-  *    `literal <op> col` (op in =, <, <=, >, >=) on integral columns
-  *    contribute — matching exactly what `statsSuffix` records
-  *    (long-cast min/max); strict bounds are widened to inclusive, so
-  *    a kept batch may still hold no matching rows;
+  *    `literal <op> col` (op in =, <, <=, >, >=) contribute, and only
+  *    in the TYPED domains `statsSuffix` records — integral longs,
+  *    date epoch-days, timestamp micros, string UTF-8 prefixes
+  *    (truncated maxes claim no upper bound), exact decimals, and
+  *    doubles (NaN greatest, Spark's own order) — so a date-range
+  *    WHERE on a date-typed column prunes without the caller
+  *    pre-encoding epoch longs; stats in a different domain than the
+  *    literal make no claim; strict bounds are widened to inclusive,
+  *    so a kept batch may still hold no matching rows;
   *  - a batch with no recorded stats for a constrained column is
   *    never pruned (no stats = no claim — the `readAtPruned`
   *    superset contract);
@@ -62,7 +67,11 @@ import org.apache.spark.sql.execution.datasources.{FileStatusCache, HadoopFsRela
   */
 object VersionedStatsPruning extends Rule[LogicalPlan] {
 
-  /** Read option carrying `dir;col:min:max[;col:min:max...]` lines. */
+  /** Read option carrying `dir;col:min:max[;col:@<tag>:min:max...]`
+    * lines — the manifest entries' stats suffixes verbatim (legacy
+    * integral longs plus the round-12 typed grammar; see
+    * `VersionedTable.statsSuffix`).
+    */
   val StatsOption = "graft.stats"
 
   /** Marker option: this scan has already been pruned. */
@@ -74,22 +83,95 @@ object VersionedStatsPruning extends Rule[LogicalPlan] {
       if (stats.isEmpty) dir else s"$dir$stats"
     }.mkString("\n")
 
-  private def decode(s: String): Seq[(String, Map[String, (Long, Long)])] =
-    s.split("\n").toSeq.filter(_.nonEmpty).map { line =>
-      val parts = line.split(";")
-      val stats = parts.drop(1).flatMap(_.split(":") match {
-        case Array(c, lo, hi) => Some(c -> (lo.toLong, hi.toLong))
-        case _ => None
-      }).toMap
-      parts.head -> stats
+  /** One column's recorded batch envelope in its TYPED domain. Tags:
+    * 'l' integral long, 'd' date epoch-days, 't' timestamp micros,
+    * 's' UTF-8 string bytes, 'm' decimal, 'f' double. `hi = None`
+    * means the recorded max claims no upper bound (a truncated
+    * string-prefix max — `*` on disk).
+    */
+  private[plans] final case class Env(tag: Char, lo: Any, hi: Option[Any])
+
+  /** Same-tag value comparison in each domain's TRUE order: longs for
+    * l/d/t, unsigned-lexicographic bytes for strings (Spark's UTF8
+    * binary order — the order min/max were computed under), exact
+    * BigDecimal for decimals, and Double.compare for doubles (NaN
+    * greatest, exactly how Spark orders and compares NaN).
+    */
+  private def cmp(tag: Char, a: Any, b: Any): Int = tag match {
+    case 's' =>
+      val x = a.asInstanceOf[Array[Byte]]; val y = b.asInstanceOf[Array[Byte]]
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      x.length - y.length
+    case 'm' => a.asInstanceOf[java.math.BigDecimal]
+      .compareTo(b.asInstanceOf[java.math.BigDecimal])
+    case 'f' => java.lang.Double.compare(
+      a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case _ => java.lang.Long.compare(
+      a.asInstanceOf[Long], b.asInstanceOf[Long])
+  }
+
+  private def hexDecode(s: String): Array[Byte] =
+    s.stripPrefix("x").grouped(2)
+      .map(h => Integer.parseInt(h, 16).toByte).toArray
+
+  private def decodeVal(tag: Char, s: String): Any = tag match {
+    case 's' => hexDecode(s)
+    case 'm' => new java.math.BigDecimal(s)
+    case 'f' => s.toDouble
+    case _ => s.toLong
+  }
+
+  /** Parse one stats segment (after the leading dir field):
+    * `col:lo:hi` (legacy integral) or `col:@<tag>:lo:hi`.
+    */
+  private def parseSeg(seg: String): Option[(String, Env)] =
+    seg.split(":", -1) match {
+      case Array(c, lo, hi) =>
+        scala.util.Try(Env('l', lo.toLong, Some(hi.toLong)))
+          .toOption.map(c -> _)
+      case Array(c, t, lo, hi) if t.length == 2 && t.charAt(0) == '@' =>
+        val tag = t.charAt(1)
+        scala.util.Try {
+          Env(tag, decodeVal(tag, lo),
+            if (hi == "*") None else Some(decodeVal(tag, hi)))
+        }.toOption.map(c -> _)
+      case _ => None
     }
 
-  private def litLong(l: Literal): Option[Long] = l.value match {
-    case v: java.lang.Long => Some(v.longValue)
-    case v: java.lang.Integer => Some(v.longValue)
-    case v: java.lang.Short => Some(v.longValue)
-    case v: java.lang.Byte => Some(v.longValue)
-    case _ => None
+  private def decode(s: String): Seq[(String, Map[String, Env])] =
+    s.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      val parts = line.split(";")
+      parts.head -> parts.drop(1).flatMap(parseSeg).toMap
+    }
+
+  /** A literal mapped into its stats domain: the tag its value must
+    * be compared under, plus the comparable representative. Only
+    * types `statsSuffix` records are claimed; anything else (binary,
+    * intervals, ntz timestamps, ...) contributes no bound.
+    */
+  private def litTagged(l: Literal): Option[(Char, Any)] = {
+    import org.apache.spark.sql.types._
+    if (l.value == null) return None
+    l.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(('l', l.value.asInstanceOf[Number].longValue))
+      case DateType => Some(('d', l.value.asInstanceOf[Int].toLong))
+      case TimestampType => Some(('t', l.value.asInstanceOf[Long]))
+      case StringType => Some(('s',
+        l.value.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+          .getBytes))
+      case _: DecimalType => Some(('m',
+        l.value.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .toJavaBigDecimal))
+      case DoubleType => Some(('f', l.value.asInstanceOf[Double]))
+      case FloatType => Some(('f', l.value.asInstanceOf[Float].toDouble))
+      case _ => None
+    }
   }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -97,47 +179,94 @@ object VersionedStatsPruning extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  /** Per-column required [lo, hi] interval implied by the condition's
+  /** Per-column required TYPED interval implied by the condition's
     * usable top-level conjuncts (intersection when a column appears
     * more than once). Strict comparisons widen to inclusive —
-    * conservative in the keep direction.
+    * conservative in the keep direction. A column constrained under
+    * MIXED tags (possible only through odd casts) drops all its
+    * claims — keep-everything is always sound.
     */
-  private[plans] def intervals(cond: Expression): Map[String, (Long, Long)] = {
-    val bounds = conjuncts(cond).filter(_.deterministic).flatMap {
-      case EqualTo(a: AttributeReference, l: Literal) =>
-        litLong(l).map(v => (a.name, v, v))
-      case EqualTo(l: Literal, a: AttributeReference) =>
-        litLong(l).map(v => (a.name, v, v))
-      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
-        litLong(l).map(v => (a.name, v, Long.MaxValue))
-      case GreaterThan(a: AttributeReference, l: Literal) =>
-        litLong(l).map(v => (a.name, v, Long.MaxValue))
-      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
-        litLong(l).map(v => (a.name, Long.MinValue, v))
-      case LessThan(a: AttributeReference, l: Literal) =>
-        litLong(l).map(v => (a.name, Long.MinValue, v))
-      // IN-list: the required interval is the values' envelope —
-      // conservative (a batch covering the envelope may hold none of
-      // the listed values), which is all zone maps can say
-      case In(a: AttributeReference, vs) if vs.nonEmpty &&
-          vs.forall(_.isInstanceOf[Literal]) =>
-        val longs = vs.map(v => litLong(v.asInstanceOf[Literal]))
-        if (longs.exists(_.isEmpty)) None
-        else Some((a.name, longs.flatten.min, longs.flatten.max))
-      // mirrored literal-first forms
-      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
-        litLong(l).map(v => (a.name, Long.MinValue, v))
-      case GreaterThan(l: Literal, a: AttributeReference) =>
-        litLong(l).map(v => (a.name, Long.MinValue, v))
-      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
-        litLong(l).map(v => (a.name, v, Long.MaxValue))
-      case LessThan(l: Literal, a: AttributeReference) =>
-        litLong(l).map(v => (a.name, v, Long.MaxValue))
-      case _ => None
+  private[plans] def intervals(
+      cond: Expression): Map[String, (Char, Option[Any], Option[Any])] = {
+    val bounds: Seq[(String, Char, Option[Any], Option[Any])] =
+      conjuncts(cond).filter(_.deterministic).flatMap {
+        case EqualTo(a: AttributeReference, l: Literal) =>
+          litTagged(l).map { case (t, v) => (a.name, t, Some(v), Some(v)) }
+        case EqualTo(l: Literal, a: AttributeReference) =>
+          litTagged(l).map { case (t, v) => (a.name, t, Some(v), Some(v)) }
+        case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+          litTagged(l).map { case (t, v) => (a.name, t, Some(v), None) }
+        case GreaterThan(a: AttributeReference, l: Literal) =>
+          litTagged(l).map { case (t, v) => (a.name, t, Some(v), None) }
+        case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+          litTagged(l).map { case (t, v) => (a.name, t, None, Some(v)) }
+        case LessThan(a: AttributeReference, l: Literal) =>
+          litTagged(l).map { case (t, v) => (a.name, t, None, Some(v)) }
+        // IN-list: the required interval is the values' envelope —
+        // conservative (a batch covering the envelope may hold none of
+        // the listed values), which is all zone maps can say
+        case In(a: AttributeReference, vs) if vs.nonEmpty &&
+            vs.forall(_.isInstanceOf[Literal]) =>
+          val tagged = vs.map(v => litTagged(v.asInstanceOf[Literal]))
+          if (tagged.exists(_.isEmpty)) None
+          else {
+            val ts = tagged.flatten
+            val tags = ts.map(_._1).distinct
+            if (tags.size != 1) None
+            else {
+              val t = tags.head
+              val values = ts.map(_._2)
+              Some((a.name, t,
+                Some(values.reduce((x, y) => if (cmp(t, x, y) <= 0) x else y)),
+                Some(values.reduce((x, y) => if (cmp(t, x, y) >= 0) x else y))))
+            }
+          }
+        // mirrored literal-first forms
+        case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+          litTagged(l).map { case (t, v) => (a.name, t, None, Some(v)) }
+        case GreaterThan(l: Literal, a: AttributeReference) =>
+          litTagged(l).map { case (t, v) => (a.name, t, None, Some(v)) }
+        case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+          litTagged(l).map { case (t, v) => (a.name, t, Some(v), None) }
+        case LessThan(l: Literal, a: AttributeReference) =>
+          litTagged(l).map { case (t, v) => (a.name, t, Some(v), None) }
+        case _ => None
+      }
+    bounds.groupBy(_._1).flatMap { case (c, bs) =>
+      val tags = bs.map(_._2).distinct
+      if (tags.size != 1) None // mixed domains: no claim
+      else {
+        val t = tags.head
+        val los = bs.flatMap(_._3)
+        val his = bs.flatMap(_._4)
+        val lo = los.reduceOption((x, y) => if (cmp(t, x, y) >= 0) x else y)
+        val hi = his.reduceOption((x, y) => if (cmp(t, x, y) <= 0) x else y)
+        Some(c -> (t, lo, hi))
+      }
     }
-    bounds.groupBy(_._1).map { case (c, bs) =>
-      c -> (bs.map(_._2).max, bs.map(_._3).min)
-    }
+  }
+
+  /** Does a batch whose recorded envelope is `env` possibly hold a
+    * row inside the required interval? No stats, a different domain
+    * tag, or an unbounded side always answers yes — the superset
+    * contract. A truncated string-prefix min still prunes soundly:
+    * the prefix orders <= the true min, so `prefix > hi` proves
+    * `min > hi`.
+    */
+  private def envAdmits(env: Option[Env], tag: Char,
+      lo: Option[Any], hi: Option[Any]): Boolean = env match {
+    case None => true
+    case Some(Env(stag, _, _)) if stag != tag => true
+    case Some(Env(_, smn, smx)) =>
+      val upperOk = (lo, smx) match {
+        case (Some(l), Some(mx)) => cmp(tag, mx, l) >= 0
+        case _ => true
+      }
+      val lowerOk = hi match {
+        case Some(h) => cmp(tag, smn, h) <= 0
+        case None => true
+      }
+      upperOk && lowerOk
   }
 
   /** Literal point-set conjuncts — `col = v` and `col IN (v...)` —
@@ -225,8 +354,8 @@ object VersionedStatsPruning extends Rule[LogicalPlan] {
             val statsKept = roots.filter { r =>
               val rs = r.toString
               dirStats.find { case (dir, _) => rs.endsWith("/" + dir) } match {
-                case Some((_, stats)) => req.forall { case (c, (lo, hi)) =>
-                  stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+                case Some((_, stats)) => req.forall { case (c, (tag, lo, hi)) =>
+                  envAdmits(stats.get(c), tag, lo, hi)
                 }
                 case None => true // dir not in the map: no claim, keep
               }

@@ -1419,7 +1419,177 @@ object SourceQueries extends QueryRegistry {
       SELECT 4, 10, 'commits'
     """.trim))
 
+  /** TYPED date skipping — the round-12 completion of q281, closing
+    * the #1 real-user gap: before typed stats, a date-range filter
+    * pruned nothing unless the caller pre-encoded epoch longs (every
+    * skipping query through q290 filtered on a hand-built `o_date_s`
+    * long). Here the table commits three date-split batches with
+    * stats on a real DateType column (`@d` epoch-day entries on the
+    * manifest), and the query is the predicate a user actually
+    * writes: a plain `.filter` with DATE literals on the date
+    * column, auto-pruned by VersionedStatsPruning's typed envelope
+    * compare (VersionedTypedStatsSpec proves via the optimized
+    * plan's root paths that only the matching batch opens; the
+    * oracle proves pruning never changed a row). At 100 TB with
+    * date-keyed commits, THE predicate — a one-month WHERE on a date
+    * column — now confines the scan to one month's batch dirs with
+    * no API beyond the filter.
+    */
+  val q291 = GraftQuery(
+    "q291_versioned_typed_date_skipping",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val path = "/tmp/graft_q291_vt_date_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      if (!VersionedTable.latestVersion(path).exists(_ >= 3L)) {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (f.exists(p)) f.delete(p, true)
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("total_c"),
+          col("o_orderdate").cast("date").as("o_date"))
+        val c95 = lit("1995-01-01").cast("date")
+        val c97 = lit("1997-01-01").cast("date")
+        VersionedTable.append(o.filter(col("o_date") < c95), path,
+          statsCols = Seq("o_date"))
+        VersionedTable.append(
+          o.filter(col("o_date") >= c95 && col("o_date") < c97), path,
+          statsCols = Seq("o_date"))
+        VersionedTable.append(o.filter(col("o_date") >= c97), path,
+          statsCols = Seq("o_date"))
+      }
+      VersionedTable.readAtAuto(s, path, version = 3L)
+        .filter(col("o_date") >= lit(java.sql.Date.valueOf("1995-07-01")) &&
+          col("o_date") < lit(java.sql.Date.valueOf("1996-01-01")))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("total_c")).as("total_c"))
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1995-07-01'
+        AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+      GROUP BY 1
+    """.trim))
+
+  /** N-DIMENSIONAL typed z-order — q282's two-column layout extended
+    * to the three-axis case a real lakehouse runs (date x customer x
+    * order key) with the date axis a REAL DateType column: the
+    * round-robin Morton interleave (`compactByZOrderN`, bit-identical
+    * to the 2-D code for n=2) buckets all three rank grids, every
+    * bucket's manifest entry carries tight TYPED stats for all three
+    * columns, and three independent plain-filter slices — a DATE
+    * range, a customer range, a key range — each auto-prune to a
+    * strict subset of buckets (VersionedTypedStatsSpec measures the
+    * subsets; the n-D trade of weaker per-axis skipping is stated on
+    * compactByZOrderN's contract). Maintenance never changes
+    * content: the oracle recomputes all three slices from the base
+    * table.
+    */
+  val q292 = GraftQuery(
+    "q292_versioned_zorder3_typed",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val path = "/tmp/graft_q292_vt_z3_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      if (!VersionedTable.latestVersion(path).exists(_ >= 3L)) {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (f.exists(p)) f.delete(p, true)
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("total_c"),
+          col("o_orderdate").cast("date").as("o_date"))
+        // arrival order, no stats: pre-maintenance nothing prunes
+        VersionedTable.append(o.filter(col("o_orderkey") % 2 === 0), path)
+        VersionedTable.append(o.filter(col("o_orderkey") % 2 === 1), path)
+        VersionedTable.compactByZOrderN(s, path,
+          Seq("o_date", "o_custkey", "o_orderkey"), nBuckets = 16, bits = 4)
+      }
+      val t = VersionedTable.readAtAuto(s, path, version = 3L)
+      val byDate = t.filter(
+        col("o_date") >= lit(java.sql.Date.valueOf("1995-07-01")) &&
+          col("o_date") < lit(java.sql.Date.valueOf("1996-01-01")))
+        .agg(count(lit(1)).as("n_orders"), sum(col("total_c")).as("total_c"))
+        .withColumn("slice", lit("by_date"))
+      val byCust = t.filter(col("o_custkey") <= 40)
+        .agg(count(lit(1)).as("n_orders"), sum(col("total_c")).as("total_c"))
+        .withColumn("slice", lit("by_cust"))
+      val byKey = t.filter(col("o_orderkey") > 55000)
+        .agg(count(lit(1)).as("n_orders"), sum(col("total_c")).as("total_c"))
+        .withColumn("slice", lit("by_key"))
+      byDate.unionByName(byCust).unionByName(byKey)
+    },
+    Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c,
+             'by_date' AS slice
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1995-07-01'
+        AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+      UNION ALL
+      SELECT CAST(count(*) AS BIGINT),
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+             'by_cust'
+      FROM orders WHERE o_custkey <= 40
+      UNION ALL
+      SELECT CAST(count(*) AS BIGINT),
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+             'by_key'
+      FROM orders WHERE o_orderkey > 55000
+    """.trim))
+
+  /** STRING-PREFIX skipping — the typed-stats family's third domain:
+    * documents commit in three language-split batches with stats on
+    * the `lang` string column (`@s` UTF-8 hex prefixes on the
+    * manifest; maxes longer than 64 chars record `*` = no upper
+    * claim, proven in VersionedTypedStatsSpec). An equality filter
+    * (`lang = 'en'`) and a range filter (`lang >= 'p'`) each open
+    * only the intersecting batches — Delta's truncated string stats,
+    * at manifest grain. The oracle recomputes both slices from the
+    * immutable documents table: over-pruning (a lost row) or a
+    * misordered prefix compare breaks the hash. String min/max
+    * follow Spark's binary UTF8 ordering on both build and probe
+    * sides, so non-ASCII keys cannot drift between them.
+    */
+  val q293 = GraftQuery(
+    "q293_versioned_string_skipping",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val path = "/tmp/graft_q293_vt_str_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      if (!VersionedTable.latestVersion(path).exists(_ >= 3L)) {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (f.exists(p)) f.delete(p, true)
+        val doc = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        VersionedTable.append(doc.filter(col("lang") < "f"), path,
+          statsCols = Seq("lang"))
+        VersionedTable.append(
+          doc.filter(col("lang") >= "f" && col("lang") < "p"), path,
+          statsCols = Seq("lang"))
+        VersionedTable.append(doc.filter(col("lang") >= "p"), path,
+          statsCols = Seq("lang"))
+      }
+      val t = VersionedTable.readAtAuto(s, path, version = 3L)
+      val en = t.filter(col("lang") === "en")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .withColumn("slice", lit("eq_en"))
+      val tail = t.filter(col("lang") >= "p")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .withColumn("slice", lit("ge_p"))
+      en.unionByName(tail)
+    },
+    Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars, 'eq_en' AS slice
+      FROM documents WHERE lang = 'en'
+      UNION ALL
+      SELECT CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT), 'ge_p'
+      FROM documents WHERE lang >= 'p'
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
-    q282, q283, q284, q285, q286, q288, q289, q290)
+    q282, q283, q284, q285, q286, q288, q289, q290, q291, q292, q293)
 }
