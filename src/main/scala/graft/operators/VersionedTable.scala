@@ -277,6 +277,32 @@ object VersionedTable {
     * [[graft.plans.VersionedStatsPruning]] — THE 100 TB predicate —
     * instead of requiring the caller to pre-encode epoch longs.
     */
+  /** REPLACE the table's content with `df` as one atomic commit: the
+    * new version's manifest references ONLY the new batch, so readers
+    * flip from the old content to the new at the manifest rename —
+    * never a mix. Prior versions stay time-travelable until vacuum
+    * (an overwrite is a commit, not an erasure). The batch is a data
+    * change (no `=` flag): [[readChanges]] delivers the new content
+    * as appended rows, and — stated honestly, the Delta streaming
+    * caveat — the REPLACED rows are not signaled; an incremental
+    * consumer that must track replacements reads [[readChangeFeed]]
+    * across the boundary or re-seeds from the snapshot. Same txn
+    * guard and stats/Bloom options as [[append]].
+    */
+  def overwrite(df: DataFrame, path: String,
+      txnId: Option[String] = None, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Long = {
+    txnId.flatMap(txnCommittedAt(path, _)).foreach(return _)
+    val next = latestVersion(path).getOrElse(0L) + 1
+    val batch = s"b${next}_${newToken()}"
+    df.write.mode("overwrite").parquet(s"$path/data/$batch")
+    writeBloomSidecar(df.sparkSession, s"$path/data/$batch", bloomCols)
+    val entry = batch +
+      statsSuffix(df.sparkSession, s"$path/data/$batch", statsCols)
+    commitManifest(path, next, txnId.map(t => s"#txn=$t").toSeq :+ entry)
+    next
+  }
+
   private def statsSuffix(spark: SparkSession, batchDir: String,
       statsCols: Seq[String]): String =
     if (statsCols.isEmpty) ""

@@ -1589,7 +1589,143 @@ object SourceQueries extends QueryRegistry {
       FROM documents WHERE lang >= 'p'
     """.trim))
 
+  /** STREAMING SOURCE, offsets-are-versions — q276's exactly-once
+    * incremental pipeline rebuilt on the FIRST-CLASS surface:
+    * `spark.readStream.format("graft").load(src)` replaces the
+    * hand-rolled consumeChanges composition. The V1 Source's offsets
+    * are table versions (initial snapshot at the first micro-batch,
+    * per-commit walk after, compactions never delivered); progress
+    * lives in Spark's own offset WAL under the checkpoint, so the
+    * second AvailableNow run resumes the exact version range across
+    * a process boundary, and the foreachBatch sink appends partial
+    * aggregates under txnId = "fmtagg-<batchId>" — Spark's
+    * deterministic batch ids + the table's txn guard give end-to-end
+    * exactly-once (a replayed micro-batch no-ops, spec-proven in
+    * GraftDataSourceSpec's restart case). Oracle = full recompute
+    * from the base table: one lost, duplicated, or re-delivered
+    * version anywhere breaks the hash. A mid-stream compaction of
+    * the source between the two runs proves dataChange=false
+    * batches stay silent through the format surface too.
+    */
+  val q294 = GraftQuery(
+    "q294_versioned_stream_source",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      import org.apache.spark.sql.streaming.Trigger
+      val suffix = d.replaceAll("[^A-Za-z0-9.]", "_")
+      val src = s"/tmp/graft_q294_vt_src_$suffix"
+      val ckpt = s"/tmp/graft_q294_vt_ckpt_$suffix"
+      val agg = s"/tmp/graft_q294_vt_agg_$suffix"
+      val conf = s.sparkContext.hadoopConfiguration
+      def exists(dir: String): Boolean = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(conf).exists(p)
+      }
+      val complete = VersionedTable.latestVersion(src).exists(_ >= 3L) &&
+        exists(ckpt) && VersionedTable.latestVersion(agg).nonEmpty
+      if (!complete) {
+        Seq(src, ckpt, agg).foreach { dir =>
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val f = p.getFileSystem(conf)
+          if (f.exists(p)) f.delete(p, true)
+        }
+        val cut = lit("1997-01-01").cast("timestamp")
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("total_c"),
+          col("o_orderdate"))
+        def drain(): Unit = {
+          val q = s.readStream.format("graft").load(src)
+            .writeStream.option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+              if (!df.isEmpty)
+                VersionedTable.append(
+                  df.groupBy(col("o_orderstatus"))
+                    .agg(count(lit(1)).as("n_partial"),
+                      sum(col("total_c")).as("total_partial")),
+                  agg, txnId = Some(s"fmtagg-$id"))
+              ()
+            }.start()
+          q.awaitTermination(120000)
+          ()
+        }
+        // run 1: snapshot of the first commit
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("total_c"),
+          col("o_orderdate"))
+          .filter(col("o_orderdate") < cut).drop("o_orderdate")
+          .write.format("graft").mode("append").save(src)
+        drain()
+        // between runs: a compaction (must stay silent) + fresh rows
+        VersionedTable.compact(s, src)
+        VersionedTable.append(o.filter(col("o_orderdate") >= cut)
+          .drop("o_orderdate"), src)
+        drain() // run 2 resumes from the WAL across the "restart"
+      }
+      VersionedTable.readLatest(s, agg)
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("n_partial")).as("n_orders"),
+          sum(col("total_partial")).as("total_c"))
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+      FROM orders
+      GROUP BY 1
+    """.trim))
+
+  /** The format("graft") BATCH round-trip: the table is BUILT through
+    * `df.write.format("graft").mode("append")` (three date-split
+    * commits, typed date stats via the `statsCols` write option) and
+    * READ through `spark.read.format("graft").load` — no graft Scala
+    * API anywhere in the data path. The batch relation handed to
+    * Spark is the SAME pruned parquet relation `readAtAuto` plans
+    * (GraftDataSourceSpec proves root-path parity), so the plain
+    * DATE-literal filter here auto-prunes to one batch dir exactly
+    * like q291. The oracle recomputes from the immutable orders
+    * table: a write-path commit error, a version mixup, or
+    * over-pruning through the connector breaks the hash.
+    */
+  val q295 = GraftQuery(
+    "q295_versioned_format_roundtrip",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val path = "/tmp/graft_q295_vt_fmt_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      if (!VersionedTable.latestVersion(path).exists(_ >= 3L)) {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (f.exists(p)) f.delete(p, true)
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("total_c"),
+          col("o_orderdate").cast("date").as("o_date"))
+        val c95 = lit("1995-01-01").cast("date")
+        val c97 = lit("1997-01-01").cast("date")
+        Seq(o.filter(col("o_date") < c95),
+          o.filter(col("o_date") >= c95 && col("o_date") < c97),
+          o.filter(col("o_date") >= c97)).foreach {
+          _.write.format("graft").mode("append")
+            .option("statsCols", "o_date").save(path)
+        }
+      }
+      s.read.format("graft").load(path)
+        .filter(col("o_date") >= lit(java.sql.Date.valueOf("1996-01-01")) &&
+          col("o_date") < lit(java.sql.Date.valueOf("1996-07-01")))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("total_c")).as("total_c"))
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(o_orderdate AS DATE) < DATE '1996-07-01'
+      GROUP BY 1
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
-    q282, q283, q284, q285, q286, q288, q289, q290, q291, q292, q293)
+    q282, q283, q284, q285, q286, q288, q289, q290, q291, q292, q293, q294,
+    q295)
 }
