@@ -138,6 +138,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // session optimizer, after Catalyst has pushed user filters down
     // to the scans this rule prunes.
     e.injectOptimizerRule(_ => graft.plans.VersionedStatsPruning)
+    // SQL DML over registered versioned tables (INSERT/MERGE/DELETE
+    // text -> append/upsert/deleteKeys commits): Spark's own grammar
+    // parses, graft.sql.GraftSql.rewrite intercepts the three DML
+    // shapes over GraftSql.register()ed names, everything else passes
+    // through untouched.
+    e.injectParser((_, delegate) => new graft.sql.GraftDmlParser(delegate))
     // graft_versioned('<path>'[, <version>]) — the versioned table as
     // a SQL table-valued function: time travel, merge-on-read, and
     // (through the rule above) automatic stats skipping, all

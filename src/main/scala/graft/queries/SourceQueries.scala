@@ -1724,8 +1724,95 @@ object SourceQueries extends QueryRegistry {
       GROUP BY 1
     """.trim))
 
+  /** SQL DML end to end — the write half of the SQL surface, closing
+    * the q284 read-only gap: the table is built, corrected, and
+    * trimmed ENTIRELY from SQL text over a
+    * [[graft.sql.GraftSql.register]]ed name, through the injected
+    * parser ([[graft.sql.GraftDmlParser]]):
+    *
+    *   1. two `INSERT INTO` commits (by-position append, OCC path);
+    *   2. a `MERGE INTO ... WHEN MATCHED THEN UPDATE SET * WHEN NOT
+    *      MATCHED THEN INSERT *` applying q267's corrections —
+    *      last-writer-wins upsert through `upsertWithRetry`, the SAME
+    *      OCC machinery as the Scala API;
+    *   3. a `DELETE FROM ... WHERE` on mixed columns — one
+    *      merge-on-read tombstone commit, no data rewritten.
+    *
+    * The oracle recomputes the insert+merge+delete pipeline
+    * relationally from the immutable orders table: a mis-mapped
+    * positional insert, a lost/duplicated merge row, or an
+    * over/under-deleted key breaks the hash. GraftSqlDmlSpec
+    * additionally proves SQL-MERGE equals Scala-upsert value-for-
+    * value and covers the refusal matrix (partial SET lists, non-key
+    * conditions, NOT MATCHED BY SOURCE all refuse loudly).
+    */
+  val q296 = GraftQuery(
+    "q296_versioned_sql_dml",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val path = "/tmp/graft_q296_vt_dml_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.sql.GraftSql.register("q296_orders", path, "o_orderkey")
+      if (!VersionedTable.latestVersion(path).exists(_ >= 4L)) {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (f.exists(p)) f.delete(p, true)
+        Tables.orders(s, d).createOrReplaceTempView("q296_base")
+        s.sql("""
+          INSERT INTO q296_orders
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(round(o_totalprice * 100) AS LONG) AS total_c
+          FROM q296_base WHERE o_orderdate < TIMESTAMP '1997-01-01'""")
+        s.sql("""
+          INSERT INTO q296_orders
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(round(o_totalprice * 100) AS LONG) AS total_c
+          FROM q296_base WHERE o_orderdate >= TIMESTAMP '1997-01-01'""")
+        s.sql("""
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(round(o_totalprice * 100) AS LONG) + 10000 AS total_c
+          FROM q296_base WHERE o_orderpriority = '1-URGENT'
+          UNION ALL
+          SELECT o_orderkey + 100000000, 'X' AS o_orderstatus,
+                 CAST(round(o_totalprice * 100) AS LONG) AS total_c
+          FROM q296_base WHERE o_orderpriority = '1-URGENT'""")
+          .createOrReplaceTempView("q296_corrections")
+        s.sql("""
+          MERGE INTO q296_orders USING q296_corrections
+          ON q296_orders.o_orderkey = q296_corrections.o_orderkey
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+        s.sql("""
+          DELETE FROM q296_orders
+          WHERE o_orderstatus = 'X' AND o_orderkey % 2 = 1""")
+      }
+      VersionedTable.readLatest(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("total_c")).as("total_c"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS total_c
+        FROM orders),
+      merged AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN total_c + 10000 ELSE total_c END AS total_c
+        FROM base
+        UNION ALL
+        SELECT o_orderkey + 100000000, 'X' AS o_orderstatus,
+               total_c
+        FROM base WHERE o_orderpriority = '1-URGENT'),
+      live AS (
+        SELECT * FROM merged
+        WHERE NOT (o_orderstatus = 'X' AND o_orderkey % 2 = 1))
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(total_c) AS BIGINT) AS total_c
+      FROM live GROUP BY 1
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
     q282, q283, q284, q285, q286, q288, q289, q290, q291, q292, q293, q294,
-    q295)
+    q295, q296)
 }

@@ -30,4 +30,13 @@ object GraftStreamingBridge {
     cdf.sparkSession.internalCreateDataFrame(
       cdf.queryExecution.toRdd, cdf.schema, isStreaming = true)
   }
+
+  /** A logical plan as a DataFrame (`Dataset.ofRows`, also
+    * `private[sql]`): what a `RunnableCommand` needs to execute the
+    * child query of an intercepted INSERT/MERGE/DELETE — the parser
+    * hands commands plans, not frames. Same seam, same rationale.
+    */
+  def ofRows(spark: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
