@@ -44,8 +44,12 @@ import org.apache.spark.sql.functions.{coalesce, col, explode, lit, pmod, xxhash
   * rename itself refuses an existing destination atomically; on the
   * local filesystem the exists-check narrows but does not close the
   * window (test-grade); on raw S3 there is no atomic rename at all —
-  * [[commitManifest]] is the single commit point to swap for a
-  * conditional put (`If-None-Match`) when deploying there.
+  * set [[CommitModeConf]] to `"put-if-absent"` there: the commit
+  * becomes one exclusive create (the conditional-PUT
+  * `If-None-Match: *` contract, Hadoop s3a's conditional-write
+  * mapping) with no check-then-act window at all — spec-proven on a
+  * simulated object store where rename mode demonstrably loses a
+  * commit and put-if-absent refuses it.
   *
   * Reads: `readAt(version)` opens exactly the dirs that version's
   * manifest lists — time travel is manifest selection, zero data
@@ -503,29 +507,67 @@ object VersionedTable {
       .filter(col(keyCol).isin(keys: _*))
   }
 
-  /** The single commit point: write the manifest to a temp name, then
-    * rename into place. Refuses when the destination version already
-    * exists (a concurrent writer won the race) — on HDFS the rename
-    * itself also refuses atomically; on raw S3 swap this rename for a
-    * conditional put (`If-None-Match: *`).
+  /** Selects the commit primitive — the atomicity ladder, shipped on
+    * both rungs:
+    *
+    *  - `"rename"` (default): manifest written to a temp name, then
+    *    RENAMED into place after an exists check. Correct where
+    *    rename is atomic and refuses existing destinations (HDFS);
+    *    on the local filesystem the exists check narrows but does
+    *    not close the window (test-grade). On a rename-free object
+    *    store this mode is UNSAFE: two racing writers can both
+    *    "win" (the spec demonstrates exactly that on a simulated
+    *    S3 filesystem);
+    *  - `"put-if-absent"`: the manifest is written DIRECTLY to its
+    *    final name with `create(overwrite = false)` — the exclusive-
+    *    create contract S3 serves via conditional PUT
+    *    (`If-None-Match: *`; Hadoop's s3a maps exclusive create onto
+    *    it) and HDFS serves natively. The create IS the atomic
+    *    point: there is no check-then-act window at all, so two
+    *    concurrent committers to one version cannot both succeed
+    *    (spec-proven). Correct where the whole object materializes
+    *    atomically on completion (object-store PUT, HDFS lease);
+    *    NOT the local-filesystem default because a local create is
+    *    visible before its bytes land.
+    */
+  val CommitModeConf = "spark.graft.versioned.commit"
+
+  private def alreadyCommitted(path: String, version: Long): java.io.IOException =
+    new java.io.IOException(
+      s"VersionedTable: version $version of $path is already committed " +
+        "(concurrent writer won the race); this attempt is NOT published " +
+        "and its batch dirs are orphans for vacuum")
+
+  /** The single commit point: publish `lines` as version `version`
+    * through the configured primitive (see [[CommitModeConf]]).
     */
   private[graft] def commitManifest(path: String, version: Long,
       lines: Seq[String]): Unit = {
     val (f, p) = fs(path)
     val fin = new Path(p, s"_v$version.manifest")
-    if (f.exists(fin))
-      throw new java.io.IOException(
-        s"VersionedTable: version $version of $path is already committed " +
-          "(concurrent writer won the race); this attempt is NOT published " +
-          "and its batch dirs are orphans for vacuum")
-    val tmp = new Path(p, s"_v$version.manifest.tmp")
-    val out = f.create(tmp, true)
-    try out.write(lines.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    if (!f.rename(tmp, fin))
-      throw new java.io.IOException(
-        s"VersionedTable: commit rename $tmp -> $fin failed; version $version " +
-          "is NOT published (previous version remains intact)")
+    val mode = SparkSession.active.conf.get(CommitModeConf, "rename")
+    if (mode == "put-if-absent") {
+      val out =
+        try f.create(fin, false) // exclusive create — the atomic point
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            throw alreadyCommitted(path, version)
+          case e: java.io.IOException if f.exists(fin) =>
+            throw alreadyCommitted(path, version)
+        }
+      try out.write(lines.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    } else {
+      if (f.exists(fin)) throw alreadyCommitted(path, version)
+      val tmp = new Path(p, s"_v$version.manifest.tmp")
+      val out = f.create(tmp, true)
+      try out.write(lines.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      if (!f.rename(tmp, fin))
+        throw new java.io.IOException(
+          s"VersionedTable: commit rename $tmp -> $fin failed; version $version " +
+            "is NOT published (previous version remains intact)")
+    }
   }
 
   /** COMMIT-TIME CONSTRAINTS (Delta CHECK constraints / DLT
@@ -929,6 +971,59 @@ object VersionedTable {
     readAt(spark, path, v)
   }
 
+  /** MAINTENANCE-COMMIT OCC — the Delta conflict rule for rewrites:
+    * `entries` is the `=`-flagged rewrite of the content at
+    * `snapshot`; if other commits landed since, the retry commits
+    * `entries ++ <interleaved fresh entries, in order>` instead of
+    * failing terminally with the staged rewrite orphaned. That merge
+    * is content-exact for interleaved APPENDS, DELETES, and UPSERTS
+    * alike — stronger than Delta's append-only rule, and it falls
+    * out of position scoping: the snapshot's entries are replaced
+    * in-place by our `=` batches (same content), and every
+    * interleaved entry keeps its relative order AFTER them, so an
+    * interleaved tombstone still deletes from exactly the rows it
+    * deleted before (spec-proven per kind). The one refusal:
+    * interleaved MAINTENANCE (another compaction/clustering removed
+    * the snapshot's entries) — merging two rewrites would double
+    * content, so it fails loudly and the caller reruns on the new
+    * latest. Retries re-pay only the KB-sized manifest commit, never
+    * the rewrite.
+    */
+  private[graft] def commitMaintenance(path: String, snapshot: Long,
+      entries: Seq[String], maxRetries: Int,
+      beforeCommit: Long => Unit = _ => ()): Long = {
+    var attempt = 0
+    while (true) {
+      val next = latestVersion(path).getOrElse(0L) + 1
+      val lines =
+        if (next == snapshot + 1) entries
+        else {
+          val prev = manifestEntries(path, next - 1)
+          val snapEntries = manifestEntries(path, snapshot)
+          if (!snapEntries.forall(prev.contains))
+            throw new java.io.IOException(
+              "VersionedTable maintenance conflict: a concurrent commit " +
+                s"removed batches this rewrite folded (another OPTIMIZE/" +
+                s"clustering interleaved between v$snapshot and v${next - 1})" +
+                "; refusing — rerun the maintenance against the new latest. " +
+                "The staged rewrite dirs are orphans for vacuum")
+          val snapSet = snapEntries.toSet
+          entries ++ prev.filterNot(snapSet)
+        }
+      beforeCommit(next)
+      try {
+        commitManifest(path, next, lines)
+        return next
+      } catch {
+        case e: java.io.IOException
+            if e.getMessage.contains("already committed") &&
+              attempt < maxRetries =>
+          attempt += 1
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Compaction (OPTIMIZE): rewrite the CURRENT content — tombstones
     * folded in — as one batch and commit it as a new version whose
     * manifest references only that batch, flagged `=` (dataChange =
@@ -938,14 +1033,17 @@ object VersionedTable {
     * the compaction is never re-delivered the whole table. Prior
     * versions stay time-travelable until vacuum reclaims them.
     * Content-identical by construction (the new batch IS readAt of
-    * the old latest), spec-asserted.
+    * the old latest), spec-asserted. Commits through
+    * [[commitMaintenance]]: interleaved appends/deletes/upserts
+    * retry with their entries appended (content preserved); an
+    * interleaved compaction refuses loudly.
     */
   def compact(spark: SparkSession, path: String,
-      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      maxRetries: Int = 3): Long = {
     val v = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"nothing to compact at $path"))
-    val next = v + 1
-    val batch = s"b${next}_${newToken()}"
+    val batch = s"b${v + 1}_${newToken()}"
     readAt(spark, path, v)
       .write.mode("overwrite").parquet(s"$path/data/$batch")
     // maintenance must not strip the index layer: stats and Bloom
@@ -953,9 +1051,9 @@ object VersionedTable {
     // rewrite changes batch composition, so carrying old entries
     // forward would be wrong — rebuild is the only honest path)
     writeBloomSidecar(spark, s"$path/data/$batch", bloomCols)
-    commitManifest(path, next,
-      Seq("=" + batch + statsSuffix(spark, s"$path/data/$batch", statsCols)))
-    next
+    commitMaintenance(path, v,
+      Seq("=" + batch + statsSuffix(spark, s"$path/data/$batch", statsCols)),
+      maxRetries)
   }
 
   /** CLUSTERING compaction (OPTIMIZE ZORDER-lite): rewrite the
@@ -999,7 +1097,8 @@ object VersionedTable {
   }
 
   def compactByRange(spark: SparkSession, path: String, rangeCol: String,
-      nBuckets: Int, bloomCols: Seq[String] = Nil): Long = {
+      nBuckets: Int, bloomCols: Seq[String] = Nil,
+      maxRetries: Int = 3): Long = {
     require(nBuckets >= 1, "need at least one bucket")
     val v = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"nothing to compact at $path"))
@@ -1046,8 +1145,7 @@ object VersionedTable {
           .parquet(s"$path/data/${parent}_empty")
         Seq(s"=${parent}_empty")
       }
-    commitManifest(path, next, entries)
-    next
+    commitMaintenance(path, v, entries, maxRetries)
   }
 
   /** TWO-DIMENSIONAL clustering compaction (OPTIMIZE ZORDER): rewrite
@@ -1082,6 +1180,7 @@ object VersionedTable {
       bloomCols: Seq[String] = Nil): Long =
     compactByZOrderN(spark, path, Seq(xCol, yCol), nBuckets, bits, bloomCols)
 
+
   /** N-DIMENSIONAL clustering compaction — [[compactByZOrder]]
     * generalized to any number of columns via the round-robin Morton
     * interleave ([[graft.operators.ZOrder.mortonCodeN]]; bit-identical
@@ -1099,7 +1198,7 @@ object VersionedTable {
     */
   def compactByZOrderN(spark: SparkSession, path: String,
       cols: Seq[String], nBuckets: Int, bits: Int = 4,
-      bloomCols: Seq[String] = Nil): Long = {
+      bloomCols: Seq[String] = Nil, maxRetries: Int = 3): Long = {
     require(nBuckets >= 1, "need at least one bucket")
     require(cols.size >= 2, "z-order needs at least two columns")
     require(bits >= 1 && bits * cols.size <= 62,
@@ -1161,8 +1260,7 @@ object VersionedTable {
           .parquet(s"$path/data/${parent}_empty")
         Seq(s"=${parent}_empty")
       }
-    commitManifest(path, next, entries)
-    next
+    commitMaintenance(path, v, entries, maxRetries)
   }
 
   /** Incremental read — the consumer primitive versioning exists for

@@ -1811,8 +1811,81 @@ object SourceQueries extends QueryRegistry {
       FROM live GROUP BY 1
     """.trim))
 
+  /** COMMIT HARDENING composed under one oracle — the two round-12
+    * commit-layer upgrades exercised end to end:
+    *
+    *  - every commit in this query publishes under
+    *    `spark.graft.versioned.commit = put-if-absent` — the
+    *    object-store mode where the manifest lands via EXCLUSIVE
+    *    create (the conditional-PUT `If-None-Match: *` contract)
+    *    with no check-then-rename window (VersionedCommitModeSpec
+    *    demonstrates rename mode losing a commit on a simulated S3
+    *    and this mode refusing it);
+    *  - the OPTIMIZE commit goes through maintenance OCC: a
+    *    competing append lands between the rewrite and the commit
+    *    (injected deterministically through the commit seam), and
+    *    the retry merges `=`-entries ++ interleaved entries instead
+    *    of failing terminally — stronger than Delta's append-only
+    *    conflict rule, content-exact for deletes/upserts too
+    *    (spec-proven per kind).
+    *
+    * The oracle recomputes the final content relationally: a lost
+    * interleaved append, a doubled rewrite, or a torn commit breaks
+    * the hash; a delete after the merged compaction proves the
+    * merged manifest still anti-joins correctly.
+    */
+  val q297 = GraftQuery(
+    "q297_versioned_commit_hardening",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val path = "/tmp/graft_q297_vt_occ_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      s.conf.set(VersionedTable.CommitModeConf, "put-if-absent")
+      try {
+        if (!VersionedTable.latestVersion(path).exists(_ >= 5L)) {
+          val p = new org.apache.hadoop.fs.Path(path)
+          val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (f.exists(p)) f.delete(p, true)
+          val o = Tables.orders(s, d).select(col("o_orderkey"),
+            col("o_orderstatus"),
+            round(col("o_totalprice") * 100).cast("long").as("total_c"))
+          VersionedTable.append(o.filter(col("o_orderkey") % 3 === 0), path)
+          VersionedTable.append(o.filter(col("o_orderkey") % 3 === 1), path)
+          // stage the OPTIMIZE rewrite of v2's content, then inject a
+          // competing append before its commit: the maintenance OCC
+          // retry merges rather than orphaning the rewrite
+          val snap = 2L
+          val batch = s"b3_q297rewrite"
+          VersionedTable.readAt(s, path, snap)
+            .write.mode("overwrite").parquet(s"$path/data/$batch")
+          var injected = false
+          VersionedTable.commitMaintenance(path, snap, Seq("=" + batch),
+            maxRetries = 3, beforeCommit = { _ =>
+              if (!injected) {
+                injected = true
+                VersionedTable.append(o.filter(col("o_orderkey") % 3 === 2),
+                  path)
+              }
+            })
+          // post-merge delete: the merged manifest must anti-join right
+          VersionedTable.deleteKeys(
+            Tables.orders(s, d).filter(col("o_orderkey") % 10 === 7)
+              .select(col("o_orderkey")), "o_orderkey", path)
+        }
+        VersionedTable.readLatest(s, path)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("total_c")).as("total_c"))
+      } finally s.conf.unset(VersionedTable.CommitModeConf)
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c
+      FROM orders
+      WHERE o_orderkey % 10 <> 7
+      GROUP BY 1
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
     q282, q283, q284, q285, q286, q288, q289, q290, q291, q292, q293, q294,
-    q295, q296)
+    q295, q296, q297)
 }
