@@ -914,7 +914,8 @@ object VersionedTable {
     */
   private def viewOf(spark: SparkSession, path: String,
       entries: Seq[String], mergeSchema: Boolean,
-      keep: String => Boolean, auto: Boolean = false): Option[DataFrame] = {
+      keep: String => Boolean, auto: Boolean = false,
+      explicitSchema: Option[org.apache.spark.sql.types.StructType] = None): Option[DataFrame] = {
     // dir -> raw `;col:min:max...` stats suffix, for the auto path
     val statsSuffixOf: Map[String, String] = entries.filterNot(isTombstone)
       .map { e =>
@@ -932,8 +933,12 @@ object VersionedTable {
     }.reverse
     if (assigned.isEmpty) return None
     val parts = assigned.groupBy(_._2).toSeq.map { case (tombDirs, pairs) =>
-      val reader = spark.read
-        .option("mergeSchema", mergeSchema.toString)
+      val reader = explicitSchema match {
+        // widened read: every scan shares one explicit schema (the
+        // parquet reader promotes narrower stored types natively)
+        case Some(sch) => spark.read.schema(sch)
+        case None => spark.read.option("mergeSchema", mergeSchema.toString)
+      }
       val tagged =
         if (!auto) reader
         else reader.option(graft.plans.VersionedStatsPruning.StatsOption,
@@ -964,6 +969,92 @@ object VersionedTable {
         acc.join(keys, Seq(keyCol), "left_anti")
       }
     }
+
+  /** The widening rules a zero-rewrite migration may rely on — the
+    * Delta type-widening matrix, restricted to LOSSLESS promotions
+    * Spark's vectorized parquet reader serves natively (SPARK-40876):
+    * byte/short/int -> long along the integral chain, float -> double,
+    * byte/short/int -> double, and decimal(p,s) -> decimal(p',s')
+    * growing both scale and integer digits. Everything else refuses
+    * loudly: long -> double and int -> float are LOSSY (large longs
+    * do not round-trip), narrowing reads silently truncate, and a
+    * string/numeric mix means the column changed meaning, not width.
+    * A rename is indistinguishable from drop+add by construction
+    * (parquet has no column identity here) — both sides read back
+    * NULL-filled, exactly like [[readAt]]'s mergeSchema add-column
+    * contract.
+    */
+  private[graft] def widenType(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    def rank(t: DataType): Option[Int] = t match {
+      case ByteType => Some(0); case ShortType => Some(1)
+      case IntegerType => Some(2); case LongType => Some(3)
+      case _ => None
+    }
+    if (a == b) return a
+    (a, b) match {
+      case _ if rank(a).nonEmpty && rank(b).nonEmpty =>
+        if (rank(a).get >= rank(b).get) a else b
+      case (FloatType, DoubleType) | (DoubleType, FloatType) => DoubleType
+      case (ByteType | ShortType | IntegerType, DoubleType) => DoubleType
+      case (DoubleType, ByteType | ShortType | IntegerType) => DoubleType
+      case (d1: DecimalType, d2: DecimalType) =>
+        val scale = math.max(d1.scale, d2.scale)
+        val intDigits = math.max(d1.precision - d1.scale,
+          d2.precision - d2.scale)
+        if (intDigits + scale > DecimalType.MAX_PRECISION)
+          throw new IllegalStateException(
+            s"readAtWidened: decimal($d1, $d2) cannot widen without " +
+              s"exceeding precision ${DecimalType.MAX_PRECISION}")
+        DecimalType(intDigits + scale, scale)
+      case _ =>
+        throw new IllegalStateException(
+          s"readAtWidened refuses $a vs $b: not a lossless widening. " +
+            "Supported: byte/short/int->long, float->double, " +
+            "byte/short/int->double, decimal growth. Lossy promotions " +
+            "(long->double), narrowings, and type changes need an " +
+            "explicit rewrite — this engine never degrades silently")
+    }
+  }
+
+  /** [[readAt]] under TYPE WIDENING — the other zero-rewrite schema
+    * migration users expect beyond add-a-column (q140/q263): batches
+    * written when a column was `int` read back as `long` (or
+    * float->double, decimal growth) next to batches written after
+    * the migration, with no data rewritten. The merged schema is the
+    * field-by-field widening of every batch's footer schema
+    * ([[widenType]]'s lossless matrix; incompatible pairs refuse
+    * loudly — spec'd refusal legs); each scan then reads with the
+    * widened schema explicitly, which Spark's vectorized parquet
+    * reader serves natively, and columns absent from a batch
+    * null-fill exactly like mergeSchema. Tombstones apply
+    * position-scoped as always. Cost: footer schema reads bounded by
+    * batch count, zero data movement — the migration IS the read.
+    */
+  def readAtWidened(spark: SparkSession, path: String,
+      version: Long): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val entries = manifestEntries(path, version)
+    require(entries.exists(e => !isTombstone(e)),
+      s"version $version of $path lists no data batches")
+    val schemas = entries.filterNot(isTombstone).map(e =>
+      spark.read.parquet(s"$path/data/${dirOf(e)}").schema)
+    val fields = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+    schemas.foreach(_.foreach { f =>
+      fields.get(f.name) match {
+        case None =>
+          // absent from an earlier batch: null-filled there
+          fields(f.name) = f.copy(nullable = true)
+        case Some(prev) =>
+          fields(f.name) = StructField(f.name,
+            widenType(prev.dataType, f.dataType), nullable = true)
+      }
+    })
+    val widened = StructType(fields.values.toSeq)
+    viewOf(spark, path, entries, mergeSchema = false, _ => true,
+      explicitSchema = Some(widened)).get
+  }
 
   def readLatest(spark: SparkSession, path: String): DataFrame = {
     val v = latestVersion(path).getOrElse(

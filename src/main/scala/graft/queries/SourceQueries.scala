@@ -1884,8 +1884,67 @@ object SourceQueries extends QueryRegistry {
       GROUP BY 1
     """.trim))
 
+  /** TYPE WIDENING as a zero-rewrite migration — q263's add-a-column
+    * evolution completed with the other migration users expect: an
+    * epoch-1 batch commits `l_linenumber` as INT and `qty` as FLOAT;
+    * the epoch-2 batch arrives post-migration with LONG / DOUBLE and
+    * a brand-new `tax_c` column. `readAtWidened` reads BOTH epochs
+    * under the widened schema (int->long, float->double — Spark's
+    * vectorized reader promotes on scan, no data rewritten; the new
+    * column null-fills backwards), and the refusal matrix for lossy
+    * pairs (long->double, narrowings, type changes) is spec-proven
+    * in VersionedWideningSpec. The oracle recomputes the mixed-epoch
+    * aggregate relationally: a mis-promoted value, a lost row, or a
+    * wrongly-backfilled column breaks the hash. TPC-H quantities are
+    * small integers, so the float epoch is value-exact by
+    * construction — the widened double sum is an equality, not an
+    * approximation.
+    */
+  val q298 = GraftQuery(
+    "q298_versioned_type_widening",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val path = "/tmp/graft_q298_vt_widen_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      if (!VersionedTable.latestVersion(path).exists(_ >= 2L)) {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (f.exists(p)) f.delete(p, true)
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+          col("l_returnflag"), col("l_linenumber"), col("l_quantity"))
+        // epoch 1: narrow types
+        VersionedTable.append(
+          li.filter(col("l_orderkey") % 2 === 0)
+            .select(col("l_returnflag"),
+              col("l_linenumber").cast("int").as("line_no"),
+              col("l_quantity").cast("float").as("qty")), path)
+        // epoch 2: widened types + a new column
+        VersionedTable.append(
+          li.filter(col("l_orderkey") % 2 === 1)
+            .select(col("l_returnflag"),
+              col("l_linenumber").cast("long").as("line_no"),
+              col("l_quantity").cast("double").as("qty"))
+            .withColumn("tax_c",
+              (col("line_no") * 7L).cast("long")), path)
+      }
+      VersionedTable.readAtWidened(s, path, 2L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("line_no")).as("sum_line_no"),
+          sum(col("qty")).cast("long").as("sum_qty"),
+          sum(col("tax_c")).as("sum_tax_c"))
+    },
+    Some("""
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(l_linenumber) AS BIGINT) AS sum_line_no,
+             CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+             CAST(sum(CASE WHEN l_orderkey % 2 = 1
+                           THEN l_linenumber * 7 END) AS BIGINT) AS sum_tax_c
+      FROM lineitem
+      GROUP BY 1
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
     q282, q283, q284, q285, q286, q288, q289, q290, q291, q292, q293, q294,
-    q295, q296, q297)
+    q295, q296, q297, q298)
 }
