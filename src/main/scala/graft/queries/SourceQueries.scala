@@ -1943,8 +1943,82 @@ object SourceQueries extends QueryRegistry {
       GROUP BY 1
     """.trim))
 
+  /** STREAMING SINK — the connector closed on the write side: a
+    * table-to-table incremental pipeline with NO foreachBatch
+    * plumbing at all. `readStream.format("graft")` (offsets are
+    * versions) feeds a row-level transform into
+    * `writeStream.format("graft")`, whose sink commits each
+    * micro-batch atomically under txnId = "<checkpoint>-<batchId>" —
+    * source WAL + sink txn guard give exactly-once end to end across
+    * the mid-pipeline restart this build performs (run 1 drains the
+    * snapshot; a compaction and fresh commits land; run 2 resumes
+    * from the WAL). A third idle run proves steady state commits
+    * nothing. The oracle recomputes the transform over the base
+    * table: one lost, duplicated, or re-delivered micro-batch —
+    * or a re-delivered compaction — breaks the hash.
+    */
+  val q299 = GraftQuery(
+    "q299_versioned_stream_sink",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      import org.apache.spark.sql.streaming.Trigger
+      val suffix = d.replaceAll("[^A-Za-z0-9.]", "_")
+      val src = s"/tmp/graft_q299_vt_src_$suffix"
+      val ckpt = s"/tmp/graft_q299_vt_ckpt_$suffix"
+      val dst = s"/tmp/graft_q299_vt_dst_$suffix"
+      val conf = s.sparkContext.hadoopConfiguration
+      def exists(dir: String): Boolean = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(conf).exists(p)
+      }
+      val complete = VersionedTable.latestVersion(src).exists(_ >= 3L) &&
+        exists(ckpt) && VersionedTable.latestVersion(dst).nonEmpty
+      if (!complete) {
+        Seq(src, ckpt, dst).foreach { dir =>
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val f = p.getFileSystem(conf)
+          if (f.exists(p)) f.delete(p, true)
+        }
+        val cut = lit("1997-01-01").cast("timestamp")
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("total_c"),
+          col("o_orderdate"))
+        def drain(): Unit = {
+          val q = s.readStream.format("graft").load(src)
+            .withColumn("half_c", floor(col("total_c") / lit(2L)).cast("long"))
+            .writeStream.format("graft")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start(dst)
+          q.awaitTermination(120000)
+          ()
+        }
+        VersionedTable.append(o.filter(col("o_orderdate") < cut)
+          .drop("o_orderdate"), src)
+        drain()
+        VersionedTable.compact(s, src) // must stay silent downstream
+        VersionedTable.append(o.filter(col("o_orderdate") >= cut)
+          .drop("o_orderdate"), src)
+        drain() // resumes from the WAL across the "restart"
+        drain() // steady state: commits nothing
+      }
+      VersionedTable.readLatest(s, dst)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("total_c")).as("total_c"),
+          sum(col("half_c")).as("half_c"))
+    },
+    Some("""
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_c,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) // 2) AS BIGINT) AS half_c
+      FROM orders
+      GROUP BY 1
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
     q282, q283, q284, q285, q286, q288, q289, q290, q291, q292, q293, q294,
-    q295, q296, q297, q298)
+    q295, q296, q297, q298, q299)
 }

@@ -57,7 +57,8 @@ import graft.operators.VersionedTable
   * `bloomCols` (write: comma-separated column lists).
   */
 class GraftDataSource extends RelationProvider with StreamSourceProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with StreamSinkProvider with CreatableRelationProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -144,6 +145,66 @@ class GraftDataSource extends RelationProvider with StreamSourceProvider
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       startingVersion = o.get("startingversion").map(_.toLong).getOrElse(0L),
       maxVersionsPerTrigger = o.get("maxversionspertrigger").map(_.toLong))
+  }
+
+  // ---- streaming write --------------------------------------------
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    val o = opts(parameters)
+    require(partitionColumns.isEmpty,
+      "format(\"graft\") sink does not take partitionBy: batch layout " +
+        "is the table's own (clustering via compactByRange/ZOrder)")
+    // the txn identity that makes replayed micro-batches no-ops: the
+    // checkpoint location is stable across restarts of one query and
+    // distinct between queries — exactly the dedup domain; an
+    // explicit txnAppId option overrides
+    val appId = o.get("txnappid").orElse(o.get("checkpointlocation")
+      .map(_.replaceAll("[^A-Za-z0-9._-]", "_")))
+    new GraftSink(pathOf(o), appId, cols(o, "statscols"),
+      cols(o, "bloomcols"), o.get("mergekey"), outputMode)
+  }
+}
+
+/** The versioned table as a streaming SINK: each micro-batch is one
+  * atomic commit, made idempotent under replay by txnId =
+  * "<appId>-<batchId>" (appId = the query's checkpoint location or
+  * an explicit `txnAppId` option) — a crashed-and-replayed batch
+  * no-ops, so source-WAL + txn guard give exactly-once end to end
+  * with NO foreachBatch plumbing (spec-proven across a restart).
+  * Output modes map onto commit kinds:
+  *
+  *  - Append  -> [[VersionedTable.append]] (OCC-retried);
+  *  - Complete -> [[VersionedTable.overwrite]] — each batch replaces
+  *    the table, the streaming-aggregation result-table contract;
+  *  - Update  -> [[VersionedTable.upsert]] on the `mergeKey` option
+  *    (required; refused loudly without it) — changed keys replace,
+  *    new keys insert: a continuously-maintained keyed view.
+  */
+private[sources] class GraftSink(path: String, appId: Option[String],
+    statsCols: Seq[String], bloomCols: Seq[String], mergeKey: Option[String],
+    mode: org.apache.spark.sql.streaming.OutputMode)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  import org.apache.spark.sql.streaming.OutputMode
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val batch = GraftStreamingBridge.asBatch(data)
+    val txn = appId.map(a => s"$a-$batchId")
+    mode match {
+      case m if m == OutputMode.Complete() =>
+        VersionedTable.overwrite(batch, path, txn, statsCols, bloomCols)
+      case m if m == OutputMode.Update() =>
+        val key = mergeKey.getOrElse(throw new IllegalArgumentException(
+          "format(\"graft\") sink in Update mode needs .option(\"mergeKey\", <col>)"))
+        VersionedTable.upsertRetrying(batch, key, path, txn,
+          insertOnly = false, bloomCols, maxRetries = 10, _ => ())
+      case _ =>
+        VersionedTable.appendRetrying(batch, path, txn, statsCols,
+          maxRetries = 10, _ => (), bloomCols = bloomCols)
+    }
+    ()
   }
 }
 

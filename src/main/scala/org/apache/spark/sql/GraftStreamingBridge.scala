@@ -39,4 +39,17 @@ object GraftStreamingBridge {
   def ofRows(spark: SparkSession,
       plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The inverse retag for a V1 streaming `Sink.addBatch`: the
+    * micro-batch arrives as a streaming-tagged plan that batch
+    * writers refuse; wrapping its planned `toRdd` under a batch leaf
+    * is how Spark's own and Delta's V1 sinks hand the data to their
+    * committers. Execution stays the planned micro-batch — one pass,
+    * codegen intact.
+    */
+  def asBatch(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    cdf.sparkSession.internalCreateDataFrame(
+      cdf.queryExecution.toRdd, cdf.schema, isStreaming = false)
+  }
 }
