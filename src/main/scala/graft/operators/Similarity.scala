@@ -399,6 +399,20 @@ object Similarity {
     * Acceptance is MEASURED, not assumed: q274 runs the q235 recall
     * audit on the same churned corpus under stale vs rebalanced
     * centroids and the driver hash pins both curves.
+    *
+    * Concurrency contract, stated explicitly (the round-12 OCC work
+    * on [[graft.operators.VersionedTable.commitMaintenance]] does
+    * NOT apply here, by design): this store commits via the marker
+    * ladder, not versioned manifests, so there is no version to
+    * conflict-merge against. Rebalance assumes a SINGLE maintainer —
+    * two concurrent maintenance runs are a deployment error, and the
+    * ladder bounds the damage rather than serializing them: whoever
+    * swaps second finds the marker already dropped, every FS return
+    * is checked, and any interleaving or crash leaves the marker
+    * down, forcing the next reader into the documented rebuild
+    * fallback — never a mixed-generation read. Appends/searches
+    * racing a rebalance keep reading the committed generation until
+    * the swap's marker re-publish, same as vacuum.
     */
   def ivfPqIndexRebalance(spark: org.apache.spark.sql.SparkSession,
       kClusters: Int, kmIters: Int, m: Int, kCodes: Int, subDim: Int,
