@@ -59,6 +59,28 @@ object GraftSession {
   def local(cores: Int): SparkSession = {
     val spark = builder(cores).master(s"local[$cores]").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    muteBoundedWindowWarning()
     spark
   }
+
+  /** Silence WindowExec's no-partition warning for this session.
+    *
+    * Every partitionless window in this engine is BOUNDED — k seed
+    * rows after a limit(k) (kmeans / PQ codebooks / BM25 top-k),
+    * calendar-day rows (CUSUM), or milestone-grid rows (vocabulary
+    * growth) — and each site carries a `BOUNDED window` comment
+    * saying why. The honest fix would be a constant partition key
+    * stating the boundedness in the plan, but Spark 4's
+    * `EliminateWindowPartitions` optimizer rule folds foldable
+    * partition keys away, so the warning cannot be silenced
+    * per-site. Corpus-sized single-partition windows remain a
+    * design error here regardless of the warning: the shared
+    * `globalRank`/`globalPrefixSum` two-phase discipline exists for
+    * exactly that case, and the per-round plan audit greps every
+    * partitionless window against its boundedness comment.
+    */
+  def muteBoundedWindowWarning(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 }

@@ -53,11 +53,11 @@ object Clustering {
       idCol: String, vecCol: String, k: Int, iters: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     // deterministic seed: k lowest ids, centroid_id = rank in id order.
-    // The window ranks the k seed rows AFTER limit(k) — k-bounded, not
-    // corpus-sized; the constant partition key states that boundedness
-    // so WindowExec stops warning about a missing partition
-    val seedW = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0)).orderBy(col("id"))
+    // BOUNDED window: ranks the k seed rows AFTER limit(k) — k-sized,
+    // never corpus-sized (a constant partition key cannot state this:
+    // Spark 4's EliminateWindowPartitions folds it away; GraftSession
+    // documents the engine-wide suppression of this warning class)
+    val seedW = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
     var cents: DataFrame = c.orderBy(col("id")).limit(k)
       .withColumn("centroid_id", (row_number().over(seedW) - 1).cast("long"))
       .select(col("centroid_id"),

@@ -59,9 +59,9 @@ object ProductQuantization {
   def trainCodebooks(spark: SparkSession, corpus: DataFrame, idCol: String,
       vecCol: String, m: Int, k: Int, subDim: Int, iters: Int): DataFrame = {
     val cs = subspaces(corpus, idCol, vecCol, m, subDim).cache()
-    // ranks only the k seed rows selected by limit(k) below — bounded
-    // by k, never the corpus; the constant partition key states it
-    val seedW = Window.partitionBy(lit(0)).orderBy(col("id"))
+    // BOUNDED window: ranks only the k seed rows selected by
+    // limit(k) below — k-sized, never the corpus
+    val seedW = Window.orderBy(col("id"))
     val seeds = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .orderBy(col("id")).limit(k)
       .withColumn("code", (row_number().over(seedW) - 1).cast("long"))

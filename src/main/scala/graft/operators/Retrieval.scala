@@ -57,6 +57,7 @@ object Retrieval {
     // global sort), then rank the k survivors; the window never sees
     // more than k rows.
     val top = scored.orderBy(desc("score_bp"), asc("doc_id")).limit(k)
+    // BOUNDED window: k-sized by the limit above
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(desc("score_bp"), asc("doc_id"))
     top.withColumn("rn", row_number().over(w).cast("int"))
@@ -154,6 +155,7 @@ object Retrieval {
       .groupBy(col("doc_id"))
       .agg(floor(sum(col("w")) * 10000).cast("long").as("score_bp"))
     val top = scored.orderBy(desc("score_bp"), asc("doc_id")).limit(k)
+    // BOUNDED window: k-sized by the limit above (see bm25Search)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(desc("score_bp"), asc("doc_id"))
     top.withColumn("rn", row_number().over(w).cast("int"))

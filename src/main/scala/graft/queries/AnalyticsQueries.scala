@@ -1540,10 +1540,9 @@ object AnalyticsQueries extends QueryRegistry {
       val t = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
       val cum = daily.crossJoin(broadcast(t))
         .withColumn("c", sum(col("x") * col("n") - col("s"))
-          // per-day rows: bounded by the calendar span of the fixture,
-          // not data volume; the constant partition key states it
-          .over(org.apache.spark.sql.expressions.Window
-            .partitionBy(lit(0)).orderBy(col("day"))
+          // BOUNDED window: per-day rows — calendar-sized, not
+          // data-volume-sized
+          .over(org.apache.spark.sql.expressions.Window.orderBy(col("day"))
             .rowsBetween(Long.MinValue, 0)))
       val peak = cum.agg(max(abs(col("c"))).as("peak"))
       cum.crossJoin(broadcast(peak))

@@ -915,6 +915,7 @@ object TextAnalysis extends QueryRegistry {
   val q199 = GraftQuery(
     "q199_vocab_growth",
     (s, d) => {
+      // BOUNDED window: milestone rows only (corpus/250) — grid-sized
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("milestone")).rowsBetween(Long.MinValue, 0)
       val toks = Tables.documents(s, d)
