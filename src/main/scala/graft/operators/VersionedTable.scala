@@ -1033,7 +1033,7 @@ object VersionedTable {
     * batch count, zero data movement — the migration IS the read.
     */
   def readAtWidened(spark: SparkSession, path: String,
-      version: Long): DataFrame = {
+      version: Long, auto: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.{StructField, StructType}
     val entries = manifestEntries(path, version)
     require(entries.exists(e => !isTombstone(e)),
@@ -1052,8 +1052,12 @@ object VersionedTable {
       }
     })
     val widened = StructType(fields.values.toSeq)
+    // `auto` attaches the manifest stats option exactly like
+    // readAtAuto: widening never changes a stats domain tag
+    // (int batches keep integral 'l' stats; a long literal compares
+    // in the same domain), so typed pruning composes with widening
     viewOf(spark, path, entries, mergeSchema = false, _ => true,
-      explicitSchema = Some(widened)).get
+      auto = auto, explicitSchema = Some(widened)).get
   }
 
   def readLatest(spark: SparkSession, path: String): DataFrame = {

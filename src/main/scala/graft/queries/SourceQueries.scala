@@ -2017,8 +2017,121 @@ object SourceQueries extends QueryRegistry {
       GROUP BY 1
     """.trim))
 
+  /** STREAMING CDC REPLICATION — the change-data-capture loop closed
+    * end to end: `readStream.format("graft").option("readChangeFeed",
+    * true)` delivers the FULL feed — `_change_type`-tagged inserts
+    * AND the deleted rows, an upsert as its preimage/postimage pair —
+    * and a foreachBatch applier maintains an exact REPLICA versioned
+    * table (deletes leg then inserts leg, each txn-guarded per
+    * batchId, so replays no-op on both). `maxVersionsPerTrigger = 1`
+    * keeps each micro-batch one source commit — the clean CDC unit.
+    * The source lifecycle covers every change kind: append, keyed
+    * delete, an upsert that also RESURRECTS deleted urgent keys with
+    * corrected totals, a compaction (must stay silent through CDC
+    * mode too), and a late append — split across two AvailableNow
+    * runs so the WAL restart is exercised. The oracle recomputes the
+    * final replica relationally: one lost delete, one double-applied
+    * preimage, or one re-delivered compaction breaks the hash.
+    */
+  val q300 = GraftQuery(
+    "q300_versioned_cdc_replication",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      import org.apache.spark.sql.streaming.Trigger
+      val suffix = d.replaceAll("[^A-Za-z0-9.]", "_")
+      val src = s"/tmp/graft_q300_vt_src_$suffix"
+      val ckpt = s"/tmp/graft_q300_vt_ckpt_$suffix"
+      val rep = s"/tmp/graft_q300_vt_rep_$suffix"
+      val conf = s.sparkContext.hadoopConfiguration
+      def exists(dir: String): Boolean = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(conf).exists(p)
+      }
+      val complete = VersionedTable.latestVersion(src).exists(_ >= 5L) &&
+        exists(ckpt) && VersionedTable.latestVersion(rep).nonEmpty
+      if (!complete) {
+        Seq(src, ckpt, rep).foreach { dir =>
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val f = p.getFileSystem(conf)
+          if (f.exists(p)) f.delete(p, true)
+        }
+        val cut = lit("1997-01-01").cast("timestamp")
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("total_c"),
+          col("o_orderdate"))
+        def drain(): Unit = {
+          val q = s.readStream.format("graft")
+            .option("readChangeFeed", "true")
+            .option("maxVersionsPerTrigger", "1").load(src)
+            .writeStream.option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+              val dels = df.filter(col("_change_type") === "delete")
+                .select(col("o_orderkey"))
+              if (!dels.isEmpty)
+                VersionedTable.deleteKeys(dels, "o_orderkey", rep,
+                  txnId = Some(s"cdcd-$id"))
+              val ins = df.filter(col("_change_type") === "insert")
+                .drop("_change_type")
+              if (!ins.isEmpty)
+                VersionedTable.append(ins, rep, txnId = Some(s"cdci-$id"))
+              ()
+            }.start()
+          q.awaitTermination(120000)
+          ()
+        }
+        // v1 snapshot + v2 keyed delete
+        VersionedTable.append(o.filter(col("o_orderdate") < cut)
+          .drop("o_orderdate"), src)
+        VersionedTable.deleteKeys(
+          Tables.orders(s, d).filter(col("o_orderdate") < cut &&
+            col("o_orderkey") % 10 === 3).select(col("o_orderkey")),
+          "o_orderkey", src)
+        drain()
+        // v3 upsert: urgent pre-cut corrections (+10000), resurrecting
+        // deleted urgent keys; v4 compaction (silent); v5 late append
+        val corrections = Tables.orders(s, d)
+          .filter(col("o_orderdate") < cut &&
+            col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            (round(col("o_totalprice") * 100).cast("long") + 10000L)
+              .as("total_c"))
+        VersionedTable.upsert(corrections, "o_orderkey", src)
+        VersionedTable.compact(s, src)
+        VersionedTable.append(o.filter(col("o_orderdate") >= cut)
+          .drop("o_orderdate"), src)
+        drain()
+      }
+      VersionedTable.readLatest(s, rep)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("total_c")).as("total_c"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS total_c,
+               o_orderdate
+        FROM orders),
+      kept_pre AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN total_c + 10000 ELSE total_c END AS total_c
+        FROM base
+        WHERE o_orderdate < TIMESTAMP '1997-01-01'
+          AND (o_orderpriority = '1-URGENT' OR o_orderkey % 10 <> 3)),
+      final AS (
+        SELECT * FROM kept_pre
+        UNION ALL
+        SELECT o_orderstatus, total_c FROM base
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(total_c) AS BIGINT) AS total_c
+      FROM final GROUP BY 1
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
     q282, q283, q284, q285, q286, q288, q289, q290, q291, q292, q293, q294,
-    q295, q296, q297, q298, q299)
+    q295, q296, q297, q298, q299, q300)
 }

@@ -50,11 +50,18 @@ import graft.operators.VersionedTable
   * reader ([[org.apache.spark.sql.GraftStreamingBridge]] documents
   * the one internal seam that choice costs).
   *
-  * Options: `versionAsOf` (batch), `mergeSchema`, `startingVersion`
-  * (stream: deliveries begin AFTER this version; default 0 = initial
-  * snapshot), `maxVersionsPerTrigger` (stream rate limit: at most
-  * this many versions per micro-batch), `txnId` / `statsCols` /
-  * `bloomCols` (write: comma-separated column lists).
+  * Options: `versionAsOf` (batch), `mergeSchema`, `widen` (batch:
+  * read under the lossless widened schema — `readAtWidened`; typed
+  * pruning still applies since widening never changes a stats
+  * domain), `startingVersion` (stream: deliveries begin AFTER this
+  * version; default 0 = initial snapshot), `maxVersionsPerTrigger`
+  * (stream rate limit: at most this many versions per micro-batch),
+  * `readChangeFeed` (stream: deliver the FULL change feed —
+  * `_change_type`-tagged inserts AND deleted rows, upserts as
+  * preimage/postimage pairs — so a downstream materializer maintains
+  * an exact replica; plain mode carries appended rows only),
+  * `txnId` / `statsCols` / `bloomCols` (write: comma-separated
+  * column lists).
   */
 class GraftDataSource extends RelationProvider with StreamSourceProvider
     with StreamSinkProvider with CreatableRelationProvider
@@ -85,7 +92,14 @@ class GraftDataSource extends RelationProvider with StreamSourceProvider
         throw new IllegalArgumentException(
           s"format(\"graft\"): no committed version at $path")))
     val mergeSchema = o.get("mergeschema").exists(_.toBoolean)
-    val df = VersionedTable.readAtAuto(spark, path, version, mergeSchema)
+    // widen=true reads under the lossless widened schema
+    // (readAtWidened: int batches as long, float as double, ...);
+    // typed pruning still applies — widening never changes a stats
+    // domain tag
+    val df =
+      if (o.get("widen").exists(_.toBoolean))
+        VersionedTable.readAtWidened(spark, path, version, auto = true)
+      else VersionedTable.readAtAuto(spark, path, version, mergeSchema)
     df.queryExecution.analyzed match {
       // tombstone-free single-group view: the plan IS one parquet
       // relation — hand it to Spark natively (stats options aboard)
@@ -93,7 +107,7 @@ class GraftDataSource extends RelationProvider with StreamSourceProvider
         lr.relation.asInstanceOf[HadoopFsRelation]
       case _ =>
         new GraftMergeOnReadRelation(sqlContext, path, version, mergeSchema,
-          df.schema)
+          o.get("widen").exists(_.toBoolean), df.schema)
     }
   }
 
@@ -132,8 +146,14 @@ class GraftDataSource extends RelationProvider with StreamSourceProvider
       parameters: Map[String, String]): (String, StructType) = {
     val o = opts(parameters)
     val path = pathOf(o)
-    val s = schema.getOrElse(
+    val base = schema.getOrElse(
       VersionedTable.readLatest(sqlContext.sparkSession, path).schema)
+    val s =
+      if (o.get("readchangefeed").exists(_.toBoolean) &&
+          !base.fieldNames.contains("_change_type"))
+        base.add("_change_type", org.apache.spark.sql.types.StringType,
+          nullable = false)
+      else base
     (shortName(), s)
   }
 
@@ -144,7 +164,8 @@ class GraftDataSource extends RelationProvider with StreamSourceProvider
     new GraftSource(sqlContext.sparkSession, pathOf(o),
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       startingVersion = o.get("startingversion").map(_.toLong).getOrElse(0L),
-      maxVersionsPerTrigger = o.get("maxversionspertrigger").map(_.toLong))
+      maxVersionsPerTrigger = o.get("maxversionspertrigger").map(_.toLong),
+      changeFeed = o.get("readchangefeed").exists(_.toBoolean))
   }
 
   // ---- streaming write --------------------------------------------
@@ -218,7 +239,7 @@ private[sources] class GraftSink(path: String, appId: Option[String],
   * the fallback strictly conservative.
   */
 private[sources] class GraftMergeOnReadRelation(sql: SQLContext,
-    path: String, version: Long, mergeSchema: Boolean,
+    path: String, version: Long, mergeSchema: Boolean, widen: Boolean,
     override val schema: StructType)
     extends BaseRelation with PrunedFilteredScan {
 
@@ -242,7 +263,9 @@ private[sources] class GraftMergeOnReadRelation(sql: SQLContext,
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
     val spark = sql.sparkSession
-    val base = VersionedTable.readAtAuto(spark, path, version, mergeSchema)
+    val base =
+      if (widen) VersionedTable.readAtWidened(spark, path, version, auto = true)
+      else VersionedTable.readAtAuto(spark, path, version, mergeSchema)
     val filtered = filters.flatMap(toColumn)
       .foldLeft(base)((df, c) => df.filter(c))
     val projected =
@@ -267,7 +290,8 @@ private[sources] class GraftMergeOnReadRelation(sql: SQLContext,
   */
 private[sources] class GraftSource(spark: SparkSession, path: String,
     override val schema: StructType, startingVersion: Long,
-    maxVersionsPerTrigger: Option[Long]) extends Source
+    maxVersionsPerTrigger: Option[Long], changeFeed: Boolean = false)
+    extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{Offset => ConnectorOffset, ReadLimit}
@@ -316,8 +340,18 @@ private[sources] class GraftSource(spark: SparkSession, path: String,
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(o => vOf(o)).getOrElse(startingVersion)
     val to = vOf(end)
-    val changes = VersionedTable.readChanges(spark, path, from, to)
-      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    // CDC mode delivers the full change feed — inserts AND the
+    // deleted rows, `_change_type`-tagged (readChangeFeed's
+    // per-commit walk; an upsert arrives as its preimage/postimage
+    // pair) — so a downstream materializer can maintain an exact
+    // replica; plain mode is the appended-rows feed
+    val changes =
+      if (changeFeed)
+        VersionedTable.readChangeFeed(spark, path, from, to)
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      else
+        VersionedTable.readChanges(spark, path, from, to)
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     GraftStreamingBridge.asStreaming(changes)
   }
 

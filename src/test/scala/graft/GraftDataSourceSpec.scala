@@ -218,6 +218,65 @@ class GraftDataSourceSpec extends SparkTestBase {
       e.getCause != null && e.getCause.getMessage.contains("mergeKey"))
   }
 
+  test("readChangeFeed stream delivers tagged inserts AND deletes; a materializer stays exact") {
+    val src = tmpDir("ds_cdf_src")
+    val ckpt = tmpDir("ds_cdf_ckpt")
+    val changes = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String)]()
+    VersionedTable.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+      src)
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true").load(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.select("k", "v", "_change_type").collect().foreach(r =>
+            changes.add((r.getLong(0), r.getString(1), r.getString(2))))
+          ()
+        }.start()
+      q.awaitTermination(60000)
+      ()
+    }
+    runOnce() // snapshot: all inserts
+    VersionedTable.deleteKeys(Seq(2L).toDF("k"), "k", src)
+    VersionedTable.upsert(Seq((3L, "C"), (9L, "z")).toDF("k", "v"), "k", src)
+    runOnce() // restart: the delete + the upsert's preimage/postimage
+    val all = changes.toArray.map(_.asInstanceOf[(Long, String, String)]).toSeq
+    // applying the feed to nothing reproduces the current view exactly
+    val applied = all.foldLeft(Map.empty[Long, String]) {
+      case (m, (k, v, "insert")) => m + (k -> v)
+      case (m, (k, _, "delete")) => m - k
+      case (m, _) => m
+    }
+    assert(applied === Map(1L -> "a", 3L -> "C", 9L -> "z"),
+      s"materialized replica diverged: $all")
+    assert(all.contains((2L, "b", "delete")) && all.contains((3L, "c", "delete")),
+      s"deleted rows must arrive tagged: $all")
+  }
+
+  test("widen option: format() reads mixed-epoch types under the widened schema, pruning intact") {
+    val path = tmpDir("ds_widen")
+    VersionedTable.append(Seq((1, "a"), (2, "b")).toDF("k", "v"), path,
+      statsCols = Seq("k"))
+    VersionedTable.append(Seq((3000000000L, "c")).toDF("k", "v"), path,
+      statsCols = Seq("k"))
+    val df = spark.read.format("graft").option("widen", "true").load(path)
+    assert(df.schema("k").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(df.select("k").as[Long].collect().sorted
+      === Array(1L, 2L, 3000000000L))
+    // typed pruning composes with widening: the long literal prunes
+    // the int-stats batch (same integral domain)
+    val pruned = df.filter($"k" >= 100L)
+    assert(scannedDirs(pruned).size === 1, s"scanned ${scannedDirs(pruned)}")
+    assert(pruned.count() === 1L)
+    // without widen, the same mixed table refuses under mergeSchema
+    intercept[Exception] {
+      spark.read.format("graft").option("mergeSchema", "true").load(path)
+        .collect()
+    }
+  }
+
   test("maxVersionsPerTrigger rate-limits the version range per micro-batch") {
     val path = tmpDir("ds_stream_rate")
     val ckpt = tmpDir("ds_stream_rate_ckpt")
