@@ -2130,8 +2130,67 @@ object SourceQueries extends QueryRegistry {
       FROM final GROUP BY 1
     """.trim))
 
+  /** SQL UPDATE — the fourth DML verb, completing
+    * INSERT/MERGE/DELETE (q296): `UPDATE ... SET c = expr WHERE p`
+    * re-projects the matched rows of the CURRENT auto-pruned view
+    * with the assignments (resolved at run time, so `SET total_c =
+    * total_c + 10000` reads the pre-update value) and commits ONE
+    * last-writer-wins upsert — matched keys replaced atomically,
+    * unmatched rows untouched, history time-travelable, key-column
+    * updates refused (spec). Two sequential UPDATEs compose (the
+    * second reads the first's result — a second commit), and the
+    * oracle replays both as nested CASEs: a double-applied
+    * assignment, a lost unmatched row, or an update leaking outside
+    * its WHERE breaks the hash.
+    */
+  val q301 = GraftQuery(
+    "q301_versioned_sql_update",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val path = "/tmp/graft_q301_vt_upd_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.sql.GraftSql.register("q301_orders", path, "o_orderkey")
+      if (!VersionedTable.latestVersion(path).exists(_ >= 3L)) {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (f.exists(p)) f.delete(p, true)
+        VersionedTable.append(
+          Tables.orders(s, d).select(col("o_orderkey"),
+            col("o_orderstatus"), col("o_orderpriority"),
+            round(col("o_totalprice") * 100).cast("long").as("total_c")),
+          path)
+        s.sql("""
+          UPDATE q301_orders SET total_c = total_c + 10000
+          WHERE o_orderpriority = '1-URGENT'""")
+        s.sql("""
+          UPDATE q301_orders
+          SET total_c = total_c * 2, o_orderstatus = lower(o_orderstatus)
+          WHERE o_orderkey % 100 = 7""")
+      }
+      VersionedTable.readLatest(s, path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("total_c")).as("total_c"))
+    },
+    Some("""
+      WITH u1 AS (
+        SELECT o_orderkey, o_orderstatus, o_orderpriority,
+               CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN CAST(round(o_totalprice * 100) AS BIGINT) + 10000
+                    ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+               END AS total_c
+        FROM orders),
+      u2 AS (
+        SELECT CASE WHEN o_orderkey % 100 = 7 THEN lower(o_orderstatus)
+                    ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 100 = 7 THEN total_c * 2
+                    ELSE total_c END AS total_c
+        FROM u1)
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(total_c) AS BIGINT) AS total_c
+      FROM u2 GROUP BY 1
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
     q282, q283, q284, q285, q286, q288, q289, q290, q291, q292, q293, q294,
-    q295, q296, q297, q298, q299, q300)
+    q295, q296, q297, q298, q299, q300, q301)
 }

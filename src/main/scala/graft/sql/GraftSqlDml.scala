@@ -40,7 +40,11 @@ import graft.operators.VersionedTable
   *       WHEN NOT MATCHED THEN INSERT *`    -> `upsertWithRetry`
   *    (last-writer-wins; dropping the MATCHED clause gives
   *    insert-if-absent, J3) — q296 proves the SQL text path
-  *    hash-identical to the Scala `upsert` oracle.
+  *    hash-identical to the Scala `upsert` oracle;
+  *  - `UPDATE t SET c = expr[, ...] [WHERE p]` -> matched rows of
+  *    the current view re-projected with the assignments and
+  *    committed as ONE last-writer-wins upsert (key-column updates
+  *    refused — the old key's rows would survive).
   *
   * Anything else over a registered name — partial UPDATE SET lists,
   * extra conditions on the clauses, NOT MATCHED BY SOURCE,
@@ -124,6 +128,21 @@ object GraftSql {
         case Some((reg, alias)) =>
           GraftDeleteCommand(reg.path, reg.keyCol, alias,
             new GraftExprBox(condition))
+      }
+    case u: UpdateTable =>
+      target(u.table) match {
+        case None => plan
+        case Some((reg, alias)) =>
+          val assigns = u.assignments.map { a =>
+            val name = keyName(a.key).getOrElse(
+              refuse(s"unsupported UPDATE assignment target ${a.key}"))
+            if (name == reg.keyCol.toLowerCase(java.util.Locale.ROOT))
+              refuse(s"UPDATE of the merge-key column '${reg.keyCol}' " +
+                "is not supported (rewrite via DELETE + INSERT)")
+            name -> new GraftExprBox(a.value)
+          }
+          GraftUpdateCommand(reg.path, reg.keyCol, alias, assigns,
+            u.condition.map(new GraftExprBox(_)))
       }
     case m: MergeIntoTable =>
       target(m.targetTable) match {
@@ -227,6 +246,44 @@ case class GraftMergeCommand(path: String, keyCol: String,
     }
     val v = VersionedTable.upsertWithRetry(src, keyCol, path,
       insertOnly = insertOnly)
+    Seq(Row(v))
+  }
+  override def output: Seq[Attribute] = GraftDml.versionOutput
+}
+
+/** `UPDATE t SET c = expr[, ...] [WHERE p]`: read-modify-write
+  * through the SAME upsert machinery — the matched rows of the
+  * CURRENT view are re-projected with the assignments applied
+  * (resolved at run time under the statement's alias, so `SET v =
+  * v * 2` reads the pre-update value) and committed as ONE
+  * last-writer-wins upsert: matched keys replaced atomically,
+  * unmatched rows untouched, history time-travelable. Updating the
+  * merge-key column itself refuses loudly (the old key's rows would
+  * survive); a selective WHERE pays the auto-pruned read, not a
+  * table scan.
+  */
+case class GraftUpdateCommand(path: String, keyCol: String, alias: String,
+    assignments: Seq[(String, GraftExprBox)],
+    condition: Option[GraftExprBox]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal, NamedExpression}
+    val latest = VersionedTable.latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(
+        s"UPDATE on empty graft table at $path"))
+    val view = VersionedTable.readAtAuto(session, path, latest)
+    val aliased = SubqueryAlias(alias, view.queryExecution.logical)
+    val cond = condition.map(_.expr).getOrElse(Literal(true))
+    val assignOf = assignments.toMap
+    val projectList: Seq[NamedExpression] = view.columns.toSeq.map { c =>
+      assignOf.get(c.toLowerCase(java.util.Locale.ROOT)) match {
+        case Some(box) => Alias(box.expr, c)()
+        case None => UnresolvedAttribute(Seq(c))
+      }
+    }
+    val updated = GraftStreamingBridge.ofRows(session,
+      Project(projectList, Filter(cond, aliased)))
+    val v = VersionedTable.upsertWithRetry(updated, keyCol, path)
     Seq(Row(v))
   }
   override def output: Seq[Attribute] = GraftDml.versionOutput

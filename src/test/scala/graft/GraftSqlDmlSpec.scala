@@ -123,6 +123,34 @@ class GraftSqlDmlSpec extends SparkTestBase {
     } finally GraftSql.unregister("t_ref")
   }
 
+  test("UPDATE SET with a WHERE: matched rows replaced atomically; key updates refuse") {
+    val path = tmpDir("dml_update")
+    GraftSql.register("t_upd", path, "k")
+    try {
+      VersionedTable.append(
+        Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "a")).toDF("k", "v", "g"),
+        path)
+      // self-referencing assignment reads the PRE-update value
+      spark.sql("UPDATE t_upd SET v = v * 2 WHERE g = 'a'")
+      assert(VersionedTable.readLatest(spark, path)
+        .select("k", "v").as[(Long, Long)].collect().sorted
+        === Array((1L, 20L), (2L, 20L), (3L, 60L)))
+      // one commit, time travel intact
+      assert(VersionedTable.readAt(spark, path, 1)
+        .select("v").as[Long].collect().sorted === Array(10L, 20L, 30L))
+      // multi-assignment with expressions over other columns
+      spark.sql("UPDATE t_upd SET v = v + k, g = upper(g) WHERE k = 2")
+      assert(VersionedTable.readLatest(spark, path)
+        .filter($"k" === 2L).as[(Long, Long, String)].head()
+        === ((2L, 22L, "B")))
+      // updating the merge key refuses loudly
+      val e = intercept[UnsupportedOperationException] {
+        spark.sql("UPDATE t_upd SET k = k + 1")
+      }
+      assert(e.getMessage.contains("merge-key"))
+    } finally GraftSql.unregister("t_upd")
+  }
+
   test("MERGE USING a graft_versioned TVF source: two versioned tables compose") {
     val srcPath = tmpDir("dml_tvf_src")
     val tgtPath = tmpDir("dml_tvf_tgt")
