@@ -2149,7 +2149,7 @@ object SourceQueries extends QueryRegistry {
       import graft.operators.VersionedTable
       val path = "/tmp/graft_q301_vt_upd_" + d.replaceAll("[^A-Za-z0-9.]", "_")
       graft.sql.GraftSql.register("q301_orders", path, "o_orderkey")
-      if (!VersionedTable.latestVersion(path).exists(_ >= 3L)) {
+      if (!VersionedTable.latestVersion(path).exists(_ >= 4L)) {
         val p = new org.apache.hadoop.fs.Path(path)
         val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (f.exists(p)) f.delete(p, true)
@@ -2165,6 +2165,12 @@ object SourceQueries extends QueryRegistry {
           UPDATE q301_orders
           SET total_c = total_c * 2, o_orderstatus = lower(o_orderstatus)
           WHERE o_orderkey % 100 = 7""")
+        // the maintenance loop after heavy updates: OPTIMIZE folds the
+        // two upserts' tombstones so the steady-state read stops
+        // paying the merge-on-read anti-join (content-neutral — the
+        // oracle hash is unchanged by construction, and q300 keeps
+        // the unfolded form as the measured merge-on-read price)
+        VersionedTable.compact(s, path)
       }
       VersionedTable.readLatest(s, path)
         .groupBy(col("o_orderstatus"))
