@@ -39,6 +39,11 @@ object GraftSession {
       // would silently change the sync_runs.date schema on read-back)
       .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      // the graft TableCatalog: versioned tables by NAME (CREATE TABLE
+      // graft.t / INSERT / MERGE / OPTIMIZE with no register() call);
+      // on a cluster point the root at the shared warehouse prefix
+      .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      .config("spark.sql.catalog.graft.root", "/tmp/graft_catalog")
       .config("spark.ui.enabled", "false")
 
   /** RocksDB state store provider for stateful streaming at scale:

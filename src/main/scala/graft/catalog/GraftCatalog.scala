@@ -1,0 +1,489 @@
+package graft.catalog
+
+import java.util.Locale
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, V2WriteCommand}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.sources.{AlwaysTrue, Filter, InsertableRelation}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.VersionedTable
+
+/** The versioned table as a FIRST-CLASS CATALOG — names instead of
+  * paths, the piece that makes the engine consumable by SQL-only
+  * (JDBC/thrift) users with zero graft imports and zero
+  * `GraftSql.register` calls:
+  *
+  *   spark.sql.catalog.graft      = graft.catalog.GraftCatalog
+  *   spark.sql.catalog.graft.root = /warehouse/graft
+  *
+  *   CREATE TABLE graft.t (k BIGINT, v STRING) TBLPROPERTIES('key'='k')
+  *   INSERT INTO graft.t SELECT ...        -- Spark-native resolution
+  *   SELECT * FROM graft.t VERSION AS OF 3 -- catalog time travel
+  *   CREATE TABLE graft.t2 AS SELECT ...   -- CTAS / saveAsTable
+  *   MERGE INTO graft.t USING ...          -- key from TBLPROPERTIES
+  *   OPTIMIZE graft.t; VACUUM graft.t RETAIN 3 VERSIONS
+  *
+  * Identifier `graft.ns…name` maps to the directory `root/ns…/name`;
+  * a table is any such directory carrying `_table.meta` (written by
+  * CREATE TABLE) or committed `_v<N>.manifest`s (an existing
+  * path-built versioned table "adopted" by dropping it under the
+  * root — zero migration). All catalog metadata is file-based and
+  * KB-sized, exactly like the manifests it sits next to: no external
+  * metastore, the same control-plane discipline as the table format
+  * itself.
+  *
+  * EXECUTION PATHS, and why each lands where it does:
+  *
+  *  - **Reads** resolve through Spark's own catalog machinery to a
+  *    [[GraftTable]] (version pinned at load — snapshot-consistent
+  *    per query), which [[GraftV2Resolution]] swaps for the V1
+  *    `readAtAuto` plan during analysis — the SAME trade Delta makes:
+  *    the vectorized parquet scan, whole-stage codegen, and the
+  *    manifest-stats pruning rule all stay on, where a hand-rolled V2
+  *    `PartitionReader` would forfeit them.
+  *  - **Writes** (INSERT INTO / INSERT OVERWRITE / CTAS /
+  *    `saveAsTable`) go through Spark's native V2 write resolution —
+  *    which validates and casts the query against the table's
+  *    declared columns (store-assignment rules, the analyzer's own
+  *    conformance) — then drop to a [[V1Write]] fallback whose
+  *    `InsertableRelation` is one `appendWithRetry`/`overwrite`
+  *    commit. Options ride as table properties: `statscols` /
+  *    `bloomcols` (comma lists) index every write through the
+  *    catalog.
+  *  - **Row-level DML** (DELETE/UPDATE/MERGE) and maintenance
+  *    (OPTIMIZE/VACUUM/DESCRIBE HISTORY) are intercepted at parse
+  *    time by [[graft.sql.GraftDmlParser]], which resolves catalog
+  *    names through [[GraftCatalogs.lookup]] — same commands, same
+  *    OCC commit machinery as registered names; the merge key comes
+  *    from the table's `key` property instead of a register() call.
+  *
+  * At 100 TB nothing here is data-sized: loadTable reads one
+  * KB-sized meta file plus one directory listing; schema comes from
+  * one parquet footer of the latest version's batches.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var rootDir: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    rootDir = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog '$name' needs spark.sql.catalog.$name.root=<dir>"))
+    GraftCatalogs.register(this)
+  }
+
+  override def name(): String = catalogName
+
+  private def fs: (FileSystem, Path) = {
+    val p = new Path(rootDir)
+    (p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration), p)
+  }
+
+  private[catalog] def pathOf(parts: Seq[String]): String =
+    (rootDir.stripSuffix("/") +: parts).mkString("/")
+
+  private val MetaFile = "_table.meta"
+  private val ManifestRe = "_v(\\d+)\\.manifest".r
+
+  private def isTableDir(f: FileSystem, dir: Path): Boolean =
+    f.exists(new Path(dir, MetaFile)) ||
+      (f.exists(dir) && f.listStatus(dir).exists(
+        s => ManifestRe.pattern.matcher(s.getPath.getName).matches()))
+
+  private[catalog] def tableDirExists(parts: Seq[String]): Boolean = {
+    val (f, _) = fs
+    isTableDir(f, new Path(pathOf(parts)))
+  }
+
+  /** The persisted CREATE TABLE metadata: declared schema + table
+    * properties, stored as a java Properties file (escaping handled,
+    * zero new dependencies) — absent for adopted path-built tables.
+    */
+  private[catalog] def readMeta(parts: Seq[String]): Option[(StructType, Map[String, String])] = {
+    val (f, _) = fs
+    val mp = new Path(pathOf(parts) + "/" + MetaFile)
+    if (!f.exists(mp)) return None
+    val props = new java.util.Properties()
+    val in = f.open(mp)
+    try props.load(new java.io.InputStreamReader(in, "UTF-8"))
+    finally in.close()
+    val schema = Option(props.getProperty("__schema"))
+      .map(s => StructType.fromDDL(s))
+      .getOrElse(new StructType())
+    val others = props.stringPropertyNames().asScala
+      .filterNot(_ == "__schema")
+      .map(k => k -> props.getProperty(k)).toMap
+    Some((schema, others))
+  }
+
+  private def writeMeta(parts: Seq[String], schema: StructType,
+      properties: Map[String, String], exclusive: Boolean): Unit = {
+    val (f, _) = fs
+    val dir = new Path(pathOf(parts))
+    f.mkdirs(dir)
+    val mp = new Path(dir, MetaFile)
+    val props = new java.util.Properties()
+    props.setProperty("__schema", schema.toDDL)
+    properties.foreach { case (k, v) => props.setProperty(k, v) }
+    // exclusive create: two racing CREATE TABLEs cannot both win
+    val out = f.create(mp, !exclusive)
+    try props.store(new java.io.OutputStreamWriter(out, "UTF-8"),
+      "graft table")
+    finally out.close()
+  }
+
+  /** The merge-key column declared at CREATE TABLE
+    * (`TBLPROPERTIES('key'='<col>')`) — what DELETE/UPDATE/MERGE by
+    * name key their tombstones on.
+    */
+  private[catalog] def keyOf(parts: Seq[String]): Option[String] =
+    readMeta(parts).flatMap(_._2.get("key"))
+
+  // ---- TableCatalog ------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val (f, _) = fs
+    val dir = new Path(pathOf(namespace.toSeq))
+    if (!f.exists(dir)) throw new NoSuchNamespaceException(
+      name() +: namespace.toSeq)
+    f.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filter(isTableDir(f, _))
+      .map(p => Identifier.of(namespace, p.getName))
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    loadAt(ident, None)
+
+  /** Catalog time travel: `SELECT * FROM graft.t VERSION AS OF 3`. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadAt(ident, Some(version.toLong))
+
+  private def identParts(ident: Identifier): Seq[String] =
+    ident.namespace.toSeq :+ ident.name
+
+  private def loadAt(ident: Identifier, versionAsOf: Option[Long]): Table = {
+    val parts = identParts(ident)
+    val path = pathOf(parts)
+    val meta = readMeta(parts)
+    val committed = VersionedTable.latestVersion(path)
+    if (meta.isEmpty && committed.isEmpty)
+      throw new NoSuchTableException(ident)
+    val version = versionAsOf.orElse(committed)
+    // live schema follows the committed content (writes may have
+    // widened/extended it); the declared schema covers the
+    // created-but-empty window
+    val schema = version match {
+      case Some(v) =>
+        VersionedTable.readAt(SparkSession.active, path, v).schema
+      case None => meta.get._1
+    }
+    val props = meta.map(_._2).getOrElse(Map.empty) + ("path" -> path)
+    new GraftTable((name() +: parts).mkString("."), path, version, schema,
+      props)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        "graft tables do not take PARTITIONED BY/bucketing: batch " +
+          "layout is the table's own (cluster with OPTIMIZE ... " +
+          "ZORDER/RANGE BY instead)")
+    val props = properties.asScala.toMap
+    // provider property not persisted and not policed: a USING-less
+    // CREATE TABLE arrives carrying the session default ("parquet"),
+    // which is not a lie — graft tables ARE versioned parquet; the
+    // catalog is what decides the format here
+    val parts = identParts(ident)
+    if (tableDirExists(parts)) throw new TableAlreadyExistsException(ident)
+    val kept = props -- Seq(TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_IS_MANAGED_LOCATION, TableCatalog.PROP_EXTERNAL)
+    kept.get("key").foreach { k =>
+      require(schema.isEmpty || schema.fieldNames.exists(
+        _.equalsIgnoreCase(k)),
+        s"TBLPROPERTIES key '$k' is not a column of the table")
+    }
+    try writeMeta(parts, schema, kept, exclusive = true)
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new TableAlreadyExistsException(ident)
+    }
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val parts = identParts(ident)
+    val (schema, props) = readMeta(parts).getOrElse(
+      throw new NoSuchTableException(ident))
+    val updated = changes.foldLeft(props) {
+      case (acc, set: TableChange.SetProperty) =>
+        acc + (set.property -> set.value)
+      case (acc, rm: TableChange.RemoveProperty) => acc - rm.property
+      case (_, other) => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER TABLE change $other (schema " +
+          "evolution happens at write time: commits may add columns, " +
+          "widen reads serve type migrations)")
+    }
+    writeMeta(parts, schema, updated, exclusive = false)
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val parts = identParts(ident)
+    val (f, _) = fs
+    val dir = new Path(pathOf(parts))
+    if (!isTableDir(f, dir)) return false
+    f.delete(dir, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val (f, _) = fs
+    val from = new Path(pathOf(identParts(oldIdent)))
+    val to = new Path(pathOf(identParts(newIdent)))
+    if (!isTableDir(f, from)) throw new NoSuchTableException(oldIdent)
+    if (isTableDir(f, to)) throw new TableAlreadyExistsException(newIdent)
+    if (!f.rename(from, to))
+      throw new java.io.IOException(s"rename $from -> $to failed")
+  }
+
+  // ---- SupportsNamespaces -------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val (f, p) = fs
+    if (!f.exists(p)) return Array.empty
+    f.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      .filterNot(isTableDir(f, _))
+      .map(d => Array(d.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(name() +: namespace.toSeq)
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val (f, _) = fs
+    namespace.isEmpty || {
+      val dir = new Path(pathOf(namespace.toSeq))
+      f.exists(dir) && !isTableDir(f, dir)
+    }
+  }
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): java.util.Map[String, String] =
+    if (namespaceExists(namespace)) new java.util.HashMap[String, String]()
+    else throw new NoSuchNamespaceException(name() +: namespace.toSeq)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    val (f, _) = fs
+    f.mkdirs(new Path(pathOf(namespace.toSeq)))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces carry no metadata to alter")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val (f, _) = fs
+    val dir = new Path(pathOf(namespace.toSeq))
+    if (!f.exists(dir)) return false
+    if (!cascade && f.listStatus(dir).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
+        (name() +: namespace.toSeq).toArray)
+    f.delete(dir, true)
+  }
+}
+
+/** Live [[GraftCatalog]] instances by session-config name — the
+  * parse-time resolver [[graft.sql.GraftSqlDml]] and the maintenance
+  * verbs use to map `graft.ns.t` identifiers onto table paths and
+  * merge keys without a register() call.
+  */
+object GraftCatalogs {
+
+  private val instances =
+    new java.util.concurrent.ConcurrentHashMap[String, GraftCatalog]()
+
+  private[catalog] def register(c: GraftCatalog): Unit = {
+    instances.put(c.name().toLowerCase(Locale.ROOT), c); ()
+  }
+
+  /** Resolve a multipart SQL identifier to a (path, key) registration:
+    * `[cat, ns…, t]` when `cat` names a live graft catalog, or a
+    * bare `[t]` when the session's CURRENT catalog is graft (USE
+    * graft). Returns None when the identifier is not a graft table —
+    * the statement then passes through to Spark untouched. The key
+    * is the table's `key` property; empty when undeclared (key-less
+    * DML refuses loudly at the verb, INSERT never needs it).
+    */
+  def lookup(parts: Seq[String]): Option[graft.sql.GraftSql.Registration] = {
+    val resolved: Option[(GraftCatalog, Seq[String])] =
+      if (parts.size >= 2)
+        Option(instances.get(parts.head.toLowerCase(Locale.ROOT)))
+          .map(_ -> parts.tail)
+      else
+        try {
+          val cm = SparkSession.active.sessionState.catalogManager
+          cm.currentCatalog match {
+            case g: GraftCatalog =>
+              Some(g -> (cm.currentNamespace.toSeq ++ parts))
+            case _ => None
+          }
+        } catch { case _: Throwable => None }
+    resolved.flatMap { case (cat, rel) =>
+      if (!cat.tableDirExists(rel)) None
+      else Some(graft.sql.GraftSql.Registration(cat.pathOf(rel),
+        cat.keyOf(rel).getOrElse("")))
+    }
+  }
+}
+
+/** One catalog-resolved versioned table, version-pinned at load
+  * (snapshot-consistent within a query). Reads are swapped to the V1
+  * plan by [[GraftV2Resolution]]; writes drop to the [[V1Write]]
+  * fallback below.
+  */
+class GraftTable(identName: String, val path: String,
+    val snapshotVersion: Option[Long], tableSchema: StructType,
+    props: Map[String, String]) extends Table with SupportsWrite {
+
+  override def name(): String = identName
+
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
+
+  override def partitioning(): Array[Transform] = Array.empty
+
+  override def properties(): java.util.Map[String, String] = props.asJava
+
+  /** The analyzed V1 read plan this table's relation resolves to:
+    * `readAtAuto` at the pinned version (manifest-stats pruning rule
+    * attached), or an empty relation under the declared schema for a
+    * created-but-never-written table.
+    */
+  def readPlan(spark: SparkSession): LogicalPlan = snapshotVersion match {
+    case Some(v) =>
+      VersionedTable.readAtAuto(spark, path, v).queryExecution.analyzed
+    case None =>
+      spark.createDataFrame(new java.util.ArrayList[Row](), tableSchema)
+        .queryExecution.analyzed
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(path, props)
+}
+
+/** V1 fallback write — the same trade the streaming bridge documents,
+  * on the write side: Spark's analyzer has already conformed the
+  * query to the table's columns when this runs, so the insert is one
+  * atomic versioned commit of a well-typed DataFrame, through the
+  * identical `appendWithRetry`/`overwrite` machinery as the Scala
+  * API and the path-based connector. `statscols`/`bloomcols` table
+  * properties index every catalog write.
+  */
+private[catalog] class GraftWriteBuilder(path: String,
+    props: Map[String, String]) extends WriteBuilder
+    with SupportsTruncate with SupportsOverwrite {
+
+  private var overwriteAll = false
+
+  override def truncate(): WriteBuilder = { overwriteAll = true; this }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.forall(_.isInstanceOf[AlwaysTrue])) { overwriteAll = true; this }
+    else throw new UnsupportedOperationException(
+      "graft catalog writes overwrite the WHOLE table (one atomic " +
+        "commit); partial overwrites are DELETE + INSERT (merge-on-read)")
+  }
+
+  private def cols(key: String): Seq[String] =
+    props.get(key).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: org.apache.spark.sql.DataFrame,
+            overwrite: Boolean): Unit = {
+          val ow = overwriteAll || overwrite
+          if (ow)
+            VersionedTable.overwrite(data, path,
+              statsCols = cols("statscols"), bloomCols = cols("bloomcols"))
+          else
+            VersionedTable.appendWithRetry(data, path,
+              statsCols = cols("statscols"))
+          ()
+        }
+      }
+  }
+}
+
+/** Analysis rule (injected by `GraftExtensions`): a catalog-resolved
+  * [[GraftTable]] READ relation becomes the V1 `readAtAuto` plan —
+  * vectorized parquet scan, whole-stage codegen, and the
+  * manifest-stats pruning rule, none of which a hand-rolled V2
+  * `PartitionReader` could keep (the documented Delta trade). Write
+  * commands keep their V2 relation target untouched (the V1Write
+  * fallback needs it); only read positions convert. Output
+  * attributes are re-aliased onto the relation's expr-ids so every
+  * reference above resolves unchanged.
+  */
+object GraftV2Resolution extends Rule[LogicalPlan] {
+
+  private val WriteTarget = TreeNodeTag[Boolean]("graft.write.target")
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsDown {
+      case w: V2WriteCommand =>
+        w.table match {
+          case r: DataSourceV2Relation => r.setTagValue(WriteTarget, true)
+          case _ => ()
+        }
+        w
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[GraftTable] &&
+            r.getTagValue(WriteTarget).isEmpty =>
+        convert(r)
+    }
+
+  private def convert(r: DataSourceV2Relation): LogicalPlan = {
+    val table = r.table.asInstanceOf[GraftTable]
+    val inner = table.readPlan(SparkSession.active)
+    val byName = inner.output
+      .map(a => a.name.toLowerCase(Locale.ROOT) -> a).toMap
+    val projections = r.output.map { out =>
+      val in = byName.getOrElse(out.name.toLowerCase(Locale.ROOT),
+        throw new IllegalStateException(
+          s"graft table ${table.name()}: column ${out.name} vanished " +
+            "between load and resolution (concurrent overwrite?)"))
+      Alias(in, out.name)(exprId = out.exprId)
+    }
+    Project(projections, inner)
+  }
+}

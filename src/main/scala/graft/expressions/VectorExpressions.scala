@@ -144,6 +144,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // shapes over GraftSql.register()ed names, everything else passes
     // through untouched.
     e.injectParser((_, delegate) => new graft.sql.GraftDmlParser(delegate))
+    // catalog-resolved graft tables (spark.sql.catalog.<name> =
+    // graft.catalog.GraftCatalog) read through the V1 readAtAuto plan:
+    // the resolution rule swaps the DataSourceV2Relation for the
+    // planned relation (vectorized scan + stats pruning kept), leaving
+    // write targets on the native V2 path (V1Write fallback).
+    e.injectResolutionRule(_ => graft.catalog.GraftV2Resolution)
     // graft_versioned('<path>'[, <version>]) — the versioned table as
     // a SQL table-valued function: time travel, merge-on-read, and
     // (through the rule above) automatic stats skipping, all

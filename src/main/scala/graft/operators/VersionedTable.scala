@@ -103,7 +103,24 @@ object VersionedTable {
     }.toSeq.sorted
   }
 
-  private def manifestLines(path: String, version: Long): Seq[String] = {
+  /** Terminator comment every commit writes as its manifest's last
+    * line, making a TORN manifest (a create that became visible
+    * before its bytes finished landing — the put-if-absent hazard on
+    * create-visible filesystems like HDFS and local) DETECTABLE: a
+    * reader that observes the file mid-write sees content without the
+    * terminator and fails loudly instead of treating a prefix of the
+    * entry list as a committed version.
+    */
+  private[graft] val Terminator = "#eof"
+
+  /** Whether `version`'s manifest carries the [[Terminator]] — the
+    * completeness probe build-if-absent guards use so a table
+    * persisted by a pre-terminator build is rebuilt, not trusted.
+    */
+  private[graft] def terminated(path: String, version: Long): Boolean =
+    rawManifestLines(path, version).lastOption.contains(Terminator)
+
+  private def rawManifestLines(path: String, version: Long): Seq[String] = {
     val (f, p) = fs(path)
     val m = new Path(p, s"_v$version.manifest")
     require(f.exists(m),
@@ -118,6 +135,29 @@ object VersionedTable {
         new String(bytes.toByteArray, "UTF-8")
       } finally in.close()
     text.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  private def manifestLines(path: String, version: Long): Seq[String] = {
+    val lines = rawManifestLines(path, version)
+    // torn-commit detection: a legitimate manifest always carries at
+    // least one line (every commit writes entries), so an empty file
+    // is a write observed mid-flight in ANY mode. In put-if-absent
+    // mode the manifest lands at its FINAL name before its bytes are
+    // durable on create-visible stores, so there the terminator is
+    // REQUIRED too (rename mode keeps accepting terminator-less
+    // manifests: pre-terminator tables committed their temp file in
+    // full before the rename published it).
+    val mode = SparkSession.active.conf.get(CommitModeConf, "rename")
+    if (lines.isEmpty || (mode == "put-if-absent" &&
+        !lines.lastOption.contains(Terminator)))
+      throw new java.io.IOException(
+        s"VersionedTable: manifest _v$version at $path is torn or still " +
+          "in flight (missing content/terminator). Either a reader raced " +
+          "a put-if-absent commit (retry shortly) or the committer " +
+          "crashed between create and close — repair by deleting the " +
+          s"torn _v$version.manifest (that commit never published; its " +
+          "batch dirs are orphans for vacuum)")
+    lines
   }
 
   /** All manifest entries (data, compaction, and tombstone batches),
@@ -468,7 +508,13 @@ object VersionedTable {
     val hits = byType.toSeq.flatMap {
       case (None, dirs) => dirs
       case (Some(dt), dirs) =>
-        val ks = keys.select(col(keyCol).cast(dt).as("k"))
+        // try_cast, not cast: under Spark 4's ANSI default a cast of
+        // an out-of-range probe key (long 2^40 probing an int column)
+        // THROWS and fails the whole lookup/retry; try_cast nulls it
+        // so it is filtered — such a key cannot exist in the narrower
+        // column, and the contract stays "at worst keep an extra
+        // batch" (spec-proven with an overflowing probe)
+        val ks = keys.select(col(keyCol).try_cast(dt).as("k"))
           .filter(col("k").isNotNull).distinct()
         val blooms = dirs.map { d =>
           sidecarOf(d).filter(col("col") === keyCol)
@@ -522,13 +568,19 @@ object VersionedTable {
     *    final name with `create(overwrite = false)` — the exclusive-
     *    create contract S3 serves via conditional PUT
     *    (`If-None-Match: *`; Hadoop's s3a maps exclusive create onto
-    *    it) and HDFS serves natively. The create IS the atomic
-    *    point: there is no check-then-act window at all, so two
-    *    concurrent committers to one version cannot both succeed
-    *    (spec-proven). Correct where the whole object materializes
-    *    atomically on completion (object-store PUT, HDFS lease);
-    *    NOT the local-filesystem default because a local create is
-    *    visible before its bytes land.
+    *    it). The create IS the atomic point: there is no
+    *    check-then-act window, so two concurrent committers to one
+    *    version cannot both succeed (spec-proven). The mode's FULL
+    *    safety claim is scoped to stores where the whole object
+    *    materializes atomically on PUT completion (true object
+    *    stores). On create-visible filesystems (HDFS, local) the
+    *    exclusive create still closes the duplicate-commit window,
+    *    but a reader can race the window between create and close —
+    *    which is why every manifest ends with the [[Terminator]]
+    *    line: a torn/empty manifest is DETECTED at read time and
+    *    fails loudly with a repair path (delete the torn manifest),
+    *    never silently wedging the version as "already committed"
+    *    (spec-proven with a hand-torn manifest).
     */
   val CommitModeConf = "spark.graft.versioned.commit"
 
@@ -546,6 +598,10 @@ object VersionedTable {
     val (f, p) = fs(path)
     val fin = new Path(p, s"_v$version.manifest")
     val mode = SparkSession.active.conf.get(CommitModeConf, "rename")
+    // every manifest ends with the terminator comment, so a create
+    // that became visible before close (put-if-absent on HDFS/local)
+    // is detectable as torn instead of being read as committed
+    val payload = (lines :+ Terminator).mkString("\n").getBytes("UTF-8")
     if (mode == "put-if-absent") {
       val out =
         try f.create(fin, false) // exclusive create — the atomic point
@@ -555,13 +611,13 @@ object VersionedTable {
           case e: java.io.IOException if f.exists(fin) =>
             throw alreadyCommitted(path, version)
         }
-      try out.write(lines.mkString("\n").getBytes("UTF-8"))
+      try out.write(payload)
       finally out.close()
     } else {
       if (f.exists(fin)) throw alreadyCommitted(path, version)
       val tmp = new Path(p, s"_v$version.manifest.tmp")
       val out = f.create(tmp, true)
-      try out.write(lines.mkString("\n").getBytes("UTF-8"))
+      try out.write(payload)
       finally out.close()
       if (!f.rename(tmp, fin))
         throw new java.io.IOException(
@@ -852,6 +908,53 @@ object VersionedTable {
     -1L // unreachable
   }
 
+  /** GENERALIZED MERGE COMMIT — the primitive under conditional SQL
+    * MERGE (WHEN MATCHED [AND p] THEN UPDATE/DELETE, WHEN NOT MATCHED
+    * [AND p] THEN INSERT): one atomic manifest publishing a tombstone
+    * for `data`'s keys UNION `deleteKeys` followed by `data` itself —
+    * position-scoping keeps the new rows alive through their own
+    * commit, exactly like [[upsert]], while the extra delete keys
+    * retire matched-and-DELETEd rows in the SAME rename. Either side
+    * may be absent: data-only degenerates to upsert, deleteKeys-only
+    * to a pure delete commit; both absent is a no-op returning the
+    * current version (a MERGE whose clauses matched nothing commits
+    * nothing).
+    *
+    * Concurrency contract, stated honestly: this is a SINGLE commit
+    * attempt — a version conflict throws rather than blind-retrying,
+    * because the caller computed `data`/`deleteKeys` from a snapshot
+    * whose conditional clauses must be RE-EVALUATED against the new
+    * latest for serializability (the read-modify-write loop in
+    * [[graft.sql.GraftMergeIntoCommand]] does exactly that; blind
+    * manifest retry is only sound for the unconditional
+    * last-writer-wins form, which [[upsertWithRetry]] serves).
+    */
+  def upsertWithDeletes(data: Option[DataFrame],
+      deleteKeys: Option[DataFrame], keyCol: String, path: String,
+      txnId: Option[String] = None): Long = {
+    txnId.flatMap(txnCommittedAt(path, _)).foreach(return _)
+    val snapshot = latestVersion(path).getOrElse(0L)
+    val withTomb = snapshot > 0 && (data.nonEmpty || deleteKeys.nonEmpty)
+    if (data.isEmpty && !withTomb) return snapshot // nothing to publish
+    val next = snapshot + 1
+    val tok = newToken()
+    val dataBatch = s"b${next}_${tok}_m"
+    val tombBatch = s"b${next}_${tok}_k"
+    data.foreach(_.write.mode("overwrite").parquet(s"$path/data/$dataBatch"))
+    if (withTomb) {
+      (data.map(_.select(col(keyCol))).toSeq ++
+        deleteKeys.map(_.select(col(keyCol))).toSeq)
+        .reduce(_ unionByName _).distinct()
+        .write.mode("overwrite").parquet(s"$path/data/$tombBatch")
+    }
+    val prev = if (snapshot == 0) Seq.empty else manifestEntries(path, snapshot)
+    val entries = (if (withTomb) Seq(s"~$tombBatch") else Seq.empty) ++
+      data.map(_ => dataBatch).toSeq
+    commitManifest(path, next,
+      txnId.map(t => s"#txn=$t").toSeq ++ prev ++ entries)
+    next
+  }
+
   /** Read the table as of `version`. Data batches are anti-joined
     * against ONLY the tombstone batches committed after them
     * (position-scoped merge-on-read): consecutive data batches with
@@ -1119,6 +1222,58 @@ object VersionedTable {
     -1L // unreachable
   }
 
+  /** Columns carrying min/max stats anywhere in `version`'s manifest —
+    * what SQL OPTIMIZE re-records on the rewritten batch so a
+    * maintenance pass never silently drops the index layer. One
+    * KB-sized manifest read.
+    */
+  private[graft] def statsColumnsOf(path: String, version: Long): Seq[String] =
+    manifestEntries(path, version)
+      .flatMap(_.split(";").drop(1).map(_.split(":").head))
+      .distinct
+
+  /** Columns with a Bloom sidecar on any data batch of `version` —
+    * the other half of the index layer OPTIMIZE preserves. Cost: one
+    * KB-sized sidecar read per indexed batch, bounded by batch count.
+    */
+  private[graft] def bloomColumnsOf(spark: SparkSession, path: String,
+      version: Long): Seq[String] = {
+    val dirs = manifestEntries(path, version).filterNot(isTombstone).map(dirOf)
+    val sidecars = dirs.flatMap(d => bloomSidecar(spark, path, d))
+    if (sidecars.isEmpty) Seq.empty
+    else sidecars.map(_.select(col("col")).distinct())
+      .reduce(_ unionByName _).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Unabsorbed merge-on-read debt: the tombstone-entry count of the
+    * latest manifest — what every read of the current version pays an
+    * anti-join for, and exactly what q300 measures growing at a 3×
+    * read slope under CDC apply. Metadata-only (one KB-sized manifest
+    * read), zero at a freshly compacted table.
+    */
+  def tombstoneDebt(path: String): Int =
+    latestVersion(path)
+      .map(v => manifestEntries(path, v).count(isTombstone))
+      .getOrElse(0)
+
+  /** SELF-SCHEDULED maintenance — the q300/q301 teaching pair turned
+    * into a knob: compact iff [[tombstoneDebt]] has reached
+    * `tombstoneThreshold`. The gate is metadata-only, so consulting
+    * it after every commit costs one manifest read; the compaction
+    * itself commits `=`-flagged (invisible to change feeds) through
+    * maintenance OCC. A CDC replica applying upserts through this
+    * hook holds its read slope at ~1× without any manual OPTIMIZE
+    * (spec-proven); the streaming sink exposes it as the
+    * `autoCompactTombstones` option.
+    */
+  def maybeCompact(spark: SparkSession, path: String,
+      tombstoneThreshold: Int, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Option[Long] =
+    if (tombstoneDebt(path) >= tombstoneThreshold)
+      Some(compact(spark, path, statsCols, bloomCols))
+    else None
+
   /** Compaction (OPTIMIZE): rewrite the CURRENT content — tombstones
     * folded in — as one batch and commit it as a new version whose
     * manifest references only that batch, flagged `=` (dataChange =
@@ -1152,8 +1307,11 @@ object VersionedTable {
   }
 
   /** CLUSTERING compaction (OPTIMIZE ZORDER-lite): rewrite the
-    * current content RANGE-BUCKETED on `rangeCol` (a LONG column) —
-    * one write pass partitioned into `nBuckets` exact-quantile
+    * current content RANGE-BUCKETED on `rangeCol` — numeric, date,
+    * timestamp (via the numeric shadow) or STRING (via
+    * [[stringBoundaries]]' globalRank rank space, bounds under binary
+    * UTF8 order, pruned by the `@s` typed prefix stats) — one write
+    * pass partitioned into `nBuckets` exact-quantile
     * ranges, committed as `nBuckets` manifest entries, each flagged
     * `=` (dataChange = false, invisible to the change feed) and each
     * carrying its own tight min/max stats. Where [[compact]] retires
@@ -1171,10 +1329,9 @@ object VersionedTable {
     */
   /** A clustering column lifted into a quantile-able numeric shadow:
     * identity for numerics, epoch days for dates, epoch micros for
-    * timestamps. Strings refuse loudly — there is no numeric rank
-    * space to quantile them into (their TYPED prefix stats still
-    * skip on plain appends; clustering them needs a sampled-boundary
-    * pass this engine does not claim).
+    * timestamps. Strings take the [[stringBoundaries]] rank-space
+    * path instead (callers branch before reaching here — this guard
+    * is the internal invariant, not a user refusal any more).
     */
   private def numericShadow(df: DataFrame, c: String): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.types._
@@ -1184,12 +1341,60 @@ object VersionedTable {
           .datediff(col(c), lit("1970-01-01")).cast("long")
       case Some(TimestampType) =>
         org.apache.spark.sql.functions.unix_micros(col(c))
-      case Some(StringType) => throw new IllegalArgumentException(
-        s"clustering on string column $c is not supported: no numeric " +
-          "rank space to quantile (typed prefix stats still skip appends)")
+      case Some(StringType) => throw new IllegalStateException(
+        s"internal: string column $c must take the stringBoundaries " +
+          "rank-space path, not the numeric shadow")
       case _ => col(c)
     }
   }
+
+  private def isStringCol(df: DataFrame, c: String): Boolean =
+    df.schema.find(_.name == c)
+      .exists(_.dataType == org.apache.spark.sql.types.StringType)
+
+  /** `k - 1` inclusive upper-boundary VALUES for clustering a STRING
+    * column — the numeric rank space strings lack, built with the
+    * [[Layout.globalRank]] discipline (q90/q150): the column's
+    * DISTINCT values are globally ranked under Spark's binary UTF8
+    * order (a distributed range-sort, never a one-partition window)
+    * and the values at ranks i*n/k become bucket bounds. Only k-1
+    * strings ever reach the driver.
+    *
+    * The trade, stated honestly: boundaries are VALUE-balanced, not
+    * row-balanced — a single value carrying half the rows keeps its
+    * bucket that big (it cannot be split without breaking the
+    * bucket-range invariant stats pruning relies on). Deterministic
+    * by construction: ranks are a pure function of the value order.
+    * Bucket stats re-record through [[statsSuffix]]'s `@s` typed
+    * prefix encoding, so a string range/prefix filter prunes the
+    * clustered layout from plain literals.
+    */
+  private def stringBoundaries(df: DataFrame, c: String,
+      k: Int): Seq[String] = {
+    if (k <= 1) return Seq.empty
+    val distinct = df.select(col(c)).filter(col(c).isNotNull).distinct()
+    val n = distinct.count()
+    if (n == 0) return Seq.empty
+    val ranked = Layout.globalRank(distinct, Seq(col(c)), "__gr")
+    val cutRanks = (1 until k).map(i => math.max(0L, i.toLong * n / k - 1))
+    val byRank = ranked.filter(col("__gr").isin(cutRanks.distinct: _*))
+      .select(col("__gr"), col(c))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cutRanks.map(byRank)
+  }
+
+  /** The bucket expression for one string clustering column: k ranges
+    * under binary UTF8 order, NULLs to bucket 0 (same null rule as
+    * the numeric path).
+    */
+  private def stringBucketExpr(c: String, bounds: Seq[String],
+      k: Int): org.apache.spark.sql.Column =
+    bounds.zipWithIndex.foldRight(
+      org.apache.spark.sql.functions.lit((k - 1).toLong)) {
+      case ((b, i), acc) =>
+        org.apache.spark.sql.functions
+          .when(col(c) <= lit(b) || col(c).isNull, i.toLong).otherwise(acc)
+    }
 
   def compactByRange(spark: SparkSession, path: String, rangeCol: String,
       nBuckets: Int, bloomCols: Seq[String] = Nil,
@@ -1200,23 +1405,36 @@ object VersionedTable {
     val next = v + 1
     val parent = s"b${next}_${newToken()}"
     val base = readAt(spark, path, v)
-    // typed columns (date/timestamp) bucket through their numeric
-    // shadow; stats per bucket are re-recorded TYPED by statsSuffix,
-    // so the clustered layout prunes from date literals directly
-    val content = base.withColumn("__rc", numericShadow(base, rangeCol))
-    // exact quantile boundaries (relativeError 0), so bucketing is
-    // deterministic; ties collapse into the lower bucket
-    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val bounds =
-      if (nBuckets == 1) Array.empty[Double]
-      else content.stat.approxQuantile("__rc", probs, 0.0)
-    val bucketExpr = bounds.zipWithIndex.foldRight(
-      org.apache.spark.sql.functions.lit(nBuckets - 1)) {
-      case ((b, i), acc) =>
-        org.apache.spark.sql.functions
-          .when(col("__rc") <= b || col("__rc").isNull, i).otherwise(acc)
-    }
-    content.withColumn("__rb", bucketExpr).drop("__rc")
+    val bucketed =
+      if (isStringCol(base, rangeCol)) {
+        // strings cluster through the globalRank-derived boundary
+        // values (no numeric shadow exists); stats re-record via the
+        // @s typed prefix encoding, so string range/prefix filters
+        // prune the clustered layout from plain literals
+        base.withColumn("__rb",
+          stringBucketExpr(rangeCol,
+            stringBoundaries(base, rangeCol, nBuckets), nBuckets))
+      } else {
+        // typed columns (date/timestamp) bucket through their numeric
+        // shadow; stats per bucket are re-recorded TYPED by
+        // statsSuffix, so the clustered layout prunes from date
+        // literals directly. Exact quantile boundaries (relativeError
+        // 0), so bucketing is deterministic; ties collapse into the
+        // lower bucket
+        val content = base.withColumn("__rc", numericShadow(base, rangeCol))
+        val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+        val bounds =
+          if (nBuckets == 1) Array.empty[Double]
+          else content.stat.approxQuantile("__rc", probs, 0.0)
+        val bucketExpr = bounds.zipWithIndex.foldRight(
+          org.apache.spark.sql.functions.lit(nBuckets - 1)) {
+          case ((b, i), acc) =>
+            org.apache.spark.sql.functions
+              .when(col("__rc") <= b || col("__rc").isNull, i).otherwise(acc)
+        }
+        content.withColumn("__rb", bucketExpr).drop("__rc")
+      }
+    bucketed
       .repartition(col("__rb"))
       .write.mode("overwrite").partitionBy("__rb")
       .parquet(s"$path/data/$parent")
@@ -1307,20 +1525,25 @@ object VersionedTable {
     // rank-space grid: exact-quantile cell boundaries per column,
     // computed over the column's numeric shadow (typed columns
     // quantile as epoch days/micros; identity for numerics)
-    def cellExpr(c: String): org.apache.spark.sql.Column = {
-      val shadowed = content.withColumn("__sc", numericShadow(content, c))
-      val probs = (1 until cells).map(_.toDouble / cells).toArray
-      val bounds =
-        if (cells == 1) Array.empty[Double]
-        else shadowed.stat.approxQuantile("__sc", probs, 0.0)
-      val sc = numericShadow(content, c)
-      bounds.zipWithIndex.foldRight(
-        org.apache.spark.sql.functions.lit((cells - 1).toLong)) {
-        case ((b, i), acc) =>
-          org.apache.spark.sql.functions
-            .when(sc <= b || sc.isNull, i.toLong).otherwise(acc)
+    def cellExpr(c: String): org.apache.spark.sql.Column =
+      if (isStringCol(content, c))
+        // string dimensions grid through globalRank boundary values —
+        // the same rank-space cells, no numeric shadow needed
+        stringBucketExpr(c, stringBoundaries(content, c, cells), cells)
+      else {
+        val shadowed = content.withColumn("__sc", numericShadow(content, c))
+        val probs = (1 until cells).map(_.toDouble / cells).toArray
+        val bounds =
+          if (cells == 1) Array.empty[Double]
+          else shadowed.stat.approxQuantile("__sc", probs, 0.0)
+        val sc = numericShadow(content, c)
+        bounds.zipWithIndex.foldRight(
+          org.apache.spark.sql.functions.lit((cells - 1).toLong)) {
+          case ((b, i), acc) =>
+            org.apache.spark.sql.functions
+              .when(sc <= b || sc.isNull, i.toLong).otherwise(acc)
+        }
       }
-    }
     val coded = content.withColumn("__z",
       ZOrder.mortonCodeN(cols.map(cellExpr), bits))
     // z cells -> nBuckets contiguous commit ranges, again by exact
@@ -1393,17 +1616,59 @@ object VersionedTable {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion > toVersion $toVersion")
     if (fromVersion == 0) return readAt(spark, path, toVersion)
-    val fresh = (fromVersion + 1 to toVersion).flatMap { v =>
-      val prevDirs = manifestEntries(path, v - 1).map(dirOf).toSet
-      manifestEntries(path, v)
-        .filterNot(isTombstone)
-        .filterNot(isCompaction)
-        .map(dirOf)
-        .filterNot(prevDirs.contains)
-    }.distinct.sorted
+    val fresh = freshChangeDirs(path, fromVersion, toVersion)
     if (fresh.isEmpty)
       readAt(spark, path, toVersion).limit(0)
     else spark.read.parquet(fresh.map(b => s"$path/data/$b"): _*)
+  }
+
+  /** The per-commit walk behind [[readChanges]], exposed so the
+    * streaming source can footer-check each delivered batch's schema
+    * BEFORE reading it (the schema-evolution contract): fresh
+    * non-compaction data dirs in (from, to], or — for `from = 0`,
+    * the initial snapshot — the data dirs of `to`'s manifest.
+    */
+  private[graft] def freshChangeDirs(path: String, fromVersion: Long,
+      toVersion: Long): Seq[String] =
+    if (fromVersion == 0)
+      manifestEntries(path, toVersion).filterNot(isTombstone).map(dirOf)
+    else
+      (fromVersion + 1 to toVersion).flatMap { v =>
+        val prevDirs = manifestEntries(path, v - 1).map(dirOf).toSet
+        manifestEntries(path, v)
+          .filterNot(isTombstone)
+          .filterNot(isCompaction)
+          .map(dirOf)
+          .filterNot(prevDirs.contains)
+      }.distinct.sorted
+
+  /** [[readChanges]] under an EXPLICIT schema — the widened-stream
+    * read: every delivered batch scans with `schema`, so batches
+    * written before a lossless type migration (int epochs under a
+    * long declaration) promote natively on scan (SPARK-40876) and
+    * columns a batch predates null-fill. The caller is responsible
+    * for having verified each batch WIDENS INTO `schema`
+    * ([[widenType]]); a wider batch would mis-read — the streaming
+    * source checks footers first and refuses loudly.
+    */
+  private[graft] def readChangesAs(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    if (fromVersion == 0) {
+      val entries = manifestEntries(path, toVersion)
+      return viewOf(spark, path, entries, mergeSchema = false, _ => true,
+        explicitSchema = Some(schema)).getOrElse(
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          schema))
+    }
+    val fresh = freshChangeDirs(path, fromVersion, toVersion)
+    if (fresh.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else spark.read.schema(schema)
+      .parquet(fresh.map(b => s"$path/data/$b"): _*)
   }
 
   /** CHANGE DATA FEED — [[readChanges]] completed with delete
@@ -1473,6 +1738,7 @@ object VersionedTable {
   }
 
   private val CheckpointRe = "_version\\.(\\d+)".r
+  private val CheckpointTmpRe = "_version\\.(\\d+)\\.tmp".r
 
   /** The consumer position recorded in `checkpointDir`: the MAX over
     * all `_version.<N>` marker files (plus a legacy `_version`
@@ -1532,10 +1798,16 @@ object VersionedTable {
           "the delivery will replay (at-least-once)")
     // superseded markers (and any legacy content file) are cleanup,
     // not correctness: a refused delete leaves a LOWER marker behind,
-    // which max-on-read ignores
+    // which max-on-read ignores. Crash leftovers `_version.<N>.tmp`
+    // (an advance that died between create and rename) are swept too
+    // — they never match CheckpointRe, so without this clause they
+    // would accumulate forever; any tmp at or below the just-advanced
+    // position is dead by construction (its rename either happened or
+    // was superseded by this one)
     cfs.listStatus(cp).map(_.getPath).foreach { mp =>
       val stale = mp.getName match {
         case CheckpointRe(n) => n.toLong < latest
+        case CheckpointTmpRe(n) => n.toLong <= latest
         case "_version" => true
         case _ => false
       }

@@ -1841,7 +1841,11 @@ object SourceQueries extends QueryRegistry {
       val path = "/tmp/graft_q297_vt_occ_" + d.replaceAll("[^A-Za-z0-9.]", "_")
       s.conf.set(VersionedTable.CommitModeConf, "put-if-absent")
       try {
-        if (!VersionedTable.latestVersion(path).exists(_ >= 5L)) {
+        // guard includes the terminator probe: a table persisted by a
+        // pre-terminator build reads as torn under put-if-absent's
+        // required-terminator rule, so it must REBUILD, not be trusted
+        if (!VersionedTable.latestVersion(path)
+            .exists(v => v >= 5L && VersionedTable.terminated(path, v))) {
           val p = new org.apache.hadoop.fs.Path(path)
           val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
           if (f.exists(p)) f.delete(p, true)

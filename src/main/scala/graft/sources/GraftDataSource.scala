@@ -146,8 +146,22 @@ class GraftDataSource extends RelationProvider with StreamSourceProvider
       parameters: Map[String, String]): (String, StructType) = {
     val o = opts(parameters)
     val path = pathOf(o)
-    val base = schema.getOrElse(
-      VersionedTable.readLatest(sqlContext.sparkSession, path).schema)
+    val widen = o.get("widen").exists(_.toBoolean)
+    if (widen && o.get("readchangefeed").exists(_.toBoolean))
+      throw new IllegalArgumentException(
+        "format(\"graft\") stream: widen and readChangeFeed do not " +
+          "compose yet — a widened CDC stream needs per-commit " +
+          "preimage reads under the widened schema; restart contracts " +
+          "apply instead")
+    val spark = sqlContext.sparkSession
+    val base = schema.getOrElse {
+      if (widen) {
+        val latest = VersionedTable.latestVersion(path).getOrElse(
+          throw new IllegalArgumentException(
+            s"format(\"graft\"): no committed version at $path"))
+        VersionedTable.readAtWidened(spark, path, latest).schema
+      } else VersionedTable.readLatest(spark, path).schema
+    }
     val s =
       if (o.get("readchangefeed").exists(_.toBoolean) &&
           !base.fieldNames.contains("_change_type"))
@@ -165,7 +179,8 @@ class GraftDataSource extends RelationProvider with StreamSourceProvider
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       startingVersion = o.get("startingversion").map(_.toLong).getOrElse(0L),
       maxVersionsPerTrigger = o.get("maxversionspertrigger").map(_.toLong),
-      changeFeed = o.get("readchangefeed").exists(_.toBoolean))
+      changeFeed = o.get("readchangefeed").exists(_.toBoolean),
+      widen = o.get("widen").exists(_.toBoolean))
   }
 
   // ---- streaming write --------------------------------------------
@@ -184,7 +199,8 @@ class GraftDataSource extends RelationProvider with StreamSourceProvider
     val appId = o.get("txnappid").orElse(o.get("checkpointlocation")
       .map(_.replaceAll("[^A-Za-z0-9._-]", "_")))
     new GraftSink(pathOf(o), appId, cols(o, "statscols"),
-      cols(o, "bloomcols"), o.get("mergekey"), outputMode)
+      cols(o, "bloomcols"), o.get("mergekey"), outputMode,
+      autoCompactTombstones = o.get("autocompacttombstones").map(_.toInt))
   }
 }
 
@@ -205,7 +221,8 @@ class GraftDataSource extends RelationProvider with StreamSourceProvider
   */
 private[sources] class GraftSink(path: String, appId: Option[String],
     statsCols: Seq[String], bloomCols: Seq[String], mergeKey: Option[String],
-    mode: org.apache.spark.sql.streaming.OutputMode)
+    mode: org.apache.spark.sql.streaming.OutputMode,
+    autoCompactTombstones: Option[Int] = None)
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   import org.apache.spark.sql.streaming.OutputMode
@@ -224,6 +241,16 @@ private[sources] class GraftSink(path: String, appId: Option[String],
       case _ =>
         VersionedTable.appendRetrying(batch, path, txn, statsCols,
           maxRetries = 10, _ => (), bloomCols = bloomCols)
+    }
+    // self-scheduled maintenance (`autoCompactTombstones = n`): after
+    // the commit, fold merge-on-read debt once the manifest carries n
+    // tombstone entries — the metadata gate is one KB-sized manifest
+    // read per batch, the compaction is `=`-flagged (silent to
+    // downstream change consumers), and the Update-mode replica's
+    // read slope stays ~1× without any manual OPTIMIZE (spec-proven)
+    autoCompactTombstones.foreach { threshold =>
+      VersionedTable.maybeCompact(data.sparkSession, path, threshold,
+        statsCols, bloomCols)
     }
     ()
   }
@@ -290,7 +317,8 @@ private[sources] class GraftMergeOnReadRelation(sql: SQLContext,
   */
 private[sources] class GraftSource(spark: SparkSession, path: String,
     override val schema: StructType, startingVersion: Long,
-    maxVersionsPerTrigger: Option[Long], changeFeed: Boolean = false)
+    maxVersionsPerTrigger: Option[Long], changeFeed: Boolean = false,
+    widen: Boolean = false)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -337,9 +365,74 @@ private[sources] class GraftSource(spark: SparkSession, path: String,
   override def reportLatestOffset(): ConnectorOffset =
     VersionedTable.latestVersion(path).map(LongOffset(_)).orNull
 
+  /** SCHEMA-EVOLUTION contract, checked per micro-batch from parquet
+    * FOOTERS (bounded by delivered batch count, zero data pages)
+    * before any scan:
+    *
+    *  - default (`widen = false`): every delivered batch must carry
+    *    EXACTLY the stream's frozen fields (names + types;
+    *    nullability free) — a widening/add-column commit mid-stream
+    *    REFUSES loudly naming the restart contract instead of
+    *    mis-reading under the stale schema (previously undefined:
+    *    new columns silently dropped, a type change crashed deep in
+    *    the scan);
+    *  - `widen = true`: the declared schema is the widened-at-start
+    *    schema (or an explicit `.schema(...)`), and every batch must
+    *    widen INTO it ([[VersionedTable.widenType]]) — narrower
+    *    epochs promote natively on scan, absent columns null-fill.
+    *    A batch WIDER than declared still refuses (no stream can
+    *    change its schema mid-flight — Spark freezes it): restart
+    *    the query, the fresh start re-widens over the new commit.
+    */
+  private def validateBatchSchemas(from: Long, to: Long): Unit = {
+    val declared = schema.fields
+      .filterNot(_.name == "_change_type")
+      .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType)
+    val declaredMap = declared.toMap
+    VersionedTable.freshChangeDirs(path, from, to).foreach { dir =>
+      val got = spark.read.parquet(s"$path/data/$dir").schema
+      got.fields.foreach { f =>
+        val lc = f.name.toLowerCase(java.util.Locale.ROOT)
+        declaredMap.get(lc) match {
+          case Some(want) if want == f.dataType => ()
+          case Some(want) if widen &&
+              (try VersionedTable.widenType(f.dataType, want) == want
+               catch { case _: IllegalStateException => false }) => ()
+          case Some(want) => throw new IllegalStateException(
+            s"graft stream at $path: batch $dir carries ${f.name}: " +
+              s"${f.dataType.sql} but the stream declared ${want.sql}" +
+              (if (widen) ", which it does not losslessly widen into"
+               else "") +
+              ". A schema migration landed mid-stream: RESTART the " +
+              "query — a fresh start (re)computes the widened schema " +
+              "over every committed batch (option 'widen'); this " +
+              "stream cannot change its schema mid-flight")
+          case None => throw new IllegalStateException(
+            s"graft stream at $path: batch $dir adds column ${f.name} " +
+              "unknown to the stream's frozen schema. RESTART the " +
+              "query to pick it up — delivering without it would " +
+              "silently drop committed data")
+        }
+      }
+      if (!widen) {
+        val gotNames = got.fieldNames
+          .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        declared.collect { case (n, _) if !gotNames.contains(n) => n }
+          .foreach { missing =>
+            throw new IllegalStateException(
+              s"graft stream at $path: batch $dir lacks declared " +
+                s"column $missing — older-epoch batches need " +
+                "option 'widen' (null-fill + lossless promotion) or " +
+                "a restart from a consistent schema")
+          }
+      }
+    }
+  }
+
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(o => vOf(o)).getOrElse(startingVersion)
     val to = vOf(end)
+    validateBatchSchemas(from, to)
     // CDC mode delivers the full change feed — inserts AND the
     // deleted rows, `_change_type`-tagged (readChangeFeed's
     // per-commit walk; an upsert arrives as its preimage/postimage
@@ -348,6 +441,11 @@ private[sources] class GraftSource(spark: SparkSession, path: String,
     val changes =
       if (changeFeed)
         VersionedTable.readChangeFeed(spark, path, from, to)
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      else if (widen)
+        VersionedTable.readChangesAs(spark, path, from, to,
+          org.apache.spark.sql.types.StructType(
+            schema.fields.filterNot(_.name == "_change_type")))
           .select(schema.fieldNames.map(col).toIndexedSeq: _*)
       else
         VersionedTable.readChanges(spark, path, from, to)

@@ -1,7 +1,7 @@
 package graft.sql
 
 import org.apache.spark.sql.{GraftStreamingBridge, Row, SparkSession}
-import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.{AliasIdentifier, FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{DataType, StructType}
+import graft.catalog.GraftCatalogs
 import graft.operators.VersionedTable
 
 /** SQL DML for versioned tables — `INSERT INTO` / `MERGE INTO` /
@@ -73,24 +74,52 @@ object GraftSql {
     tables.remove(name.toLowerCase(java.util.Locale.ROOT)); ()
   }
 
-  private def lookup(parts: Seq[String]): Option[Registration] =
+  /** EXACT multipart match only — no last-part fallback: DML on an
+    * unrelated catalog table `db.t` whose bare name collides with a
+    * registered graft name must pass through to Spark untouched, not
+    * be silently intercepted and committed to the graft path. A
+    * caller that wants `db.t` intercepted registers that exact
+    * multipart name. Single-part statements over catalog-backed graft
+    * tables resolve through [[GraftCatalogs.lookup]] instead.
+    */
+  private[sql] def lookup(parts: Seq[String]): Option[Registration] =
     Option(tables.get(
       parts.mkString(".").toLowerCase(java.util.Locale.ROOT)))
-      .orElse(Option(tables.get(
-        parts.last.toLowerCase(java.util.Locale.ROOT))))
+      .orElse(GraftCatalogs.lookup(parts))
 
-  /** The registered table behind a DML target, unwrapping one
-    * optional alias; (registration, alias-to-resolve-under).
+  /** Registered names ONLY — what INSERT interception consults:
+    * catalog-resolved tables take Spark's NATIVE insert path (V2
+    * write resolution conforms the query to the table's columns,
+    * then the V1Write fallback commits), which is strictly more
+    * standard than the positional command below.
     */
-  private def target(plan: LogicalPlan): Option[(Registration, String)] =
+  private def lookupRegistered(parts: Seq[String]): Option[Registration] =
+    Option(tables.get(
+      parts.mkString(".").toLowerCase(java.util.Locale.ROOT)))
+
+  /** The registered/catalog table behind a DML target, unwrapping one
+    * optional alias; (registration, alias parts to resolve under —
+    * the user's alias, or the full multipart identifier so qualified
+    * references like `graft.t.v` resolve).
+    */
+  private def target(plan: LogicalPlan): Option[(Registration, Seq[String])] =
     plan match {
       case u: UnresolvedRelation =>
         lookup(u.multipartIdentifier)
-          .map(_ -> u.multipartIdentifier.last)
+          .map(_ -> u.multipartIdentifier)
       case SubqueryAlias(id, u: UnresolvedRelation) =>
-        lookup(u.multipartIdentifier).map(_ -> id.name)
+        lookup(u.multipartIdentifier).map(_ -> Seq(id.name))
       case _ => None
     }
+
+  /** DELETE/UPDATE/MERGE tombstone by key: a catalog table that never
+    * declared one refuses loudly naming the fix.
+    */
+  private def requireKey(reg: Registration): Unit =
+    if (reg.keyCol.isEmpty)
+      refuse("this table has no merge key: declare it at CREATE TABLE " +
+        "with TBLPROPERTIES('key'='<col>') (or GraftSql.register with " +
+        "a keyCol)")
 
   private def refuse(what: String): Nothing =
     throw new UnsupportedOperationException(
@@ -113,9 +142,17 @@ object GraftSql {
     */
   private[sql] def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
     case i: InsertIntoStatement =>
-      target(i.table) match {
+      // registered names only: INSERT over a CATALOG identifier stays
+      // on Spark's native V2 resolution (column conformance by the
+      // analyzer, V1Write fallback commit)
+      (i.table match {
+        case u: UnresolvedRelation => lookupRegistered(u.multipartIdentifier)
+        case SubqueryAlias(_, u: UnresolvedRelation) =>
+          lookupRegistered(u.multipartIdentifier)
+        case _ => None
+      }) match {
         case None => plan
-        case Some((reg, _)) =>
+        case Some(reg) =>
           if (i.partitionSpec.nonEmpty)
             refuse("PARTITION specs are not supported")
           if (i.userSpecifiedCols.nonEmpty)
@@ -126,6 +163,7 @@ object GraftSql {
       target(t) match {
         case None => plan
         case Some((reg, alias)) =>
+          requireKey(reg)
           GraftDeleteCommand(reg.path, reg.keyCol, alias,
             new GraftExprBox(condition))
       }
@@ -133,6 +171,7 @@ object GraftSql {
       target(u.table) match {
         case None => plan
         case Some((reg, alias)) =>
+          requireKey(reg)
           val assigns = u.assignments.map { a =>
             val name = keyName(a.key).getOrElse(
               refuse(s"unsupported UPDATE assignment target ${a.key}"))
@@ -147,11 +186,12 @@ object GraftSql {
     case m: MergeIntoTable =>
       target(m.targetTable) match {
         case None => plan
-        case Some((reg, _)) =>
+        case Some((reg, aliasParts)) =>
+          requireKey(reg)
+          val keyLc = reg.keyCol.toLowerCase(java.util.Locale.ROOT)
           val keyOk = m.mergeCondition match {
             case EqualTo(l, r) =>
-              val k = reg.keyCol.toLowerCase(java.util.Locale.ROOT)
-              keyName(l).contains(k) && keyName(r).contains(k)
+              keyName(l).contains(keyLc) && keyName(r).contains(keyLc)
             case _ => false
           }
           if (!keyOk)
@@ -159,18 +199,81 @@ object GraftSql {
               s"registered key column '${reg.keyCol}' of both sides")
           if (m.notMatchedBySourceActions.nonEmpty)
             refuse("NOT MATCHED BY SOURCE is not supported")
-          val insertOnly = (m.matchedActions, m.notMatchedActions) match {
+          (m.matchedActions, m.notMatchedActions) match {
+            // the two unconditional star forms keep the proven direct
+            // upsert path (blind-retry OCC is serializable there, and
+            // insert-only carries its own conflict analysis)
             case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
-              false
-            case (Seq(), Seq(InsertStarAction(None))) => true
-            case _ => refuse("only unconditional UPDATE SET * / INSERT * " +
-              "clauses are supported")
+              GraftMergeCommand(reg.path, reg.keyCol, m.sourceTable,
+                insertOnly = false)
+            case (Seq(), Seq(InsertStarAction(None))) =>
+              GraftMergeCommand(reg.path, reg.keyCol, m.sourceTable,
+                insertOnly = true)
+            case _ =>
+              // conditional / partial / DELETE / column-list forms:
+              // the generalized read-modify-write command
+              val matched = m.matchedActions.map {
+                case UpdateStarAction(cond) =>
+                  GraftMatchedUpdate(cond.map(new GraftExprBox(_)), None)
+                case UpdateAction(cond, assigns, _) =>
+                  val pairs = assigns.map { a =>
+                    val n = keyName(a.key).getOrElse(
+                      refuse(s"unsupported UPDATE assignment target ${a.key}"))
+                    if (n == keyLc)
+                      refuse(s"MERGE UPDATE of the merge-key column " +
+                        s"'${reg.keyCol}' is not supported")
+                    n -> new GraftExprBox(a.value)
+                  }
+                  GraftMatchedUpdate(cond.map(new GraftExprBox(_)),
+                    Some(pairs))
+                case DeleteAction(cond) =>
+                  GraftMatchedDelete(cond.map(new GraftExprBox(_)))
+                case other =>
+                  refuse(s"unsupported WHEN MATCHED action $other")
+              }
+              val notMatched = m.notMatchedActions.map {
+                case InsertStarAction(cond) =>
+                  GraftNotMatchedInsert(cond.map(new GraftExprBox(_)), None)
+                case InsertAction(cond, assigns) =>
+                  val pairs = assigns.map { a =>
+                    val n = keyName(a.key).getOrElse(
+                      refuse(s"unsupported INSERT column target ${a.key}"))
+                    n -> new GraftExprBox(a.value)
+                  }
+                  GraftNotMatchedInsert(cond.map(new GraftExprBox(_)),
+                    Some(pairs))
+                case other =>
+                  refuse(s"unsupported WHEN NOT MATCHED action $other")
+              }
+              GraftMergeIntoCommand(reg.path, reg.keyCol, aliasParts,
+                m.sourceTable, new GraftExprBox(m.mergeCondition),
+                matched, notMatched)
           }
-          GraftMergeCommand(reg.path, reg.keyCol, m.sourceTable, insertOnly)
       }
     case other => other
   }
 }
+
+/** Matched/not-matched clause forms of the generalized MERGE — parsed
+  * conditions and assignment values travel boxed (resolution happens
+  * at RUN time, under the statement's own aliases over the current
+  * view joined to the source).
+  */
+sealed trait GraftMatchedForm extends Serializable {
+  def cond: Option[GraftExprBox]
+}
+/** UPDATE SET — `assigns = None` is SET * (every column from the
+  * source by name).
+  */
+case class GraftMatchedUpdate(cond: Option[GraftExprBox],
+    assigns: Option[Seq[(String, GraftExprBox)]]) extends GraftMatchedForm
+case class GraftMatchedDelete(cond: Option[GraftExprBox])
+    extends GraftMatchedForm
+/** INSERT — `assigns = None` is INSERT * (full source rows);
+  * explicit column lists null-fill unassigned target columns.
+  */
+case class GraftNotMatchedInsert(cond: Option[GraftExprBox],
+    assigns: Option[Seq[(String, GraftExprBox)]]) extends Serializable
 
 /** `INSERT INTO` (append commit, OCC-retried) / `INSERT OVERWRITE`
   * (atomic whole-table replace; history stays time-travelable).
@@ -178,20 +281,51 @@ object GraftSql {
   * `colN` names): against an existing table the query's columns are
   * renamed positionally to the table schema — arity mismatches
   * refuse loudly; `byName = true` (INSERT ... BY NAME) keeps names.
+  *
+  * After alignment every column is CAST to the table's CURRENT type
+  * when the cast is provably lossless (`Cast.canUpCast` — the
+  * analyzer's own up-cast matrix), refusing loudly otherwise:
+  * without the cast, `INSERT INTO t VALUES (1, ...)` into a LONG
+  * column would commit an INT-typed parquet batch, and later plain
+  * reads (mergeSchema = false) would infer a schema that depends on
+  * file pick order — nondeterministic, or a forced widen read. The
+  * table's declared types win; a lossy source (string into long,
+  * long into int) is a type error, not a silent coercion.
   */
 case class GraftInsertCommand(path: String, query: LogicalPlan,
     overwrite: Boolean, byName: Boolean) extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
   override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
     val raw = GraftStreamingBridge.ofRows(session, query)
     val df = VersionedTable.latestVersion(path) match {
-      case Some(latest) if !byName =>
-        val names = VersionedTable.readAt(session, path, latest).columns
-        require(names.length == raw.columns.length,
-          s"INSERT arity mismatch: table has ${names.length} columns " +
-            s"(${names.mkString(", ")}), query produces " +
-            s"${raw.columns.length}")
-        raw.toDF(names.toIndexedSeq: _*)
+      case Some(latest) =>
+        val tableSchema = VersionedTable.readAt(session, path, latest).schema
+        val aligned =
+          if (byName) raw
+          else {
+            require(tableSchema.length == raw.columns.length,
+              s"INSERT arity mismatch: table has ${tableSchema.length} " +
+                s"columns (${tableSchema.fieldNames.mkString(", ")}), " +
+                s"query produces ${raw.columns.length}")
+            raw.toDF(tableSchema.fieldNames.toIndexedSeq: _*)
+          }
+        val typeOf = tableSchema
+          .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType)
+          .toMap
+        val conformed = aligned.schema.fields.map { f =>
+          typeOf.get(f.name.toLowerCase(java.util.Locale.ROOT)) match {
+            case None | Some(f.dataType) => col(f.name)
+            case Some(want) if Cast.canUpCast(f.dataType, want) =>
+              col(f.name).cast(want).as(f.name)
+            case Some(want) => throw new IllegalArgumentException(
+              s"graft INSERT: column ${f.name} is ${f.dataType.sql} in " +
+                s"the query but ${want.sql} in the table, and the cast is " +
+                "not lossless (lossy coercion refused); cast explicitly " +
+                "in the query")
+          }
+        }
+        aligned.select(conformed.toIndexedSeq: _*)
       case _ => raw
     }
     val v =
@@ -207,16 +341,15 @@ case class GraftInsertCommand(path: String, query: LogicalPlan,
   * time travel intact. The predicate filters the auto-pruned view,
   * so a selective WHERE pays index cost, not a table scan.
   */
-case class GraftDeleteCommand(path: String, keyCol: String, alias: String,
-    condition: GraftExprBox) extends LeafRunnableCommand {
+case class GraftDeleteCommand(path: String, keyCol: String,
+    alias: Seq[String], condition: GraftExprBox) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val latest = VersionedTable.latestVersion(path).getOrElse(
       throw new IllegalArgumentException(
         s"DELETE from empty graft table at $path"))
     val view = VersionedTable.readAtAuto(session, path, latest)
     // resolve the parsed predicate under the statement's alias
-    val aliased = SubqueryAlias(alias,
-      view.queryExecution.logical)
+    val aliased = GraftDml.aliased(alias, view.queryExecution.logical)
     val keys = GraftStreamingBridge.ofRows(session,
       Filter(condition.expr, aliased)).select(col(keyCol))
     val v = VersionedTable.deleteKeys(keys, keyCol, path)
@@ -262,8 +395,8 @@ case class GraftMergeCommand(path: String, keyCol: String,
   * survive); a selective WHERE pays the auto-pruned read, not a
   * table scan.
   */
-case class GraftUpdateCommand(path: String, keyCol: String, alias: String,
-    assignments: Seq[(String, GraftExprBox)],
+case class GraftUpdateCommand(path: String, keyCol: String,
+    alias: Seq[String], assignments: Seq[(String, GraftExprBox)],
     condition: Option[GraftExprBox]) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
@@ -272,7 +405,7 @@ case class GraftUpdateCommand(path: String, keyCol: String, alias: String,
       throw new IllegalArgumentException(
         s"UPDATE on empty graft table at $path"))
     val view = VersionedTable.readAtAuto(session, path, latest)
-    val aliased = SubqueryAlias(alias, view.queryExecution.logical)
+    val aliased = GraftDml.aliased(alias, view.queryExecution.logical)
     val cond = condition.map(_.expr).getOrElse(Literal(true))
     val assignOf = assignments.toMap
     val projectList: Seq[NamedExpression] = view.columns.toSeq.map { c =>
@@ -304,12 +437,228 @@ final class GraftExprBox(val expr: Expression) extends Serializable {
   }
 }
 
+/** GENERALIZED MERGE — the conditional / partial / DELETE / explicit
+  * column-list forms, as one read-modify-write over the current view:
+  *
+  *   MERGE INTO t USING s ON t.<key> = s.<key>
+  *     WHEN MATCHED [AND p1] THEN UPDATE SET c = expr[, ...] | SET *
+  *     WHEN MATCHED [AND p2] THEN DELETE
+  *     WHEN NOT MATCHED [AND p3] THEN INSERT [(cols)] VALUES (...) | *
+  *
+  * Standard first-match-wins clause order: each matched target row
+  * takes the FIRST matched clause whose condition holds (no clause →
+  * the row is untouched and never rewritten); each unmatched source
+  * row takes the first insert clause that holds (none → dropped).
+  * Everything lands in ONE atomic commit
+  * ([[VersionedTable.upsertWithDeletes]]): a tombstone for
+  * updated-or-deleted keys plus the updated+inserted rows —
+  * unmatched rows are never rewritten (merge-on-read, not
+  * copy-on-write), so a selective MERGE moves data proportional to
+  * the rows it touches, not the table.
+  *
+  * Concurrency: conditions must be re-evaluated against any
+  * interleaved commit for serializability, so a version conflict
+  * RECOMPUTES the whole read-modify-write against the new latest
+  * (bounded retries) instead of blind-retrying the manifest — the
+  * honest generalization of the star-form's commute argument.
+  *
+  * Every projected column is cast to the table's current type when
+  * provably lossless (the INSERT rule), refusing loudly otherwise;
+  * MERGE against an EMPTY table supports INSERT * only (no schema to
+  * null-fill explicit column lists against).
+  */
+case class GraftMergeIntoCommand(path: String, keyCol: String,
+    targetAlias: Seq[String], source: LogicalPlan,
+    mergeCondition: GraftExprBox, matched: Seq[GraftMatchedForm],
+    notMatched: Seq[GraftNotMatchedInsert]) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def output: Seq[Attribute] = GraftDml.versionOutput
+
+  private val ActCol = "__graft_merge_act"
+
+  private def condCol(c: Option[GraftExprBox]): org.apache.spark.sql.Column =
+    c.map(b => org.apache.spark.sql.graftbridge.Bridge.column(b.expr))
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+
+  /** First-match-wins clause index (-1 = no clause applies). */
+  private def actionIndex(
+      conds: Seq[Option[GraftExprBox]]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    conds.zipWithIndex.foldRight(lit(-1): org.apache.spark.sql.Column) {
+      case ((c, i), acc) => when(condCol(c), lit(i)).otherwise(acc)
+    }
+  }
+
+  private def lc(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.{Column, DataFrame}
+
+    def sourceQual: Seq[String] = source match {
+      case SubqueryAlias(id, _) => id.qualifier :+ id.name
+      case u: UnresolvedRelation => u.multipartIdentifier
+      case _ => throw new UnsupportedOperationException(
+        "graft MERGE: alias the source (USING (...) s) to use SET * / " +
+          "INSERT * — unaliased subquery columns cannot be qualified")
+    }
+
+    var attempt = 0
+    while (attempt <= 3) {
+      val snapshot = VersionedTable.latestVersion(path)
+      val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      try {
+        val (dataOpt, delOpt) = snapshot match {
+          case None =>
+            // empty table: every source row is unmatched
+            val srcDf = GraftStreamingBridge.ofRows(session, source)
+            if (notMatched.exists(_.assigns.nonEmpty))
+              throw new UnsupportedOperationException(
+                "graft MERGE into an EMPTY table supports INSERT * only " +
+                  "(no table schema to null-fill an explicit column " +
+                  "list against)")
+            val idx = actionIndex(notMatched.map(_.cond))
+            val markedIns = srcDf.withColumn(ActCol, idx).cache()
+            cached += markedIns
+            val ins = markedIns.filter(org.apache.spark.sql.functions
+              .col(ActCol) >= 0).drop(ActCol)
+            (if (notMatched.isEmpty || ins.isEmpty) None else Some(ins), None)
+          case Some(v) =>
+            val view = VersionedTable.readAtAuto(session, path, v)
+            val targetSchema = view.schema
+            val targetCols = targetSchema.fieldNames.toSeq
+            val tPlan = GraftDml.aliased(targetAlias,
+              view.queryExecution.logical)
+            def tCol(c: String): Column =
+              Bridge.column(UnresolvedAttribute(targetAlias :+ c))
+            def sCol(c: String): Column =
+              Bridge.column(UnresolvedAttribute(sourceQual :+ c))
+
+            val updatedParts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+            val deletedParts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+            if (matched.nonEmpty) {
+              val joined = GraftStreamingBridge.ofRows(session,
+                Join(tPlan, source, Inner, Some(mergeCondition.expr),
+                  JoinHint.NONE))
+              val marked = joined
+                .withColumn(ActCol, actionIndex(matched.map(_.cond))).cache()
+              cached += marked
+              matched.zipWithIndex.foreach {
+                case (u: GraftMatchedUpdate, i) =>
+                  val rows = marked.filter(
+                    org.apache.spark.sql.functions.col(ActCol) === lit(i))
+                  val assignOf = u.assigns.map(_.map {
+                    case (n, b) => lc(n) -> b }.toMap).getOrElse(Map.empty)
+                  val projected = rows.select(targetCols.map { c =>
+                    if (u.assigns.isEmpty) sCol(c).as(c)
+                    else assignOf.get(lc(c)) match {
+                      case Some(box) => Bridge.column(box.expr).as(c)
+                      case None => tCol(c).as(c)
+                    }
+                  }: _*)
+                  updatedParts += GraftDml.conformTo(projected, targetSchema)
+                case (_: GraftMatchedDelete, i) =>
+                  deletedParts += marked.filter(
+                    org.apache.spark.sql.functions.col(ActCol) === lit(i))
+                    .select(tCol(keyCol).as(keyCol))
+              }
+            }
+            val insertedParts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+            if (notMatched.nonEmpty) {
+              val anti = GraftStreamingBridge.ofRows(session,
+                Join(source, tPlan, LeftAnti, Some(mergeCondition.expr),
+                  JoinHint.NONE))
+              val markedIns = anti
+                .withColumn(ActCol, actionIndex(notMatched.map(_.cond)))
+                .cache()
+              cached += markedIns
+              notMatched.zipWithIndex.foreach { case (ins, i) =>
+                val rows = markedIns.filter(
+                  org.apache.spark.sql.functions.col(ActCol) === lit(i))
+                val projected = ins.assigns match {
+                  case None =>
+                    // INSERT *: source columns by name (anti-join
+                    // output carries ONLY source attrs — unambiguous)
+                    rows.select(targetCols.map(c =>
+                      org.apache.spark.sql.functions.col(c).as(c)): _*)
+                  case Some(pairs) =>
+                    val assignOf = pairs.map {
+                      case (n, b) => lc(n) -> b }.toMap
+                    require(assignOf.contains(lc(keyCol)),
+                      s"graft MERGE: the INSERT column list must assign " +
+                        s"the merge key '$keyCol'")
+                    rows.select(targetSchema.fields.toSeq.map { f =>
+                      assignOf.get(lc(f.name)) match {
+                        case Some(box) => Bridge.column(box.expr).as(f.name)
+                        case None => lit(null).cast(f.dataType).as(f.name)
+                      }
+                    }: _*)
+                }
+                insertedParts += GraftDml.conformTo(projected, targetSchema)
+              }
+            }
+            val data = (updatedParts ++ insertedParts)
+              .reduceOption(_ unionByName _).filterNot(_.isEmpty)
+            val dels = deletedParts.reduceOption(_ unionByName _)
+              .filterNot(_.isEmpty)
+            (data, dels)
+        }
+        try {
+          val v = VersionedTable.upsertWithDeletes(dataOpt, delOpt, keyCol,
+            path)
+          return Seq(Row(v))
+        } catch {
+          case e: java.io.IOException
+              if e.getMessage.contains("already committed") && attempt < 3 =>
+            attempt += 1 // recompute against the new latest
+        }
+      } finally cached.foreach(_.unpersist())
+    }
+    throw new java.io.IOException(
+      s"graft MERGE into $path: gave up after repeated commit conflicts")
+  }
+}
+
 private[sql] object GraftDml {
   /** Every DML command returns the committed version — the SQL-side
     * receipt of the manifest rename.
     */
   def versionOutput: Seq[Attribute] = Seq(AttributeReference(
     "version", org.apache.spark.sql.types.LongType, nullable = false)())
+
+  /** The statement's target wrapped so BOTH the bare alias and
+    * qualified multipart references (`graft.db.t.c`) resolve.
+    */
+  def aliased(parts: Seq[String], child: LogicalPlan): LogicalPlan =
+    SubqueryAlias(AliasIdentifier(parts.last, parts.init), child)
+
+  /** Cast every column to the table's current type when provably
+    * lossless (`Cast.canUpCast`), refusing loudly otherwise — the
+    * write-side type conformance every SQL verb shares.
+    */
+  def conformTo(df: org.apache.spark.sql.DataFrame,
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    val want = schema.map(f =>
+      f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType).toMap
+    val projected = df.schema.fields.map { f =>
+      want.get(f.name.toLowerCase(java.util.Locale.ROOT)) match {
+        case None | Some(f.dataType) => col(f.name)
+        case Some(w) if Cast.canUpCast(f.dataType, w) =>
+          col(f.name).cast(w).as(f.name)
+        case Some(w) => throw new IllegalArgumentException(
+          s"graft DML: column ${f.name} is ${f.dataType.sql} in the " +
+            s"statement but ${w.sql} in the table, and the cast is not " +
+            "lossless; cast explicitly")
+      }
+    }
+    df.select(projected.toIndexedSeq: _*)
+  }
 }
 
 /** The delegating parser: Spark's own grammar does ALL parsing; the
@@ -319,7 +668,11 @@ private[sql] object GraftDml {
 class GraftDmlParser(delegate: ParserInterface) extends ParserInterface {
   @throws[ParseException]
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSql.rewrite(delegate.parsePlan(sqlText))
+    // maintenance verbs (OPTIMIZE/VACUUM/DESCRIBE HISTORY) are not in
+    // Spark's grammar: screen the raw text first (the Delta parser
+    // pattern), everything else parses and rewrites as before
+    GraftMaintenanceSql.parse(sqlText, delegate).getOrElse(
+      GraftSql.rewrite(delegate.parsePlan(sqlText)))
   @throws[ParseException]
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

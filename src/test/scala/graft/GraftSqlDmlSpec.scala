@@ -99,12 +99,13 @@ class GraftSqlDmlSpec extends SparkTestBase {
     try {
       VersionedTable.append(Seq((1L, "a")).toDF("k", "v"), path)
       Seq((1L, "x")).toDF("k", "v").createOrReplaceTempView("ref_src")
-      // partial UPDATE SET list
+      // NOT MATCHED BY SOURCE stays unsupported
       val e1 = intercept[UnsupportedOperationException] {
         spark.sql("""MERGE INTO t_ref USING ref_src ON t_ref.k = ref_src.k
-          WHEN MATCHED THEN UPDATE SET v = ref_src.v""")
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED BY SOURCE THEN DELETE""")
       }
-      assert(e1.getMessage.contains("UPDATE SET *"))
+      assert(e1.getMessage.contains("NOT MATCHED BY SOURCE"))
       // non-key merge condition
       val e2 = intercept[UnsupportedOperationException] {
         spark.sql("""MERGE INTO t_ref USING ref_src ON t_ref.v = ref_src.v

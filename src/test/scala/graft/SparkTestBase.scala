@@ -13,6 +13,8 @@ trait SparkTestBase extends AnyFunSuite {
     .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
     .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+    .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    .config("spark.sql.catalog.graft.root", "/tmp/graft-test-catalog")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
