@@ -98,6 +98,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private[catalog] def pathOf(parts: Seq[String]): String =
     (rootDir.stripSuffix("/") +: parts).mkString("/")
 
+  /** The directory a (namespace…, table) identifier maps to — public
+    * so path-level tooling (build guards, vacuum scripts) can reach a
+    * catalog table's storage without duplicating the mapping.
+    */
+  def tablePath(parts: Seq[String]): String = pathOf(parts)
+
   private val MetaFile = "_table.meta"
   private val ManifestRe = "_v(\\d+)\\.manifest".r
 

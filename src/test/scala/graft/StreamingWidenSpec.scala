@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.VersionedTable
+
+/** Streaming schema evolution on the graft source — previously
+  * UNDEFINED (new columns silently dropped, a type change crashed
+  * deep in the scan); now a contract with two legs, both footer-
+  * checked BEFORE any scan:
+  *
+  *  - default: a mid-stream widening/add-column commit REFUSES loudly
+  *    naming the restart contract;
+  *  - `widen = true`: the stream declares the widened-at-start
+  *    schema; narrower epochs promote natively and absent columns
+  *    null-fill — while a batch WIDER than declared still refuses
+  *    (a stream cannot change schema mid-flight) and a RESTART picks
+  *    the new schema up.
+  */
+class StreamingWidenSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def drainTo(src: String, ckpt: String, dst: String,
+      widen: Boolean): Unit = {
+    val reader = spark.readStream.format("graft")
+    val q = (if (widen) reader.option("widen", "true") else reader)
+      .load(src)
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start(dst)
+    q.awaitTermination(120000)
+    ()
+  }
+
+  test("default stream: a mid-stream type widening refuses loudly naming the restart contract") {
+    val src = tmpDir("sw_refuse_src")
+    val ckpt = tmpDir("sw_refuse_ckpt")
+    val dst = tmpDir("sw_refuse_dst")
+    VersionedTable.append(
+      Seq((1, 10)).toDF("k", "v")
+        .select(col("k").cast("int"), col("v").cast("int")), src)
+    drainTo(src, ckpt, dst, widen = false)
+    assert(VersionedTable.readLatest(spark, dst).count() === 1L)
+    // the migration lands mid-stream: a LONG-typed batch
+    VersionedTable.append(
+      Seq((2L, 20L)).toDF("k", "v"), src)
+    val e = intercept[Exception] { drainTo(src, ckpt, dst, widen = false) }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse("") + e.getMessage
+    assert(msg.contains("RESTART"), s"must name the restart contract: $msg")
+  }
+
+  test("default stream: a mid-stream ADD COLUMN refuses instead of silently dropping data") {
+    val src = tmpDir("sw_addcol_src")
+    val ckpt = tmpDir("sw_addcol_ckpt")
+    val dst = tmpDir("sw_addcol_dst")
+    VersionedTable.append(Seq((1L, 10L)).toDF("k", "v"), src)
+    drainTo(src, ckpt, dst, widen = false)
+    VersionedTable.append(
+      Seq((2L, 20L, "extra")).toDF("k", "v", "note"), src)
+    val e = intercept[Exception] { drainTo(src, ckpt, dst, widen = false) }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse("") + e.getMessage
+    assert(msg.contains("adds column") && msg.contains("RESTART"), msg)
+  }
+
+  test("widen=true: mixed epochs deliver under the widened schema; narrow appends keep flowing") {
+    val src = tmpDir("sw_widen_src")
+    val ckpt = tmpDir("sw_widen_ckpt")
+    val dst = tmpDir("sw_widen_dst")
+    VersionedTable.append(
+      Seq((1, 1.5f)).toDF("k", "q")
+        .select(col("k").cast("int"), col("q").cast("float")), src)
+    VersionedTable.append(
+      Seq((2L, 2.5d, 7L)).toDF("k", "q", "tax"), src)
+    drainTo(src, ckpt, dst, widen = true) // snapshot: both epochs
+    val schema = VersionedTable.readLatest(spark, dst).schema
+    assert(schema("k").dataType === org.apache.spark.sql.types.LongType)
+    assert(schema("q").dataType === org.apache.spark.sql.types.DoubleType)
+    // post-start NARROW append widens into the declaration and flows
+    VersionedTable.append(
+      Seq((3, 3.5f)).toDF("k", "q")
+        .select(col("k").cast("int"), col("q").cast("float")), src)
+    drainTo(src, ckpt, dst, widen = true)
+    val rows = VersionedTable.readLatest(spark, dst)
+      .select(col("k"), col("q"), col("tax")).as[(Long, Double, Option[Long])]
+      .collect().sortBy(_._1)
+    assert(rows === Array((1L, 1.5d, None), (2L, 2.5d, Some(7L)),
+      (3L, 3.5d, None)))
+  }
+
+  test("widen=true: a batch WIDER than the declaration refuses; a restart picks it up") {
+    import org.apache.spark.sql.types.{IntegerType, StructType}
+    val src = tmpDir("sw_wider_src")
+    val ckpt = tmpDir("sw_wider_ckpt")
+    val dst = tmpDir("sw_wider_dst")
+    VersionedTable.append(
+      Seq((1, 10)).toDF("k", "v")
+        .select(col("k").cast("int"), col("v").cast("int")), src)
+    // the declaration is PINNED at int/int (an explicit .schema — the
+    // stream a long-running job froze before the migration; an
+    // unpinned AvailableNow restart would legitimately re-widen)
+    val pinned = new StructType().add("k", IntegerType).add("v", IntegerType)
+    def drainPinned(): Unit = {
+      val q = spark.readStream.format("graft").schema(pinned)
+        .option("widen", "true").load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination(120000)
+      ()
+    }
+    drainPinned()
+    assert(VersionedTable.readLatest(spark, dst).count() === 1L)
+    // the migration commits a LONG batch: wider than the pinned
+    // declaration — must refuse, not mis-read under int
+    VersionedTable.append(Seq((2L, 20L)).toDF("k", "v"), src)
+    val e = intercept[Exception] { drainPinned() }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse("") + e.getMessage
+    assert(msg.contains("RESTART"), msg)
+    // the restart contract: an UNPINNED fresh start re-widens over
+    // every committed batch and delivers everything
+    val ckpt2 = tmpDir("sw_wider_ckpt2")
+    val dst2 = tmpDir("sw_wider_dst2")
+    drainTo(src, ckpt2, dst2, widen = true)
+    assert(VersionedTable.readLatest(spark, dst2)
+      .select(col("k")).as[Long].collect().sorted === Array(1L, 2L))
+  }
+}
