@@ -50,10 +50,14 @@ import graft.operators.VersionedTable
   * reader ([[org.apache.spark.sql.GraftStreamingBridge]] documents
   * the one internal seam that choice costs).
   *
-  * Options: `versionAsOf` (batch), `mergeSchema`, `widen` (batch:
-  * read under the lossless widened schema — `readAtWidened`; typed
-  * pruning still applies since widening never changes a stats
-  * domain), `startingVersion` (stream: deliveries begin AFTER this
+  * Options: `versionAsOf` (batch), `mergeSchema`, `widen` (batch
+  * AND stream: read/deliver under the lossless widened schema —
+  * `readAtWidened`; typed pruning still applies since widening never
+  * changes a stats domain; on a STREAM every delivered batch is
+  * footer-checked to widen INTO the declaration, and without the
+  * option a mid-stream schema change refuses loudly naming the
+  * restart contract — see GraftSource.validateBatchSchemas),
+  * `startingVersion` (stream: deliveries begin AFTER this
   * version; default 0 = initial snapshot), `maxVersionsPerTrigger`
   * (stream rate limit: at most this many versions per micro-batch),
   * `readChangeFeed` (stream: deliver the FULL change feed —
@@ -61,7 +65,10 @@ import graft.operators.VersionedTable
   * preimage/postimage pairs — so a downstream materializer maintains
   * an exact replica; plain mode carries appended rows only),
   * `txnId` / `statsCols` / `bloomCols` (write: comma-separated
-  * column lists).
+  * column lists), `mergeKey` + `autoCompactTombstones` (sink:
+  * Update-mode upsert key; self-scheduled compaction once the
+  * manifest carries that many tombstone entries — the metadata-gated
+  * maintenance policy, q307).
   */
 class GraftDataSource extends RelationProvider with StreamSourceProvider
     with StreamSinkProvider with CreatableRelationProvider

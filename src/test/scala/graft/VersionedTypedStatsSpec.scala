@@ -223,12 +223,17 @@ class VersionedTypedStatsSpec extends SparkTestBase {
       .filter($"k" < 12000L).count() === plain.filter($"k" < 12000L).count())
   }
 
-  test("clustering on a string column refuses loudly") {
-    val path = tmpDir("vt_typed_strrefuse")
-    VersionedTable.append(Seq(("a", 1)).toDF("w", "n"), path)
-    val e = intercept[IllegalArgumentException] {
-      VersionedTable.compactByRange(spark, path, "w", 2)
-    }
-    assert(e.getMessage.contains("string"))
+  test("clustering on a string column is SUPPORTED since r13 (refusal lifted)") {
+    // the r12-era refusal is gone: strings cluster through the
+    // globalRank-derived rank space (StringClusteringSpec owns the
+    // full proof — content identity, pruning subset, nulls, skew);
+    // this guards against the refusal regressing back in
+    val path = tmpDir("vt_typed_strcluster")
+    VersionedTable.append(Seq(("a", 1), ("m", 2), ("z", 3)).toDF("w", "n"),
+      path)
+    VersionedTable.compactByRange(spark, path, "w", 2)
+    assert(VersionedTable.readAt(spark, path, 2L).count() === 3L)
+    assert(VersionedTable.statsColumnsOf(path, 2L) === Seq("w"),
+      "@s typed stats recorded on the clustered buckets")
   }
 }
