@@ -180,6 +180,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier, version: String): Table =
     loadAt(ident, Some(version.toLong))
 
+  /** `TIMESTAMP AS OF` time travel — `timestamp` arrives as
+    * MICROSECONDS since the epoch (the TableCatalog contract): the
+    * newest version whose manifest LANDED at or before that instant,
+    * judged by manifest file modification time — the same clock Delta
+    * uses for its timestamp travel, with the same honesty caveats
+    * (the writing host's clock; a vacuumed manifest removes its
+    * version from the addressable range — asking below the retention
+    * floor refuses loudly rather than answering with the wrong
+    * version).
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val parts = identParts(ident)
+    val path = pathOf(parts)
+    val v = VersionedTable.versionAtTime(path, timestamp).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft time travel: no retained version of ${parts.mkString(".")} " +
+          "existed at the requested timestamp (before the first commit, " +
+          "or vacuumed past the retention floor)"))
+    loadAt(ident, Some(v))
+  }
+
   private def identParts(ident: Identifier): Seq[String] =
     ident.namespace.toSeq :+ ident.name
 

@@ -95,6 +95,26 @@ object VersionedTable {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
+  /** TIMESTAMP-AS-OF resolution: the newest retained version whose
+    * manifest's file modification time is at or before `micros`
+    * (microseconds since the epoch). The clock is the manifest file's
+    * mtime — the Delta convention, with its honesty caveats (writing
+    * host's clock; vacuum removes versions from the addressable
+    * range). One directory listing, metadata-only.
+    */
+  def versionAtTime(path: String, micros: Long): Option[Long] = {
+    val (f, p) = fs(path)
+    if (!f.exists(p)) return None
+    val eligible = f.listStatus(p).flatMap { st =>
+      st.getPath.getName match {
+        case ManifestRe(n) if st.getModificationTime * 1000L <= micros =>
+          Some(n.toLong)
+        case _ => None
+      }
+    }
+    if (eligible.isEmpty) None else Some(eligible.max)
+  }
+
   private def committedVersions(path: String): Seq[Long] = {
     val (f, p) = fs(path)
     if (!f.exists(p)) return Seq.empty

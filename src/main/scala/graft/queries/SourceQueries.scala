@@ -2653,9 +2653,59 @@ object SourceQueries extends QueryRegistry {
       GROUP BY 1
     """.trim))
 
+  /** `DESCRIBE HISTORY` ORACLE-GATED — the SQL verb's OUTPUT is the
+    * hash-checked result, not just a spec assertion: a deterministic
+    * commit sequence (two appends, a delete, an update-upsert, an
+    * OPTIMIZE) is built entirely from SQL over a catalog name, and
+    * the commit log's (version, kind, n_add, n_delete) classification
+    * must equal a literal oracle row-for-row. The kinds derive purely
+    * from manifest entry deltas (metadata-only at any table size):
+    * a misclassified commit — an upsert read as delete, a compaction
+    * leaking into the adds — breaks the hash. Complements q285 (the
+    * Scala `history` over a path) with the catalog-name SQL verb.
+    */
+  val q309 = GraftQuery(
+    "q309_catalog_describe_history",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"q309_orders_$sfx"
+      val path = graftCatalog(s).tablePath(Seq(table))
+      if (!VersionedTable.latestVersion(path).exists(_ >= 5L)) {
+        s.sql(s"DROP TABLE IF EXISTS graft.$table")
+        s.sql(s"""CREATE TABLE graft.$table
+          (o_orderkey BIGINT, total_c BIGINT)
+          TBLPROPERTIES('key'='o_orderkey')""")
+        Tables.orders(s, d).createOrReplaceTempView("q309_base")
+        s.sql(s"""
+          INSERT INTO graft.$table
+          SELECT o_orderkey, CAST(round(o_totalprice * 100) AS LONG)
+          FROM q309_base WHERE o_orderdate < TIMESTAMP '1997-01-01'""")
+        s.sql(s"""
+          INSERT INTO graft.$table
+          SELECT o_orderkey, CAST(round(o_totalprice * 100) AS LONG)
+          FROM q309_base WHERE o_orderdate >= TIMESTAMP '1997-01-01'""")
+        s.sql(s"DELETE FROM graft.$table WHERE o_orderkey % 3 = 0")
+        s.sql(s"""UPDATE graft.$table SET total_c = total_c + 1
+          WHERE o_orderkey % 2 = 0""")
+        s.sql(s"OPTIMIZE graft.$table")
+      }
+      s.sql(s"DESCRIBE HISTORY graft.$table")
+        .select(col("version"), col("kind"), col("n_add"), col("n_delete"))
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'append',  CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        (CAST(2 AS BIGINT), 'append',  CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        (CAST(3 AS BIGINT), 'delete',  CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+        (CAST(4 AS BIGINT), 'upsert',  CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        (CAST(5 AS BIGINT), 'compact', CAST(1 AS BIGINT), CAST(0 AS BIGINT))
+      ) AS t(version, kind, n_add, n_delete)
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
     q282, q283, q284, q285, q286, q288, q289, q290, q291, q292, q293, q294,
     q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306,
-    q307, q308)
+    q307, q308, q309)
 }

@@ -139,6 +139,28 @@ class GraftCatalogSpec extends SparkTestBase {
     drop("cat_nokey")
   }
 
+  test("TIMESTAMP AS OF resolves by manifest time; pre-first-commit refuses loudly") {
+    drop("cat_ts")
+    spark.sql("CREATE TABLE graft.cat_ts (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.cat_ts VALUES (1, 'a')")
+    Thread.sleep(50)
+    val t1 = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    Thread.sleep(1200) // clear any 1s mtime granularity
+    spark.sql("INSERT INTO graft.cat_ts VALUES (2, 'b'), (3, 'c')")
+    assert(spark.table("graft.cat_ts").count() === 3L)
+    assert(spark.sql(s"SELECT * FROM graft.cat_ts TIMESTAMP AS OF '$t1'")
+      .count() === 1L, "the pre-second-commit instant must serve v1")
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.cat_ts TIMESTAMP AS OF '2000-01-01'")
+        .collect()
+    }
+    assert(e.getMessage.contains("no retained version"), e.getMessage)
+    drop("cat_ts")
+  }
+
   test("a path-built versioned table is ADOPTED by dropping it under the root") {
     val root = "/tmp/graft-test-catalog"
     val path = s"$root/cat_adopted"
