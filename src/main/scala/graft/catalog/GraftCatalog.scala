@@ -388,15 +388,46 @@ object GraftCatalogs {
 }
 
 /** One catalog-resolved versioned table, version-pinned at load
-  * (snapshot-consistent within a query). Reads are swapped to the V1
-  * plan by [[GraftV2Resolution]]; writes drop to the [[V1Write]]
-  * fallback below.
+  * (snapshot-consistent within a query). Batch reads are swapped to
+  * the V1 plan by [[GraftV2Resolution]]; writes drop to the
+  * [[V1Write]] fallback below; STREAMING reads by name
+  * (`spark.readStream.table("graft.t")`) go through
+  * [[org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback]] —
+  * Spark sees no MICRO_BATCH_READ capability, consults `v1Table`, and
+  * plans the V1 `StreamSourceProvider` (the versions-as-offsets
+  * source, q294) against the table's path: the same fallback Delta's
+  * streaming-by-name takes, and the third face of the one documented
+  * trade.
   */
 class GraftTable(identName: String, val path: String,
     val snapshotVersion: Option[Long], tableSchema: StructType,
-    props: Map[String, String]) extends Table with SupportsWrite {
+    props: Map[String, String]) extends Table with SupportsWrite
+    with org.apache.spark.sql.graftbridge.V1FallbackTable {
 
   override def name(): String = identName
+
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    val parts = identName.split('.').toSeq
+    // TableIdentifier asserts catalog => database; the identifier is
+    // cosmetic here (location + provider drive the V1 source), so a
+    // 2-part name records the catalog as the database slot
+    val ident = parts.size match {
+      case n if n >= 3 =>
+        TableIdentifier(parts.last, Some(parts(n - 2)), Some(parts.head))
+      case 2 => TableIdentifier(parts.last, Some(parts.head))
+      case _ => TableIdentifier(parts.last)
+    }
+    CatalogTable(
+      identifier = ident,
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new org.apache.hadoop.fs.Path(path).toUri),
+        properties = Map("path" -> path)),
+      schema = tableSchema,
+      provider = Some("graft"))
+  }
 
   override def schema(): StructType = tableSchema
 

@@ -13,3 +13,13 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Public face of the `private[sql]` V2TableWithV1Fallback trait, so
+  * the graft catalog's table can declare the streaming-by-name V1
+  * fallback (`spark.readStream.table("graft.t")` → the V1
+  * versions-as-offsets source) — the same fallback Delta's
+  * streaming-by-name resolution takes, exposed through the same
+  * bridge-package seam as the rest of this file.
+  */
+trait V1FallbackTable
+  extends org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback

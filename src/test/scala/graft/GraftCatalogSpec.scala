@@ -161,6 +161,36 @@ class GraftCatalogSpec extends SparkTestBase {
     drop("cat_ts")
   }
 
+  test("readStream.table by name: versions-as-offsets through the V1 fallback") {
+    import org.apache.spark.sql.streaming.Trigger
+    drop("cat_stream")
+    spark.sql("""CREATE TABLE graft.cat_stream (k BIGINT, v BIGINT)
+      TBLPROPERTIES('key'='k')""")
+    spark.sql("INSERT INTO graft.cat_stream SELECT id, id * 2 FROM range(0, 20)")
+    spark.sql("INSERT INTO graft.cat_stream SELECT id, id * 2 FROM range(20, 30)")
+    val ckpt = tmpDir("cat_stream_ckpt")
+    val dst = tmpDir("cat_stream_dst")
+    val q = spark.readStream.table("graft.cat_stream")
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start(dst)
+    q.awaitTermination(120000)
+    assert(graft.operators.VersionedTable.readLatest(spark, dst)
+      .agg(sum("v")).as[Long].head() === (0L until 30L).map(_ * 2).sum)
+    // a third commit resumes from the WAL on the next run
+    spark.sql("INSERT INTO graft.cat_stream SELECT id, id * 2 FROM range(30, 35)")
+    val q2 = spark.readStream.table("graft.cat_stream")
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start(dst)
+    q2.awaitTermination(120000)
+    assert(graft.operators.VersionedTable.readLatest(spark, dst)
+      .count() === 35L)
+    drop("cat_stream")
+  }
+
   test("a path-built versioned table is ADOPTED by dropping it under the root") {
     val root = "/tmp/graft-test-catalog"
     val path = s"$root/cat_adopted"
