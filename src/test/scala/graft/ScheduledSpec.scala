@@ -65,7 +65,12 @@ class ScheduledSpec extends SparkTestBase {
     }
     try awaitAtLeast(fires2, 1, timeoutMs = 60000) finally q2.stop()
     assert(fires2.get() >= 1, "restarted cadence never fired")
-    assert(minAfter.get() > maxBefore.get(),
+    // >= not >: a batch IN FLIGHT when stop() landed may not have
+    // committed its offset, and the restart legitimately REPLAYS that
+    // batch id (at-least-once — the documented cadence contract). The
+    // bug this guards against is a RESET (post-restart ids starting
+    // over at 0 below the pre-restart maximum).
+    assert(minAfter.get() >= maxBefore.get(),
       s"batch ids reset after restart: pre-max=${maxBefore.get()} post-min=${minAfter.get()}")
   }
 
