@@ -85,7 +85,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     rootDir = Option(options.get("root")).getOrElse(
       throw new IllegalArgumentException(
         s"graft catalog '$name' needs spark.sql.catalog.$name.root=<dir>"))
-    GraftCatalogs.register(this)
   }
 
   override def name(): String = catalogName
@@ -343,42 +342,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 }
 
-/** Live [[GraftCatalog]] instances by session-config name — the
-  * parse-time resolver [[graft.sql.GraftSqlDml]] and the maintenance
-  * verbs use to map `graft.ns.t` identifiers onto table paths and
-  * merge keys without a register() call.
+/** Parse-time resolver mapping `graft.ns…t` identifiers onto table
+  * paths and merge keys for [[graft.sql.GraftSqlDml]] and the
+  * maintenance verbs — no register() call. Resolution goes through
+  * the ACTIVE SESSION's own CatalogManager (never a static registry):
+  * two sessions in one JVM may configure the same catalog name with
+  * different roots, and each statement must resolve against the
+  * session that issued it.
   */
 object GraftCatalogs {
 
-  private val instances =
-    new java.util.concurrent.ConcurrentHashMap[String, GraftCatalog]()
-
-  private[catalog] def register(c: GraftCatalog): Unit = {
-    instances.put(c.name().toLowerCase(Locale.ROOT), c); ()
-  }
-
   /** Resolve a multipart SQL identifier to a (path, key) registration:
-    * `[cat, ns…, t]` when `cat` names a live graft catalog, or a
-    * bare `[t]` when the session's CURRENT catalog is graft (USE
-    * graft). Returns None when the identifier is not a graft table —
-    * the statement then passes through to Spark untouched. The key
-    * is the table's `key` property; empty when undeclared (key-less
-    * DML refuses loudly at the verb, INSERT never needs it).
+    * `[cat, ns…, t]` when `cat` names a graft catalog of the active
+    * session, or a bare `[t]` when the session's CURRENT catalog is
+    * graft (USE graft) — resolved under the current namespace.
+    * Returns None when the identifier is not a graft table — the
+    * statement then passes through to Spark untouched. The key is the
+    * table's `key` property; empty when undeclared (key-less DML
+    * refuses loudly at the verb, INSERT never needs it).
     */
   def lookup(parts: Seq[String]): Option[graft.sql.GraftSql.Registration] = {
     val resolved: Option[(GraftCatalog, Seq[String])] =
-      if (parts.size >= 2)
-        Option(instances.get(parts.head.toLowerCase(Locale.ROOT)))
-          .map(_ -> parts.tail)
-      else
-        try {
-          val cm = SparkSession.active.sessionState.catalogManager
-          cm.currentCatalog match {
-            case g: GraftCatalog =>
-              Some(g -> (cm.currentNamespace.toSeq ++ parts))
+      try {
+        val cm = SparkSession.active.sessionState.catalogManager
+        if (parts.size >= 2) {
+          // a head that names no catalog (a plain database) is not an
+          // error — it is simply not ours
+          val cat = try cm.catalog(parts.head) catch { case _: Exception => null }
+          cat match {
+            case g: GraftCatalog => Some(g -> parts.tail)
             case _ => None
           }
-        } catch { case _: Throwable => None }
+        } else cm.currentCatalog match {
+          case g: GraftCatalog =>
+            Some(g -> (cm.currentNamespace.toSeq ++ parts))
+          case _ => None
+        }
+      } catch { case _: Throwable => None }
     resolved.flatMap { case (cat, rel) =>
       if (!cat.tableDirExists(rel)) None
       else Some(graft.sql.GraftSql.Registration(cat.pathOf(rel),

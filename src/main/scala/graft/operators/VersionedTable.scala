@@ -951,7 +951,16 @@ object VersionedTable {
     */
   def upsertWithDeletes(data: Option[DataFrame],
       deleteKeys: Option[DataFrame], keyCol: String, path: String,
-      txnId: Option[String] = None): Long = {
+      txnId: Option[String] = None): Long =
+    upsertWithDeletesHooked(data, deleteKeys, keyCol, path, txnId, _ => ())
+
+  /** Test seam: `beforeCommit(version)` runs between the snapshot
+    * read-modify-write and the commit, so a spec can inject a
+    * deterministic competing commit and prove the conflict contract.
+    */
+  private[graft] def upsertWithDeletesHooked(data: Option[DataFrame],
+      deleteKeys: Option[DataFrame], keyCol: String, path: String,
+      txnId: Option[String], beforeCommit: Long => Unit): Long = {
     txnId.flatMap(txnCommittedAt(path, _)).foreach(return _)
     val snapshot = latestVersion(path).getOrElse(0L)
     val withTomb = snapshot > 0 && (data.nonEmpty || deleteKeys.nonEmpty)
@@ -970,6 +979,7 @@ object VersionedTable {
     val prev = if (snapshot == 0) Seq.empty else manifestEntries(path, snapshot)
     val entries = (if (withTomb) Seq(s"~$tombBatch") else Seq.empty) ++
       data.map(_ => dataBatch).toSeq
+    beforeCommit(next)
     commitManifest(path, next,
       txnId.map(t => s"#txn=$t").toSeq ++ prev ++ entries)
     next

@@ -191,6 +191,75 @@ class GraftCatalogSpec extends SparkTestBase {
     drop("cat_stream")
   }
 
+  test("USE graft: single-part DML resolves under the current catalog + namespace") {
+    drop("cat_use")
+    spark.sql("""CREATE TABLE graft.cat_use (k BIGINT, v BIGINT)
+      TBLPROPERTIES('key'='k')""")
+    spark.sql("INSERT INTO graft.cat_use SELECT id, id FROM range(0, 10)")
+    spark.sql("USE graft")
+    try {
+      spark.sql("DELETE FROM cat_use WHERE k >= 8")
+      spark.sql("UPDATE cat_use SET v = v * 10 WHERE k < 2")
+      assert(spark.table("cat_use").count() === 8L)
+      assert(spark.table("cat_use").filter($"k" === 1L)
+        .select("v").as[Long].head() === 10L)
+    } finally spark.sql("USE spark_catalog")
+    drop("cat_use")
+  }
+
+  test("namespaced tables: DDL, DML, and maintenance verbs on graft.ns.t") {
+    spark.sql("DROP TABLE IF EXISTS graft.ns13.cat_nst")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ns13")
+    spark.sql("""CREATE TABLE graft.ns13.cat_nst (k BIGINT, v BIGINT)
+      TBLPROPERTIES('key'='k')""")
+    spark.sql("INSERT INTO graft.ns13.cat_nst SELECT id, id FROM range(0, 20)")
+    spark.sql("DELETE FROM graft.ns13.cat_nst WHERE k % 2 = 0")
+    spark.sql("OPTIMIZE graft.ns13.cat_nst")
+    assert(spark.table("graft.ns13.cat_nst").count() === 10L)
+    assert(VersionedTable.tombstoneDebt(
+      "/tmp/graft-test-catalog/ns13/cat_nst") === 0,
+      "OPTIMIZE through the namespaced identifier folded the tombstone")
+    val hist = spark.sql("DESCRIBE HISTORY graft.ns13.cat_nst").collect()
+      .map(_.getString(1)).toSeq
+    assert(hist === Seq("append", "delete", "compact"))
+    spark.sql("DROP TABLE graft.ns13.cat_nst")
+  }
+
+  test("racing CREATE TABLEs: exclusive meta create makes exactly one winner") {
+    drop("cat_race")
+    spark.sql("CREATE TABLE graft.cat_race (k BIGINT)")
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.cat_race (k BIGINT, extra STRING)")
+    }
+    assert(e.getMessage.toLowerCase.contains("exists"), e.getMessage)
+    // the loser changed nothing: the winner's schema stands
+    assert(spark.table("graft.cat_race").columns.toSeq === Seq("k"))
+    drop("cat_race")
+  }
+
+  test("upsertWithDeletes: a version conflict throws (single attempt); committed data untouched") {
+    val path = tmpDir("cat_uwd_occ")
+    VersionedTable.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), path)
+    // the interloper lands BETWEEN the merge's read-modify-write and
+    // its commit (injected through the seam): the single-attempt
+    // commit must refuse — the CALLER recomputes, because conditional
+    // clauses must re-evaluate against the interleaved state
+    // (GraftMergeIntoCommand's retry loop; blind retry is only sound
+    // for the unconditional star forms)
+    val e = intercept[java.io.IOException] {
+      VersionedTable.upsertWithDeletesHooked(
+        Some(Seq((1L, 11L)).toDF("k", "v")), None, "k", path,
+        None, beforeCommit = { _ =>
+          VersionedTable.append(Seq((9L, 90L)).toDF("k", "v"), path); ()
+        })
+    }
+    assert(e.getMessage.contains("already committed"), e.getMessage)
+    // the interloper's commit stands; the merge published nothing
+    assert(VersionedTable.readLatest(spark, path)
+      .as[(Long, Long)].collect().sorted
+      === Array((1L, 10L), (2L, 20L), (9L, 90L)))
+  }
+
   test("a path-built versioned table is ADOPTED by dropping it under the root") {
     val root = "/tmp/graft-test-catalog"
     val path = s"$root/cat_adopted"
