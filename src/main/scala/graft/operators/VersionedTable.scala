@@ -1371,6 +1371,15 @@ object VersionedTable {
           .datediff(col(c), lit("1970-01-01")).cast("long")
       case Some(TimestampType) =>
         org.apache.spark.sql.functions.unix_micros(col(c))
+      case Some(TimestampNTZType) =>
+        // order-preserving shadow: NTZ wall clocks map to micros under
+        // the session zone (UTC in this engine) — ANY monotone map
+        // quantiles correctly; note NTZ columns record no manifest
+        // stats (no claim), so clustering on them buys row-group
+        // locality, not batch pruning — cast to DATE/TIMESTAMP for
+        // prunable layouts
+        org.apache.spark.sql.functions.unix_micros(
+          col(c).cast(TimestampType))
       case Some(StringType) => throw new IllegalStateException(
         s"internal: string column $c must take the stringBoundaries " +
           "rank-space path, not the numeric shadow")

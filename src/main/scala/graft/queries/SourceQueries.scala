@@ -2703,9 +2703,92 @@ object SourceQueries extends QueryRegistry {
       ) AS t(version, kind, n_add, n_delete)
     """.trim))
 
+  /** THE ROUND-13 COMPOSITION (the q279/q290 discipline): every
+    * component this round shipped, chained under ONE oracle, with a
+    * NAME as the only handle — no path, no register(), no Scala API:
+    *
+    *   1. CTAS with TBLPROPERTIES (key declared at creation);
+    *   2. a second native INSERT commit;
+    *   3. a conditional MERGE: partial SET reading both sides
+    *      (`t.price_c - s.disc_c`) with a fallthrough DELETE;
+    *   4. `OPTIMIZE ... ZORDER BY (ship_d, o_orderkey) BUCKETS 8`
+    *      from SQL text — typed DATE stats re-recorded per
+    *      bucket through the maintenance verb;
+    *   5. the final read by name takes a DATE range slice that
+    *      the z-clustered layout prunes via the catalog read's V1
+    *      swap + the stats rule (the same machinery q282/q291 prove
+    *      measurably; here it carries the composition's answer).
+    *
+    * One wrong row anywhere in the chain — a mis-keyed CTAS, a
+    * clause out of order, a correction applied to the wrong priority, an
+    * OPTIMIZE that altered content — breaks the hash.
+    */
+  val q310 = GraftQuery(
+    "q310_catalog_lakehouse_recipe",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"q310_ord_$sfx"
+      val path = graftCatalog(s).tablePath(Seq(table))
+      if (!VersionedTable.latestVersion(path).exists(_ >= 4L)) {
+        s.sql(s"DROP TABLE IF EXISTS graft.$table")
+        Tables.orders(s, d).createOrReplaceTempView("q310_base")
+        s.sql(s"""
+          CREATE TABLE graft.$table TBLPROPERTIES('key'='o_orderkey') AS
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(round(o_totalprice * 100) AS LONG) AS price_c,
+                 CAST(o_orderdate AS DATE) AS ship_d
+          FROM q310_base WHERE o_orderkey % 2 = 0""")
+        s.sql(s"""
+          INSERT INTO graft.$table
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(round(o_totalprice * 100) AS LONG),
+                 CAST(o_orderdate AS DATE)
+          FROM q310_base WHERE o_orderkey % 2 = 1""")
+        s.sql("""
+          SELECT o_orderkey, CAST(o_orderkey % 1000 AS LONG) AS disc_c
+          FROM q310_base WHERE o_orderpriority = '1-URGENT'""")
+          .createOrReplaceTempView("q310_src")
+        s.sql(s"""
+          MERGE INTO graft.$table AS t USING q310_src AS s
+          ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED AND s.disc_c > 0
+            THEN UPDATE SET price_c = t.price_c - s.disc_c
+          WHEN MATCHED THEN DELETE""")
+        s.sql(s"OPTIMIZE graft.$table ZORDER BY (ship_d, o_orderkey) " +
+          "BUCKETS 8")
+      }
+      s.sql(s"""
+        SELECT o_orderstatus, CAST(count(*) AS LONG) AS n_orders,
+               CAST(sum(price_c) AS LONG) AS price_c
+        FROM graft.$table
+        WHERE ship_d >= DATE '1995-01-01' AND ship_d < DATE '1996-01-01'
+        GROUP BY 1""")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+               CAST(o_orderdate AS DATE) AS ship_d
+        FROM orders),
+      live AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 1000 > 0
+                    THEN price_c - (o_orderkey % 1000) ELSE price_c
+               END AS price_c,
+               ship_d
+        FROM base
+        WHERE NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 1000 = 0))
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(price_c) AS BIGINT) AS price_c
+      FROM live
+      WHERE ship_d >= DATE '1995-01-01' AND ship_d < DATE '1996-01-01'
+      GROUP BY 1
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
     q282, q283, q284, q285, q286, q288, q289, q290, q291, q292, q293, q294,
     q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306,
-    q307, q308, q309)
+    q307, q308, q309, q310)
 }

@@ -136,6 +136,11 @@ class GraftCatalogSpec extends SparkTestBase {
     val tables = spark.sql("SHOW TABLES IN graft").collect()
       .map(_.getString(1))
     assert(tables.contains("cat_nokey"))
+    // declaring the key AFTER the fact unlocks DML: ALTER TABLE SET
+    // TBLPROPERTIES persists into the meta file
+    spark.sql("ALTER TABLE graft.cat_nokey SET TBLPROPERTIES('key'='k')")
+    spark.sql("DELETE FROM graft.cat_nokey WHERE k = 1")
+    assert(spark.table("graft.cat_nokey").count() === 0L)
     drop("cat_nokey")
   }
 

@@ -494,4 +494,29 @@ class PlanAssertionsSpec extends SparkTestBase {
     assert(!plan.contains("Window"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("catalog reads: the V1 swap keeps filter pushdown AND manifest-stats batch pruning") {
+    import graft.operators.VersionedTable
+    spark.sql("DROP TABLE IF EXISTS graft.plan_cat")
+    spark.sql("""CREATE TABLE graft.plan_cat (k BIGINT, v BIGINT)
+      TBLPROPERTIES('key'='k', 'statscols'='k')""")
+    spark.sql("INSERT INTO graft.plan_cat SELECT id, id FROM range(0, 1000)")
+    spark.sql("INSERT INTO graft.plan_cat SELECT id, id FROM range(1000, 2000)")
+    val df = spark.sql("SELECT v FROM graft.plan_cat WHERE k >= 1500")
+    df.collect()
+    val scan = scans(df.queryExecution.executedPlan).head
+    // pushdown: the predicate reaches the parquet scan through the
+    // resolution-rule swap (a V2 scan would re-negotiate pushdown;
+    // the V1 plan inherits Catalyst's, proving the swap is lossless)
+    val pushed = scan.metadata.getOrElse("PushedFilters", "[]")
+    assert(pushed.contains("GreaterThanOrEqual(k,1500)"), pushed)
+    // batch pruning: only the second INSERT's dir is opened (the
+    // statscols table property indexed both commits)
+    val files = scan.relation.location.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("b2_")), files.toSeq)
+    // column pruning: the scan reads only what the SELECT needs
+    assert(scan.metadata.get("ReadSchema").exists(s =>
+      s.contains("k") && s.contains("v")), scan.metadata.get("ReadSchema"))
+    spark.sql("DROP TABLE graft.plan_cat")
+  }
 }
