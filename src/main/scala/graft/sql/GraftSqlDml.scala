@@ -369,6 +369,7 @@ case class GraftMergeCommand(path: String, keyCol: String,
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(session: SparkSession): Seq[Row] = {
     val src = GraftStreamingBridge.ofRows(session, source)
+    GraftDml.refuseDuplicateSourceKeys(src, keyCol)
     VersionedTable.latestVersion(path).foreach { latest =>
       val targetCols = VersionedTable.readAt(session, path, latest)
         .columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
@@ -508,6 +509,8 @@ case class GraftMergeIntoCommand(path: String, keyCol: String,
           "INSERT * — unaliased subquery columns cannot be qualified")
     }
 
+    GraftDml.refuseDuplicateSourceKeys(
+      GraftStreamingBridge.ofRows(session, source), keyCol)
     var attempt = 0
     while (attempt <= 3) {
       val snapshot = VersionedTable.latestVersion(path)
@@ -636,6 +639,27 @@ private[sql] object GraftDml {
     */
   def aliased(parts: Seq[String], child: LogicalPlan): LogicalPlan =
     SubqueryAlias(AliasIdentifier(parts.last, parts.init), child)
+
+  /** The SQL-standard MERGE cardinality rule: each target row may be
+    * touched by AT MOST ONE source row, so a source carrying
+    * duplicate merge keys refuses loudly BEFORE any commit — without
+    * this check the duplicates would silently land as duplicate rows
+    * of one key (both survive the tombstone they ride with). Delta
+    * raises the same error and pays the same price: one aggregation
+    * pass over the source per MERGE statement.
+    */
+  def refuseDuplicateSourceKeys(src: org.apache.spark.sql.DataFrame,
+      keyCol: String): Unit = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val dup = src.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).count() > 0
+    if (dup)
+      throw new UnsupportedOperationException(
+        s"graft MERGE: the source carries duplicate '$keyCol' keys — " +
+          "each target row may match at most one source row (the SQL " +
+          "MERGE cardinality rule); deduplicate the source first " +
+          "(aggregate, or rank and keep one row per key)")
+  }
 
   /** Cast every column to the table's current type when provably
     * lossless (`Cast.canUpCast`), refusing loudly otherwise — the

@@ -115,6 +115,34 @@ class GraftMergeFormsSpec extends SparkTestBase {
     } finally GraftSql.unregister("mf_ref")
   }
 
+  test("duplicate source keys refuse on BOTH merge paths (the SQL cardinality rule)") {
+    val path = tmpDir("mf_dupsrc")
+    GraftSql.register("mf_dup", path, "k")
+    try {
+      VersionedTable.append(Seq((1L, 10L)).toDF("k", "v"), path)
+      Seq((1L, 100L), (1L, 200L)).toDF("k", "nv")
+        .createOrReplaceTempView("mf_dup_src")
+      // generalized (conditional) path
+      val e1 = intercept[UnsupportedOperationException] {
+        spark.sql("""MERGE INTO mf_dup AS t USING mf_dup_src AS s ON t.k = s.k
+          WHEN MATCHED AND s.nv > 0 THEN UPDATE SET v = s.nv""")
+      }
+      assert(e1.getMessage.contains("duplicate"), e1.getMessage)
+      // star-form path
+      Seq((1L, 100L), (1L, 200L)).toDF("k", "v")
+        .createOrReplaceTempView("mf_dup_src2")
+      val e2 = intercept[UnsupportedOperationException] {
+        spark.sql("""MERGE INTO mf_dup USING mf_dup_src2 ON mf_dup.k = mf_dup_src2.k
+          WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+      }
+      assert(e2.getMessage.contains("duplicate"), e2.getMessage)
+      // nothing committed by either refusal
+      assert(VersionedTable.latestVersion(path).contains(1L))
+      assert(VersionedTable.readLatest(spark, path)
+        .as[(Long, Long)].head() === ((1L, 10L)))
+    } finally GraftSql.unregister("mf_dup")
+  }
+
   test("commit conflict RECOMPUTES: an interleaved commit is observed by the retry") {
     val path = tmpDir("mf_occ")
     GraftSql.register("mf_occ", path, "k")
