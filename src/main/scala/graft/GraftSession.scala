@@ -40,11 +40,24 @@ object GraftSession {
       .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       // the graft TableCatalog: versioned tables by NAME (CREATE TABLE
-      // graft.t / INSERT / MERGE / OPTIMIZE with no register() call);
-      // on a cluster point the root at the shared warehouse prefix
+      // graft.t / INSERT / MERGE / OPTIMIZE with no register() call).
+      // The default root lives under the session's warehouse-dir
+      // convention ($PWD/spark-warehouse), NOT a world-shared /tmp
+      // path: two users on one host must not collide on CREATE TABLE,
+      // and /tmp cleaners must not silently drop catalog tables.
+      // Shared/cluster deployments set the root explicitly at the
+      // shared warehouse prefix.
       .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
-      .config("spark.sql.catalog.graft.root", "/tmp/graft_catalog")
+      .config("spark.sql.catalog.graft.root", defaultCatalogRoot)
       .config("spark.ui.enabled", "false")
+
+  /** Default graft-catalog root: under the process's warehouse-dir
+    * convention ($PWD/spark-warehouse), never a world-shared /tmp
+    * path — concurrent users/test runs on one host must not collide
+    * on CREATE TABLE, and /tmp cleaners must not drop catalog tables.
+    */
+  def defaultCatalogRoot: String =
+    new java.io.File("spark-warehouse/graft_catalog").getAbsolutePath
 
   /** RocksDB state store provider for stateful streaming at scale:
     * the default HDFS-backed provider keeps every key in executor

@@ -133,6 +133,16 @@ object VersionedTable {
     */
   private[graft] val Terminator = "#eof"
 
+  /** First manifest line of every put-if-absent commit — the mode
+    * the manifest was WRITTEN under, recorded in the manifest itself
+    * so torn-commit detection never keys off the reader session's
+    * conf: only manifests declaring this marker require the
+    * [[Terminator]]; marker-less non-empty manifests are legacy
+    * rename commits (published in full before the rename) and read
+    * under any session mode.
+    */
+  private[graft] val ModeMarker = "#mode=put-if-absent"
+
   /** Whether `version`'s manifest carries the [[Terminator]] — the
     * completeness probe build-if-absent guards use so a table
     * persisted by a pre-terminator build is rebuilt, not trusted.
@@ -159,17 +169,25 @@ object VersionedTable {
 
   private def manifestLines(path: String, version: Long): Seq[String] = {
     val lines = rawManifestLines(path, version)
-    // torn-commit detection: a legitimate manifest always carries at
-    // least one line (every commit writes entries), so an empty file
-    // is a write observed mid-flight in ANY mode. In put-if-absent
-    // mode the manifest lands at its FINAL name before its bytes are
-    // durable on create-visible stores, so there the terminator is
-    // REQUIRED too (rename mode keeps accepting terminator-less
-    // manifests: pre-terminator tables committed their temp file in
-    // full before the rename published it).
-    val mode = SparkSession.active.conf.get(CommitModeConf, "rename")
-    if (lines.isEmpty || (mode == "put-if-absent" &&
-        !lines.lastOption.contains(Terminator)))
+    // torn-commit detection keyed off the manifest's OWN declared
+    // write mode, never the reader session's conf (a put-if-absent
+    // reader must not refuse legacy rename-committed manifests as
+    // torn — following that repair advice would destroy committed
+    // data). Put-if-absent commits write [[ModeMarker]] as their
+    // FIRST line, so a create observed mid-write on a create-visible
+    // store is detectable at every truncation point:
+    //  - empty file, or comments-only (no entry ever legitimately
+    //    commits without one) -> torn in any mode;
+    //  - first line starts with the marker prefix (even truncated
+    //    within the mode word) but the [[Terminator]] is missing ->
+    //    a torn put-if-absent commit;
+    //  - entries without marker or terminator -> a LEGACY manifest
+    //    (pre-terminator rename commit, published in full before the
+    //    rename) — accepted under any session mode.
+    val markedPia = lines.headOption.exists(_.startsWith("#mode="))
+    val torn = lines.forall(_.startsWith("#")) ||
+      (markedPia && !lines.lastOption.contains(Terminator))
+    if (torn)
       throw new java.io.IOException(
         s"VersionedTable: manifest _v$version at $path is torn or still " +
           "in flight (missing content/terminator). Either a reader raced " +
@@ -618,10 +636,14 @@ object VersionedTable {
     val (f, p) = fs(path)
     val fin = new Path(p, s"_v$version.manifest")
     val mode = SparkSession.active.conf.get(CommitModeConf, "rename")
-    // every manifest ends with the terminator comment, so a create
-    // that became visible before close (put-if-absent on HDFS/local)
-    // is detectable as torn instead of being read as committed
-    val payload = (lines :+ Terminator).mkString("\n").getBytes("UTF-8")
+    // every manifest ends with the terminator comment; put-if-absent
+    // commits ALSO lead with the mode marker, so a create that became
+    // visible before close (put-if-absent on HDFS/local) is
+    // detectable as torn by the manifest's own declaration — readers
+    // never consult their session mode to judge tear
+    val payload = ((if (mode == "put-if-absent") Seq(ModeMarker)
+      else Seq.empty) ++ lines :+ Terminator)
+      .mkString("\n").getBytes("UTF-8")
     if (mode == "put-if-absent") {
       val out =
         try f.create(fin, false) // exclusive create — the atomic point
@@ -948,11 +970,23 @@ object VersionedTable {
     * [[graft.sql.GraftMergeIntoCommand]] does exactly that; blind
     * manifest retry is only sound for the unconditional
     * last-writer-wins form, which [[upsertWithRetry]] serves).
+    *
+    * `expectedSnapshot` pins the commit to the CALLER's snapshot
+    * read (`Some(0)` = the caller saw an empty table): the commit
+    * lands at exactly `expectedSnapshot + 1`, so ANY commit that
+    * interleaved after the caller's read — including the window
+    * spanning the caller's own read-modify-write jobs — hits the
+    * exclusive manifest create and throws, never silently absorbing
+    * clauses evaluated against a stale view. Without it the snapshot
+    * is re-read here, which is only sound when the caller holds no
+    * earlier read (the direct Scala-API uses).
     */
   def upsertWithDeletes(data: Option[DataFrame],
       deleteKeys: Option[DataFrame], keyCol: String, path: String,
-      txnId: Option[String] = None): Long =
-    upsertWithDeletesHooked(data, deleteKeys, keyCol, path, txnId, _ => ())
+      txnId: Option[String] = None,
+      expectedSnapshot: Option[Long] = None): Long =
+    upsertWithDeletesHooked(data, deleteKeys, keyCol, path, txnId, _ => (),
+      expectedSnapshot)
 
   /** Test seam: `beforeCommit(version)` runs between the snapshot
     * read-modify-write and the commit, so a spec can inject a
@@ -960,9 +994,11 @@ object VersionedTable {
     */
   private[graft] def upsertWithDeletesHooked(data: Option[DataFrame],
       deleteKeys: Option[DataFrame], keyCol: String, path: String,
-      txnId: Option[String], beforeCommit: Long => Unit): Long = {
+      txnId: Option[String], beforeCommit: Long => Unit,
+      expectedSnapshot: Option[Long] = None): Long = {
     txnId.flatMap(txnCommittedAt(path, _)).foreach(return _)
-    val snapshot = latestVersion(path).getOrElse(0L)
+    val snapshot = expectedSnapshot.getOrElse(
+      latestVersion(path).getOrElse(0L))
     val withTomb = snapshot > 0 && (data.nonEmpty || deleteKeys.nonEmpty)
     if (data.isEmpty && !withTomb) return snapshot // nothing to publish
     val next = snapshot + 1

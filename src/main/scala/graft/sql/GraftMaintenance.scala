@@ -63,48 +63,68 @@ object GraftMaintenanceSql {
     try GraftSql.lookup(delegate.parseMultipartIdentifier(identText))
     catch { case _: Exception => None }
 
-  private def mustResolve(identText: String, verb: String,
-      delegate: ParserInterface): GraftSql.Registration =
-    resolve(identText, delegate).getOrElse(
-      throw new IllegalArgumentException(
-        s"$verb: '$identText' is not a graft table — use a catalog " +
-          "identifier (graft.t) or GraftSql.register the name"))
-
   private def column(text: String, delegate: ParserInterface): String =
     delegate.parseMultipartIdentifier(text.trim).last
 
   /** The maintenance-statement screen: Some(command) when the text is
-    * one of ours over a graft table, None to delegate to Spark.
+    * one of ours over a GRAFT table, None to delegate to Spark.
+    * Non-graft identifiers under maintenance verbs DELEGATE too (the
+    * DESCRIBE HISTORY rule, extended to every verb this round): a
+    * co-installed engine's parser sitting below ours must receive its
+    * own OPTIMIZE/VACUUM statements. Only when NO downstream parser
+    * accepts the verb does [[refusalFor]] turn the resulting parse
+    * error into the loud name-the-fix message.
     */
   def parse(sqlText: String,
       delegate: ParserInterface): Option[LogicalPlan] = sqlText match {
     case OptZorder(ident, colList, buckets) =>
-      val reg = mustResolve(ident, "OPTIMIZE", delegate)
-      val cols = colList.split(",").map(c => column(c, delegate)).toSeq
-      Some(GraftOptimizeCommand(reg.path,
-        if (cols.size >= 2) cols else Seq.empty,
-        if (cols.size == 1) Some(cols.head) else None,
-        Option(buckets).map(_.toInt)))
+      resolve(ident, delegate).map { reg =>
+        val cols = colList.split(",").map(c => column(c, delegate)).toSeq
+        GraftOptimizeCommand(reg.path,
+          if (cols.size >= 2) cols else Seq.empty,
+          if (cols.size == 1) Some(cols.head) else None,
+          Option(buckets).map(_.toInt))
+      }
     case OptRange(ident, c, buckets) =>
-      val reg = mustResolve(ident, "OPTIMIZE", delegate)
-      Some(GraftOptimizeCommand(reg.path, Seq.empty,
-        Some(column(c, delegate)), Option(buckets).map(_.toInt)))
+      resolve(ident, delegate).map(reg =>
+        GraftOptimizeCommand(reg.path, Seq.empty,
+          Some(column(c, delegate)), Option(buckets).map(_.toInt)))
     case OptPlain(ident) =>
-      val reg = mustResolve(ident, "OPTIMIZE", delegate)
-      Some(GraftOptimizeCommand(reg.path, Seq.empty, None, None))
+      resolve(ident, delegate).map(reg =>
+        GraftOptimizeCommand(reg.path, Seq.empty, None, None))
     case VacuumRe(ident, retain) =>
-      val reg = mustResolve(ident, "VACUUM", delegate)
-      if (retain == null)
-        throw new IllegalArgumentException(
-          "graft VACUUM needs an explicit retention: VACUUM t RETAIN " +
-            "<n> VERSIONS — history is never destroyed by default")
-      Some(GraftVacuumCommand(reg.path, retain.toInt))
+      resolve(ident, delegate).map { reg =>
+        if (retain == null)
+          throw new IllegalArgumentException(
+            "graft VACUUM needs an explicit retention: VACUUM t RETAIN " +
+              "<n> VERSIONS — history is never destroyed by default")
+        GraftVacuumCommand(reg.path, retain.toInt)
+      }
     case HistoryRe(ident) =>
       // delegate when not ours: DESCRIBE <table named history> is
       // legitimate Spark SQL
       resolve(ident, delegate).map(reg =>
         GraftDescribeHistoryCommand(reg.path))
     case _ => None
+  }
+
+  /** The helpful refusal for a maintenance-shaped statement nobody
+    * parsed: raised by [[GraftDmlParser]] only AFTER the downstream
+    * parser rejected the text, so a co-installed engine keeps its own
+    * verbs while a bare-Spark session still gets a message naming the
+    * fix instead of a grammar error.
+    */
+  private[sql] def refusalFor(sqlText: String): Option[String] = {
+    def msg(verb: String, ident: String) =
+      s"$verb: '$ident' is not a graft table — use a catalog " +
+        "identifier (graft.t) or GraftSql.register the name"
+    sqlText match {
+      case OptZorder(ident, _, _) => Some(msg("OPTIMIZE", ident))
+      case OptRange(ident, _, _) => Some(msg("OPTIMIZE", ident))
+      case OptPlain(ident) => Some(msg("OPTIMIZE", ident))
+      case VacuumRe(ident, _) => Some(msg("VACUUM", ident))
+      case _ => None
+    }
   }
 }
 

@@ -302,8 +302,28 @@ case class GraftInsertCommand(path: String, query: LogicalPlan,
       case Some(latest) =>
         val tableSchema = VersionedTable.readAt(session, path, latest).schema
         val aligned =
-          if (byName) raw
-          else {
+          if (byName) {
+            // BY NAME validates the column SET against the table:
+            // unknown columns refuse (they would land silently),
+            // missing columns null-fill TYPED in table order — the
+            // committed batch always carries the full current schema,
+            // so plain reads never become file-pick-order-dependent
+            // (the same hazard the positional arity check closes)
+            val lcOf = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
+            val tableCols = tableSchema.fieldNames.map(lcOf).toSet
+            val unknown = raw.columns.filterNot(c => tableCols(lcOf(c)))
+            if (unknown.nonEmpty)
+              throw new IllegalArgumentException(
+                s"graft INSERT BY NAME: column(s) ${unknown.mkString(", ")} " +
+                  "do not exist in the table (unknown columns would land " +
+                  "silently); project them away or ALTER TABLE first")
+            val have = raw.columns.map(lcOf).toSet
+            raw.select(tableSchema.fields.map { f =>
+              if (have(lcOf(f.name))) col(f.name)
+              else org.apache.spark.sql.functions.lit(null)
+                .cast(f.dataType).as(f.name)
+            }.toIndexedSeq: _*)
+          } else {
             require(tableSchema.length == raw.columns.length,
               s"INSERT arity mismatch: table has ${tableSchema.length} " +
                 s"columns (${tableSchema.fieldNames.mkString(", ")}), " +
@@ -514,6 +534,7 @@ case class GraftMergeIntoCommand(path: String, keyCol: String,
     var attempt = 0
     while (attempt <= 3) {
       val snapshot = VersionedTable.latestVersion(path)
+      GraftMergeIntoCommand.testAfterSnapshot.foreach(_(snapshot.getOrElse(0L)))
       val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
       try {
         val (dataOpt, delOpt) = snapshot match {
@@ -612,8 +633,16 @@ case class GraftMergeIntoCommand(path: String, keyCol: String,
             (data, dels)
         }
         try {
+          // the commit is PINNED to this iteration's snapshot read:
+          // a commit interleaving anywhere after it — including the
+          // window spanning the read-modify-write jobs above — hits
+          // the exclusive manifest create at snapshot+1 and lands in
+          // the conflict branch, so the clauses always recompute
+          // against the version they commit over (serializability;
+          // without the pin, upsertWithDeletes' own re-read silently
+          // absorbed commits landing inside that window)
           val v = VersionedTable.upsertWithDeletes(dataOpt, delOpt, keyCol,
-            path)
+            path, expectedSnapshot = Some(snapshot.getOrElse(0L)))
           return Seq(Row(v))
         } catch {
           case e: java.io.IOException
@@ -625,6 +654,15 @@ case class GraftMergeIntoCommand(path: String, keyCol: String,
     throw new java.io.IOException(
       s"graft MERGE into $path: gave up after repeated commit conflicts")
   }
+}
+
+object GraftMergeIntoCommand {
+  /** Test seam: runs right after each attempt's snapshot read, so a
+    * spec can interleave a competing commit inside the exact window
+    * the round-14 serializability fix closes (and prove racing
+    * conditional MERGEs serialize per key).
+    */
+  private[graft] var testAfterSnapshot: Option[Long => Unit] = None
 }
 
 private[sql] object GraftDml {
@@ -694,9 +732,20 @@ class GraftDmlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     // maintenance verbs (OPTIMIZE/VACUUM/DESCRIBE HISTORY) are not in
     // Spark's grammar: screen the raw text first (the Delta parser
-    // pattern), everything else parses and rewrites as before
-    GraftMaintenanceSql.parse(sqlText, delegate).getOrElse(
-      GraftSql.rewrite(delegate.parsePlan(sqlText)))
+    // pattern). A maintenance verb over a NON-graft identifier
+    // delegates — a co-installed engine below us must receive its own
+    // OPTIMIZE/VACUUM — and only if the downstream parser also
+    // rejects it does the loud name-the-fix refusal fire.
+    GraftMaintenanceSql.parse(sqlText, delegate).getOrElse {
+      try GraftSql.rewrite(delegate.parsePlan(sqlText))
+      catch {
+        case pe: ParseException =>
+          GraftMaintenanceSql.refusalFor(sqlText) match {
+            case Some(msg) => throw new IllegalArgumentException(msg, pe)
+            case None => throw pe
+          }
+      }
+    }
   @throws[ParseException]
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)

@@ -43,9 +43,14 @@ class Round13AdviceFixSpec extends SparkTestBase {
       }
       assert(e.getMessage.contains("torn"), e.getMessage)
       assert(e.getMessage.contains("_v2"), "repair path must name the file")
-      // a PREFIX of real content without the terminator is torn too
+      // a PREFIX of real content without the terminator is torn too.
+      // Round-14 refinement: tear is judged by the manifest's OWN
+      // mode marker (put-if-absent commits lead with it), never the
+      // reader's session conf — so the simulated torn pia commit
+      // carries the marker a real one writes first
       val out = f.create(new Path(p, "_v3.manifest"), false)
-      out.write("b1_somebatch\n".getBytes("UTF-8")); out.close()
+      out.write("#mode=put-if-absent\nb1_somebatch\n".getBytes("UTF-8"))
+      out.close()
       val e2 = intercept[java.io.IOException] {
         VersionedTable.readAt(spark, path, 3L)
       }
