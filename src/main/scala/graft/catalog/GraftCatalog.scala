@@ -242,10 +242,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val kept = props -- Seq(TableCatalog.PROP_PROVIDER,
       TableCatalog.PROP_OWNER, TableCatalog.PROP_LOCATION,
       TableCatalog.PROP_IS_MANAGED_LOCATION, TableCatalog.PROP_EXTERNAL)
-    kept.get("key").foreach { k =>
-      require(schema.isEmpty || schema.fieldNames.exists(
-        _.equalsIgnoreCase(k)),
-        s"TBLPROPERTIES key '$k' is not a column of the table")
+    // 'key' accepts a comma-separated list — composite primary keys
+    // (the reference's sync_runs/experiments/file_inventory shape)
+    kept.get("key").foreach { spec =>
+      graft.sql.GraftSql.splitKey(spec).foreach { k =>
+        require(schema.isEmpty || schema.fieldNames.exists(
+          _.equalsIgnoreCase(k)),
+          s"TBLPROPERTIES key '$k' is not a column of the table")
+      }
     }
     try writeMeta(parts, schema, kept, exclusive = true)
     catch {
@@ -382,7 +386,7 @@ object GraftCatalogs {
     resolved.flatMap { case (cat, rel) =>
       if (!cat.tableDirExists(rel)) None
       else Some(graft.sql.GraftSql.Registration(cat.pathOf(rel),
-        cat.keyOf(rel).getOrElse("")))
+        cat.keyOf(rel).map(graft.sql.GraftSql.splitKey).getOrElse(Nil)))
     }
   }
 }

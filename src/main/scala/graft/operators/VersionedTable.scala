@@ -782,14 +782,26 @@ object VersionedTable {
     * view.
     */
   def deleteKeys(keys: DataFrame, keyCol: String, path: String,
+      txnId: Option[String] = None): Long =
+    deleteKeysMulti(keys, Seq(keyCol), path, txnId)
+
+  /** [[deleteKeys]] under a COMPOSITE key — the reference's own data
+    * model (sync_runs, experiments, file_inventory all key on two
+    * columns; `agf_ingestion_lambda.py:229,303,337`): the tombstone
+    * batch carries ALL key columns and readers anti-join on the full
+    * column set, so a (k1, k2) delete retires exactly the rows
+    * matching both — never every row sharing one component.
+    */
+  def deleteKeysMulti(keys: DataFrame, keyCols: Seq[String], path: String,
       txnId: Option[String] = None): Long = {
+    require(keyCols.nonEmpty, "deleteKeys needs at least one key column")
     val latest = latestVersion(path)
     require(latest.nonEmpty, s"cannot delete from empty table $path")
     txnId.flatMap(txnCommittedAt(path, _)).foreach(return _)
     val next = latest.get + 1
     val prev = manifestEntries(path, next - 1)
     val batch = s"b${next}_${newToken()}"
-    keys.select(keys(keyCol)).distinct()
+    keys.select(keyCols.map(keys(_)): _*).distinct()
       .write.mode("overwrite").parquet(s"$path/data/$batch")
     commitManifest(path, next,
       txnId.map(t => s"#txn=$t").toSeq ++ prev :+ s"~$batch")
@@ -816,8 +828,19 @@ object VersionedTable {
   def upsert(df: DataFrame, keyCol: String, path: String,
       txnId: Option[String] = None, insertOnly: Boolean = false,
       bloomCols: Seq[String] = Nil): Long =
-    upsertRetrying(df, keyCol, path, txnId, insertOnly, bloomCols,
+    upsertRetrying(df, Seq(keyCol), path, txnId, insertOnly, bloomCols,
       maxRetries = 0, _ => ())
+
+  /** [[upsert]] under a COMPOSITE key: matched means equal on EVERY
+    * key column, the tombstone carries all of them, and the
+    * insert-if-absent anti-join runs on the full set. Same atomic
+    * one-manifest commit and OCC semantics as the single-key form.
+    */
+  def upsertMulti(df: DataFrame, keyCols: Seq[String], path: String,
+      txnId: Option[String] = None, insertOnly: Boolean = false,
+      bloomCols: Seq[String] = Nil, maxRetries: Int = 0): Long =
+    upsertRetrying(df, keyCols, path, txnId, insertOnly, bloomCols,
+      maxRetries, _ => ())
 
   /** Optimistic-concurrency MERGE — [[upsert]] that survives
     * interleaved commits, with the conflict analysis each mode
@@ -860,13 +883,14 @@ object VersionedTable {
   def upsertWithRetry(df: DataFrame, keyCol: String, path: String,
       txnId: Option[String] = None, insertOnly: Boolean = false,
       bloomCols: Seq[String] = Nil, maxRetries: Int = 3): Long =
-    upsertRetrying(df, keyCol, path, txnId, insertOnly, bloomCols,
+    upsertRetrying(df, Seq(keyCol), path, txnId, insertOnly, bloomCols,
       maxRetries, _ => ())
 
-  private[graft] def upsertRetrying(df: DataFrame, keyCol: String,
+  private[graft] def upsertRetrying(df: DataFrame, keyCols: Seq[String],
       path: String, txnId: Option[String], insertOnly: Boolean,
       bloomCols: Seq[String], maxRetries: Int,
       beforeCommit: Long => Unit): Long = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
     txnId.flatMap(txnCommittedAt(path, _)).foreach(return _)
     val spark = df.sparkSession
     val snapshot = latestVersion(path).getOrElse(0L)
@@ -878,13 +902,17 @@ object VersionedTable {
       // insert-if-absent existence check, Bloom-pruned: batches whose
       // sidecar proves they hold none of the incoming keys never
       // enter the anti-join scan (no false negatives -> identical
-      // result, spec-proven); sidecar-less batches always scan
+      // result, spec-proven); sidecar-less batches always scan.
+      // Composite keys probe on the FIRST key column only — a sound
+      // superset (a batch holding none of the first components holds
+      // no full key either); the anti-join below is on the full set
       val cand = bloomCandidateDirs(spark, path,
         manifestEntries(path, snapshot).filterNot(isTombstone).map(dirOf),
-        keyCol, df.select(col(keyCol)))
+        keyCols.head, df.select(col(keyCols.head)))
       val current = readAtFiltered(spark, path, snapshot,
         mergeSchema = false, e => cand.contains(dirOf(e)))
-      df.join(current.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      df.join(current.select(keyCols.map(col): _*).distinct(),
+          keyCols, "left_anti")
         .write.mode("overwrite").parquet(s"$path/data/$dataBatch")
     } else {
       df.write.mode("overwrite").parquet(s"$path/data/$dataBatch")
@@ -893,8 +921,8 @@ object VersionedTable {
     if (withTomb)
       // tombstone BEFORE the data batch in the manifest:
       // position-scoping makes it apply to prior batches only, never
-      // to the rows it rides with
-      df.select(df(keyCol)).distinct()
+      // to the rows it rides with; composite keys ride ALL columns
+      df.select(keyCols.map(df(_)): _*).distinct()
         .write.mode("overwrite").parquet(s"$path/data/$tombBatch")
     val snapDirs =
       if (snapshot == 0) Set.empty[String]
@@ -919,14 +947,14 @@ object VersionedTable {
           .map(dirOf)
         if (interleavedData.nonEmpty) {
           val mine = spark.read.parquet(s"$path/data/$dataBatch")
-          val cand = bloomCandidateDirs(spark, path, interleavedData, keyCol,
-            mine.select(col(keyCol)))
+          val cand = bloomCandidateDirs(spark, path, interleavedData,
+            keyCols.head, mine.select(col(keyCols.head)))
           val theirAlive = viewOf(spark, path, interleavedEntries,
             mergeSchema = true, e => cand.contains(dirOf(e)))
           theirAlive.foreach { alive =>
-            val theirKeys = alive.select(col(keyCol)).distinct()
+            val theirKeys = alive.select(keyCols.map(col): _*).distinct()
             val rewritten = s"b${next}_${newToken()}_m"
-            mine.join(theirKeys, Seq(keyCol), "left_anti")
+            mine.join(theirKeys, keyCols, "left_anti")
               .write.mode("overwrite").parquet(s"$path/data/$rewritten")
             writeBloomSidecar(spark, s"$path/data/$rewritten", bloomCols)
             dataBatch = rewritten // the old dir is a vacuum orphan
@@ -985,17 +1013,30 @@ object VersionedTable {
       deleteKeys: Option[DataFrame], keyCol: String, path: String,
       txnId: Option[String] = None,
       expectedSnapshot: Option[Long] = None): Long =
-    upsertWithDeletesHooked(data, deleteKeys, keyCol, path, txnId, _ => (),
-      expectedSnapshot)
+    upsertWithDeletesHooked(data, deleteKeys, Seq(keyCol), path, txnId,
+      _ => (), expectedSnapshot)
+
+  /** [[upsertWithDeletes]] under a COMPOSITE key — what a SQL MERGE
+    * over a multi-column-PK table (the reference's file_inventory
+    * shape) commits through: the single tombstone batch carries ALL
+    * key columns of updated, deleted, and inserted rows.
+    */
+  def upsertWithDeletesMulti(data: Option[DataFrame],
+      deleteKeys: Option[DataFrame], keyCols: Seq[String], path: String,
+      txnId: Option[String] = None,
+      expectedSnapshot: Option[Long] = None): Long =
+    upsertWithDeletesHooked(data, deleteKeys, keyCols, path, txnId,
+      _ => (), expectedSnapshot)
 
   /** Test seam: `beforeCommit(version)` runs between the snapshot
     * read-modify-write and the commit, so a spec can inject a
     * deterministic competing commit and prove the conflict contract.
     */
   private[graft] def upsertWithDeletesHooked(data: Option[DataFrame],
-      deleteKeys: Option[DataFrame], keyCol: String, path: String,
+      deleteKeys: Option[DataFrame], keyCols: Seq[String], path: String,
       txnId: Option[String], beforeCommit: Long => Unit,
       expectedSnapshot: Option[Long] = None): Long = {
+    require(keyCols.nonEmpty, "upsertWithDeletes needs key columns")
     txnId.flatMap(txnCommittedAt(path, _)).foreach(return _)
     val snapshot = expectedSnapshot.getOrElse(
       latestVersion(path).getOrElse(0L))
@@ -1007,8 +1048,8 @@ object VersionedTable {
     val tombBatch = s"b${next}_${tok}_k"
     data.foreach(_.write.mode("overwrite").parquet(s"$path/data/$dataBatch"))
     if (withTomb) {
-      (data.map(_.select(col(keyCol))).toSeq ++
-        deleteKeys.map(_.select(col(keyCol))).toSeq)
+      (data.map(_.select(keyCols.map(col): _*)).toSeq ++
+        deleteKeys.map(_.select(keyCols.map(col): _*)).toSeq)
         .reduce(_ unionByName _).distinct()
         .write.mode("overwrite").parquet(s"$path/data/$tombBatch")
     }
@@ -1129,13 +1170,18 @@ object VersionedTable {
       live: DataFrame, tombDirs: Seq[String]): DataFrame =
     if (tombDirs.isEmpty) live
     else {
+      // grouped by the tombstone's FULL column list: a composite-key
+      // tombstone (k1, k2) anti-joins on both columns — deleting only
+      // rows matching the whole key — while single-column tombstones
+      // keep their original plan shape
       val byKey = tombDirs.map(d => spark.read.parquet(s"$path/data/$d"))
-        .groupBy(_.columns.head)
-      byKey.toSeq.foldLeft(live) { case (acc, (keyCol, frames)) =>
-        require(acc.columns.contains(keyCol),
-          s"tombstone key column $keyCol absent from the data schema")
-        val keys = frames.map(_.select(col(keyCol))).reduce(_ union _).distinct()
-        acc.join(keys, Seq(keyCol), "left_anti")
+        .groupBy(_.columns.toList)
+      byKey.toSeq.foldLeft(live) { case (acc, (keyCols, frames)) =>
+        keyCols.foreach(c => require(acc.columns.contains(c),
+          s"tombstone key column $c absent from the data schema"))
+        val keys = frames.map(_.select(keyCols.map(col): _*))
+          .reduce(_ union _).distinct()
+        acc.join(keys, keyCols, "left_anti")
       }
     }
 
@@ -1793,13 +1839,14 @@ object VersionedTable {
         if (prevDirs.contains(dir) || isCompaction(e)) None
         else if (isTombstone(e)) {
           val keys = spark.read.parquet(s"$path/data/$dir")
-          val keyCol = keys.columns.head
+          // semi-join on the tombstone's FULL column list (one column
+          // for plain keys, all components for composite keys)
+          val keyCols = keys.columns.toSeq
           // the position-scoped view just before this tombstone, at
           // THIS commit — the rows it actually deleted
           viewOf(spark, path, cur.take(idx), mergeSchema = false,
             _ => true).map(pre =>
-            pre.join(keys.select(keys(keyCol)).distinct(), Seq(keyCol),
-                "left_semi")
+            pre.join(keys.distinct(), keyCols, "left_semi")
               .withColumn("_change_type", lit("delete")))
         } else
           Some(spark.read.parquet(s"$path/data/$dir")

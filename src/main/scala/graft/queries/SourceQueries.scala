@@ -2786,9 +2786,106 @@ object SourceQueries extends QueryRegistry {
       GROUP BY 1
     """.trim))
 
+  /** COMPOSITE MERGE KEYS — the round-14 headline, run on the
+    * REFERENCE'S OWN DATA MODEL: file_inventory keys on
+    * (experiment_id, file_path) (`agf_ingestion_lambda.py:337`'s
+    * conditional write), and until this round the catalog surface
+    * could not declare a 2-column primary key. The inventory is
+    * derived bijectively from orders (experiment_id = o_orderkey DIV
+    * 97, file_path = 'part-' || o_orderkey % 97), so every
+    * experiment holds many paths AND every path string recurs across
+    * experiments — data where a single-component tombstone or
+    * anti-join would corrupt neighbours the full key leaves alone.
+    * The chain is names-only SQL: CREATE TABLE with
+    * TBLPROPERTIES('key'='experiment_id,file_path'), INSERT, a
+    * conditional MERGE whose ON conjoins both key equalities
+    * (partial SET reading both sides, fallthrough DELETE, INSERT
+    * column list assigning both keys), then a composite-predicate
+    * DELETE. One wrong row anywhere — a tombstone keyed on one
+    * column would delete ~1/97th of the table — breaks the hash.
+    */
+  val q311 = GraftQuery(
+    "q311_catalog_composite_key_inventory",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"q311_inv_$sfx"
+      val path = graftCatalog(s).tablePath(Seq(table))
+      if (!VersionedTable.latestVersion(path).exists(_ >= 3L)) {
+        s.sql(s"DROP TABLE IF EXISTS graft.$table")
+        s.sql(s"""CREATE TABLE graft.$table
+          (experiment_id BIGINT, file_path STRING, size_c BIGINT,
+           status STRING)
+          TBLPROPERTIES('key'='experiment_id,file_path')""")
+        Tables.orders(s, d).createOrReplaceTempView("q311_base")
+        s.sql(s"""
+          INSERT INTO graft.$table
+          SELECT o_orderkey DIV 97,
+                 concat('part-', o_orderkey % 97),
+                 CAST(round(o_totalprice * 100) AS LONG),
+                 o_orderstatus
+          FROM q311_base""")
+        s.sql("""
+          SELECT o_orderkey DIV 97 AS experiment_id,
+                 concat('part-', o_orderkey % 97) AS file_path,
+                 (o_orderkey + 10000000) DIV 97 AS new_eid,
+                 concat('part-', (o_orderkey + 10000000) % 97) AS new_fp,
+                 CAST(o_orderkey % 1000 AS LONG) AS delta
+          FROM q311_base WHERE o_orderpriority = '1-URGENT'""")
+          .createOrReplaceTempView("q311_src")
+        // matched on BOTH keys; updates read both sides; the
+        // fallthrough DELETE tombstones (eid, fp) pairs; inserts are
+        // genuinely new pairs (shifted eids) assigned via column list
+        s.sql(s"""
+          MERGE INTO graft.$table AS t USING q311_src AS s
+          ON t.experiment_id = s.experiment_id AND t.file_path = s.file_path
+          WHEN MATCHED AND s.delta > 500
+            THEN UPDATE SET size_c = t.size_c + s.delta
+          WHEN MATCHED THEN DELETE""")
+        s.sql(s"""
+          MERGE INTO graft.$table AS t
+          USING (SELECT new_eid AS experiment_id, new_fp AS file_path,
+                        delta
+                 FROM q311_src WHERE delta % 2 = 0) AS s
+          ON t.experiment_id = s.experiment_id
+             AND t.file_path = s.file_path
+          WHEN NOT MATCHED THEN INSERT (experiment_id, file_path, size_c,
+            status) VALUES (s.experiment_id, s.file_path, s.delta, 'NEW')""")
+      }
+      s.sql(s"""
+        SELECT status, CAST(count(*) AS LONG) AS n_files,
+               CAST(sum(size_c) AS LONG) AS size_c
+        FROM graft.$table GROUP BY 1""")
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k, o_orderkey // 97 AS eid,
+               'part-' || CAST(o_orderkey % 97 AS VARCHAR) AS fp,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS size_c,
+               o_orderstatus AS status, o_orderpriority
+        FROM orders),
+      kept AS (
+        SELECT eid, fp,
+               CASE WHEN o_orderpriority = '1-URGENT' AND k % 1000 > 500
+                    THEN size_c + (k % 1000) ELSE size_c END AS size_c,
+               status
+        FROM base
+        WHERE NOT (o_orderpriority = '1-URGENT' AND k % 1000 <= 500)),
+      ins AS (
+        SELECT (k + 10000000) // 97 AS eid,
+               'part-' || CAST((k + 10000000) % 97 AS VARCHAR) AS fp,
+               k % 1000 AS size_c, 'NEW' AS status
+        FROM base
+        WHERE o_orderpriority = '1-URGENT' AND (k % 1000) % 2 = 0),
+      live AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+      SELECT status, CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(size_c) AS BIGINT) AS size_c
+      FROM live GROUP BY 1
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
     q282, q283, q284, q285, q286, q288, q289, q290, q291, q292, q293, q294,
     q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306,
-    q307, q308, q309, q310)
+    q307, q308, q309, q310, q311)
 }

@@ -243,7 +243,7 @@ private[sources] class GraftSink(path: String, appId: Option[String],
       case m if m == OutputMode.Update() =>
         val key = mergeKey.getOrElse(throw new IllegalArgumentException(
           "format(\"graft\") sink in Update mode needs .option(\"mergeKey\", <col>)"))
-        VersionedTable.upsertRetrying(batch, key, path, txn,
+        VersionedTable.upsertRetrying(batch, Seq(key), path, txn,
           insertOnly = false, bloomCols, maxRetries = 10, _ => ())
       case _ =>
         VersionedTable.appendRetrying(batch, path, txn, statsCols,

@@ -56,19 +56,33 @@ import graft.operators.VersionedTable
   */
 object GraftSql {
 
-  final case class Registration(path: String, keyCol: String)
+  /** A SQL-visible versioned table: its path and merge-key columns —
+    * ONE column for the classic single-key tables, SEVERAL for
+    * composite primary keys (the reference's own sync_runs /
+    * experiments / file_inventory all key on two columns,
+    * `agf_ingestion_lambda.py:229,303,337`).
+    */
+  final case class Registration(path: String, keyCols: Seq[String]) {
+    def keyDisplay: String = keyCols.mkString(", ")
+  }
 
   private val tables =
     new java.util.concurrent.ConcurrentHashMap[String, Registration]()
 
   /** Bind `name` (SQL-visible, case-insensitive) to a versioned table
-    * path and its merge-key column.
+    * path and its merge key — `keyCol` accepts a comma-separated list
+    * for composite keys, the same grammar as
+    * `TBLPROPERTIES('key'='k1,k2')` on catalog tables.
     */
   def register(name: String, path: String, keyCol: String): Unit = {
     tables.put(name.toLowerCase(java.util.Locale.ROOT),
-      Registration(path, keyCol))
+      Registration(path, splitKey(keyCol)))
     ()
   }
+
+  /** The shared key-list grammar: comma-separated column names. */
+  private[graft] def splitKey(spec: String): Seq[String] =
+    spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
   def unregister(name: String): Unit = {
     tables.remove(name.toLowerCase(java.util.Locale.ROOT)); ()
@@ -116,24 +130,41 @@ object GraftSql {
     * declared one refuses loudly naming the fix.
     */
   private def requireKey(reg: Registration): Unit =
-    if (reg.keyCol.isEmpty)
+    if (reg.keyCols.isEmpty)
       refuse("this table has no merge key: declare it at CREATE TABLE " +
-        "with TBLPROPERTIES('key'='<col>') (or GraftSql.register with " +
-        "a keyCol)")
+        "with TBLPROPERTIES('key'='<col>[,<col>...]') (or " +
+        "GraftSql.register with a keyCol list)")
 
   private def refuse(what: String): Nothing =
     throw new UnsupportedOperationException(
       s"graft SQL DML: $what. Supported forms over a registered " +
         "versioned table: INSERT INTO t <query>; INSERT OVERWRITE t " +
         "<query>; DELETE FROM t [WHERE p]; MERGE INTO t USING s ON " +
-        "t.<key> = s.<key> WHEN MATCHED THEN UPDATE SET * WHEN NOT " +
-        "MATCHED THEN INSERT * (drop the MATCHED clause for " +
-        "insert-if-absent)")
+        "t.<key> = s.<key> [AND t.<key2> = s.<key2> ...] WHEN MATCHED " +
+        "THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * (drop the " +
+        "MATCHED clause for insert-if-absent)")
 
   private def keyName(e: Expression): Option[String] = e match {
     case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
       Some(a.nameParts.last.toLowerCase(java.util.Locale.ROOT))
     case a: AttributeReference => Some(a.name.toLowerCase(java.util.Locale.ROOT))
+    case _ => None
+  }
+
+  /** The column set a merge condition equi-binds, when it is exactly
+    * a conjunction of same-name equalities (`t.k1 = s.k1 AND t.k2 =
+    * s.k2`); None for any other shape. The caller requires this to
+    * cover the registered key set EXACTLY — supersets would silently
+    * narrow matching, subsets would tombstone too widely.
+    */
+  private def keyEqualitySet(e: Expression): Option[Set[String]] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      for (a <- keyEqualitySet(l); b <- keyEqualitySet(r)) yield a ++ b
+    case EqualTo(l, r) =>
+      (keyName(l), keyName(r)) match {
+        case (Some(a), Some(b)) if a == b => Some(Set(a))
+        case _ => None
+      }
     case _ => None
   }
 
@@ -164,7 +195,7 @@ object GraftSql {
         case None => plan
         case Some((reg, alias)) =>
           requireKey(reg)
-          GraftDeleteCommand(reg.path, reg.keyCol, alias,
+          GraftDeleteCommand(reg.path, reg.keyCols, alias,
             new GraftExprBox(condition))
       }
     case u: UpdateTable =>
@@ -172,15 +203,16 @@ object GraftSql {
         case None => plan
         case Some((reg, alias)) =>
           requireKey(reg)
+          val keyLcs = reg.keyCols.map(_.toLowerCase(java.util.Locale.ROOT))
           val assigns = u.assignments.map { a =>
             val name = keyName(a.key).getOrElse(
               refuse(s"unsupported UPDATE assignment target ${a.key}"))
-            if (name == reg.keyCol.toLowerCase(java.util.Locale.ROOT))
-              refuse(s"UPDATE of the merge-key column '${reg.keyCol}' " +
+            if (keyLcs.contains(name))
+              refuse(s"UPDATE of merge-key column '$name' " +
                 "is not supported (rewrite via DELETE + INSERT)")
             name -> new GraftExprBox(a.value)
           }
-          GraftUpdateCommand(reg.path, reg.keyCol, alias, assigns,
+          GraftUpdateCommand(reg.path, reg.keyCols, alias, assigns,
             u.condition.map(new GraftExprBox(_)))
       }
     case m: MergeIntoTable =>
@@ -188,26 +220,28 @@ object GraftSql {
         case None => plan
         case Some((reg, aliasParts)) =>
           requireKey(reg)
-          val keyLc = reg.keyCol.toLowerCase(java.util.Locale.ROOT)
-          val keyOk = m.mergeCondition match {
-            case EqualTo(l, r) =>
-              keyName(l).contains(keyLc) && keyName(r).contains(keyLc)
-            case _ => false
-          }
+          val keyLcs = reg.keyCols.map(_.toLowerCase(java.util.Locale.ROOT))
+          // the condition must equi-bind EXACTLY the key set — one
+          // equality per key column, conjoined in any order
+          val keyOk = keyEqualitySet(m.mergeCondition)
+            .contains(keyLcs.toSet)
           if (!keyOk)
-            refuse(s"the merge condition must be an equality on the " +
-              s"registered key column '${reg.keyCol}' of both sides")
+            refuse(s"the merge condition must be a conjunction of " +
+              s"equalities covering exactly the registered key " +
+              s"column(s) '${reg.keyDisplay}' on both sides")
           if (m.notMatchedBySourceActions.nonEmpty)
-            refuse("NOT MATCHED BY SOURCE is not supported")
+            refuse("NOT MATCHED BY SOURCE is not supported on the " +
+              "registered-name path (catalog tables serve it through " +
+              "Spark's native row-level MERGE)")
           (m.matchedActions, m.notMatchedActions) match {
             // the two unconditional star forms keep the proven direct
             // upsert path (blind-retry OCC is serializable there, and
             // insert-only carries its own conflict analysis)
             case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
-              GraftMergeCommand(reg.path, reg.keyCol, m.sourceTable,
+              GraftMergeCommand(reg.path, reg.keyCols, m.sourceTable,
                 insertOnly = false)
             case (Seq(), Seq(InsertStarAction(None))) =>
-              GraftMergeCommand(reg.path, reg.keyCol, m.sourceTable,
+              GraftMergeCommand(reg.path, reg.keyCols, m.sourceTable,
                 insertOnly = true)
             case _ =>
               // conditional / partial / DELETE / column-list forms:
@@ -219,9 +253,9 @@ object GraftSql {
                   val pairs = assigns.map { a =>
                     val n = keyName(a.key).getOrElse(
                       refuse(s"unsupported UPDATE assignment target ${a.key}"))
-                    if (n == keyLc)
-                      refuse(s"MERGE UPDATE of the merge-key column " +
-                        s"'${reg.keyCol}' is not supported")
+                    if (keyLcs.contains(n))
+                      refuse(s"MERGE UPDATE of merge-key column " +
+                        s"'$n' is not supported")
                     n -> new GraftExprBox(a.value)
                   }
                   GraftMatchedUpdate(cond.map(new GraftExprBox(_)),
@@ -245,7 +279,7 @@ object GraftSql {
                 case other =>
                   refuse(s"unsupported WHEN NOT MATCHED action $other")
               }
-              GraftMergeIntoCommand(reg.path, reg.keyCol, aliasParts,
+              GraftMergeIntoCommand(reg.path, reg.keyCols, aliasParts,
                 m.sourceTable, new GraftExprBox(m.mergeCondition),
                 matched, notMatched)
           }
@@ -361,7 +395,7 @@ case class GraftInsertCommand(path: String, query: LogicalPlan,
   * time travel intact. The predicate filters the auto-pruned view,
   * so a selective WHERE pays index cost, not a table scan.
   */
-case class GraftDeleteCommand(path: String, keyCol: String,
+case class GraftDeleteCommand(path: String, keyCols: Seq[String],
     alias: Seq[String], condition: GraftExprBox) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val latest = VersionedTable.latestVersion(path).getOrElse(
@@ -371,8 +405,8 @@ case class GraftDeleteCommand(path: String, keyCol: String,
     // resolve the parsed predicate under the statement's alias
     val aliased = GraftDml.aliased(alias, view.queryExecution.logical)
     val keys = GraftStreamingBridge.ofRows(session,
-      Filter(condition.expr, aliased)).select(col(keyCol))
-    val v = VersionedTable.deleteKeys(keys, keyCol, path)
+      Filter(condition.expr, aliased)).select(keyCols.map(col): _*)
+    val v = VersionedTable.deleteKeysMulti(keys, keyCols, path)
     Seq(Row(v))
   }
   override def output: Seq[Attribute] = GraftDml.versionOutput
@@ -384,12 +418,12 @@ case class GraftDeleteCommand(path: String, keyCol: String,
   * interleaved commit between parse and commit retries safely
   * (q267's machinery, spec-proven).
   */
-case class GraftMergeCommand(path: String, keyCol: String,
+case class GraftMergeCommand(path: String, keyCols: Seq[String],
     source: LogicalPlan, insertOnly: Boolean) extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(session: SparkSession): Seq[Row] = {
     val src = GraftStreamingBridge.ofRows(session, source)
-    GraftDml.refuseDuplicateSourceKeys(src, keyCol)
+    GraftDml.refuseDuplicateSourceKeys(src, keyCols)
     VersionedTable.latestVersion(path).foreach { latest =>
       val targetCols = VersionedTable.readAt(session, path, latest)
         .columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
@@ -398,8 +432,8 @@ case class GraftMergeCommand(path: String, keyCol: String,
         s"MERGE INTO with UPDATE SET * / INSERT * needs matching " +
           s"schemas: target $targetCols vs source $srcCols")
     }
-    val v = VersionedTable.upsertWithRetry(src, keyCol, path,
-      insertOnly = insertOnly)
+    val v = VersionedTable.upsertMulti(src, keyCols, path,
+      insertOnly = insertOnly, maxRetries = 3)
     Seq(Row(v))
   }
   override def output: Seq[Attribute] = GraftDml.versionOutput
@@ -416,7 +450,7 @@ case class GraftMergeCommand(path: String, keyCol: String,
   * survive); a selective WHERE pays the auto-pruned read, not a
   * table scan.
   */
-case class GraftUpdateCommand(path: String, keyCol: String,
+case class GraftUpdateCommand(path: String, keyCols: Seq[String],
     alias: Seq[String], assignments: Seq[(String, GraftExprBox)],
     condition: Option[GraftExprBox]) extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
@@ -437,7 +471,8 @@ case class GraftUpdateCommand(path: String, keyCol: String,
     }
     val updated = GraftStreamingBridge.ofRows(session,
       Project(projectList, Filter(cond, aliased)))
-    val v = VersionedTable.upsertWithRetry(updated, keyCol, path)
+    val v = VersionedTable.upsertMulti(updated, keyCols, path,
+      maxRetries = 3)
     Seq(Row(v))
   }
   override def output: Seq[Attribute] = GraftDml.versionOutput
@@ -488,7 +523,7 @@ final class GraftExprBox(val expr: Expression) extends Serializable {
   * MERGE against an EMPTY table supports INSERT * only (no schema to
   * null-fill explicit column lists against).
   */
-case class GraftMergeIntoCommand(path: String, keyCol: String,
+case class GraftMergeIntoCommand(path: String, keyCols: Seq[String],
     targetAlias: Seq[String], source: LogicalPlan,
     mergeCondition: GraftExprBox, matched: Seq[GraftMatchedForm],
     notMatched: Seq[GraftNotMatchedInsert]) extends LeafRunnableCommand {
@@ -530,7 +565,7 @@ case class GraftMergeIntoCommand(path: String, keyCol: String,
     }
 
     GraftDml.refuseDuplicateSourceKeys(
-      GraftStreamingBridge.ofRows(session, source), keyCol)
+      GraftStreamingBridge.ofRows(session, source), keyCols)
     var attempt = 0
     while (attempt <= 3) {
       val snapshot = VersionedTable.latestVersion(path)
@@ -589,7 +624,7 @@ case class GraftMergeIntoCommand(path: String, keyCol: String,
                 case (_: GraftMatchedDelete, i) =>
                   deletedParts += marked.filter(
                     org.apache.spark.sql.functions.col(ActCol) === lit(i))
-                    .select(tCol(keyCol).as(keyCol))
+                    .select(keyCols.map(k => tCol(k).as(k)): _*)
               }
             }
             val insertedParts = scala.collection.mutable.ListBuffer.empty[DataFrame]
@@ -613,9 +648,9 @@ case class GraftMergeIntoCommand(path: String, keyCol: String,
                   case Some(pairs) =>
                     val assignOf = pairs.map {
                       case (n, b) => lc(n) -> b }.toMap
-                    require(assignOf.contains(lc(keyCol)),
+                    keyCols.foreach(k => require(assignOf.contains(lc(k)),
                       s"graft MERGE: the INSERT column list must assign " +
-                        s"the merge key '$keyCol'")
+                        s"every merge-key column (missing '$k')"))
                     rows.select(targetSchema.fields.toSeq.map { f =>
                       assignOf.get(lc(f.name)) match {
                         case Some(box) => Bridge.column(box.expr).as(f.name)
@@ -641,8 +676,8 @@ case class GraftMergeIntoCommand(path: String, keyCol: String,
           // against the version they commit over (serializability;
           // without the pin, upsertWithDeletes' own re-read silently
           // absorbed commits landing inside that window)
-          val v = VersionedTable.upsertWithDeletes(dataOpt, delOpt, keyCol,
-            path, expectedSnapshot = Some(snapshot.getOrElse(0L)))
+          val v = VersionedTable.upsertWithDeletesMulti(dataOpt, delOpt,
+            keyCols, path, expectedSnapshot = Some(snapshot.getOrElse(0L)))
           return Seq(Row(v))
         } catch {
           case e: java.io.IOException
@@ -687,16 +722,17 @@ private[sql] object GraftDml {
     * pass over the source per MERGE statement.
     */
   def refuseDuplicateSourceKeys(src: org.apache.spark.sql.DataFrame,
-      keyCol: String): Unit = {
+      keyCols: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.{count, lit}
-    val dup = src.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+    val dup = src.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1).limit(1).count() > 0
     if (dup)
       throw new UnsupportedOperationException(
-        s"graft MERGE: the source carries duplicate '$keyCol' keys — " +
-          "each target row may match at most one source row (the SQL " +
-          "MERGE cardinality rule); deduplicate the source first " +
-          "(aggregate, or rank and keep one row per key)")
+        s"graft MERGE: the source carries duplicate " +
+          s"'${keyCols.mkString(", ")}' keys — each target row may " +
+          "match at most one source row (the SQL MERGE cardinality " +
+          "rule); deduplicate the source first (aggregate, or rank " +
+          "and keep one row per key)")
   }
 
   /** Cast every column to the table's current type when provably

@@ -253,7 +253,7 @@ class GraftCatalogSpec extends SparkTestBase {
     // for the unconditional star forms)
     val e = intercept[java.io.IOException] {
       VersionedTable.upsertWithDeletesHooked(
-        Some(Seq((1L, 11L)).toDF("k", "v")), None, "k", path,
+        Some(Seq((1L, 11L)).toDF("k", "v")), None, Seq("k"), path,
         None, beforeCommit = { _ =>
           VersionedTable.append(Seq((9L, 90L)).toDF("k", "v"), path); ()
         })

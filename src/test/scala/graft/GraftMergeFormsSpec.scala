@@ -101,7 +101,7 @@ class GraftMergeFormsSpec extends SparkTestBase {
         spark.sql("""MERGE INTO mf_ref AS t USING mf_ref_src AS s ON t.k = s.k
           WHEN NOT MATCHED AND s.nv > 0 THEN INSERT (v) VALUES (s.nv)""")
       }
-      assert(e2.getMessage.contains("merge key"), e2.getMessage)
+      assert(e2.getMessage.contains("merge-key"), e2.getMessage)
       // empty table + explicit column list: nothing to null-fill against
       val empty = tmpDir("mf_refuse_empty")
       GraftSql.register("mf_ref_e", empty, "k")

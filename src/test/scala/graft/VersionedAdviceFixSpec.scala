@@ -159,7 +159,7 @@ class VersionedAdviceFixSpec extends SparkTestBase {
       bloomCols = Seq("k"))
     var injected = false
     val v = VersionedTable.upsertRetrying(
-      Seq((5L, 50L), (6L, 60L)).toDF("k", "v"), "k", path,
+      Seq((5L, 50L), (6L, 60L)).toDF("k", "v"), Seq("k"), path,
       txnId = None, insertOnly = true, bloomCols = Seq("k"), maxRetries = 5,
       beforeCommit = { _ =>
         if (!injected) {

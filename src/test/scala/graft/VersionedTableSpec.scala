@@ -435,7 +435,7 @@ class VersionedTableSpec extends SparkTestBase {
     VersionedTable.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), path)
     var injected = false
     val v = VersionedTable.upsertRetrying(
-      Seq((2L, 200L), (3L, 300L)).toDF("k", "v"), "k", path,
+      Seq((2L, 200L), (3L, 300L)).toDF("k", "v"), Seq("k"), path,
       txnId = None, insertOnly = false, bloomCols = Nil, maxRetries = 5,
       beforeCommit = { _ =>
         if (!injected) {
@@ -459,7 +459,7 @@ class VersionedTableSpec extends SparkTestBase {
       bloomCols = Seq("k"))
     var injected = false
     val v = VersionedTable.upsertRetrying(
-      Seq((1L, -1L), (5L, 50L), (6L, 60L)).toDF("k", "v"), "k", path,
+      Seq((1L, -1L), (5L, 50L), (6L, 60L)).toDF("k", "v"), Seq("k"), path,
       txnId = None, insertOnly = true, bloomCols = Seq("k"), maxRetries = 5,
       beforeCommit = { _ =>
         if (!injected) {
@@ -486,7 +486,7 @@ class VersionedTableSpec extends SparkTestBase {
       bloomCols = Seq("k"))
     var injected = false
     val v = VersionedTable.upsertRetrying(
-      Seq((8L, 80L)).toDF("k", "v"), "k", path,
+      Seq((8L, 80L)).toDF("k", "v"), Seq("k"), path,
       txnId = None, insertOnly = true, bloomCols = Seq("k"), maxRetries = 5,
       beforeCommit = { _ =>
         if (!injected) {
