@@ -214,12 +214,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // live schema follows the committed content (writes may have
     // widened/extended it); the declared schema covers the
     // created-but-empty window
-    val schema = version match {
+    val contentSchema = version match {
       case Some(v) =>
         VersionedTable.readAt(SparkSession.active, path, v).schema
       case None => meta.get._1
     }
     val props = meta.map(_._2).getOrElse(Map.empty) + ("path" -> path)
+    // declared merge-key columns surface NON-NULLABLE: they are the
+    // table's row identity (Spark's row-level operations require it,
+    // NULLABLE_ROW_ID_ATTRIBUTES) — the keyed-table contract every
+    // upsert/tombstone already assumes. The V1 plan swap restates
+    // the claim with KnownNotNull on the scan side.
+    val keyLc = props.get("key").map(graft.sql.GraftSql.splitKey)
+      .getOrElse(Nil).map(_.toLowerCase(Locale.ROOT)).toSet
+    val schema = StructType(contentSchema.map { f =>
+      if (keyLc(f.name.toLowerCase(Locale.ROOT))) f.copy(nullable = false)
+      else f
+    })
     new GraftTable((name() +: parts).mkString("."), path, version, schema,
       props)
   }
@@ -406,9 +417,32 @@ object GraftCatalogs {
 class GraftTable(identName: String, val path: String,
     val snapshotVersion: Option[Long], tableSchema: StructType,
     props: Map[String, String]) extends Table with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.graftbridge.V1FallbackTable {
 
   override def name(): String = identName
+
+  /** DELETE/UPDATE/MERGE by name through SPARK'S OWN analyzer — the
+    * delta-based row-level route ([[GraftRowLevelOperation]]): row
+    * identity is the declared merge key, so a key-less table refuses
+    * loudly here, at analysis, naming the fix.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    val keyCols = graft.sql.GraftSql.splitKey(props.getOrElse("key", ""))
+    if (keyCols.isEmpty)
+      throw new UnsupportedOperationException(
+        s"graft table $identName has no merge key: row-level " +
+          "DELETE/UPDATE/MERGE need TBLPROPERTIES('key'='<col>[,<col>…]') " +
+          "declared at CREATE TABLE (or added via ALTER TABLE SET " +
+          "TBLPROPERTIES)")
+    keyCols.foreach { k =>
+      require(tableSchema.fieldNames.exists(_.equalsIgnoreCase(k)),
+        s"graft table $identName: key column '$k' is not in the schema")
+    }
+    new GraftRowLevelBuilder(this, keyCols, info)
+  }
 
   override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
     import org.apache.spark.sql.catalyst.TableIdentifier
@@ -520,22 +554,62 @@ object GraftV2Resolution extends Rule[LogicalPlan] {
 
   private val WriteTarget = TreeNodeTag[Boolean]("graft.write.target")
 
+  /** The swap also serves reads the ROW-LEVEL rewrite rules build:
+    * their relations wrap the table in a `RowLevelOperationTable`
+    * (carrying the delta operation for the write side), but the read
+    * semantics are the table's own.
+    */
+  private def graftOf(r: DataSourceV2Relation): Option[GraftTable] =
+    r.table match {
+      case g: GraftTable => Some(g)
+      case other =>
+        org.apache.spark.sql.graftbridge.RowLevelBridge.innerTable(other)
+          .collect { case g: GraftTable => g }
+    }
+
+  /** Tag every relation in a row-level command's TARGET subtree so
+    * the swap leaves it V2 until `RewriteDeleteFromTable` /
+    * `RewriteUpdateTable` / `RewriteMergeIntoTable` (same fixed-point
+    * batch) have matched it; the reads those rewrites build are new
+    * untagged instances, swapped on a later iteration. Tags survive
+    * tree copies, and this visitor re-tags every iteration anyway
+    * (top-down, before children are visited).
+    */
+  private def tagRowLevelTarget(target: LogicalPlan): Unit =
+    target.foreach {
+      case r: DataSourceV2Relation => r.setTagValue(WriteTarget, true)
+      case _ => ()
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsDown {
       case w: V2WriteCommand =>
-        w.table match {
-          case r: DataSourceV2Relation => r.setTagValue(WriteTarget, true)
-          case _ => ()
+        // POSITIONAL conversion inside write commands: the write
+        // target is not a traversed child (V2WriteCommand is a
+        // UnaryCommand over query), but the SAME relation INSTANCE
+        // can appear again as a READ inside the query — Spark's
+        // insert-only MERGE rewrite reuses the target relation in
+        // its anti-join — so reads convert by tree position,
+        // regardless of any tag the instance carries, while the
+        // table field stays native for the V2 write machinery
+        val newQuery = w.query.transformDown {
+          case r: DataSourceV2Relation if graftOf(r).nonEmpty => convert(r)
         }
-        w
+        if (newQuery eq w.query) w else w.withNewQuery(newQuery)
+      case d @ org.apache.spark.sql.catalyst.plans.logical
+          .DeleteFromTable(target, _) =>
+        tagRowLevelTarget(target); d
+      case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable =>
+        tagRowLevelTarget(u.table); u
+      case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
+        tagRowLevelTarget(m.targetTable); m
       case r: DataSourceV2Relation
-          if r.table.isInstanceOf[GraftTable] &&
-            r.getTagValue(WriteTarget).isEmpty =>
+          if graftOf(r).nonEmpty && r.getTagValue(WriteTarget).isEmpty =>
         convert(r)
     }
 
   private def convert(r: DataSourceV2Relation): LogicalPlan = {
-    val table = r.table.asInstanceOf[GraftTable]
+    val table = graftOf(r).get
     val inner = table.readPlan(SparkSession.active)
     val byName = inner.output
       .map(a => a.name.toLowerCase(Locale.ROOT) -> a).toMap
@@ -544,6 +618,12 @@ object GraftV2Resolution extends Rule[LogicalPlan] {
         throw new IllegalStateException(
           s"graft table ${table.name()}: column ${out.name} vanished " +
             "between load and resolution (concurrent overwrite?)"))
+      // key columns are declared non-nullable on the relation (row
+      // identity) while the parquet scan side is nullable by storage;
+      // the bare alias keeps the scan-side expression so filters on
+      // keys still push down to the scan (a KnownNotNull wrap here
+      // measurably blocked PushedFilters) — the nullable-into-required
+      // direction is exactly the keyed-table contract
       Alias(in, out.name)(exprId = out.exprId)
     }
     Project(projections, inner)

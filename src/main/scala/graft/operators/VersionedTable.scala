@@ -1062,6 +1062,30 @@ object VersionedTable {
     next
   }
 
+  /** The commit primitive under Spark's NATIVE row-level operations
+    * ([[graft.catalog.GraftDeltaBatchWrite]]): executors have already
+    * written `dataDir` (inserted + updated rows) and `tombDir` (the
+    * rowIds of deleted + updated rows, all key columns) directly;
+    * this publishes them as ONE manifest — tombstone before data, so
+    * position scoping retires old rows while the new rows survive
+    * their own commit. Pinned to the operation's snapshot read
+    * (commit at exactly snapshot + 1): any interleaved commit hits
+    * the exclusive manifest create and throws — the native route is
+    * a SINGLE attempt whose clauses were evaluated against the
+    * pinned snapshot, so absorbing an interleave would violate
+    * serializability (the same contract as [[upsertWithDeletes]]
+    * with `expectedSnapshot`).
+    */
+  private[graft] def commitDelta(path: String, snapshot: Long,
+      dataDir: Option[String], tombDir: Option[String]): Long = {
+    require(dataDir.nonEmpty || tombDir.nonEmpty,
+      "commitDelta with nothing to publish")
+    val prev = if (snapshot == 0) Seq.empty else manifestEntries(path, snapshot)
+    commitManifest(path, snapshot + 1,
+      prev ++ tombDir.map("~" + _).toSeq ++ dataDir.toSeq)
+    snapshot + 1
+  }
+
   /** Read the table as of `version`. Data batches are anti-joined
     * against ONLY the tombstone batches committed after them
     * (position-scoped merge-on-read): consecutive data batches with

@@ -111,18 +111,25 @@ object GraftSql {
     Option(tables.get(
       parts.mkString(".").toLowerCase(java.util.Locale.ROOT)))
 
-  /** The registered/catalog table behind a DML target, unwrapping one
+  /** The REGISTERED table behind a DML target, unwrapping one
     * optional alias; (registration, alias parts to resolve under —
     * the user's alias, or the full multipart identifier so qualified
-    * references like `graft.t.v` resolve).
+    * references like `t.v` resolve). CATALOG names intentionally do
+    * NOT match here (round 14): DELETE/UPDATE/MERGE over `graft.<t>`
+    * flow through Spark's OWN analyzer to the native row-level route
+    * ([[graft.catalog.GraftRowLevelOperation]]) — which also lifts
+    * the command route's refusals (NOT MATCHED BY SOURCE, non-key
+    * merge conditions, key-column updates). Only path-registered
+    * names, which have no catalog identity for Spark to resolve,
+    * keep the command route.
     */
   private def target(plan: LogicalPlan): Option[(Registration, Seq[String])] =
     plan match {
       case u: UnresolvedRelation =>
-        lookup(u.multipartIdentifier)
+        lookupRegistered(u.multipartIdentifier)
           .map(_ -> u.multipartIdentifier)
       case SubqueryAlias(id, u: UnresolvedRelation) =>
-        lookup(u.multipartIdentifier).map(_ -> Seq(id.name))
+        lookupRegistered(u.multipartIdentifier).map(_ -> Seq(id.name))
       case _ => None
     }
 

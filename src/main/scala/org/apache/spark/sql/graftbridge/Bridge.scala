@@ -14,6 +14,21 @@ object Bridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** Unwrap a `RowLevelOperationTable` (the `private[sql]` wrapper the
+  * row-level rewrite rules put around a `SupportsRowLevelOperations`
+  * table) to its inner table — lets the graft V1 plan swap recognize
+  * rewritten row-level READS without reaching into the private class
+  * from user packages. Returns None for any other table.
+  */
+object RowLevelBridge {
+  def innerTable(t: org.apache.spark.sql.connector.catalog.Table)
+      : Option[org.apache.spark.sql.connector.catalog.Table] = t match {
+    case r: org.apache.spark.sql.connector.write.RowLevelOperationTable =>
+      Some(r.table)
+    case _ => None
+  }
+}
+
 /** Public face of the `private[sql]` V2TableWithV1Fallback trait, so
   * the graft catalog's table can declare the streaming-by-name V1
   * fallback (`spark.readStream.table("graft.t")` → the V1

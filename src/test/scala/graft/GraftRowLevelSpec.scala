@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.VersionedTable
+
+/** Spark-NATIVE row-level operations on catalog tables
+  * (SupportsRowLevelOperations / SupportsDelta) — every case here was
+  * a LOUD REFUSAL on the command route before round 14:
+  *
+  *   - NOT MATCHED BY SOURCE (UPDATE and DELETE forms);
+  *   - non-key conjuncts in the MERGE ON condition;
+  *   - UPDATE of a merge-key column (delete old key + insert new);
+  *   - MERGE INSERT with an explicit column list over a catalog name.
+  *
+  * Plus the mechanics the route rests on: the physical plan is a real
+  * distributed delta write (WriteDeltaExec, executor-side parquet),
+  * the commit is ONE manifest (tombstone + data) pinned at the
+  * operation's snapshot, a zero-row operation commits nothing, and
+  * Spark's own MERGE cardinality check replaces ours.
+  */
+class GraftRowLevelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def drop(t: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS graft.$t"); ()
+  }
+
+  private def tablePath(t: String): String =
+    s"/tmp/graft-test-catalog/$t"
+
+  test("MERGE with NOT MATCHED BY SOURCE: UPDATE and DELETE clauses work by name") {
+    drop("rl_nmbs")
+    spark.sql("""CREATE TABLE graft.rl_nmbs (k BIGINT, v BIGINT)
+      TBLPROPERTIES('key'='k')""")
+    spark.sql("INSERT INTO graft.rl_nmbs VALUES (1, 10), (2, 20), (3, 30), (4, 40)")
+    Seq((2L, 200L), (5L, 50L)).toDF("k", "v")
+      .createOrReplaceTempView("rl_nmbs_src")
+    // rows 1,3,4 are NOT matched by source: 1,3 get flagged, 4 deleted
+    spark.sql("""
+      MERGE INTO graft.rl_nmbs AS t USING rl_nmbs_src AS s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE AND t.k < 4 THEN UPDATE SET v = t.v + 1
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    val rows = spark.table("graft.rl_nmbs")
+      .as[(Long, Long)].collect().toMap
+    assert(rows === Map(1L -> 11L, 2L -> 200L, 3L -> 31L, 5L -> 50L))
+    drop("rl_nmbs")
+  }
+
+  test("non-key conjuncts in MERGE ON narrow matching; untouched rows never rewritten") {
+    drop("rl_oncond")
+    spark.sql("""CREATE TABLE graft.rl_oncond (k BIGINT, grp STRING, v BIGINT)
+      TBLPROPERTIES('key'='k')""")
+    spark.sql("""INSERT INTO graft.rl_oncond VALUES
+      (1, 'a', 10), (2, 'b', 20), (3, 'a', 30)""")
+    Seq((1L, 100L), (2L, 200L)).toDF("k", "nv")
+      .createOrReplaceTempView("rl_oncond_src")
+    // the extra conjunct keeps k=2 (grp='b') unmatched — and with no
+    // NOT MATCHED clause its source row is dropped, not inserted
+    spark.sql("""
+      MERGE INTO graft.rl_oncond AS t USING rl_oncond_src AS s
+      ON t.k = s.k AND t.grp = 'a'
+      WHEN MATCHED THEN UPDATE SET v = s.nv""")
+    val rows = spark.table("graft.rl_oncond")
+      .select("k", "v").as[(Long, Long)].collect().toMap
+    assert(rows === Map(1L -> 100L, 2L -> 20L, 3L -> 30L))
+    drop("rl_oncond")
+  }
+
+  test("UPDATE of a merge-key column: old key tombstoned, new row inserted") {
+    drop("rl_keyupd")
+    spark.sql("""CREATE TABLE graft.rl_keyupd (k BIGINT, v BIGINT)
+      TBLPROPERTIES('key'='k')""")
+    spark.sql("INSERT INTO graft.rl_keyupd VALUES (1, 10), (2, 20)")
+    spark.sql("UPDATE graft.rl_keyupd SET k = k + 100 WHERE k = 1")
+    val rows = spark.table("graft.rl_keyupd")
+      .as[(Long, Long)].collect().toMap
+    assert(rows === Map(101L -> 10L, 2L -> 20L),
+      "the old key must be gone, the row re-keyed")
+    drop("rl_keyupd")
+  }
+
+  test("the plan is a distributed delta write; the commit is ONE tombstone+data manifest") {
+    drop("rl_plan")
+    spark.sql("""CREATE TABLE graft.rl_plan (k BIGINT, v BIGINT)
+      TBLPROPERTIES('key'='k')""")
+    spark.sql("INSERT INTO graft.rl_plan SELECT id, id * 10 FROM range(0, 100)")
+    val before = VersionedTable.latestVersion(tablePath("rl_plan")).get
+    spark.sql("UPDATE graft.rl_plan SET v = v + 1 WHERE k % 10 = 3")
+    val after = VersionedTable.latestVersion(tablePath("rl_plan")).get
+    assert(after === before + 1, "one statement, one commit")
+    // history classifies it as an upsert (tombstone + data in one
+    // manifest), and the touched-row count is the delta's size
+    val hist = VersionedTable.history(spark, tablePath("rl_plan"))
+      .filter(col("version") === after)
+      .select("kind", "n_add", "n_delete").collect().head
+    assert(hist.getString(0) === "upsert")
+    assert((hist.getLong(1), hist.getLong(2)) === ((1L, 1L)))
+    // untouched rows were NOT rewritten: the delta batch holds only
+    // the 10 updated rows (merge-on-read, not copy-on-write)
+    val fresh = VersionedTable.readChanges(spark, tablePath("rl_plan"),
+      before, after)
+    assert(fresh.count() === 10L)
+    assert(spark.table("graft.rl_plan").filter($"k" % 10 === 3)
+      .select("v").as[Long].collect().sorted
+      === (0 until 10).map(i => (i * 10 + 3) * 10L + 1L).toArray)
+    drop("rl_plan")
+  }
+
+  test("a MERGE that touches zero rows commits NO version; conflict at a stale snapshot is loud") {
+    drop("rl_noop")
+    spark.sql("""CREATE TABLE graft.rl_noop (k BIGINT, v BIGINT)
+      TBLPROPERTIES('key'='k')""")
+    spark.sql("INSERT INTO graft.rl_noop VALUES (1, 10)")
+    val before = VersionedTable.latestVersion(tablePath("rl_noop")).get
+    Seq((99L, 0L)).toDF("k", "v").createOrReplaceTempView("rl_noop_src")
+    spark.sql("""
+      MERGE INTO graft.rl_noop AS t USING rl_noop_src AS s ON t.k = s.k
+      WHEN MATCHED THEN DELETE""")
+    assert(VersionedTable.latestVersion(tablePath("rl_noop"))
+      === Some(before), "zero touched rows must publish nothing")
+    // the pinned-snapshot commit primitive refuses an interleave
+    val e = intercept[java.io.IOException] {
+      VersionedTable.commitDelta(tablePath("rl_noop"), before - 1,
+        Some("nonexistent_dir"), None)
+    }
+    assert(e.getMessage.contains("already committed"))
+    drop("rl_noop")
+  }
+
+  test("Spark's own MERGE cardinality check fires on the native route") {
+    drop("rl_card")
+    spark.sql("""CREATE TABLE graft.rl_card (k BIGINT, v BIGINT)
+      TBLPROPERTIES('key'='k')""")
+    spark.sql("INSERT INTO graft.rl_card VALUES (1, 10)")
+    Seq((1L, 100L), (1L, 200L)).toDF("k", "v")
+      .createOrReplaceTempView("rl_card_src")
+    val e = intercept[Exception] {
+      spark.sql("""
+        MERGE INTO graft.rl_card AS t USING rl_card_src AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v""")
+    }
+    assert(e.getMessage.contains("MERGE_CARDINALITY_VIOLATION") ||
+      e.getMessage.toLowerCase.contains("multiple"), e.getMessage)
+    drop("rl_card")
+  }
+
+  test("native delta write carries typed columns faithfully (date, timestamp, decimal, string)") {
+    drop("rl_typed")
+    spark.sql("""CREATE TABLE graft.rl_typed
+      (k BIGINT, d DATE, ts TIMESTAMP, dec DECIMAL(12,2), s STRING)
+      TBLPROPERTIES('key'='k')""")
+    spark.sql("""INSERT INTO graft.rl_typed VALUES
+      (1, DATE'2024-01-01', TIMESTAMP'2024-01-01 00:00:00', 1.50, 'a'),
+      (2, DATE'2024-06-15', TIMESTAMP'2024-06-15 12:30:00', 2.25, 'b')""")
+    // an UPDATE routes every column through the executor-side
+    // parquet delta writer: any type-mapping slip shows on read-back
+    spark.sql("""UPDATE graft.rl_typed
+      SET d = d + INTERVAL '1' DAY, dec = dec + 0.01, s = concat(s, 'x')
+      WHERE k = 2""")
+    val r = spark.sql(
+      "SELECT d, ts, dec, s FROM graft.rl_typed WHERE k = 2").collect().head
+    assert(r.getDate(0).toString === "2024-06-16")
+    assert(r.getTimestamp(1).toString.startsWith("2024-06-15 12:30:00"))
+    assert(r.getDecimal(2).toPlainString === "2.26")
+    assert(r.getString(3) === "bx")
+    drop("rl_typed")
+  }
+
+  test("composite key through the native route: rowId carries both columns") {
+    drop("rl_ck")
+    spark.sql("""CREATE TABLE graft.rl_ck (eid BIGINT, fp STRING, v BIGINT)
+      TBLPROPERTIES('key'='eid,fp')""")
+    spark.sql("""INSERT INTO graft.rl_ck VALUES
+      (1, 'a', 10), (1, 'b', 11), (2, 'a', 20)""")
+    // the composite tombstone must retire ONLY (1,'a') — rows sharing
+    // either component stay
+    spark.sql("DELETE FROM graft.rl_ck WHERE eid = 1 AND fp = 'a'")
+    assert(spark.table("graft.rl_ck").select("v").as[Long]
+      .collect().sorted === Array(11L, 20L))
+    spark.sql("""UPDATE graft.rl_ck SET v = v + 1 WHERE fp = 'a'""")
+    assert(spark.table("graft.rl_ck").select("v").as[Long]
+      .collect().sorted === Array(11L, 21L))
+    drop("rl_ck")
+  }
+}
