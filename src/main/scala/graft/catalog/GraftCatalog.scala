@@ -211,12 +211,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (meta.isEmpty && committed.isEmpty)
       throw new NoSuchTableException(ident)
     val version = versionAsOf.orElse(committed)
-    // live schema follows the committed content (writes may have
-    // widened/extended it); the declared schema covers the
-    // created-but-empty window
+    // live schema = the UNION of the committed batches' schemas
+    // (mergeSchema — deterministic even when batches differ in width,
+    // where a single-file inference would be pick-order-dependent)
+    // PLUS any declared-but-not-yet-written columns from ALTER TABLE
+    // ADD COLUMNS (NULL-filled on read until the backfill lands);
+    // the declared schema alone covers the created-but-empty window
     val contentSchema = version match {
       case Some(v) =>
-        VersionedTable.readAt(SparkSession.active, path, v).schema
+        val content = VersionedTable.readAt(SparkSession.active, path, v,
+          mergeSchema = true).schema
+        val have = content.fieldNames.map(_.toLowerCase(Locale.ROOT)).toSet
+        val declaredOnly = meta.map(_._1).getOrElse(new StructType())
+          .filterNot(f => have(f.name.toLowerCase(Locale.ROOT)))
+        StructType(content.fields ++ declaredOnly)
       case None => meta.get._1
     }
     val props = meta.map(_._2).getOrElse(Map.empty) + ("path" -> path)
@@ -270,20 +278,57 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
+  /** SET/UNSET TBLPROPERTIES plus — round 14 — `ALTER TABLE ADD
+    * COLUMNS`: DDL-FIRST schema evolution (declare the column, then
+    * backfill), completing the implicit write-time path (commits may
+    * add columns) with an explicit migration surface. The added
+    * column lands in `_table.meta` only — zero data rewritten;
+    * existing rows NULL-fill on read exactly like the mergeSchema
+    * add-column contract, which is why added columns must be
+    * nullable and append at the end (positions would promise an
+    * order parquet batches cannot retroactively honor). An ADOPTED
+    * path-built table (no meta yet) synthesizes its meta from the
+    * committed content schema first, so DDL evolution works there
+    * too.
+    */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val parts = identParts(ident)
-    val (schema, props) = readMeta(parts).getOrElse(
-      throw new NoSuchTableException(ident))
+    val (schema, props) = readMeta(parts).getOrElse {
+      if (!tableDirExists(parts)) throw new NoSuchTableException(ident)
+      val path = pathOf(parts)
+      val sch = VersionedTable.latestVersion(path)
+        .map(v => VersionedTable.readAt(SparkSession.active, path, v,
+          mergeSchema = true).schema)
+        .getOrElse(new StructType())
+      (sch, Map.empty[String, String])
+    }
+    var newSchema = schema
     val updated = changes.foldLeft(props) {
       case (acc, set: TableChange.SetProperty) =>
         acc + (set.property -> set.value)
       case (acc, rm: TableChange.RemoveProperty) => acc - rm.property
+      case (acc, add: TableChange.AddColumn) =>
+        require(add.fieldNames.length == 1,
+          "graft ALTER TABLE ADD COLUMNS: nested fields are not supported")
+        val colName = add.fieldNames.head
+        require(add.isNullable,
+          s"graft ALTER TABLE: added column '$colName' must be nullable " +
+            "— existing rows NULL-fill on read (zero-rewrite migration)")
+        require(add.position() == null,
+          "graft ALTER TABLE: column positions are not supported; added " +
+            "columns append at the end")
+        require(!newSchema.fieldNames.exists(_.equalsIgnoreCase(colName)),
+          s"graft ALTER TABLE: column '$colName' already exists")
+        newSchema = newSchema.add(
+          org.apache.spark.sql.types.StructField(colName, add.dataType,
+            nullable = true))
+        acc
       case (_, other) => throw new UnsupportedOperationException(
-        s"graft catalog: unsupported ALTER TABLE change $other (schema " +
-          "evolution happens at write time: commits may add columns, " +
-          "widen reads serve type migrations)")
+        s"graft catalog: unsupported ALTER TABLE change $other (type " +
+          "migrations are zero-rewrite widen reads; drops/renames need " +
+          "an explicit rewrite — this engine never degrades silently)")
     }
-    writeMeta(parts, schema, updated, exclusive = false)
+    writeMeta(parts, newSchema, updated, exclusive = false)
     loadTable(ident)
   }
 
@@ -479,13 +524,17 @@ class GraftTable(identName: String, val path: String,
   override def properties(): java.util.Map[String, String] = props.asJava
 
   /** The analyzed V1 read plan this table's relation resolves to:
-    * `readAtAuto` at the pinned version (manifest-stats pruning rule
-    * attached), or an empty relation under the declared schema for a
-    * created-but-never-written table.
+    * the pinned version read under the table's DECLARED schema
+    * (manifest-stats pruning attached; columns an older batch
+    * predates null-fill, mixed-width batches read deterministically
+    * — the ALTER ADD COLUMNS contract), or an empty relation under
+    * the declared schema for a created-but-never-written table.
     */
   def readPlan(spark: SparkSession): LogicalPlan = snapshotVersion match {
     case Some(v) =>
-      VersionedTable.readAtAuto(spark, path, v).queryExecution.analyzed
+      VersionedTable.readAtWithSchema(spark, path, v,
+        StructType(tableSchema.map(_.copy(nullable = true))))
+        .queryExecution.analyzed
     case None =>
       spark.createDataFrame(new java.util.ArrayList[Row](), tableSchema)
         .queryExecution.analyzed

@@ -1299,6 +1299,23 @@ object VersionedTable {
       auto = auto, explicitSchema = Some(widened)).get
   }
 
+  /** [[readAt]] under an EXPLICIT schema — the catalog read: every
+    * scan shares one declared schema, so batches written before an
+    * ALTER TABLE ADD COLUMNS null-fill the new column, batches of
+    * differing widths read deterministically (no file-pick-order
+    * inference), and lossless type promotions serve natively
+    * (SPARK-40876). Manifest-stats pruning stays attached (`auto`),
+    * tombstones apply position-scoped as always.
+    */
+  def readAtWithSchema(spark: SparkSession, path: String, version: Long,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val entries = manifestEntries(path, version)
+    require(entries.exists(e => !isTombstone(e)),
+      s"version $version of $path lists no data batches")
+    viewOf(spark, path, entries, mergeSchema = false, _ => true,
+      auto = true, explicitSchema = Some(schema)).get
+  }
+
   def readLatest(spark: SparkSession, path: String): DataFrame = {
     val v = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $path"))

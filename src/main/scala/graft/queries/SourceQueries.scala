@@ -2971,9 +2971,73 @@ object SourceQueries extends QueryRegistry {
       FROM live GROUP BY 1
     """.trim))
 
+  /** `ALTER TABLE ADD COLUMNS` — DDL-FIRST schema evolution (declare,
+    * then backfill), the round-13 verdict's #3: the column lands in
+    * `_table.meta` with ZERO data rewritten; reads immediately serve
+    * it NULL-filled for pre-migration batches (the explicit-schema
+    * catalog read — deterministic across mixed-width batches, where
+    * plain inference would be file-pick-order-dependent). The chain:
+    * create + load (2 cols) → ALTER ADD priority → full-width
+    * backfill INSERT under shifted keys → a native UPDATE that fills
+    * the NULL column on exactly the pre-migration rows (reading the
+    * NULL-filled view and writing full-width rows through the delta
+    * route). Oracle: the union-with-NULLs recompute — a dropped
+    * legacy row, a mis-filled NULL, or a backfill leaking into the
+    * legacy slice breaks the hash.
+    */
+  val q313 = GraftQuery(
+    "q313_catalog_alter_add_columns",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"q313_mig_$sfx"
+      val path = graftCatalog(s).tablePath(Seq(table))
+      if (!VersionedTable.latestVersion(path).exists(_ >= 3L)) {
+        s.sql(s"DROP TABLE IF EXISTS graft.$table")
+        s.sql(s"""CREATE TABLE graft.$table
+          (o_orderkey BIGINT, total_c BIGINT)
+          TBLPROPERTIES('key'='o_orderkey')""")
+        Tables.orders(s, d).createOrReplaceTempView("q313_base")
+        s.sql(s"""
+          INSERT INTO graft.$table
+          SELECT o_orderkey, CAST(round(o_totalprice * 100) AS LONG)
+          FROM q313_base""")
+        // declare the column: zero rewrites, reads NULL-fill it
+        s.sql(s"ALTER TABLE graft.$table ADD COLUMNS (priority STRING)")
+        // backfill NEW full-width rows under shifted keys
+        s.sql(s"""
+          INSERT INTO graft.$table
+          SELECT o_orderkey + 30000000,
+                 CAST(round(o_totalprice * 100) AS LONG), o_orderpriority
+          FROM q313_base WHERE o_orderpriority = '1-URGENT'""")
+        // fill the declared column on the legacy rows — reads the
+        // NULL-filled view, writes full-width through the delta route
+        s.sql(s"""UPDATE graft.$table SET priority = 'LEGACY'
+          WHERE priority IS NULL""")
+      }
+      s.sql(s"""
+        SELECT priority, CAST(count(*) AS LONG) AS n_orders,
+               CAST(sum(total_c) AS LONG) AS total_c
+        FROM graft.$table GROUP BY 1""")
+    },
+    Some("""
+      WITH legacy AS (
+        SELECT 'LEGACY' AS priority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS total_c
+        FROM orders),
+      backfill AS (
+        SELECT o_orderpriority AS priority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS total_c
+        FROM orders WHERE o_orderpriority = '1-URGENT'),
+      live AS (SELECT * FROM legacy UNION ALL SELECT * FROM backfill)
+      SELECT priority, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(total_c) AS BIGINT) AS total_c
+      FROM live GROUP BY 1
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
     q282, q283, q284, q285, q286, q288, q289, q290, q291, q292, q293, q294,
     q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306,
-    q307, q308, q309, q310, q311, q312)
+    q307, q308, q309, q310, q311, q312, q313)
 }
