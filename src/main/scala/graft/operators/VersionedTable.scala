@@ -2133,6 +2133,38 @@ object VersionedTable {
       _ => consumeChanges(spark, path, checkpointDir)(f); ()
     }
 
+  /** HIVE-LAYOUT EXPORT — interop with external readers that expect
+    * `col=value` directory contracts (the reference's own S3 layout
+    * IS one: `raw/date=.../instrument=...`,
+    * `agf_ingestion_lambda.py:76,183,261`). The versioned table's
+    * batch layout is its own (clustering serves pruning better than
+    * static partitions — the PARTITIONED BY refusal stands), so
+    * interop is an EXPORT: materialize the resolved view of
+    * `version` — tombstones applied, merge-on-read debt paid once —
+    * into a Hive-partitioned parquet tree any engine can list.
+    * Content-invariant by construction (the export IS readAt;
+    * q315's oracle hashes it against the relational recompute).
+    *
+    * At 100 TB: one shuffle-free write pass repartitioned by the
+    * partition columns so each output dir is written by few tasks
+    * (without it, every task writes every partition — the
+    * small-files explosion); partition columns must be
+    * LOW-CARDINALITY (dirs = distinct combinations — the usual Hive
+    * contract, stated rather than discovered at the store). The
+    * export is a SNAPSHOT, not a live view: re-export or consume
+    * [[readChanges]] for freshness.
+    */
+  def exportHiveLayout(spark: SparkSession, path: String, version: Long,
+      partitionCols: Seq[String], outDir: String): Unit = {
+    require(partitionCols.nonEmpty, "export needs partition columns")
+    val view = readAt(spark, path, version)
+    partitionCols.foreach(c => require(view.columns.contains(c),
+      s"partition column $c is not in the table"))
+    view.repartition(partitionCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(partitionCols: _*)
+      .parquet(outDir)
+  }
+
   /** Drop history: keep the newest `keep` versions' manifests, delete
     * older manifests and every batch dir no kept manifest references
     * (including crash-orphaned dirs that were never committed).

@@ -3035,9 +3035,150 @@ object SourceQueries extends QueryRegistry {
       FROM live GROUP BY 1
     """.trim))
 
+  /** SQL TIME TRAVEL THROUGH THE CATALOG, oracle-gated end-to-end
+    * (round-13 verdict #4; only a spec covered it before): a
+    * deterministic SQL-built lifecycle — two INSERTs, a DELETE, a
+    * native UPDATE — then ONE result reading every retained version
+    * via `VERSION AS OF n` plus the current view via `TIMESTAMP AS
+    * OF` a far-future literal (resolving through the manifest-mtime
+    * clock to the latest version). The oracle recomputes each
+    * version's state relationally: a version resolving to the wrong
+    * manifest, a tombstone leaking across versions, or timestamp
+    * resolution drifting off latest breaks the hash.
+    */
+  val q314 = GraftQuery(
+    "q314_catalog_sql_time_travel",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"q314_tt_$sfx"
+      val path = graftCatalog(s).tablePath(Seq(table))
+      if (!VersionedTable.latestVersion(path).exists(_ >= 4L)) {
+        s.sql(s"DROP TABLE IF EXISTS graft.$table")
+        s.sql(s"""CREATE TABLE graft.$table
+          (o_orderkey BIGINT, total_c BIGINT)
+          TBLPROPERTIES('key'='o_orderkey')""")
+        Tables.orders(s, d).createOrReplaceTempView("q314_base")
+        s.sql(s"""
+          INSERT INTO graft.$table
+          SELECT o_orderkey, CAST(round(o_totalprice * 100) AS LONG)
+          FROM q314_base WHERE o_orderdate < TIMESTAMP '1996-01-01'""")
+        s.sql(s"""
+          INSERT INTO graft.$table
+          SELECT o_orderkey, CAST(round(o_totalprice * 100) AS LONG)
+          FROM q314_base WHERE o_orderdate >= TIMESTAMP '1996-01-01'""")
+        s.sql(s"DELETE FROM graft.$table WHERE o_orderkey % 7 = 2")
+        s.sql(s"""UPDATE graft.$table SET total_c = total_c + 100
+          WHERE o_orderkey % 5 = 0""")
+      }
+      (1 to 4).map { v =>
+        s.sql(s"""
+          SELECT CAST($v AS LONG) AS at, CAST(count(*) AS LONG) AS n_orders,
+                 CAST(sum(total_c) AS LONG) AS total_c
+          FROM graft.$table VERSION AS OF $v""")
+      }.reduce(_ unionByName _).unionByName(
+        s.sql(s"""
+          SELECT CAST(5 AS LONG) AS at, CAST(count(*) AS LONG) AS n_orders,
+                 CAST(sum(total_c) AS LONG) AS total_c
+          FROM graft.$table TIMESTAMP AS OF '2100-01-01'"""))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k, o_orderdate,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders),
+      v1 AS (SELECT k, v FROM base WHERE o_orderdate < TIMESTAMP '1996-01-01'),
+      v2 AS (SELECT k, v FROM base),
+      v3 AS (SELECT k, v FROM v2 WHERE k % 7 <> 2),
+      v4 AS (SELECT k, CASE WHEN k % 5 = 0 THEN v + 100 ELSE v END AS v
+             FROM v3)
+      SELECT CAST(1 AS BIGINT) AS at, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(v) AS BIGINT) AS total_c FROM v1
+      UNION ALL SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+             CAST(sum(v) AS BIGINT) FROM v2
+      UNION ALL SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+             CAST(sum(v) AS BIGINT) FROM v3
+      UNION ALL SELECT CAST(4 AS BIGINT), CAST(count(*) AS BIGINT),
+             CAST(sum(v) AS BIGINT) FROM v4
+      UNION ALL SELECT CAST(5 AS BIGINT), CAST(count(*) AS BIGINT),
+             CAST(sum(v) AS BIGINT) FROM v4
+    """.trim))
+
+  /** HIVE-LAYOUT EXPORT INTEROP (round-13 verdict #5): the versioned
+    * table refuses PARTITIONED BY (clustering subsumes it for
+    * pruning), but external readers expecting `col=value` dirs — the
+    * reference's own S3 layout contract (SURVEY §1.1,
+    * `agf_ingestion_lambda.py:76,183,261`) — get an explicit export:
+    * the RESOLVED view (a delete and an upsert are applied first, so
+    * the export proves merge-on-read resolution, not file copying)
+    * lands as Hive-partitioned parquet, and the final aggregate reads
+    * ONLY the exported tree through plain `spark.read.parquet` —
+    * exactly what a foreign engine would do. The oracle recomputes
+    * relationally: a tombstoned row leaking into the export, a lost
+    * correction, or a partition landing under the wrong dir breaks
+    * the hash (the q50 content-invariance discipline).
+    */
+  val q315 = GraftQuery(
+    "q315_versioned_hive_export",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val sfx = d.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = s"/tmp/graft_q315_vt_hive_$sfx"
+      val exportDir = s"/tmp/graft_q315_export_$sfx"
+      val conf = s.sparkContext.hadoopConfiguration
+      def ok(dir: String): Boolean = {
+        val p = new org.apache.hadoop.fs.Path(dir + "/_SUCCESS")
+        p.getFileSystem(conf).exists(p)
+      }
+      if (!(VersionedTable.latestVersion(path).exists(_ >= 3L) &&
+          ok(exportDir))) {
+        Seq(path, exportDir).foreach { dir =>
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val f = p.getFileSystem(conf)
+          if (f.exists(p)) f.delete(p, true)
+        }
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("total_c"))
+        VersionedTable.append(o, path)
+        VersionedTable.deleteKeys(
+          o.filter(col("o_orderkey") % 11 === 3).select(col("o_orderkey")),
+          "o_orderkey", path)
+        // corrections exclude the deleted slice: an upsert would
+        // re-insert those keys (position-scoped tombstones only
+        // retire PRIOR rows), which is upsert semantics, not this
+        // query's intent
+        VersionedTable.upsert(
+          o.filter(col("o_orderkey") % 9 === 0 &&
+              col("o_orderkey") % 11 =!= 3)
+            .withColumn("total_c", col("total_c") + 7L),
+          "o_orderkey", path)
+        VersionedTable.exportHiveLayout(s, path,
+          VersionedTable.latestVersion(path).get,
+          Seq("o_orderstatus"), exportDir)
+      }
+      // the foreign-engine read: plain parquet over the exported tree
+      s.read.parquet(exportDir)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("total_c")).as("total_c"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS total_c
+        FROM orders),
+      live AS (
+        SELECT o_orderstatus,
+               CASE WHEN k % 9 = 0 THEN total_c + 7 ELSE total_c END AS total_c
+        FROM base WHERE k % 11 <> 3)
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(total_c) AS BIGINT) AS total_c
+      FROM live GROUP BY 1
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
     q282, q283, q284, q285, q286, q288, q289, q290, q291, q292, q293, q294,
     q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306,
-    q307, q308, q309, q310, q311, q312, q313)
+    q307, q308, q309, q310, q311, q312, q313, q314, q315)
 }
