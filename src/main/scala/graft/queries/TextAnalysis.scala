@@ -1357,6 +1357,22 @@ object TextAnalysis extends QueryRegistry {
     * components. Scale shape: every stage is the audited plan
     * (broadcast profiles, codegen regexps, hash-agg dedup, scalar
     * gate); the funnel aggregate is 4 rows.
+    *
+    * MEASURED NEGATIVE (round 14): collapsing the four stage
+    * aggregates into one scan was hypothesized to roughly halve this
+    * query's 15 s cost. Three rewrites were built and benchmarked
+    * hash-identical at sf0.1 on one box (median-of-3 each): a
+    * cache-less one-pass with a min-over-fp dedup window (18.1 s —
+    * projection collapse inlines the redaction regex chain into
+    * every consumer), the same with slim pre-shuffle rows (18.0 s —
+    * the window's sort costs more than the aggregates it replaces),
+    * and a two-level hash aggregation exploiting that fp-equal docs
+    * share scrubbed text, so quality/token values are per-group
+    * constants (15.6 s). The staged form measured 14.5 s on the same
+    * box: the four aggregates over the CACHED base are not the cost
+    * — the classifier + redaction materialization is — so the
+    * collapse is rejected on measurement and the proven staged plan
+    * stays (the q244 honest-negative discipline).
     */
   val q279 = GraftQuery(
     "q279_curation_recipe_r11",
