@@ -1447,7 +1447,13 @@ object VersionedTable {
     val v = latestVersion(path).getOrElse(
       throw new IllegalArgumentException(s"nothing to compact at $path"))
     val batch = s"b${v + 1}_${newToken()}"
-    readAt(spark, path, v)
+    // the rewrite reads under the WIDENED union schema (footer-union,
+    // lossless type promotion): over mixed-width batches — an ALTER
+    // ADD COLUMNS backfill, or path-API schema evolution — a plain
+    // mergeSchema=false read would pick ONE file's schema in listing
+    // order and the compaction would silently drop columns; identical
+    // result on homogeneous tables
+    readAtWidened(spark, path, v)
       .write.mode("overwrite").parquet(s"$path/data/$batch")
     // maintenance must not strip the index layer: stats and Bloom
     // sidecars are REBUILT for the rewritten batch on request (the
@@ -1566,7 +1572,9 @@ object VersionedTable {
       throw new IllegalArgumentException(s"nothing to compact at $path"))
     val next = v + 1
     val parent = s"b${next}_${newToken()}"
-    val base = readAt(spark, path, v)
+    // widened union schema: see compact() — clustering must never
+    // drop a column a narrower batch predates
+    val base = readAtWidened(spark, path, v)
     val bucketed =
       if (isStringCol(base, rangeCol)) {
         // strings cluster through the globalRank-derived boundary
@@ -1682,7 +1690,8 @@ object VersionedTable {
       throw new IllegalArgumentException(s"nothing to compact at $path"))
     val next = v + 1
     val parent = s"b${next}_${newToken()}"
-    val content = readAt(spark, path, v)
+    // widened union schema: see compact()
+    val content = readAtWidened(spark, path, v)
     val cells = 1 << bits
     // rank-space grid: exact-quantile cell boundaries per column,
     // computed over the column's numeric shadow (typed columns

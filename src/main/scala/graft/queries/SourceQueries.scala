@@ -3176,9 +3176,136 @@ object SourceQueries extends QueryRegistry {
       FROM live GROUP BY 1
     """.trim))
 
+  /** THE ROUND-14 COMPOSITION (the q310 discipline): every component
+    * this round shipped, chained under ONE oracle with a NAME as the
+    * only handle:
+    *
+    *   1. CTAS declaring a COMPOSITE key ('experiment_id,file_path');
+    *   2. a second native INSERT commit;
+    *   3. `ALTER TABLE ADD COLUMNS (status)` — DDL-first migration;
+    *   4. a native UPDATE backfilling the declared column on a
+    *      SUBSET (reads the NULL-filled view, merge-on-read delta);
+    *   5. a native five-clause MERGE on the composite key with a
+    *      NON-KEY ON conjunct, partial SET reading both sides,
+    *      fallthrough DELETE, column-list INSERT under shifted keys,
+    *      and a NOT MATCHED BY SOURCE update;
+    *   6. `OPTIMIZE ... RANGE BY experiment_id` from SQL — the
+    *      maintenance rewrite reads the WIDENED union schema, so the
+    *      mixed-width batches (pre/post-ALTER) keep every column;
+    *   7. the answer: two range-pruned slices of the clustered
+    *      layout plus a VERSION AS OF leg reading the pre-migration
+    *      state through the catalog.
+    *
+    * One wrong row anywhere — a single-component tombstone, a stale
+    * clause evaluation, a dropped column in the rewrite, a version
+    * resolving wrong — breaks the hash.
+    */
+  val q316 = GraftQuery(
+    "q316_catalog_round14_recipe",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"q316_inv_$sfx"
+      val path = graftCatalog(s).tablePath(Seq(table))
+      if (!VersionedTable.latestVersion(path).exists(_ >= 5L)) {
+        s.sql(s"DROP TABLE IF EXISTS graft.$table")
+        Tables.orders(s, d).createOrReplaceTempView("q316_base")
+        s.sql(s"""
+          CREATE TABLE graft.$table
+          TBLPROPERTIES('key'='experiment_id,file_path') AS
+          SELECT o_orderkey DIV 97 AS experiment_id,
+                 concat('part-', o_orderkey % 97) AS file_path,
+                 CAST(round(o_totalprice * 100) AS LONG) AS size_c
+          FROM q316_base WHERE o_orderkey % 2 = 0""")
+        s.sql(s"""
+          INSERT INTO graft.$table
+          SELECT o_orderkey DIV 97, concat('part-', o_orderkey % 97),
+                 CAST(round(o_totalprice * 100) AS LONG)
+          FROM q316_base WHERE o_orderkey % 2 = 1""")
+        s.sql(s"ALTER TABLE graft.$table ADD COLUMNS (status STRING)")
+        s.sql(s"""UPDATE graft.$table SET status = 'BIG'
+          WHERE size_c >= 20000000""")
+        s.sql("""
+          SELECT o_orderkey DIV 97 AS experiment_id,
+                 concat('part-', o_orderkey % 97) AS file_path,
+                 CAST(o_orderkey % 1000 AS LONG) AS delta
+          FROM q316_base WHERE o_orderpriority = '1-URGENT'""")
+          .createOrReplaceTempView("q316_src")
+        s.sql(s"""
+          MERGE INTO graft.$table AS t USING q316_src AS s
+          ON t.experiment_id = s.experiment_id
+             AND t.file_path = s.file_path AND t.size_c < 30000000
+          WHEN MATCHED AND s.delta % 3 = 0
+            THEN UPDATE SET size_c = t.size_c + s.delta
+          WHEN MATCHED THEN DELETE
+          WHEN NOT MATCHED AND s.delta % 4 = 0
+            THEN INSERT (experiment_id, file_path, size_c, status)
+                 VALUES (s.experiment_id + 200000, s.file_path, s.delta,
+                         'NEW')
+          WHEN NOT MATCHED BY SOURCE AND t.status = 'BIG'
+               AND t.experiment_id % 10 = 4
+            THEN UPDATE SET size_c = t.size_c + 5""")
+        s.sql(s"OPTIMIZE graft.$table RANGE BY experiment_id BUCKETS 8")
+      }
+      // two range-pruned slices of the clustered layout, plus time
+      // travel to the pre-migration state (v2: both inserts, no
+      // status column yet, original sizes)
+      s.sql(s"""
+        SELECT 'live' AS leg, coalesce(status, 'SMALL') AS grp,
+               CAST(count(*) AS LONG) AS n_files,
+               CAST(sum(size_c) AS LONG) AS size_c
+        FROM graft.$table WHERE experiment_id < 1000 GROUP BY 2
+        UNION ALL
+        SELECT 'backfill', coalesce(status, 'SMALL'),
+               CAST(count(*) AS LONG), CAST(sum(size_c) AS LONG)
+        FROM graft.$table WHERE experiment_id >= 200000 GROUP BY 2""")
+        .unionByName(s.sql(s"""
+          SELECT 'v2' AS leg, 'all' AS grp,
+                 CAST(count(*) AS LONG) AS n_files,
+                 CAST(sum(size_c) AS LONG) AS size_c
+          FROM graft.$table VERSION AS OF 2"""))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k, o_orderkey // 97 AS eid,
+               'part-' || CAST(o_orderkey % 97 AS VARCHAR) AS fp,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS size0,
+               o_orderpriority = '1-URGENT' AS urg,
+               o_orderkey % 1000 AS delta
+        FROM orders),
+      stA AS (
+        SELECT *, CASE WHEN size0 >= 20000000 THEN 'BIG' END AS status
+        FROM base),
+      m AS (SELECT *, urg AND size0 < 30000000 AS matched FROM stA),
+      kept AS (
+        SELECT eid, fp,
+               CASE WHEN matched AND delta % 3 = 0 THEN size0 + delta
+                    WHEN NOT matched AND status = 'BIG' AND eid % 10 = 4
+                      THEN size0 + 5
+                    ELSE size0 END AS size_c,
+               status
+        FROM m WHERE NOT (matched AND delta % 3 <> 0)),
+      ins AS (
+        SELECT eid + 200000 AS eid, fp, delta AS size_c, 'NEW' AS status
+        FROM m WHERE urg AND NOT matched AND delta % 4 = 0),
+      live AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+      SELECT 'live' AS leg, coalesce(status, 'SMALL') AS grp,
+             CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(size_c) AS BIGINT) AS size_c
+      FROM live WHERE eid < 1000 GROUP BY 2
+      UNION ALL
+      SELECT 'backfill', coalesce(status, 'SMALL'),
+             CAST(count(*) AS BIGINT), CAST(sum(size_c) AS BIGINT)
+      FROM live WHERE eid >= 200000 GROUP BY 2
+      UNION ALL
+      SELECT 'v2', 'all', CAST(count(*) AS BIGINT),
+             CAST(sum(size0) AS BIGINT)
+      FROM base
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
     q282, q283, q284, q285, q286, q288, q289, q290, q291, q292, q293, q294,
     q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306,
-    q307, q308, q309, q310, q311, q312, q313, q314, q315)
+    q307, q308, q309, q310, q311, q312, q313, q314, q315, q316)
 }

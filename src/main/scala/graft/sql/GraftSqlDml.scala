@@ -47,12 +47,15 @@ import graft.operators.VersionedTable
   *    committed as ONE last-writer-wins upsert (key-column updates
   *    refused — the old key's rows would survive).
   *
-  * Anything else over a registered name — partial UPDATE SET lists,
-  * extra conditions on the clauses, NOT MATCHED BY SOURCE,
-  * non-key-equality merge conditions — refuses loudly naming the
-  * supported forms, never silently degrades. Statements over
-  * UNregistered names pass through untouched, so the interceptor is
-  * invisible to the rest of the session.
+  * TWO ROUTES since round 14: statements over CATALOG identifiers
+  * (`graft.<t>`) are NOT intercepted here — they flow to Spark's own
+  * analyzer and the native row-level rewrite
+  * ([[graft.catalog.GraftRowLevelOperation]]), which additionally
+  * serves NOT MATCHED BY SOURCE, non-key merge conditions, and
+  * key-column updates. This command route remains for PATH-registered
+  * names (no catalog identity for Spark to resolve); on it, NOT
+  * MATCHED BY SOURCE and non-key-equality merge conditions refuse
+  * loudly naming the catalog route, never silently degrade.
   */
 object GraftSql {
 

@@ -56,6 +56,30 @@ class AlterAddColumnsSpec extends SparkTestBase {
     drop("aac_refuse")
   }
 
+  test("OPTIMIZE over mixed-width batches keeps every column (widened maintenance read)") {
+    drop("aac_opt")
+    spark.sql("""CREATE TABLE graft.aac_opt (k BIGINT, v BIGINT)
+      TBLPROPERTIES('key'='k')""")
+    spark.sql("INSERT INTO graft.aac_opt VALUES (1, 10), (2, 20)")
+    spark.sql("ALTER TABLE graft.aac_opt ADD COLUMNS (tag STRING)")
+    spark.sql("INSERT INTO graft.aac_opt VALUES (3, 30, 'new')")
+    // the rewrite reads under the widened union schema — a plain
+    // mergeSchema=false read here would pick ONE batch's schema in
+    // listing order and silently drop (or nondeterministically keep)
+    // the added column
+    spark.sql("OPTIMIZE graft.aac_opt")
+    val rows = spark.sql("SELECT k, v, tag FROM graft.aac_opt")
+      .as[(Long, Long, Option[String])].collect().sortBy(_._1)
+    assert(rows === Array((1L, 10L, None), (2L, 20L, None),
+      (3L, 30L, Some("new"))))
+    // the compacted batch itself carries the full width
+    val hist = VersionedTable.history(spark,
+      "/tmp/graft-test-catalog/aac_opt")
+      .filter(col("kind") === "compact").count()
+    assert(hist === 1L)
+    drop("aac_opt")
+  }
+
   test("an ADOPTED path-built table synthesizes meta from content, then evolves") {
     val name = "aac_adopted"
     val path = s"/tmp/graft-test-catalog/$name"

@@ -519,4 +519,42 @@ class PlanAssertionsSpec extends SparkTestBase {
       s.contains("k") && s.contains("v")), scan.metadata.get("ReadSchema"))
     spark.sql("DROP TABLE graft.plan_cat")
   }
+
+  test("native DELETE: the plan is a delta write over the SWAPPED V1 read with the predicate pushed") {
+    spark.sql("DROP TABLE IF EXISTS graft.plan_rl")
+    spark.sql("""CREATE TABLE graft.plan_rl (k BIGINT, v BIGINT)
+      TBLPROPERTIES('key'='k')""")
+    spark.sql("INSERT INTO graft.plan_rl SELECT id, id FROM range(0, 100)")
+    val plan = spark.sql("EXPLAIN EXTENDED DELETE FROM graft.plan_rl WHERE k >= 90")
+      .collect()(0).getString(0)
+    // the analyzer rewrote DELETE to a delta write (row-level route)…
+    assert(plan.contains("WriteDelta"), plan)
+    // …whose read is the V1 parquet scan (never a V2 BatchScan — the
+    // swap rule fired on the rewritten read), with the DELETE
+    // predicate pushed into it
+    assert(plan.contains("Scan parquet") || plan.contains("FileScan"), plan)
+    assert(!plan.contains("BatchScan"), plan)
+    assert(plan.contains("GreaterThanOrEqual(k,90)"), plan)
+    spark.sql("DROP TABLE graft.plan_rl")
+  }
+
+  test("native MERGE with NOT MATCHED BY SOURCE plans MergeRows + WriteDelta, joins stay equi") {
+    spark.sql("DROP TABLE IF EXISTS graft.plan_mrg")
+    spark.sql("""CREATE TABLE graft.plan_mrg (k BIGINT, v BIGINT)
+      TBLPROPERTIES('key'='k')""")
+    spark.sql("INSERT INTO graft.plan_mrg SELECT id, id FROM range(0, 100)")
+    spark.sql("SELECT id AS k, id * 2 AS v FROM range(50, 150)")
+      .createOrReplaceTempView("plan_mrg_src")
+    val plan = spark.sql("""EXPLAIN EXTENDED
+      MERGE INTO graft.plan_mrg AS t USING plan_mrg_src AS s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      .collect()(0).getString(0)
+    assert(plan.contains("MergeRows"), plan)
+    assert(plan.contains("WriteDelta"), plan)
+    assert(!plan.contains("BatchScan"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    spark.sql("DROP TABLE graft.plan_mrg")
+  }
 }
