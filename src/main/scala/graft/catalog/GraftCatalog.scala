@@ -63,12 +63,17 @@ import graft.operators.VersionedTable
   *    commit. Options ride as table properties: `statscols` /
   *    `bloomcols` (comma lists) index every write through the
   *    catalog.
-  *  - **Row-level DML** (DELETE/UPDATE/MERGE) and maintenance
-  *    (OPTIMIZE/VACUUM/DESCRIBE HISTORY) are intercepted at parse
-  *    time by [[graft.sql.GraftDmlParser]], which resolves catalog
-  *    names through [[GraftCatalogs.lookup]] — same commands, same
-  *    OCC commit machinery as registered names; the merge key comes
-  *    from the table's `key` property instead of a register() call.
+  *  - **Row-level DML** (DELETE/UPDATE/MERGE) resolves through
+  *    SPARK'S OWN analyzer since round 14: [[GraftTable]] implements
+  *    `SupportsRowLevelOperations`/`SupportsDelta`
+  *    ([[GraftRowLevelOperation]]), so the rewrite rules plan a
+  *    distributed delta write committed as one tombstone+data
+  *    manifest — NOT MATCHED BY SOURCE, column-list INSERTs,
+  *    non-key merge conditions, and key-column updates all work.
+  *    The merge key (composite = comma list) comes from the table's
+  *    `key` property. Maintenance (OPTIMIZE/VACUUM/DESCRIBE
+  *    HISTORY) keeps the parse-time text screen — Spark has no
+  *    grammar for those verbs.
   *
   * At 100 TB nothing here is data-sized: loadTable reads one
   * KB-sized meta file plus one directory listing; schema comes from
