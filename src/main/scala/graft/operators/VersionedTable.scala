@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, explode, lit, pmod, xxhash64}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, explode, lit, pmod, xxhash64}
 
 /** Versioned parquet table with atomic manifest commits — the
   * publish primitive under every "table format": writers never mutate
@@ -589,6 +589,28 @@ object VersionedTable {
     readAtFiltered(spark, path, version, mergeSchema = false,
       e => cand.contains(dirOf(e)))
       .filter(col(keyCol).isin(keys: _*))
+  }
+
+  /** [[lookupKeys]] under a COMPOSITE key: `keys` carries one row per
+    * probe tuple (all key columns). Bloom pruning probes the FIRST
+    * component — a sound superset (a batch holding none of the first
+    * components holds no full tuple) — and the exact semi-join on
+    * the full column set removes false positives and partial
+    * matches. The probe frame is KB-sized and broadcasts.
+    */
+  def lookupKeysMulti(spark: SparkSession, path: String, version: Long,
+      keyCols: Seq[String], keys: DataFrame): DataFrame = {
+    require(keyCols.nonEmpty, "lookupKeysMulti needs key columns")
+    keyCols.foreach(c => require(keys.columns.contains(c),
+      s"probe frame lacks key column $c"))
+    val entries = manifestEntries(path, version)
+    val dataDirs = entries.filterNot(isTombstone).map(dirOf)
+    val cand = bloomCandidateDirs(spark, path, dataDirs, keyCols.head,
+      keys.select(col(keyCols.head)))
+    readAtFiltered(spark, path, version, mergeSchema = false,
+      e => cand.contains(dirOf(e)))
+      .join(broadcast(keys.select(keyCols.map(col): _*).distinct()),
+        keyCols, "left_semi")
   }
 
   /** Selects the commit primitive — the atomicity ladder, shipped on

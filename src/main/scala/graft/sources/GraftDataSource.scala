@@ -241,9 +241,13 @@ private[sources] class GraftSink(path: String, appId: Option[String],
       case m if m == OutputMode.Complete() =>
         VersionedTable.overwrite(batch, path, txn, statsCols, bloomCols)
       case m if m == OutputMode.Update() =>
-        val key = mergeKey.getOrElse(throw new IllegalArgumentException(
-          "format(\"graft\") sink in Update mode needs .option(\"mergeKey\", <col>)"))
-        VersionedTable.upsertRetrying(batch, Seq(key), path, txn,
+        // comma list = COMPOSITE merge key (the TBLPROPERTIES grammar):
+        // a continuously-maintained keyed view over a multi-column PK
+        val key = mergeKey.map(graft.sql.GraftSql.splitKey).getOrElse(
+          throw new IllegalArgumentException(
+            "format(\"graft\") sink in Update mode needs " +
+              ".option(\"mergeKey\", <col>[,<col>...])"))
+        VersionedTable.upsertRetrying(batch, key, path, txn,
           insertOnly = false, bloomCols, maxRetries = 10, _ => ())
       case _ =>
         VersionedTable.appendRetrying(batch, path, txn, statsCols,

@@ -147,6 +147,56 @@ class CompositeKeySpec extends SparkTestBase {
     } finally GraftSql.unregister("ck_ref")
   }
 
+  test("composite point lookup: Bloom-pruned on the first component, exact on the full tuple") {
+    val path = tmpDir("ck_lookup")
+    VersionedTable.append(Seq(
+      (1L, "a", 10L), (1L, "b", 11L)).toDF("eid", "fp", "v"), path,
+      bloomCols = Seq("eid"))
+    VersionedTable.append(Seq(
+      (2L, "a", 20L), (2L, "b", 21L)).toDF("eid", "fp", "v"), path,
+      bloomCols = Seq("eid"))
+    val probes = Seq((1L, "b"), (2L, "a"), (9L, "x")).toDF("eid", "fp")
+    val hits = VersionedTable.lookupKeysMulti(spark, path, 2L,
+      Seq("eid", "fp"), probes)
+      .as[(Long, String, Long)].collect().sortBy(_._3)
+    // full-tuple matches only: (1,'a') and (2,'b') share a component
+    // with a probe and must NOT surface; the missing tuple is absent
+    assert(hits === Array((1L, "b", 11L), (2L, "a", 20L)))
+    // ground truth identity against the unindexed read
+    val truth = VersionedTable.readAt(spark, path, 2L)
+      .join(probes, Seq("eid", "fp"), "left_semi")
+      .as[(Long, String, Long)].collect().sortBy(_._3)
+    assert(hits === truth)
+  }
+
+  test("streaming sink Update mode takes a composite mergeKey (comma list)") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val src = tmpDir("ck_sink_src")
+    val dst = tmpDir("ck_sink_dst") + "/t"
+    val ckpt = tmpDir("ck_sink_ckpt")
+    VersionedTable.append(Seq(
+      (1L, "a", 10L), (1L, "b", 11L)).toDF("eid", "fp", "v"), src)
+    VersionedTable.append(Seq(
+      (1L, "b", 110L), (2L, "a", 20L)).toDF("eid", "fp", "v"), src)
+    // one source commit per micro-batch, so the second commit's rows
+    // UPSERT over the first batch's keyed view (in one batch they
+    // would just be two rows of the same key riding one commit)
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", 1).load(src)
+      .writeStream.format("graft")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckpt)
+      .option("mergeKey", "eid,fp")
+      .trigger(Trigger.AvailableNow())
+      .start(dst)
+    q.awaitTermination(120000)
+    val rows = VersionedTable.readLatest(spark, dst)
+      .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+    // the second commit REPLACED exactly (1,b) and inserted (2,a):
+    // a single-component key would have clobbered (1,a) too
+    assert(rows === Array((1L, "a", 10L), (1L, "b", 110L), (2L, "a", 20L)))
+  }
+
   test("catalog composite key: CREATE TABLE TBLPROPERTIES('key'='k1,k2') + DELETE + DESCRIBE HISTORY") {
     val table = "ck_cat_" + System.nanoTime()
     spark.sql(s"DROP TABLE IF EXISTS graft.$table")
