@@ -116,15 +116,20 @@ class GraftDeltaWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
   override def build(): DeltaWrite = {
     val idSchema = if (info.rowIdSchema().isPresent)
       Some(info.rowIdSchema().get) else None
+    def cols(key: String): Seq[String] =
+      Option(table.properties().get(key))
+        .map(graft.sql.GraftSql.splitKey).getOrElse(Nil)
     new GraftDeltaWrite(table.path, table.snapshotVersion.getOrElse(0L),
-      info.schema(), idSchema)
+      info.schema(), idSchema, cols("statscols"), cols("bloomcols"))
   }
 }
 
 class GraftDeltaWrite(path: String, snapshot: Long, dataSchema: StructType,
-    idSchema: Option[StructType]) extends DeltaWrite {
+    idSchema: Option[StructType], statsCols: Seq[String],
+    bloomCols: Seq[String]) extends DeltaWrite {
   override def toBatch(): DeltaBatchWrite =
-    new GraftDeltaBatchWrite(path, snapshot, dataSchema, idSchema)
+    new GraftDeltaBatchWrite(path, snapshot, dataSchema, idSchema,
+      statsCols, bloomCols)
   override def description(): String = s"GraftDeltaWrite($path @v$snapshot)"
 }
 
@@ -135,7 +140,8 @@ case class GraftDeltaFiles(dataFiles: Seq[String], tombFiles: Seq[String],
     inserted: Long, deleted: Long) extends WriterCommitMessage
 
 class GraftDeltaBatchWrite(path: String, snapshot: Long,
-    dataSchema: StructType, idSchema: Option[StructType])
+    dataSchema: StructType, idSchema: Option[StructType],
+    statsCols: Seq[String], bloomCols: Seq[String])
     extends DeltaBatchWrite {
 
   private val token =
@@ -207,7 +213,8 @@ class GraftDeltaBatchWrite(path: String, snapshot: Long,
     if (!withData && !withTomb) return
     VersionedTable.commitDelta(path, snapshot,
       if (withData) Some(dataDir) else None,
-      if (withTomb) Some(tombDir) else None)
+      if (withTomb) Some(tombDir) else None,
+      statsCols, bloomCols)
     ()
   }
 

@@ -1099,12 +1099,22 @@ object VersionedTable {
     * with `expectedSnapshot`).
     */
   private[graft] def commitDelta(path: String, snapshot: Long,
-      dataDir: Option[String], tombDir: Option[String]): Long = {
+      dataDir: Option[String], tombDir: Option[String],
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
     require(dataDir.nonEmpty || tombDir.nonEmpty,
       "commitDelta with nothing to publish")
     val prev = if (snapshot == 0) Seq.empty else manifestEntries(path, snapshot)
+    // the index layer follows EVERY write path: a table declaring
+    // statscols/bloomcols gets its delta batches indexed exactly like
+    // catalog INSERT commits — otherwise native MERGE/UPDATE batches
+    // would silently degrade pruning until the next OPTIMIZE
+    val dataEntry = dataDir.map { d =>
+      val spark = SparkSession.active
+      writeBloomSidecar(spark, s"$path/data/$d", bloomCols)
+      d + statsSuffix(spark, s"$path/data/$d", statsCols)
+    }
     commitManifest(path, snapshot + 1,
-      prev ++ tombDir.map("~" + _).toSeq ++ dataDir.toSeq)
+      prev ++ tombDir.map("~" + _).toSeq ++ dataEntry.toSeq)
     snapshot + 1
   }
 

@@ -168,6 +168,38 @@ class GraftRowLevelSpec extends SparkTestBase {
     drop("rl_typed")
   }
 
+  test("delta batches inherit the table's index layer (statscols) and write distributed") {
+    drop("rl_stats")
+    spark.sql("""CREATE TABLE graft.rl_stats (k BIGINT, v BIGINT)
+      TBLPROPERTIES('key'='k', 'statscols'='k')""")
+    spark.sql("INSERT INTO graft.rl_stats SELECT id, id FROM range(0, 10000)")
+    // force multiple input splits (tiny files pack into one split by
+    // default) with a predicate matching rows in EVERY split, so the
+    // distributed write provably runs one writer per task
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    try spark.sql("UPDATE graft.rl_stats SET v = v + 1 WHERE k % 10 = 3")
+    finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    val path = tablePath("rl_stats")
+    val latest = VersionedTable.latestVersion(path).get
+    // the delta's data batch carries k stats like every other commit
+    // (without this, native MERGE/UPDATE batches silently degrade
+    // pruning until the next OPTIMIZE)
+    assert(VersionedTable.statsColumnsOf(path, latest).contains("k"))
+    // the write is distributed: multiple tasks, multiple part files
+    // in the delta batch dir (never a driver-side collect)
+    val (f, dd) = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/data")
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    val deltaDir = f.listStatus(dd).map(_.getPath)
+      .filter(_.getName.endsWith("_m")).maxBy(_.getName.split("_").head
+        .stripPrefix("b").toLong)
+    val parts = f.listStatus(deltaDir)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(parts >= 2, s"expected a multi-task delta write, got $parts file(s)")
+    drop("rl_stats")
+  }
+
   test("composite key through the native route: rowId carries both columns") {
     drop("rl_ck")
     spark.sql("""CREATE TABLE graft.rl_ck (eid BIGINT, fp STRING, v BIGINT)
