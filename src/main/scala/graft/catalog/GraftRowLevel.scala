@@ -198,6 +198,7 @@ class GraftDeltaBatchWrite(path: String, snapshot: Long,
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    GraftDeltaBatchWrite.testBeforeCommit.foreach(_())
     val msgs = messages.collect { case m: GraftDeltaFiles => m }
     val dataFiles = msgs.flatMap(_.dataFiles).toSet
     val tombFiles = msgs.flatMap(_.tombFiles).toSet
@@ -222,6 +223,14 @@ class GraftDeltaBatchWrite(path: String, snapshot: Long,
     dropDir(s"$path/data/$dataDir")
     dropDir(s"$path/data/$tombDir")
   }
+}
+
+object GraftDeltaBatchWrite {
+  /** Test seam: runs at the top of the driver-side commit, AFTER the
+    * distributed write, so a spec can interleave a competing commit
+    * and prove the pinned-snapshot conflict surfaces to the SQL user.
+    */
+  private[graft] var testBeforeCommit: Option[() => Unit] = None
 }
 
 /** One side of the delta (data or tombstone): staged dir + the

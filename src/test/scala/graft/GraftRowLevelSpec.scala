@@ -200,6 +200,40 @@ class GraftRowLevelSpec extends SparkTestBase {
     drop("rl_stats")
   }
 
+  test("a commit interleaving under a native UPDATE surfaces as a loud conflict (rerun contract)") {
+    drop("rl_race")
+    spark.sql("""CREATE TABLE graft.rl_race (k BIGINT, v BIGINT)
+      TBLPROPERTIES('key'='k')""")
+    spark.sql("INSERT INTO graft.rl_race VALUES (1, 10)")
+    val path = tablePath("rl_race")
+    var fired = false
+    graft.catalog.GraftDeltaBatchWrite.testBeforeCommit = Some { () =>
+      if (!fired) {
+        fired = true
+        VersionedTable.append(Seq((9L, 90L)).toDF("k", "v"), path)
+      }
+    }
+    val e = try intercept[Exception] {
+      spark.sql("UPDATE graft.rl_race SET v = v + 1 WHERE k = 1")
+    } finally graft.catalog.GraftDeltaBatchWrite.testBeforeCommit = None
+    assert(fired)
+    // the pinned commit refuses: clauses were evaluated against the
+    // pre-interleave snapshot — the user reruns against the new
+    // latest instead of silently absorbing
+    assert(e.getMessage.contains("already committed") ||
+      Option(e.getCause).exists(_.getMessage.contains("already committed")),
+      e.getMessage)
+    // nothing was published by the refused attempt; the interleaved
+    // append stands
+    val rows = spark.table("graft.rl_race").as[(Long, Long)].collect().toMap
+    assert(rows === Map(1L -> 10L, 9L -> 90L))
+    // the rerun succeeds against the new snapshot
+    spark.sql("UPDATE graft.rl_race SET v = v + 1 WHERE k = 1")
+    assert(spark.table("graft.rl_race").as[(Long, Long)].collect().toMap
+      === Map(1L -> 11L, 9L -> 90L))
+    drop("rl_race")
+  }
+
   test("composite key through the native route: rowId carries both columns") {
     drop("rl_ck")
     spark.sql("""CREATE TABLE graft.rl_ck (eid BIGINT, fp STRING, v BIGINT)
