@@ -2140,7 +2140,8 @@ object VersionedTable {
           else manifestEntries(path, v - 1).toSet
         val fresh = cur.filterNot(prevSet)
         val kind =
-          if (fresh.exists(isCompaction)) "compact"
+          if (restoredFrom(path, v).nonEmpty) "restore"
+          else if (fresh.exists(isCompaction)) "compact"
           else if (fresh.exists(isTombstone) && fresh.exists(!isTombstone(_)))
             "upsert"
           else if (fresh.exists(isTombstone)) "delete"
@@ -2173,6 +2174,57 @@ object VersionedTable {
     graft.streaming.Scheduled.cadence(spark, interval, cadenceCheckpoint) {
       _ => consumeChanges(spark, path, checkpointDir)(f); ()
     }
+
+  /** RESTORE — rewind the table to `toVersion` as a NEW commit
+    * (Delta's RESTORE TABLE): the restored version's manifest entries
+    * are re-published as the next version, METADATA-ONLY — zero data
+    * movement, KB-sized at any table scale, because batch dirs
+    * referenced by a retained manifest are still on disk (vacuum
+    * reclaims only dirs NO kept manifest references). History is
+    * preserved: the rollback is itself a commit, so time travel to
+    * the pre-restore state still works until retention; the commit
+    * carries a `#restore=<v>` marker that DESCRIBE HISTORY
+    * classifies. Restoring past the retention floor fails loudly at
+    * the manifest read (never a silent partial rewind).
+    *
+    * Concurrency: blind OCC retry is serializable for restore — the
+    * outcome "make latest look like v" is the serial order them,
+    * then us, regardless of what interleaved.
+    *
+    * Honesty caveat (Delta shares it): a restore can make rows
+    * DISAPPEAR relative to the current version without a tombstone
+    * commit, so incremental change consumers checkpointed across a
+    * restore should RE-SEED from the snapshot — the change feed
+    * carries reappearing rows as inserts but cannot express the
+    * rewind's removals.
+    */
+  def restore(path: String, toVersion: Long, maxRetries: Int = 3): Long = {
+    val latest = latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"nothing to restore at $path"))
+    require(toVersion >= 1, s"version $toVersion is not restorable")
+    if (toVersion == latest) return latest // already there: no-op
+    // throws loudly if vacuumed past the retention floor
+    val entries = manifestEntries(path, toVersion)
+    var attempt = 0
+    while (true) {
+      val next = latestVersion(path).getOrElse(0L) + 1
+      try {
+        commitManifest(path, next, s"#restore=$toVersion" +: entries)
+        return next
+      } catch {
+        case e: java.io.IOException
+            if e.getMessage.contains("already committed") &&
+              attempt < maxRetries =>
+          attempt += 1
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** The version a restore commit rewound to, if `version` is one. */
+  def restoredFrom(path: String, version: Long): Option[Long] =
+    manifestLines(path, version)
+      .find(_.startsWith("#restore=")).map(_.stripPrefix("#restore=").toLong)
 
   /** HIVE-LAYOUT EXPORT — interop with external readers that expect
     * `col=value` directory contracts (the reference's own S3 layout

@@ -3303,9 +3303,93 @@ object SourceQueries extends QueryRegistry {
       FROM base
     """.trim))
 
+  /** `RESTORE TABLE ... TO VERSION AS OF` — the rollback verb
+    * (Delta's RESTORE), METADATA-ONLY on this format: the restored
+    * manifest's entries re-publish as the next version (KB-sized at
+    * any table scale — batch dirs referenced by retained manifests
+    * are still on disk), history preserved, the rewind itself a
+    * commit. The lifecycle: insert → corrupting UPDATE → corrupting
+    * DELETE → RESTORE to the pre-corruption version → one
+    * post-restore correction INSERT proves the table lives on. The
+    * result reads the restored state (== version 2's, so both
+    * corruptions provably vanished), the PRE-restore corrupted state
+    * via VERSION AS OF (time travel across the rewind — history is
+    * never erased), and the commit-log classification where the
+    * restore commit must read `restore`. All relational against
+    * orders; a rewind that lost a row, resurrected a deleted one
+    * too few times, or erased history breaks the hash.
+    */
+  val q317 = GraftQuery(
+    "q317_catalog_restore",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"q317_rst_$sfx"
+      val path = graftCatalog(s).tablePath(Seq(table))
+      if (!VersionedTable.latestVersion(path).exists(_ >= 5L)) {
+        s.sql(s"DROP TABLE IF EXISTS graft.$table")
+        s.sql(s"""CREATE TABLE graft.$table
+          (o_orderkey BIGINT, total_c BIGINT)
+          TBLPROPERTIES('key'='o_orderkey')""")
+        Tables.orders(s, d).createOrReplaceTempView("q317_base")
+        s.sql(s"""
+          INSERT INTO graft.$table
+          SELECT o_orderkey, CAST(round(o_totalprice * 100) AS LONG)
+          FROM q317_base""")
+        // the incident: a bad correction pass, then a bad delete
+        s.sql(s"UPDATE graft.$table SET total_c = 0 WHERE o_orderkey % 3 = 1")
+        s.sql(s"DELETE FROM graft.$table WHERE o_orderkey % 4 = 2")
+        // the rollback — metadata-only, one KB-sized commit
+        s.sql(s"RESTORE TABLE graft.$table TO VERSION AS OF 1")
+        // life goes on after the rewind
+        s.sql(s"""
+          INSERT INTO graft.$table
+          SELECT o_orderkey + 40000000, CAST(1 AS LONG)
+          FROM q317_base WHERE o_orderkey % 100 = 0""")
+      }
+      s.sql(s"""
+        SELECT 'restored' AS leg, CAST(count(*) AS LONG) AS n_orders,
+               CAST(sum(total_c) AS LONG) AS total_c
+        FROM graft.$table""")
+        .unionByName(s.sql(s"""
+          SELECT 'corrupted' AS leg, CAST(count(*) AS LONG) AS n_orders,
+                 CAST(sum(total_c) AS LONG) AS total_c
+          FROM graft.$table VERSION AS OF 3"""))
+        .unionByName(s.sql(s"DESCRIBE HISTORY graft.$table")
+          .selectExpr("concat('v', version, ':', kind) AS leg",
+            "CAST(n_add AS LONG) AS n_orders",
+            "CAST(n_delete AS LONG) AS total_c"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders),
+      corrupted AS (
+        SELECT k, CASE WHEN k % 3 = 1 THEN 0 ELSE v END AS v
+        FROM base WHERE k % 4 <> 2),
+      post AS (
+        SELECT v FROM base
+        UNION ALL
+        SELECT CAST(1 AS BIGINT) FROM base WHERE k % 100 = 0)
+      SELECT 'restored' AS leg, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(v) AS BIGINT) AS total_c FROM post
+      UNION ALL
+      SELECT 'corrupted', CAST(count(*) AS BIGINT), CAST(sum(v) AS BIGINT)
+      FROM corrupted
+      UNION ALL
+      SELECT * FROM (VALUES
+        ('v1:append',  CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+        ('v2:upsert',  CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        ('v3:delete',  CAST(0 AS BIGINT), CAST(1 AS BIGINT)),
+        ('v4:restore', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        ('v5:append',  CAST(1 AS BIGINT), CAST(0 AS BIGINT))
+      ) AS h(leg, n_orders, total_c)
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
     q282, q283, q284, q285, q286, q288, q289, q290, q291, q292, q293, q294,
     q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306,
-    q307, q308, q309, q310, q311, q312, q313, q314, q315, q316)
+    q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317)
 }

@@ -19,6 +19,7 @@ import graft.operators.VersionedTable
   *   OPTIMIZE t RANGE BY c [BUCKETS n]         -- 1-D clustering
   *   VACUUM t RETAIN <n> VERSIONS              -- retention, explicit
   *   DESCRIBE HISTORY t                        -- the commit log
+  *   RESTORE [TABLE] t TO VERSION AS OF n      -- metadata-only rewind
   *
   * Spark's grammar has no OPTIMIZE/VACUUM, so [[GraftDmlParser]]
   * screens the statement text FIRST (the Delta parser pattern) with
@@ -54,6 +55,8 @@ object GraftMaintenanceSql {
     """(?is)^\s*VACUUM\s+([^\s;]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*$""".r
   private val HistoryRe =
     """(?is)^\s*(?:DESCRIBE|DESC)\s+HISTORY\s+([^\s;]+)\s*;?\s*$""".r
+  private val RestoreRe =
+    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([^\s;]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
 
   /** Session conf for the default bucket count of clustered OPTIMIZE. */
   val BucketsConf = "spark.graft.optimize.buckets"
@@ -105,6 +108,9 @@ object GraftMaintenanceSql {
       // legitimate Spark SQL
       resolve(ident, delegate).map(reg =>
         GraftDescribeHistoryCommand(reg.path))
+    case RestoreRe(ident, v) =>
+      resolve(ident, delegate).map(reg =>
+        GraftRestoreCommand(reg.path, v.toLong))
     case _ => None
   }
 
@@ -123,6 +129,7 @@ object GraftMaintenanceSql {
       case OptRange(ident, _, _) => Some(msg("OPTIMIZE", ident))
       case OptPlain(ident) => Some(msg("OPTIMIZE", ident))
       case VacuumRe(ident, _) => Some(msg("VACUUM", ident))
+      case RestoreRe(ident, _) => Some(msg("RESTORE", ident))
       case _ => None
     }
   }
@@ -177,6 +184,20 @@ case class GraftVacuumCommand(path: String, keep: Int)
     VersionedTable.vacuum(path, keep)
     Seq(Row(VersionedTable.latestVersion(path).getOrElse(0L)))
   }
+}
+
+/** `RESTORE [TABLE] t TO VERSION AS OF n` — the SQL face of
+  * [[VersionedTable.restore]]: a metadata-only rewind commit (the
+  * restored manifest's entries re-published as the next version);
+  * history preserved, retention-floor violations refuse loudly,
+  * incremental consumers re-seed (the documented Delta caveat).
+  * Returns the committed version.
+  */
+case class GraftRestoreCommand(path: String, toVersion: Long)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = GraftDml.versionOutput
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(VersionedTable.restore(path, toVersion)))
 }
 
 /** `DESCRIBE HISTORY t` — the commit log as rows (version / kind /
