@@ -109,61 +109,47 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   def tablePath(parts: Seq[String]): String = pathOf(parts)
 
   private val MetaFile = "_table.meta"
+  private val MetaRe = "_meta\\.(\\d+)".r
   private val ManifestRe = "_v(\\d+)\\.manifest".r
 
   private def isTableDir(f: FileSystem, dir: Path): Boolean =
     f.exists(new Path(dir, MetaFile)) ||
-      (f.exists(dir) && f.listStatus(dir).exists(
-        s => ManifestRe.pattern.matcher(s.getPath.getName).matches()))
+      (f.exists(dir) && f.listStatus(dir).exists { s =>
+        val n = s.getPath.getName
+        ManifestRe.pattern.matcher(n).matches() ||
+          MetaRe.pattern.matcher(n).matches()
+      })
 
   private[catalog] def tableDirExists(parts: Seq[String]): Boolean = {
     val (f, _) = fs
     isTableDir(f, new Path(pathOf(parts)))
   }
 
-  /** The persisted CREATE TABLE metadata: declared schema + table
-    * properties, stored as a java Properties file (escaping handled,
-    * zero new dependencies) — absent for adopted path-built tables.
+  /** The CURRENT metadata: the highest generation (see
+    * [[GraftTableMeta]] for the versioned-generation CAS design).
     */
-  private[catalog] def readMeta(parts: Seq[String]): Option[(StructType, Map[String, String])] = {
-    val (f, _) = fs
-    val mp = new Path(pathOf(parts) + "/" + MetaFile)
-    if (!f.exists(mp)) return None
-    val props = new java.util.Properties()
-    val in = f.open(mp)
-    try props.load(new java.io.InputStreamReader(in, "UTF-8"))
-    finally in.close()
-    val schema = Option(props.getProperty("__schema"))
-      .map(s => StructType.fromDDL(s))
-      .getOrElse(new StructType())
-    val others = props.stringPropertyNames().asScala
-      .filterNot(_ == "__schema")
-      .map(k => k -> props.getProperty(k)).toMap
-    Some((schema, others))
-  }
+  private[catalog] def readMeta(parts: Seq[String]): Option[MetaState] =
+    GraftTableMeta.readLatest(pathOf(parts))
 
-  private def writeMeta(parts: Seq[String], schema: StructType,
-      properties: Map[String, String], exclusive: Boolean): Unit = {
-    val (f, _) = fs
-    val dir = new Path(pathOf(parts))
-    f.mkdirs(dir)
-    val mp = new Path(dir, MetaFile)
-    val props = new java.util.Properties()
-    props.setProperty("__schema", schema.toDDL)
-    properties.foreach { case (k, v) => props.setProperty(k, v) }
-    // exclusive create: two racing CREATE TABLEs cannot both win
-    val out = f.create(mp, !exclusive)
-    try props.store(new java.io.OutputStreamWriter(out, "UTF-8"),
-      "graft table")
-    finally out.close()
-  }
+  private def metaGens(parts: Seq[String]): Seq[Long] =
+    GraftTableMeta.metaGens(pathOf(parts))
+
+  private def readMetaGen(parts: Seq[String], gen: Long): MetaState =
+    GraftTableMeta.readGen(pathOf(parts), gen)
+
+  private[catalog] def metaForVersion(parts: Seq[String],
+      version: Long): Option[MetaState] =
+    GraftTableMeta.metaForVersion(pathOf(parts), version)
+
+  private def writeMetaGen(parts: Seq[String], state: MetaState): Unit =
+    GraftTableMeta.writeGen(pathOf(parts), state)
 
   /** The merge-key column declared at CREATE TABLE
     * (`TBLPROPERTIES('key'='<col>')`) — what DELETE/UPDATE/MERGE by
     * name key their tombstones on.
     */
   private[catalog] def keyOf(parts: Seq[String]): Option[String] =
-    readMeta(parts).flatMap(_._2.get("key"))
+    readMeta(parts).flatMap(_.props.get("key"))
 
   // ---- TableCatalog ------------------------------------------------
 
@@ -216,23 +202,55 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (meta.isEmpty && committed.isEmpty)
       throw new NoSuchTableException(ident)
     val version = versionAsOf.orElse(committed)
-    // live schema = the UNION of the committed batches' schemas
-    // (mergeSchema — deterministic even when batches differ in width,
-    // where a single-file inference would be pick-order-dependent)
-    // PLUS any declared-but-not-yet-written columns from ALTER TABLE
-    // ADD COLUMNS (NULL-filled on read until the backfill lands);
-    // the declared schema alone covers the created-but-empty window
+    // the schema EPOCH for the pinned version: a read at a version
+    // predating a RENAME/DROP COLUMN serves the names (and width) the
+    // table had then — metadata time travel, zero data involvement.
+    // Operational properties (key, statscols, path) always come from
+    // the LATEST generation: they configure operations, not reads.
+    val epoch = version.flatMap(metaForVersion(parts, _)).orElse(meta)
+    // live schema = the epoch's DECLARED fields (logical names over
+    // stable physical parquet names; declared-but-not-yet-written
+    // columns NULL-fill on read) PLUS any content-only extras — the
+    // UNION of committed batch schemas (mergeSchema, deterministic)
+    // brings in columns path-level writes added without DDL, minus
+    // physical columns a DROP retired. Declared types widen to the
+    // content's when batches outgrew the declaration losslessly.
+    val declared = epoch.map(_.schema).getOrElse(new StructType())
+    val droppedLc = epoch.map(_.dropped).getOrElse(Nil)
+      .map(_.toLowerCase(Locale.ROOT)).toSet
     val contentSchema = version match {
       case Some(v) =>
-        val content = VersionedTable.readAt(SparkSession.active, path, v,
-          mergeSchema = true).schema
-        val have = content.fieldNames.map(_.toLowerCase(Locale.ROOT)).toSet
-        val declaredOnly = meta.map(_._1).getOrElse(new StructType())
-          .filterNot(f => have(f.name.toLowerCase(Locale.ROOT)))
-        StructType(content.fields ++ declaredOnly)
-      case None => meta.get._1
+        // readAtWidened, not mergeSchema: a declared type widening
+        // leaves batches of mixed width behind, which plain schema
+        // merging refuses; the widened union is footer-bounded and
+        // deterministic
+        val content = VersionedTable.readAtWidened(SparkSession.active,
+          path, v).schema
+        val byPhysLc = content.map(f =>
+          f.name.toLowerCase(Locale.ROOT) -> f).toMap
+        val reconciled = declared.map { f =>
+          byPhysLc.get(ColumnMapping.physicalName(f)
+            .toLowerCase(Locale.ROOT)) match {
+            case Some(c) if c.dataType != f.dataType =>
+              // content wider than declared (pre-DDL path writes):
+              // surface the lossless widening; anything else keeps
+              // the content type — what the files actually hold
+              val t = try VersionedTable.widenType(f.dataType, c.dataType)
+                catch { case _: IllegalStateException => c.dataType }
+              f.copy(dataType = t)
+            case _ => f
+          }
+        }
+        val declaredPhysLc = declared.map(f =>
+          ColumnMapping.physicalName(f).toLowerCase(Locale.ROOT)).toSet
+        val extras = content.filterNot { f =>
+          val lc = f.name.toLowerCase(Locale.ROOT)
+          declaredPhysLc(lc) || droppedLc(lc)
+        }
+        StructType(reconciled ++ extras)
+      case None => declared
     }
-    val props = meta.map(_._2).getOrElse(Map.empty) + ("path" -> path)
+    val props = meta.map(_.props).getOrElse(Map.empty) + ("path" -> path)
     // declared merge-key columns surface NON-NULLABLE: they are the
     // table's row identity (Spark's row-level operations require it,
     // NULLABLE_ROW_ID_ATTRIBUTES) — the keyed-table contract every
@@ -275,7 +293,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"TBLPROPERTIES key '$k' is not a column of the table")
       }
     }
-    try writeMeta(parts, schema, kept, exclusive = true)
+    try writeMetaGen(parts, MetaState(0L, schema, kept, since = 0L,
+      dropped = Nil))
     catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
         throw new TableAlreadyExistsException(ident)
@@ -283,32 +302,69 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  /** SET/UNSET TBLPROPERTIES plus — round 14 — `ALTER TABLE ADD
-    * COLUMNS`: DDL-FIRST schema evolution (declare the column, then
-    * backfill), completing the implicit write-time path (commits may
-    * add columns) with an explicit migration surface. The added
-    * column lands in `_table.meta` only — zero data rewritten;
-    * existing rows NULL-fill on read exactly like the mergeSchema
-    * add-column contract, which is why added columns must be
-    * nullable and append at the end (positions would promise an
-    * order parquet batches cannot retroactively honor). An ADOPTED
-    * path-built table (no meta yet) synthesizes its meta from the
-    * committed content schema first, so DDL evolution works there
-    * too.
+  /** SET/UNSET TBLPROPERTIES, `ADD COLUMNS` (round 14), and — round
+    * 15 — the full METADATA-ONLY schema-evolution surface:
+    *
+    *  - `RENAME COLUMN a TO b` — the logical name changes, the stable
+    *    PHYSICAL parquet name stays ([[ColumnMapping]]): zero data
+    *    rewritten, and `VERSION AS OF` a pre-rename version still
+    *    reads `a` (schema epochs, below);
+    *  - `DROP COLUMN c` — the field leaves the declared schema and
+    *    its physical name is retired (`__dropped`), so a later ADD of
+    *    the same logical name maps to a FRESH physical column and old
+    *    values can never resurface. Merge-key columns refuse (row
+    *    identity);
+    *  - `ALTER COLUMN c TYPE t` — DECLARED lossless widening
+    *    ([[VersionedTable.widenType]]'s matrix: int→long,
+    *    float→double, decimal growth): old batches promote natively
+    *    on scan (SPARK-40876), subsequent INSERTs conform to the
+    *    widened type; lossy changes and narrowings refuse loudly.
+    *
+    * CONCURRENCY: every ALTER publishes a whole new metadata
+    * GENERATION via exclusive create (compare-and-swap) — two
+    * concurrent ALTERs can never silently lose one side's change; the
+    * loser fails loudly and reruns against the new state.
+    *
+    * TIME TRAVEL: a shape-changing ALTER (rename/drop/type) first
+    * commits a metadata-only DATA version (entries copied verbatim)
+    * as the epoch boundary, then records the new schema as applying
+    * from that version on (`__since`) — so `VERSION AS OF` resolves
+    * names exactly as of the requested version. An ADOPTED path-built
+    * table (no meta yet) synthesizes generation 0 from the committed
+    * content schema first, so DDL evolution works there too.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val parts = identParts(ident)
-    val (schema, props) = readMeta(parts).getOrElse {
+    val path = pathOf(parts)
+    val current = readMeta(parts).getOrElse {
       if (!tableDirExists(parts)) throw new NoSuchTableException(ident)
-      val path = pathOf(parts)
       val sch = VersionedTable.latestVersion(path)
-        .map(v => VersionedTable.readAt(SparkSession.active, path, v,
-          mergeSchema = true).schema)
+        .map(v => VersionedTable.readAtWidened(SparkSession.active, path, v)
+          .schema)
         .getOrElse(new StructType())
-      (sch, Map.empty[String, String])
+      MetaState(-1L, sch, Map.empty, since = 0L, dropped = Nil)
     }
-    var newSchema = schema
-    val updated = changes.foldLeft(props) {
+    // every physical name this table has EVER used (all generations'
+    // mappings plus retired drops): a re-added logical name must map
+    // to a fresh physical column, never a historical one
+    def usedPhysicalLc: Set[String] =
+      (metaGens(parts).map(readMetaGen(parts, _)) :+ current).flatMap { m =>
+        m.dropped ++ m.schema.map(ColumnMapping.physicalName)
+      }.map(_.toLowerCase(Locale.ROOT)).toSet
+    var newSchema = current.schema
+    var dropped = current.dropped
+    var shapeChanged = false
+    val nextGen = math.max(current.gen, 0L) + 1
+    def keyCols(props: Map[String, String]): Seq[String] =
+      props.get("key").map(graft.sql.GraftSql.splitKey).getOrElse(Nil)
+    def renameIn(list: String, from: String, to: String): String =
+      graft.sql.GraftSql.splitKey(list)
+        .map(c => if (c.equalsIgnoreCase(from)) to else c).mkString(",")
+    def dropFrom(list: String, name: String): String =
+      graft.sql.GraftSql.splitKey(list)
+        .filterNot(_.equalsIgnoreCase(name)).mkString(",")
+    val colProps = Seq("key", "statscols", "bloomcols")
+    val updated = changes.foldLeft(current.props) {
       case (acc, set: TableChange.SetProperty) =>
         acc + (set.property -> set.value)
       case (acc, rm: TableChange.RemoveProperty) => acc - rm.property
@@ -324,16 +380,109 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             "columns append at the end")
         require(!newSchema.fieldNames.exists(_.equalsIgnoreCase(colName)),
           s"graft ALTER TABLE: column '$colName' already exists")
-        newSchema = newSchema.add(
-          org.apache.spark.sql.types.StructField(colName, add.dataType,
-            nullable = true))
+        var field = org.apache.spark.sql.types.StructField(colName,
+          add.dataType, nullable = true)
+        // a logical name that ever mapped to (or was) a physical
+        // column gets a fresh physical name — old parquet values must
+        // not resurface under a re-added name
+        if (usedPhysicalLc(colName.toLowerCase(Locale.ROOT)))
+          field = ColumnMapping.withPhysical(field, s"$colName#$nextGen")
+        newSchema = newSchema.add(field)
+        acc
+      case (acc, rn: TableChange.RenameColumn) =>
+        require(rn.fieldNames.length == 1,
+          "graft ALTER TABLE RENAME COLUMN: nested fields are not supported")
+        val from = rn.fieldNames.head
+        val to = rn.newName
+        val idx = newSchema.fieldNames.indexWhere(_.equalsIgnoreCase(from))
+        require(idx >= 0, s"graft ALTER TABLE: column '$from' does not exist")
+        require(!newSchema.fieldNames.exists(_.equalsIgnoreCase(to)),
+          s"graft ALTER TABLE: rename target '$to' already exists")
+        val f = newSchema.fields(idx)
+        // the physical name is pinned at its CURRENT value — for a
+        // never-renamed column that makes the identity mapping
+        // explicit from here on
+        val renamed = ColumnMapping.withPhysical(
+          f.copy(name = to), ColumnMapping.physicalName(f))
+        newSchema = StructType(newSchema.fields.updated(idx, renamed))
+        shapeChanged = true
+        colProps.foldLeft(acc) { (a, p) =>
+          a.get(p).map(v => a + (p -> renameIn(v, from, to))).getOrElse(a)
+        }
+      case (acc, del: TableChange.DeleteColumn) =>
+        require(del.fieldNames.length == 1,
+          "graft ALTER TABLE DROP COLUMN: nested fields are not supported")
+        val name = del.fieldNames.head
+        val idx = newSchema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+        require(idx >= 0 || del.ifExists,
+          s"graft ALTER TABLE: column '$name' does not exist")
+        if (idx >= 0) {
+          require(!keyCols(acc).exists(_.equalsIgnoreCase(name)),
+            s"graft ALTER TABLE: cannot DROP merge-key column '$name' — " +
+              "it is the table's row identity (re-key the table first " +
+              "via ALTER TABLE SET TBLPROPERTIES)")
+          require(newSchema.length > 1,
+            "graft ALTER TABLE: cannot drop the last column")
+          val f = newSchema.fields(idx)
+          dropped = dropped :+ ColumnMapping.physicalName(f)
+          newSchema = StructType(
+            newSchema.fields.patch(idx, Nil, 1))
+          shapeChanged = true
+        }
+        colProps.foldLeft(acc) { (a, p) =>
+          a.get(p).map(v => a + (p -> dropFrom(v, name))).getOrElse(a)
+        }
+      case (acc, ut: TableChange.UpdateColumnType) =>
+        require(ut.fieldNames.length == 1,
+          "graft ALTER TABLE ALTER COLUMN: nested fields are not supported")
+        val name = ut.fieldNames.head
+        val idx = newSchema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+        require(idx >= 0, s"graft ALTER TABLE: column '$name' does not exist")
+        val f = newSchema.fields(idx)
+        if (f.dataType != ut.newDataType) {
+          // widenType's lossless matrix is the gate: it throws on any
+          // non-widening pair, and a "widening" that lands somewhere
+          // other than the requested type (ALTER int TO short) is a
+          // narrowing in disguise — refuse naming the direction
+          val widened = VersionedTable.widenType(f.dataType, ut.newDataType)
+          require(widened == ut.newDataType,
+            s"graft ALTER COLUMN TYPE: ${ut.newDataType.sql} does not " +
+              s"contain ${f.dataType.sql} — only lossless widenings are " +
+              "zero-rewrite (int→long, float→double, decimal growth)")
+          newSchema = StructType(newSchema.fields.updated(idx,
+            f.copy(dataType = ut.newDataType)))
+          shapeChanged = true
+        }
         acc
       case (_, other) => throw new UnsupportedOperationException(
-        s"graft catalog: unsupported ALTER TABLE change $other (type " +
-          "migrations are zero-rewrite widen reads; drops/renames need " +
-          "an explicit rewrite — this engine never degrades silently)")
+        s"graft catalog: unsupported ALTER TABLE change $other (nullability " +
+          "and comment edits are not supported — this engine never " +
+          "degrades silently)")
     }
-    writeMeta(parts, newSchema, updated, exclusive = false)
+    // shape changes pin their epoch boundary with a metadata-only data
+    // version FIRST (entries copied verbatim), so `VERSION AS OF` any
+    // pre-ALTER version resolves under the old schema and the new
+    // schema applies from the boundary on. A crash (or a lost CAS)
+    // after this commit leaves a harmless content-identical version.
+    val since =
+      if (!shapeChanged) current.since
+      else VersionedTable.latestVersion(path) match {
+        case Some(_) =>
+          VersionedTable.commitMetadataVersion(path, "#ddl=alter-table")
+        case None => 0L
+      }
+    GraftCatalog.testBeforeMetaWrite.foreach(_())
+    try writeMetaGen(parts, MetaState(nextGen, newSchema, updated, since,
+      dropped))
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"graft ALTER TABLE ${parts.mkString(".")}: a concurrent ALTER " +
+            s"published metadata generation $nextGen first — this " +
+            "statement changed NOTHING; re-read the table and rerun " +
+            "against the new state (compare-and-swap, no silent " +
+            "last-writer-wins)")
+    }
     loadTable(ident)
   }
 
@@ -405,6 +554,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         (name() +: namespace.toSeq).toArray)
     f.delete(dir, true)
   }
+}
+
+object GraftCatalog {
+  /** Test seam: runs between an ALTER's read-modify and its CAS write,
+    * so a spec can interleave a competing metadata generation and
+    * prove the loser fails loudly instead of last-writer-winning.
+    */
+  private[graft] var testBeforeMetaWrite: Option[() => Unit] = None
 }
 
 /** Parse-time resolver mapping `graft.ns…t` identifiers onto table
@@ -496,6 +653,17 @@ class GraftTable(identName: String, val path: String,
 
   override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
     import org.apache.spark.sql.catalyst.TableIdentifier
+    // streaming-by-name plans the V1 source over the table PATH, which
+    // scans physical parquet names — under an active column mapping
+    // (post RENAME/DROP) that would silently serve NULLs for every
+    // renamed column; refuse loudly naming the alternatives
+    if (ColumnMapping.isActive(tableSchema))
+      throw new UnsupportedOperationException(
+        s"graft table $identName: streaming by name over a column-mapped " +
+          "table (a RENAME/DROP COLUMN happened) is not supported — " +
+          "stream from the table path with an explicit schema, or " +
+          "re-materialize (CREATE TABLE ... AS SELECT) to reset the " +
+          "mapping")
     import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
     val parts = identName.split('.').toSeq
     // TableIdentifier asserts catalog => database; the identifier is
@@ -534,19 +702,27 @@ class GraftTable(identName: String, val path: String,
     * predates null-fill, mixed-width batches read deterministically
     * — the ALTER ADD COLUMNS contract), or an empty relation under
     * the declared schema for a created-but-never-written table.
+    * Under COLUMN MAPPING the scan reads the stable PHYSICAL names
+    * and a projection aliases them to the logical ones — a bare
+    * alias, so filters on renamed columns still reach PushedFilters
+    * (predicate pushdown rewrites through alias maps).
     */
   def readPlan(spark: SparkSession): LogicalPlan = snapshotVersion match {
     case Some(v) =>
-      VersionedTable.readAtWithSchema(spark, path, v,
-        StructType(tableSchema.map(_.copy(nullable = true))))
-        .queryExecution.analyzed
+      val physical = ColumnMapping.physicalSchema(tableSchema)
+      val scan = VersionedTable.readAtWithSchema(spark, path, v, physical)
+      val df =
+        if (!ColumnMapping.isActive(tableSchema)) scan
+        else scan.select(tableSchema.map(f => org.apache.spark.sql.functions
+          .col(ColumnMapping.physicalName(f)).as(f.name)): _*)
+      df.queryExecution.analyzed
     case None =>
       spark.createDataFrame(new java.util.ArrayList[Row](), tableSchema)
         .queryExecution.analyzed
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(path, props)
+    new GraftWriteBuilder(path, props, tableSchema)
 }
 
 /** V1 fallback write — the same trade the streaming bridge documents,
@@ -558,7 +734,7 @@ class GraftTable(identName: String, val path: String,
   * properties index every catalog write.
   */
 private[catalog] class GraftWriteBuilder(path: String,
-    props: Map[String, String]) extends WriteBuilder
+    props: Map[String, String], tableSchema: StructType) extends WriteBuilder
     with SupportsTruncate with SupportsOverwrite {
 
   private var overwriteAll = false
@@ -573,20 +749,29 @@ private[catalog] class GraftWriteBuilder(path: String,
   }
 
   private def cols(key: String): Seq[String] =
-    props.get(key).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Nil)
+    ColumnMapping.colsToPhysical(
+      props.get(key).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil), tableSchema)
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: org.apache.spark.sql.DataFrame,
             overwrite: Boolean): Unit = {
+          // the analyzer conformed the query to the table's LOGICAL
+          // columns (declared order); under column mapping the batch
+          // lands under the stable PHYSICAL names — positional rename,
+          // zero data movement
+          val stored =
+            if (!ColumnMapping.isActive(tableSchema)) data
+            else data.toDF(ColumnMapping.physicalSchema(tableSchema)
+              .fieldNames.toIndexedSeq: _*)
           val ow = overwriteAll || overwrite
           if (ow)
-            VersionedTable.overwrite(data, path,
+            VersionedTable.overwrite(stored, path,
               statsCols = cols("statscols"), bloomCols = cols("bloomcols"))
           else
-            VersionedTable.appendWithRetry(data, path,
+            VersionedTable.appendWithRetry(stored, path,
               statsCols = cols("statscols"))
           ()
         }

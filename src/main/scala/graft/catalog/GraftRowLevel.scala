@@ -114,13 +114,20 @@ class GraftRowLevelOperation(table: GraftTable, keyCols: Seq[String],
 class GraftDeltaWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
     extends DeltaWriteBuilder {
   override def build(): DeltaWrite = {
+    // under column mapping the delta's parquet files (data AND
+    // tombstone rowIds) land under the stable PHYSICAL names — the
+    // rename is positional on the schema only; InternalRow data is
+    // positional and untouched
+    def phys(s: StructType): StructType =
+      ColumnMapping.toPhysical(s, table.schema())
     val idSchema = if (info.rowIdSchema().isPresent)
-      Some(info.rowIdSchema().get) else None
+      Some(phys(info.rowIdSchema().get)) else None
     def cols(key: String): Seq[String] =
-      Option(table.properties().get(key))
-        .map(graft.sql.GraftSql.splitKey).getOrElse(Nil)
+      ColumnMapping.colsToPhysical(
+        Option(table.properties().get(key))
+          .map(graft.sql.GraftSql.splitKey).getOrElse(Nil), table.schema())
     new GraftDeltaWrite(table.path, table.snapshotVersion.getOrElse(0L),
-      info.schema(), idSchema, cols("statscols"), cols("bloomcols"))
+      phys(info.schema()), idSchema, cols("statscols"), cols("bloomcols"))
   }
 }
 

@@ -1,0 +1,184 @@
+package graft.catalog
+
+import java.util.Locale
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructField, StructType}
+
+/** One persisted table-metadata state. Metadata is VERSIONED
+  * (`_table.meta` = generation 0 from CREATE TABLE, `_meta.<N>` from
+  * the Nth ALTER): every ALTER commits a WHOLE new generation via
+  * exclusive create — compare-and-swap, so two concurrent ALTERs
+  * cannot silently lose one side's change (whole-file last-writer-
+  * wins was the round-14 ADVICE hazard; now the loser fails loudly).
+  * Old generations are retained: they are the SCHEMA EPOCHS that make
+  * `VERSION AS OF` time travel name-correct across RENAME/DROP COLUMN
+  * (`since` = the first DATA version the generation's schema applies
+  * to), and they are KB-sized like the manifests they sit next to.
+  */
+case class MetaState(gen: Long, schema: StructType,
+    props: Map[String, String], since: Long, dropped: Seq[String])
+
+/** Path-keyed metadata I/O — shared by the catalog (identifier →
+  * path) and by path-level machinery that must honor a catalog
+  * table's declarations when writing into its directory (key
+  * null-checks, maintenance column translation).
+  */
+private[graft] object GraftTableMeta {
+
+  private val MetaFile = "_table.meta"
+  private val MetaRe = "_meta\\.(\\d+)".r
+
+  private def fs(path: String): FileSystem =
+    new Path(path).getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+
+  def metaGens(path: String): Seq[Long] = {
+    val f = fs(path)
+    val dir = new Path(path)
+    if (!f.exists(dir)) return Seq.empty
+    f.listStatus(dir).map(_.getPath.getName).collect {
+      case MetaFile => 0L
+      case MetaRe(n) => n.toLong
+    }.toSeq.sorted
+  }
+
+  private def metaPath(path: String, gen: Long): Path =
+    new Path(path, if (gen == 0L) MetaFile else s"_meta.$gen")
+
+  private def parseSchema(s: String): StructType =
+    if (s.trim.startsWith("{"))
+      org.apache.spark.sql.types.DataType.fromJson(s).asInstanceOf[StructType]
+    else StructType.fromDDL(s)
+
+  def readGen(path: String, gen: Long): MetaState = {
+    val props = new java.util.Properties()
+    val in = fs(path).open(metaPath(path, gen))
+    try props.load(new java.io.InputStreamReader(in, "UTF-8"))
+    finally in.close()
+    val schema = Option(props.getProperty("__schema"))
+      .map(parseSchema).getOrElse(new StructType())
+    val since = Option(props.getProperty("__since")).map(_.toLong)
+      .getOrElse(0L)
+    val dropped = Option(props.getProperty("__dropped")).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val others = props.stringPropertyNames().asScala
+      .filterNot(k => k == "__schema" || k == "__since" || k == "__dropped")
+      .map(k => k -> props.getProperty(k)).toMap
+    MetaState(gen, schema, others, since, dropped)
+  }
+
+  /** The CURRENT metadata: the highest generation; None for a
+    * path-built table that never saw DDL.
+    */
+  def readLatest(path: String): Option[MetaState] =
+    metaGens(path).lastOption.map(readGen(path, _))
+
+  /** The schema EPOCH governing a read pinned at data `version`: the
+    * newest generation whose `since` is at or before it — so
+    * `VERSION AS OF` a pre-rename version reads under the old names
+    * (the Delta column-mapping time-travel contract). Falls back to
+    * the earliest generation for versions older than every epoch.
+    */
+  def metaForVersion(path: String, version: Long): Option[MetaState] = {
+    val gens = metaGens(path)
+    if (gens.isEmpty) return None
+    val states = gens.map(readGen(path, _))
+    states.reverse.find(_.since <= version).orElse(states.headOption)
+  }
+
+  /** Write metadata generation `state.gen` via EXCLUSIVE create — the
+    * CAS point: a concurrent ALTER that already published this
+    * generation makes the create fail
+    * (`FileAlreadyExistsException`), and the caller refuses loudly
+    * instead of silently dropping the other side's change.
+    */
+  def writeGen(path: String, state: MetaState): Unit = {
+    val f = fs(path)
+    f.mkdirs(new Path(path))
+    val props = new java.util.Properties()
+    // JSON carries per-field metadata (the physical-name mapping);
+    // plain schemas keep the human-readable DDL form
+    val schemaStr =
+      if (state.schema.exists(_.metadata != Metadata.empty))
+        state.schema.json
+      else state.schema.toDDL
+    props.setProperty("__schema", schemaStr)
+    props.setProperty("__since", state.since.toString)
+    if (state.dropped.nonEmpty)
+      props.setProperty("__dropped", state.dropped.mkString(","))
+    state.props.foreach { case (k, v) => props.setProperty(k, v) }
+    val out = f.create(metaPath(path, state.gen), false)
+    try props.store(new java.io.OutputStreamWriter(out, "UTF-8"),
+      "graft table")
+    finally out.close()
+  }
+}
+
+/** COLUMN MAPPING — logical names over stable PHYSICAL parquet names
+  * (the Delta column-mapping shape, carried as per-field metadata in
+  * the table metadata): RENAME COLUMN keeps the physical name and
+  * changes only the logical one; DROP COLUMN removes the field and
+  * records its physical name as retired — both METADATA-ONLY, zero
+  * data rewritten. A column ADDED after a drop/rename of the same
+  * name gets a FRESH physical name, so stale parquet values can never
+  * resurface under a reused logical name.
+  */
+object ColumnMapping {
+
+  val PhysicalKey = "graft.physical"
+
+  def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  def withPhysical(f: StructField, phys: String): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putString(PhysicalKey, phys).build())
+
+  /** Whether any field's physical name differs from its logical one. */
+  def isActive(schema: StructType): Boolean =
+    schema.exists(f => physicalName(f) != f.name)
+
+  /** The schema as stored on disk: physical names, metadata stripped,
+    * everything nullable (parquet storage makes no non-null claims).
+    */
+  def physicalSchema(schema: StructType): StructType =
+    StructType(schema.map(f => StructField(physicalName(f), f.dataType,
+      nullable = true, metadata = Metadata.empty)))
+
+  /** Rename a write-side schema's fields to their physical names
+    * (positions unchanged — InternalRow data is positional).
+    */
+  def toPhysical(write: StructType, table: StructType): StructType = {
+    val phys = table.map(f =>
+      f.name.toLowerCase(Locale.ROOT) -> physicalName(f)).toMap
+    StructType(write.map(f => StructField(
+      phys.getOrElse(f.name.toLowerCase(Locale.ROOT), f.name),
+      f.dataType, f.nullable, Metadata.empty)))
+  }
+
+  /** Translate a logical column-name list (statscols/bloomcols,
+    * ZORDER BY lists) to physical names; unknown names pass through
+    * untouched.
+    */
+  def colsToPhysical(cols: Seq[String], table: StructType): Seq[String] = {
+    val phys = table.map(f =>
+      f.name.toLowerCase(Locale.ROOT) -> physicalName(f)).toMap
+    cols.map(c => phys.getOrElse(c.toLowerCase(Locale.ROOT), c))
+  }
+
+  /** Path-level translation for tooling that holds only the table
+    * directory (OPTIMIZE ZORDER over a catalog name): logical →
+    * physical under the path's CURRENT metadata; identity when the
+    * path carries no metadata or no mapping.
+    */
+  def colsToPhysicalAt(path: String, cols: Seq[String]): Seq[String] =
+    GraftTableMeta.readLatest(path) match {
+      case Some(m) if isActive(m.schema) => colsToPhysical(cols, m.schema)
+      case _ => cols
+    }
+}

@@ -2221,6 +2221,36 @@ object VersionedTable {
     -1L // unreachable
   }
 
+  /** METADATA-ONLY commit: republish the latest version's entries
+    * verbatim as a new version carrying `comment` — the epoch
+    * boundary a shape-changing DDL (RENAME/DROP COLUMN, type widen)
+    * pins its schema history to: content-identical by construction,
+    * it exists only so `VERSION AS OF` can tell "before the ALTER"
+    * from "after". Returns the committed version. Same bounded OCC
+    * retry as [[restore]] — an interleaved data commit just moves the
+    * boundary forward one version.
+    */
+  def commitMetadataVersion(path: String, comment: String,
+      maxRetries: Int = 3): Long = {
+    var attempt = 0
+    while (true) {
+      val latest = latestVersion(path).getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed version at $path to fence"))
+      try {
+        commitManifest(path, latest + 1,
+          comment +: manifestEntries(path, latest))
+        return latest + 1
+      } catch {
+        case e: java.io.IOException
+            if e.getMessage.contains("already committed") &&
+              attempt < maxRetries =>
+          attempt += 1
+      }
+    }
+    -1L // unreachable
+  }
+
   /** The version a restore commit rewound to, if `version` is one. */
   def restoredFrom(path: String, version: Long): Option[Long] =
     manifestLines(path, version)

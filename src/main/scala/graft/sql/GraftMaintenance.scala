@@ -156,13 +156,17 @@ case class GraftOptimizeCommand(path: String, zorderCols: Seq[String],
     // rewritten batch (KB-sized metadata reads, bounded by batch count)
     val stats = VersionedTable.statsColumnsOf(path, latest)
     val blooms = VersionedTable.bloomColumnsOf(session, path, latest)
+    // ZORDER/RANGE BY arrive as LOGICAL names; the rewrite reads the
+    // stored PHYSICAL columns, so translate under any active mapping
+    def phys(cols: Seq[String]): Seq[String] =
+      graft.catalog.ColumnMapping.colsToPhysicalAt(path, cols)
     val v =
       if (zorderCols.nonEmpty)
-        VersionedTable.compactByZOrderN(session, path, zorderCols, n,
+        VersionedTable.compactByZOrderN(session, path, phys(zorderCols), n,
           bloomCols = blooms)
       else rangeCol match {
         case Some(c) =>
-          VersionedTable.compactByRange(session, path, c, n,
+          VersionedTable.compactByRange(session, path, phys(Seq(c)).head, n,
             bloomCols = blooms)
         case None =>
           VersionedTable.compact(session, path, statsCols = stats,
