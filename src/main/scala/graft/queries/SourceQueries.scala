@@ -2825,11 +2825,16 @@ object SourceQueries extends QueryRegistry {
                  CAST(round(o_totalprice * 100) AS LONG),
                  o_orderstatus
           FROM q311_base""")
+        // "new" pairs shift the experiment id past the LIVE max id —
+        // derived from the data, not a fixed offset, so no scale
+        // factor can collide synthesized keys with live ones
         s.sql("""
           SELECT o_orderkey DIV 97 AS experiment_id,
                  concat('part-', o_orderkey % 97) AS file_path,
-                 (o_orderkey + 10000000) DIV 97 AS new_eid,
-                 concat('part-', (o_orderkey + 10000000) % 97) AS new_fp,
+                 o_orderkey DIV 97
+                   + (SELECT 1 + max(o_orderkey) DIV 97 FROM q311_base)
+                   AS new_eid,
+                 concat('part-', o_orderkey % 97) AS new_fp,
                  CAST(o_orderkey % 1000 AS LONG) AS delta
           FROM q311_base WHERE o_orderpriority = '1-URGENT'""")
           .createOrReplaceTempView("q311_src")
@@ -2872,8 +2877,7 @@ object SourceQueries extends QueryRegistry {
         FROM base
         WHERE NOT (o_orderpriority = '1-URGENT' AND k % 1000 <= 500)),
       ins AS (
-        SELECT (k + 10000000) // 97 AS eid,
-               'part-' || CAST((k + 10000000) % 97 AS VARCHAR) AS fp,
+        SELECT eid + (SELECT 1 + max(k) // 97 FROM base) AS eid, fp,
                k % 1000 AS size_c, 'NEW' AS status
         FROM base
         WHERE o_orderpriority = '1-URGENT' AND (k % 1000) % 2 = 0),
@@ -2922,8 +2926,13 @@ object SourceQueries extends QueryRegistry {
           SELECT o_orderkey, o_orderstatus,
                  CAST(round(o_totalprice * 100) AS LONG)
           FROM q312_base""")
+        // backfill keys shift past the live max key (derived, not a
+        // fixed offset — collision-free at any scale factor)
         s.sql("""
-          SELECT o_orderkey, CAST(o_orderkey % 1000 AS LONG) AS delta
+          SELECT o_orderkey,
+                 o_orderkey + (SELECT 1 + max(o_orderkey) FROM q312_base)
+                   AS new_k,
+                 CAST(o_orderkey % 1000 AS LONG) AS delta
           FROM q312_base WHERE o_orderpriority = '1-URGENT'""")
           .createOrReplaceTempView("q312_src")
         s.sql(s"""
@@ -2934,7 +2943,7 @@ object SourceQueries extends QueryRegistry {
           WHEN MATCHED THEN DELETE
           WHEN NOT MATCHED AND s.delta % 5 = 0
             THEN INSERT (o_orderkey, st, total_c)
-                 VALUES (s.o_orderkey + 20000000, 'BACKFILL', s.delta)
+                 VALUES (s.new_k, 'BACKFILL', s.delta)
           WHEN NOT MATCHED BY SOURCE AND t.st = 'O' AND t.o_orderkey % 100 = 7
             THEN UPDATE SET total_c = t.total_c + 1
           WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 100 = 13
@@ -2963,7 +2972,8 @@ object SourceQueries extends QueryRegistry {
           AND NOT (NOT matched AND NOT (st = 'O' AND k % 100 = 7)
                    AND k % 100 = 13)),
       ins AS (
-        SELECT k + 20000000 AS k, 'BACKFILL' AS st, delta AS v
+        SELECT k + (SELECT 1 + max(k) FROM base) AS k, 'BACKFILL' AS st,
+               delta AS v
         FROM m WHERE urg AND NOT matched AND delta % 5 = 0),
       live AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
       SELECT st, CAST(count(*) AS BIGINT) AS n_orders,
@@ -3004,10 +3014,11 @@ object SourceQueries extends QueryRegistry {
           FROM q313_base""")
         // declare the column: zero rewrites, reads NULL-fill it
         s.sql(s"ALTER TABLE graft.$table ADD COLUMNS (priority STRING)")
-        // backfill NEW full-width rows under shifted keys
+        // backfill NEW full-width rows under shifted keys — shifted
+        // past the live max key (derived, collision-free at any SF)
         s.sql(s"""
           INSERT INTO graft.$table
-          SELECT o_orderkey + 30000000,
+          SELECT o_orderkey + (SELECT 1 + max(o_orderkey) FROM q313_base),
                  CAST(round(o_totalprice * 100) AS LONG), o_orderpriority
           FROM q313_base WHERE o_orderpriority = '1-URGENT'""")
         // fill the declared column on the legacy rows — reads the
@@ -3205,11 +3216,16 @@ object SourceQueries extends QueryRegistry {
     (s, d) => {
       import graft.operators.VersionedTable
       val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
-      val table = s"q316_inv_$sfx"
+      // _inv2: the round-15 derived-offset recipe changes the stored
+      // ids, so the name changes too — an old-recipe table must never
+      // satisfy the build guard against the new oracle
+      val table = s"q316_inv2_$sfx"
       val path = graftCatalog(s).tablePath(Seq(table))
+      // the base view feeds the final slicing too (the derived
+      // backfill-id floor), so it registers outside the build guard
+      Tables.orders(s, d).createOrReplaceTempView("q316_base")
       if (!VersionedTable.latestVersion(path).exists(_ >= 5L)) {
         s.sql(s"DROP TABLE IF EXISTS graft.$table")
-        Tables.orders(s, d).createOrReplaceTempView("q316_base")
         s.sql(s"""
           CREATE TABLE graft.$table
           TBLPROPERTIES('key'='experiment_id,file_path') AS
@@ -3225,9 +3241,14 @@ object SourceQueries extends QueryRegistry {
         s.sql(s"ALTER TABLE graft.$table ADD COLUMNS (status STRING)")
         s.sql(s"""UPDATE graft.$table SET status = 'BIG'
           WHERE size_c >= 20000000""")
+        // backfill ids shift past the live max experiment id —
+        // derived, so no scale factor collides them with live pairs
         s.sql("""
           SELECT o_orderkey DIV 97 AS experiment_id,
                  concat('part-', o_orderkey % 97) AS file_path,
+                 o_orderkey DIV 97
+                   + (SELECT 1 + max(o_orderkey) DIV 97 FROM q316_base)
+                   AS new_eid,
                  CAST(o_orderkey % 1000 AS LONG) AS delta
           FROM q316_base WHERE o_orderpriority = '1-URGENT'""")
           .createOrReplaceTempView("q316_src")
@@ -3240,8 +3261,7 @@ object SourceQueries extends QueryRegistry {
           WHEN MATCHED THEN DELETE
           WHEN NOT MATCHED AND s.delta % 4 = 0
             THEN INSERT (experiment_id, file_path, size_c, status)
-                 VALUES (s.experiment_id + 200000, s.file_path, s.delta,
-                         'NEW')
+                 VALUES (s.new_eid, s.file_path, s.delta, 'NEW')
           WHEN NOT MATCHED BY SOURCE AND t.status = 'BIG'
                AND t.experiment_id % 10 = 4
             THEN UPDATE SET size_c = t.size_c + 5""")
@@ -3258,7 +3278,10 @@ object SourceQueries extends QueryRegistry {
         UNION ALL
         SELECT 'backfill', coalesce(status, 'SMALL'),
                CAST(count(*) AS LONG), CAST(sum(size_c) AS LONG)
-        FROM graft.$table WHERE experiment_id >= 200000 GROUP BY 2""")
+        FROM graft.$table
+        WHERE experiment_id >=
+              (SELECT 1 + max(o_orderkey) DIV 97 FROM q316_base)
+        GROUP BY 2""")
         .unionByName(s.sql(s"""
           SELECT 'v2' AS leg, 'all' AS grp,
                  CAST(count(*) AS LONG) AS n_files,
@@ -3286,7 +3309,8 @@ object SourceQueries extends QueryRegistry {
                status
         FROM m WHERE NOT (matched AND delta % 3 <> 0)),
       ins AS (
-        SELECT eid + 200000 AS eid, fp, delta AS size_c, 'NEW' AS status
+        SELECT eid + (SELECT 1 + max(eid) FROM base) AS eid, fp,
+               delta AS size_c, 'NEW' AS status
         FROM m WHERE urg AND NOT matched AND delta % 4 = 0),
       live AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
       SELECT 'live' AS leg, coalesce(status, 'SMALL') AS grp,
@@ -3296,7 +3320,7 @@ object SourceQueries extends QueryRegistry {
       UNION ALL
       SELECT 'backfill', coalesce(status, 'SMALL'),
              CAST(count(*) AS BIGINT), CAST(sum(size_c) AS BIGINT)
-      FROM live WHERE eid >= 200000 GROUP BY 2
+      FROM live WHERE eid >= (SELECT 1 + max(eid) FROM base) GROUP BY 2
       UNION ALL
       SELECT 'v2', 'all', CAST(count(*) AS BIGINT),
              CAST(sum(size0) AS BIGINT)
@@ -3387,9 +3411,185 @@ object SourceQueries extends QueryRegistry {
       ) AS h(leg, n_orders, total_c)
     """.trim))
 
+  /** COLUMN-MAPPING LIFECYCLE (round-15 verdict #1) — the last
+    * schema-evolution refusals lifted and hash-gated in one chain:
+    * ADD → RENAME → native UPDATE under the new name → DROP → INSERT
+    * at the narrowed width, then reads at EVERY epoch. RENAME and
+    * DROP are METADATA-ONLY (logical names over stable physical
+    * parquet names, `catalog/GraftTableMeta.scala`); each
+    * shape-changing ALTER fences a metadata-only manifest version so
+    * `VERSION AS OF` resolves the names the table had THEN. The
+    * result carries each slice's actual column list as a value — a
+    * wrong epoch (new names at an old version, a dropped column
+    * resurfacing, NULLs where the rename should have preserved data)
+    * breaks the hash, not just a schema check. Synthesized keys are
+    * derived from the live max key (no fixed-offset collision at any
+    * SF — the round-14 ADVICE hazard, fixed at birth here). The
+    * reference's experiments records carry drifting free-form
+    * parameters (`agf_ingestion_lambda.py:296-298`) — this is the
+    * migration path their long-lived table eventually needs.
+    */
+  val q318 = GraftQuery(
+    "q318_catalog_column_mapping_lifecycle",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      import org.apache.spark.sql.DataFrame
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"q318_lc_$sfx"
+      val path = graftCatalog(s).tablePath(Seq(table))
+      if (!VersionedTable.latestVersion(path).exists(_ >= 6L)) {
+        s.sql(s"DROP TABLE IF EXISTS graft.$table")
+        s.sql(s"""CREATE TABLE graft.$table
+          (o_orderkey BIGINT, total_c BIGINT)
+          TBLPROPERTIES('key'='o_orderkey')""")
+        Tables.orders(s, d).createOrReplaceTempView("q318_base")
+        s.sql(s"""
+          INSERT INTO graft.$table
+          SELECT o_orderkey, CAST(round(o_totalprice * 100) AS LONG)
+          FROM q318_base""")                                       // v1
+        s.sql(s"ALTER TABLE graft.$table ADD COLUMNS (pri STRING)")
+        s.sql(s"""
+          INSERT INTO graft.$table
+          SELECT o_orderkey + (SELECT 1 + max(o_orderkey) FROM q318_base),
+                 CAST(round(o_totalprice * 100) AS LONG), o_orderpriority
+          FROM q318_base WHERE o_orderpriority = '1-URGENT'""")    // v2
+        s.sql(s"ALTER TABLE graft.$table RENAME COLUMN total_c TO price_c")
+        // ^ fences v3
+        s.sql(s"""UPDATE graft.$table SET price_c = price_c + 7
+          WHERE o_orderkey % 10 = 3""")                            // v4
+        s.sql(s"ALTER TABLE graft.$table DROP COLUMN pri")         // fences v5
+        s.sql(s"""
+          INSERT INTO graft.$table
+          SELECT o_orderkey + 2 * (SELECT 1 + max(o_orderkey) FROM q318_base),
+                 CAST(round(o_totalprice * 100) AS LONG)
+          FROM q318_base WHERE o_orderpriority = '2-HIGH'""")      // v6
+      }
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      // each slice reports its ACTUAL columns as data, so the epoch
+      // resolution itself is under the hash
+      def slice(ver: String, df: DataFrame, sumCol: String,
+          pri: Boolean): DataFrame =
+        df.agg(count(lit(1)).cast("long").as("n_rows"),
+            sum(col(sumCol)).cast("long").as("sum_c"),
+            (if (pri) count(col("pri")) else lit(-1L)).cast("long")
+              .as("pri_n"))
+          .select(lit(ver).as("ver"),
+            lit(df.columns.mkString(",")).as("cols"),
+            col("n_rows"), col("sum_c"), col("pri_n"))
+      slice("v1", s.sql(s"SELECT * FROM graft.$table VERSION AS OF 1"),
+          "total_c", pri = true)
+        .unionAll(slice("v2",
+          s.sql(s"SELECT * FROM graft.$table VERSION AS OF 2"),
+          "total_c", pri = true))
+        .unionAll(slice("v4",
+          s.sql(s"SELECT * FROM graft.$table VERSION AS OF 4"),
+          "price_c", pri = true))
+        .unionAll(slice("cur", s.table(s"graft.$table"), "price_c",
+          pri = false))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS tc,
+               o_orderpriority AS p
+        FROM orders),
+      off AS (SELECT 1 + max(k) AS o FROM base),
+      v2 AS (
+        SELECT k, tc, CAST(NULL AS VARCHAR) AS pri FROM base
+        UNION ALL
+        SELECT k + (SELECT o FROM off), tc, p FROM base
+        WHERE p = '1-URGENT'),
+      v4 AS (
+        SELECT k, CASE WHEN k % 10 = 3 THEN tc + 7 ELSE tc END AS tc, pri
+        FROM v2),
+      cur AS (
+        SELECT k, tc FROM v4
+        UNION ALL
+        SELECT k + 2 * (SELECT o FROM off), tc FROM base
+        WHERE p = '2-HIGH')
+      SELECT 'v1' AS ver, 'o_orderkey,total_c,pri' AS cols,
+             count(*) AS n_rows, CAST(sum(tc) AS BIGINT) AS sum_c,
+             CAST(0 AS BIGINT) AS pri_n
+      FROM base
+      UNION ALL
+      SELECT 'v2', 'o_orderkey,total_c,pri', count(*),
+             CAST(sum(tc) AS BIGINT), count(pri)
+      FROM v2
+      UNION ALL
+      SELECT 'v4', 'o_orderkey,price_c,pri', count(*),
+             CAST(sum(tc) AS BIGINT), count(pri)
+      FROM v4
+      UNION ALL
+      SELECT 'cur', 'o_orderkey,price_c', count(*),
+             CAST(sum(tc) AS BIGINT), CAST(-1 AS BIGINT)
+      FROM cur
+    """.trim))
+
+  /** `ALTER COLUMN ... TYPE` AS DECLARED DDL (round-15 verdict #2):
+    * q298 proved the zero-rewrite widened READ; this runs the
+    * DDL-first direction — declare `INT → BIGINT`, then natively
+    * INSERT values only the widened type can hold (the analyzer
+    * conforms to the DECLARED type, so before the ALTER this INSERT
+    * refuses). Old INT batches promote on scan (SPARK-40876, no
+    * rewrite); `VERSION AS OF` the pre-ALTER version still types the
+    * column INT (epoch fencing) — both facts carried as DATA (the
+    * slice's type name) under the hash.
+    */
+  val q319 = GraftQuery(
+    "q319_catalog_alter_column_type",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      import org.apache.spark.sql.DataFrame
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"q319_wd_$sfx"
+      val path = graftCatalog(s).tablePath(Seq(table))
+      if (!VersionedTable.latestVersion(path).exists(_ >= 3L)) {
+        s.sql(s"DROP TABLE IF EXISTS graft.$table")
+        s.sql(s"""CREATE TABLE graft.$table (o_orderkey BIGINT, qty INT)
+          TBLPROPERTIES('key'='o_orderkey')""")
+        Tables.orders(s, d).createOrReplaceTempView("q319_base")
+        s.sql(s"""
+          INSERT INTO graft.$table
+          SELECT o_orderkey, CAST(o_orderkey % 100000 AS INT)
+          FROM q319_base""")                                       // v1
+        s.sql(s"ALTER TABLE graft.$table ALTER COLUMN qty TYPE BIGINT")
+        // ^ fences v2
+        s.sql(s"""
+          INSERT INTO graft.$table
+          SELECT o_orderkey + (SELECT 1 + max(o_orderkey) FROM q319_base),
+                 (o_orderkey % 100000) + 5000000000
+          FROM q319_base WHERE o_orderpriority = '1-URGENT'""")    // v3
+      }
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      def slice(ver: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).cast("long").as("n_rows"),
+            sum(col("qty")).cast("long").as("sum_qty"))
+          .select(lit(ver).as("ver"),
+            lit(df.schema("qty").dataType.simpleString).as("qty_type"),
+            col("n_rows"), col("sum_qty"))
+      slice("v1", s.sql(s"SELECT * FROM graft.$table VERSION AS OF 1"))
+        .unionAll(slice("cur", s.table(s"graft.$table")))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k, k % 100000 AS q, o_orderpriority AS p
+        FROM orders),
+      cur AS (
+        SELECT q FROM base
+        UNION ALL
+        SELECT q + 5000000000 FROM base WHERE p = '1-URGENT')
+      SELECT 'v1' AS ver, 'int' AS qty_type, count(*) AS n_rows,
+             CAST(sum(q) AS BIGINT) AS sum_qty
+      FROM base
+      UNION ALL
+      SELECT 'cur', 'bigint', count(*), CAST(sum(q) AS BIGINT)
+      FROM cur
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
     q282, q283, q284, q285, q286, q288, q289, q290, q291, q292, q293, q294,
     q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306,
-    q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317)
+    q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318,
+    q319)
 }
