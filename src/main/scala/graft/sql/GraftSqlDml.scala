@@ -91,6 +91,29 @@ object GraftSql {
     tables.remove(name.toLowerCase(java.util.Locale.ROOT)); ()
   }
 
+  /** Bounded engine-side recompute retries for catalog DML whose
+    * pinned commit lost the version race (see
+    * [[GraftRetryingDmlCommand]]); retries AFTER the first attempt.
+    */
+  val DmlMaxRetriesConf = "spark.graft.dml.maxRetries"
+
+  /** Whether a DML target is a CATALOG-resolved graft table (and not
+    * shadowed by a path registration): these statements execute
+    * through Spark's native row-level route, whose commit is a
+    * single pinned-snapshot attempt — the engine wraps them in the
+    * bounded recompute-retry command.
+    */
+  private def catalogDmlTarget(plan: LogicalPlan): Boolean = {
+    val parts = plan match {
+      case u: UnresolvedRelation => Some(u.multipartIdentifier)
+      case SubqueryAlias(_, u: UnresolvedRelation) =>
+        Some(u.multipartIdentifier)
+      case _ => None
+    }
+    parts.exists(p =>
+      lookupRegistered(p).isEmpty && GraftCatalogs.lookup(p).nonEmpty)
+  }
+
   /** EXACT multipart match only — no last-part fallback: DML on an
     * unrelated catalog table `db.t` whose bare name collides with a
     * registered graft name must pass through to Spark untouched, not
@@ -202,7 +225,8 @@ object GraftSql {
       }
     case DeleteFromTable(t, condition) =>
       target(t) match {
-        case None => plan
+        case None =>
+          if (catalogDmlTarget(t)) GraftRetryingDmlCommand(plan) else plan
         case Some((reg, alias)) =>
           requireKey(reg)
           GraftDeleteCommand(reg.path, reg.keyCols, alias,
@@ -210,7 +234,9 @@ object GraftSql {
       }
     case u: UpdateTable =>
       target(u.table) match {
-        case None => plan
+        case None =>
+          if (catalogDmlTarget(u.table)) GraftRetryingDmlCommand(plan)
+          else plan
         case Some((reg, alias)) =>
           requireKey(reg)
           val keyLcs = reg.keyCols.map(_.toLowerCase(java.util.Locale.ROOT))
@@ -227,7 +253,9 @@ object GraftSql {
       }
     case m: MergeIntoTable =>
       target(m.targetTable) match {
-        case None => plan
+        case None =>
+          if (catalogDmlTarget(m.targetTable)) GraftRetryingDmlCommand(plan)
+          else plan
         case Some((reg, aliasParts)) =>
           requireKey(reg)
           val keyLcs = reg.keyCols.map(_.toLowerCase(java.util.Locale.ROOT))
@@ -708,6 +736,64 @@ object GraftMergeIntoCommand {
     * conditional MERGEs serialize per key).
     */
   private[graft] var testAfterSnapshot: Option[Long => Unit] = None
+}
+
+/** ENGINE-SIDE BOUNDED RETRY for conflicted catalog DML (round-15
+  * verdict #3): DELETE/UPDATE/MERGE over a catalog name executes
+  * through Spark's native row-level route, whose delta commit is
+  * PINNED at the snapshot the statement read — an interleaved commit
+  * makes it fail loudly rather than absorb the interleave (the
+  * serializability contract). Until now the caller had to script the
+  * recompute-retry loop itself; this command is that loop, inside the
+  * engine (Delta's behavior): each attempt RE-ANALYZES the original
+  * statement, so the table loads fresh, the clauses re-evaluate
+  * against the NEW latest, and the commit re-pins there — never a
+  * blind re-commit of stale delta files. Only the version-race
+  * conflict retries; every other failure propagates unchanged.
+  * Bounded by [[GraftSql.DmlMaxRetriesConf]] (default 3 recomputes) —
+  * exhaustion refuses loudly naming the conf, because unbounded
+  * retries under sustained contention just hide a design problem.
+  */
+case class GraftRetryingDmlCommand(statement: LogicalPlan)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(statement)
+  override def output: Seq[Attribute] = Seq.empty
+
+  private def versionConflict(e: Throwable): Boolean = {
+    var c: Throwable = e
+    while (c != null) {
+      if (c.isInstanceOf[java.io.IOException] && c.getMessage != null &&
+        c.getMessage.contains("already committed")) return true
+      c = c.getCause
+    }
+    false
+  }
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val maxRetries =
+      session.conf.get(GraftSql.DmlMaxRetriesConf, "3").toInt
+    var attempt = 0
+    while (true) {
+      try {
+        // fresh analysis per attempt: loadTable re-pins the snapshot
+        // at the current latest, and the row-level rewrite recomputes
+        // the delta against it
+        GraftStreamingBridge.ofRows(session, statement).collect()
+        return Seq.empty
+      } catch {
+        case e: Throwable if versionConflict(e) =>
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new java.io.IOException(
+              s"graft DML: gave up after $maxRetries recompute retries — " +
+                "a competing writer interleaved with every attempt " +
+                s"(each recomputed against the then-latest version); " +
+                s"raise ${GraftSql.DmlMaxRetriesConf} or serialize the " +
+                "writers", e)
+      }
+    }
+    Seq.empty // unreachable
+  }
 }
 
 private[sql] object GraftDml {

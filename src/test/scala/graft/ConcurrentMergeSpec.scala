@@ -102,4 +102,47 @@ class ConcurrentMergeSpec extends SparkTestBase {
       assert(rows === Map(7L -> 7L), s"got $rows")
     } finally GraftSql.unregister("cm_race2")
   }
+
+  test("NATIVE-route MERGE race: the engine's bounded retry recomputes — zero caller-side retry code") {
+    spark.sql("DROP TABLE IF EXISTS graft.cm_native")
+    spark.sql("""CREATE TABLE graft.cm_native (k BIGINT, v BIGINT)
+      TBLPROPERTIES('key'='k')""")
+    spark.sql("INSERT INTO graft.cm_native VALUES (1, 10), (2, 20), (3, 30)")
+    val path = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[graft.catalog.GraftCatalog].tablePath(Seq("cm_native"))
+    Seq((1L, 0L), (2L, 0L)).toDF("k", "z")
+      .createOrReplaceTempView("cmn_src_a")
+    Seq((2L, 0L)).toDF("k", "z").createOrReplaceTempView("cmn_src_b")
+    // B commits INSIDE A's write-then-commit window (the seam runs at
+    // the top of A's driver-side delta commit, after A's distributed
+    // write) — A's pinned commit conflicts, and the ENGINE retries:
+    // fresh analysis, new snapshot pin, clauses recomputed
+    var fired = false
+    graft.catalog.GraftDeltaBatchWrite.testBeforeCommit = Some { () =>
+      if (!fired) {
+        fired = true
+        spark.sql("""
+          MERGE INTO graft.cm_native AS t USING cmn_src_b AS s ON t.k = s.k
+          WHEN MATCHED AND t.v < 1000 THEN UPDATE SET v = t.v + 1""")
+      }
+    }
+    try {
+      spark.sql("""
+        MERGE INTO graft.cm_native AS t USING cmn_src_a AS s ON t.k = s.k
+        WHEN MATCHED AND t.v < 25 THEN UPDATE SET v = t.v + 100
+        WHEN MATCHED THEN DELETE""")
+    } finally graft.catalog.GraftDeltaBatchWrite.testBeforeCommit = None
+    assert(fired, "the race must actually have fired")
+    val rows = spark.table("graft.cm_native").as[(Long, Long)]
+      .collect().toMap
+    // serial B-then-A, same as the command route: B bumps k=2 to 21;
+    // A's RECOMPUTE sees k=1 at 10 (<25 -> 110) and k=2 at 21
+    // (<25 -> 121). A stale re-commit of A's first-attempt delta
+    // would have produced 120 — losing B's increment.
+    assert(rows === Map(1L -> 110L, 2L -> 121L, 3L -> 30L),
+      s"result must equal the serial order B-then-A, got $rows")
+    // three commits: seed, B, A's recomputed commit
+    assert(VersionedTable.latestVersion(path) === Some(3L))
+    spark.sql("DROP TABLE IF EXISTS graft.cm_native")
+  }
 }

@@ -200,7 +200,7 @@ class GraftRowLevelSpec extends SparkTestBase {
     drop("rl_stats")
   }
 
-  test("a commit interleaving under a native UPDATE surfaces as a loud conflict (rerun contract)") {
+  test("a commit interleaving under a native UPDATE recomputes and retries INSIDE the engine") {
     drop("rl_race")
     spark.sql("""CREATE TABLE graft.rl_race (k BIGINT, v BIGINT)
       TBLPROPERTIES('key'='k')""")
@@ -213,25 +213,46 @@ class GraftRowLevelSpec extends SparkTestBase {
         VersionedTable.append(Seq((9L, 90L)).toDF("k", "v"), path)
       }
     }
-    val e = try intercept[Exception] {
-      spark.sql("UPDATE graft.rl_race SET v = v + 1 WHERE k = 1")
-    } finally graft.catalog.GraftDeltaBatchWrite.testBeforeCommit = None
+    // ZERO caller-side retry code (round-15 verdict #3): the pinned
+    // commit still refuses internally — the engine's bounded retry
+    // re-analyzes the statement, re-pins at the NEW latest, and
+    // recomputes the clauses there (never a blind re-commit of the
+    // stale delta files)
+    try spark.sql("UPDATE graft.rl_race SET v = v + 1 WHERE k = 1")
+    finally graft.catalog.GraftDeltaBatchWrite.testBeforeCommit = None
     assert(fired)
-    // the pinned commit refuses: clauses were evaluated against the
-    // pre-interleave snapshot — the user reruns against the new
-    // latest instead of silently absorbing
-    assert(e.getMessage.contains("already committed") ||
-      Option(e.getCause).exists(_.getMessage.contains("already committed")),
-      e.getMessage)
-    // nothing was published by the refused attempt; the interleaved
-    // append stands
-    val rows = spark.table("graft.rl_race").as[(Long, Long)].collect().toMap
-    assert(rows === Map(1L -> 10L, 9L -> 90L))
-    // the rerun succeeds against the new snapshot
-    spark.sql("UPDATE graft.rl_race SET v = v + 1 WHERE k = 1")
     assert(spark.table("graft.rl_race").as[(Long, Long)].collect().toMap
       === Map(1L -> 11L, 9L -> 90L))
+    // three commits: seed, the interleaved append, the retried UPDATE
+    // (the refused attempt published nothing — its dirs are orphans)
+    assert(VersionedTable.latestVersion(path) === Some(3L))
     drop("rl_race")
+  }
+
+  test("retry exhaustion under sustained contention refuses loudly naming the conf") {
+    drop("rl_race2")
+    spark.sql("""CREATE TABLE graft.rl_race2 (k BIGINT, v BIGINT)
+      TBLPROPERTIES('key'='k')""")
+    spark.sql("INSERT INTO graft.rl_race2 VALUES (1, 10)")
+    val path = tablePath("rl_race2")
+    spark.conf.set(graft.sql.GraftSql.DmlMaxRetriesConf, "1")
+    // a competitor lands inside EVERY attempt's window
+    graft.catalog.GraftDeltaBatchWrite.testBeforeCommit = Some { () =>
+      VersionedTable.append(Seq((9L, 90L)).toDF("k", "v"), path)
+    }
+    val e = try intercept[Exception] {
+      spark.sql("UPDATE graft.rl_race2 SET v = v + 1 WHERE k = 1")
+    } finally {
+      graft.catalog.GraftDeltaBatchWrite.testBeforeCommit = None
+      spark.conf.unset(graft.sql.GraftSql.DmlMaxRetriesConf)
+    }
+    assert(e.getMessage.contains("gave up after 1 recompute") &&
+      e.getMessage.contains(graft.sql.GraftSql.DmlMaxRetriesConf),
+      e.getMessage)
+    // no attempt published; only the competitors' appends landed
+    assert(spark.table("graft.rl_race2").as[(Long, Long)].collect().toMap
+      === Map(1L -> 10L, 9L -> 90L))
+    drop("rl_race2")
   }
 
   test("composite key through the native route: rowId carries both columns") {
