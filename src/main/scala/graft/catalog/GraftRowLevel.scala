@@ -219,10 +219,15 @@ class GraftDeltaBatchWrite(path: String, snapshot: Long,
     if (!withData) dropDir(s"$path/data/$dataDir")
     if (!withTomb) dropDir(s"$path/data/$tombDir")
     if (!withData && !withTomb) return
+    // the committed FILE NAMES ride the manifest entry (file-level
+    // manifest): prune() above is cleanup, the entry is the guarantee
+    // — a zombie/speculative attempt flushing AFTER the prune (or
+    // even after the manifest publishes) is simply never scanned
     VersionedTable.commitDelta(path, snapshot,
       if (withData) Some(dataDir) else None,
       if (withTomb) Some(tombDir) else None,
-      statsCols, bloomCols)
+      statsCols, bloomCols,
+      dataFiles = dataFiles.toSeq.sorted, tombFiles = tombFiles.toSeq.sorted)
     ()
   }
 

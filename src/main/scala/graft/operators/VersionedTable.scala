@@ -223,6 +223,44 @@ object VersionedTable {
       }
     }.toMap
 
+  /** FILE-LEVEL manifest segment (`;@files:a.parquet|b.parquet`): the
+    * exact file names a commit's tasks reported. Entries written by
+    * Spark-job batch writes don't need it (the Hadoop commit protocol
+    * already quarantines failed attempts under `_temporary`), but the
+    * native delta write streams files DIRECTLY into its staged dirs —
+    * a ZOMBIE task attempt that flushes after the driver's prune
+    * could otherwise become committed content. With the segment,
+    * readers scan exactly the named files and a late-landing stray is
+    * provably invisible (vacuum reclaims it with the dir's history).
+    * The stats-pruning grammar ignores the segment (its parser keys
+    * on `col:lo:hi` shapes), and entries copy forward verbatim like
+    * every other suffix.
+    */
+  private val FilesSeg = "@files:"
+
+  private[graft] def filesSegment(files: Seq[String]): String = {
+    if (files.isEmpty) return ""
+    files.foreach(f => require(!f.exists(";|:\n".contains(_)),
+      s"file name $f would corrupt the manifest grammar"))
+    s";$FilesSeg${files.sorted.mkString("|")}"
+  }
+
+  private def filesOf(e: String): Option[Seq[String]] =
+    e.split(";").drop(1).find(_.startsWith(FilesSeg))
+      .map(_.stripPrefix(FilesSeg).split("\\|").toSeq.filter(_.nonEmpty))
+
+  /** The concrete scan roots of one entry: the whole batch dir, or —
+    * when the entry carries a file-level manifest — exactly the
+    * committed files.
+    */
+  private[graft] def scanPaths(path: String, e: String): Seq[String] = {
+    val dir = dirOf(e)
+    filesOf(e) match {
+      case Some(names) => names.map(n => s"$path/data/$dir/$n")
+      case None => Seq(s"$path/data/$dir")
+    }
+  }
+
   /** The writer transaction id carried by `version`'s manifest, if
     * its commit declared one.
     */
@@ -1100,7 +1138,8 @@ object VersionedTable {
     */
   private[graft] def commitDelta(path: String, snapshot: Long,
       dataDir: Option[String], tombDir: Option[String],
-      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil,
+      dataFiles: Seq[String] = Nil, tombFiles: Seq[String] = Nil): Long = {
     require(dataDir.nonEmpty || tombDir.nonEmpty,
       "commitDelta with nothing to publish")
     val prev = if (snapshot == 0) Seq.empty else manifestEntries(path, snapshot)
@@ -1111,10 +1150,18 @@ object VersionedTable {
     val dataEntry = dataDir.map { d =>
       val spark = SparkSession.active
       writeBloomSidecar(spark, s"$path/data/$d", bloomCols)
-      d + statsSuffix(spark, s"$path/data/$d", statsCols)
+      // the FILE-LEVEL manifest ([[filesSegment]]): delta writers
+      // stream directly (no Hadoop commit protocol), so the entry
+      // names exactly the files committed tasks reported — a zombie
+      // attempt flushing after the driver's prune can never become
+      // table content. Stats/bloom read the dir (a stray could only
+      // WIDEN an envelope or add bloom bits — both sound).
+      d + statsSuffix(spark, s"$path/data/$d", statsCols) +
+        filesSegment(dataFiles)
     }
+    val tombEntry = tombDir.map(t => "~" + t + filesSegment(tombFiles))
     commitManifest(path, snapshot + 1,
-      prev ++ tombDir.map("~" + _).toSeq ++ dataEntry.toSeq)
+      prev ++ tombEntry.toSeq ++ dataEntry.toSeq)
     snapshot + 1
   }
 
@@ -1190,15 +1237,17 @@ object VersionedTable {
         dir -> raw.substring(dir.length)
       }.toMap
     // walk from the end accumulating the tombstones seen so far:
-    // each data batch's applicable set = tombstones AFTER it
+    // each data batch's applicable set = tombstones AFTER it.
+    // FULL entries travel (not just dirs) so file-level manifests
+    // reach both the data scans and the tombstone reads
     var tombsAfter = List.empty[String]
     val assigned = entries.reverse.flatMap { e =>
-      if (isTombstone(e)) { tombsAfter ::= dirOf(e); None }
-      else if (keep(e)) Some(dirOf(e) -> tombsAfter)
+      if (isTombstone(e)) { tombsAfter ::= e.stripPrefix("~"); None }
+      else if (keep(e)) Some(e -> tombsAfter)
       else None
     }.reverse
     if (assigned.isEmpty) return None
-    val parts = assigned.groupBy(_._2).toSeq.map { case (tombDirs, pairs) =>
+    val parts = assigned.groupBy(_._2).toSeq.map { case (tombEntries, pairs) =>
       val reader = explicitSchema match {
         // widened read: every scan shares one explicit schema (the
         // parquet reader promotes narrower stored types natively)
@@ -1209,9 +1258,12 @@ object VersionedTable {
         if (!auto) reader
         else reader.option(graft.plans.VersionedStatsPruning.StatsOption,
           graft.plans.VersionedStatsPruning.encode(
-            pairs.map(pr => pr._1 -> statsSuffixOf.getOrElse(pr._1, ""))))
-      val live = tagged.parquet(pairs.map(pr => s"$path/data/${pr._1}"): _*)
-      applyTombstones(spark, path, live, tombDirs)
+            pairs.map { pr =>
+              val dir = dirOf(pr._1)
+              dir -> statsSuffixOf.getOrElse(dir, "")
+            }))
+      val live = tagged.parquet(pairs.flatMap(pr => scanPaths(path, pr._1)): _*)
+      applyTombstones(spark, path, live, tombEntries)
     }
     Some(parts.reduce((a, b) =>
       a.unionByName(b, allowMissingColumns = mergeSchema)))
@@ -1220,17 +1272,20 @@ object VersionedTable {
   /** Anti-join `live` against each distinct key column among the
     * applicable tombstone batches (typically one; compaction folds
     * them away). Tombstone schema reads are footer-only and bounded
-    * by the manifest's batch count.
+    * by the manifest's batch count. `tombEntries` are full manifest
+    * entries (prefix stripped), so file-level manifests scope the
+    * tombstone reads exactly like data reads.
     */
   private def applyTombstones(spark: SparkSession, path: String,
-      live: DataFrame, tombDirs: Seq[String]): DataFrame =
-    if (tombDirs.isEmpty) live
+      live: DataFrame, tombEntries: Seq[String]): DataFrame =
+    if (tombEntries.isEmpty) live
     else {
       // grouped by the tombstone's FULL column list: a composite-key
       // tombstone (k1, k2) anti-joins on both columns — deleting only
       // rows matching the whole key — while single-column tombstones
       // keep their original plan shape
-      val byKey = tombDirs.map(d => spark.read.parquet(s"$path/data/$d"))
+      val byKey = tombEntries
+        .map(e => spark.read.parquet(scanPaths(path, e): _*))
         .groupBy(_.columns.toList)
       byKey.toSeq.foldLeft(live) { case (acc, (keyCols, frames)) =>
         keyCols.foreach(c => require(acc.columns.contains(c),
@@ -1310,7 +1365,7 @@ object VersionedTable {
     require(entries.exists(e => !isTombstone(e)),
       s"version $version of $path lists no data batches")
     val schemas = entries.filterNot(isTombstone).map(e =>
-      spark.read.parquet(s"$path/data/${dirOf(e)}").schema)
+      spark.read.parquet(scanPaths(path, e): _*).schema)
     val fields = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
     schemas.foreach(_.foreach { f =>
       fields.get(f.name) match {
@@ -1819,31 +1874,31 @@ object VersionedTable {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion > toVersion $toVersion")
     if (fromVersion == 0) return readAt(spark, path, toVersion)
-    val fresh = freshChangeDirs(path, fromVersion, toVersion)
+    val fresh = freshChangeEntries(path, fromVersion, toVersion)
     if (fresh.isEmpty)
       readAt(spark, path, toVersion).limit(0)
-    else spark.read.parquet(fresh.map(b => s"$path/data/$b"): _*)
+    else spark.read.parquet(fresh.flatMap(scanPaths(path, _)): _*)
   }
 
   /** The per-commit walk behind [[readChanges]], exposed so the
     * streaming source can footer-check each delivered batch's schema
     * BEFORE reading it (the schema-evolution contract): fresh
-    * non-compaction data dirs in (from, to], or — for `from = 0`,
-    * the initial snapshot — the data dirs of `to`'s manifest.
+    * non-compaction data ENTRIES in (from, to] (full entries, so
+    * file-level manifests scope the delivery), or — for `from = 0`,
+    * the initial snapshot — the data entries of `to`'s manifest.
     */
-  private[graft] def freshChangeDirs(path: String, fromVersion: Long,
+  private[graft] def freshChangeEntries(path: String, fromVersion: Long,
       toVersion: Long): Seq[String] =
     if (fromVersion == 0)
-      manifestEntries(path, toVersion).filterNot(isTombstone).map(dirOf)
+      manifestEntries(path, toVersion).filterNot(isTombstone)
     else
       (fromVersion + 1 to toVersion).flatMap { v =>
         val prevDirs = manifestEntries(path, v - 1).map(dirOf).toSet
         manifestEntries(path, v)
           .filterNot(isTombstone)
           .filterNot(isCompaction)
-          .map(dirOf)
-          .filterNot(prevDirs.contains)
-      }.distinct.sorted
+          .filterNot(e => prevDirs.contains(dirOf(e)))
+      }.distinct.sortBy(dirOf)
 
   /** [[readChanges]] under an EXPLICIT schema — the widened-stream
     * read: every delivered batch scans with `schema`, so batches
@@ -1866,12 +1921,12 @@ object VersionedTable {
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           schema))
     }
-    val fresh = freshChangeDirs(path, fromVersion, toVersion)
+    val fresh = freshChangeEntries(path, fromVersion, toVersion)
     if (fresh.isEmpty)
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     else spark.read.schema(schema)
-      .parquet(fresh.map(b => s"$path/data/$b"): _*)
+      .parquet(fresh.flatMap(scanPaths(path, _)): _*)
   }
 
   /** CHANGE DATA FEED — [[readChanges]] completed with delete
@@ -1920,7 +1975,8 @@ object VersionedTable {
         val dir = dirOf(e)
         if (prevDirs.contains(dir) || isCompaction(e)) None
         else if (isTombstone(e)) {
-          val keys = spark.read.parquet(s"$path/data/$dir")
+          val keys = spark.read.parquet(
+            scanPaths(path, e.stripPrefix("~")): _*)
           // semi-join on the tombstone's FULL column list (one column
           // for plain keys, all components for composite keys)
           val keyCols = keys.columns.toSeq
@@ -1931,7 +1987,7 @@ object VersionedTable {
             pre.join(keys.distinct(), keyCols, "left_semi")
               .withColumn("_change_type", lit("delete")))
         } else
-          Some(spark.read.parquet(s"$path/data/$dir")
+          Some(spark.read.parquet(scanPaths(path, e): _*)
             .withColumn("_change_type", lit("insert")))
       }
     }
@@ -2076,8 +2132,30 @@ object VersionedTable {
     val entries = manifestEntries(path, version)
     if (entries.exists(isTombstone)) return None
     val conf = spark.sparkContext.hadoopConfiguration
-    Some(entries.map(e => footerRowCount(conf, s"$path/data/${dirOf(e)}")).sum)
+    Some(entries.map(e => footerRowCountEntry(conf, path, e)).sum)
   }
+
+  /** [[footerRowCount]] scoped by the entry's file-level manifest
+    * when it carries one — an uncommitted stray in a delta batch dir
+    * must not inflate the metadata-only count.
+    */
+  private def footerRowCountEntry(conf: org.apache.hadoop.conf.Configuration,
+      path: String, e: String, stopAtFirstRow: Boolean = false): Long =
+    filesOf(e) match {
+      case None =>
+        footerRowCount(conf, s"$path/data/${dirOf(e)}", stopAtFirstRow)
+      case Some(names) =>
+        var total = 0L
+        val it = names.iterator
+        while (it.hasNext && !(stopAtFirstRow && total > 0L)) {
+          val fp = new Path(s"$path/data/${dirOf(e)}/${it.next()}")
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(fp, conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try total += reader.getRecordCount finally reader.close()
+        }
+        total
+    }
 
   /** Metadata-only MIN/MAX: batch stats are EXACT aggregates of their
     * batch, so with no unabsorbed tombstone the table-wide range of
@@ -2102,7 +2180,7 @@ object VersionedTable {
           // emptiness probe shares footerRowCount's below-the-root
           // hidden-ness rule, so a populated clustered bucket
           // (`__rb=`/`__zb=` dir) is never misread as empty
-          val n = footerRowCount(conf, s"$path/data/${dirOf(e)}",
+          val n = footerRowCountEntry(conf, path, e,
             stopAtFirstRow = true)
           if (n == 0L) None else return None // non-empty without stats
       }

@@ -298,7 +298,11 @@ object VersionedStatsPruning extends Rule[LogicalPlan] {
       conf: org.apache.hadoop.conf.Configuration,
       probes: Seq[(String, Seq[Literal])]): Boolean =
     try {
-      val bloomDir = new Path(root, "_bloom")
+      // a file root (file-level manifest) probes its PARENT dir's
+      // sidecar — the sidecar is per-batch, not per-file
+      val base =
+        if (root.getName.endsWith(".parquet")) root.getParent else root
+      val bloomDir = new Path(base, "_bloom")
       val f = bloomDir.getFileSystem(conf)
       if (!f.exists(bloomDir)) return true
       val bitsByCol = scala.collection.mutable.Map
@@ -353,7 +357,12 @@ object VersionedStatsPruning extends Rule[LogicalPlan] {
             val roots = fs.location.rootPaths
             val statsKept = roots.filter { r =>
               val rs = r.toString
-              dirStats.find { case (dir, _) => rs.endsWith("/" + dir) } match {
+              // a root is either the batch DIR itself or — under a
+              // file-level manifest (native delta commits) — a FILE
+              // inside it; both must resolve to the dir's stats
+              dirStats.find { case (dir, _) =>
+                rs.endsWith("/" + dir) || rs.contains("/" + dir + "/")
+              } match {
                 case Some((_, stats)) => req.forall { case (c, (tag, lo, hi)) =>
                   envAdmits(stats.get(c), tag, lo, hi)
                 }

@@ -400,8 +400,10 @@ private[sources] class GraftSource(spark: SparkSession, path: String,
       .filterNot(_.name == "_change_type")
       .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType)
     val declaredMap = declared.toMap
-    VersionedTable.freshChangeDirs(path, from, to).foreach { dir =>
-      val got = spark.read.parquet(s"$path/data/$dir").schema
+    VersionedTable.freshChangeEntries(path, from, to).foreach { entry =>
+      val dir = entry.split(";").head
+      val got = spark.read
+        .parquet(VersionedTable.scanPaths(path, entry): _*).schema
       got.fields.foreach { f =>
         val lc = f.name.toLowerCase(java.util.Locale.ROOT)
         declaredMap.get(lc) match {

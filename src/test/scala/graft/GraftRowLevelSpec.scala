@@ -255,6 +255,54 @@ class GraftRowLevelSpec extends SparkTestBase {
     drop("rl_race2")
   }
 
+  test("zombie attempt files landing in committed delta dirs are invisible (file-level manifest)") {
+    drop("rl_zombie")
+    spark.sql("""CREATE TABLE graft.rl_zombie (k BIGINT, v BIGINT)
+      TBLPROPERTIES('key'='k')""")
+    spark.sql("INSERT INTO graft.rl_zombie VALUES (1, 10), (2, 20)")
+    spark.sql("UPDATE graft.rl_zombie SET v = v + 1 WHERE k = 1")
+    val path = tablePath("rl_zombie")
+    assert(spark.table("graft.rl_zombie").as[(Long, Long)].collect().toMap
+      === Map(1L -> 11L, 2L -> 20L))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dataRoot = new org.apache.hadoop.fs.Path(s"$path/data")
+    val f = dataRoot.getFileSystem(conf)
+    def deltaDir(suffix: String) = f.listStatus(dataRoot).map(_.getPath)
+      .filter(_.getName.endsWith(suffix))
+      .maxBy(_.getName.split("_").head.stripPrefix("b").toLong)
+    // forge the zombie attempts the driver's prune can no longer
+    // reach: a DATA file that would duplicate rows, and a TOMBSTONE
+    // file that would delete k=2 — both landing AFTER the commit
+    val stage = tmpDir("rl_zombie_stage")
+    Seq((1L, 999L)).toDF("k", "v").coalesce(1).write
+      .mode("overwrite").parquet(s"$stage/d")
+    Seq(Tuple1(2L)).toDF("k").coalesce(1).write
+      .mode("overwrite").parquet(s"$stage/t")
+    def firstParquet(dir: String) =
+      f.listStatus(new org.apache.hadoop.fs.Path(dir)).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).head
+    org.apache.hadoop.fs.FileUtil.copy(f, firstParquet(s"$stage/d"),
+      f, new org.apache.hadoop.fs.Path(deltaDir("_m"), "part-9-zombie.parquet"),
+      false, conf)
+    org.apache.hadoop.fs.FileUtil.copy(f, firstParquet(s"$stage/t"),
+      f, new org.apache.hadoop.fs.Path(deltaDir("_k"), "part-9-zombie.parquet"),
+      false, conf)
+    // the manifest names exactly the committed files, so neither
+    // zombie is scanned: no duplicate (1, 999) row, k=2 survives
+    val latest = VersionedTable.latestVersion(path).get
+    val entries = VersionedTable.history(spark, path)
+      .filter(col("version") === latest)
+    assert(spark.table("graft.rl_zombie").as[(Long, Long)].collect().toMap
+      === Map(1L -> 11L, 2L -> 20L))
+    // the change feed is equally scoped (a zombie tombstone would
+    // otherwise materialize a phantom delete of k=2)
+    val feed = VersionedTable.readChangeFeed(spark, path, 1L, latest)
+      .filter(col("_change_type") === "delete").select("k").as[Long]
+      .collect().toSeq
+    assert(feed === Seq(1L), s"only the real tombstone row, got $feed")
+    drop("rl_zombie")
+  }
+
   test("composite key through the native route: rowId carries both columns") {
     drop("rl_ck")
     spark.sql("""CREATE TABLE graft.rl_ck (eid BIGINT, fp STRING, v BIGINT)
