@@ -459,6 +459,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           "and comment edits are not supported — this engine never " +
           "degrades silently)")
     }
+    // KEY ADOPTION over existing data: declaring (or changing) the
+    // merge key validates the key columns exist and every committed
+    // batch is null-free under them (footer-level null counts) BEFORE
+    // the catalog ever claims non-nullability — the write-side check
+    // (VersionedTable.assertKeysNonNull) covers all later commits
+    val newKey = updated.get("key")
+      .map(graft.sql.GraftSql.splitKey).getOrElse(Nil)
+    val oldKey = current.props.get("key")
+      .map(graft.sql.GraftSql.splitKey).getOrElse(Nil)
+    if (newKey.nonEmpty &&
+      newKey.map(_.toLowerCase(Locale.ROOT)) !=
+        oldKey.map(_.toLowerCase(Locale.ROOT))) {
+      newKey.foreach { k =>
+        require(newSchema.fieldNames.exists(_.equalsIgnoreCase(k)),
+          s"graft ALTER TABLE: key column '$k' is not a column of the table")
+      }
+      VersionedTable.latestVersion(path).foreach { v =>
+        VersionedTable.assertVersionKeysNonNull(SparkSession.active, path,
+          v, ColumnMapping.colsToPhysical(newKey, newSchema))
+      }
+    }
     // shape changes pin their epoch boundary with a metadata-only data
     // version FIRST (entries copied verbatim), so `VERSION AS OF` any
     // pre-ALTER version resolves under the old schema and the new

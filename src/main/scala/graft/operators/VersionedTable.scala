@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, coalesce, col, explode, lit, pmod, xxhash64}
@@ -150,6 +152,19 @@ object VersionedTable {
   private[graft] def terminated(path: String, version: Long): Boolean =
     rawManifestLines(path, version).lastOption.contains(Terminator)
 
+  /** UPGRADE-WINDOW strict tear detection: a torn put-if-absent
+    * manifest written by a PRE-MARKER release (entries present, no
+    * terminator, no `#mode=` line — that release wrote no marker)
+    * is indistinguishable from an accepted legacy rename manifest by
+    * the manifest's own declaration. Tables KNOWN to have used
+    * put-if-absent commits across the upgrade set this conf while
+    * repairing: marker-less, terminator-less manifests then refuse
+    * loudly instead of reading a truncated entry prefix as committed.
+    * Default off — legacy rename-committed tables (published in full
+    * before the rename) must keep reading under any session mode.
+    */
+  val StrictTearConf = "spark.graft.versioned.strictTear"
+
   private def rawManifestLines(path: String, version: Long): Seq[String] = {
     val (f, p) = fs(path)
     val m = new Path(p, s"_v$version.manifest")
@@ -185,8 +200,18 @@ object VersionedTable {
     //    (pre-terminator rename commit, published in full before the
     //    rename) — accepted under any session mode.
     val markedPia = lines.headOption.exists(_.startsWith("#mode="))
+    val unterminated = !lines.lastOption.contains(Terminator)
+    // the upgrade-window fallback ([[StrictTearConf]]): a marker-less
+    // unterminated manifest is legacy-accepted by default, but a
+    // table known to have committed put-if-absent under the
+    // pre-marker release opts into refusing it as potentially torn
+    val strict =
+      try SparkSession.active.conf
+        .get(StrictTearConf, "false").toBoolean
+      catch { case scala.util.control.NonFatal(_) => false }
     val torn = lines.forall(_.startsWith("#")) ||
-      (markedPia && !lines.lastOption.contains(Terminator))
+      (markedPia && unterminated) ||
+      (strict && unterminated)
     if (torn)
       throw new java.io.IOException(
         s"VersionedTable: manifest _v$version at $path is torn or still " +
@@ -334,6 +359,8 @@ object VersionedTable {
     val first = latestVersion(path).getOrElse(0L) + 1
     val batch = s"b${first}_${newToken()}"
     df.write.mode("overwrite").parquet(s"$path/data/$batch")
+    assertKeysNonNull(df.sparkSession, path, s"$path/data/$batch", Nil,
+      "append")
     // stats from the WRITTEN batch (column-pruned re-read), so the
     // source plan is never executed twice
     writeBloomSidecar(df.sparkSession, s"$path/data/$batch", bloomCols)
@@ -359,6 +386,125 @@ object VersionedTable {
     }
     -1L // unreachable
   }
+
+  /** WRITE-SIDE KEY NULL ENFORCEMENT — what licenses the catalog's
+    * non-nullable key claim: `loadTable` declares merge-key columns
+    * `nullable = false` (row identity; Spark's row-level operations
+    * and the optimizer both lean on it), so a committed batch holding
+    * a NULL key would make predicates like `WHERE k IS NULL` and
+    * null-aware joins silently WRONG. Every engine write path that
+    * publishes a data batch into a key-declaring table therefore
+    * proves the written batch null-free BEFORE the manifest commit:
+    * parquet FOOTER null counts (file metadata, zero data pages; one
+    * column-chunk statistics read per key column per file), falling
+    * back to one column-pruned scan only when a footer carries no
+    * null-count claim. A batch missing the key column entirely also
+    * refuses — its rows would read back NULL-keyed. Violations fail
+    * loudly naming the column and the fix; the batch dir stays an
+    * orphan for vacuum, the previous version intact. Tombstone
+    * batches are exempt: a NULL key in an anti-join matches nothing
+    * (no-op), never a wrong row. Hand-written parquet + hand-edited
+    * manifests are outside the contract, stated plainly.
+    */
+  private[graft] def assertKeysNonNull(spark: SparkSession, path: String,
+      batchDir: String, files: Seq[String], context: String): Unit = {
+    val meta =
+      try graft.catalog.GraftTableMeta.readLatest(path)
+      catch { case scala.util.control.NonFatal(_) => None }
+    val keys = meta.flatMap(_.props.get("key"))
+      .map(graft.sql.GraftSql.splitKey).getOrElse(Nil)
+    if (keys.isEmpty) return
+    val phys = graft.catalog.ColumnMapping
+      .colsToPhysical(keys, meta.get.schema)
+    assertColsNonNull(spark,
+      if (files.nonEmpty) files.map(n => s"$batchDir/$n")
+      else Seq(batchDir), phys, context)
+  }
+
+  /** The footer-level core of [[assertKeysNonNull]], parameterized so
+    * key ADOPTION (ALTER TABLE SET TBLPROPERTIES('key'=...) over
+    * existing data) can validate committed batches under the key
+    * being declared, before the claim is ever made.
+    */
+  private[graft] def assertColsNonNull(spark: SparkSession,
+      scanRoots: Seq[String], physCols: Seq[String],
+      context: String): Unit = {
+    if (physCols.isEmpty) return
+    def violation(c: String, what: String): Nothing =
+      throw new IllegalStateException(
+        s"graft $context refused: merge-key column '$c' $what — the " +
+          "keyed-table contract (and the catalog's non-nullable key " +
+          "claim) cannot address NULL-keyed rows. Filter or fill the " +
+          "keys before writing, or UNSET the table's 'key' property")
+    val conf = spark.sparkContext.hadoopConfiguration
+    var unproven = false
+    scanRoots.foreach { root =>
+      val rp = new Path(root)
+      val f = rp.getFileSystem(conf)
+      val filesHere: Seq[Path] =
+        if (f.getFileStatus(rp).isFile) Seq(rp)
+        else {
+          val rootPrefix = f.makeQualified(rp).toString.stripSuffix("/") + "/"
+          val it = f.listFiles(rp, true)
+          val acc = scala.collection.mutable.ArrayBuffer.empty[Path]
+          while (it.hasNext) {
+            val st = it.next()
+            val full = st.getPath.toString
+            val rel = if (full.startsWith(rootPrefix))
+              full.substring(rootPrefix.length) else full
+            val hidden = rel.split("/").exists(seg =>
+              seg.startsWith("_") || seg.startsWith("."))
+            if (st.isFile && full.endsWith(".parquet") && !hidden)
+              acc += st.getPath
+          }
+          acc.toSeq
+        }
+      filesHere.foreach { fp =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(fp, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val footer = reader.getFooter
+          val fileSchema = footer.getFileMetaData.getSchema
+          physCols.foreach { c =>
+            if (!fileSchema.containsField(c))
+              violation(c, "is absent from a written batch file (its " +
+                "rows would read back NULL-keyed)")
+            footer.getBlocks.forEach { b =>
+              b.getColumns.asScala
+                .find(_.getPath.toDotString == c).foreach { cc =>
+                  val st = cc.getStatistics
+                  if (st == null || !st.isNumNullsSet) unproven = true
+                  else if (st.getNumNulls > 0)
+                    violation(c, s"holds ${st.getNumNulls} NULL value(s) " +
+                      s"in $fp")
+                }
+            }
+          }
+        } finally reader.close()
+      }
+    }
+    // a footer without a null-count claim (foreign writer): one
+    // column-pruned scan settles it — correctness is never assumed
+    if (unproven) {
+      val scan = spark.read.parquet(scanRoots: _*)
+      physCols.foreach { c =>
+        if (!scan.filter(col(c).isNull).isEmpty)
+          violation(c, "holds NULL value(s)")
+      }
+    }
+  }
+
+  /** Key ADOPTION gate: validate every data batch of `version`
+    * null-free under the physical key columns being declared — run by
+    * ALTER TABLE SET TBLPROPERTIES('key'=...) over existing data,
+    * BEFORE the non-nullable claim is ever made.
+    */
+  private[graft] def assertVersionKeysNonNull(spark: SparkSession,
+      path: String, version: Long, physCols: Seq[String]): Unit =
+    manifestEntries(path, version).filterNot(isTombstone).foreach(e =>
+      assertColsNonNull(spark, scanPaths(path, e), physCols,
+        "key adoption (ALTER TABLE SET TBLPROPERTIES)"))
 
   /** Longest string prefix recorded as a stats bound — the Delta
     * truncated-stats convention: a KB-sized manifest must not carry
@@ -416,6 +562,8 @@ object VersionedTable {
     val next = latestVersion(path).getOrElse(0L) + 1
     val batch = s"b${next}_${newToken()}"
     df.write.mode("overwrite").parquet(s"$path/data/$batch")
+    assertKeysNonNull(df.sparkSession, path, s"$path/data/$batch", Nil,
+      "overwrite")
     writeBloomSidecar(df.sparkSession, s"$path/data/$batch", bloomCols)
     val entry = batch +
       statsSuffix(df.sparkSession, s"$path/data/$batch", statsCols)
@@ -772,6 +920,8 @@ object VersionedTable {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val failed = report.filter(_._2 > 0)
     def commitDir(dir: String): Long = {
+      assertKeysNonNull(spark, path, s"$path/data/$dir", Nil,
+        "appendChecked")
       writeBloomSidecar(spark, s"$path/data/$dir", bloomCols)
       val entry = dir + statsSuffix(spark, s"$path/data/$dir", statsCols)
       val next = latestVersion(path).getOrElse(0L) + 1
@@ -977,6 +1127,7 @@ object VersionedTable {
     } else {
       df.write.mode("overwrite").parquet(s"$path/data/$dataBatch")
     }
+    assertKeysNonNull(spark, path, s"$path/data/$dataBatch", Nil, "upsert")
     writeBloomSidecar(spark, s"$path/data/$dataBatch", bloomCols)
     if (withTomb)
       // tombstone BEFORE the data batch in the manifest:
@@ -1106,7 +1257,11 @@ object VersionedTable {
     val tok = newToken()
     val dataBatch = s"b${next}_${tok}_m"
     val tombBatch = s"b${next}_${tok}_k"
-    data.foreach(_.write.mode("overwrite").parquet(s"$path/data/$dataBatch"))
+    data.foreach { d =>
+      d.write.mode("overwrite").parquet(s"$path/data/$dataBatch")
+      assertKeysNonNull(d.sparkSession, path, s"$path/data/$dataBatch", Nil,
+        "upsert")
+    }
     if (withTomb) {
       (data.map(_.select(keyCols.map(col): _*)).toSeq ++
         deleteKeys.map(_.select(keyCols.map(col): _*)).toSeq)
@@ -1149,6 +1304,8 @@ object VersionedTable {
     // would silently degrade pruning until the next OPTIMIZE
     val dataEntry = dataDir.map { d =>
       val spark = SparkSession.active
+      assertKeysNonNull(spark, path, s"$path/data/$d", dataFiles,
+        "row-level write")
       writeBloomSidecar(spark, s"$path/data/$d", bloomCols)
       // the FILE-LEVEL manifest ([[filesSegment]]): delta writers
       // stream directly (no Hadoop commit protocol), so the entry
