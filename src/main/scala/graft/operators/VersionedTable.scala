@@ -2204,6 +2204,18 @@ object VersionedTable {
     val last = checkpointVersion(checkpointDir)
     if (latest <= last) return None
     f(readChanges(spark, path, last, latest), last, latest)
+    advanceCheckpoint(checkpointDir, latest)
+    Some((last, latest))
+  }
+
+  /** Advance a consumer checkpoint to `latest`: create a NEW marker
+    * (temp + rename to a fresh name), then best-effort sweep
+    * superseded markers. Max-on-read makes every crash state safe —
+    * the worst case is a replay (at-least-once), never a vanished
+    * checkpoint.
+    */
+  private def advanceCheckpoint(checkpointDir: String, latest: Long): Unit = {
+    val (cfs, cp) = fs(checkpointDir)
     val marker = new Path(cp, s"_version.$latest")
     val tmp = new Path(cp, s"_version.$latest.tmp")
     val out = cfs.create(tmp, true)
@@ -2211,7 +2223,7 @@ object VersionedTable {
     finally out.close()
     if (!cfs.rename(tmp, marker) && !cfs.exists(marker))
       throw new java.io.IOException(
-        s"consumeChanges: checkpoint rename $tmp -> $marker failed; " +
+        s"checkpoint rename $tmp -> $marker failed; " +
           "the delivery will replay (at-least-once)")
     // superseded markers (and any legacy content file) are cleanup,
     // not correctness: a refused delete leaves a LOWER marker behind,
@@ -2230,7 +2242,6 @@ object VersionedTable {
       }
       if (stale) { cfs.delete(mp, false); () }
     }
-    Some((last, latest))
   }
 
   /** Sum of parquet footer record counts over the visible data files
@@ -2521,6 +2532,98 @@ object VersionedTable {
     view.repartition(partitionCols.map(col): _*)
       .write.mode("overwrite").partitionBy(partitionCols: _*)
       .parquet(outDir)
+  }
+
+  /** INCREMENTAL HIVE-LAYOUT SYNC — [[exportHiveLayout]] driven by
+    * the change feed (round-15 verdict #4): a CHECKPOINTED consumer
+    * (the same marker discipline as [[consumeChanges]], the
+    * reference's weekly-reconcile cadence,
+    * `agf-reconciliation-stack.yaml:142-151`) that rewrites ONLY the
+    * `col=value` partition dirs the commits since the last sync
+    * touched — delete-aware via the CDF delete leg:
+    *
+    *  - first call (no checkpoint) = the full export;
+    *  - later calls read [[readChangeFeed]](last, latest); the
+    *    DISTINCT partition values over BOTH legs are the touched set
+    *    (an upsert touches its partition through its preimage rows,
+    *    a delete through the deleted rows, an append through the new
+    *    rows);
+    *  - touched partitions with surviving rows rewrite through
+    *    Spark's DYNAMIC partition overwrite (only dirs present in
+    *    the written data are replaced); a touched partition whose
+    *    rows ALL vanished has nothing to write, so its dir is
+    *    removed explicitly — the one case dynamic overwrite cannot
+    *    express;
+    *  - UNTOUCHED partition dirs are never opened, listed, or
+    *    rewritten — byte-identical across the sync (spec-proven).
+    *
+    * At 100 TB this is the difference between re-materializing the
+    * table weekly and paying one filtered scan of the touched
+    * partitions. Contracts, stated plainly: partition values must be
+    * non-null (Hive's default-partition escape is a different
+    * contract — refused loudly) and low-cardinality (the touched set
+    * is collected, bounded by distinct combinations); the feed range
+    * is bounded by manifest retention — a vacuumed intermediate
+    * version fails loudly, and the recovery is a full re-export from
+    * a fresh checkpoint. Returns the synced (fromVersion, toVersion),
+    * None when already current.
+    */
+  def syncHiveLayout(spark: SparkSession, path: String,
+      partitionCols: Seq[String], outDir: String,
+      checkpointDir: String): Option[(Long, Long)] = {
+    require(partitionCols.nonEmpty, "sync needs partition columns")
+    val latest = latestVersion(path).getOrElse(return None)
+    val last = checkpointVersion(checkpointDir)
+    if (latest <= last) return None
+    if (last == 0L) {
+      exportHiveLayout(spark, path, latest, partitionCols, outDir)
+      advanceCheckpoint(checkpointDir, latest)
+      return Some((0L, latest))
+    }
+    val feed = readChangeFeed(spark, path, last, latest)
+    partitionCols.foreach(c => require(feed.columns.contains(c),
+      s"partition column $c is not in the table"))
+    val touched = feed.select(partitionCols.map(col): _*)
+      .distinct().collect()
+    if (touched.nonEmpty) {
+      touched.foreach { r =>
+        require((0 until r.length).forall(!r.isNullAt(_)),
+          "syncHiveLayout: NULL partition values are not part of the " +
+            "col=value path contract; filter or fill them first")
+      }
+      val view = readAt(spark, path, latest)
+      val touchedDf = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(touched: _*)),
+        org.apache.spark.sql.types.StructType(
+          partitionCols.map(c => view.schema(c))))
+      val surviving = view.join(broadcast(touchedDf), partitionCols,
+        "left_semi")
+      // dynamic overwrite: only partitions present in the written
+      // data are replaced; untouched dirs are never listed or opened
+      surviving.repartition(partitionCols.map(col): _*)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCols: _*)
+        .parquet(outDir)
+      // touched partitions with NO surviving rows: remove their dirs
+      // (delete-awareness — the stale dir would otherwise keep
+      // serving deleted rows to foreign readers)
+      val survivingParts = surviving
+        .select(partitionCols.map(col): _*).distinct().collect()
+        .map(_.toSeq).toSet
+      val (of, _) = fs(outDir)
+      touched.filterNot(r => survivingParts.contains(r.toSeq)).foreach { r =>
+        val dir = partitionCols.zipWithIndex.map { case (c, i) =>
+          s"$c=" + org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.escapePathName(String.valueOf(r.get(i)))
+        }.mkString("/")
+        val p = new Path(s"$outDir/$dir")
+        if (of.exists(p)) { of.delete(p, true); () }
+      }
+    }
+    advanceCheckpoint(checkpointDir, latest)
+    Some((last, latest))
   }
 
   /** Drop history: keep the newest `keep` versions' manifests, delete

@@ -3586,10 +3586,86 @@ object SourceQueries extends QueryRegistry {
       FROM cur
     """.trim))
 
+  /** INCREMENTAL HIVE-LAYOUT SYNC (round-15 verdict #4) — q315's
+    * one-shot export made maintained: a CHECKPOINTED change-feed
+    * consumer (the reference's weekly-reconcile cadence,
+    * `agf-reconciliation-stack.yaml:142-151`) rewrites only the
+    * `col=value` partitions the commits since the last sync touched,
+    * delete-aware through the CDF delete leg — a fully-deleted
+    * partition's dir is REMOVED, untouched dirs are byte-identical
+    * (HiveExportSpec proves that leg; this query hash-gates the
+    * content). The chain: base export at v1 → delete one whole
+    * partition + targeted upsert + new-partition append → incremental
+    * sync → the ORACLE reads what a FOREIGN engine reads: plain
+    * parquet over the exported tree. A stale dir, a lost delete, or a
+    * partition rewritten from the wrong snapshot breaks the hash.
+    */
+  val q320 = GraftQuery(
+    "q320_versioned_hive_incremental_sync",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val sfx = d.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = s"/tmp/graft_q320_src_$sfx"
+      val out = s"/tmp/graft_q320_out_$sfx"
+      val ckpt = s"/tmp/graft_q320_ckpt_$sfx"
+      val done = VersionedTable.latestVersion(path).contains(4L) &&
+        new java.io.File(s"$ckpt/_version.4").exists()
+      if (!done) {
+        Seq(path, out, ckpt).foreach { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val f = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (f.exists(hp)) f.delete(hp, true)
+        }
+        val base = Tables.orders(s, d).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          round(col("o_totalprice") * 100).cast("long").as("total_c"),
+          col("o_orderpriority").as("pri"))
+        VersionedTable.append(base.drop("pri"), path)              // v1
+        VersionedTable.syncHiveLayout(s, path, Seq("st"), out, ckpt)
+        // delete EVERY row of one partition (its dir must vanish),
+        // correct a slice of the others, append a NEW partition under
+        // keys shifted past the live max (derived, SF-safe)
+        VersionedTable.deleteKeys(
+          base.filter(col("st") === "P").select("k"), "k", path)   // v2
+        VersionedTable.upsert(
+          base.filter(col("k") % 10 === 1 && col("st") =!= "P")
+            .withColumn("total_c", col("total_c") + 7).drop("pri"),
+          "k", path)                                               // v3
+        val off = base.agg(max(col("k"))).head().getLong(0) + 1L
+        VersionedTable.append(
+          base.filter(col("pri") === "1-URGENT")
+            .select((col("k") + off).as("k"), lit("N").as("st"),
+              col("total_c")), path)                               // v4
+        VersionedTable.syncHiveLayout(s, path, Seq("st"), out, ckpt)
+      }
+      // what a FOREIGN engine reads: plain parquet over the tree
+      s.read.parquet(out)
+        .groupBy(col("st"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          sum(col("total_c")).cast("long").as("total_c"))
+        .select(col("st"), col("n_orders"), col("total_c"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k, o_orderstatus AS st,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS tc,
+               o_orderpriority AS pri
+        FROM orders),
+      kept AS (
+        SELECT k, st, CASE WHEN k % 10 = 1 THEN tc + 7 ELSE tc END AS tc
+        FROM base WHERE st <> 'P'),
+      ins AS (
+        SELECT k + (SELECT 1 + max(k) FROM base) AS k, 'N' AS st, tc
+        FROM base WHERE pri = '1-URGENT'),
+      live AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+      SELECT st, count(*) AS n_orders, CAST(sum(tc) AS BIGINT) AS total_c
+      FROM live GROUP BY 1
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
     q282, q283, q284, q285, q286, q288, q289, q290, q291, q292, q293, q294,
     q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306,
     q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318,
-    q319)
+    q319, q320)
 }
