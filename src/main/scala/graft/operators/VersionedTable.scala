@@ -2632,6 +2632,23 @@ object VersionedTable {
     * Versions inside the keep window whose manifests an EARLIER,
     * narrower vacuum already removed are skipped, so widening the
     * retention later never aborts.
+    *
+    * CONCURRENT-READER CONTRACT (the Delta
+    * `deletedFileRetentionDuration` analog, stated for this format):
+    * a query PLANS against a version's manifest and scans its batch
+    * dirs later — so a vacuum that reclaims that version mid-query
+    * can yank files out from under a running scan. The contract is
+    * therefore: **retention must exceed the longest running query**
+    * — keep at least as many versions as can be superseded while
+    * your slowest reader runs (at one commit per minute and a 1-hour
+    * query ceiling, `keep >= 60`). A reader that loses the race
+    * fails loudly (`FileNotFoundException` from the scan — Spark
+    * never silently drops missing files here), and the failure is
+    * ATTRIBUTABLE post hoc: every vacuum records its floor in
+    * `_vacuum.info`, and [[diagnoseVacuumRace]] classifies such a
+    * failure against it, naming the retention fix. New reads of a
+    * reclaimed version refuse at the manifest ("never committed, or
+    * vacuumed") before any plan is built.
     */
   def vacuum(path: String, keep: Int): Unit = {
     require(keep >= 1, "must keep at least the latest version")
@@ -2669,6 +2686,65 @@ object VersionedTable {
             throw new java.io.IOException(
               s"VersionedTable vacuum: delete of batch dir $bp failed")
         }
+      }
+    }
+    // the post-hoc attribution record: which floor this vacuum set,
+    // and when — what [[diagnoseVacuumRace]] names when a concurrent
+    // reader loses the retention race
+    val info = new Path(p, VacuumInfoFile)
+    val out = f.create(info, true)
+    try out.write(s"floor=$floor\nat=${System.currentTimeMillis()}\n"
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private val VacuumInfoFile = "_vacuum.info"
+
+  /** The floor recorded by the last vacuum: (lowest retained version,
+    * vacuum wall-clock millis). None if the table was never vacuumed.
+    */
+  def vacuumFloor(path: String): Option[(Long, Long)] = {
+    val (f, p) = fs(path)
+    val info = new Path(p, VacuumInfoFile)
+    if (!f.exists(info)) return None
+    val in = f.open(info)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val kv = text.split("\n").flatMap(_.split("=", 2) match {
+      case Array(k, v) => Some(k -> v.trim)
+      case _ => None
+    }).toMap
+    for (fl <- kv.get("floor"); at <- kv.get("at"))
+      yield (fl.toLong, at.toLong)
+  }
+
+  /** POST-HOC DETECTION for the vacuum/reader race: classify a scan
+    * failure as "planned below the retention floor". Walks `t`'s
+    * cause chain for a missing file under this table's data dir;
+    * when the last vacuum's record explains it, returns the
+    * diagnosis naming the retention contract — so an operator
+    * distinguishes "raise `keep` (or re-run the query)" from a
+    * genuine storage fault. None = not this race.
+    */
+  def diagnoseVacuumRace(path: String, t: Throwable): Option[String] = {
+    val dataPrefix = s"$path/data/"
+    var c: Throwable = t
+    var missing: Option[String] = None
+    while (c != null && missing.isEmpty) {
+      val m = Option(c.getMessage).getOrElse("")
+      if (c.isInstanceOf[java.io.FileNotFoundException] &&
+        m.contains(dataPrefix)) missing = Some(m)
+      c = c.getCause
+    }
+    missing.flatMap { m =>
+      vacuumFloor(path).map { case (floor, at) =>
+        s"vacuum/reader race at $path: the scan referenced a file " +
+          s"($m) that a vacuum (floor=v$floor, at epoch-millis $at) " +
+          "reclaimed after the query planned. This is the retention " +
+          "contract, not a storage fault: keep enough versions to " +
+          "outlive your longest-running query (vacuum keep >= commits " +
+          "per query duration), then re-run the query against the " +
+          "current version"
       }
     }
   }
