@@ -78,6 +78,23 @@ object LanguageId {
     * (id, pred_lang, dist). The profile table broadcasts; the
     * per-doc argmin is a |langs|-row window per document.
     *
+    * MEASURED NEGATIVE (round 15): a zero-shuffle reformulation —
+    * the whole per-document rank profile and the per-language
+    * distance fold computed INSIDE one projection with higher-order
+    * functions (array_sort + run-length + comparator sort + per-lang
+    * aggregate against a profile map literal), hash-identical by
+    * construction — was built and measured. It removes all three
+    * gram-stream shuffles, but Spark's higher-order functions
+    * evaluate INTERPRETED lambdas (no codegen), and the interpreted
+    * per-element cost over ~900 grams × 5 languages per document
+    * swamped the shuffle savings by well over an order of magnitude
+    * (the q279 funnel at sf0.1 did not finish 3 iterations in 10
+    * minutes vs 15 s for this formulation; the q273 audit's repeated
+    * classify calls stretched past 20 minutes at sf0.01). The
+    * shuffled aggregate below keeps whole-stage codegen end to end,
+    * which is worth more than the shuffles it pays — rejected on
+    * measurement, kept here so the next round does not re-spend it.
+    *
     * Distance decomposition (identical arithmetic, scale-shaped):
     * dist(d, l) = Σ_matched |rd − rl| + topK · (|grams(d)| − matched)
     * — so the gram stream inner-joins ONLY the profile rows it hits

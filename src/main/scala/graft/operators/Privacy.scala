@@ -58,11 +58,33 @@ object Privacy {
   /** The text with every PII category replaced by its placeholder
     * (`<EMAIL>`, `<CARD>`, ...), applied in [[PiiPatterns]] order —
     * the scrub a training corpus runs before release.
+    *
+    * NECESSARY-CHARACTER GATES (round 15): every pattern REQUIRES a
+    * character a cheap containment test can exclude — the email
+    * pattern an `@`, the card/phone/ipv4 patterns a digit — so each
+    * expensive regex pass runs only on rows that could possibly
+    * match. Gates are judged on the ORIGINAL text, which is exact:
+    * replacements only remove characters and the placeholder tokens
+    * introduce neither `@` nor digits, so a gate that fails on the
+    * original fails on every intermediate too. On a clean corpus
+    * (the common case at training scale — most documents carry no
+    * PII) the scrub costs one literal `instr` and one
+    * character-class scan per row instead of four backtracking
+    * regex passes; on a dirty corpus the gated rows pay exactly what
+    * they paid before. Provably hash-identical (q277/q279/q186 gates
+    * + PiiSpec's positive matches).
     */
-  def piiRedact(text: Column): Column =
-    PiiPatterns.foldLeft(text) { case (acc, (cat, re)) =>
-      regexp_replace(acc, re, s"<${cat.toUpperCase}>")
-    }
+  def piiRedact(text: Column): Column = {
+    val (emailPats, digitPats) = PiiPatterns.partition(_._1 == "email")
+    def fold(start: Column, pats: Seq[(String, String)]): Column =
+      pats.foldLeft(start) { case (acc, (cat, re)) =>
+        regexp_replace(acc, re, s"<${cat.toUpperCase}>")
+      }
+    val afterEmail =
+      when(text.contains("@"), fold(text, emailPats)).otherwise(text)
+    when(text.rlike("[0-9]"), fold(afterEmail, digitPats))
+      .otherwise(afterEmail)
+  }
 
   /** Per report group: class count, classes below k, rows at risk,
     * and the at-risk fraction in exact basis points.
