@@ -628,6 +628,48 @@ object GraftCatalogs {
         cat.keyOf(rel).map(graft.sql.GraftSql.splitKey).getOrElse(Nil)))
     }
   }
+
+  /** Resolve a TVF's table argument — `graft_versioned('graft.t')`,
+    * `graft_changes('graft.t', ...)`, `graft_history('graft.t')`
+    * accept CATALOG identifiers alongside raw paths: a '/'-free
+    * dotted string that resolves through the active session's
+    * catalogs maps to the table's path; anything else is the path it
+    * always was. Returns the storage path.
+    */
+  def tvfPath(arg: String): String =
+    if (arg.contains("/")) arg
+    else lookup(arg.split("\\.").toSeq.filter(_.nonEmpty))
+      .map(_.path).getOrElse(arg)
+
+  /** The LOGICAL view of a path-level frame for TVF results: under an
+    * active column mapping (post RENAME/DROP), physical parquet
+    * column names alias back to the table's current logical names,
+    * retired (dropped) physical columns are projected away, and
+    * passenger columns (`_change_type`) ride through — so
+    * `graft_changes` over a renamed table speaks the same names its
+    * batch reads do (the Delta CDF convention: the CURRENT mapping).
+    * Identity (the frame itself) when the path carries no mapping.
+    */
+  def logicalView(df: org.apache.spark.sql.DataFrame,
+      path: String): org.apache.spark.sql.DataFrame =
+    GraftTableMeta.readLatest(path) match {
+      case Some(m) if ColumnMapping.isActive(m.schema) ||
+          m.dropped.nonEmpty =>
+        val lc = (s: String) => s.toLowerCase(Locale.ROOT)
+        val logicalOf = m.schema.map(f =>
+          lc(ColumnMapping.physicalName(f)) -> f.name).toMap
+        val droppedLc = m.dropped.map(lc).toSet
+        val cols = df.columns.toSeq.flatMap { c =>
+          if (droppedLc(lc(c))) None
+          else logicalOf.get(lc(c)) match {
+            case Some(logical) =>
+              Some(org.apache.spark.sql.functions.col(c).as(logical))
+            case None => Some(org.apache.spark.sql.functions.col(c))
+          }
+        }
+        df.select(cols: _*)
+      case _ => df
+    }
 }
 
 /** One catalog-resolved versioned table, version-pinned at load

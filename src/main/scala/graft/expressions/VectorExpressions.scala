@@ -165,9 +165,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
         val spark = org.apache.spark.sql.SparkSession.active
         val path = exprs.headOption match {
-          case Some(Literal(s, StringType)) if s != null => s.toString
+          // catalog identifiers resolve to their storage path
+          case Some(Literal(s, StringType)) if s != null =>
+            graft.catalog.GraftCatalogs.tvfPath(s.toString)
           case _ => throw new IllegalArgumentException(
-            "graft_versioned expects a literal string path as its first argument")
+            "graft_versioned expects a literal string path (or catalog " +
+              "identifier) as its first argument")
         }
         val version = exprs.lift(1) match {
           case Some(Literal(v: Int, IntegerType)) => v.toLong
@@ -180,8 +183,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         require(exprs.size <= 2,
           "graft_versioned takes (path[, version])")
-        graft.operators.VersionedTable.readAtAuto(spark, path, version)
-          .queryExecution.analyzed
+        graft.catalog.GraftCatalogs.logicalView(
+          graft.operators.VersionedTable.readAtAuto(spark, path, version),
+          path).queryExecution.analyzed
       }))
     // graft_history('<path>') — DESCRIBE HISTORY as a TVF: the commit
     // log (kind / entry deltas / txn) queryable from SQL text,
@@ -193,9 +197,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         import org.apache.spark.sql.types.StringType
         require(exprs.size == 1, "graft_history takes (path)")
         val path = exprs.head match {
-          case Literal(s, StringType) if s != null => s.toString
+          case Literal(s, StringType) if s != null =>
+            graft.catalog.GraftCatalogs.tvfPath(s.toString)
           case _ => throw new IllegalArgumentException(
-            "graft_history expects a literal string path")
+            "graft_history expects a literal string path or catalog " +
+              "identifier")
         }
         graft.operators.VersionedTable
           .history(org.apache.spark.sql.SparkSession.active, path)
@@ -212,9 +218,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
         require(exprs.size == 3, "graft_changes takes (path, from, to)")
         val path = exprs.head match {
-          case Literal(s, StringType) if s != null => s.toString
+          case Literal(s, StringType) if s != null =>
+            graft.catalog.GraftCatalogs.tvfPath(s.toString)
           case _ => throw new IllegalArgumentException(
-            "graft_changes expects a literal string path")
+            "graft_changes expects a literal string path or catalog " +
+              "identifier")
         }
         def ver(x: Expression, what: String): Long = x match {
           case Literal(v: Int, IntegerType) => v.toLong
@@ -222,10 +230,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"graft_changes expects a literal integer $what, got $other")
         }
-        graft.operators.VersionedTable.readChangeFeed(
-          org.apache.spark.sql.SparkSession.active, path,
-          ver(exprs(1), "fromVersion"), ver(exprs(2), "toVersion"))
-          .queryExecution.analyzed
+        graft.catalog.GraftCatalogs.logicalView(
+          graft.operators.VersionedTable.readChangeFeed(
+            org.apache.spark.sql.SparkSession.active, path,
+            ver(exprs(1), "fromVersion"), ver(exprs(2), "toVersion")),
+          path).queryExecution.analyzed
       }))
     e.injectFunction((
       new FunctionIdentifier("vec_dot"),

@@ -2387,6 +2387,10 @@ object VersionedTable {
         val fresh = cur.filterNot(prevSet)
         val kind =
           if (restoredFrom(path, v).nonEmpty) "restore"
+          // a schema-changing ALTER's epoch fence: entries copied
+          // verbatim, content identical — without the tag it would
+          // read as a zero-row "append"
+          else if (ddlFence(path, v).nonEmpty) "ddl"
           else if (fresh.exists(isCompaction)) "compact"
           else if (fresh.exists(isTombstone) && fresh.exists(!isTombstone(_)))
             "upsert"
@@ -2501,6 +2505,13 @@ object VersionedTable {
   def restoredFrom(path: String, version: Long): Option[Long] =
     manifestLines(path, version)
       .find(_.startsWith("#restore=")).map(_.stripPrefix("#restore=").toLong)
+
+  /** The DDL marker a schema-changing ALTER's epoch fence carries, if
+    * `version` is one (see [[commitMetadataVersion]]).
+    */
+  def ddlFence(path: String, version: Long): Option[String] =
+    manifestLines(path, version)
+      .find(_.startsWith("#ddl=")).map(_.stripPrefix("#ddl="))
 
   /** HIVE-LAYOUT EXPORT — interop with external readers that expect
     * `col=value` directory contracts (the reference's own S3 layout

@@ -3662,10 +3662,85 @@ object SourceQueries extends QueryRegistry {
       FROM live GROUP BY 1
     """.trim))
 
+  /** CATALOG-NAME TVFs + LOGICAL CHANGE FEED over a RENAMED table:
+    * `graft_changes('graft.t', from, to)` and
+    * `graft_history('graft.t')` now resolve catalog identifiers, and
+    * under an active column mapping the feed speaks the table's
+    * CURRENT LOGICAL names (the Delta CDF convention) — without the
+    * projection, a consumer of a renamed table's feed would see raw
+    * physical parquet names and silently mis-wire downstream. The
+    * chain: INSERT → RENAME v→amount (a `ddl` fence in the history,
+    * round-15 observability) → native UPDATE → DELETE; the result
+    * aggregates the feed's insert and delete legs BY THE NEW NAME and
+    * carries the full history kind sequence as data. A feed leg under
+    * the wrong name errors; a missing delete-leg row, a phantom from
+    * the fence, or a mis-kinded history row breaks the hash.
+    */
+  val q321 = GraftQuery(
+    "q321_catalog_logical_change_feed",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"q321_cdf_$sfx"
+      val path = graftCatalog(s).tablePath(Seq(table))
+      if (!VersionedTable.latestVersion(path).exists(_ >= 4L)) {
+        s.sql(s"DROP TABLE IF EXISTS graft.$table")
+        s.sql(s"""CREATE TABLE graft.$table (o_orderkey BIGINT, v BIGINT)
+          TBLPROPERTIES('key'='o_orderkey')""")
+        Tables.orders(s, d).createOrReplaceTempView("q321_base")
+        s.sql(s"""
+          INSERT INTO graft.$table
+          SELECT o_orderkey, CAST(round(o_totalprice * 100) AS LONG)
+          FROM q321_base""")                                       // v1
+        s.sql(s"ALTER TABLE graft.$table RENAME COLUMN v TO amount")
+        // ^ fences v2 (kind 'ddl' in the history)
+        s.sql(s"""UPDATE graft.$table SET amount = amount + 5
+          WHERE o_orderkey % 10 = 3""")                            // v3
+        s.sql(s"DELETE FROM graft.$table WHERE o_orderkey % 7 = 2") // v4
+      }
+      val changes = s.sql(
+        s"SELECT * FROM graft_changes('graft.$table', 1, 4)")
+      val legs = changes.groupBy(col("_change_type").as("leg"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(col("amount")).cast("long").as("amount"))
+      val kinds = s.sql(s"SELECT * FROM graft_history('graft.$table')")
+        .agg(concat(lit("hist:"), array_join(transform(
+          array_sort(collect_list(struct(col("version"), col("kind")))),
+          x => x.getField("kind")), ",")).as("leg"),
+          count(lit(1)).cast("long").as("n_rows"),
+          lit(-1L).as("amount"))
+      legs.unionByName(kinds)
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS a
+        FROM orders),
+      upd_pre AS (SELECT * FROM base WHERE k % 10 = 3),
+      upd_post AS (SELECT k, a + 5 AS a FROM upd_pre),
+      afterupd AS (
+        SELECT k, CASE WHEN k % 10 = 3 THEN a + 5 ELSE a END AS a
+        FROM base),
+      del AS (SELECT * FROM afterupd WHERE k % 7 = 2),
+      -- the feed range is (1, 4]: v1's initial load is the snapshot,
+      -- not a change — inserts are the UPDATE's postimages only
+      ins_leg AS (SELECT a FROM upd_post),
+      del_leg AS (SELECT a FROM upd_pre UNION ALL SELECT a FROM del)
+      SELECT 'insert' AS leg, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(a) AS BIGINT) AS amount
+      FROM ins_leg
+      UNION ALL
+      SELECT 'delete', CAST(count(*) AS BIGINT), CAST(sum(a) AS BIGINT)
+      FROM del_leg
+      UNION ALL
+      SELECT 'hist:append,ddl,upsert,delete', CAST(4 AS BIGINT),
+             CAST(-1 AS BIGINT)
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
     q282, q283, q284, q285, q286, q288, q289, q290, q291, q292, q293, q294,
     q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306,
     q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318,
-    q319, q320)
+    q319, q320, q321)
 }

@@ -121,9 +121,15 @@ class GraftRowLevelSpec extends SparkTestBase {
     assert(VersionedTable.latestVersion(tablePath("rl_noop"))
       === Some(before), "zero touched rows must publish nothing")
     // the pinned-snapshot commit primitive refuses an interleave
+    // (a real staged dir: the write-side key null gate inspects it
+    // before the commit is even attempted)
+    val staged = new org.apache.hadoop.fs.Path(
+      tablePath("rl_noop") + "/data/b0_stale_m")
+    staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .mkdirs(staged)
     val e = intercept[java.io.IOException] {
       VersionedTable.commitDelta(tablePath("rl_noop"), before - 1,
-        Some("nonexistent_dir"), None)
+        Some("b0_stale_m"), None)
     }
     assert(e.getMessage.contains("already committed"))
     drop("rl_noop")
