@@ -195,4 +195,39 @@ class ColumnMappingSpec extends SparkTestBase {
       .as[Long].head() === 2L)
     drop("cm_plan")
   }
+
+  test("manifest-stats pruning prunes ACROSS file-level-manifest (delta) batches — plan-asserted") {
+    drop("cm_prune")
+    spark.sql("""CREATE TABLE graft.cm_prune (k BIGINT, v BIGINT)
+      TBLPROPERTIES('key'='k', 'statscols'='k')""")
+    spark.sql("INSERT INTO graft.cm_prune SELECT id, id FROM range(100)")
+    // a NATIVE insert-only MERGE: its batch is a delta write whose
+    // manifest entry carries @files (file-level) AND k stats
+    spark.range(1000, 1100).toDF("k")
+      .withColumn("v", col("k") * 2)
+      .createOrReplaceTempView("cm_prune_src")
+    // the MATCHED clause forces the WriteDelta route (insert-only
+    // MERGE rewrites to a plain append, which has no @files entry)
+    spark.sql("""MERGE INTO graft.cm_prune t USING cm_prune_src s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = t.v
+      WHEN NOT MATCHED THEN INSERT *""")
+    val path = s"$root/cm_prune"
+    val f = new org.apache.hadoop.fs.Path(s"$path/data").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val dirs = f.listStatus(new org.apache.hadoop.fs.Path(s"$path/data"))
+      .map(_.getPath.getName)
+    val insertDir = dirs.find(d => d.startsWith("b1_")).get
+    val deltaDir = dirs.find(d => d.endsWith("_m")).get
+    // k >= 1000 prunes the INSERT batch away and scans the delta
+    // batch's explicit FILE roots (the @files segment) — asserted on
+    // the final executed plan, not prose
+    val q = spark.sql("SELECT sum(v) FROM graft.cm_prune WHERE k >= 1000")
+    assert(q.as[Long].head() === (1000L until 1100L).map(_ * 2).sum)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains(insertDir),
+      s"insert batch $insertDir not pruned:\n$plan")
+    assert(plan.contains(deltaDir), s"delta batch missing:\n$plan")
+    drop("cm_prune")
+  }
 }
