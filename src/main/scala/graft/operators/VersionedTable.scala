@@ -2661,10 +2661,15 @@ object VersionedTable {
     * reclaimed version refuse at the manifest ("never committed, or
     * vacuumed") before any plan is built.
     */
-  def vacuum(path: String, keep: Int): Unit = {
+  /** The reclamation set [[vacuum]] acts on (and [[vacuumDryRun]]
+    * reports): the retention floor, the manifests below it, and the
+    * unreferenced top-level batch dirs.
+    */
+  private def vacuumPlan(path: String,
+      keep: Int): Option[(Long, Seq[Path], Seq[Path])] = {
     require(keep >= 1, "must keep at least the latest version")
     val (f, p) = fs(path)
-    val latest = latestVersion(path).getOrElse(return)
+    val latest = latestVersion(path).getOrElse(return None)
     val floor = math.max(1L, latest - keep + 1)
     // only versions whose manifest still exists: an earlier vacuum
     // with a smaller keep may have removed part of the window
@@ -2677,27 +2682,57 @@ object VersionedTable {
     val referenced = keptVersions.flatMap { v =>
       manifestEntries(path, v).map(e => dirOf(e).split("/").head)
     }.toSet
+    val manifests = f.listStatus(p).map(_.getPath).filter { mp =>
+      mp.getName match {
+        case ManifestRe(n) => n.toLong < floor
+        case _ => false
+      }
+    }.toSeq
+    val dataDir = new Path(p, "data")
+    val dirs =
+      if (!f.exists(dataDir)) Seq.empty
+      else f.listStatus(dataDir).map(_.getPath)
+        .filterNot(bp => referenced.contains(bp.getName)).toSeq
+    Some((floor, manifests, dirs))
+  }
+
+  /** What a `VACUUM ... RETAIN n VERSIONS` WOULD reclaim, without
+    * touching anything (Delta's `DRY RUN`): one row per reclaimable
+    * manifest and batch dir with its byte size, plus the floor the
+    * real vacuum would set — the look-before-you-destroy step a
+    * retention change deserves.
+    */
+  def vacuumDryRun(spark: SparkSession, path: String,
+      keep: Int): DataFrame = {
+    import spark.implicits._
+    val (f, _) = fs(path)
+    val rows = vacuumPlan(path, keep) match {
+      case None => Seq.empty[(String, String, Long)]
+      case Some((floor, manifests, dirs)) =>
+        manifests.map(m => ("manifest", m.getName,
+          f.getFileStatus(m).getLen)) ++
+          dirs.map(d => ("batch-dir", d.getName,
+            f.getContentSummary(d).getLength)) :+
+          (("floor", s"v$floor", 0L))
+    }
+    rows.toDF("kind", "name", "bytes")
+  }
+
+  def vacuum(path: String, keep: Int): Unit = {
+    val (f, p) = fs(path)
+    val (floor, manifests, dirs) = vacuumPlan(path, keep).getOrElse(return)
     // old manifests first: a reader landing mid-vacuum sees either a
     // kept version (complete) or a missing manifest (loud failure) —
     // never a manifest whose dirs are partially deleted
-    f.listStatus(p).map(_.getPath).foreach { mp =>
-      mp.getName match {
-        case ManifestRe(n) if n.toLong < floor =>
-          if (!f.delete(mp, false) && f.exists(mp))
-            throw new java.io.IOException(
-              s"VersionedTable vacuum: delete of manifest $mp failed")
-        case _ => ()
-      }
+    manifests.foreach { mp =>
+      if (!f.delete(mp, false) && f.exists(mp))
+        throw new java.io.IOException(
+          s"VersionedTable vacuum: delete of manifest $mp failed")
     }
-    val dataDir = new Path(p, "data")
-    if (f.exists(dataDir)) {
-      f.listStatus(dataDir).map(_.getPath).foreach { bp =>
-        if (!referenced.contains(bp.getName)) {
-          if (!f.delete(bp, true) && f.exists(bp))
-            throw new java.io.IOException(
-              s"VersionedTable vacuum: delete of batch dir $bp failed")
-        }
-      }
+    dirs.foreach { bp =>
+      if (!f.delete(bp, true) && f.exists(bp))
+        throw new java.io.IOException(
+          s"VersionedTable vacuum: delete of batch dir $bp failed")
     }
     // the post-hoc attribution record: which floor this vacuum set,
     // and when — what [[diagnoseVacuumRace]] names when a concurrent
@@ -2707,6 +2742,34 @@ object VersionedTable {
     try out.write(s"floor=$floor\nat=${System.currentTimeMillis()}\n"
       .getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** `DESCRIBE DETAIL` — one metadata-only row about the table's
+    * CURRENT state (the Delta verb): latest version, its data and
+    * tombstone batch counts (merge-on-read debt at a glance — the
+    * OPTIMIZE trigger), retained version count, the declared merge
+    * key, the metadata generation (how many ALTERs this table has
+    * seen), whether a column mapping is active, and the vacuum floor.
+    * KB-sized reads only: one listing + one manifest + one meta file.
+    */
+  def detail(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val versions = committedVersions(path)
+    val latest = versions.lastOption
+    val entries = latest.map(manifestEntries(path, _)).getOrElse(Seq.empty)
+    val meta = graft.catalog.GraftTableMeta.readLatest(path)
+    Seq((
+      latest.getOrElse(0L),
+      entries.count(!isTombstone(_)).toLong,
+      entries.count(isTombstone).toLong,
+      versions.size.toLong,
+      meta.flatMap(_.props.get("key")).orNull,
+      meta.map(_.gen).getOrElse(-1L),
+      meta.exists(m => graft.catalog.ColumnMapping.isActive(m.schema)),
+      vacuumFloor(path).map(_._1).map(java.lang.Long.valueOf).orNull
+    )).toDF("version", "n_data_batches", "n_tombstones",
+      "n_retained_versions", "key", "meta_generation", "column_mapped",
+      "vacuum_floor")
   }
 
   private val VacuumInfoFile = "_vacuum.info"

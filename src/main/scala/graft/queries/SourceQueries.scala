@@ -3737,10 +3737,81 @@ object SourceQueries extends QueryRegistry {
              CAST(-1 AS BIGINT)
     """.trim))
 
+  /** MAINTENANCE OBSERVABILITY (round 15): `DESCRIBE DETAIL` (the
+    * Delta verb — one metadata-only row: merge-on-read debt at a
+    * glance, the declared key, the metadata generation) and
+    * `VACUUM ... DRY RUN` (what a retention change WOULD reclaim,
+    * touching nothing — the look-before-you-destroy step). The chain
+    * builds deterministic state (two inserts → delete → OPTIMIZE →
+    * RENAME fence) so every reported count is an exact claim: a
+    * tombstone not folded by the compact, a reclaimable dir
+    * miscounted, or a dry run that mutated anything breaks the hash
+    * (the dry-run legs re-read the table afterwards).
+    */
+  val q322 = GraftQuery(
+    "q322_catalog_describe_detail_dryrun",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"q322_det_$sfx"
+      val path = graftCatalog(s).tablePath(Seq(table))
+      if (!VersionedTable.latestVersion(path).exists(_ >= 5L)) {
+        s.sql(s"DROP TABLE IF EXISTS graft.$table")
+        s.sql(s"""CREATE TABLE graft.$table (o_orderkey BIGINT, v BIGINT)
+          TBLPROPERTIES('key'='o_orderkey')""")
+        Tables.orders(s, d).createOrReplaceTempView("q322_base")
+        s.sql(s"""INSERT INTO graft.$table
+          SELECT o_orderkey, CAST(round(o_totalprice * 100) AS LONG)
+          FROM q322_base WHERE o_orderkey % 2 = 0""")               // v1
+        s.sql(s"""INSERT INTO graft.$table
+          SELECT o_orderkey, CAST(round(o_totalprice * 100) AS LONG)
+          FROM q322_base WHERE o_orderkey % 2 = 1""")               // v2
+        s.sql(s"DELETE FROM graft.$table WHERE o_orderkey % 7 = 2")  // v3
+        s.sql(s"OPTIMIZE graft.$table")                              // v4
+        s.sql(s"ALTER TABLE graft.$table RENAME COLUMN v TO amount") // v5
+      }
+      val det = s.sql(s"DESCRIBE DETAIL graft.$table").collect().head
+      val dry = s.sql(s"VACUUM graft.$table RETAIN 1 VERSIONS DRY RUN")
+        .collect()
+      // the dry run must have touched NOTHING: the full history still
+      // reads, and the content equals the live view
+      val still = s.sql(
+        s"SELECT CAST(count(*) AS LONG) FROM graft.$table VERSION AS OF 1")
+        .collect().head.getLong(0)
+      import s.implicits._
+      Seq(
+        ("detail_version", det.getLong(0)),
+        ("detail_data_batches", det.getLong(1)),
+        ("detail_tombstones", det.getLong(2)),
+        ("detail_retained", det.getLong(3)),
+        ("detail_key_is_k", if (det.getString(4) == "o_orderkey") 1L else 0L),
+        ("detail_mapped", if (det.getBoolean(6)) 1L else 0L),
+        ("dry_manifests", dry.count(_.getString(0) == "manifest").toLong),
+        ("dry_batch_dirs", dry.count(_.getString(0) == "batch-dir").toLong),
+        ("dry_floor_v5", dry.count(r =>
+          r.getString(0) == "floor" && r.getString(1) == "v5").toLong),
+        ("v1_still_reads", if (still > 0) 1L else 0L)
+      ).toDF("leg", "n")
+    },
+    Some("""
+      SELECT * FROM (VALUES
+        ('detail_version',      CAST(5 AS BIGINT)),
+        ('detail_data_batches', CAST(1 AS BIGINT)),
+        ('detail_tombstones',   CAST(0 AS BIGINT)),
+        ('detail_retained',     CAST(5 AS BIGINT)),
+        ('detail_key_is_k',     CAST(1 AS BIGINT)),
+        ('detail_mapped',       CAST(1 AS BIGINT)),
+        ('dry_manifests',       CAST(4 AS BIGINT)),
+        ('dry_batch_dirs',      CAST(3 AS BIGINT)),
+        ('dry_floor_v5',        CAST(1 AS BIGINT)),
+        ('v1_still_reads',      CAST(1 AS BIGINT))
+      ) AS t(leg, n)
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
     q282, q283, q284, q285, q286, q288, q289, q290, q291, q292, q293, q294,
     q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306,
     q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318,
-    q319, q320, q321)
+    q319, q320, q321, q322)
 }

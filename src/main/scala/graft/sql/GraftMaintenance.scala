@@ -52,9 +52,11 @@ object GraftMaintenanceSql {
   private val OptRange =
     """(?is)^\s*OPTIMIZE\s+([^\s;]+)\s+RANGE\s+BY\s+\(?([^\s;()]+)\)?\s*(?:BUCKETS\s+(\d+))?\s*;?\s*$""".r
   private val VacuumRe =
-    """(?is)^\s*VACUUM\s+([^\s;]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?\s*;?\s*$""".r
+    """(?is)^\s*VACUUM\s+([^\s;]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?(\s+DRY\s+RUN)?\s*;?\s*$""".r
   private val HistoryRe =
     """(?is)^\s*(?:DESCRIBE|DESC)\s+HISTORY\s+([^\s;]+)\s*;?\s*$""".r
+  private val DetailRe =
+    """(?is)^\s*(?:DESCRIBE|DESC)\s+DETAIL\s+([^\s;]+)\s*;?\s*$""".r
   private val RestoreRe =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([^\s;]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
 
@@ -95,19 +97,23 @@ object GraftMaintenanceSql {
     case OptPlain(ident) =>
       resolve(ident, delegate).map(reg =>
         GraftOptimizeCommand(reg.path, Seq.empty, None, None))
-    case VacuumRe(ident, retain) =>
+    case VacuumRe(ident, retain, dry) =>
       resolve(ident, delegate).map { reg =>
         if (retain == null)
           throw new IllegalArgumentException(
             "graft VACUUM needs an explicit retention: VACUUM t RETAIN " +
-              "<n> VERSIONS — history is never destroyed by default")
-        GraftVacuumCommand(reg.path, retain.toInt)
+              "<n> VERSIONS — history is never destroyed by default" +
+              (if (dry != null) " (DRY RUN included)" else ""))
+        GraftVacuumCommand(reg.path, retain.toInt, dryRun = dry != null)
       }
     case HistoryRe(ident) =>
       // delegate when not ours: DESCRIBE <table named history> is
       // legitimate Spark SQL
       resolve(ident, delegate).map(reg =>
         GraftDescribeHistoryCommand(reg.path))
+    case DetailRe(ident) =>
+      resolve(ident, delegate).map(reg =>
+        GraftDescribeDetailCommand(reg.path))
     case RestoreRe(ident, v) =>
       resolve(ident, delegate).map(reg =>
         GraftRestoreCommand(reg.path, v.toLong))
@@ -128,7 +134,7 @@ object GraftMaintenanceSql {
       case OptZorder(ident, _, _) => Some(msg("OPTIMIZE", ident))
       case OptRange(ident, _, _) => Some(msg("OPTIMIZE", ident))
       case OptPlain(ident) => Some(msg("OPTIMIZE", ident))
-      case VacuumRe(ident, _) => Some(msg("VACUUM", ident))
+      case VacuumRe(ident, _, _) => Some(msg("VACUUM", ident))
       case RestoreRe(ident, _) => Some(msg("RESTORE", ident))
       case _ => None
     }
@@ -176,18 +182,51 @@ case class GraftOptimizeCommand(path: String, zorderCols: Seq[String],
   }
 }
 
-/** `VACUUM t RETAIN <n> VERSIONS` — [[VersionedTable.vacuum]] from
-  * SQL text: drops manifests older than the newest n versions and
-  * every unreferenced batch dir (crash orphans included). Returns
-  * the latest version (unchanged — vacuum never commits).
+/** `VACUUM t RETAIN <n> VERSIONS [DRY RUN]` —
+  * [[VersionedTable.vacuum]] from SQL text: drops manifests older
+  * than the newest n versions and every unreferenced batch dir
+  * (crash orphans included); returns the latest version (unchanged —
+  * vacuum never commits). `DRY RUN` reports what WOULD be reclaimed
+  * (one row per manifest/batch dir with bytes, plus the floor) and
+  * touches nothing — the look-before-you-destroy step a retention
+  * change deserves.
   */
-case class GraftVacuumCommand(path: String, keep: Int)
+case class GraftVacuumCommand(path: String, keep: Int,
+    dryRun: Boolean = false) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] =
+    if (!dryRun) GraftDml.versionOutput
+    else Seq(
+      AttributeReference("kind", StringType, nullable = false)(),
+      AttributeReference("name", StringType, nullable = false)(),
+      AttributeReference("bytes", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    if (dryRun)
+      VersionedTable.vacuumDryRun(session, path, keep).collect().toSeq
+    else {
+      VersionedTable.vacuum(path, keep)
+      Seq(Row(VersionedTable.latestVersion(path).getOrElse(0L)))
+    }
+}
+
+/** `DESCRIBE DETAIL t` — one metadata-only row about the current
+  * state (the Delta verb): latest version, data/tombstone batch
+  * counts (the OPTIMIZE trigger at a glance), retained versions,
+  * declared key, metadata generation, mapping flag, vacuum floor.
+  */
+case class GraftDescribeDetailCommand(path: String)
     extends LeafRunnableCommand {
-  override def output: Seq[Attribute] = GraftDml.versionOutput
-  override def run(session: SparkSession): Seq[Row] = {
-    VersionedTable.vacuum(path, keep)
-    Seq(Row(VersionedTable.latestVersion(path).getOrElse(0L)))
-  }
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_data_batches", LongType, nullable = false)(),
+    AttributeReference("n_tombstones", LongType, nullable = false)(),
+    AttributeReference("n_retained_versions", LongType, nullable = false)(),
+    AttributeReference("key", StringType, nullable = true)(),
+    AttributeReference("meta_generation", LongType, nullable = false)(),
+    AttributeReference("column_mapped", org.apache.spark.sql.types
+      .BooleanType, nullable = false)(),
+    AttributeReference("vacuum_floor", LongType, nullable = true)())
+  override def run(session: SparkSession): Seq[Row] =
+    VersionedTable.detail(session, path).collect().toSeq
 }
 
 /** `RESTORE [TABLE] t TO VERSION AS OF n` — the SQL face of
