@@ -224,7 +224,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         // leaves batches of mixed width behind, which plain schema
         // merging refuses; the widened union is footer-bounded and
         // deterministic
-        val content = VersionedTable.readAtWidened(SparkSession.active,
+        val content = VersionedTable.readAtWidenedPhysical(SparkSession.active,
           path, v).schema
         val byPhysLc = content.map(f =>
           f.name.toLowerCase(Locale.ROOT) -> f).toMap
@@ -339,7 +339,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val current = readMeta(parts).getOrElse {
       if (!tableDirExists(parts)) throw new NoSuchTableException(ident)
       val sch = VersionedTable.latestVersion(path)
-        .map(v => VersionedTable.readAtWidened(SparkSession.active, path, v)
+        .map(v => VersionedTable.readAtWidenedPhysical(SparkSession.active, path, v)
           .schema)
         .getOrElse(new StructType())
       MetaState(-1L, sch, Map.empty, since = 0L, dropped = Nil)
@@ -489,7 +489,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       if (!shapeChanged) current.since
       else VersionedTable.latestVersion(path) match {
         case Some(_) =>
-          VersionedTable.commitMetadataVersion(path, "#ddl=alter-table")
+          // the fence commits BEFORE the metadata CAS, so the gate the
+          // new state requires rides the fence explicitly (commits
+          // after the CAS pick it up from the meta automatically): a
+          // mapping-unaware reader refuses from the first manifest
+          // that could expose renamed/dropped physical columns
+          val gate =
+            if (ColumnMapping.isActive(newSchema) || dropped.nonEmpty)
+              Seq("#protocol=column-mapping")
+            else Seq.empty
+          VersionedTable.commitMetadataVersion(path, "#ddl=alter-table",
+            extraHeader = gate)
         case None => 0L
       }
     GraftCatalog.testBeforeMetaWrite.foreach(_())
@@ -500,9 +510,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         throw new IllegalStateException(
           s"graft ALTER TABLE ${parts.mkString(".")}: a concurrent ALTER " +
             s"published metadata generation $nextGen first — this " +
-            "statement changed NOTHING; re-read the table and rerun " +
-            "against the new state (compare-and-swap, no silent " +
-            "last-writer-wins)")
+            "statement published NO metadata change; re-read the table " +
+            "and rerun against the new state (compare-and-swap, no " +
+            "silent last-writer-wins). A content-identical '#ddl' fence " +
+            "version may remain in DESCRIBE HISTORY from the lost attempt")
     }
     loadTable(ident)
   }
@@ -653,22 +664,8 @@ object GraftCatalogs {
   def logicalView(df: org.apache.spark.sql.DataFrame,
       path: String): org.apache.spark.sql.DataFrame =
     GraftTableMeta.readLatest(path) match {
-      case Some(m) if ColumnMapping.isActive(m.schema) ||
-          m.dropped.nonEmpty =>
-        val lc = (s: String) => s.toLowerCase(Locale.ROOT)
-        val logicalOf = m.schema.map(f =>
-          lc(ColumnMapping.physicalName(f)) -> f.name).toMap
-        val droppedLc = m.dropped.map(lc).toSet
-        val cols = df.columns.toSeq.flatMap { c =>
-          if (droppedLc(lc(c))) None
-          else logicalOf.get(lc(c)) match {
-            case Some(logical) =>
-              Some(org.apache.spark.sql.functions.col(c).as(logical))
-            case None => Some(org.apache.spark.sql.functions.col(c))
-          }
-        }
-        df.select(cols: _*)
-      case _ => df
+      case Some(m) => ColumnMapping.toLogical(df, m)
+      case None => df
     }
 }
 
@@ -716,17 +713,12 @@ class GraftTable(identName: String, val path: String,
 
   override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
     import org.apache.spark.sql.catalyst.TableIdentifier
-    // streaming-by-name plans the V1 source over the table PATH, which
-    // scans physical parquet names — under an active column mapping
-    // (post RENAME/DROP) that would silently serve NULLs for every
-    // renamed column; refuse loudly naming the alternatives
-    if (ColumnMapping.isActive(tableSchema))
-      throw new UnsupportedOperationException(
-        s"graft table $identName: streaming by name over a column-mapped " +
-          "table (a RENAME/DROP COLUMN happened) is not supported — " +
-          "stream from the table path with an explicit schema, or " +
-          "re-materialize (CREATE TABLE ... AS SELECT) to reset the " +
-          "mapping")
+    // streaming-by-name plans the V1 source over the table PATH; the
+    // source itself resolves the column mapping when the path's meta
+    // activates one (round 16 — previously a loud refusal), so rows
+    // arrive under the CURRENT logical names and retired columns
+    // never leak; a shape-changing DDL mid-stream refuses per batch
+    // naming the restart contract (GraftSource.assertMappingUnchanged)
     import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
     val parts = identName.split('.').toSeq
     // TableIdentifier asserts catalog => database; the identifier is

@@ -181,4 +181,63 @@ object ColumnMapping {
       case Some(m) if isActive(m.schema) => colsToPhysical(cols, m.schema)
       case _ => cols
     }
+
+  /** Whether `m` changes what a physical-named frame should present:
+    * an active mapping (some logical name differs from its physical
+    * one) or retired physical columns a DROP left behind in footers.
+    */
+  def needsLogicalView(m: MetaState): Boolean =
+    isActive(m.schema) || m.dropped.nonEmpty
+
+  /** Alias a PHYSICAL-named frame to `m`'s LOGICAL view: retired
+    * (dropped) physical columns are projected away — their stale
+    * parquet values must never leak to a reader — mapped physical
+    * names alias to their logical names (bare aliases, so filters
+    * composed on top still reach PushedFilters), and passenger
+    * columns (`_change_type`) ride through untouched. Identity when
+    * the state carries no mapping and no drops.
+    */
+  def toLogical(df: org.apache.spark.sql.DataFrame,
+      m: MetaState): org.apache.spark.sql.DataFrame =
+    if (!needsLogicalView(m)) df
+    else {
+      val lc = (s: String) => s.toLowerCase(Locale.ROOT)
+      val logicalOf = m.schema.map(f =>
+        lc(physicalName(f)) -> f.name).toMap
+      val droppedLc = m.dropped.map(lc).toSet
+      val cols = df.columns.toSeq.flatMap { c =>
+        if (droppedLc(lc(c))) None
+        else logicalOf.get(lc(c)) match {
+          case Some(logical) =>
+            Some(org.apache.spark.sql.functions.col(c).as(logical))
+          case None => Some(org.apache.spark.sql.functions.col(c))
+        }
+      }
+      df.select(cols: _*)
+    }
+
+  /** [[toLogical]] under the schema EPOCH governing data `version` at
+    * `path` (see [[GraftTableMeta.metaForVersion]]) — what makes a
+    * PATH-level `readAt` of a renamed/dropped table speak the same
+    * names the catalog's `VERSION AS OF` does. Identity when the path
+    * carries no metadata or the epoch needs no view.
+    */
+  def toLogicalAt(df: org.apache.spark.sql.DataFrame, path: String,
+      version: Long): org.apache.spark.sql.DataFrame =
+    GraftTableMeta.metaForVersion(path, version) match {
+      case Some(m) => toLogical(df, m)
+      case None => df
+    }
+
+  /** Logical → physical column-name translation under the epoch
+    * governing `version` (identity without metadata/mapping) — for
+    * path-level entry points taking column arguments (`readAtPruned`'s
+    * prune column, `lookupKeys`' key column).
+    */
+  def colsToPhysicalAtVersion(path: String, version: Long,
+      cols: Seq[String]): Seq[String] =
+    GraftTableMeta.metaForVersion(path, version) match {
+      case Some(m) if isActive(m.schema) => colsToPhysical(cols, m.schema)
+      case _ => cols
+    }
 }

@@ -183,9 +183,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         require(exprs.size <= 2,
           "graft_versioned takes (path[, version])")
-        graft.catalog.GraftCatalogs.logicalView(
-          graft.operators.VersionedTable.readAtAuto(spark, path, version),
-          path).queryExecution.analyzed
+        // readAtAuto is mapping-aware EPOCH-correctly since round 16
+        // (VERSION AS OF a pre-rename version reads the old names) —
+        // a current-mapping logicalView wrap here would re-drop a
+        // column that existed at the requested epoch
+        graft.operators.VersionedTable.readAtAuto(spark, path, version)
+          .queryExecution.analyzed
       }))
     // graft_history('<path>') — DESCRIBE HISTORY as a TVF: the commit
     // log (kind / entry deltas / txn) queryable from SQL text,

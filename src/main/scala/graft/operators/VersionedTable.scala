@@ -97,25 +97,42 @@ object VersionedTable {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  /** TIMESTAMP-AS-OF resolution: the newest retained version whose
-    * manifest's file modification time is at or before `micros`
-    * (microseconds since the epoch). The clock is the manifest file's
-    * mtime — the Delta convention, with its honesty caveats (writing
-    * host's clock; vacuum removes versions from the addressable
-    * range). One directory listing, metadata-only.
+  /** TIMESTAMP-AS-OF resolution: the newest retained version that
+    * COMMITTED at or before `micros` (microseconds since the epoch).
+    * The clock is the commit wall-time every manifest records in its
+    * own `#ts=` header line — so a table copied or restored between
+    * filesystems (mtimes clobbered) keeps its commit history
+    * addressable. Manifests written before the header existed fall
+    * back to file modification time — the Delta convention, with its
+    * honesty caveats (writing host's clock; vacuum removes versions
+    * from the addressable range). One directory listing plus one
+    * KB-sized manifest read per retained version — bounded by
+    * retention, never by data.
     */
   def versionAtTime(path: String, micros: Long): Option[Long] = {
     val (f, p) = fs(path)
     if (!f.exists(p)) return None
     val eligible = f.listStatus(p).flatMap { st =>
       st.getPath.getName match {
-        case ManifestRe(n) if st.getModificationTime * 1000L <= micros =>
-          Some(n.toLong)
+        case ManifestRe(n) =>
+          val millis = commitTimeMillis(path, n.toLong)
+            .getOrElse(st.getModificationTime)
+          if (millis * 1000L <= micros) Some(n.toLong) else None
         case _ => None
       }
     }
     if (eligible.isEmpty) None else Some(eligible.max)
   }
+
+  /** The commit wall-time (epoch millis) recorded in `version`'s
+    * manifest header (`#ts=`); None for manifests written before the
+    * header existed — callers fall back to file mtime (the legacy
+    * clock). Raw read: torn/protocol checks don't gate a clock probe.
+    */
+  def commitTimeMillis(path: String, version: Long): Option[Long] =
+    try rawManifestLines(path, version).find(_.startsWith("#ts="))
+      .flatMap(l => scala.util.Try(l.stripPrefix("#ts=").toLong).toOption)
+    catch { case scala.util.control.NonFatal(_) => None }
 
   private def committedVersions(path: String): Seq[Long] = {
     val (f, p) = fs(path)
@@ -164,6 +181,26 @@ object VersionedTable {
     * before the rename) must keep reading under any session mode.
     */
   val StrictTearConf = "spark.graft.versioned.strictTear"
+
+  /** TABLE FEATURES this reader understands (the Delta protocol-
+    * version idea, as named feature flags): a manifest may declare
+    * `#protocol=<feature>[,<feature>…]`, and [[manifestLines]] —
+    * the single read gate every manifest passes — REFUSES any
+    * manifest declaring a feature outside this set, naming it. That
+    * is what makes the gate load-bearing: a future feature this
+    * binary cannot read correctly fails loudly at the manifest,
+    * never as silently wrong rows. Commits write the line
+    * automatically when the table's catalog metadata activates a
+    * gated feature (see [[commitManifest]]).
+    *
+    *  - `column-mapping`: batches store stable PHYSICAL column names
+    *    that differ from the table's logical schema, and/or retired
+    *    (`__dropped`) physical columns whose stale parquet values
+    *    must not be served — a reader that scans parquet without
+    *    resolving `_table.meta`/`_meta.<N>` would return wrong
+    *    column names and resurrect dropped data.
+    */
+  private[graft] val SupportedFeatures = Set("column-mapping")
 
   private def rawManifestLines(path: String, version: Long): Seq[String] = {
     val (f, p) = fs(path)
@@ -220,6 +257,21 @@ object VersionedTable {
           "crashed between create and close — repair by deleting the " +
           s"torn _v$version.manifest (that commit never published; its " +
           "batch dirs are orphans for vacuum)")
+    // FEATURE GATE: refuse any manifest declaring a protocol feature
+    // this reader does not implement (see [[SupportedFeatures]]) —
+    // the loud alternative to serving wrong rows under an unknown
+    // table contract
+    val unsupported = lines.filter(_.startsWith("#protocol="))
+      .flatMap(_.stripPrefix("#protocol=").split(","))
+      .map(_.trim).filter(_.nonEmpty)
+      .filterNot(SupportedFeatures)
+    if (unsupported.nonEmpty)
+      throw new java.io.IOException(
+        s"VersionedTable: manifest _v$version at $path requires table " +
+          s"feature(s) ${unsupported.mkString(", ")} this reader does " +
+          s"not support (it implements: ${SupportedFeatures.toSeq.sorted
+            .mkString(", ")}). Reading without the feature would return " +
+          "WRONG data, not a degraded view — upgrade the reader")
     lines
   }
 
@@ -356,16 +408,19 @@ object VersionedTable {
       txnId: Option[String], statsCols: Seq[String], maxRetries: Int,
       beforeCommit: Long => Unit, bloomCols: Seq[String] = Nil): Long = {
     txnId.flatMap(txnCommittedAt(path, _)).foreach(return _)
+    val stored = toStored(df, path)
     val first = latestVersion(path).getOrElse(0L) + 1
     val batch = s"b${first}_${newToken()}"
-    df.write.mode("overwrite").parquet(s"$path/data/$batch")
+    stored.write.mode("overwrite").parquet(s"$path/data/$batch")
     assertKeysNonNull(df.sparkSession, path, s"$path/data/$batch", Nil,
       "append")
     // stats from the WRITTEN batch (column-pruned re-read), so the
     // source plan is never executed twice
-    writeBloomSidecar(df.sparkSession, s"$path/data/$batch", bloomCols)
+    writeBloomSidecar(df.sparkSession, s"$path/data/$batch",
+      storedCols(path, bloomCols))
     val entry = batch +
-      statsSuffix(df.sparkSession, s"$path/data/$batch", statsCols)
+      statsSuffix(df.sparkSession, s"$path/data/$batch",
+        storedCols(path, statsCols))
     var attempt = 0
     while (true) {
       val next = latestVersion(path).getOrElse(0L) + 1
@@ -386,6 +441,57 @@ object VersionedTable {
     }
     -1L // unreachable
   }
+
+  /** WRITE-SIDE COLUMN-MAPPING TRANSLATION — the storage twin of
+    * [[readAt]]'s logical view: a write frame arriving under the
+    * table's CURRENT logical names lands under the stable PHYSICAL
+    * parquet names (the same rename the catalog's V1Write fallback
+    * applies), so a path-API read-modify-write round-trips on a
+    * renamed table instead of committing logical names the mapping
+    * cannot see. Columns matching no logical name pass through
+    * (path-API extras, physical-named internal frames); a frame still
+    * carrying a RETIRED (`__dropped`) physical column refuses loudly
+    * — a stale writer would resurrect dropped data under a dead
+    * column. Identity — zero plan nodes — without metadata/mapping.
+    */
+  private[graft] def toStored(df: DataFrame, path: String): DataFrame = {
+    val meta =
+      try graft.catalog.GraftTableMeta.readLatest(path)
+      catch { case scala.util.control.NonFatal(_) => None }
+    meta.filter(graft.catalog.ColumnMapping.needsLogicalView) match {
+      case None => df
+      case Some(m) =>
+        val lc = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
+        val physOf = m.schema.map(f =>
+          lc(f.name) -> graft.catalog.ColumnMapping.physicalName(f)).toMap
+        val droppedLc = m.dropped.map(lc).toSet
+        df.columns.foreach { c =>
+          if (droppedLc(lc(c)) && !physOf.contains(lc(c)))
+            throw new IllegalStateException(
+              s"graft write to $path refused: column '$c' was DROPPED " +
+                "from the table (its physical name is retired) — a " +
+                "write carrying it would resurrect dropped data. " +
+                "Re-read the table's current schema (the writer is " +
+                "stale), or ALTER TABLE ADD COLUMNS to declare a new " +
+                "column of that name first")
+        }
+        val renamed = df.columns.map(c => physOf.getOrElse(lc(c), c))
+        require(renamed.map(lc).distinct.length == renamed.length,
+          s"graft write to $path: renaming logical columns to their " +
+            s"physical names collides (${renamed.mkString(", ")}) — the " +
+            "frame mixes a logical name with another column's physical " +
+            "name; project one of them away")
+        df.toDF(renamed.toIndexedSeq: _*)
+    }
+  }
+
+  /** Logical → physical translation for caller-supplied key columns
+    * under the CURRENT metadata (identity without mapping) — the
+    * column-argument twin of [[toStored]].
+    */
+  private def storedCols(path: String, cols: Seq[String]): Seq[String] =
+    try graft.catalog.ColumnMapping.colsToPhysicalAt(path, cols)
+    catch { case scala.util.control.NonFatal(_) => cols }
 
   /** WRITE-SIDE KEY NULL ENFORCEMENT — what licenses the catalog's
     * non-nullable key claim: `loadTable` declares merge-key columns
@@ -559,14 +665,17 @@ object VersionedTable {
       txnId: Option[String] = None, statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil): Long = {
     txnId.flatMap(txnCommittedAt(path, _)).foreach(return _)
+    val stored = toStored(df, path)
     val next = latestVersion(path).getOrElse(0L) + 1
     val batch = s"b${next}_${newToken()}"
-    df.write.mode("overwrite").parquet(s"$path/data/$batch")
+    stored.write.mode("overwrite").parquet(s"$path/data/$batch")
     assertKeysNonNull(df.sparkSession, path, s"$path/data/$batch", Nil,
       "overwrite")
-    writeBloomSidecar(df.sparkSession, s"$path/data/$batch", bloomCols)
+    writeBloomSidecar(df.sparkSession, s"$path/data/$batch",
+      storedCols(path, bloomCols))
     val entry = batch +
-      statsSuffix(df.sparkSession, s"$path/data/$batch", statsCols)
+      statsSuffix(df.sparkSession, s"$path/data/$batch",
+        storedCols(path, statsCols))
     commitManifest(path, next, txnId.map(t => s"#txn=$t").toSeq :+ entry)
     next
   }
@@ -768,13 +877,18 @@ object VersionedTable {
       keyCol: String, keys: Seq[Long]): DataFrame = {
     require(keys.nonEmpty, "lookupKeys needs at least one key")
     import spark.implicits._
+    // sidecars and batches store PHYSICAL names; the caller's column
+    // (and the result) speak the epoch's logical ones
+    val phys = graft.catalog.ColumnMapping
+      .colsToPhysicalAtVersion(path, version, Seq(keyCol)).head
     val entries = manifestEntries(path, version)
     val dataDirs = entries.filterNot(isTombstone).map(dirOf)
-    val cand = bloomCandidateDirs(spark, path, dataDirs, keyCol,
-      keys.toDF(keyCol))
-    readAtFiltered(spark, path, version, mergeSchema = false,
-      e => cand.contains(dirOf(e)))
-      .filter(col(keyCol).isin(keys: _*))
+    val cand = bloomCandidateDirs(spark, path, dataDirs, phys,
+      keys.toDF(phys))
+    graft.catalog.ColumnMapping.toLogicalAt(
+      readAtFiltered(spark, path, version, mergeSchema = false,
+        e => cand.contains(dirOf(e)))
+        .filter(col(phys).isin(keys: _*)), path, version)
   }
 
   /** [[lookupKeys]] under a COMPOSITE key: `keys` carries one row per
@@ -789,14 +903,20 @@ object VersionedTable {
     require(keyCols.nonEmpty, "lookupKeysMulti needs key columns")
     keyCols.foreach(c => require(keys.columns.contains(c),
       s"probe frame lacks key column $c"))
+    // probe frame arrives under logical names; sidecars and batches
+    // store physical ones
+    val phys = graft.catalog.ColumnMapping
+      .colsToPhysicalAtVersion(path, version, keyCols)
+    val probe = keys.select(keyCols.zip(phys).map {
+      case (l, p) => col(l).as(p) }: _*).distinct()
     val entries = manifestEntries(path, version)
     val dataDirs = entries.filterNot(isTombstone).map(dirOf)
-    val cand = bloomCandidateDirs(spark, path, dataDirs, keyCols.head,
-      keys.select(col(keyCols.head)))
-    readAtFiltered(spark, path, version, mergeSchema = false,
-      e => cand.contains(dirOf(e)))
-      .join(broadcast(keys.select(keyCols.map(col): _*).distinct()),
-        keyCols, "left_semi")
+    val cand = bloomCandidateDirs(spark, path, dataDirs, phys.head,
+      probe.select(col(phys.head)))
+    graft.catalog.ColumnMapping.toLogicalAt(
+      readAtFiltered(spark, path, version, mergeSchema = false,
+        e => cand.contains(dirOf(e)))
+        .join(broadcast(probe), phys, "left_semi"), path, version)
   }
 
   /** Selects the commit primitive — the atomicity ladder, shipped on
@@ -844,13 +964,26 @@ object VersionedTable {
     val (f, p) = fs(path)
     val fin = new Path(p, s"_v$version.manifest")
     val mode = SparkSession.active.conf.get(CommitModeConf, "rename")
-    // every manifest ends with the terminator comment; put-if-absent
-    // commits ALSO lead with the mode marker, so a create that became
-    // visible before close (put-if-absent on HDFS/local) is
-    // detectable as torn by the manifest's own declaration — readers
-    // never consult their session mode to judge tear
+    // the manifest header: put-if-absent commits lead with the mode
+    // marker (torn-commit detection keys off the manifest's OWN
+    // declaration, never the reader session's conf); every commit
+    // then records its wall-clock (`#ts=` — TIMESTAMP AS OF survives
+    // mtime-clobbering copies) and, when the table's catalog metadata
+    // activates a gated feature, the `#protocol=` line a feature-
+    // unaware reader refuses on (see [[SupportedFeatures]]). The
+    // terminator closes every manifest
+    val protocol =
+      if (lines.exists(_.startsWith("#protocol="))) Seq.empty
+      else {
+        val active =
+          try graft.catalog.GraftTableMeta.readLatest(path)
+            .exists(graft.catalog.ColumnMapping.needsLogicalView)
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (active) Seq("#protocol=column-mapping") else Seq.empty
+      }
     val payload = ((if (mode == "put-if-absent") Seq(ModeMarker)
-      else Seq.empty) ++ lines :+ Terminator)
+      else Seq.empty) ++ protocol ++
+      Seq(s"#ts=${System.currentTimeMillis()}") ++ lines :+ Terminator)
       .mkString("\n").getBytes("UTF-8")
     if (mode == "put-if-absent") {
       val out =
@@ -914,16 +1047,22 @@ object VersionedTable {
     val spark = df.sparkSession
     val tok = newToken()
     val staged = s"b0_${tok}_chk" // version-less name: never committed as-is
-    df.write.mode("overwrite").parquet(s"$path/data/$staged")
-    val written = spark.read.parquet(s"$path/data/$staged")
+    toStored(df, path).write.mode("overwrite").parquet(s"$path/data/$staged")
+    // rules speak the table's LOGICAL names; the staged bytes are
+    // physical — validate (and split) under the logical view, commit
+    // under the stored names
+    val written = graft.catalog.GraftCatalogs.logicalView(
+      spark.read.parquet(s"$path/data/$staged"), path)
     val report = Expectations.validate(written, rules)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val failed = report.filter(_._2 > 0)
     def commitDir(dir: String): Long = {
       assertKeysNonNull(spark, path, s"$path/data/$dir", Nil,
         "appendChecked")
-      writeBloomSidecar(spark, s"$path/data/$dir", bloomCols)
-      val entry = dir + statsSuffix(spark, s"$path/data/$dir", statsCols)
+      writeBloomSidecar(spark, s"$path/data/$dir",
+        storedCols(path, bloomCols))
+      val entry = dir + statsSuffix(spark, s"$path/data/$dir",
+        storedCols(path, statsCols))
       val next = latestVersion(path).getOrElse(0L) + 1
       val prev = if (next == 1) Seq.empty else manifestEntries(path, next - 1)
       commitManifest(path, next,
@@ -967,7 +1106,7 @@ object VersionedTable {
             .drop("__ref_hit")
         }
         val validDir = s"b0_${newToken()}_ok"
-        marked.filter(!col("__viol")).drop("__viol")
+        toStored(marked.filter(!col("__viol")).drop("__viol"), path)
           .write.mode("overwrite").parquet(s"$path/data/$validDir")
         // the split spans TWO tables, so it cannot be one rename: the
         // DLQ commits first under a derived txn id — a caller that
@@ -1008,10 +1147,14 @@ object VersionedTable {
     val latest = latestVersion(path)
     require(latest.nonEmpty, s"cannot delete from empty table $path")
     txnId.flatMap(txnCommittedAt(path, _)).foreach(return _)
+    // caller-facing key names translate to the stored physical ones
+    // (tombstones anti-join against physical batch columns)
+    val phys = storedCols(path, keyCols)
     val next = latest.get + 1
     val prev = manifestEntries(path, next - 1)
     val batch = s"b${next}_${newToken()}"
-    keys.select(keyCols.map(keys(_)): _*).distinct()
+    keys.select(keyCols.zip(phys).map { case (l, p) =>
+        keys(l).as(p) }: _*).distinct()
       .write.mode("overwrite").parquet(s"$path/data/$batch")
     commitManifest(path, next,
       txnId.map(t => s"#txn=$t").toSeq ++ prev :+ s"~$batch")
@@ -1101,6 +1244,17 @@ object VersionedTable {
       bloomCols: Seq[String], maxRetries: Int,
       beforeCommit: Long => Unit): Long = {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
+    // caller speaks the table's logical names; storage (batches,
+    // tombstones, sidecars, the anti-join scans below) is physical
+    upsertRetryingStored(toStored(df, path), storedCols(path, keyCols),
+      path, txnId, insertOnly, storedCols(path, bloomCols), maxRetries,
+      beforeCommit)
+  }
+
+  private def upsertRetryingStored(df: DataFrame, keyCols: Seq[String],
+      path: String, txnId: Option[String], insertOnly: Boolean,
+      bloomCols: Seq[String], maxRetries: Int,
+      beforeCommit: Long => Unit): Long = {
     txnId.flatMap(txnCommittedAt(path, _)).foreach(return _)
     val spark = df.sparkSession
     val snapshot = latestVersion(path).getOrElse(0L)
@@ -1248,6 +1402,16 @@ object VersionedTable {
       txnId: Option[String], beforeCommit: Long => Unit,
       expectedSnapshot: Option[Long] = None): Long = {
     require(keyCols.nonEmpty, "upsertWithDeletes needs key columns")
+    // caller speaks logical names; the committed batches are physical
+    upsertWithDeletesStored(data.map(toStored(_, path)),
+      deleteKeys.map(toStored(_, path)), storedCols(path, keyCols), path,
+      txnId, beforeCommit, expectedSnapshot)
+  }
+
+  private def upsertWithDeletesStored(data: Option[DataFrame],
+      deleteKeys: Option[DataFrame], keyCols: Seq[String], path: String,
+      txnId: Option[String], beforeCommit: Long => Unit,
+      expectedSnapshot: Option[Long]): Long = {
     txnId.flatMap(txnCommittedAt(path, _)).foreach(return _)
     val snapshot = expectedSnapshot.getOrElse(
       latestVersion(path).getOrElse(0L))
@@ -1332,8 +1496,33 @@ object VersionedTable {
     * column existed read back NULL-filled under the merged schema —
     * the add-a-column migration with zero rewrites).
     */
+  /** [[readAt]] and friends are MAPPING-AWARE (round 16): when the
+    * path carries catalog metadata whose schema epoch for `version`
+    * activates column mapping (a RENAME/DROP COLUMN happened), the
+    * physical-named scan is aliased to the epoch's LOGICAL names and
+    * retired (`__dropped`) physical columns are projected away — so a
+    * path-level read of a renamed table returns exactly what the
+    * catalog's `VERSION AS OF` does, and a dropped column's stale
+    * parquet values can never leak through the path API. The aliasing
+    * is a bare Project (filters still reach PushedFilters). Identity
+    * — zero extra plan nodes — for tables without metadata or
+    * mapping; the epoch probe is one KB-sized directory listing.
+    * Internal machinery that REWRITES batches (compaction, upserts,
+    * change-feed plumbing) reads the `…Physical` variants: batches
+    * always store physical names.
+    */
   def readAt(spark: SparkSession, path: String, version: Long,
       mergeSchema: Boolean = false): DataFrame =
+    graft.catalog.ColumnMapping.toLogicalAt(
+      readAtPhysical(spark, path, version, mergeSchema), path, version)
+
+  /** The storage view of `version`: physical parquet column names,
+    * retired columns included — what batch-rewriting machinery and
+    * physical-level tools read. Same merge-on-read semantics as
+    * [[readAt]].
+    */
+  private[graft] def readAtPhysical(spark: SparkSession, path: String,
+      version: Long, mergeSchema: Boolean = false): DataFrame =
     readAtFiltered(spark, path, version, mergeSchema, _ => true)
 
   /** [[readAt]] restricted to data batches whose recorded min/max
@@ -1349,10 +1538,16 @@ object VersionedTable {
     */
   def readAtPruned(spark: SparkSession, path: String, version: Long,
       pruneCol: String, lo: Long, hi: Long,
-      mergeSchema: Boolean = false): DataFrame =
-    readAtFiltered(spark, path, version, mergeSchema, { e =>
-      statsOf(e).get(pruneCol).forall { case (mn, mx) => mx >= lo && mn <= hi }
-    })
+      mergeSchema: Boolean = false): DataFrame = {
+    // manifest stats are recorded under PHYSICAL names; the caller
+    // speaks logical ones
+    val phys = graft.catalog.ColumnMapping
+      .colsToPhysicalAtVersion(path, version, Seq(pruneCol)).head
+    graft.catalog.ColumnMapping.toLogicalAt(
+      readAtFiltered(spark, path, version, mergeSchema, { e =>
+        statsOf(e).get(phys).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      }), path, version)
+  }
 
   /** [[readAt]] whose scans carry the manifest's per-batch min/max
     * stats as a read option, so ANY `.filter` the caller composes on
@@ -1365,6 +1560,12 @@ object VersionedTable {
     */
   def readAtAuto(spark: SparkSession, path: String, version: Long,
       mergeSchema: Boolean = false): DataFrame =
+    graft.catalog.ColumnMapping.toLogicalAt(
+      readAtAutoPhysical(spark, path, version, mergeSchema),
+      path, version)
+
+  private[graft] def readAtAutoPhysical(spark: SparkSession, path: String,
+      version: Long, mergeSchema: Boolean = false): DataFrame =
     readAtFiltered(spark, path, version, mergeSchema, _ => true,
       auto = true)
 
@@ -1516,6 +1717,15 @@ object VersionedTable {
     * batch count, zero data movement — the migration IS the read.
     */
   def readAtWidened(spark: SparkSession, path: String,
+      version: Long, auto: Boolean = false): DataFrame =
+    graft.catalog.ColumnMapping.toLogicalAt(
+      readAtWidenedPhysical(spark, path, version, auto), path, version)
+
+  /** [[readAtWidened]] at the storage grain (physical names, retired
+    * columns included) — what compaction and the catalog's content-
+    * schema reconciliation read.
+    */
+  private[graft] def readAtWidenedPhysical(spark: SparkSession, path: String,
       version: Long, auto: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.{StructField, StructType}
     val entries = manifestEntries(path, version)
@@ -1627,6 +1837,11 @@ object VersionedTable {
   private[graft] def statsColumnsOf(path: String, version: Long): Seq[String] =
     manifestEntries(path, version)
       .flatMap(_.split(";").drop(1).map(_.split(":").head))
+      // '@'-prefixed segments are non-stats suffixes (the `@files:`
+      // file-level manifest) — mirroring statsOf, which keys on the
+      // col:lo:hi shape, so OPTIMIZE never rebuilds a phantom
+      // '@files' stats column
+      .filterNot(_.startsWith("@"))
       .distinct
 
   /** Columns with a Bloom sidecar on any data batch of `version` —
@@ -1697,7 +1912,7 @@ object VersionedTable {
     // mergeSchema=false read would pick ONE file's schema in listing
     // order and the compaction would silently drop columns; identical
     // result on homogeneous tables
-    readAtWidened(spark, path, v)
+    readAtWidenedPhysical(spark, path, v)
       .write.mode("overwrite").parquet(s"$path/data/$batch")
     // maintenance must not strip the index layer: stats and Bloom
     // sidecars are REBUILT for the rewritten batch on request (the
@@ -1818,7 +2033,7 @@ object VersionedTable {
     val parent = s"b${next}_${newToken()}"
     // widened union schema: see compact() — clustering must never
     // drop a column a narrower batch predates
-    val base = readAtWidened(spark, path, v)
+    val base = readAtWidenedPhysical(spark, path, v)
     val bucketed =
       if (isStringCol(base, rangeCol)) {
         // strings cluster through the globalRank-derived boundary
@@ -1935,7 +2150,7 @@ object VersionedTable {
     val next = v + 1
     val parent = s"b${next}_${newToken()}"
     // widened union schema: see compact()
-    val content = readAtWidened(spark, path, v)
+    val content = readAtWidenedPhysical(spark, path, v)
     val cells = 1 << bits
     // rank-space grid: exact-quantile cell boundaries per column,
     // computed over the column's numeric shadow (typed columns
@@ -2030,10 +2245,10 @@ object VersionedTable {
       fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion > toVersion $toVersion")
-    if (fromVersion == 0) return readAt(spark, path, toVersion)
+    if (fromVersion == 0) return readAtPhysical(spark, path, toVersion)
     val fresh = freshChangeEntries(path, fromVersion, toVersion)
     if (fresh.isEmpty)
-      readAt(spark, path, toVersion).limit(0)
+      readAtPhysical(spark, path, toVersion).limit(0)
     else spark.read.parquet(fresh.flatMap(scanPaths(path, _)): _*)
   }
 
@@ -2123,7 +2338,7 @@ object VersionedTable {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion > toVersion $toVersion")
     if (fromVersion == 0)
-      return readAt(spark, path, toVersion)
+      return readAtPhysical(spark, path, toVersion)
         .withColumn("_change_type", lit("insert"))
     val changes = (fromVersion + 1 to toVersion).flatMap { v =>
       val prevDirs = manifestEntries(path, v - 1).map(dirOf).toSet
@@ -2149,7 +2364,7 @@ object VersionedTable {
       }
     }
     if (changes.isEmpty)
-      readAt(spark, path, toVersion)
+      readAtPhysical(spark, path, toVersion)
         .withColumn("_change_type", lit("insert")).limit(0)
     else changes.reduce(_ unionByName _)
   }
@@ -2481,7 +2696,7 @@ object VersionedTable {
     * boundary forward one version.
     */
   def commitMetadataVersion(path: String, comment: String,
-      maxRetries: Int = 3): Long = {
+      maxRetries: Int = 3, extraHeader: Seq[String] = Nil): Long = {
     var attempt = 0
     while (true) {
       val latest = latestVersion(path).getOrElse(
@@ -2489,7 +2704,7 @@ object VersionedTable {
           s"no committed version at $path to fence"))
       try {
         commitManifest(path, latest + 1,
-          comment +: manifestEntries(path, latest))
+          (comment +: extraHeader) ++ manifestEntries(path, latest))
         return latest + 1
       } catch {
         case e: java.io.IOException
@@ -2591,7 +2806,10 @@ object VersionedTable {
       advanceCheckpoint(checkpointDir, latest)
       return Some((0L, latest))
     }
-    val feed = readChangeFeed(spark, path, last, latest)
+    // the change feed is physical-named plumbing; the export speaks
+    // the table's CURRENT logical names (same epoch as readAt(latest))
+    val feed = graft.catalog.ColumnMapping.toLogicalAt(
+      readChangeFeed(spark, path, last, latest), path, latest)
     partitionCols.foreach(c => require(feed.columns.contains(c),
       s"partition column $c is not in the table"))
     val touched = feed.select(partitionCols.map(col): _*)

@@ -2809,7 +2809,7 @@ object SourceQueries extends QueryRegistry {
     (s, d) => {
       import graft.operators.VersionedTable
       val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
-      val table = s"q311_inv_$sfx"
+      val table = s"q311_inv2_$sfx"
       val path = graftCatalog(s).tablePath(Seq(table))
       if (!VersionedTable.latestVersion(path).exists(_ >= 3L)) {
         s.sql(s"DROP TABLE IF EXISTS graft.$table")
@@ -2913,7 +2913,7 @@ object SourceQueries extends QueryRegistry {
     (s, d) => {
       import graft.operators.VersionedTable
       val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
-      val table = s"q312_sync_$sfx"
+      val table = s"q312_sync2_$sfx"
       val path = graftCatalog(s).tablePath(Seq(table))
       if (!VersionedTable.latestVersion(path).exists(_ >= 2L)) {
         s.sql(s"DROP TABLE IF EXISTS graft.$table")
@@ -3000,7 +3000,7 @@ object SourceQueries extends QueryRegistry {
     (s, d) => {
       import graft.operators.VersionedTable
       val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
-      val table = s"q313_mig_$sfx"
+      val table = s"q313_mig2_$sfx"
       val path = graftCatalog(s).tablePath(Seq(table))
       if (!VersionedTable.latestVersion(path).exists(_ >= 3L)) {
         s.sql(s"DROP TABLE IF EXISTS graft.$table")
@@ -3808,10 +3808,297 @@ object SourceQueries extends QueryRegistry {
       ) AS t(leg, n)
     """.trim))
 
+  /** MANIFEST-RECORDED COMMIT TIMESTAMPS (round-16 verdict #3):
+    * `TIMESTAMP AS OF` previously trusted manifest file mtime (the
+    * Delta convention) — a table COPIED or RESTORED between
+    * filesystems loses its commit clock. Every commit now records its
+    * wall-time in the manifest itself (`#ts=` header), and
+    * `versionAtTime` prefers it, falling back to mtime only for
+    * pre-header manifests. The chain: three commits, capture each
+    * recorded commit time, then CLOBBER every manifest's mtime to
+    * epoch+1s (the simulated copy) — resolution at each captured
+    * instant must still land on the right version, below the first
+    * commit must refuse, and the same clock must serve the CATALOG's
+    * `TIMESTAMP AS OF` SQL over an identically-clobbered table. Any
+    * leg riding mtime (pre-round-16 behavior) resolves everything to
+    * the 1970 clobber time and breaks the hash.
+    */
+  val q323 = GraftQuery(
+    "q323_versioned_commit_timestamps",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val sfx = d.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = s"/tmp/graft_q323_ts_$sfx"
+      val table = s"q323_ts_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      val cpath = graftCatalog(s).tablePath(Seq(table))
+      val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("tc"),
+        pmod(col("o_orderkey"), lit(3)).as("m"))
+      if (!VersionedTable.latestVersion(path).exists(_ >= 3L)) {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (f.exists(p)) f.delete(p, true)
+        VersionedTable.append(base.filter(col("m") === 0).drop("m"), path)
+        VersionedTable.append(base.filter(col("m") === 1).drop("m"), path)
+        VersionedTable.append(base.filter(col("m") === 2).drop("m"), path)
+      }
+      if (!VersionedTable.latestVersion(cpath).exists(_ >= 2L)) {
+        s.sql(s"DROP TABLE IF EXISTS graft.$table")
+        s.sql(s"CREATE TABLE graft.$table (k BIGINT, tc BIGINT)")
+        base.filter(col("m") === 0).drop("m")
+          .createOrReplaceTempView("q323_w1")
+        base.filter(col("m") =!= 0).drop("m")
+          .createOrReplaceTempView("q323_w2")
+        s.sql(s"INSERT INTO graft.$table SELECT * FROM q323_w1")
+        s.sql(s"INSERT INTO graft.$table SELECT * FROM q323_w2")
+      }
+      // the simulated copy: clobber EVERY manifest's mtime (both
+      // tables) to epoch+1s — idempotent, re-applied every run
+      Seq(path, cpath).foreach { dir =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        f.listStatus(p).map(_.getPath)
+          .filter(_.getName.matches("_v\\d+\\.manifest"))
+          .foreach(m => f.setTimes(m, 1000L, 1000L))
+      }
+      val ts = (1L to 3L).map(v =>
+        v -> VersionedTable.commitTimeMillis(path, v).get).toMap
+      def vAt(millis: Long): Long =
+        VersionedTable.versionAtTime(path, millis * 1000L).getOrElse(-1L)
+      val cts1 = VersionedTable.commitTimeMillis(cpath, 1L).get
+      // a SESSION-TIMEZONE timestamp literal at millisecond grain —
+      // the SQL face of the same recorded commit clock
+      val lit1 = java.time.Instant.ofEpochMilli(cts1)
+        .atZone(java.time.ZoneId.of(s.sessionState.conf.sessionLocalTimeZone))
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      val catRows = s.sql(
+        s"SELECT CAST(count(*) AS LONG) FROM graft.$table " +
+          s"TIMESTAMP AS OF '$lit1'")
+        .collect().head.getLong(0)
+      val rowsAtV2 = VersionedTable
+        .readAt(s, path, vAt(ts(2L))).count()
+      import s.implicits._
+      Seq(
+        ("v_at_ts1", vAt(ts(1L))),
+        ("v_at_ts2", vAt(ts(2L))),
+        ("v_at_ts3_plus_1min", vAt(ts(3L) + 60000L)),
+        ("before_first_refuses", if (vAt(ts(1L) - 1L) == -1L) 1L else 0L),
+        ("rows_at_ts2", rowsAtV2),
+        ("catalog_rows_at_ts1", catRows)
+      ).toDF("leg", "n")
+    },
+    Some("""
+      WITH base AS (SELECT o_orderkey % 3 AS m FROM orders)
+      SELECT * FROM (VALUES
+        ('v_at_ts1', CAST(1 AS BIGINT)),
+        ('v_at_ts2', CAST(2 AS BIGINT)),
+        ('v_at_ts3_plus_1min', CAST(3 AS BIGINT)),
+        ('before_first_refuses', CAST(1 AS BIGINT))
+      ) AS t(leg, n)
+      UNION ALL
+      SELECT 'rows_at_ts2', CAST(count(*) AS BIGINT) FROM base WHERE m < 2
+      UNION ALL
+      SELECT 'catalog_rows_at_ts1', CAST(count(*) AS BIGINT)
+      FROM base WHERE m = 0
+    """.trim))
+
+  /** MAPPING-AWARE PATH READS + PROTOCOL GATE (round-16 verdict #1):
+    * a raw `VersionedTable.readAt(path)` over a column-mapped table
+    * previously leaked PHYSICAL parquet names and a `__dropped`
+    * column's stale data (the mapping lived only at the catalog/TVF
+    * layer). Path reads now resolve the schema EPOCH: the chain
+    * renames a column, DROPS one, re-ADDS the same logical name (a
+    * FRESH physical column — old values must never resurface), and a
+    * second wave lands through a PATH-LEVEL logical-named append
+    * (the write-side translation). The result reads the SAME table
+    * through BOTH surfaces — catalog SQL and raw path readAt — and
+    * through path time travel at the pre-DDL epoch (old names). The
+    * oracle computes each leg once: a physical name leaking, retired
+    * `junk` values resurfacing under the re-added column (wave-1
+    * rows must read NULL there), or the two surfaces diverging
+    * breaks the hash.
+    */
+  val q324 = GraftQuery(
+    "q324_mapped_dual_surface_read",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"q324_map_$sfx"
+      val path = graftCatalog(s).tablePath(Seq(table))
+      if (!VersionedTable.latestVersion(path).exists(_ >= 4L)) {
+        s.sql(s"DROP TABLE IF EXISTS graft.$table")
+        s.sql(s"""CREATE TABLE graft.$table
+          (k BIGINT, v BIGINT, junk BIGINT)
+          TBLPROPERTIES('key'='k')""")
+        Tables.orders(s, d).createOrReplaceTempView("q324_base")
+        s.sql(s"""INSERT INTO graft.$table
+          SELECT o_orderkey, CAST(round(o_totalprice * 100) AS LONG),
+                 o_orderkey % 100
+          FROM q324_base""")                                       // v1
+        s.sql(s"ALTER TABLE graft.$table RENAME COLUMN v TO amount")
+        // ^ v2: ddl fence (carries #protocol=column-mapping)
+        s.sql(s"ALTER TABLE graft.$table DROP COLUMN junk")         // v3
+        s.sql(s"ALTER TABLE graft.$table ADD COLUMNS (junk BIGINT)")
+        // wave 2 lands through the PATH API under LOGICAL names —
+        // the write-side mapping translation stores physical
+        val off = s.sql(
+          "SELECT 1 + max(o_orderkey) FROM q324_base")
+          .collect().head.getLong(0)
+        VersionedTable.appendWithRetry(
+          s.sql(s"""SELECT o_orderkey + $off AS k,
+                   CAST(round(o_totalprice * 100) AS LONG) AS amount,
+                   o_orderkey % 7 AS junk
+            FROM q324_base WHERE o_orderpriority = '1-URGENT'"""),
+          path)                                                    // v4
+      }
+      def slice(leg: String,
+          df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        df.agg(count(lit(1)).cast("long").as("n_rows"),
+            sum(col("amount")).cast("long").as("sum_amount"),
+            coalesce(sum(col("junk")), lit(0L)).cast("long")
+              .as("sum_junk"))
+          .select(lit(leg).as("leg"), col("n_rows"), col("sum_amount"),
+            col("sum_junk"))
+      val latest = VersionedTable.latestVersion(path).get
+      val cur = s.table(s"graft.$table").select("k", "amount", "junk")
+      // widened: the table holds mixed-width batches (pre-drop and
+      // re-add epochs) — the footer-union read is the deterministic
+      // path-level form, exactly what the catalog reads
+      val viaPath = VersionedTable.readAtWidened(s, path, latest)
+        .select("k", "amount", "junk")
+      // the pre-DDL epoch through the PATH api: old names, old width
+      val epoch1 = VersionedTable.readAt(s, path, 1L)
+        .select(col("k"), col("v").as("amount"), col("junk"))
+      slice("catalog", cur)
+        .unionAll(slice("path", viaPath))
+        .unionAll(slice("epoch1_old_names", epoch1))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS a,
+               o_orderkey % 100 AS j0, o_orderkey % 7 AS j1,
+               o_orderpriority AS pri
+        FROM orders),
+      -- wave 1 reads junk NULL after the drop/re-add; wave 2 carries j1
+      cur AS (
+        SELECT k, a, CAST(NULL AS BIGINT) AS junk FROM base
+        UNION ALL
+        SELECT k + (SELECT 1 + max(k) FROM base), a, j1
+        FROM base WHERE pri = '1-URGENT')
+      SELECT 'catalog' AS leg, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(a) AS BIGINT) AS sum_amount,
+             CAST(coalesce(sum(junk), 0) AS BIGINT) AS sum_junk
+      FROM cur
+      UNION ALL
+      SELECT 'path', CAST(count(*) AS BIGINT), CAST(sum(a) AS BIGINT),
+             CAST(coalesce(sum(junk), 0) AS BIGINT)
+      FROM cur
+      UNION ALL
+      SELECT 'epoch1_old_names', CAST(count(*) AS BIGINT),
+             CAST(sum(a) AS BIGINT), CAST(sum(j0) AS BIGINT)
+      FROM base
+    """.trim))
+
+  /** STREAMING-BY-NAME OVER A MAPPED TABLE (round-16 verdict #2) —
+    * the stated q318 refusal lifted: `readStream.table("graft.t")`
+    * previously went dark the moment a table renamed a column. The
+    * V1 versions-as-offsets source now freezes the column mapping at
+    * query (re)start and aliases every delivered batch to the
+    * frozen LOGICAL names (the CDF already spoke them, q321). The
+    * chain: stream wave 1 under the original names → RENAME v TO
+    * amount lands (a mid-flight DDL on a RUNNING stream refuses —
+    * spec leg) → RESTART from the same checkpoint → wave 2 arrives
+    * under the NEW name with no re-delivery of wave 1. Phase sums
+    * land in separate sinks; re-delivered rows, a stale name, or
+    * physical-name leakage breaks the hash.
+    */
+  val q325 = GraftQuery(
+    "q325_mapped_stream_by_name",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      import org.apache.spark.sql.streaming.Trigger
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"q325_str_$sfx"
+      val path = graftCatalog(s).tablePath(Seq(table))
+      val ckpt = s"/tmp/graft_q325_ckpt_$sfx"
+      val sink1 = s"/tmp/graft_q325_p1_$sfx"
+      val sink2 = s"/tmp/graft_q325_p2_$sfx"
+      val conf = s.sparkContext.hadoopConfiguration
+      def exists(dir: String): Boolean = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(conf).exists(p)
+      }
+      val complete = VersionedTable.latestVersion(path).exists(_ >= 3L) &&
+        VersionedTable.latestVersion(sink1).nonEmpty &&
+        VersionedTable.latestVersion(sink2).nonEmpty
+      if (!complete) {
+        s.sql(s"DROP TABLE IF EXISTS graft.$table")
+        Seq(ckpt, sink1, sink2).foreach { dir =>
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val f = p.getFileSystem(conf)
+          if (f.exists(p)) f.delete(p, true)
+        }
+        s.sql(s"""CREATE TABLE graft.$table (k BIGINT, v BIGINT)
+          TBLPROPERTIES('key'='k')""")
+        Tables.orders(s, d).createOrReplaceTempView("q325_base")
+        def drain(valueCol: String, sink: String): Unit = {
+          val q = s.readStream.table(s"graft.$table")
+            .writeStream.option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+              if (!df.isEmpty)
+                VersionedTable.append(
+                  df.agg(count(lit(1)).cast("long").as("n_partial"),
+                    sum(col(valueCol)).cast("long").as("sum_partial")),
+                  sink, txnId = Some(s"q325-$valueCol-$id"))
+              ()
+            }.start()
+          q.awaitTermination(120000)
+          ()
+        }
+        s.sql(s"""INSERT INTO graft.$table
+          SELECT o_orderkey, CAST(round(o_totalprice * 100) AS LONG)
+          FROM q325_base""")                                       // v1
+        drain("v", sink1) // wave 1 under the original name
+        s.sql(s"ALTER TABLE graft.$table RENAME COLUMN v TO amount")
+        // ^ v2: the ddl fence; the RESTART below re-freezes the
+        // mapping — rows arrive under the CURRENT logical names
+        val off = s.sql("SELECT 1 + max(o_orderkey) FROM q325_base")
+          .collect().head.getLong(0)
+        s.sql(s"""INSERT INTO graft.$table
+          SELECT o_orderkey + $off,
+                 CAST(round(o_totalprice * 100) AS LONG)
+          FROM q325_base WHERE o_orderpriority = '1-URGENT'""")    // v3
+        drain("amount", sink2) // wave 2 only, under the new name
+      }
+      def leg(name: String,
+          sink: String): org.apache.spark.sql.DataFrame =
+        VersionedTable.readLatest(s, sink)
+          .agg(sum(col("n_partial")).cast("long").as("n_rows"),
+            sum(col("sum_partial")).cast("long").as("sum_value"))
+          .select(lit(name).as("leg"), col("n_rows"), col("sum_value"))
+      leg("wave1_old_name", sink1).unionAll(leg("wave2_new_name", sink2))
+    },
+    Some("""
+      WITH base AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS a,
+               o_orderpriority AS pri
+        FROM orders)
+      SELECT 'wave1_old_name' AS leg, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(a) AS BIGINT) AS sum_value
+      FROM base
+      UNION ALL
+      SELECT 'wave2_new_name', CAST(count(*) AS BIGINT),
+             CAST(sum(a) AS BIGINT)
+      FROM base WHERE pri = '1-URGENT'
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
     q282, q283, q284, q285, q286, q288, q289, q290, q291, q292, q293, q294,
     q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306,
     q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318,
-    q319, q320, q321, q322)
+    q319, q320, q321, q322, q323, q324, q325)
 }

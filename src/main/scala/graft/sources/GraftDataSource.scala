@@ -161,13 +161,26 @@ class GraftDataSource extends RelationProvider with StreamSourceProvider
           "preimage reads under the widened schema; restart contracts " +
           "apply instead")
     val spark = sqlContext.sparkSession
+    val latestOr = () => VersionedTable.latestVersion(path).getOrElse(
+      throw new IllegalArgumentException(
+        s"format(\"graft\"): no committed version at $path"))
     val base = schema.getOrElse {
-      if (widen) {
-        val latest = VersionedTable.latestVersion(path).getOrElse(
-          throw new IllegalArgumentException(
-            s"format(\"graft\"): no committed version at $path"))
-        VersionedTable.readAtWidened(spark, path, latest).schema
-      } else VersionedTable.readLatest(spark, path).schema
+      // the stream delivers readChanges — PHYSICAL-named plumbing —
+      // but its DECLARED schema is the LOGICAL view whenever the
+      // path's metadata activates a column mapping (the default;
+      // option mapColumns=false opts into raw physical access):
+      // getBatch aliases each delivered batch to the logical names,
+      // so `readStream.table("graft.t")` over a renamed table just
+      // works (round 16 — previously a loud refusal)
+      val physical =
+        if (widen) VersionedTable.readAtWidenedPhysical(spark, path,
+          latestOr()).schema
+        else VersionedTable.readAtPhysical(spark, path, latestOr()).schema
+      if (GraftDataSource.mapColumns(o))
+        graft.catalog.GraftCatalogs.logicalView(
+          spark.createDataFrame(new java.util.ArrayList[Row](), physical),
+          path).schema
+      else physical
     }
     val s =
       if (o.get("readchangefeed").exists(_.toBoolean) &&
@@ -187,7 +200,8 @@ class GraftDataSource extends RelationProvider with StreamSourceProvider
       startingVersion = o.get("startingversion").map(_.toLong).getOrElse(0L),
       maxVersionsPerTrigger = o.get("maxversionspertrigger").map(_.toLong),
       changeFeed = o.get("readchangefeed").exists(_.toBoolean),
-      widen = o.get("widen").exists(_.toBoolean))
+      widen = o.get("widen").exists(_.toBoolean),
+      mapColumns = GraftDataSource.mapColumns(o))
   }
 
   // ---- streaming write --------------------------------------------
@@ -209,6 +223,26 @@ class GraftDataSource extends RelationProvider with StreamSourceProvider
       cols(o, "bloomcols"), o.get("mergekey"), outputMode,
       autoCompactTombstones = o.get("autocompacttombstones").map(_.toInt))
   }
+}
+
+object GraftDataSource {
+  /** Whether a STREAM over this path presents the LOGICAL view: an
+    * explicit `mapColumns` option wins; the default is true exactly
+    * when the path's catalog metadata activates a column mapping (or
+    * retired columns) — so `readStream.table` and path streams over
+    * renamed tables deliver current logical names, while unmapped
+    * tables keep the identity fast path.
+    */
+  private[sources] def mapColumns(o: Map[String, String]): Boolean =
+    o.get("mapcolumns").map(_.toBoolean).getOrElse {
+      o.get("path") match {
+        case None => false
+        case Some(path) =>
+          try graft.catalog.GraftTableMeta.readLatest(path)
+            .exists(graft.catalog.ColumnMapping.needsLogicalView)
+          catch { case scala.util.control.NonFatal(_) => false }
+      }
+    }
 }
 
 /** The versioned table as a streaming SINK: each micro-batch is one
@@ -329,11 +363,63 @@ private[sources] class GraftMergeOnReadRelation(sql: SQLContext,
 private[sources] class GraftSource(spark: SparkSession, path: String,
     override val schema: StructType, startingVersion: Long,
     maxVersionsPerTrigger: Option[Long], changeFeed: Boolean = false,
-    widen: Boolean = false)
+    widen: Boolean = false, mapColumns: Boolean = false)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{Offset => ConnectorOffset, ReadLimit}
+
+  private def lcs(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
+
+  /** COLUMN MAPPING, frozen at query (re)start (`mapColumns`, the
+    * by-name default over mapped tables): delivered batches are
+    * PHYSICAL-named storage; this source aliases them to the frozen
+    * epoch's LOGICAL names and projects retired (`__dropped`) columns
+    * away — `readStream.table("graft.t")` over a renamed table
+    * delivers current logical names. A shape-changing DDL landing
+    * MID-STREAM (rename/drop/add under an active mapping, or a first
+    * mapping activation) refuses loudly per batch naming the restart
+    * contract — Spark freezes a stream's schema at start, so a
+    * restart is the only honest way to pick the new names up.
+    */
+  private val frozenMeta: Option[graft.catalog.MetaState] =
+    if (!mapColumns) None
+    else try graft.catalog.GraftTableMeta.readLatest(path)
+      .filter(graft.catalog.ColumnMapping.needsLogicalView)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** logical-lc -> physical name under the frozen mapping. */
+  private val physOfLogical: Map[String, String] = frozenMeta
+    .map(_.schema.map(f => lcs(f.name) ->
+      graft.catalog.ColumnMapping.physicalName(f)).toMap)
+    .getOrElse(Map.empty)
+
+  private val retiredLc: Set[String] =
+    frozenMeta.map(_.dropped.map(lcs).toSet).getOrElse(Set.empty)
+
+  private def shapeOf(m: Option[graft.catalog.MetaState]) =
+    m.filter(graft.catalog.ColumnMapping.needsLogicalView).map(x =>
+      (x.schema.map(f => (f.name,
+        graft.catalog.ColumnMapping.physicalName(f), f.dataType.sql)),
+        x.dropped))
+
+  private val frozenShape = shapeOf(
+    if (!mapColumns) None
+    else try graft.catalog.GraftTableMeta.readLatest(path)
+      catch { case scala.util.control.NonFatal(_) => None })
+
+  private def assertMappingUnchanged(): Unit = if (mapColumns) {
+    val current =
+      try graft.catalog.GraftTableMeta.readLatest(path)
+      catch { case scala.util.control.NonFatal(_) => None }
+    if (shapeOf(current) != frozenShape)
+      throw new IllegalStateException(
+        s"graft stream at $path: a schema-changing DDL (RENAME/DROP/ADD " +
+          "COLUMN) landed mid-stream — this stream's frozen logical " +
+          "schema no longer matches the table's current epoch. RESTART " +
+          "the query; rows then arrive under the current logical names " +
+          "(a running stream cannot change its schema mid-flight)")
+  }
 
   private def vOf(o: ConnectorOffset): Long = o match {
     case LongOffset(v) => v
@@ -396,15 +482,20 @@ private[sources] class GraftSource(spark: SparkSession, path: String,
     *    the query, the fresh start re-widens over the new commit.
     */
   private def validateBatchSchemas(from: Long, to: Long): Unit = {
+    // under a frozen mapping the stream's declared names are LOGICAL;
+    // footers carry the stable PHYSICAL names — compare there, and a
+    // RETIRED column in an older batch is no violation (the logical
+    // view projects it away)
     val declared = schema.fields
       .filterNot(_.name == "_change_type")
-      .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType)
+      .map(f => lcs(physOfLogical.getOrElse(lcs(f.name), f.name))
+        -> f.dataType)
     val declaredMap = declared.toMap
     VersionedTable.freshChangeEntries(path, from, to).foreach { entry =>
       val dir = entry.split(";").head
       val got = spark.read
         .parquet(VersionedTable.scanPaths(path, entry): _*).schema
-      got.fields.foreach { f =>
+      got.fields.filterNot(f => retiredLc(lcs(f.name))).foreach { f =>
         val lc = f.name.toLowerCase(java.util.Locale.ROOT)
         declaredMap.get(lc) match {
           case Some(want) if want == f.dataType => ()
@@ -445,7 +536,13 @@ private[sources] class GraftSource(spark: SparkSession, path: String,
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(o => vOf(o)).getOrElse(startingVersion)
     val to = vOf(end)
+    assertMappingUnchanged()
     validateBatchSchemas(from, to)
+    // the delivered plumbing is PHYSICAL-named; under a frozen
+    // mapping it is aliased to the logical view before the declared
+    // projection (passengers like _change_type ride through)
+    def logical(df: DataFrame): DataFrame = frozenMeta
+      .map(graft.catalog.ColumnMapping.toLogical(df, _)).getOrElse(df)
     // CDC mode delivers the full change feed — inserts AND the
     // deleted rows, `_change_type`-tagged (readChangeFeed's
     // per-commit walk; an upsert arrives as its preimage/postimage
@@ -453,15 +550,16 @@ private[sources] class GraftSource(spark: SparkSession, path: String,
     // replica; plain mode is the appended-rows feed
     val changes =
       if (changeFeed)
-        VersionedTable.readChangeFeed(spark, path, from, to)
+        logical(VersionedTable.readChangeFeed(spark, path, from, to))
           .select(schema.fieldNames.map(col).toIndexedSeq: _*)
       else if (widen)
-        VersionedTable.readChangesAs(spark, path, from, to,
+        logical(VersionedTable.readChangesAs(spark, path, from, to,
           org.apache.spark.sql.types.StructType(
-            schema.fields.filterNot(_.name == "_change_type")))
+            schema.fields.filterNot(_.name == "_change_type").map(f =>
+              f.copy(name = physOfLogical.getOrElse(lcs(f.name), f.name))))))
           .select(schema.fieldNames.map(col).toIndexedSeq: _*)
       else
-        VersionedTable.readChanges(spark, path, from, to)
+        logical(VersionedTable.readChanges(spark, path, from, to))
           .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     GraftStreamingBridge.asStreaming(changes)
   }

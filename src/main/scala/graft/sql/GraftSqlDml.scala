@@ -372,7 +372,7 @@ case class GraftInsertCommand(path: String, query: LogicalPlan,
     val raw = GraftStreamingBridge.ofRows(session, query)
     val df = VersionedTable.latestVersion(path) match {
       case Some(latest) =>
-        val tableSchema = VersionedTable.readAt(session, path, latest).schema
+        val tableSchema = VersionedTable.readAtPhysical(session, path, latest).schema
         val aligned =
           if (byName) {
             // BY NAME validates the column SET against the table:
@@ -439,7 +439,7 @@ case class GraftDeleteCommand(path: String, keyCols: Seq[String],
     val latest = VersionedTable.latestVersion(path).getOrElse(
       throw new IllegalArgumentException(
         s"DELETE from empty graft table at $path"))
-    val view = VersionedTable.readAtAuto(session, path, latest)
+    val view = VersionedTable.readAtAutoPhysical(session, path, latest)
     // resolve the parsed predicate under the statement's alias
     val aliased = GraftDml.aliased(alias, view.queryExecution.logical)
     val keys = GraftStreamingBridge.ofRows(session,
@@ -463,7 +463,7 @@ case class GraftMergeCommand(path: String, keyCols: Seq[String],
     val src = GraftStreamingBridge.ofRows(session, source)
     GraftDml.refuseDuplicateSourceKeys(src, keyCols)
     VersionedTable.latestVersion(path).foreach { latest =>
-      val targetCols = VersionedTable.readAt(session, path, latest)
+      val targetCols = VersionedTable.readAtPhysical(session, path, latest)
         .columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
       val srcCols = src.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
       require(srcCols == targetCols,
@@ -497,7 +497,7 @@ case class GraftUpdateCommand(path: String, keyCols: Seq[String],
     val latest = VersionedTable.latestVersion(path).getOrElse(
       throw new IllegalArgumentException(
         s"UPDATE on empty graft table at $path"))
-    val view = VersionedTable.readAtAuto(session, path, latest)
+    val view = VersionedTable.readAtAutoPhysical(session, path, latest)
     val aliased = GraftDml.aliased(alias, view.queryExecution.logical)
     val cond = condition.map(_.expr).getOrElse(Literal(true))
     val assignOf = assignments.toMap
@@ -626,7 +626,7 @@ case class GraftMergeIntoCommand(path: String, keyCols: Seq[String],
               .col(ActCol) >= 0).drop(ActCol)
             (if (notMatched.isEmpty || ins.isEmpty) None else Some(ins), None)
           case Some(v) =>
-            val view = VersionedTable.readAtAuto(session, path, v)
+            val view = VersionedTable.readAtAutoPhysical(session, path, v)
             val targetSchema = view.schema
             val targetCols = targetSchema.fieldNames.toSeq
             val tPlan = GraftDml.aliased(targetAlias,
