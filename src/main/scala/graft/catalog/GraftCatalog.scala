@@ -826,8 +826,12 @@ private[catalog] class GraftWriteBuilder(path: String,
             VersionedTable.overwrite(stored, path,
               statsCols = cols("statscols"), bloomCols = cols("bloomcols"))
           else
+            // bloomcols indexes CATALOG inserts too — the declared
+            // point-lookup index must not silently lapse on the SQL
+            // write path (round-16 fix: previously only overwrite
+            // honored it)
             VersionedTable.appendWithRetry(stored, path,
-              statsCols = cols("statscols"))
+              statsCols = cols("statscols"), bloomCols = cols("bloomcols"))
           ()
         }
       }

@@ -168,7 +168,11 @@ object ColumnMapping {
   def colsToPhysical(cols: Seq[String], table: StructType): Seq[String] = {
     val phys = table.map(f =>
       f.name.toLowerCase(Locale.ROOT) -> physicalName(f)).toMap
-    cols.map(c => phys.getOrElse(c.toLowerCase(Locale.ROOT), c))
+    def one(c: String) = phys.getOrElse(c.toLowerCase(Locale.ROOT), c)
+    // a composite Bloom spec (`a+b`) translates per component
+    cols.map(c =>
+      if (c.contains("+")) c.split("\\+").map(one).mkString("+")
+      else one(c))
   }
 
   /** Path-level translation for tooling that holds only the table

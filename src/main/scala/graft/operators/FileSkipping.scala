@@ -126,6 +126,17 @@ object FileSkipping {
     array(pmod(xxhash64(v, lit(1)), lit(bits.toLong)),
       pmod(xxhash64(v, lit(2)), lit(bits.toLong)))
 
+  /** [[bloomBits]] over a COMPOSITE value: the two lanes hash the
+    * whole column tuple (xxhash64 is variadic; the lane seed rides as
+    * the last argument, exactly like the single-column form — which
+    * is the one-element special case). Build and probe must pass the
+    * components in the SAME order; callers canonicalize by sorting
+    * the component names.
+    */
+  private[operators] def bloomBitsMulti(vs: Seq[Column], bits: Int): Column =
+    array(pmod(xxhash64((vs :+ lit(1)): _*), lit(bits.toLong)),
+      pmod(xxhash64((vs :+ lit(2)): _*), lit(bits.toLong)))
+
   /** Files that MIGHT contain any of `keys`: both Bloom lanes of at
     * least one key are set. Superset of the true file set (no false
     * negatives by construction); false positives cost an extra file

@@ -398,8 +398,9 @@ object VersionedTable {
     */
   def appendWithRetry(df: DataFrame, path: String,
       txnId: Option[String] = None, statsCols: Seq[String] = Nil,
-      maxRetries: Int = 10): Long =
-    appendRetrying(df, path, txnId, statsCols, maxRetries, _ => ())
+      maxRetries: Int = 10, bloomCols: Seq[String] = Nil): Long =
+    appendRetrying(df, path, txnId, statsCols, maxRetries, _ => (),
+      bloomCols = bloomCols)
 
   /** Test seam: `beforeCommit(version)` runs before each commit
     * attempt, letting a spec inject a deterministic competing commit.
@@ -766,13 +767,28 @@ object VersionedTable {
     * build and probe share one hash definition. No manifest grammar
     * change: presence of `_bloom` IS the index.
     */
+  /** A `bloomCols` entry is a single column name, or a COMPOSITE
+    * spec `a+b` (round-16 verdict #4): the composite lane hashes the
+    * whole key TUPLE, canonicalized by sorting the component names —
+    * so a `(k1, k2)` point lookup or upsert anti-join prunes on the
+    * full key instead of the first component's sound-but-loose
+    * superset (the difference on first-component-hot tables: one
+    * batch opened instead of every batch sharing the hot component).
+    */
   private def writeBloomSidecar(spark: SparkSession, batchDir: String,
       bloomCols: Seq[String], bits: Int = BloomBits): Unit =
     if (bloomCols.nonEmpty) {
       val batch = spark.read.parquet(batchDir)
       bloomCols.map { c =>
-        batch.select(lit(c).as("col"),
-          explode(FileSkipping.bloomBits(col(c), bits)).as("bit"))
+        val comps = c.split("\\+").map(_.trim).filter(_.nonEmpty)
+          .toSeq.sorted
+        if (comps.size <= 1)
+          batch.select(lit(c).as("col"),
+            explode(FileSkipping.bloomBits(col(c), bits)).as("bit"))
+        else
+          batch.select(lit(comps.mkString("+")).as("col"),
+            explode(FileSkipping.bloomBitsMulti(comps.map(col), bits))
+              .as("bit"))
       }.reduce(_ unionByName _)
         .distinct()
         .withColumn("bits", lit(bits.toLong))
@@ -865,6 +881,71 @@ object VersionedTable {
     hits.toSet ++ unindexed ++ unclaiming
   }
 
+  /** [[bloomCandidateDirs]] under a COMPOSITE key: dirs whose sidecar
+    * carries the canonical full-tuple lane (`<comps sorted>+…`, see
+    * [[writeBloomSidecar]]) are probed on the WHOLE tuple — the
+    * strict-subset pruning a first-component-hot table needs; dirs
+    * without the lane fall back to the first-component probe (the
+    * sound superset this method strictly improves on). Same
+    * no-false-negative contract: per-batch native-type casting per
+    * component, a null/overflowed probe component matches nothing in
+    * a non-null key column, and any dir making no claim stays a
+    * candidate.
+    */
+  private[graft] def bloomCandidateDirsMulti(spark: SparkSession,
+      path: String, dataDirs: Seq[String], keyCols: Seq[String],
+      keys: DataFrame): Set[String] = {
+    if (keyCols.size == 1)
+      return bloomCandidateDirs(spark, path, dataDirs, keyCols.head,
+        keys.select(col(keyCols.head)))
+    val comps = keyCols.sorted
+    val lane = comps.mkString("+")
+    val sidecars = dataDirs.flatMap(d =>
+      bloomSidecar(spark, path, d).map(d -> _))
+    if (sidecars.isEmpty) return dataDirs.toSet
+    val claiming = sidecars.map { case (d, df) =>
+      df.filter(col("col") === lane).select(lit(d).as("batch")).limit(1)
+    }.reduce(_ unionByName _).distinct()
+      .collect().map(_.getString(0)).toSet
+    // everything not claiming the composite lane prunes on the first
+    // component (bloomCandidateDirs keeps unindexed/unclaiming dirs)
+    val rest = dataDirs.filterNot(claiming)
+    val restCand =
+      if (rest.isEmpty) Set.empty[String]
+      else bloomCandidateDirs(spark, path, rest, keyCols.head,
+        keys.select(col(keyCols.head)))
+    if (claiming.isEmpty) return restCand
+    val sidecarOf = sidecars.toMap
+    // group by the NATIVE type tuple so build and probe hash the same
+    // physical types; a batch lacking a component keeps candidacy
+    val byType = claiming.toSeq.groupBy { d =>
+      val sch = spark.read.parquet(s"$path/data/$d").schema
+      comps.map(c => sch.find(_.name == c).map(_.dataType))
+    }
+    val hits = byType.toSeq.flatMap {
+      case (types, dirs) if types.exists(_.isEmpty) => dirs
+      case (types, dirs) =>
+        val cast = keys.select(comps.zip(types).map { case (c, dt) =>
+          col(c).try_cast(dt.get).as(c) }: _*)
+        // a component that nulled under the cast (overflow, or a null
+        // probe) cannot equal a stored non-null key — drop the row,
+        // never a candidate dir
+        val ks = comps.foldLeft(cast)((df, c) =>
+          df.filter(col(c).isNotNull)).distinct()
+        val blooms = dirs.map { d =>
+          sidecarOf(d).filter(col("col") === lane)
+            .select(lit(d).as("batch"), col("bit"), col("bits"))
+        }.reduce(_ unionByName _)
+        def laneHits(seed: Int) = ks.join(blooms,
+          pmod(xxhash64((comps.map(col) :+ lit(seed)): _*),
+            col("bits")) === col("bit"))
+          .select((comps.map(col) :+ col("batch")): _*).distinct()
+        laneHits(1).join(laneHits(2), comps :+ "batch", "left_semi")
+          .select(col("batch")).distinct().collect().map(_.getString(0))
+    }
+    hits.toSet ++ restCand
+  }
+
   /** Batch point lookup: read only the batch dirs whose Bloom
     * sidecar might contain one of `keys`, apply the position-scoped
     * tombstones of the surviving batches, then the exact key filter
@@ -892,11 +973,14 @@ object VersionedTable {
   }
 
   /** [[lookupKeys]] under a COMPOSITE key: `keys` carries one row per
-    * probe tuple (all key columns). Bloom pruning probes the FIRST
-    * component — a sound superset (a batch holding none of the first
-    * components holds no full tuple) — and the exact semi-join on
-    * the full column set removes false positives and partial
-    * matches. The probe frame is KB-sized and broadcasts.
+    * probe tuple (all key columns). Bloom pruning probes the FULL
+    * TUPLE on batches whose sidecar carries the composite lane
+    * (declare `bloomcols` = `k1+k2`; round-16 verdict #4 — on a
+    * first-component-hot table this opens the one batch that matters
+    * instead of every batch sharing the hot component), falling back
+    * to the first-component sound superset elsewhere; the exact
+    * semi-join on the full column set removes false positives and
+    * partial matches. The probe frame is KB-sized and broadcasts.
     */
   def lookupKeysMulti(spark: SparkSession, path: String, version: Long,
       keyCols: Seq[String], keys: DataFrame): DataFrame = {
@@ -911,8 +995,9 @@ object VersionedTable {
       case (l, p) => col(l).as(p) }: _*).distinct()
     val entries = manifestEntries(path, version)
     val dataDirs = entries.filterNot(isTombstone).map(dirOf)
-    val cand = bloomCandidateDirs(spark, path, dataDirs, phys.head,
-      probe.select(col(phys.head)))
+    // full-tuple lane when the sidecars carry it; first-component
+    // superset otherwise (never worse than the single-column probe)
+    val cand = bloomCandidateDirsMulti(spark, path, dataDirs, phys, probe)
     graft.catalog.ColumnMapping.toLogicalAt(
       readAtFiltered(spark, path, version, mergeSchema = false,
         e => cand.contains(dirOf(e)))
@@ -1267,12 +1352,12 @@ object VersionedTable {
       // sidecar proves they hold none of the incoming keys never
       // enter the anti-join scan (no false negatives -> identical
       // result, spec-proven); sidecar-less batches always scan.
-      // Composite keys probe on the FIRST key column only — a sound
-      // superset (a batch holding none of the first components holds
-      // no full key either); the anti-join below is on the full set
-      val cand = bloomCandidateDirs(spark, path,
+      // Composite keys probe the FULL tuple where sidecars carry the
+      // composite lane, the first component elsewhere (both sound
+      // supersets); the anti-join below is on the full set
+      val cand = bloomCandidateDirsMulti(spark, path,
         manifestEntries(path, snapshot).filterNot(isTombstone).map(dirOf),
-        keyCols.head, df.select(col(keyCols.head)))
+        keyCols, df.select(keyCols.map(col): _*))
       val current = readAtFiltered(spark, path, snapshot,
         mergeSchema = false, e => cand.contains(dirOf(e)))
       df.join(current.select(keyCols.map(col): _*).distinct(),
@@ -1312,8 +1397,8 @@ object VersionedTable {
           .map(dirOf)
         if (interleavedData.nonEmpty) {
           val mine = spark.read.parquet(s"$path/data/$dataBatch")
-          val cand = bloomCandidateDirs(spark, path, interleavedData,
-            keyCols.head, mine.select(col(keyCols.head)))
+          val cand = bloomCandidateDirsMulti(spark, path, interleavedData,
+            keyCols, mine.select(keyCols.map(col): _*))
           val theirAlive = viewOf(spark, path, interleavedEntries,
             mergeSchema = true, e => cand.contains(dirOf(e)))
           theirAlive.foreach { alive =>
@@ -2911,7 +2996,37 @@ object VersionedTable {
       if (!f.exists(dataDir)) Seq.empty
       else f.listStatus(dataDir).map(_.getPath)
         .filterNot(bp => referenced.contains(bp.getName)).toSeq
-    Some((floor, manifests, dirs))
+    Some((floor, manifests, dirs ++ staleMetaGens(path, floor)))
+  }
+
+  /** METADATA-GENERATION RETENTION (round-16 verdict #5): `_meta.<N>`
+    * schema epochs accumulate one file per ALTER, unboundedly. A
+    * generation is reclaimable once a NEWER generation already
+    * governs every retained version — i.e. some later generation's
+    * `since` is at or below the vacuum floor ([[GraftTableMeta
+    * .metaForVersion]] picks the newest `since <= v`, so the older
+    * one can never be selected for a retained read again). The
+    * anchor (newest gen with `since <= floor`), every gen with
+    * `since > floor`, the LATEST gen (current metadata), and
+    * generation 0 (`_table.meta` — the table's existence marker) are
+    * always kept. Physical-name reuse safety is unaffected: `dropped`
+    * accumulates forward and mappings persist, so the latest
+    * generation alone carries every physical name ever retired.
+    * KB-sized: one listing + one read per generation.
+    */
+  private def staleMetaGens(path: String, floor: Long): Seq[Path] = {
+    val gens =
+      try graft.catalog.GraftTableMeta.metaGens(path)
+      catch { case scala.util.control.NonFatal(_) => return Seq.empty }
+    if (gens.size <= 1) return Seq.empty
+    val states = gens.map(g =>
+      g -> graft.catalog.GraftTableMeta.readGen(path, g))
+    val anchor = states.reverse.find(_._2.since <= floor).map(_._1)
+    states.collect {
+      case (g, st) if g != 0L && g != gens.max &&
+          !anchor.contains(g) && st.since <= floor =>
+        new Path(path, s"_meta.$g")
+    }
   }
 
   /** What a `VACUUM ... RETAIN n VERSIONS` WOULD reclaim, without
@@ -2929,8 +3044,12 @@ object VersionedTable {
       case Some((floor, manifests, dirs)) =>
         manifests.map(m => ("manifest", m.getName,
           f.getFileStatus(m).getLen)) ++
-          dirs.map(d => ("batch-dir", d.getName,
-            f.getContentSummary(d).getLength)) :+
+          dirs.map { d =>
+            if (d.getName.startsWith("_meta."))
+              ("meta-gen", d.getName, f.getFileStatus(d).getLen)
+            else ("batch-dir", d.getName,
+              f.getContentSummary(d).getLength)
+          } :+
           (("floor", s"v$floor", 0L))
     }
     rows.toDF("kind", "name", "bytes")
@@ -2950,7 +3069,7 @@ object VersionedTable {
     dirs.foreach { bp =>
       if (!f.delete(bp, true) && f.exists(bp))
         throw new java.io.IOException(
-          s"VersionedTable vacuum: delete of batch dir $bp failed")
+          s"VersionedTable vacuum: delete of $bp failed")
     }
     // the post-hoc attribution record: which floor this vacuum set,
     // and when — what [[diagnoseVacuumRace]] names when a concurrent

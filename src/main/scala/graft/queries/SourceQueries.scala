@@ -4095,10 +4095,94 @@ object SourceQueries extends QueryRegistry {
       FROM base WHERE pri = '1-URGENT'
     """.trim))
 
+  /** FULL-TUPLE BLOOM LANES (round-16 verdict #4): composite-key
+    * point lookups previously Bloom-probed only the FIRST key
+    * component — sound, but on a first-component-hot table (the
+    * reference's (experiment_id, file_path) shape, where one
+    * experiment spans every batch) it prunes nothing. A `bloomcols`
+    * spec `a+b` now writes a lane hashing the WHOLE tuple, and
+    * `lookupKeysMulti` / upsert anti-joins probe it. The fixture
+    * makes every batch hot on experiment_id (each INSERT carries all
+    * experiments, file_paths disjoint per batch), so the
+    * first-component probe keeps all 4 batches while the composite
+    * lane opens only the batch(es) holding the probe tuples — the
+    * strictly-fewer leg. Result legs are the exact lookup rows; a
+    * false negative (a wrongly pruned batch) loses rows and breaks
+    * the hash.
+    */
+  val q326 = GraftQuery(
+    "q326_composite_bloom_tuple_lanes",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"q326_cbl_$sfx"
+      val path = graftCatalog(s).tablePath(Seq(table))
+      if (!VersionedTable.latestVersion(path).exists(_ >= 4L)) {
+        s.sql(s"DROP TABLE IF EXISTS graft.$table")
+        s.sql(s"""CREATE TABLE graft.$table
+          (experiment_id BIGINT, file_path STRING, size_c BIGINT)
+          TBLPROPERTIES('key'='experiment_id,file_path',
+                        'bloomcols'='experiment_id+file_path')""")
+        Tables.orders(s, d).createOrReplaceTempView("q326_base")
+        // 4 commits; EVERY batch holds every experiment (hot first
+        // component), file_paths disjoint per batch
+        (0 until 4).foreach { b =>
+          s.sql(s"""INSERT INTO graft.$table
+            SELECT o_orderkey % 5,
+                   concat('part-', o_orderkey),
+                   CAST(round(o_totalprice * 100) AS LONG)
+            FROM q326_base WHERE o_orderkey % 4 = $b""")
+        }
+      }
+      // deterministic probe tuples: the 3 smallest orderkeys with
+      // o_orderkey % 5 = 1 (same derivation in the oracle)
+      val probeKeys = s.sql("""SELECT o_orderkey FROM q326_base
+        WHERE o_orderkey % 5 = 1 ORDER BY o_orderkey LIMIT 3""")
+        .collect().map(_.getLong(0)).toSeq
+      import s.implicits._
+      val probe = probeKeys.map(k => (k % 5, s"part-$k"))
+        .toDF("experiment_id", "file_path")
+      val dirs = {
+        val f = new java.io.File(s"$path/data")
+        Option(f.listFiles()).toSeq.flatten.filter(_.isDirectory)
+          .map(_.getName).toSeq
+      }
+      val firstOnly = VersionedTable.bloomCandidateDirsMulti(s, path,
+        dirs, Seq("experiment_id"), probe.select("experiment_id"))
+      val fullTuple = VersionedTable.bloomCandidateDirsMulti(s, path,
+        dirs, Seq("experiment_id", "file_path"), probe)
+      val latest = VersionedTable.latestVersion(path).get
+      val rows = VersionedTable.lookupKeysMulti(s, path, latest,
+        Seq("experiment_id", "file_path"), probe)
+      rows.agg(count(lit(1)).cast("long").as("n"),
+          sum(col("size_c")).cast("long").as("v"))
+        .select(lit("lookup_rows").as("leg"), col("n"), col("v"))
+        .unionAll(Seq(
+          ("first_component_keeps_all",
+            if (firstOnly.size == dirs.size) 1L else 0L, 4L),
+          ("composite_strictly_fewer",
+            if (fullTuple.size < firstOnly.size) 1L else 0L, 1L)
+        ).toDF("leg", "n", "v"))
+    },
+    Some("""
+      WITH probe AS (
+        SELECT o_orderkey AS k FROM orders
+        WHERE o_orderkey % 5 = 1 ORDER BY o_orderkey LIMIT 3)
+      SELECT 'lookup_rows' AS leg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM orders JOIN probe ON o_orderkey = probe.k
+      UNION ALL
+      SELECT 'first_component_keeps_all', CAST(1 AS BIGINT),
+             CAST(4 AS BIGINT)
+      UNION ALL
+      SELECT 'composite_strictly_fewer', CAST(1 AS BIGINT),
+             CAST(1 AS BIGINT)
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
     q282, q283, q284, q285, q286, q288, q289, q290, q291, q292, q293, q294,
     q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306,
     q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318,
-    q319, q320, q321, q322, q323, q324, q325)
+    q319, q320, q321, q322, q323, q324, q325, q326)
 }

@@ -1373,6 +1373,20 @@ object TextAnalysis extends QueryRegistry {
     * — the classifier + redaction materialization is — so the
     * collapse is rejected on measurement and the proven staged plan
     * stays (the q244 honest-negative discipline).
+    *
+    * ROUND-16 OUTCOME (the last lever from that diagnosis,
+    * tokenization sharing): the cached base now holds the five
+    * DERIVED SCALARS (raw/scrubbed token counts, dedup fingerprint,
+    * quality score) instead of two full text copies — each text is
+    * scrubbed once, split once, scored once, and the stages read
+    * plain columns. Hash-identical; measured NEUTRAL at sf0.1
+    * (worktree-controlled, 6 iters same box: warm 15.0–15.6 s vs
+    * control 14.4–15.7 s — the classifier dominates, exactly as the
+    * r14 numbers said). KEPT anyway: the cache payload drops from
+    * full dual text copies to five scalars per doc — memory that
+    * matters at corpus scale even though sf0.1 cannot show it — and
+    * the item is retired: every plan-shape lever on this query is
+    * now a recorded measurement.
     */
   val q279 = GraftQuery(
     "q279_curation_recipe_r11",
@@ -1386,30 +1400,44 @@ object TextAnalysis extends QueryRegistry {
       val pred = LanguageId.classify(
         docs.select(col("doc_id").as("id"), col("text")),
         "id", "text", profiles, topK = 200)
-      // cache the classified+scrubbed base: every funnel stage reads
-      // it, and without the materialization boundary each stage
-      // aggregate would re-run the whole classifier chain
+      // ONE tokenization pass across every funnel signal (round-16
+      // verdict #6, the last untried q279 lever): the cached base
+      // holds only the DERIVED SCALARS — raw/scrubbed token counts,
+      // the dedup fingerprint, and the quality score — so each text
+      // is regex-scrubbed once, split once, and scored once, and the
+      // cache stores five scalar columns instead of two full text
+      // copies. The staged aggregates then read plain columns (the
+      // r14 measured negative stands: the stages were never the
+      // cost; this attacks the materialization itself). The two
+      // chained projections are a deliberate boundary: `toks` is
+      // consumed twice (size + qualityScore are non-cheap), which
+      // keeps CollapseProject from inlining the split — and the
+      // scrub regex chain — into every consumer.
       val base = docs.join(
           pred.filter(col("pred_lang") === "en").select(col("id")),
           docs("doc_id") === col("id"))
-        .select(col("doc_id"), col("text"),
+        .select(col("doc_id"),
+          size(T.tokens(col("text"))).cast("long").as("nt_raw"),
           Privacy.piiRedact(col("text")).as("scrubbed"))
+        .select(col("doc_id"), col("nt_raw"),
+          md5(col("scrubbed")).as("fp"),
+          T.tokens(col("scrubbed")).as("toks"))
+        .select(col("doc_id"), col("nt_raw"), col("fp"),
+          size(col("toks")).cast("long").as("nt_scr"),
+          Q.qualityScore(col("toks")).as("q"))
         .cache()
-      val fp = base.select(col("doc_id"), col("scrubbed").as("text"))
-        .withColumn("fp", md5(col("text")))
-      val canon = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-      val deduped = fp.join(canon, Seq("fp", "doc_id")).drop("fp")
-      val gated = deduped.filter(
-        Q.qualityScore(T.tokens(col("text"))) >= 0.72)
-      def stage(name: String, df: org.apache.spark.sql.DataFrame) =
+      val canon = base.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      val deduped = base.join(canon, Seq("fp", "doc_id"))
+      val gated = deduped.filter(col("q") >= 0.72)
+      def stage(name: String, df: org.apache.spark.sql.DataFrame,
+          ntCol: String) =
         df.agg(count(lit(1)).as("n_docs"),
-            sum(size(T.tokens(col("text")))).cast("long").as("n_tokens"))
+            sum(col(ntCol)).cast("long").as("n_tokens"))
           .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
-      stage("1_classified_en", base.select(col("doc_id"), col("text")))
-        .unionAll(stage("2_scrubbed",
-          base.select(col("doc_id"), col("scrubbed").as("text"))))
-        .unionAll(stage("3_deduped", deduped))
-        .unionAll(stage("4_quality_gated", gated))
+      stage("1_classified_en", base, "nt_raw")
+        .unionAll(stage("2_scrubbed", base, "nt_scr"))
+        .unionAll(stage("3_deduped", deduped, "nt_scr"))
+        .unionAll(stage("4_quality_gated", gated, "nt_scr"))
     },
     Some {
       import graft.functions.LangCorpus

@@ -219,6 +219,47 @@ class Round16MappingSpec extends SparkTestBase {
     assert(VersionedTable.versionAtTime(path, 5000L * 1000L) === Some(1L))
   }
 
+  test("vacuum bounds metadata generations; epoch reads at retained versions unchanged") {
+    drop("r16_metavac")
+    spark.sql("""CREATE TABLE graft.r16_metavac (k BIGINT, c0 BIGINT)
+      TBLPROPERTIES('key'='k')""")
+    spark.sql("INSERT INTO graft.r16_metavac VALUES (1, 10)")
+    // a LONG DDL history: 6 renames, each fencing a data version and
+    // publishing a new metadata generation
+    (1 to 6).foreach { i =>
+      val from = if (i == 1) "c0" else s"c${i - 1}"
+      spark.sql(
+        s"ALTER TABLE graft.r16_metavac RENAME COLUMN $from TO c$i")
+      spark.sql(s"INSERT INTO graft.r16_metavac VALUES (${i + 1}, ${i}0)")
+    }
+    val path = s"$root/r16_metavac"
+    val gensBefore = GraftTableMeta.metaGens(path)
+    assert(gensBefore.size === 7) // gen0 + 6 renames
+    val latest = VersionedTable.latestVersion(path).get
+    // retain the last 4 versions; generations governing only vacuumed
+    // versions are reclaimed with them
+    val floor = latest - 3
+    val dry = VersionedTable.vacuumDryRun(spark, path, 4)
+      .collect().filter(_.getString(0) == "meta-gen").map(_.getString(1))
+    VersionedTable.vacuum(path, 4)
+    val gensAfter = GraftTableMeta.metaGens(path)
+    assert(gensAfter.size < gensBefore.size)
+    assert(dry.toSet ===
+      (gensBefore.toSet -- gensAfter.toSet).map(g => s"_meta.$g"))
+    // gen0 and the latest generation always survive
+    assert(gensAfter.contains(0L) && gensAfter.contains(gensBefore.max))
+    // every RETAINED version still reads under its exact epoch names
+    (floor to latest).foreach { v =>
+      val m = GraftTableMeta.metaForVersion(path, v).get
+      val got = VersionedTable.readAt(spark, path, v).columns.toSet
+      assert(got === m.schema.map(_.name).toSet,
+        s"version $v reads ${got} but epoch says ${m.schema.map(_.name)}")
+    }
+    // and the current view is untouched
+    assert(spark.table("graft.r16_metavac").columns.toSeq ===
+      Seq("k", "c6"))
+  }
+
   test("lookupKeys prunes and answers under logical names on a mapped table") {
     drop("r16_lookup")
     spark.sql("""CREATE TABLE graft.r16_lookup (k BIGINT, v BIGINT)
