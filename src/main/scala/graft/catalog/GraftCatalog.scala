@@ -293,6 +293,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"TBLPROPERTIES key '$k' is not a column of the table")
       }
     }
+    // CHECK constraints (`check.<name>` = boolean SQL over the
+    // declared columns) must at least PARSE at declaration — a typo
+    // failing at first INSERT would block writes with a worse message
+    VersionedTable.checkProps(kept).foreach { case (k, v) =>
+      try { SparkSession.active.sessionState.sqlParser.parseExpression(v); () }
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"graft CREATE TABLE: TBLPROPERTIES $k is not a parsable " +
+            s"boolean expression: ${e.getMessage}")
+      }
+    }
     try writeMetaGen(parts, MetaState(0L, schema, kept, since = 0L,
       dropped = Nil))
     catch {
@@ -398,6 +409,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(idx >= 0, s"graft ALTER TABLE: column '$from' does not exist")
         require(!newSchema.fieldNames.exists(_.equalsIgnoreCase(to)),
           s"graft ALTER TABLE: rename target '$to' already exists")
+        GraftCatalog.refuseConstrainedColumn(acc, from, "RENAME")
         val f = newSchema.fields(idx)
         // the physical name is pinned at its CURRENT value — for a
         // never-renamed column that makes the identity mapping
@@ -421,6 +433,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             s"graft ALTER TABLE: cannot DROP merge-key column '$name' — " +
               "it is the table's row identity (re-key the table first " +
               "via ALTER TABLE SET TBLPROPERTIES)")
+          GraftCatalog.refuseConstrainedColumn(acc, name, "DROP")
           require(newSchema.length > 1,
             "graft ALTER TABLE: cannot drop the last column")
           val f = newSchema.fields(idx)
@@ -478,6 +491,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       VersionedTable.latestVersion(path).foreach { v =>
         VersionedTable.assertVersionKeysNonNull(SparkSession.active, path,
           v, ColumnMapping.colsToPhysical(newKey, newSchema))
+      }
+    }
+    // CHECK-CONSTRAINT ADOPTION (the key-adoption discipline): a new
+    // or changed `check.<name>` property must parse AND hold over
+    // every committed row BEFORE the catalog ever claims it — the
+    // write-side gate covers all later commits
+    val newChecks = VersionedTable.checkProps(updated).filter {
+      case (k, v) => !current.props.get(k).contains(v) }
+    if (newChecks.nonEmpty) {
+      newChecks.foreach { case (k, v) =>
+        try { SparkSession.active.sessionState.sqlParser.parseExpression(v); () }
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"graft ALTER TABLE: TBLPROPERTIES $k is not a parsable " +
+              s"boolean expression: ${e.getMessage}")
+        }
+      }
+      VersionedTable.latestVersion(path).foreach { v =>
+        val raw = VersionedTable.readAtWidenedPhysical(
+          SparkSession.active, path, v)
+        // evaluate under the POST-alter logical view, so a constraint
+        // declared in the same statement as a rename speaks the names
+        // the statement leaves behind
+        val view = ColumnMapping.toLogical(raw,
+          MetaState(nextGen, newSchema, updated, 0L, dropped))
+        VersionedTable.assertChecksOnView(view, newChecks,
+          "ALTER TABLE (constraint adoption)")
       }
     }
     // shape changes pin their epoch boundary with a metadata-only data
@@ -589,6 +629,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 }
 
 object GraftCatalog {
+
+  /** Refuse RENAME/DROP of a column a `check.<name>` constraint
+    * references — the expression text cannot follow the rename and
+    * would silently go stale (Delta's constrained-column rule). The
+    * reference set is the parsed expression's unresolved attribute
+    * roots; an unparsable expression makes no claim (it already
+    * fails loudly at enforcement).
+    */
+  private[catalog] def refuseConstrainedColumn(
+      props: Map[String, String], column: String, verb: String): Unit =
+    VersionedTable.checkProps(props).foreach { case (name, sql) =>
+      val refs =
+        try SparkSession.active.sessionState.sqlParser
+          .parseExpression(sql).collect {
+            case a: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedAttribute =>
+              a.nameParts.head.toLowerCase(Locale.ROOT)
+          }.toSet
+        catch { case scala.util.control.NonFatal(_) =>
+          Set.empty[String] }
+      if (refs(column.toLowerCase(Locale.ROOT)))
+        throw new IllegalArgumentException(
+          s"graft ALTER TABLE: cannot $verb column '$column' — CHECK " +
+            s"constraint '${name.stripPrefix("check.")}' ($sql) " +
+            "references it; drop the constraint first (ALTER TABLE " +
+            "... UNSET TBLPROPERTIES)")
+    }
+
   /** Test seam: runs between an ALTER's read-modify and its CAS write,
     * so a spec can interleave a competing metadata generation and
     * prove the loser fails loudly instead of last-writer-winning.

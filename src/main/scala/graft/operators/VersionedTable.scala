@@ -520,12 +520,69 @@ object VersionedTable {
       catch { case scala.util.control.NonFatal(_) => None }
     val keys = meta.flatMap(_.props.get("key"))
       .map(graft.sql.GraftSql.splitKey).getOrElse(Nil)
-    if (keys.isEmpty) return
-    val phys = graft.catalog.ColumnMapping
-      .colsToPhysical(keys, meta.get.schema)
-    assertColsNonNull(spark,
-      if (files.nonEmpty) files.map(n => s"$batchDir/$n")
-      else Seq(batchDir), phys, context)
+    if (keys.nonEmpty) {
+      val phys = graft.catalog.ColumnMapping
+        .colsToPhysical(keys, meta.get.schema)
+      assertColsNonNull(spark,
+        if (files.nonEmpty) files.map(n => s"$batchDir/$n")
+        else Seq(batchDir), phys, context)
+    }
+    // CHECK constraints share the choke point: every engine write
+    // path that publishes a data batch already passes through here
+    val checks = meta.map(m => checkProps(m.props)).getOrElse(Map.empty)
+    if (checks.nonEmpty) {
+      val roots =
+        if (files.nonEmpty) files.map(n => s"$batchDir/$n")
+        else Seq(batchDir)
+      val raw = spark.read.parquet(roots: _*)
+      // constraint expressions speak the table's LOGICAL names
+      val view = meta.map(m =>
+        graft.catalog.ColumnMapping.toLogical(raw, m)).getOrElse(raw)
+      assertChecksOnView(view, checks, context)
+    }
+  }
+
+  /** The `check.<name>` TBLPROPERTIES — Delta CHECK constraints on
+    * the versioned catalog table: each value is a boolean SQL
+    * expression over the table's LOGICAL columns, enforced on the
+    * WRITTEN batch BEFORE any manifest references it (the key-null
+    * discipline), so a reader can never observe a constraint-
+    * violating version. SQL-standard semantics: a row violates when
+    * the expression is definitively FALSE (NULL passes, like SQL
+    * CHECK). Declaring a constraint over existing data validates the
+    * committed content first; renaming or dropping a column a
+    * constraint references refuses loudly naming it (the expression
+    * text would go stale — Delta's rule).
+    */
+  private[graft] def checkProps(
+      props: Map[String, String]): Map[String, String] =
+    props.filter(_._1.toLowerCase(java.util.Locale.ROOT)
+      .startsWith("check."))
+
+  /** One aggregate pass counting violations per declared constraint
+    * over `view` (logical names); throws naming the first violated
+    * constraint, its expression, and the row count.
+    */
+  private[graft] def assertChecksOnView(view: DataFrame,
+      checks: Map[String, String], context: String): Unit = {
+    if (checks.isEmpty) return
+    import org.apache.spark.sql.functions.{expr, sum, when}
+    val names = checks.keys.toSeq.sorted
+    val aggs = names.map { n =>
+      sum(when(!coalesce(expr(checks(n)).cast("boolean"), lit(true)),
+        1L).otherwise(0L)).as(n)
+    }
+    val row = view.agg(aggs.head, aggs.tail: _*).head()
+    names.zipWithIndex.foreach { case (n, i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (bad > 0)
+        throw new IllegalStateException(
+          s"graft $context refused: CHECK constraint " +
+            s"'${n.stripPrefix("check.")}' (${checks(n)}) is violated " +
+            s"by $bad row(s) — nothing was published (the staged batch " +
+            "is an orphan for vacuum). Fix the data, or drop the " +
+            "constraint via ALTER TABLE ... UNSET TBLPROPERTIES")
+    }
   }
 
   /** The footer-level core of [[assertKeysNonNull]], parameterized so
@@ -2677,9 +2734,12 @@ object VersionedTable {
     val rows = versions.map { v =>
       val cur = manifestEntries(path, v)
       val txn = committedTxn(path, v).orNull
+      // the recorded commit wall-time (`#ts=` header, round 16):
+      // survives mtime-clobbering copies; None for legacy manifests
+      val ts = commitTimeMillis(path, v)
       if (v > 1 && !versions.contains(v - 1))
         (v, "history-truncated", cur.count(!isTombstone(_)).toLong,
-          cur.count(isTombstone).toLong, txn)
+          cur.count(isTombstone).toLong, txn, ts)
       else {
         val prevSet =
           if (v == 1) Set.empty[String]
@@ -2697,10 +2757,10 @@ object VersionedTable {
           else if (fresh.exists(isTombstone)) "delete"
           else "append"
         (v, kind, fresh.count(!isTombstone(_)).toLong,
-          fresh.count(isTombstone).toLong, txn)
+          fresh.count(isTombstone).toLong, txn, ts)
       }
     }
-    rows.toDF("version", "kind", "n_add", "n_delete", "txn")
+    rows.toDF("version", "kind", "n_add", "n_delete", "txn", "ts")
   }
 
   /** CONTINUOUS change consumption — the versioned table's

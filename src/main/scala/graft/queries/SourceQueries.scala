@@ -4179,10 +4179,181 @@ object SourceQueries extends QueryRegistry {
              CAST(1 AS BIGINT)
     """.trim))
 
+  /** CDC REPLICATION BY NAME ACROSS A RENAME — q300's loop composed
+    * with round 16's mapped streaming: the replica is maintained from
+    * `readStream.option("readChangeFeed", true).table("graft.t")`
+    * (options ride the by-name fallback), and a RENAME COLUMN lands
+    * between the two AvailableNow runs — the restarted feed delivers
+    * the UPDATE's preimage/postimage pair and the late delete under
+    * the NEW logical name, with no re-delivery of run 1. The applier
+    * normalizes the value column per phase into a fixed replica
+    * schema, so a feed leg arriving under the wrong name errors
+    * loudly and a lost/doubled change breaks the replica hash.
+    */
+  val q327 = GraftQuery(
+    "q327_mapped_cdc_replication_by_name",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      import org.apache.spark.sql.streaming.Trigger
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"q327_cdc_$sfx"
+      val path = graftCatalog(s).tablePath(Seq(table))
+      val ckpt = s"/tmp/graft_q327_ckpt_$sfx"
+      val rep = s"/tmp/graft_q327_rep_$sfx"
+      val conf = s.sparkContext.hadoopConfiguration
+      def exists(dir: String): Boolean = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(conf).exists(p)
+      }
+      val complete = VersionedTable.latestVersion(path).exists(_ >= 5L) &&
+        exists(ckpt) && VersionedTable.latestVersion(rep).nonEmpty
+      if (!complete) {
+        s.sql(s"DROP TABLE IF EXISTS graft.$table")
+        Seq(ckpt, rep).foreach { dir =>
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val f = p.getFileSystem(conf)
+          if (f.exists(p)) f.delete(p, true)
+        }
+        s.sql(s"""CREATE TABLE graft.$table (o_orderkey BIGINT, v BIGINT)
+          TBLPROPERTIES('key'='o_orderkey')""")
+        Tables.orders(s, d).createOrReplaceTempView("q327_base")
+        def drain(valueCol: String): Unit = {
+          val q = s.readStream
+            .option("readChangeFeed", "true")
+            .option("maxVersionsPerTrigger", "1")
+            .table(s"graft.$table")
+            .writeStream.option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+              // the feed speaks the CURRENT logical names; the replica
+              // keeps one fixed schema
+              val norm = df.withColumnRenamed(valueCol, "val")
+              val dels = norm.filter(col("_change_type") === "delete")
+                .select(col("o_orderkey"))
+              if (!dels.isEmpty)
+                VersionedTable.deleteKeys(dels, "o_orderkey", rep,
+                  txnId = Some(s"q327d-$id"))
+              val ins = norm.filter(col("_change_type") === "insert")
+                .drop("_change_type")
+              if (!ins.isEmpty)
+                VersionedTable.append(ins, rep, txnId = Some(s"q327i-$id"))
+              ()
+            }.start()
+          q.awaitTermination(120000)
+          ()
+        }
+        s.sql(s"""INSERT INTO graft.$table
+          SELECT o_orderkey, CAST(round(o_totalprice * 100) AS LONG)
+          FROM q327_base""")                                       // v1
+        s.sql(s"DELETE FROM graft.$table WHERE o_orderkey % 10 = 3") // v2
+        drain("v") // run 1: snapshot + delete under the old name
+        s.sql(s"ALTER TABLE graft.$table RENAME COLUMN v TO amount")
+        // ^ v3: the ddl fence (empty CDC unit)
+        s.sql(s"""UPDATE graft.$table SET amount = amount + 7
+          WHERE o_orderkey % 10 = 4""")                            // v4
+        s.sql(s"DELETE FROM graft.$table WHERE o_orderkey % 10 = 5") // v5
+        drain("amount") // run 2 resumes the WAL under the NEW name
+      }
+      VersionedTable.readLatest(s, rep)
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(col("val")).cast("long").as("sum_val"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS a
+        FROM orders),
+      live AS (
+        SELECT k, CASE WHEN k % 10 = 4 THEN a + 7 ELSE a END AS a
+        FROM base WHERE k % 10 <> 3 AND k % 10 <> 5)
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(a) AS BIGINT) AS sum_val
+      FROM live
+    """.trim))
+
+
+  /** CHECK CONSTRAINTS, ORACLE-GATED (round 16, beyond-verdict): the
+    * Delta CHECK surface on the catalog table — `check.<name>`
+    * TBLPROPERTIES enforced on the written batch BEFORE the manifest
+    * commit, on EVERY write path (SQL INSERT, the native row-level
+    * route, the raw path API share one choke point). The chain: a
+    * gated INSERT of the corpus passes; a violating INSERT and a
+    * violating native UPDATE both REFUSE with nothing published
+    * (content legs prove the table unchanged); a clean UPDATE lands;
+    * declaring a second constraint over the existing data validates
+    * and passes. A refusal that half-published, a gate that let a
+    * violating row through, or adoption skipping validation breaks
+    * the hash.
+    */
+  val q328 = GraftQuery(
+    "q328_catalog_check_constraints",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"q328_chk_$sfx"
+      val path = graftCatalog(s).tablePath(Seq(table))
+      def chain(t: Throwable): String = {
+        var c: Throwable = t; val sb = new StringBuilder
+        while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+        sb.toString
+      }
+      var refusedInsert = 0L
+      var refusedUpdate = 0L
+      if (!VersionedTable.latestVersion(path).exists(_ >= 2L)) {
+        s.sql(s"DROP TABLE IF EXISTS graft.$table")
+        s.sql(s"""CREATE TABLE graft.$table
+          (k BIGINT, amount BIGINT)
+          TBLPROPERTIES('key'='k', 'check.non_negative'='amount >= 0')""")
+        Tables.orders(s, d).createOrReplaceTempView("q328_base")
+        s.sql(s"""INSERT INTO graft.$table
+          SELECT o_orderkey, CAST(round(o_totalprice * 100) AS LONG)
+          FROM q328_base""")                                       // v1
+        // a violating INSERT refuses; NOTHING lands
+        try {
+          s.sql(s"""INSERT INTO graft.$table
+            SELECT o_orderkey + (SELECT 1 + max(o_orderkey) FROM q328_base),
+                   -CAST(round(o_totalprice * 100) AS LONG) - 1
+            FROM q328_base WHERE o_orderpriority = '1-URGENT'""")
+        } catch { case e: Exception =>
+          if (chain(e).contains("non_negative")) refusedInsert = 1L }
+        // a violating NATIVE UPDATE refuses; content intact
+        try s.sql(s"UPDATE graft.$table SET amount = -1 WHERE k % 10 = 6")
+        catch { case e: Exception =>
+          if (chain(e).contains("non_negative")) refusedUpdate = 1L }
+        // a clean native UPDATE lands
+        s.sql(s"UPDATE graft.$table SET amount = amount + 3 WHERE k % 10 = 7")
+        // adopting a second constraint validates the existing data
+        // (orderkeys start at 0 in the corpus, so the bound is >= 0)
+        s.sql(s"""ALTER TABLE graft.$table
+          SET TBLPROPERTIES('check.key_pos'='k >= 0')""")
+      } else { refusedInsert = 1L; refusedUpdate = 1L }
+      import s.implicits._
+      s.table(s"graft.$table")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("amount")).cast("long").as("v"))
+        .select(lit("content").as("leg"), col("n"), col("v"))
+        .unionAll(Seq(
+          ("refused_insert", refusedInsert, 1L),
+          ("refused_update", refusedUpdate, 1L)).toDF("leg", "n", "v"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS a
+        FROM orders)
+      SELECT 'content' AS leg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN k % 10 = 7 THEN a + 3 ELSE a END) AS BIGINT) AS v
+      FROM base
+      UNION ALL
+      SELECT 'refused_insert', CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+      UNION ALL
+      SELECT 'refused_update', CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
     q282, q283, q284, q285, q286, q288, q289, q290, q291, q292, q293, q294,
     q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306,
     q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318,
-    q319, q320, q321, q322, q323, q324, q325, q326)
+    q319, q320, q321, q322, q323, q324, q325, q326, q327, q328)
 }

@@ -244,8 +244,11 @@ case class GraftRestoreCommand(path: String, toVersion: Long)
 }
 
 /** `DESCRIBE HISTORY t` — the commit log as rows (version / kind /
-  * n_add / n_delete / txn), straight off [[VersionedTable.history]]:
-  * manifest metadata only, bounded by retention at any table size.
+  * n_add / n_delete / txn / ts), straight off
+  * [[VersionedTable.history]]: manifest metadata only, bounded by
+  * retention at any table size. `ts` is the recorded commit
+  * wall-time (epoch millis, round 16) — null for manifests written
+  * before the header existed.
   */
 case class GraftDescribeHistoryCommand(path: String)
     extends LeafRunnableCommand {
@@ -254,7 +257,8 @@ case class GraftDescribeHistoryCommand(path: String)
     AttributeReference("kind", StringType, nullable = false)(),
     AttributeReference("n_add", LongType, nullable = false)(),
     AttributeReference("n_delete", LongType, nullable = false)(),
-    AttributeReference("txn", StringType, nullable = true)())
+    AttributeReference("txn", StringType, nullable = true)(),
+    AttributeReference("ts", LongType, nullable = true)())
   override def run(session: SparkSession): Seq[Row] =
     VersionedTable.history(session, path).collect().toSeq
 }

@@ -211,12 +211,20 @@ class Round16MappingSpec extends SparkTestBase {
     // falls back to the file mtime, the old clock
     val v1 = manifestText(path, 1L).split("\n")
       .filterNot(_.startsWith("#ts=")).mkString("\n")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$path/_v1.manifest"), v1)
+    // rewrite through the Hadoop FS so the local checksum follows
+    val out = f.create(new org.apache.hadoop.fs.Path(s"$path/_v1.manifest"),
+      true)
+    try out.write(v1.getBytes("UTF-8")) finally out.close()
     f.setTimes(new org.apache.hadoop.fs.Path(s"$path/_v1.manifest"),
       5000L, 5000L)
     assert(VersionedTable.commitTimeMillis(path, 1L).isEmpty)
     assert(VersionedTable.versionAtTime(path, 5000L * 1000L) === Some(1L))
+    // DESCRIBE HISTORY surfaces the recorded clock (null for legacy)
+    val hist = VersionedTable.history(spark, path)
+      .select("version", "ts").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(hist(1L).isEmpty) // legacy manifest: no recorded ts
+    assert(hist(2L) === Some(ts2))
   }
 
   test("vacuum bounds metadata generations; epoch reads at retained versions unchanged") {
