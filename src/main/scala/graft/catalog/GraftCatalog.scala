@@ -555,6 +555,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             "silent last-writer-wins). A content-identical '#ddl' fence " +
             "version may remain in DESCRIBE HISTORY from the lost attempt")
     }
+    // ADOPTION/WRITE RACE: the metadata CAS is a separate commit from
+    // data commits, so a write that read the PRE-constraint meta can
+    // land violating rows between the validation above and the CAS —
+    // and from the CAS on, the table would CLAIM a violated
+    // constraint. Re-validate at the now-current version; on
+    // violation, ROLL the constraint back (a fresh generation
+    // restoring the old property state) and refuse loudly — the table
+    // never stands behind a claim its data breaks. The remaining
+    // sliver (a writer that read the pre-CAS meta and commits after
+    // this re-check) is the same in-flight window every metadata
+    // system has; the write-side gate closes it for all writers that
+    // read meta after the CAS.
+    if (newChecks.nonEmpty) {
+      VersionedTable.latestVersion(path).foreach { v =>
+        val raw = VersionedTable.readAtWidenedPhysical(
+          SparkSession.active, path, v)
+        val view = ColumnMapping.toLogical(raw,
+          MetaState(nextGen, newSchema, updated, 0L, dropped))
+        try VersionedTable.assertChecksOnView(view, newChecks,
+          "ALTER TABLE (post-CAS re-validation)")
+        catch {
+          case e: IllegalStateException =>
+            val reverted = newChecks.keys.foldLeft(updated) { (a, k) =>
+              current.props.get(k) match {
+                case Some(old) => a + (k -> old)
+                case None => a - k
+              }
+            }
+            try writeMetaGen(parts, MetaState(nextGen + 1, newSchema,
+              reverted, since, dropped))
+            catch {
+              case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+                throw new IllegalStateException(
+                  "graft ALTER TABLE: a concurrent write violated the " +
+                    "constraint during adoption AND a concurrent ALTER " +
+                    "raced the rollback — UNSET the constraint manually " +
+                    s"and repair the data. Original violation: ${e.getMessage}")
+            }
+            throw new IllegalStateException(
+              "graft ALTER TABLE: a concurrent write committed rows " +
+                "violating the constraint between validation and the " +
+                "metadata publish; the constraint has been ROLLED BACK " +
+                s"(generation ${nextGen + 1}) — repair the data and " +
+                s"rerun. Violation: ${e.getMessage}")
+        }
+      }
+    }
     loadTable(ident)
   }
 

@@ -4117,13 +4117,13 @@ object SourceQueries extends QueryRegistry {
       val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
       val table = s"q326_cbl_$sfx"
       val path = graftCatalog(s).tablePath(Seq(table))
+      Tables.orders(s, d).createOrReplaceTempView("q326_base")
       if (!VersionedTable.latestVersion(path).exists(_ >= 4L)) {
         s.sql(s"DROP TABLE IF EXISTS graft.$table")
         s.sql(s"""CREATE TABLE graft.$table
           (experiment_id BIGINT, file_path STRING, size_c BIGINT)
           TBLPROPERTIES('key'='experiment_id,file_path',
                         'bloomcols'='experiment_id+file_path')""")
-        Tables.orders(s, d).createOrReplaceTempView("q326_base")
         // 4 commits; EVERY batch holds every experiment (hot first
         // component), file_paths disjoint per batch
         (0 until 4).foreach { b =>

@@ -94,6 +94,40 @@ class CheckConstraintSpec extends SparkTestBase {
     }
   }
 
+  test("adoption/write race: a violating write landing between validation and the CAS rolls the constraint back loudly") {
+    drop("cc_race")
+    spark.sql("""CREATE TABLE graft.cc_race (k BIGINT, v BIGINT)
+      TBLPROPERTIES('key'='k')""")
+    spark.sql("INSERT INTO graft.cc_race VALUES (1, 5)")
+    // inject a violating INSERT in the exact window: it read the
+    // PRE-constraint meta, so the write-side gate cannot stop it
+    graft.catalog.GraftCatalog.testBeforeMetaWrite = Some(() => {
+      spark.sql("INSERT INTO graft.cc_race VALUES (2, -2)"); ()
+    })
+    val e =
+      try intercept[IllegalStateException] {
+        spark.sql("""ALTER TABLE graft.cc_race
+          SET TBLPROPERTIES('check.pos'='v >= 0')""")
+      } finally graft.catalog.GraftCatalog.testBeforeMetaWrite = None
+    assert(e.getMessage.contains("ROLLED BACK"))
+    // the table never stands behind the violated claim: the property
+    // is gone, and writes are ungated
+    assert(!spark.table("graft.cc_race").isEmpty)
+    val props = graft.catalog.GraftTableMeta
+      .readLatest(s"$root/cc_race").get.props
+    assert(!props.contains("check.pos"))
+    spark.sql("INSERT INTO graft.cc_race VALUES (3, -3)")
+    assert(spark.table("graft.cc_race").count() === 3L)
+    // after repairing the data, adoption succeeds and the gate holds
+    spark.sql("DELETE FROM graft.cc_race WHERE v < 0")
+    spark.sql("""ALTER TABLE graft.cc_race
+      SET TBLPROPERTIES('check.pos'='v >= 0')""")
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft.cc_race VALUES (4, -4)")
+    }
+    assert(spark.table("graft.cc_race").count() === 1L)
+  }
+
   test("RENAME/DROP of a constrained column refuses; constraints speak logical names over a mapping") {
     drop("cc_map")
     spark.sql("""CREATE TABLE graft.cc_map (k BIGINT, v BIGINT)

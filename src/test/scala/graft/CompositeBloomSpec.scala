@@ -81,6 +81,42 @@ class CompositeBloomSpec extends SparkTestBase {
       .collect().toSeq === Seq(342L, 908L))
   }
 
+  test("OPTIMIZE preserves the composite lane: the rebuilt batch's sidecar still carries it") {
+    val path = tmpDir("r16-comp-opt") + "/t"
+    (0 until 3).foreach { b =>
+      VersionedTable.append(
+        (0 until 50).map(j => (1L, s"b${b}_p$j", j.toLong))
+          .toDF("experiment_id", "file_path", "size_c"),
+        path, bloomCols = Seq("experiment_id+file_path"))
+    }
+    // the maintenance pass re-derives bloom specs from the sidecars
+    // (bloomColumnsOf) — the canonical `a+b` lane name round-trips
+    // through writeBloomSidecar's component parser
+    VersionedTable.compact(spark, path,
+      bloomCols = VersionedTable.bloomColumnsOf(spark, path,
+        VersionedTable.latestVersion(path).get))
+    val dirs = dataDirs(path)
+    val probe = Seq((1L, "b1_p7")).toDF("experiment_id", "file_path")
+    val latest = VersionedTable.latestVersion(path).get
+    val cand = VersionedTable.bloomCandidateDirsMulti(spark, path, dirs,
+      Seq("experiment_id", "file_path"), probe)
+    // the compacted batch claims the composite lane (it is the only
+    // live batch, and it is a CANDIDATE through the lane, not through
+    // the no-claim fallback — prove by probing an absent tuple)
+    val miss = VersionedTable.bloomCandidateDirsMulti(spark, path,
+      VersionedTable.lookupKeysMulti(spark, path, latest,
+        Seq("experiment_id", "file_path"), probe)
+        .inputFiles.map(f => f.split("/data/")(1).split("/").head)
+        .distinct.toSeq,
+      Seq("experiment_id", "file_path"),
+      Seq((1L, "nowhere_p999")).toDF("experiment_id", "file_path"))
+    assert(miss.isEmpty) // the lane makes a real absence claim
+    assert(VersionedTable.lookupKeysMulti(spark, path, latest,
+      Seq("experiment_id", "file_path"), probe)
+      .select("size_c").as[Long].collect().toSeq === Seq(7L))
+    assert(cand.nonEmpty)
+  }
+
   test("composite lane type-casts per batch: a long-typed probe finds an int-typed batch") {
     val path = tmpDir("r16-comp-bloom-int") + "/t"
     VersionedTable.append(
