@@ -833,30 +833,53 @@ object VersionedTable {
     * batch opened instead of every batch sharing the hot component).
     */
   private def writeBloomSidecar(spark: SparkSession, batchDir: String,
-      bloomCols: Seq[String], bits: Int = BloomBits): Unit =
+      bloomCols: Seq[String], bits: Int = 0): Unit =
     if (bloomCols.nonEmpty) {
+      // ADAPTIVE domain (round 16): a saturated Bloom never lies but
+      // prunes NOTHING — at 2^16 bits a ~37k-key batch is ~75% full
+      // and every probe is a false positive. The sidecar stores SET
+      // BITS AS ROWS, so widening the domain costs zero extra rows,
+      // only larger bit values: size it ~16× the batch's row count
+      // (footer metadata, zero data pages — an upper bound on
+      // distinct keys), floored at the legacy 2^16 and capped at
+      // 2^26. Probes read the domain from the sidecar's own `bits`
+      // column, so mixed-domain batches coexist.
+      val sized =
+        if (bits > 0) bits
+        else {
+          val n = footerRowCount(
+            spark.sparkContext.hadoopConfiguration, batchDir)
+          val want = math.min(1L << 26, math.max(BloomBits.toLong, 16L * n))
+          java.lang.Long.highestOneBit(want).toInt match {
+            case p if p.toLong == want => p
+            case p => p << 1
+          }
+        }
       val batch = spark.read.parquet(batchDir)
       bloomCols.map { c =>
         val comps = c.split("\\+").map(_.trim).filter(_.nonEmpty)
           .toSeq.sorted
         if (comps.size <= 1)
           batch.select(lit(c).as("col"),
-            explode(FileSkipping.bloomBits(col(c), bits)).as("bit"))
+            explode(FileSkipping.bloomBits(col(c), sized)).as("bit"))
         else
           batch.select(lit(comps.mkString("+")).as("col"),
-            explode(FileSkipping.bloomBitsMulti(comps.map(col), bits))
+            explode(FileSkipping.bloomBitsMulti(comps.map(col), sized))
               .as("bit"))
       }.reduce(_ unionByName _)
         .distinct()
-        .withColumn("bits", lit(bits.toLong))
+        .withColumn("bits", lit(sized.toLong))
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$batchDir/_bloom")
     }
 
-  /** Default Bloom domain: 2^16 bit positions per batch — ~16 KB of
-    * sidecar per ~30k distinct keys at a useful false-positive rate;
-    * size up with batch key cardinality at cluster scale (a
-    * saturated Bloom prunes nothing but never lies).
+  /** FLOOR of the per-batch Bloom domain: 2^16 bit positions. The
+    * builder sizes each batch's domain adaptively (~16× its row
+    * count, capped at 2^26 — see [[writeBloomSidecar]]): a saturated
+    * Bloom prunes nothing but never lies, and since the sidecar
+    * stores set bits as rows, a wider domain is free. Probes read
+    * the domain from the sidecar itself, so every historical domain
+    * keeps working.
     */
   val BloomBits: Int = 1 << 16
 

@@ -1092,7 +1092,10 @@ object SourceQueries extends QueryRegistry {
           o.filter(col("o_orderkey") % 4 === 2), "o_orderkey", path)
         VersionedTable.compact(s, path)
       }
+      // explicit columns: the round-16 `ts` column is wall-clock and
+      // cannot hash against a static oracle
       VersionedTable.history(s, path)
+        .select("version", "kind", "n_add", "n_delete", "txn")
     },
     Some("""
       SELECT * FROM (VALUES
