@@ -918,10 +918,14 @@ private[catalog] class GraftWriteBuilder(path: String,
         "commit); partial overwrites are DELETE + INSERT (merge-on-read)")
   }
 
+  // LOGICAL names: appendWithRetry/overwrite translate via
+  // storedCols against the CURRENT metadata — translating here too
+  // would double-translate (after RENAME v TO v_old + ADD COLUMNS
+  // (v ...), the pre-translated physical 'v' matches the NEW
+  // logical 'v' and re-maps to the wrong column)
   private def cols(key: String): Seq[String] =
-    ColumnMapping.colsToPhysical(
-      props.get(key).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        .getOrElse(Nil), tableSchema)
+    props.get(key).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
@@ -929,13 +933,16 @@ private[catalog] class GraftWriteBuilder(path: String,
         override def insert(data: org.apache.spark.sql.DataFrame,
             overwrite: Boolean): Unit = {
           // the analyzer conformed the query to the table's LOGICAL
-          // columns (declared order); under column mapping the batch
-          // lands under the stable PHYSICAL names — positional rename,
-          // zero data movement
-          val stored =
-            if (!ColumnMapping.isActive(tableSchema)) data
-            else data.toDF(ColumnMapping.physicalSchema(tableSchema)
-              .fieldNames.toIndexedSeq: _*)
+          // columns (declared order); the positional rename pins the
+          // LOGICAL names (identity when the analyzer already named
+          // them), and appendWithRetry/overwrite's toStored is the
+          // SINGLE logical->physical translation point. Translating
+          // to physical names here too double-translated: after
+          // RENAME v TO v_old + ADD COLUMNS (v ...), physical 'v'
+          // matched the re-added logical 'v' and re-mapped to the
+          // new column's physical name — colliding (every INSERT
+          // refused), and a 3-rename column swap permuted silently
+          val stored = data.toDF(tableSchema.fieldNames.toIndexedSeq: _*)
           val ow = overwriteAll || overwrite
           if (ow)
             VersionedTable.overwrite(stored, path,

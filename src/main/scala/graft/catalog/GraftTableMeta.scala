@@ -169,9 +169,13 @@ object ColumnMapping {
     val phys = table.map(f =>
       f.name.toLowerCase(Locale.ROOT) -> physicalName(f)).toMap
     def one(c: String) = phys.getOrElse(c.toLowerCase(Locale.ROOT), c)
-    // a composite Bloom spec (`a+b`) translates per component
+    // a composite Bloom spec (`a+b`) translates per component —
+    // TRIMMED, matching writeBloomSidecar's canonicalization: an
+    // untrimmed 'a + b' would fail per-component translation (keys
+    // carry spaces) and the sidecar lane would silently degrade to
+    // the first-component superset
     cols.map(c =>
-      if (c.contains("+")) c.split("\\+").map(one).mkString("+")
+      if (c.contains("+")) c.split("\\+").map(_.trim).map(one).mkString("+")
       else one(c))
   }
 

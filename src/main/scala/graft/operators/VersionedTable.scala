@@ -1146,9 +1146,22 @@ object VersionedTable {
           catch { case scala.util.control.NonFatal(_) => false }
         if (active) Seq("#protocol=column-mapping") else Seq.empty
       }
+    // MONOTONIC commit clock (Delta's in-commit-timestamp rule):
+    // ts = max(now, prev commit ts + 1). With multi-writer clock
+    // skew a raw wall-clock could run BACKWARD across versions, and
+    // `versionAtTime(t)` would return a version whose own commit
+    // time exceeds t (a skewed successor makes it eligible). The
+    // clamp costs one KB-sized manifest header read per commit and
+    // makes TIMESTAMP AS OF resolution order-consistent by
+    // construction.
+    val now = System.currentTimeMillis()
+    val ts =
+      if (version <= 1) now
+      else math.max(now,
+        commitTimeMillis(path, version - 1).map(_ + 1L).getOrElse(now))
     val payload = ((if (mode == "put-if-absent") Seq(ModeMarker)
       else Seq.empty) ++ protocol ++
-      Seq(s"#ts=${System.currentTimeMillis()}") ++ lines :+ Terminator)
+      Seq(s"#ts=$ts") ++ lines :+ Terminator)
       .mkString("\n").getBytes("UTF-8")
     if (mode == "put-if-absent") {
       val out =

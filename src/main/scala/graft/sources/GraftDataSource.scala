@@ -376,17 +376,27 @@ private[sources] class GraftSource(spark: SparkSession, path: String,
     * PHYSICAL-named storage; this source aliases them to the frozen
     * epoch's LOGICAL names and projects retired (`__dropped`) columns
     * away — `readStream.table("graft.t")` over a renamed table
-    * delivers current logical names. A shape-changing DDL landing
-    * MID-STREAM (rename/drop/add under an active mapping, or a first
-    * mapping activation) refuses loudly per batch naming the restart
-    * contract — Spark freezes a stream's schema at start, so a
-    * restart is the only honest way to pick the new names up.
+    * delivers current logical names. A SHAPE-changing DDL landing
+    * MID-STREAM (drop/add/type change — on a mapped table, an
+    * unmapped one, or a first mapping activation) refuses loudly per
+    * batch naming the restart contract — Spark freezes a stream's
+    * schema at start, so a restart is the only honest way to pick
+    * the new shape up. An ALIAS-ONLY DDL (renames only: same
+    * physical column set, types, and retired set) CONTINUES instead:
+    * the data content is bit-identical, the stream keeps delivering
+    * under its start-time names (Spark pins the declared schema),
+    * and a restart adopts the new logical names. The metadata is
+    * read ONCE here — deriving the mapping and the DDL baseline from
+    * two separate reads let an ALTER landing between them freeze an
+    * inconsistent state (spurious or missed refusal).
     */
+  private val startMeta: Option[graft.catalog.MetaState] =
+    try graft.catalog.GraftTableMeta.readLatest(path)
+    catch { case scala.util.control.NonFatal(_) => None }
+
   private val frozenMeta: Option[graft.catalog.MetaState] =
     if (!mapColumns) None
-    else try graft.catalog.GraftTableMeta.readLatest(path)
-      .filter(graft.catalog.ColumnMapping.needsLogicalView)
-    catch { case scala.util.control.NonFatal(_) => None }
+    else startMeta.filter(graft.catalog.ColumnMapping.needsLogicalView)
 
   /** logical-lc -> physical name under the frozen mapping. */
   private val physOfLogical: Map[String, String] = frozenMeta
@@ -398,27 +408,36 @@ private[sources] class GraftSource(spark: SparkSession, path: String,
     frozenMeta.map(_.dropped.map(lcs).toSet).getOrElse(Set.empty)
 
   private def shapeOf(m: Option[graft.catalog.MetaState]) =
-    m.filter(graft.catalog.ColumnMapping.needsLogicalView).map(x =>
+    m.map(x =>
       (x.schema.map(f => (f.name,
         graft.catalog.ColumnMapping.physicalName(f), f.dataType.sql)),
         x.dropped))
 
-  private val frozenShape = shapeOf(
-    if (!mapColumns) None
-    else try graft.catalog.GraftTableMeta.readLatest(path)
-      catch { case scala.util.control.NonFatal(_) => None })
+  /** The shape with logical names erased: what an alias-only DDL
+    * leaves INVARIANT (physical names + types in declared order, and
+    * the retired set).
+    */
+  private def aliasFree(
+      s: Option[(Seq[(String, String, String)], Seq[String])]) =
+    s.map { case (cols, dropped) =>
+      (cols.map { case (_, phys, tpe) => (phys, tpe) }, dropped) }
 
-  private def assertMappingUnchanged(): Unit = if (mapColumns) {
+  private val frozenShape = shapeOf(startMeta)
+
+  private def assertMappingUnchanged(): Unit = if (mapColumns || !widen) {
     val current =
       try graft.catalog.GraftTableMeta.readLatest(path)
       catch { case scala.util.control.NonFatal(_) => None }
-    if (shapeOf(current) != frozenShape)
+    val cur = shapeOf(current)
+    if (cur != frozenShape && aliasFree(cur) != aliasFree(frozenShape))
       throw new IllegalStateException(
-        s"graft stream at $path: a schema-changing DDL (RENAME/DROP/ADD " +
-          "COLUMN) landed mid-stream — this stream's frozen logical " +
-          "schema no longer matches the table's current epoch. RESTART " +
-          "the query; rows then arrive under the current logical names " +
-          "(a running stream cannot change its schema mid-flight)")
+        s"graft stream at $path: a schema-changing DDL (DROP/ADD " +
+          "COLUMN or a type change) landed mid-stream — this stream's " +
+          "frozen schema no longer matches the table's current epoch. " +
+          "RESTART the query; rows then arrive under the current " +
+          "logical shape (a running stream cannot change its schema " +
+          "mid-flight; rename-only DDL would have continued under the " +
+          "start-time names)")
   }
 
   private def vOf(o: ConnectorOffset): Long = o match {

@@ -372,7 +372,11 @@ case class GraftInsertCommand(path: String, query: LogicalPlan,
     val raw = GraftStreamingBridge.ofRows(session, query)
     val df = VersionedTable.latestVersion(path) match {
       case Some(latest) =>
-        val tableSchema = VersionedTable.readAtPhysical(session, path, latest).schema
+        // alignment speaks the LOGICAL schema (identity without
+        // column mapping); the commit path's toStored is the single
+        // logical->physical translation point — aligning to physical
+        // names here double-translated under rename+re-add mappings
+        val tableSchema = VersionedTable.readAt(session, path, latest).schema
         val aligned =
           if (byName) {
             // BY NAME validates the column SET against the table:
@@ -463,7 +467,9 @@ case class GraftMergeCommand(path: String, keyCols: Seq[String],
     val src = GraftStreamingBridge.ofRows(session, source)
     GraftDml.refuseDuplicateSourceKeys(src, keyCols)
     VersionedTable.latestVersion(path).foreach { latest =>
-      val targetCols = VersionedTable.readAtPhysical(session, path, latest)
+      // compare in LOGICAL names — the source speaks them, and
+      // upsertMulti's toStored does the one logical->physical hop
+      val targetCols = VersionedTable.readAt(session, path, latest)
         .columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
       val srcCols = src.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
       require(srcCols == targetCols,

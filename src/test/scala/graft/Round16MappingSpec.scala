@@ -124,7 +124,7 @@ class Round16MappingSpec extends SparkTestBase {
     assert(e.getMessage.contains("DROPPED"))
   }
 
-  test("streaming by name over a mapped table works; a mid-flight DDL refuses naming the restart") {
+  test("streaming by name over a mapped table works; mid-flight rename continues, shape change refuses") {
     import org.apache.spark.sql.streaming.Trigger
     drop("r16_stream")
     spark.sql("""CREATE TABLE graft.r16_stream (k BIGINT, v BIGINT)
@@ -144,38 +144,42 @@ class Round16MappingSpec extends SparkTestBase {
       }.start()
     q.awaitTermination(60000)
     assert(got.sorted.toSeq === Seq((1L, 10L), (2L, 20L), (3L, 30L)))
-    // mid-flight DDL: a shape change landing while a RUNNING stream
-    // is between batches refuses loudly naming the restart contract.
-    // Rate-limit to one version per batch so the DDL (fired from the
-    // first batch) is provably mid-flight for the second
+    // mid-flight RENAME-ONLY DDL (round 17): an alias-only change
+    // landing while a RUNNING stream is between batches CONTINUES —
+    // the physical column set, types, and retired set are unchanged,
+    // so the data is bit-identical; Spark pins the declared schema,
+    // so rows keep arriving under the START-TIME names, and a
+    // restart adopts the new ones. Rate-limit to one version per
+    // batch so the DDL (fired from the first batch) is provably
+    // mid-flight for the second
     spark.sql("ALTER TABLE graft.r16_stream RENAME COLUMN amount TO total")
     spark.sql("INSERT INTO graft.r16_stream VALUES (4, 40)")
     val path = s"$root/r16_stream"
     val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val stale = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      val q2 = spark.readStream.format("graft")
-        .option("maxVersionsPerTrigger", "1").load(path)
-        .writeStream.option("checkpointLocation", tmpDir("r16-mid-ckpt"))
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-          df.count()
-          if (fired.compareAndSet(false, true)) {
-            // DDL lands while THIS query is mid-flight
-            spark.sql(
-              "ALTER TABLE graft.r16_stream RENAME COLUMN total TO grand")
-            spark.sql("INSERT INTO graft.r16_stream VALUES (5, 50)")
-          }
-          ()
-        }.start()
-      q2.awaitTermination(120000)
-      ()
-    }
-    def msgChain(t: Throwable): String = {
-      var c: Throwable = t; val sb = new StringBuilder
-      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
-      sb.toString
-    }
-    assert(msgChain(stale).contains("RESTART"))
+    val got2 = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q2 = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1").load(path)
+      .writeStream.option("checkpointLocation", tmpDir("r16-mid-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got2 ++= df.select("k", "total").as[(Long, Long)].collect()
+        if (fired.compareAndSet(false, true)) {
+          // rename lands while THIS query is mid-flight — the next
+          // batch still arrives (under the frozen start-time name)
+          spark.sql(
+            "ALTER TABLE graft.r16_stream RENAME COLUMN total TO grand")
+          spark.sql("INSERT INTO graft.r16_stream VALUES (5, 50)")
+        }
+        ()
+      }.start()
+    q2.awaitTermination(120000)
+    // versions 2..5 were delivered AFTER the rename landed —
+    // continuation proven; the mid-flight INSERT (5) lies beyond the
+    // AvailableNow target frozen at start and arrives on the restart
+    // below (which also adopts the new name)
+    assert(got2.sorted.toSeq ===
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)),
+      "a rename-only mid-flight DDL must not interrupt delivery")
     // and after an honest restart the stream delivers under the
     // NEWEST names again
     val ckpt3 = tmpDir("r16-stream-ckpt3")
@@ -189,6 +193,33 @@ class Round16MappingSpec extends SparkTestBase {
     q3.awaitTermination(60000)
     assert(got3.sorted.toSeq ===
       Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L)))
+    // mid-flight SHAPE change (ADD COLUMN): still refuses loudly
+    // naming the restart contract (rename-only continues; a shape
+    // change cannot)
+    val fired2 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val stale = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q2b = spark.readStream.format("graft")
+        .option("maxVersionsPerTrigger", "1").load(path)
+        .writeStream.option("checkpointLocation", tmpDir("r16-mid-ckpt2"))
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.count()
+          if (fired2.compareAndSet(false, true)) {
+            spark.sql(
+              "ALTER TABLE graft.r16_stream ADD COLUMNS (extra BIGINT)")
+            spark.sql("INSERT INTO graft.r16_stream VALUES (6, 60, 66)")
+          }
+          ()
+        }.start()
+      q2b.awaitTermination(120000)
+      ()
+    }
+    def msgChain(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    assert(msgChain(stale).contains("RESTART"))
   }
 
   test("commit timestamps ride the manifest; legacy manifests fall back to mtime") {
