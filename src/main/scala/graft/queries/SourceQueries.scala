@@ -4353,10 +4353,204 @@ object SourceQueries extends QueryRegistry {
       SELECT 'refused_update', CAST(1 AS BIGINT), CAST(1 AS BIGINT)
     """.trim))
 
+  /** MERGE `NOT MATCHED BY SOURCE` on the SQL path (round-17 verdict
+    * #4): the reference's WHOLE reconciliation (J1, insert-if-absent
+    * + delete-absent, `agf_reconciliation_lambda.py:64-66`) as ONE
+    * atomic MERGE instead of anti-join + separate delete. The
+    * statement composes all three clause families: unmatched source
+    * rows INSERT, matched rows stay untouched (no MATCHED clause),
+    * and target rows absent from the source take the FIRST BY SOURCE
+    * clause that holds — UPDATE (sign-flip) for even keys, DELETE
+    * otherwise. The oracle recomputes the reconciliation
+    * relationally: a lost insert, an over-deleted key, a clause
+    * mis-ordered, or a matched row rewritten breaks the hash.
+    */
+  val q329 = GraftQuery(
+    "q329_merge_not_matched_by_source",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val path = "/tmp/graft_q329_nmbs_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.sql.GraftSql.register("q329_inv", path, "k")
+      if (!VersionedTable.latestVersion(path).exists(_ >= 2L)) {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (f.exists(p)) f.delete(p, true)
+        Tables.orders(s, d).createOrReplaceTempView("q329_base")
+        s.sql("""
+          INSERT INTO q329_inv
+          SELECT o_orderkey AS k,
+                 CAST(round(o_totalprice * 100) AS LONG) AS v
+          FROM q329_base WHERE o_orderdate < TIMESTAMP '1997-01-01'""")
+        s.sql("""
+          SELECT o_orderkey AS k,
+                 CAST(round(o_totalprice * 100) AS LONG) + 7 AS v
+          FROM q329_base WHERE o_orderpriority = '1-URGENT'""")
+          .createOrReplaceTempView("q329_src")
+        s.sql("""
+          MERGE INTO q329_inv USING q329_src ON q329_inv.k = q329_src.k
+          WHEN NOT MATCHED THEN INSERT *
+          WHEN NOT MATCHED BY SOURCE AND q329_inv.k % 2 = 0
+            THEN UPDATE SET v = -q329_inv.v
+          WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      }
+      VersionedTable.readLatest(s, path)
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(col("v")).cast("long").as("sum_v"),
+          sum(col("k")).cast("long").as("sum_k"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+               o_orderdate AS dt, o_orderpriority AS pri
+        FROM orders),
+      seed AS (SELECT k, v FROM base WHERE dt < TIMESTAMP '1997-01-01'),
+      src AS (SELECT k, v + 7 AS v FROM base WHERE pri = '1-URGENT'),
+      fin AS (
+        SELECT s.k, s.v FROM seed s
+        WHERE EXISTS (SELECT 1 FROM src WHERE src.k = s.k)
+        UNION ALL
+        SELECT s.k, s.v FROM src s
+        WHERE NOT EXISTS (SELECT 1 FROM seed WHERE seed.k = s.k)
+        UNION ALL
+        SELECT s.k, -s.v FROM seed s
+        WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.k = s.k)
+          AND s.k % 2 = 0)
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(v) AS BIGINT) AS sum_v,
+             CAST(sum(k) AS BIGINT) AS sum_k
+      FROM fin
+    """.trim))
+
+  /** EXPLICIT COLUMN LISTS on INSERT (round-17 verdict #3): `INSERT
+    * INTO t (c1, c2) SELECT ...` — previously a loud refusal. The
+    * list fixes the positional meaning of the query's columns;
+    * omitted columns null-fill TYPED in table order (the reference's
+    * optional-field defaults, P15 — `agf_ingestion_lambda.py:296`
+    * writes records whose optional fields are absent). The oracle
+    * checks the null-filled rows agg-separately from the full rows;
+    * an unknown-column INSERT refuses (GraftMergeFormsSpec).
+    */
+  val q330 = GraftQuery(
+    "q330_insert_column_list",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val path = "/tmp/graft_q330_collist_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.sql.GraftSql.register("q330_files", path, "k")
+      if (!VersionedTable.latestVersion(path).exists(_ >= 2L)) {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (f.exists(p)) f.delete(p, true)
+        Tables.orders(s, d).createOrReplaceTempView("q330_base")
+        s.sql("""
+          INSERT INTO q330_files
+          SELECT o_orderkey AS k, o_orderstatus AS status,
+                 CAST(round(o_totalprice * 100) AS LONG) AS total,
+                 o_orderpriority AS note
+          FROM q330_base WHERE o_orderdate < TIMESTAMP '1997-01-01'""")
+        // the partial-column commit: total and note null-fill
+        s.sql("""
+          INSERT INTO q330_files (k, status)
+          SELECT o_orderkey, o_orderstatus
+          FROM q330_base WHERE o_orderdate >= TIMESTAMP '1997-01-01'""")
+      }
+      VersionedTable.readLatest(s, path)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          count(col("total")).cast("long").as("n_total"),
+          sum(coalesce(col("total"), lit(0L))).cast("long").as("sum_total"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS total,
+               o_orderdate AS dt
+        FROM orders),
+      fin AS (
+        SELECT k, status, total FROM base WHERE dt < TIMESTAMP '1997-01-01'
+        UNION ALL
+        SELECT k, status, CAST(NULL AS BIGINT) AS total
+        FROM base WHERE dt >= TIMESTAMP '1997-01-01')
+      SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(total) AS BIGINT) AS n_total,
+             CAST(sum(coalesce(total, 0)) AS BIGINT) AS sum_total
+      FROM fin GROUP BY 1
+    """.trim))
+
+  /** KEY-MOVING UPDATE (round-17 verdict #6): `UPDATE t SET k = ...`
+    * routes through delete(old key) + insert(new row) in ONE
+    * pinned-snapshot commit — the shape the native row-level route
+    * declares (representUpdateAsDeleteAndInsert,
+    * `catalog/GraftRowLevel.scala`). Legs: final content (urgent
+    * keys moved past the corpus, values untouched) and the commit's
+    * OWN change feed — the move is CDC-visible as preimage
+    * (delete) / postimage (insert) pairs, equal in count.
+    */
+  val q331 = GraftQuery(
+    "q331_update_moves_key",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val path = "/tmp/graft_q331_keymove_" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      graft.sql.GraftSql.register("q331_docs", path, "k")
+      if (!VersionedTable.latestVersion(path).exists(_ >= 2L)) {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (f.exists(p)) f.delete(p, true)
+        Tables.orders(s, d).createOrReplaceTempView("q331_base")
+        s.sql("""
+          INSERT INTO q331_docs
+          SELECT o_orderkey AS k,
+                 CAST(round(o_totalprice * 100) AS LONG) AS v,
+                 o_orderpriority AS pri
+          FROM q331_base WHERE o_orderdate < TIMESTAMP '1997-01-01'""")
+        val off = s.sql("SELECT 1 + max(o_orderkey) FROM q331_base")
+          .collect().head.getLong(0)
+        s.sql(s"UPDATE q331_docs SET k = k + $off WHERE pri = '1-URGENT'")
+      }
+      val latest = VersionedTable.latestVersion(path).get
+      val content = VersionedTable.readLatest(s, path)
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("k")).cast("long").as("sum_k"),
+          sum(col("v")).cast("long").as("sum_v"))
+        .select(lit("content").as("leg"), col("n"), col("sum_k"),
+          col("sum_v"))
+      // the move's own commit, through the change feed: preimage
+      // deletes and postimage inserts, equal in count
+      val cdc = VersionedTable.readChangeFeed(s, path, latest - 1, latest)
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .select(concat(lit("cdc_"), col("_change_type")).as("leg"),
+          col("n"), lit(0L).as("sum_k"), lit(0L).as("sum_v"))
+      content.unionAll(cdc)
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+               o_orderpriority AS pri, o_orderdate AS dt
+        FROM orders),
+      off AS (SELECT 1 + max(k) AS off FROM base),
+      seed AS (SELECT k, v, pri FROM base WHERE dt < TIMESTAMP '1997-01-01'),
+      fin AS (
+        SELECT CASE WHEN pri = '1-URGENT' THEN k + (SELECT off FROM off)
+                    ELSE k END AS k, v
+        FROM seed),
+      moved AS (SELECT count(*) AS n FROM seed WHERE pri = '1-URGENT')
+      SELECT 'content' AS leg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(k) AS BIGINT) AS sum_k,
+             CAST(sum(v) AS BIGINT) AS sum_v
+      FROM fin
+      UNION ALL
+      SELECT 'cdc_delete', CAST(n AS BIGINT), 0, 0 FROM moved
+      UNION ALL
+      SELECT 'cdc_insert', CAST(n AS BIGINT), 0, 0 FROM moved
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
     q282, q283, q284, q285, q286, q288, q289, q290, q291, q292, q293, q294,
     q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306,
     q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318,
-    q319, q320, q321, q322, q323, q324, q325, q326, q327, q328)
+    q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329,
+    q330, q331)
 }

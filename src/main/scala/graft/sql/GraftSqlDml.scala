@@ -51,11 +51,12 @@ import graft.operators.VersionedTable
   * (`graft.<t>`) are NOT intercepted here — they flow to Spark's own
   * analyzer and the native row-level rewrite
   * ([[graft.catalog.GraftRowLevelOperation]]), which additionally
-  * serves NOT MATCHED BY SOURCE, non-key merge conditions, and
-  * key-column updates. This command route remains for PATH-registered
-  * names (no catalog identity for Spark to resolve); on it, NOT
-  * MATCHED BY SOURCE and non-key-equality merge conditions refuse
-  * loudly naming the catalog route, never silently degrade.
+  * serves non-key merge conditions. This command route remains for
+  * PATH-registered names (no catalog identity for Spark to resolve);
+  * since round 17 it also serves NOT MATCHED BY SOURCE, explicit
+  * INSERT column lists, and key-moving UPDATEs — only
+  * non-key-equality merge conditions still refuse loudly naming the
+  * catalog route, never silently degrade.
   */
 object GraftSql {
 
@@ -219,9 +220,22 @@ object GraftSql {
         case Some(reg) =>
           if (i.partitionSpec.nonEmpty)
             refuse("PARTITION specs are not supported")
-          if (i.userSpecifiedCols.nonEmpty)
-            refuse("explicit column lists are not supported; insert full rows")
-          GraftInsertCommand(reg.path, i.query, i.overwrite, i.byName)
+          if (i.userSpecifiedCols.nonEmpty && i.byName)
+            refuse("an explicit column list and BY NAME do not compose " +
+              "(the list fixes positions, BY NAME ignores them); use one")
+          if (i.userSpecifiedCols.nonEmpty && reg.keyCols.nonEmpty) {
+            // a list omitting a merge-key column would null-fill the
+            // key; registered paths carry no metadata-level key gate
+            // (the catalog route does), so refuse at the statement
+            val lcs = i.userSpecifiedCols
+              .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+            reg.keyCols.find(k =>
+              !lcs(k.toLowerCase(java.util.Locale.ROOT))).foreach(k =>
+              refuse(s"the INSERT column list must include merge-key " +
+                s"column '$k' (a null-filled key never silently lands)"))
+          }
+          GraftInsertCommand(reg.path, i.query, i.overwrite, i.byName,
+            i.userSpecifiedCols)
       }
     case DeleteFromTable(t, condition) =>
       target(t) match {
@@ -239,13 +253,9 @@ object GraftSql {
           else plan
         case Some((reg, alias)) =>
           requireKey(reg)
-          val keyLcs = reg.keyCols.map(_.toLowerCase(java.util.Locale.ROOT))
           val assigns = u.assignments.map { a =>
             val name = keyName(a.key).getOrElse(
               refuse(s"unsupported UPDATE assignment target ${a.key}"))
-            if (keyLcs.contains(name))
-              refuse(s"UPDATE of merge-key column '$name' " +
-                "is not supported (rewrite via DELETE + INSERT)")
             name -> new GraftExprBox(a.value)
           }
           GraftUpdateCommand(reg.path, reg.keyCols, alias, assigns,
@@ -267,18 +277,39 @@ object GraftSql {
             refuse(s"the merge condition must be a conjunction of " +
               s"equalities covering exactly the registered key " +
               s"column(s) '${reg.keyDisplay}' on both sides")
-          if (m.notMatchedBySourceActions.nonEmpty)
-            refuse("NOT MATCHED BY SOURCE is not supported on the " +
-              "registered-name path (catalog tables serve it through " +
-              "Spark's native row-level MERGE)")
+          // NOT MATCHED BY SOURCE (round 17): target rows matching NO
+          // source row — DELETE or UPDATE with target-only
+          // assignments. Expresses the reference's reconciliation J1
+          // (insert-if-absent + delete-absent) as ONE atomic MERGE.
+          val notMatchedBySource = m.notMatchedBySourceActions.map {
+            case DeleteAction(cond) =>
+              GraftMatchedDelete(cond.map(new GraftExprBox(_)))
+            case UpdateAction(cond, assigns, _) =>
+              val pairs = assigns.map { a =>
+                val n = keyName(a.key).getOrElse(
+                  refuse(s"unsupported UPDATE assignment target ${a.key}"))
+                if (keyLcs.contains(n))
+                  refuse(s"NOT MATCHED BY SOURCE UPDATE of merge-key " +
+                    s"column '$n' is not supported")
+                n -> new GraftExprBox(a.value)
+              }
+              GraftMatchedUpdate(cond.map(new GraftExprBox(_)), Some(pairs))
+            case other =>
+              refuse(s"unsupported WHEN NOT MATCHED BY SOURCE action " +
+                s"$other (DELETE and UPDATE SET only — no source " +
+                "columns are in scope)")
+          }
           (m.matchedActions, m.notMatchedActions) match {
             // the two unconditional star forms keep the proven direct
             // upsert path (blind-retry OCC is serializable there, and
-            // insert-only carries its own conflict analysis)
-            case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
+            // insert-only carries its own conflict analysis) — only
+            // when no BY SOURCE clause needs the generalized command
+            case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)))
+                if notMatchedBySource.isEmpty =>
               GraftMergeCommand(reg.path, reg.keyCols, m.sourceTable,
                 insertOnly = false)
-            case (Seq(), Seq(InsertStarAction(None))) =>
+            case (Seq(), Seq(InsertStarAction(None)))
+                if notMatchedBySource.isEmpty =>
               GraftMergeCommand(reg.path, reg.keyCols, m.sourceTable,
                 insertOnly = true)
             case _ =>
@@ -319,7 +350,7 @@ object GraftSql {
               }
               GraftMergeIntoCommand(reg.path, reg.keyCols, aliasParts,
                 m.sourceTable, new GraftExprBox(m.mergeCondition),
-                matched, notMatched)
+                matched, notMatched, notMatchedBySource)
           }
       }
     case other => other
@@ -365,11 +396,31 @@ case class GraftNotMatchedInsert(cond: Option[GraftExprBox],
   * long into int) is a type error, not a silent coercion.
   */
 case class GraftInsertCommand(path: String, query: LogicalPlan,
-    overwrite: Boolean, byName: Boolean) extends LeafRunnableCommand {
+    overwrite: Boolean, byName: Boolean,
+    userCols: Seq[String] = Seq.empty) extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
   override def run(session: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.catalyst.expressions.Cast
-    val raw = GraftStreamingBridge.ofRows(session, query)
+    val raw0 = GraftStreamingBridge.ofRows(session, query)
+    // INSERT INTO t (c1, c2, ...): the list fixes the POSITIONAL
+    // meaning of the query's columns (round 17 — previously refused).
+    // Unknown names refuse loudly; duplicates refuse; arity must
+    // match the list. Columns the list omits null-fill TYPED below
+    // (the reference's optional-field defaults, P15) — except that a
+    // missing merge-key column still refuses at commit (a NULL key
+    // never silently lands).
+    val raw =
+      if (userCols.isEmpty) raw0
+      else {
+        val lcOf = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
+        require(userCols.map(lcOf).distinct.length == userCols.length,
+          s"graft INSERT: duplicate column(s) in the explicit list " +
+            s"(${userCols.mkString(", ")})")
+        require(raw0.columns.length == userCols.length,
+          s"graft INSERT: the column list names ${userCols.length} " +
+            s"column(s) but the query produces ${raw0.columns.length}")
+        raw0.toDF(userCols.toIndexedSeq: _*)
+      }
     val df = VersionedTable.latestVersion(path) match {
       case Some(latest) =>
         // alignment speaks the LOGICAL schema (identity without
@@ -378,19 +429,21 @@ case class GraftInsertCommand(path: String, query: LogicalPlan,
         // names here double-translated under rename+re-add mappings
         val tableSchema = VersionedTable.readAt(session, path, latest).schema
         val aligned =
-          if (byName) {
-            // BY NAME validates the column SET against the table:
-            // unknown columns refuse (they would land silently),
-            // missing columns null-fill TYPED in table order — the
-            // committed batch always carries the full current schema,
-            // so plain reads never become file-pick-order-dependent
-            // (the same hazard the positional arity check closes)
+          if (byName || userCols.nonEmpty) {
+            // BY NAME (and the explicit column list, which fixes the
+            // query's names above) validates the column SET against
+            // the table: unknown columns refuse (they would land
+            // silently), missing columns null-fill TYPED in table
+            // order — the committed batch always carries the full
+            // current schema, so plain reads never become
+            // file-pick-order-dependent (the same hazard the
+            // positional arity check closes)
             val lcOf = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
             val tableCols = tableSchema.fieldNames.map(lcOf).toSet
             val unknown = raw.columns.filterNot(c => tableCols(lcOf(c)))
             if (unknown.nonEmpty)
               throw new IllegalArgumentException(
-                s"graft INSERT BY NAME: column(s) ${unknown.mkString(", ")} " +
+                s"graft INSERT: column(s) ${unknown.mkString(", ")} " +
                   "do not exist in the table (unknown columns would land " +
                   "silently); project them away or ALTER TABLE first")
             val have = raw.columns.map(lcOf).toSet
@@ -489,10 +542,11 @@ case class GraftMergeCommand(path: String, keyCols: Seq[String],
   * (resolved at run time under the statement's alias, so `SET v =
   * v * 2` reads the pre-update value) and committed as ONE
   * last-writer-wins upsert: matched keys replaced atomically,
-  * unmatched rows untouched, history time-travelable. Updating the
-  * merge-key column itself refuses loudly (the old key's rows would
-  * survive); a selective WHERE pays the auto-pruned read, not a
-  * table scan.
+  * unmatched rows untouched, history time-travelable. Updating a
+  * merge-key column routes through delete(old key) + insert(new row)
+  * in one pinned-snapshot commit (round 17 — the native row-level
+  * route's representUpdateAsDeleteAndInsert shape); a selective
+  * WHERE pays the auto-pruned read, not a table scan.
   */
 case class GraftUpdateCommand(path: String, keyCols: Seq[String],
     alias: Seq[String], assignments: Seq[(String, GraftExprBox)],
@@ -500,24 +554,68 @@ case class GraftUpdateCommand(path: String, keyCols: Seq[String],
   override def run(session: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{Alias, Literal, NamedExpression}
-    val latest = VersionedTable.latestVersion(path).getOrElse(
-      throw new IllegalArgumentException(
-        s"UPDATE on empty graft table at $path"))
-    val view = VersionedTable.readAtAutoPhysical(session, path, latest)
-    val aliased = GraftDml.aliased(alias, view.queryExecution.logical)
-    val cond = condition.map(_.expr).getOrElse(Literal(true))
-    val assignOf = assignments.toMap
-    val projectList: Seq[NamedExpression] = view.columns.toSeq.map { c =>
-      assignOf.get(c.toLowerCase(java.util.Locale.ROOT)) match {
-        case Some(box) => Alias(box.expr, c)()
-        case None => UnresolvedAttribute(Seq(c))
+    val keyLcs = keyCols.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val movesKey =
+      assignments.exists(a => keyLcs(a._1.toLowerCase(java.util.Locale.ROOT)))
+    var attempt = 0
+    while (true) {
+      val latest = VersionedTable.latestVersion(path).getOrElse(
+        throw new IllegalArgumentException(
+          s"UPDATE on empty graft table at $path"))
+      val view = VersionedTable.readAtAutoPhysical(session, path, latest)
+      val aliased = GraftDml.aliased(alias, view.queryExecution.logical)
+      val cond = condition.map(_.expr).getOrElse(Literal(true))
+      val assignOf = assignments.toMap
+      val matched = Filter(cond, aliased)
+      val projectList: Seq[NamedExpression] = view.columns.toSeq.map { c =>
+        assignOf.get(c.toLowerCase(java.util.Locale.ROOT)) match {
+          case Some(box) => Alias(box.expr, c)()
+          case None => UnresolvedAttribute(Seq(c))
+        }
+      }
+      val updated = GraftStreamingBridge.ofRows(session,
+        Project(projectList, matched))
+      if (!movesKey) {
+        // key-preserving: one last-writer-wins upsert (matched keys
+        // replaced atomically; blind OCC retry is serializable here)
+        val v = VersionedTable.upsertMulti(updated, keyCols, path,
+          maxRetries = 3)
+        return Seq(Row(v))
+      }
+      // KEY-MOVING UPDATE (round 17 — previously refused): modeled as
+      // delete(old key) + insert(new row), the same shape the native
+      // row-level route declares (representUpdateAsDeleteAndInsert) —
+      // ONE atomic commit of the old keys' tombstone plus the
+      // re-keyed rows, CDC-visible as preimage/postimage. Two rows
+      // moving onto ONE key refuse (both would survive the commit);
+      // a moved key landing on an EXISTING row replaces it
+      // (last-writer-wins, the upsert contract). The commit is
+      // pinned to this read's snapshot: an interleaved commit forces
+      // a full recompute, never a blind re-commit.
+      import org.apache.spark.sql.functions.{count, lit}
+      val dupNew = updated.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+        .limit(1).count() > 0
+      if (dupNew)
+        throw new UnsupportedOperationException(
+          s"graft UPDATE: the assignments move two or more rows onto " +
+            s"one '${keyCols.mkString(", ")}' key — both would survive " +
+            "the same commit as duplicates; make the new key unique " +
+            "per row (or DELETE + INSERT an aggregate)")
+      val oldKeys = GraftStreamingBridge.ofRows(session, matched)
+        .select(keyCols.map(col): _*)
+      try {
+        val v = VersionedTable.upsertWithDeletesMulti(
+          Some(updated).filterNot(_.isEmpty), Some(oldKeys),
+          keyCols, path, expectedSnapshot = Some(latest))
+        return Seq(Row(v))
+      } catch {
+        case e: java.io.IOException
+            if e.getMessage.contains("already committed") && attempt < 3 =>
+          attempt += 1 // recompute against the new latest
       }
     }
-    val updated = GraftStreamingBridge.ofRows(session,
-      Project(projectList, Filter(cond, aliased)))
-    val v = VersionedTable.upsertMulti(updated, keyCols, path,
-      maxRetries = 3)
-    Seq(Row(v))
+    Seq(Row(-1L)) // unreachable
   }
   override def output: Seq[Attribute] = GraftDml.versionOutput
 }
@@ -544,6 +642,14 @@ final class GraftExprBox(val expr: Expression) extends Serializable {
   *     WHEN MATCHED [AND p1] THEN UPDATE SET c = expr[, ...] | SET *
   *     WHEN MATCHED [AND p2] THEN DELETE
   *     WHEN NOT MATCHED [AND p3] THEN INSERT [(cols)] VALUES (...) | *
+  *     WHEN NOT MATCHED BY SOURCE [AND p4] THEN DELETE | UPDATE SET ...
+  *
+  * NOT MATCHED BY SOURCE clauses act on TARGET rows matching no
+  * source row (one target-side anti-join on the merge condition —
+  * only target columns are in scope for conditions and assignments).
+  * With INSERT * + BY SOURCE DELETE this is the reference's whole
+  * reconciliation (J1: insert-if-absent + delete-absent,
+  * `agf_reconciliation_lambda.py:64-66`) as ONE atomic commit.
   *
   * Standard first-match-wins clause order: each matched target row
   * takes the FIRST matched clause whose condition holds (no clause →
@@ -570,7 +676,9 @@ final class GraftExprBox(val expr: Expression) extends Serializable {
 case class GraftMergeIntoCommand(path: String, keyCols: Seq[String],
     targetAlias: Seq[String], source: LogicalPlan,
     mergeCondition: GraftExprBox, matched: Seq[GraftMatchedForm],
-    notMatched: Seq[GraftNotMatchedInsert]) extends LeafRunnableCommand {
+    notMatched: Seq[GraftNotMatchedInsert],
+    notMatchedBySource: Seq[GraftMatchedForm] = Seq.empty)
+    extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def output: Seq[Attribute] = GraftDml.versionOutput
@@ -667,6 +775,36 @@ case class GraftMergeIntoCommand(path: String, keyCols: Seq[String],
                   updatedParts += GraftDml.conformTo(projected, targetSchema)
                 case (_: GraftMatchedDelete, i) =>
                   deletedParts += marked.filter(
+                    org.apache.spark.sql.functions.col(ActCol) === lit(i))
+                    .select(keyCols.map(k => tCol(k).as(k)): _*)
+              }
+            }
+            if (notMatchedBySource.nonEmpty) {
+              // target rows matching NO source row: one target-side
+              // anti-join; only target columns are in scope, so
+              // conditions/assignments referencing the source fail
+              // resolution loudly
+              val absent = GraftStreamingBridge.ofRows(session,
+                Join(tPlan, source, LeftAnti, Some(mergeCondition.expr),
+                  JoinHint.NONE))
+              val markedAbs = absent.withColumn(ActCol,
+                actionIndex(notMatchedBySource.map(_.cond))).cache()
+              cached += markedAbs
+              notMatchedBySource.zipWithIndex.foreach {
+                case (u: GraftMatchedUpdate, i) =>
+                  val rows = markedAbs.filter(
+                    org.apache.spark.sql.functions.col(ActCol) === lit(i))
+                  val assignOf = u.assigns.map(_.map {
+                    case (n, b) => lc(n) -> b }.toMap).getOrElse(Map.empty)
+                  val projected = rows.select(targetCols.map { c =>
+                    assignOf.get(lc(c)) match {
+                      case Some(box) => Bridge.column(box.expr).as(c)
+                      case None => tCol(c).as(c)
+                    }
+                  }: _*)
+                  updatedParts += GraftDml.conformTo(projected, targetSchema)
+                case (_: GraftMatchedDelete, i) =>
+                  deletedParts += markedAbs.filter(
                     org.apache.spark.sql.functions.col(ActCol) === lit(i))
                     .select(keyCols.map(k => tCol(k).as(k)): _*)
               }

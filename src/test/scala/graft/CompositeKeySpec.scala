@@ -122,11 +122,22 @@ class CompositeKeySpec extends SparkTestBase {
           WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
       }
       assert(e1.getMessage.contains("covering exactly"))
-      // updating a key component refuses
+      // updating a key component MOVES the key (round 17): old pair
+      // tombstoned, new pair inserted, one commit
+      spark.sql("UPDATE ck_ref SET fp = 'z' WHERE eid = 1")
+      assert(VersionedTable.readLatest(spark, path)
+        .as[(Long, String, Long)].collect().toSeq ===
+        Seq((1L, "z", 10L)))
+      spark.sql("UPDATE ck_ref SET fp = 'a' WHERE eid = 1") // restore
+      // two rows moving onto ONE pair still refuses
+      VersionedTable.upsertMulti(Seq((1L, "b", 11L)).toDF("eid", "fp", "v"),
+        Seq("eid", "fp"), path)
       val e2 = intercept[UnsupportedOperationException] {
-        spark.sql("UPDATE ck_ref SET fp = 'z' WHERE eid = 1")
+        spark.sql("UPDATE ck_ref SET fp = 'dup' WHERE eid = 1")
       }
-      assert(e2.getMessage.contains("merge-key column"))
+      assert(e2.getMessage.contains("one"), e2.getMessage)
+      VersionedTable.deleteKeysMulti(Seq((1L, "b")).toDF("eid", "fp"),
+        Seq("eid", "fp"), path) // restore the single-pair state
       // the cardinality rule judges the FULL pair: two source rows
       // sharing eid but differing in fp are fine
       Seq((1L, "a", 2L), (1L, "b", 3L)).toDF("eid", "fp", "v")

@@ -165,4 +165,98 @@ class GraftMergeFormsSpec extends SparkTestBase {
       assert(got(2L) === 222L, "surviving key updated")
     } finally GraftSql.unregister("mf_occ")
   }
+
+  test("NOT MATCHED BY SOURCE: UPDATE and DELETE clauses, first-match-wins") {
+    val path = tmpDir("mf_nmbs")
+    GraftSql.register("mf_nmbs", path, "k")
+    try {
+      VersionedTable.append(
+        Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("k", "v"), path)
+      Seq((1L, 111L), (9L, 999L)).toDF("k", "v")
+        .createOrReplaceTempView("mf_nmbs_src")
+      spark.sql("""
+        MERGE INTO mf_nmbs AS t USING mf_nmbs_src AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND t.k % 2 = 0 THEN UPDATE SET v = -t.v
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      val got = VersionedTable.readLatest(spark, path)
+        .as[(Long, Long)].collect().toMap
+      // 1 matched->111; 9 inserted; 2,4 absent+even -> sign-flip;
+      // 3 absent+odd -> deleted (first-match-wins put it past the
+      // UPDATE clause)
+      assert(got === Map(1L -> 111L, 2L -> -20L, 4L -> -40L, 9L -> 999L),
+        s"got $got")
+      // ONE commit for the whole reconciliation
+      assert(VersionedTable.latestVersion(path) === Some(2L))
+    } finally GraftSql.unregister("mf_nmbs")
+  }
+
+  test("NOT MATCHED BY SOURCE race: a row appearing mid-merge is seen by the recompute") {
+    import graft.sql.GraftMergeIntoCommand
+    val path = tmpDir("mf_nmbs_race")
+    GraftSql.register("mf_nmbs_race", path, "k")
+    try {
+      VersionedTable.append(Seq((1L, 10L)).toDF("k", "v"), path)
+      Seq((1L, 11L)).toDF("k", "v")
+        .createOrReplaceTempView("mf_nmbs_race_src")
+      // a competing append lands INSIDE the merge's read-modify-write
+      // window; the pinned commit conflicts, the recompute sees the
+      // new row — absent from the source, it takes the BY SOURCE
+      // DELETE (serial order: append THEN merge)
+      var fired = false
+      GraftMergeIntoCommand.testAfterSnapshot = Some { _ =>
+        if (!fired) {
+          fired = true
+          VersionedTable.append(Seq((7L, 70L)).toDF("k", "v"), path)
+        }
+      }
+      try {
+        spark.sql("""
+          MERGE INTO mf_nmbs_race AS t USING mf_nmbs_race_src AS s
+          ON t.k = s.k
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      } finally GraftMergeIntoCommand.testAfterSnapshot = None
+      assert(fired, "the race must actually have fired")
+      val got = VersionedTable.readLatest(spark, path)
+        .as[(Long, Long)].collect().toMap
+      assert(got === Map(1L -> 11L),
+        s"the interleaved row must be reconciled away, got $got")
+      // three commits: seed, interleaved append, merge's recompute
+      assert(VersionedTable.latestVersion(path) === Some(3L))
+    } finally GraftSql.unregister("mf_nmbs_race")
+  }
+
+  test("INSERT with an explicit column list: omitted columns null-fill; unknown columns refuse") {
+    val path = tmpDir("mf_collist")
+    GraftSql.register("mf_collist", path, "k")
+    try {
+      VersionedTable.append(
+        Seq((1L, 10L, "a")).toDF("k", "v", "g"), path)
+      spark.sql(
+        "INSERT INTO mf_collist (k, g) SELECT 2L AS x, 'b' AS y")
+      val got = VersionedTable.readLatest(spark, path)
+        .as[(Long, Option[Long], String)].collect().toSet
+      assert(got === Set((1L, Some(10L), "a"), (2L, None, "b")), s"got $got")
+      // unknown columns refuse loudly
+      val e1 = intercept[Exception] {
+        spark.sql("INSERT INTO mf_collist (k, nope) SELECT 3L, 'c'")
+      }
+      assert(e1.getMessage.contains("nope"), e1.getMessage)
+      // an omitted MERGE-KEY column cannot silently null-fill: the
+      // commit-side key gate refuses before anything publishes
+      val e2 = intercept[Exception] {
+        spark.sql("INSERT INTO mf_collist (v, g) SELECT 5L, 'd'")
+      }
+      assert(e2.getMessage.toLowerCase.contains("k"), e2.getMessage)
+      assert(VersionedTable.readLatest(spark, path).count() === 2L,
+        "the refused inserts must not have published")
+      // arity mismatch against the LIST (not the table) refuses
+      val e3 = intercept[Exception] {
+        spark.sql("INSERT INTO mf_collist (k, g) SELECT 6L, 'e', 99L")
+      }
+      assert(e3.getMessage.contains("column list"), e3.getMessage)
+    } finally GraftSql.unregister("mf_collist")
+  }
 }

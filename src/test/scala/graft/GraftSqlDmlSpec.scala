@@ -99,13 +99,10 @@ class GraftSqlDmlSpec extends SparkTestBase {
     try {
       VersionedTable.append(Seq((1L, "a")).toDF("k", "v"), path)
       Seq((1L, "x")).toDF("k", "v").createOrReplaceTempView("ref_src")
-      // NOT MATCHED BY SOURCE stays unsupported
-      val e1 = intercept[UnsupportedOperationException] {
-        spark.sql("""MERGE INTO t_ref USING ref_src ON t_ref.k = ref_src.k
-          WHEN MATCHED THEN UPDATE SET *
-          WHEN NOT MATCHED BY SOURCE THEN DELETE""")
-      }
-      assert(e1.getMessage.contains("NOT MATCHED BY SOURCE"))
+      // a NOT MATCHED BY SOURCE action other than DELETE/UPDATE SET
+      // cannot parse, so the remaining refusal here is the non-key
+      // merge condition (the NMBS happy paths live in
+      // GraftMergeFormsSpec and q329)
       // non-key merge condition
       val e2 = intercept[UnsupportedOperationException] {
         spark.sql("""MERGE INTO t_ref USING ref_src ON t_ref.v = ref_src.v
@@ -144,11 +141,19 @@ class GraftSqlDmlSpec extends SparkTestBase {
       assert(VersionedTable.readLatest(spark, path)
         .filter($"k" === 2L).as[(Long, Long, String)].head()
         === ((2L, 22L, "B")))
-      // updating the merge key refuses loudly
+      // KEY-MOVING update (round 17): old key tombstoned, new row
+      // inserted, one atomic commit
+      spark.sql("UPDATE t_upd SET k = k + 10 WHERE k = 3")
+      assert(VersionedTable.readLatest(spark, path)
+        .select("k", "v").as[(Long, Long)].collect().sorted
+        === Array((1L, 20L), (2L, 22L), (13L, 60L)))
+      // two rows moving onto ONE key refuses loudly (both would
+      // survive the same commit as duplicates)
       val e = intercept[UnsupportedOperationException] {
-        spark.sql("UPDATE t_upd SET k = k + 1")
+        spark.sql("UPDATE t_upd SET k = 99")
       }
-      assert(e.getMessage.contains("merge-key"))
+      assert(e.getMessage.contains("one"),
+        e.getMessage)
     } finally GraftSql.unregister("t_upd")
   }
 
