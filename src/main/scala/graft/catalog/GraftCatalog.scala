@@ -229,9 +229,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         val byPhysLc = content.map(f =>
           f.name.toLowerCase(Locale.ROOT) -> f).toMap
         val reconciled = declared.map { f =>
+          // a NESTED-mapped (or nested-retired) struct column never
+          // reconciles against content: its content type speaks
+          // PHYSICAL inner names (and may carry retired fields from
+          // old batches) — unioning that with the logical type would
+          // duplicate fields and resurface drops. Nested evolution is
+          // DDL-driven; the declared epoch type wins.
+          val nestedMapped =
+            ColumnMapping.physicalType(f.dataType) !=
+              ColumnMapping.logicalType(f.dataType) ||
+              epoch.exists(_.dropped.exists(p => p.contains(".") &&
+                p.split("\\.").head.equalsIgnoreCase(
+                  ColumnMapping.physicalName(f))))
           byPhysLc.get(ColumnMapping.physicalName(f)
             .toLowerCase(Locale.ROOT)) match {
-            case Some(c) if c.dataType != f.dataType =>
+            case Some(c) if c.dataType != f.dataType && !nestedMapped =>
               // content wider than declared (pre-DDL path writes):
               // surface the lossless widening; anything else keeps
               // the content type — what the files actually hold
@@ -400,16 +412,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           field = ColumnMapping.withPhysical(field, s"$colName#$nextGen")
         newSchema = newSchema.add(field)
         acc
+      case (acc, rn: TableChange.RenameColumn) if rn.fieldNames.length > 1 =>
+        // NESTED RENAME (round 17): metadata-only, like the top-level
+        // form — the struct FIELD keeps its physical parquet name and
+        // changes only its logical one; reads rename via one
+        // positional cast, writes via the inverse cast
+        newSchema = GraftCatalog.renameNestedField(newSchema,
+          rn.fieldNames.toSeq, rn.newName)
+        shapeChanged = true
+        GraftCatalog.rewriteConstraintPath(acc, rn.fieldNames.toSeq,
+          rn.fieldNames.init.toSeq :+ rn.newName)
       case (acc, rn: TableChange.RenameColumn) =>
-        require(rn.fieldNames.length == 1,
-          "graft ALTER TABLE RENAME COLUMN: nested fields are not supported")
         val from = rn.fieldNames.head
         val to = rn.newName
         val idx = newSchema.fieldNames.indexWhere(_.equalsIgnoreCase(from))
         require(idx >= 0, s"graft ALTER TABLE: column '$from' does not exist")
         require(!newSchema.fieldNames.exists(_.equalsIgnoreCase(to)),
           s"graft ALTER TABLE: rename target '$to' already exists")
-        GraftCatalog.refuseConstrainedColumn(acc, from, "RENAME")
         val f = newSchema.fields(idx)
         // the physical name is pinned at its CURRENT value — for a
         // never-renamed column that makes the identity mapping
@@ -418,12 +437,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           f.copy(name = to), ColumnMapping.physicalName(f))
         newSchema = StructType(newSchema.fields.updated(idx, renamed))
         shapeChanged = true
-        colProps.foldLeft(acc) { (a, p) =>
+        // CHECK constraints referencing the renamed column are
+        // REWRITTEN to the new name inside this same metadata CAS
+        // (round 17 — previously a refusal): the constraint's meaning
+        // is unchanged, only its spelling follows the column
+        val acc2 = GraftCatalog.rewriteConstraintPath(acc, Seq(from),
+          Seq(to))
+        colProps.foldLeft(acc2) { (a, p) =>
           a.get(p).map(v => a + (p -> renameIn(v, from, to))).getOrElse(a)
         }
+      case (acc, del: TableChange.DeleteColumn) if del.fieldNames.length > 1 =>
+        // NESTED DROP (round 17): the inner field's PHYSICAL path is
+        // retired (recorded dotted: "<top-phys>.<inner-phys>…") —
+        // reads project it away (`dropFields`), new batches simply
+        // stop carrying it, and a re-ADD of the logical name refuses
+        // (nested ADD is not supported), so stale values can never
+        // resurface
+        GraftCatalog.refuseConstrainedPath(acc, del.fieldNames.toSeq, "DROP")
+        val (pruned, physPath) = GraftCatalog.dropNestedField(newSchema,
+          del.fieldNames.toSeq, del.ifExists)
+        physPath.foreach { p =>
+          dropped = dropped :+ p
+          shapeChanged = true
+        }
+        newSchema = pruned
+        acc
       case (acc, del: TableChange.DeleteColumn) =>
-        require(del.fieldNames.length == 1,
-          "graft ALTER TABLE DROP COLUMN: nested fields are not supported")
         val name = del.fieldNames.head
         val idx = newSchema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
         require(idx >= 0 || del.ifExists,
@@ -534,9 +573,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           // after the CAS pick it up from the meta automatically): a
           // mapping-unaware reader refuses from the first manifest
           // that could expose renamed/dropped physical columns
+          val feats = ColumnMapping.protocolFeatures(
+            MetaState(nextGen, newSchema, updated, 0L, dropped))
           val gate =
-            if (ColumnMapping.isActive(newSchema) || dropped.nonEmpty)
-              Seq("#protocol=column-mapping")
+            if (feats.nonEmpty) Seq("#protocol=" + feats.mkString(","))
             else Seq.empty
           VersionedTable.commitMetadataVersion(path, "#ddl=alter-table",
             extraHeader = gate)
@@ -686,23 +726,134 @@ object GraftCatalog {
     */
   private[catalog] def refuseConstrainedColumn(
       props: Map[String, String], column: String, verb: String): Unit =
+    refuseConstrainedPath(props, Seq(column), verb)
+
+  /** Refuse the DDL when any CHECK constraint references the logical
+    * path (or anything under it) — the constraint would go
+    * unresolvable, or worse, silently bind elsewhere.
+    */
+  private[catalog] def refuseConstrainedPath(
+      props: Map[String, String], path: Seq[String], verb: String): Unit = {
+    val pLc = path.map(_.toLowerCase(Locale.ROOT))
     VersionedTable.checkProps(props).foreach { case (name, sql) =>
       val refs =
         try SparkSession.active.sessionState.sqlParser
           .parseExpression(sql).collect {
             case a: org.apache.spark.sql.catalyst.analysis
                 .UnresolvedAttribute =>
-              a.nameParts.head.toLowerCase(Locale.ROOT)
-          }.toSet
+              a.nameParts.map(_.toLowerCase(Locale.ROOT))
+          }
         catch { case scala.util.control.NonFatal(_) =>
-          Set.empty[String] }
-      if (refs(column.toLowerCase(Locale.ROOT)))
+          Seq.empty[Seq[String]] }
+      if (refs.exists(r => r.length >= pLc.length && r.take(pLc.length) == pLc))
         throw new IllegalArgumentException(
-          s"graft ALTER TABLE: cannot $verb column '$column' — CHECK " +
-            s"constraint '${name.stripPrefix("check.")}' ($sql) " +
+          s"graft ALTER TABLE: cannot $verb column '${path.mkString(".")}' " +
+            s"— CHECK constraint '${name.stripPrefix("check.")}' ($sql) " +
             "references it; drop the constraint first (ALTER TABLE " +
             "... UNSET TBLPROPERTIES)")
     }
+  }
+
+  /** Rewrite every stored CHECK-constraint expression, renaming
+    * references whose logical path starts with `from` to `to` —
+    * RENAME COLUMN follows the constraint's spelling inside the SAME
+    * metadata CAS (round 17; previously a refusal), so the
+    * constraint keeps enforcing under the new name and DESCRIBE shows
+    * the rewritten SQL.
+    */
+  private[catalog] def rewriteConstraintPath(props: Map[String, String],
+      from: Seq[String], to: Seq[String]): Map[String, String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val fromLc = from.map(_.toLowerCase(Locale.ROOT))
+    VersionedTable.checkProps(props).foldLeft(props) {
+      case (acc, (name, sql)) =>
+        val parsed =
+          try Some(SparkSession.active.sessionState.sqlParser
+            .parseExpression(sql))
+          catch { case scala.util.control.NonFatal(_) => None }
+        parsed match {
+          case None => acc
+          case Some(e) =>
+            var changed = false
+            val rewritten = e.transformUp {
+              case a: UnresolvedAttribute
+                  if a.nameParts.length >= fromLc.length &&
+                    a.nameParts.take(fromLc.length)
+                      .map(_.toLowerCase(Locale.ROOT)) == fromLc =>
+                changed = true
+                UnresolvedAttribute(to ++ a.nameParts.drop(fromLc.length))
+            }
+            if (!changed) acc else acc + (name -> rewritten.sql)
+        }
+    }
+  }
+
+  /** Rename the struct field at logical `path` (length >= 2) to `to`,
+    * pinning its physical name — the nested twin of the top-level
+    * RENAME branch. Intermediate path segments must be plain structs.
+    */
+  private[catalog] def renameNestedField(schema: StructType,
+      path: Seq[String], to: String): StructType = {
+    def go(st: StructType, parts: Seq[String]): StructType = {
+      val idx = st.fieldNames.indexWhere(_.equalsIgnoreCase(parts.head))
+      require(idx >= 0,
+        s"graft ALTER TABLE: column '${path.mkString(".")}' does not exist")
+      val f = st.fields(idx)
+      if (parts.length == 1) {
+        require(!st.fieldNames.exists(_.equalsIgnoreCase(to)),
+          s"graft ALTER TABLE: rename target '$to' already exists in " +
+            s"'${path.init.mkString(".")}'")
+        StructType(st.fields.updated(idx, ColumnMapping.withPhysical(
+          f.copy(name = to), ColumnMapping.physicalName(f))))
+      } else f.dataType match {
+        case inner: StructType =>
+          StructType(st.fields.updated(idx,
+            f.copy(dataType = go(inner, parts.tail))))
+        case other => throw new IllegalArgumentException(
+          s"graft ALTER TABLE: '${parts.head}' in " +
+            s"'${path.mkString(".")}' is ${other.sql}, not a struct — " +
+            "nested DDL reaches plain struct fields only")
+      }
+    }
+    go(schema, path)
+  }
+
+  /** Remove the struct field at logical `path` (length >= 2),
+    * returning the pruned schema and the retired PHYSICAL dotted path
+    * (None when `ifExists` absorbed a missing field).
+    */
+  private[catalog] def dropNestedField(schema: StructType,
+      path: Seq[String], ifExists: Boolean): (StructType, Option[String]) = {
+    val physParts = scala.collection.mutable.ListBuffer.empty[String]
+    def go(st: StructType, parts: Seq[String]): Option[StructType] = {
+      val idx = st.fieldNames.indexWhere(_.equalsIgnoreCase(parts.head))
+      if (idx < 0) {
+        require(ifExists,
+          s"graft ALTER TABLE: column '${path.mkString(".")}' does not exist")
+        return None
+      }
+      val f = st.fields(idx)
+      physParts += ColumnMapping.physicalName(f)
+      if (parts.length == 1) {
+        require(st.length > 1,
+          s"graft ALTER TABLE: cannot drop the last field of " +
+            s"'${path.init.mkString(".")}' — drop the column itself")
+        Some(StructType(st.fields.patch(idx, Nil, 1)))
+      } else f.dataType match {
+        case inner: StructType =>
+          go(inner, parts.tail).map(n =>
+            StructType(st.fields.updated(idx, f.copy(dataType = n))))
+        case other => throw new IllegalArgumentException(
+          s"graft ALTER TABLE: '${parts.head}' in " +
+            s"'${path.mkString(".")}' is ${other.sql}, not a struct — " +
+            "nested DDL reaches plain struct fields only")
+      }
+    }
+    go(schema, path) match {
+      case Some(ns) => (ns, Some(physParts.mkString(".")))
+      case None => (schema, None)
+    }
+  }
 
   /** Test seam: runs between an ALTER's read-modify and its CAS write,
     * so a spec can interleave a competing metadata generation and
@@ -883,8 +1034,18 @@ class GraftTable(identName: String, val path: String,
       val scan = VersionedTable.readAtWithSchema(spark, path, v, physical)
       val df =
         if (!ColumnMapping.isActive(tableSchema)) scan
-        else scan.select(tableSchema.map(f => org.apache.spark.sql.functions
-          .col(ColumnMapping.physicalName(f)).as(f.name)): _*)
+        else scan.select(tableSchema.map { f =>
+          val base = org.apache.spark.sql.functions
+            .col(ColumnMapping.physicalName(f))
+          // nested mapping: the explicit physical schema already
+          // projects retired inner fields away; one positional cast
+          // renames the survivors to their logical names
+          val e =
+            if (ColumnMapping.physicalType(f.dataType) ==
+              ColumnMapping.logicalType(f.dataType)) base
+            else base.cast(ColumnMapping.logicalType(f.dataType))
+          e.as(f.name)
+        }: _*)
       df.queryExecution.analyzed
     case None =>
       spark.createDataFrame(new java.util.ArrayList[Row](), tableSchema)

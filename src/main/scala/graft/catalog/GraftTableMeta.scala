@@ -100,10 +100,25 @@ private[graft] object GraftTableMeta {
     val f = fs(path)
     f.mkdirs(new Path(path))
     val props = new java.util.Properties()
-    // JSON carries per-field metadata (the physical-name mapping);
-    // plain schemas keep the human-readable DDL form
+    // JSON carries per-field metadata (the physical-name mapping) —
+    // checked at EVERY nesting level: a nested-only mapping's
+    // metadata lives inside the struct type, and DDL serialization
+    // would silently strip it (round-17 bug: the first nested RENAME
+    // lost its physical pin here). Plain schemas keep the
+    // human-readable DDL form.
+    def anyMeta(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case st: StructType =>
+          st.exists(f => f.metadata != Metadata.empty || anyMeta(f.dataType))
+        case at: org.apache.spark.sql.types.ArrayType =>
+          anyMeta(at.elementType)
+        case mt: org.apache.spark.sql.types.MapType =>
+          anyMeta(mt.keyType) || anyMeta(mt.valueType)
+        case _ => false
+      }
     val schemaStr =
-      if (state.schema.exists(_.metadata != Metadata.empty))
+      if (state.schema.exists(f =>
+        f.metadata != Metadata.empty || anyMeta(f.dataType)))
         state.schema.json
       else state.schema.toDDL
     props.setProperty("__schema", schemaStr)
@@ -139,26 +154,109 @@ object ColumnMapping {
     f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
       .putString(PhysicalKey, phys).build())
 
-  /** Whether any field's physical name differs from its logical one. */
+  /** Whether any field's physical name differs from its logical one —
+    * at the TOP level or on any NESTED struct field (round 17: the
+    * mapping extends to nested paths, so RENAME/DROP of a struct
+    * field is metadata-only too).
+    */
   def isActive(schema: StructType): Boolean =
-    schema.exists(f => physicalName(f) != f.name)
+    schema.exists(f => physicalName(f) != f.name || nestedActive(f.dataType))
 
-  /** The schema as stored on disk: physical names, metadata stripped,
-    * everything nullable (parquet storage makes no non-null claims).
+  /** Whether `dt` carries a nested field whose physical name differs
+    * from its logical one (recursing through structs, arrays, maps).
+    */
+  private[graft] def nestedActive(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case st: StructType =>
+        st.exists(f => physicalName(f) != f.name || nestedActive(f.dataType))
+      case at: org.apache.spark.sql.types.ArrayType =>
+        nestedActive(at.elementType)
+      case mt: org.apache.spark.sql.types.MapType =>
+        nestedActive(mt.keyType) || nestedActive(mt.valueType)
+      case _ => false
+    }
+
+  /** `dt` with every nested struct field renamed to its PHYSICAL
+    * name, metadata stripped (the storage type).
+    */
+  private[graft] def physicalType(
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+    dt match {
+      case st: StructType => StructType(st.map(f => StructField(
+        physicalName(f), physicalType(f.dataType), f.nullable,
+        Metadata.empty)))
+      case at: org.apache.spark.sql.types.ArrayType =>
+        at.copy(elementType = physicalType(at.elementType))
+      case mt: org.apache.spark.sql.types.MapType =>
+        mt.copy(keyType = physicalType(mt.keyType),
+          valueType = physicalType(mt.valueType))
+      case other => other
+    }
+
+  /** `dt` with LOGICAL names everywhere and mapping metadata stripped
+    * — the cast target that renames a physical-named struct back to
+    * its logical presentation (struct casts bind by POSITION, and
+    * rename/drop never reorders, so the positional cast is exact).
+    */
+  private[graft] def logicalType(
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+    dt match {
+      case st: StructType => StructType(st.map(f => StructField(
+        f.name, logicalType(f.dataType), f.nullable, Metadata.empty)))
+      case at: org.apache.spark.sql.types.ArrayType =>
+        at.copy(elementType = logicalType(at.elementType))
+      case mt: org.apache.spark.sql.types.MapType =>
+        mt.copy(keyType = logicalType(mt.keyType),
+          valueType = logicalType(mt.valueType))
+      case other => other
+    }
+
+  /** The schema as stored on disk: physical names AT EVERY LEVEL,
+    * metadata stripped, top-level columns nullable (parquet storage
+    * makes no non-null claims).
     */
   def physicalSchema(schema: StructType): StructType =
-    StructType(schema.map(f => StructField(physicalName(f), f.dataType,
-      nullable = true, metadata = Metadata.empty)))
+    StructType(schema.map(f => StructField(physicalName(f),
+      physicalType(f.dataType), nullable = true,
+      metadata = Metadata.empty)))
 
   /** Rename a write-side schema's fields to their physical names
-    * (positions unchanged — InternalRow data is positional).
+    * (positions unchanged — InternalRow data is positional). Recurses
+    * into nested structs: the analyzer conformed the write to the
+    * table's logical shape, so nested fields match the table's by
+    * name and keep its order.
     */
   def toPhysical(write: StructType, table: StructType): StructType = {
-    val phys = table.map(f =>
-      f.name.toLowerCase(Locale.ROOT) -> physicalName(f)).toMap
-    StructType(write.map(f => StructField(
-      phys.getOrElse(f.name.toLowerCase(Locale.ROOT), f.name),
-      f.dataType, f.nullable, Metadata.empty)))
+    def one(wdt: org.apache.spark.sql.types.DataType,
+        tdt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+      (wdt, tdt) match {
+        case (ws: StructType, ts: StructType) =>
+          val byLc = ts.map(f =>
+            f.name.toLowerCase(Locale.ROOT) -> f).toMap
+          StructType(ws.map { f =>
+            byLc.get(f.name.toLowerCase(Locale.ROOT)) match {
+              case Some(tf) => StructField(physicalName(tf),
+                one(f.dataType, tf.dataType), f.nullable, Metadata.empty)
+              case None => f.copy(metadata = Metadata.empty)
+            }
+          })
+        case (wa: org.apache.spark.sql.types.ArrayType,
+            ta: org.apache.spark.sql.types.ArrayType) =>
+          wa.copy(elementType = one(wa.elementType, ta.elementType))
+        case (wm: org.apache.spark.sql.types.MapType,
+            tm: org.apache.spark.sql.types.MapType) =>
+          wm.copy(keyType = one(wm.keyType, tm.keyType),
+            valueType = one(wm.valueType, tm.valueType))
+        case _ => wdt
+      }
+    val byLc = table.map(f => f.name.toLowerCase(Locale.ROOT) -> f).toMap
+    StructType(write.map { f =>
+      byLc.get(f.name.toLowerCase(Locale.ROOT)) match {
+        case Some(tf) => StructField(physicalName(tf),
+          one(f.dataType, tf.dataType), f.nullable, Metadata.empty)
+        case None => f.copy(metadata = Metadata.empty)
+      }
+    })
   }
 
   /** Translate a logical column-name list (statscols/bloomcols,
@@ -202,27 +300,58 @@ object ColumnMapping {
     * parquet values must never leak to a reader — mapped physical
     * names alias to their logical names (bare aliases, so filters
     * composed on top still reach PushedFilters), and passenger
-    * columns (`_change_type`) ride through untouched. Identity when
-    * the state carries no mapping and no drops.
+    * columns (`_change_type`) ride through untouched. NESTED mapping
+    * (round 17): a column whose struct type renames or retires inner
+    * fields gets `dropFields` for the retired physical paths (a
+    * no-op when the scanned files already lack them) followed by one
+    * positional CAST to the logical struct type — metadata-only on
+    * disk, one codegen'd projection at read. Identity when the state
+    * carries no mapping and no drops.
     */
   def toLogical(df: org.apache.spark.sql.DataFrame,
       m: MetaState): org.apache.spark.sql.DataFrame =
     if (!needsLogicalView(m)) df
     else {
       val lc = (s: String) => s.toLowerCase(Locale.ROOT)
-      val logicalOf = m.schema.map(f =>
-        lc(physicalName(f)) -> f.name).toMap
-      val droppedLc = m.dropped.map(lc).toSet
+      val fieldOf = m.schema.map(f => lc(physicalName(f)) -> f).toMap
+      // top-level drops have no '.'; nested drops are physical PATHS
+      // ("<top-phys>.<inner-phys>[...]")
+      val (nestedDropped, topDropped) = m.dropped.partition(_.contains("."))
+      val droppedLc = topDropped.map(lc).toSet
+      val nestedDropsUnder: Map[String, Seq[String]] = nestedDropped
+        .groupBy(p => lc(p.split("\\.").head))
+        .map { case (top, paths) =>
+          top -> paths.map(_.split("\\.", 2)(1)) }
       val cols = df.columns.toSeq.flatMap { c =>
         if (droppedLc(lc(c))) None
-        else logicalOf.get(lc(c)) match {
-          case Some(logical) =>
-            Some(org.apache.spark.sql.functions.col(c).as(logical))
+        else fieldOf.get(lc(c)) match {
+          case Some(f) =>
+            var e = org.apache.spark.sql.functions.col(c)
+            nestedDropsUnder.get(lc(c)).foreach { inner =>
+              e = e.dropFields(inner: _*)
+            }
+            if (physicalType(f.dataType) != logicalType(f.dataType))
+              e = e.cast(logicalType(f.dataType))
+            Some(e.as(f.name))
           case None => Some(org.apache.spark.sql.functions.col(c))
         }
       }
       df.select(cols: _*)
     }
+
+  /** The protocol feature set `m` requires of a reader (empty when
+    * no gated feature is active): `column-mapping` whenever the
+    * logical view differs from storage, plus `column-mapping-nested`
+    * when the mapping extends into struct fields — a flat-mapping
+    * reader would silently mis-present nested renames/drops, so the
+    * nested form is gated by its OWN feature name.
+    */
+  def protocolFeatures(m: MetaState): Seq[String] =
+    if (!needsLogicalView(m)) Seq.empty
+    else if (m.schema.exists(f => nestedActive(f.dataType)) ||
+      m.dropped.exists(_.contains(".")))
+      Seq("column-mapping", "column-mapping-nested")
+    else Seq("column-mapping")
 
   /** [[toLogical]] under the schema EPOCH governing data `version` at
     * `path` (see [[GraftTableMeta.metaForVersion]]) — what makes a

@@ -138,6 +138,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // session optimizer, after Catalyst has pushed user filters down
     // to the scans this rule prunes.
     e.injectOptimizerRule(_ => graft.plans.VersionedStatsPruning)
+    // predicates on nested-RENAMED struct fields re-bind to the
+    // uncast scan column (the rename cast is positional), so they
+    // reach parquet PushedFilters instead of stopping at the cast
+    e.injectOptimizerRule(_ => graft.plans.NestedRenamePushdown)
     // SQL DML over registered versioned tables (INSERT/MERGE/DELETE
     // text -> append/upsert/deleteKeys commits): Spark's own grammar
     // parses, graft.sql.GraftSql.rewrite intercepts the three DML

@@ -200,7 +200,8 @@ object VersionedTable {
     *    resolving `_table.meta`/`_meta.<N>` would return wrong
     *    column names and resurrect dropped data.
     */
-  private[graft] val SupportedFeatures = Set("column-mapping")
+  private[graft] val SupportedFeatures =
+    Set("column-mapping", "column-mapping-nested")
 
   private def rawManifestLines(path: String, version: Long): Seq[String] = {
     val (f, p) = fs(path)
@@ -482,7 +483,26 @@ object VersionedTable {
             s"physical names collides (${renamed.mkString(", ")}) — the " +
             "frame mixes a logical name with another column's physical " +
             "name; project one of them away")
-        df.toDF(renamed.toIndexedSeq: _*)
+        val flat = df.toDF(renamed.toIndexedSeq: _*)
+        // NESTED mapping: struct columns land under the stable nested
+        // PHYSICAL names via one positional cast (logical order ==
+        // physical order; a stale frame still carrying a retired
+        // nested field fails the cast's arity check loudly)
+        val nestedCast = m.schema.filter(f =>
+          graft.catalog.ColumnMapping.physicalType(f.dataType) !=
+            graft.catalog.ColumnMapping.logicalType(f.dataType))
+        if (nestedCast.isEmpty) flat
+        else {
+          val physLcOf = nestedCast.map(f =>
+            lc(graft.catalog.ColumnMapping.physicalName(f)) -> f).toMap
+          flat.select(flat.columns.toIndexedSeq.map { c =>
+            physLcOf.get(lc(c)) match {
+              case Some(f) => col(c).cast(
+                graft.catalog.ColumnMapping.physicalType(f.dataType)).as(c)
+              case None => col(c)
+            }
+          }: _*)
+        }
     }
   }
 
@@ -1140,11 +1160,13 @@ object VersionedTable {
     val protocol =
       if (lines.exists(_.startsWith("#protocol="))) Seq.empty
       else {
-        val active =
+        val feats =
           try graft.catalog.GraftTableMeta.readLatest(path)
-            .exists(graft.catalog.ColumnMapping.needsLogicalView)
-          catch { case scala.util.control.NonFatal(_) => false }
-        if (active) Seq("#protocol=column-mapping") else Seq.empty
+            .map(graft.catalog.ColumnMapping.protocolFeatures)
+            .getOrElse(Seq.empty)
+          catch { case scala.util.control.NonFatal(_) => Seq.empty }
+        if (feats.nonEmpty) Seq("#protocol=" + feats.mkString(","))
+        else Seq.empty
       }
     // MONOTONIC commit clock (Delta's in-commit-timestamp rule):
     // ts = max(now, prev commit ts + 1). With multi-writer clock
@@ -1870,6 +1892,29 @@ object VersionedTable {
             s"readAtWidened: decimal($d1, $d2) cannot widen without " +
               s"exceeding precision ${DecimalType.MAX_PRECISION}")
         DecimalType(intDigits + scale, scale)
+      case (s1: StructType, s2: StructType) =>
+        // nested add/drop across batches: union BY NAME (a field one
+        // side lacks null-fills on read — the same zero-rewrite
+        // contract as top-level columns), shared fields widen
+        // recursively. s1's order leads, s2-only fields append.
+        val extra = s2.fields.filterNot(f2 =>
+          s1.fieldNames.exists(_.equalsIgnoreCase(f2.name)))
+        StructType((s1.fields.map { f1 =>
+          s2.fields.find(_.name.equalsIgnoreCase(f1.name)) match {
+            case Some(f2) => StructField(f1.name,
+              widenType(f1.dataType, f2.dataType), nullable = true,
+              Metadata.empty)
+            case None => f1.copy(nullable = true, metadata = Metadata.empty)
+          }
+        } ++ extra.map(_.copy(nullable = true, metadata = Metadata.empty)))
+          .toSeq)
+      case (a1: ArrayType, a2: ArrayType) =>
+        ArrayType(widenType(a1.elementType, a2.elementType),
+          a1.containsNull || a2.containsNull)
+      case (m1: MapType, m2: MapType) =>
+        MapType(widenType(m1.keyType, m2.keyType),
+          widenType(m1.valueType, m2.valueType),
+          m1.valueContainsNull || m2.valueContainsNull)
       case _ =>
         throw new IllegalStateException(
           s"readAtWidened refuses $a vs $b: not a lossless widening. " +

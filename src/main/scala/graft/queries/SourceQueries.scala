@@ -4546,11 +4546,93 @@ object SourceQueries extends QueryRegistry {
       SELECT 'cdc_insert', CAST(n AS BIGINT), 0, 0 FROM moved
     """.trim))
 
+  /** NESTED-FIELD SCHEMA EVOLUTION (round-17 verdict #2): the
+    * reference's documents are NESTED (`agf_ingestion_lambda.py:207,
+    * 296-298` — record metadata rides a struct), and the first DDL a
+    * real user issues against that model is a rename or drop INSIDE
+    * the struct. Both are now metadata-only under column mapping:
+    * the inner field keeps its physical parquet name (reads rename
+    * via one positional cast; retired inner fields project away),
+    * and time travel is epoch-correct — VERSION AS OF 1 speaks the
+    * ORIGINAL inner names and still sees the dropped field's values.
+    * Legs: catalog current view, catalog VERSION AS OF 1, and the
+    * path surface (readAt) — a mis-mapped inner field, a leaked
+    * dropped value, or an epoch-blind read breaks the hash.
+    */
+  val q332 = GraftQuery(
+    "q332_nested_field_evolution",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"q332_docs_$sfx"
+      val path = graftCatalog(s).tablePath(Seq(table))
+      if (!VersionedTable.latestVersion(path).exists(_ >= 4L)) {
+        s.sql(s"DROP TABLE IF EXISTS graft.$table")
+        s.sql(s"""CREATE TABLE graft.$table (
+          k BIGINT, meta STRUCT<fmt: STRING, sz: BIGINT, junk: BIGINT>)
+          TBLPROPERTIES('key'='k')""")
+        Tables.orders(s, d).createOrReplaceTempView("q332_base")
+        s.sql(s"""
+          INSERT INTO graft.$table
+          SELECT o_orderkey,
+                 named_struct('fmt', o_orderstatus,
+                   'sz', CAST(round(o_totalprice * 100) AS LONG),
+                   'junk', o_orderkey % 97)
+          FROM q332_base WHERE o_orderdate < TIMESTAMP '1997-01-01'""")
+        s.sql(s"ALTER TABLE graft.$table RENAME COLUMN meta.sz TO bytes")
+        s.sql(s"ALTER TABLE graft.$table DROP COLUMN meta.junk")
+        s.sql(s"""
+          INSERT INTO graft.$table
+          SELECT o_orderkey,
+                 named_struct('fmt', o_orderstatus,
+                   'bytes', CAST(round(o_totalprice * 100) AS LONG))
+          FROM q332_base WHERE o_orderdate >= TIMESTAMP '1997-01-01'""")
+      }
+      val latest = VersionedTable.latestVersion(path).get
+      val cur = s.table(s"graft.$table")
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(col("meta.bytes")).cast("long").as("sum_a"),
+          lit(0L).as("sum_b"))
+        .select(lit("current").as("leg"), col("n_rows"), col("sum_a"),
+          col("sum_b"))
+      val epoch1 = s.sql(s"""
+        SELECT 'epoch1' AS leg, CAST(count(*) AS LONG) AS n_rows,
+               CAST(sum(meta.sz) AS LONG) AS sum_a,
+               CAST(sum(meta.junk) AS LONG) AS sum_b
+        FROM graft.$table VERSION AS OF 1""")
+      val pathLeg = VersionedTable.readAt(s, path, latest)
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(col("meta.bytes")).cast("long").as("sum_a"),
+          lit(0L).as("sum_b"))
+        .select(lit("path").as("leg"), col("n_rows"), col("sum_a"),
+          col("sum_b"))
+      cur.unionAll(epoch1).unionAll(pathLeg)
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k, o_orderstatus AS fmt,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS sz,
+               o_orderkey % 97 AS junk, o_orderdate AS dt
+        FROM orders),
+      pre AS (SELECT * FROM base WHERE dt < TIMESTAMP '1997-01-01')
+      SELECT 'current' AS leg, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(sz) AS BIGINT) AS sum_a, CAST(0 AS BIGINT) AS sum_b
+      FROM base
+      UNION ALL
+      SELECT 'epoch1', CAST(count(*) AS BIGINT), CAST(sum(sz) AS BIGINT),
+             CAST(sum(junk) AS BIGINT)
+      FROM pre
+      UNION ALL
+      SELECT 'path', CAST(count(*) AS BIGINT), CAST(sum(sz) AS BIGINT),
+             CAST(0 AS BIGINT)
+      FROM base
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
     q282, q283, q284, q285, q286, q288, q289, q290, q291, q292, q293, q294,
     q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306,
     q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318,
     q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329,
-    q330, q331)
+    q330, q331, q332)
 }

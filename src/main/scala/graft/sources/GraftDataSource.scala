@@ -164,6 +164,20 @@ class GraftDataSource extends RelationProvider with StreamSourceProvider
     val latestOr = () => VersionedTable.latestVersion(path).getOrElse(
       throw new IllegalArgumentException(
         s"format(\"graft\"): no committed version at $path"))
+    if (widen && GraftDataSource.mapColumns(o)) {
+      val nested =
+        try graft.catalog.GraftTableMeta.readLatest(path).exists(m =>
+          m.schema.exists(f =>
+            graft.catalog.ColumnMapping.nestedActive(f.dataType)) ||
+            m.dropped.exists(_.contains(".")))
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (nested)
+        throw new IllegalArgumentException(
+          "format(\"graft\") stream: widen does not compose with a " +
+            "NESTED column mapping yet (the widened explicit-schema " +
+            "read cannot speak nested physical names); stream without " +
+            "widen, or flatten the migration first")
+    }
     val base = schema.getOrElse {
       // the stream delivers readChanges — PHYSICAL-named plumbing —
       // but its DECLARED schema is the LOGICAL view whenever the
@@ -502,19 +516,50 @@ private[sources] class GraftSource(spark: SparkSession, path: String,
     */
   private def validateBatchSchemas(from: Long, to: Long): Unit = {
     // under a frozen mapping the stream's declared names are LOGICAL;
-    // footers carry the stable PHYSICAL names — compare there, and a
-    // RETIRED column in an older batch is no violation (the logical
-    // view projects it away)
+    // footers carry the stable PHYSICAL names — compare there (names
+    // AND nested types: a nested-mapped struct's footer speaks the
+    // physical inner names, so the expected type is the frozen
+    // field's PHYSICAL type), and a RETIRED column in an older batch
+    // is no violation (the logical view projects it away)
+    val physTypeOfLogical: Map[String, org.apache.spark.sql.types.DataType] =
+      frozenMeta.map(_.schema.map(f => lcs(f.name) ->
+        graft.catalog.ColumnMapping.physicalType(f.dataType)).toMap)
+        .getOrElse(Map.empty)
     val declared = schema.fields
       .filterNot(_.name == "_change_type")
       .map(f => lcs(physOfLogical.getOrElse(lcs(f.name), f.name))
-        -> f.dataType)
+        -> physTypeOfLogical.getOrElse(lcs(f.name), f.dataType))
     val declaredMap = declared.toMap
+    // retired NESTED physical paths, grouped under their top-level
+    // physical column: a pre-drop batch still carrying one in its
+    // footer is no violation (the logical view projects it away)
+    val retiredNestedUnder: Map[String, Seq[Seq[String]]] = frozenMeta
+      .map(_.dropped.filter(_.contains("."))
+        .map(_.split("\\.").toSeq)
+        .groupBy(p => lcs(p.head)).map { case (t, ps) => t -> ps.map(_.tail) })
+      .getOrElse(Map.empty)
+    def stripRetired(dt: org.apache.spark.sql.types.DataType,
+        paths: Seq[Seq[String]]): org.apache.spark.sql.types.DataType =
+      dt match {
+        case st: org.apache.spark.sql.types.StructType if paths.nonEmpty =>
+          val gone = paths.filter(_.length == 1).map(p => lcs(p.head)).toSet
+          org.apache.spark.sql.types.StructType(st.fields.toSeq
+            .filterNot(f => gone(lcs(f.name)))
+            .map { f =>
+              val deeper = paths.filter(p =>
+                p.length > 1 && lcs(p.head) == lcs(f.name)).map(_.tail)
+              f.copy(dataType = stripRetired(f.dataType, deeper))
+            })
+        case other => other
+      }
     VersionedTable.freshChangeEntries(path, from, to).foreach { entry =>
       val dir = entry.split(";").head
       val got = spark.read
         .parquet(VersionedTable.scanPaths(path, entry): _*).schema
-      got.fields.filterNot(f => retiredLc(lcs(f.name))).foreach { f =>
+      got.fields.filterNot(f => retiredLc(lcs(f.name))).foreach { f0 =>
+        val f = retiredNestedUnder.get(lcs(f0.name))
+          .map(ps => f0.copy(dataType = stripRetired(f0.dataType, ps)))
+          .getOrElse(f0)
         val lc = f.name.toLowerCase(java.util.Locale.ROOT)
         declaredMap.get(lc) match {
           case Some(want) if want == f.dataType => ()

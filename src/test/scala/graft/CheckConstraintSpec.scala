@@ -7,7 +7,8 @@ import graft.operators.VersionedTable
   * catalog table: enforced on the WRITTEN batch before any manifest
   * references it (every engine write path shares the choke point),
   * SQL-standard NULL semantics, adoption over existing data validates
-  * first, and RENAME/DROP of a constrained column refuses.
+  * first, RENAME of a constrained column rewrites the stored SQL to
+  * the new name (round 17), and DROP of one refuses.
   */
 class CheckConstraintSpec extends SparkTestBase {
   import spark.implicits._
@@ -128,22 +129,20 @@ class CheckConstraintSpec extends SparkTestBase {
     assert(spark.table("graft.cc_race").count() === 1L)
   }
 
-  test("RENAME/DROP of a constrained column refuses; constraints speak logical names over a mapping") {
+  test("RENAME of a constrained column rewrites the constraint; DROP refuses; logical names over a mapping") {
     drop("cc_map")
     spark.sql("""CREATE TABLE graft.cc_map (k BIGINT, v BIGINT)
       TBLPROPERTIES('key'='k', 'check.pos'='v >= 0')""")
     spark.sql("INSERT INTO graft.cc_map VALUES (1, 1)")
-    val e = intercept[Exception] {
-      spark.sql("ALTER TABLE graft.cc_map RENAME COLUMN v TO amount")
-    }
-    assert(e.getMessage.contains("pos"))
-    // drop the constraint, rename, re-declare under the NEW logical
-    // name — enforcement evaluates the batch's logical view, so the
-    // constraint holds over the physically-named storage
-    spark.sql("ALTER TABLE graft.cc_map UNSET TBLPROPERTIES('check.pos')")
+    // round 17: the rename REWRITES the stored constraint SQL inside
+    // the same metadata CAS — enforcement evaluates the batch's
+    // logical view, so the constraint holds over the
+    // physically-named storage under its NEW spelling
     spark.sql("ALTER TABLE graft.cc_map RENAME COLUMN v TO amount")
-    spark.sql("""ALTER TABLE graft.cc_map
-      SET TBLPROPERTIES('check.pos'='amount >= 0')""")
+    val shown = spark.sql("SHOW TBLPROPERTIES graft.cc_map")
+      .as[(String, String)].collect().toMap
+    assert(shown("check.pos").toLowerCase.contains("amount"),
+      s"constraint must follow the rename, got: ${shown("check.pos")}")
     val e2 = intercept[Exception] {
       spark.sql("INSERT INTO graft.cc_map VALUES (2, -2)")
     }
