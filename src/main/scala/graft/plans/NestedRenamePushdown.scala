@@ -21,13 +21,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
   * to the uncast scan column and reaches PushedFilters like any flat
   * predicate.
   *
-  * Scoped to Filter conditions deliberately: a Project's output
-  * NAMES derive from the extraction expression, so rewriting there
-  * could surface physical names to users; a Filter's condition has
-  * no user-visible names. Strictly semantics-preserving: the rewrite
-  * fires only when the cast is provably rename-only (equal field
-  * count and positionally identical types, names ignored,
-  * recursively).
+  * The rewrite runs in Filter conditions and under ALIASES in
+  * Project/Aggregate lists. An un-aliased extraction cannot be
+  * rewritten (its output NAME derives from the expression, and the
+  * physical name must never surface to users), but by optimizer time
+  * the analyzer has aliased every top-level extraction — so in
+  * practice `SELECT meta.bytes FROM t WHERE meta.bytes > x` both
+  * prunes the scan to the one inner column (SchemaPruning sees a
+  * bare GetStructField) and pushes the predicate. Strictly
+  * semantics-preserving: the rewrite fires only when the cast is
+  * provably rename-only (equal field count and positionally
+  * identical types, names ignored, recursively), and the rewritten
+  * expression's dataType always equals the original's (deeper
+  * renames re-wrap in a narrower cast), so plan schemas never shift.
   */
 object NestedRenamePushdown extends Rule[LogicalPlan] {
 
@@ -63,9 +69,36 @@ object NestedRenamePushdown extends Rule[LogicalPlan] {
       else Cast(bare, g.dataType)
   }
 
+  /** Rewrite inside a named expression, keeping the Alias (and with
+    * it the user-visible output name and exprId) intact.
+    */
+  private def rewriteNamed(
+      ne: org.apache.spark.sql.catalyst.expressions.NamedExpression): org.apache.spark.sql.catalyst.expressions.NamedExpression =
+    ne match {
+      case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+        val nc = rewrite(a.child)
+        if (nc fastEquals a.child) a
+        else a.copy(child = nc)(exprId = a.exprId, qualifier = a.qualifier,
+          explicitMetadata = a.explicitMetadata,
+          nonInheritableMetadataKeys = a.nonInheritableMetadataKeys)
+      case other => other
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f: Filter =>
       val cond = rewrite(f.condition)
       if (cond fastEquals f.condition) f else Filter(cond, f.child)
+    case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+      val list = p.projectList.map(rewriteNamed)
+      if (list.zip(p.projectList).forall { case (a, b) => a fastEquals b }) p
+      else p.copy(projectList = list)
+    case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+      val aggs = a.aggregateExpressions.map(rewriteNamed)
+      val groups = a.groupingExpressions.map(rewrite)
+      if (aggs.zip(a.aggregateExpressions).forall {
+        case (x, y) => x fastEquals y } &&
+        groups.zip(a.groupingExpressions).forall {
+          case (x, y) => x fastEquals y }) a
+      else a.copy(groupingExpressions = groups, aggregateExpressions = aggs)
   }
 }

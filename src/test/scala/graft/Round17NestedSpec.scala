@@ -169,6 +169,14 @@ class Round17NestedSpec extends SparkTestBase {
     val physPlan = df.queryExecution.executedPlan.toString
     assert(physPlan.contains("meta.sz") || physPlan.contains("PushedFilters"),
       physPlan.take(2000))
+    // NESTED COLUMN PRUNING through the cast: a projection of ONE
+    // renamed inner field reads only its physical column (SchemaPruning
+    // sees the bare extraction once the rule rewrites under the alias)
+    val proj = spark.table("graft.r17_push").selectExpr("sum(meta.bytes)")
+    assert(proj.as[Long].head() === (0 until 100).map(_ * 10L).sum)
+    val planStr = proj.queryExecution.executedPlan.toString
+    assert(planStr.contains("ReadSchema: struct<meta:struct<sz:bigint>>"),
+      s"the scan must read only the one inner column:\n${planStr.take(2000)}")
   }
 
   test("CHECK constraints follow RENAME COLUMN; DROP still refuses") {
