@@ -427,23 +427,29 @@ private[sources] class GraftSource(spark: SparkSession, path: String,
         graft.catalog.ColumnMapping.physicalName(f), f.dataType.sql)),
         x.dropped))
 
-  /** The shape with logical names erased: what an alias-only DDL
-    * leaves INVARIANT (physical names + types in declared order, and
-    * the retired set).
+  /** The shape with logical names erased — top-level AND nested
+    * (`physicalType` rewrites inner struct names to their physical
+    * pins): what an alias-only DDL leaves INVARIANT (physical names
+    * + physical types in declared order, and the retired set). A
+    * nested RENAME is alias-only exactly like a top-level one — the
+    * parquet bytes are untouched — so it continues too.
     */
-  private def aliasFree(
-      s: Option[(Seq[(String, String, String)], Seq[String])]) =
-    s.map { case (cols, dropped) =>
-      (cols.map { case (_, phys, tpe) => (phys, tpe) }, dropped) }
+  private def shapeOfAliasFree(m: Option[graft.catalog.MetaState]) =
+    m.map(x =>
+      (x.schema.map(f => (graft.catalog.ColumnMapping.physicalName(f),
+        graft.catalog.ColumnMapping.physicalType(f.dataType).sql)),
+        x.dropped))
 
   private val frozenShape = shapeOf(startMeta)
+  private val frozenShapeAliasFree = shapeOfAliasFree(startMeta)
 
   private def assertMappingUnchanged(): Unit = if (mapColumns || !widen) {
     val current =
       try graft.catalog.GraftTableMeta.readLatest(path)
       catch { case scala.util.control.NonFatal(_) => None }
     val cur = shapeOf(current)
-    if (cur != frozenShape && aliasFree(cur) != aliasFree(frozenShape))
+    if (cur != frozenShape &&
+      shapeOfAliasFree(current) != frozenShapeAliasFree)
       throw new IllegalStateException(
         s"graft stream at $path: a schema-changing DDL (DROP/ADD " +
           "COLUMN or a type change) landed mid-stream — this stream's " +

@@ -179,6 +179,65 @@ class Round17NestedSpec extends SparkTestBase {
       s"the scan must read only the one inner column:\n${planStr.take(2000)}")
   }
 
+  test("mid-stream nested rename continues; mid-stream nested drop refuses") {
+    import org.apache.spark.sql.streaming.Trigger
+    drop("r17_nstream")
+    spark.sql("""CREATE TABLE graft.r17_nstream (
+      k BIGINT, meta STRUCT<a: BIGINT, b: BIGINT>)
+      TBLPROPERTIES('key'='k')""")
+    spark.sql(
+      "INSERT INTO graft.r17_nstream VALUES (1, named_struct('a', 1L, 'b', 2L))")
+    spark.sql(
+      "INSERT INTO graft.r17_nstream VALUES (2, named_struct('a', 3L, 'b', 4L))")
+    val path = s"$root/r17_nstream"
+    // a nested RENAME is alias-only (physical bytes untouched): the
+    // stream continues under its start-time names
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", "1").load(path)
+      .writeStream.option("checkpointLocation", tmpDir("r17-nstream-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= df.selectExpr("k", "meta.a").as[(Long, Long)].collect()
+        if (fired.compareAndSet(false, true)) {
+          spark.sql(
+            "ALTER TABLE graft.r17_nstream RENAME COLUMN meta.a TO alpha")
+        }
+        ()
+      }.start()
+    q.awaitTermination(120000)
+    assert(got.sorted.toSeq === Seq((1L, 1L), (2L, 3L)),
+      "a nested rename mid-flight must not interrupt delivery")
+    // a nested DROP retires stored bytes: refuse, naming the restart
+    spark.sql(
+      "INSERT INTO graft.r17_nstream VALUES (3, named_struct('alpha', 5L, 'b', 6L))")
+    val fired2 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val stale = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q2 = spark.readStream.format("graft")
+        .option("maxVersionsPerTrigger", "1").load(path)
+        .writeStream.option("checkpointLocation", tmpDir("r17-nstream-ckpt2"))
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.count()
+          if (fired2.compareAndSet(false, true)) {
+            spark.sql("ALTER TABLE graft.r17_nstream DROP COLUMN meta.b")
+            spark.sql("""INSERT INTO graft.r17_nstream VALUES
+              (4, named_struct('alpha', 7L))""")
+          }
+          ()
+        }.start()
+      q2.awaitTermination(120000)
+      ()
+    }
+    def msgChain(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append('\n'); c = c.getCause }
+      sb.toString
+    }
+    assert(msgChain(stale).contains("RESTART"), msgChain(stale))
+  }
+
   test("CHECK constraints follow RENAME COLUMN; DROP still refuses") {
     drop("r17_ck_rename")
     spark.sql("""CREATE TABLE graft.r17_ck_rename (k BIGINT, v BIGINT)
