@@ -772,7 +772,19 @@ object GraftCatalog {
             .parseExpression(sql))
           catch { case scala.util.control.NonFatal(_) => None }
         parsed match {
-          case None => acc
+          case None =>
+            // an unparsable constraint cannot have its references
+            // rewritten — silently skipping it would leave the stored
+            // SQL speaking the OLD name (every later write fails
+            // late; worse, a re-ADD of the old name would silently
+            // bind the stale constraint to the new column). Refuse
+            // the RENAME loudly instead.
+            throw new IllegalArgumentException(
+              s"graft ALTER TABLE: cannot RENAME " +
+                s"'${from.mkString(".")}' — CHECK constraint " +
+                s"'${name.stripPrefix("check.")}' ($sql) does not " +
+                "parse, so its references cannot follow the rename; " +
+                "UNSET it first (ALTER TABLE ... UNSET TBLPROPERTIES)")
           case Some(e) =>
             var changed = false
             val rewritten = e.transformUp {

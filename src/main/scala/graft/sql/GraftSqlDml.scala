@@ -426,8 +426,29 @@ case class GraftInsertCommand(path: String, query: LogicalPlan,
         // alignment speaks the LOGICAL schema (identity without
         // column mapping); the commit path's toStored is the single
         // logical->physical translation point — aligning to physical
-        // names here double-translated under rename+re-add mappings
-        val tableSchema = VersionedTable.readAt(session, path, latest).schema
+        // names here double-translated under rename+re-add mappings.
+        // The target is the CONTENT schema completed with DECLARED
+        // columns no batch carries yet: a column added by ALTER TABLE
+        // ADD COLUMNS must be nameable in a column-list/BY NAME
+        // INSERT before its first batch lands (the data-derived
+        // schema alone refused it as unknown on path-registered
+        // tables), while content-only extras path writes added
+        // without DDL stay nameable too.
+        val contentSchema = VersionedTable.readAt(session, path, latest).schema
+        val tableSchema =
+          graft.catalog.GraftTableMeta.readLatest(path) match {
+            case Some(m) =>
+              val lcOf = (s: String) => s.toLowerCase(java.util.Locale.ROOT)
+              val haveLc = contentSchema.fieldNames.map(lcOf).toSet
+              val missing = m.schema.fields.toSeq
+                .filterNot(f => haveLc(lcOf(f.name)))
+                .map(f => org.apache.spark.sql.types.StructField(f.name,
+                  graft.catalog.ColumnMapping.logicalType(f.dataType),
+                  nullable = true))
+              org.apache.spark.sql.types.StructType(
+                contentSchema.fields.toSeq ++ missing)
+            case None => contentSchema
+          }
         val aligned =
           if (byName || userCols.nonEmpty) {
             // BY NAME (and the explicit column list, which fixes the
@@ -573,11 +594,11 @@ case class GraftUpdateCommand(path: String, keyCols: Seq[String],
           case None => UnresolvedAttribute(Seq(c))
         }
       }
-      val updated = GraftStreamingBridge.ofRows(session,
-        Project(projectList, matched))
       if (!movesKey) {
         // key-preserving: one last-writer-wins upsert (matched keys
         // replaced atomically; blind OCC retry is serializable here)
+        val updated = GraftStreamingBridge.ofRows(session,
+          Project(projectList, matched))
         val v = VersionedTable.upsertMulti(updated, keyCols, path,
           maxRetries = 3)
         return Seq(Row(v))
@@ -592,27 +613,45 @@ case class GraftUpdateCommand(path: String, keyCols: Seq[String],
       // (last-writer-wins, the upsert contract). The commit is
       // pinned to this read's snapshot: an interleaved commit forces
       // a full recompute, never a blind re-commit.
+      //
+      // BOTH frames are CACHED for the attempt (GraftMergeIntoCommand's
+      // discipline): the matched set is probed, key-projected, and
+      // committed, and the updated projection is probed twice (dup
+      // guard, emptiness) before its write — without pinning, a
+      // non-deterministic WHERE or SET (rand()) re-evaluates per job
+      // and the delete set silently diverges from the re-insert set.
       import org.apache.spark.sql.functions.{count, lit}
-      val dupNew = updated.groupBy(keyCols.map(col): _*)
-        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
-        .limit(1).count() > 0
-      if (dupNew)
-        throw new UnsupportedOperationException(
-          s"graft UPDATE: the assignments move two or more rows onto " +
-            s"one '${keyCols.mkString(", ")}' key — both would survive " +
-            "the same commit as duplicates; make the new key unique " +
-            "per row (or DELETE + INSERT an aggregate)")
-      val oldKeys = GraftStreamingBridge.ofRows(session, matched)
-        .select(keyCols.map(col): _*)
+      val matchedDf = GraftStreamingBridge.ofRows(session, matched).cache()
+      val updated = GraftStreamingBridge.ofRows(session,
+        Project(projectList, matchedDf.queryExecution.analyzed)).cache()
       try {
-        val v = VersionedTable.upsertWithDeletesMulti(
-          Some(updated).filterNot(_.isEmpty), Some(oldKeys),
+        val dupNew = updated.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+          .limit(1).count() > 0
+        if (dupNew)
+          throw new UnsupportedOperationException(
+            s"graft UPDATE: the assignments move two or more rows onto " +
+              s"one '${keyCols.mkString(", ")}' key — both would survive " +
+              "the same commit as duplicates; make the new key unique " +
+              "per row (or DELETE + INSERT an aggregate)")
+        val oldKeys = matchedDf.select(keyCols.map(col): _*)
+        // a zero-match UPDATE publishes NOTHING: an unfiltered
+        // Some(oldKeys) satisfied upsertWithDeletes' tombstone probe
+        // by mere presence, committing an empty tombstone batch and a
+        // spurious no-op version (empty CDC commit, version bump)
+        val data = Some(updated).filterNot(_.isEmpty)
+        val dels = Some(oldKeys).filterNot(_.isEmpty)
+        if (data.isEmpty && dels.isEmpty) return Seq(Row(latest))
+        val v = VersionedTable.upsertWithDeletesMulti(data, dels,
           keyCols, path, expectedSnapshot = Some(latest))
         return Seq(Row(v))
       } catch {
         case e: java.io.IOException
             if e.getMessage.contains("already committed") && attempt < 3 =>
           attempt += 1 // recompute against the new latest
+      } finally {
+        updated.unpersist()
+        matchedDf.unpersist()
       }
     }
     Seq(Row(-1L)) // unreachable
