@@ -391,9 +391,52 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case (acc, set: TableChange.SetProperty) =>
         acc + (set.property -> set.value)
       case (acc, rm: TableChange.RemoveProperty) => acc - rm.property
+      case (acc, add: TableChange.AddColumn) if add.fieldNames.length > 1 =>
+        // NESTED ADD (round 18): the top-level contract one level
+        // down — the new inner field appends at the end of its parent
+        // struct, existing batches NULL-FILL it on read (the explicit
+        // scan schema makes missing nested fields read as null —
+        // NestedScanProbeSpec pins the reader capability), and a
+        // logical name that EVER named a physical inner column at
+        // this position gets a FRESH physical pin, so values dropped
+        // or renamed away can never resurface under a re-added name.
+        val colName = add.fieldNames.last
+        require(add.isNullable,
+          s"graft ALTER TABLE: added field '$colName' must be nullable " +
+            "— existing rows NULL-fill on read (zero-rewrite migration)")
+        require(add.position() == null,
+          "graft ALTER TABLE: column positions are not supported; added " +
+            "fields append at the end of their struct")
+        val parentLogical = add.fieldNames.init.toSeq
+        val parentPhys = GraftCatalog.physicalPathOf(newSchema, parentLogical)
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft ALTER TABLE: column '${parentLogical.mkString(".")}' " +
+              "does not exist or is not a plain struct path"))
+        // every inner physical name EVER used at this parent position
+        // across all metadata generations, plus retired nested drops
+        // under it — the re-add fresh-pin discipline, one level down
+        val usedInnerLc: Set[String] = {
+          val all = metaGens(parts).map(readMetaGen(parts, _)) :+ current
+          all.flatMap { m =>
+            val fromSchema = GraftCatalog.structAtPhysical(m.schema,
+              parentPhys).map(_.fields.toSeq
+                .map(ColumnMapping.physicalName)).getOrElse(Nil)
+            val fromDrops = m.dropped.filter(_.contains("."))
+              .map(_.split("\\.").toSeq)
+              .filter(d => d.length == parentPhys.length + 1 &&
+                d.init.map(_.toLowerCase(Locale.ROOT)) ==
+                  parentPhys.map(_.toLowerCase(Locale.ROOT)))
+              .map(_.last)
+            fromSchema ++ fromDrops
+          }.map(_.toLowerCase(Locale.ROOT)).toSet
+        }
+        var nf = org.apache.spark.sql.types.StructField(colName,
+          add.dataType, nullable = true)
+        if (usedInnerLc(colName.toLowerCase(Locale.ROOT)))
+          nf = ColumnMapping.withPhysical(nf, s"$colName#$nextGen")
+        newSchema = GraftCatalog.addNestedField(newSchema, parentLogical, nf)
+        acc
       case (acc, add: TableChange.AddColumn) =>
-        require(add.fieldNames.length == 1,
-          "graft ALTER TABLE ADD COLUMNS: nested fields are not supported")
         val colName = add.fieldNames.head
         require(add.isNullable,
           s"graft ALTER TABLE: added column '$colName' must be nullable " +
@@ -484,9 +527,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         colProps.foldLeft(acc) { (a, p) =>
           a.get(p).map(v => a + (p -> dropFrom(v, name))).getOrElse(a)
         }
+      case (acc, ut: TableChange.UpdateColumnType) if ut.fieldNames.length > 1 =>
+        // NESTED TYPE WIDENING (round 18): the q319 lossless matrix
+        // applied to an inner field — old batches carry the narrow
+        // type and promote natively on scan (SPARK-40876 covers
+        // nested promotions; NestedScanProbeSpec pins it), new writes
+        // conform to the widened type, and VERSION AS OF a pre-DDL
+        // version reads narrow (epoch boundary below). Lossy changes
+        // and narrowings refuse loudly, exactly like top level.
+        val (widened, changedNested) = GraftCatalog.widenNestedField(
+          newSchema, ut.fieldNames.toSeq, ut.newDataType)
+        newSchema = widened
+        if (changedNested) shapeChanged = true
+        acc
       case (acc, ut: TableChange.UpdateColumnType) =>
-        require(ut.fieldNames.length == 1,
-          "graft ALTER TABLE ALTER COLUMN: nested fields are not supported")
         val name = ut.fieldNames.head
         val idx = newSchema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
         require(idx >= 0, s"graft ALTER TABLE: column '$name' does not exist")
@@ -828,6 +882,119 @@ object GraftCatalog {
       }
     }
     go(schema, path)
+  }
+
+  /** Append `field` to the struct at logical `parent` (length >= 1)
+    * — the nested twin of the top-level ADD COLUMNS branch.
+    * Intermediate path segments must be plain structs; a sibling of
+    * the same name refuses.
+    */
+  private[catalog] def addNestedField(schema: StructType,
+      parent: Seq[String],
+      field: org.apache.spark.sql.types.StructField): StructType = {
+    def go(st: StructType, parts: Seq[String]): StructType = {
+      val idx = st.fieldNames.indexWhere(_.equalsIgnoreCase(parts.head))
+      require(idx >= 0,
+        s"graft ALTER TABLE: column '${parent.mkString(".")}' does not exist")
+      val f = st.fields(idx)
+      f.dataType match {
+        case inner: StructType =>
+          val next =
+            if (parts.length == 1) {
+              require(!inner.fieldNames.exists(
+                _.equalsIgnoreCase(field.name)),
+                s"graft ALTER TABLE: field '${field.name}' already exists " +
+                  s"in '${parent.mkString(".")}'")
+              inner.add(field)
+            } else go(inner, parts.tail)
+          StructType(st.fields.updated(idx, f.copy(dataType = next)))
+        case other => throw new IllegalArgumentException(
+          s"graft ALTER TABLE: '${parts.head}' in " +
+            s"'${parent.mkString(".")}' is ${other.sql}, not a struct — " +
+            "nested DDL reaches plain struct fields only")
+      }
+    }
+    go(schema, parent)
+  }
+
+  /** The PHYSICAL dotted path for a logical path, walking the schema's
+    * per-field mapping level by level (None when the path does not
+    * resolve to plain struct fields).
+    */
+  private[catalog] def physicalPathOf(schema: StructType,
+      path: Seq[String]): Option[Seq[String]] = {
+    def go(st: StructType, parts: Seq[String],
+        acc: Seq[String]): Option[Seq[String]] = {
+      val idx = st.fieldNames.indexWhere(_.equalsIgnoreCase(parts.head))
+      if (idx < 0) return None
+      val f = st.fields(idx)
+      val phys = acc :+ ColumnMapping.physicalName(f)
+      if (parts.length == 1) Some(phys)
+      else f.dataType match {
+        case inner: StructType => go(inner, parts.tail, phys)
+        case _ => None
+      }
+    }
+    go(schema, path, Seq.empty)
+  }
+
+  /** The struct sitting at a PHYSICAL dotted path (None when the
+    * path does not resolve in this generation's schema) — how the
+    * nested-ADD fresh-pin discipline finds every inner physical name
+    * a parent position ever carried.
+    */
+  private[catalog] def structAtPhysical(schema: StructType,
+      physPath: Seq[String]): Option[StructType] = {
+    def go(st: StructType, parts: Seq[String]): Option[StructType] = {
+      val f = st.fields.find(f =>
+        ColumnMapping.physicalName(f).equalsIgnoreCase(parts.head))
+      f.map(_.dataType) match {
+        case Some(inner: StructType) =>
+          if (parts.length == 1) Some(inner) else go(inner, parts.tail)
+        case _ => None
+      }
+    }
+    go(schema, physPath)
+  }
+
+  /** Widen the struct field at logical `path` (length >= 2) to
+    * `newType` under [[graft.operators.VersionedTable.widenType]]'s
+    * lossless matrix, refusing lossy changes and narrowings — the
+    * nested twin of the top-level ALTER COLUMN TYPE branch. The
+    * field's metadata (physical pin) is preserved.
+    */
+  private[catalog] def widenNestedField(schema: StructType,
+      path: Seq[String],
+      newType: org.apache.spark.sql.types.DataType): (StructType, Boolean) = {
+    var changed = false
+    def go(st: StructType, parts: Seq[String]): StructType = {
+      val idx = st.fieldNames.indexWhere(_.equalsIgnoreCase(parts.head))
+      require(idx >= 0,
+        s"graft ALTER TABLE: column '${path.mkString(".")}' does not exist")
+      val f = st.fields(idx)
+      if (parts.length == 1) {
+        if (f.dataType == newType) st
+        else {
+          val widened = graft.operators.VersionedTable.widenType(
+            f.dataType, newType)
+          require(widened == newType,
+            s"graft ALTER COLUMN TYPE: ${newType.sql} does not contain " +
+              s"${f.dataType.sql} — only lossless widenings are " +
+              "zero-rewrite (int→long, float→double, decimal growth)")
+          changed = true
+          StructType(st.fields.updated(idx, f.copy(dataType = newType)))
+        }
+      } else f.dataType match {
+        case inner: StructType =>
+          StructType(st.fields.updated(idx,
+            f.copy(dataType = go(inner, parts.tail))))
+        case other => throw new IllegalArgumentException(
+          s"graft ALTER TABLE: '${parts.head}' in " +
+            s"'${path.mkString(".")}' is ${other.sql}, not a struct — " +
+            "nested DDL reaches plain struct fields only")
+      }
+    }
+    (go(schema, path), changed)
   }
 
   /** Remove the struct field at logical `path` (length >= 2),

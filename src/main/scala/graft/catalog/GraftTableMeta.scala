@@ -322,22 +322,107 @@ object ColumnMapping {
         .groupBy(p => lc(p.split("\\.").head))
         .map { case (top, paths) =>
           top -> paths.map(_.split("\\.", 2)(1)) }
+      val scannedType = df.schema.map(f => lc(f.name) -> f.dataType).toMap
       val cols = df.columns.toSeq.flatMap { c =>
         if (droppedLc(lc(c))) None
         else fieldOf.get(lc(c)) match {
           case Some(f) =>
             var e = org.apache.spark.sql.functions.col(c)
-            nestedDropsUnder.get(lc(c)).foreach { inner =>
-              e = e.dropFields(inner: _*)
+            val drops = nestedDropsUnder.getOrElse(lc(c), Seq.empty)
+            drops.foreach { inner => e = e.dropFields(inner) }
+            if (physicalType(f.dataType) != logicalType(f.dataType)) {
+              // the scanned type AFTER retiring dropped inner fields;
+              // when it matches the declared physical shape the
+              // rename is ONE positional cast (the codegen'd fast
+              // path every explicit-schema scan takes). A scan that
+              // presents FEWER inner fields — a path read without
+              // explicit schema over batches predating a nested ADD
+              // — rebuilds the struct null-guarded by PHYSICAL name
+              // instead: the positional cast would mis-bind or fail.
+              val afterDrops = stripPaths(scannedType(lc(c)),
+                drops.map(_.split("\\.").toSeq))
+              if (allNullable(afterDrops) ==
+                allNullable(physicalType(f.dataType)))
+                e = e.cast(logicalType(f.dataType))
+              else
+                e = rebuildLogical(e, afterDrops, f.dataType)
             }
-            if (physicalType(f.dataType) != logicalType(f.dataType))
-              e = e.cast(logicalType(f.dataType))
             Some(e.as(f.name))
           case None => Some(org.apache.spark.sql.functions.col(c))
         }
       }
       df.select(cols: _*)
     }
+
+  /** `dt` with every nullability flag set (shape comparison must not
+    * hinge on parquet-vs-declaration nullability cosmetics — the
+    * positional cast never consulted them either).
+    */
+  private def allNullable(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+    dt match {
+      case st: StructType => StructType(st.map(f => StructField(f.name,
+        allNullable(f.dataType), nullable = true, Metadata.empty)))
+      case at: org.apache.spark.sql.types.ArrayType =>
+        org.apache.spark.sql.types.ArrayType(allNullable(at.elementType),
+          containsNull = true)
+      case mt: org.apache.spark.sql.types.MapType =>
+        org.apache.spark.sql.types.MapType(allNullable(mt.keyType),
+          allNullable(mt.valueType), valueContainsNull = true)
+      case other => other
+    }
+
+  /** `dt` minus the dotted physical paths (mirrors what `dropFields`
+    * did to the value) — so the scanned shape compares against the
+    * declared physical shape on equal terms.
+    */
+  private def stripPaths(dt: org.apache.spark.sql.types.DataType,
+      paths: Seq[Seq[String]]): org.apache.spark.sql.types.DataType =
+    dt match {
+      case st: StructType if paths.nonEmpty =>
+        val lc = (s: String) => s.toLowerCase(Locale.ROOT)
+        val gone = paths.filter(_.length == 1).map(p => lc(p.head)).toSet
+        StructType(st.fields.toSeq
+          .filterNot(f => gone(lc(f.name)))
+          .map { f =>
+            val deeper = paths.filter(p =>
+              p.length > 1 && lc(p.head) == lc(f.name)).map(_.tail)
+            f.copy(dataType = stripPaths(f.dataType, deeper))
+          })
+      case other => other
+    }
+
+  /** Present a PHYSICAL-named struct value under its declared LOGICAL
+    * type when the scanned shape is narrower than declared (batches
+    * predating a nested ADD, read without an explicit schema):
+    * declared inner fields present in the scan extract by physical
+    * name (recursing), absent ones NULL-fill — wrapped null-guarded,
+    * so a NULL parent struct stays NULL instead of becoming a struct
+    * of NULLs.
+    */
+  private def rebuildLogical(e: org.apache.spark.sql.Column,
+      scanned: org.apache.spark.sql.types.DataType,
+      declared: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, struct, when}
+    (scanned, declared) match {
+      case (sc: StructType, de: StructType) =>
+        val lcOf = (s: String) => s.toLowerCase(Locale.ROOT)
+        val scByLc = sc.map(f => lcOf(f.name) -> f).toMap
+        val inner = de.map { f =>
+          scByLc.get(lcOf(physicalName(f))) match {
+            case Some(sf) =>
+              rebuildLogical(e.getField(sf.name), sf.dataType, f.dataType)
+                .as(f.name)
+            case None =>
+              lit(null).cast(logicalType(f.dataType)).as(f.name)
+          }
+        }
+        when(e.isNotNull, struct(inner: _*))
+          .otherwise(lit(null).cast(logicalType(de)))
+      case _ =>
+        if (scanned == logicalType(declared)) e
+        else e.cast(logicalType(declared))
+    }
+  }
 
   /** The protocol feature set `m` requires of a reader (empty when
     * no gated feature is active): `column-mapping` whenever the

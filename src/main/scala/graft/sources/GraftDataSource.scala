@@ -164,20 +164,6 @@ class GraftDataSource extends RelationProvider with StreamSourceProvider
     val latestOr = () => VersionedTable.latestVersion(path).getOrElse(
       throw new IllegalArgumentException(
         s"format(\"graft\"): no committed version at $path"))
-    if (widen && GraftDataSource.mapColumns(o)) {
-      val nested =
-        try graft.catalog.GraftTableMeta.readLatest(path).exists(m =>
-          m.schema.exists(f =>
-            graft.catalog.ColumnMapping.nestedActive(f.dataType)) ||
-            m.dropped.exists(_.contains(".")))
-        catch { case scala.util.control.NonFatal(_) => false }
-      if (nested)
-        throw new IllegalArgumentException(
-          "format(\"graft\") stream: widen does not compose with a " +
-            "NESTED column mapping yet (the widened explicit-schema " +
-            "read cannot speak nested physical names); stream without " +
-            "widen, or flatten the migration first")
-    }
     val base = schema.getOrElse {
       // the stream delivers readChanges — PHYSICAL-named plumbing —
       // but its DECLARED schema is the LOGICAL view whenever the
@@ -622,12 +608,24 @@ private[sources] class GraftSource(spark: SparkSession, path: String,
       if (changeFeed)
         logical(VersionedTable.readChangeFeed(spark, path, from, to))
           .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-      else if (widen)
+      else if (widen) {
+        // the explicit widened scan speaks PHYSICAL names at EVERY
+        // level (round 18 — widen now composes with a NESTED column
+        // mapping): toPhysical renames the stream's declared logical
+        // fields to their pins recursively while KEEPING the declared
+        // (possibly widened) types, so narrow batches promote and
+        // absent fields null-fill under the mapped names too
+        val declared = org.apache.spark.sql.types.StructType(
+          schema.fields.filterNot(_.name == "_change_type"))
+        val physSchema = frozenMeta match {
+          case Some(m) =>
+            graft.catalog.ColumnMapping.toPhysical(declared, m.schema)
+          case None => declared
+        }
         logical(VersionedTable.readChangesAs(spark, path, from, to,
-          org.apache.spark.sql.types.StructType(
-            schema.fields.filterNot(_.name == "_change_type").map(f =>
-              f.copy(name = physOfLogical.getOrElse(lcs(f.name), f.name))))))
+          physSchema))
           .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      }
       else
         logical(VersionedTable.readChanges(spark, path, from, to))
           .select(schema.fieldNames.map(col).toIndexedSeq: _*)

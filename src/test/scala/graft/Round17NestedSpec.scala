@@ -120,13 +120,16 @@ class Round17NestedSpec extends SparkTestBase {
       TBLPROPERTIES('key'='k')""")
     spark.sql("""INSERT INTO graft.r17_nested2 VALUES
       (1, named_struct('a', 1L, 'b', 'x'))""")
-    // ADD of a nested field stays refused (a re-add after drop could
-    // resurface stale values; the top-level contract has no nested
-    // twin yet)
-    val e1 = intercept[Exception] {
-      spark.sql("ALTER TABLE graft.r17_nested2 ADD COLUMNS (s.c BIGINT)")
+    // ADD of a nested field (round 18 — previously refused): the new
+    // inner field appends, existing rows NULL-fill it
+    spark.sql("ALTER TABLE graft.r17_nested2 ADD COLUMNS (s.c BIGINT)")
+    assert(spark.table("graft.r17_nested2").selectExpr("s.c")
+      .as[Option[Long]].head() === None)
+    // adding an existing sibling refuses
+    val e0 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.r17_nested2 ADD COLUMNS (s.a BIGINT)")
     }
-    assert(e1.getMessage.contains("nested"), e1.getMessage)
+    assert(e0.getMessage.contains("already exists"), e0.getMessage)
     // renaming onto an existing sibling refuses
     val e2 = intercept[Exception] {
       spark.sql("ALTER TABLE graft.r17_nested2 RENAME COLUMN s.a TO b")
@@ -134,6 +137,7 @@ class Round17NestedSpec extends SparkTestBase {
     assert(e2.getMessage.contains("already exists"), e2.getMessage)
     // dropping the last field of a struct refuses (drop the column)
     spark.sql("ALTER TABLE graft.r17_nested2 DROP COLUMN s.b")
+    spark.sql("ALTER TABLE graft.r17_nested2 DROP COLUMN s.c")
     val e3 = intercept[Exception] {
       spark.sql("ALTER TABLE graft.r17_nested2 DROP COLUMN s.a")
     }

@@ -126,4 +126,45 @@ class StreamingWidenSpec extends SparkTestBase {
     assert(VersionedTable.readLatest(spark, dst2)
       .select(col("k")).as[Long].collect().sorted === Array(1L, 2L))
   }
+
+  test("widen=true composes with a NESTED column mapping and delivers across a restart") {
+    // round 18 — previously a construction-time refusal: the widened
+    // explicit-schema scan now speaks nested PHYSICAL names
+    // (toPhysical renames the declared fields recursively), so a
+    // widen stream over a nested-RENAMED table delivers the logical
+    // view: old batches read through the stable physical inner name,
+    // absent fields null-fill, narrow epochs promote
+    spark.sql("DROP TABLE IF EXISTS graft.sw_nested")
+    spark.sql("""CREATE TABLE graft.sw_nested (
+      k BIGINT, meta STRUCT<fmt: STRING, sz: BIGINT>)
+      TBLPROPERTIES('key'='k')""")
+    spark.sql(
+      "INSERT INTO graft.sw_nested VALUES (1, named_struct('fmt', 'a', 'sz', 10L))")
+    spark.sql("ALTER TABLE graft.sw_nested RENAME COLUMN meta.sz TO bytes")
+    spark.sql(
+      "INSERT INTO graft.sw_nested VALUES (2, named_struct('fmt', 'b', 'bytes', 20L))")
+    val src = "/tmp/graft-test-catalog/sw_nested"
+    val ckpt = tmpDir("sw_nested_ckpt")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").option("widen", "true")
+        .load(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          got ++= df.selectExpr("k", "meta.bytes").as[(Long, Long)].collect()
+          ()
+        }.start()
+      q.awaitTermination(120000)
+      ()
+    }
+    drain()
+    assert(got.sorted.toSeq === Seq((1L, 10L), (2L, 20L)),
+      s"the widen stream must deliver the LOGICAL nested view, got $got")
+    // across a restart: a third commit arrives under the mapped shape
+    spark.sql(
+      "INSERT INTO graft.sw_nested VALUES (3, named_struct('fmt', 'c', 'bytes', 30L))")
+    drain()
+    assert(got.sorted.toSeq === Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
 }
