@@ -4628,11 +4628,362 @@ object SourceQueries extends QueryRegistry {
       FROM base
     """.trim))
 
+  /** NESTED ADD COLUMNS (round-18 verdict #2): the reference's
+    * free-form `parameters` struct is kept "for future ML use"
+    * (`agf_ingestion_lambda.py:296-298`) — exactly a struct that
+    * GROWS fields. ADD now reaches struct fields metadata-only:
+    * existing batches NULL-fill the new inner field on read, and a
+    * RE-ADDED inner name (dropped earlier, the fence in this build)
+    * maps to a FRESH physical column — the retired parquet values
+    * (k % 97) can never resurface under the re-added name (k % 11
+    * from the new batch is the only non-null content). Legs: catalog
+    * current view, `VERSION AS OF 1` (the pre-drop epoch serving the
+    * ORIGINAL values), and the path surface under the widened read.
+    * A resurfaced stale value, a mis-pinned re-add, or an
+    * epoch-blind time travel breaks the hash.
+    */
+  val q333 = GraftQuery(
+    "q333_nested_add_column",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"q333_docs_$sfx"
+      val path = graftCatalog(s).tablePath(Seq(table))
+      if (!VersionedTable.latestVersion(path).exists(_ >= 3L)) {
+        s.sql(s"DROP TABLE IF EXISTS graft.$table")
+        s.sql(s"""CREATE TABLE graft.$table (
+          k BIGINT, meta STRUCT<fmt: STRING, junk: BIGINT>)
+          TBLPROPERTIES('key'='k')""")
+        Tables.orders(s, d).createOrReplaceTempView("q333_base")
+        s.sql(s"""
+          INSERT INTO graft.$table
+          SELECT o_orderkey,
+                 named_struct('fmt', o_orderstatus, 'junk', o_orderkey % 97)
+          FROM q333_base WHERE o_orderdate < TIMESTAMP '1997-01-01'""")
+        s.sql(s"ALTER TABLE graft.$table DROP COLUMN meta.junk")
+        s.sql(s"""ALTER TABLE graft.$table
+          ADD COLUMNS (meta.junk BIGINT, meta.lang STRING)""")
+        s.sql(s"""
+          INSERT INTO graft.$table
+          SELECT o_orderkey,
+                 named_struct('fmt', o_orderstatus,
+                   'junk', o_orderkey % 11, 'lang', 'en')
+          FROM q333_base WHERE o_orderdate >= TIMESTAMP '1997-01-01'""")
+      }
+      val latest = VersionedTable.latestVersion(path).get
+      val cur = s.table(s"graft.$table")
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(col("meta.junk")).cast("long").as("sum_junk"),
+          count(col("meta.lang")).cast("long").as("n_lang"))
+        .select(lit("current").as("leg"), col("n_rows"), col("sum_junk"),
+          col("n_lang"))
+      val epoch1 = s.sql(s"""
+        SELECT 'epoch1' AS leg, CAST(count(*) AS LONG) AS n_rows,
+               CAST(sum(meta.junk) AS LONG) AS sum_junk,
+               CAST(0 AS LONG) AS n_lang
+        FROM graft.$table VERSION AS OF 1""")
+      val pathLeg = VersionedTable.readAtWidened(s, path, latest)
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(col("meta.junk")).cast("long").as("sum_junk"),
+          count(col("meta.lang")).cast("long").as("n_lang"))
+        .select(lit("path").as("leg"), col("n_rows"), col("sum_junk"),
+          col("n_lang"))
+      cur.unionAll(epoch1).unionAll(pathLeg)
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k, o_orderdate AS dt FROM orders),
+      pre AS (SELECT k, k % 97 AS junk FROM base
+              WHERE dt < TIMESTAMP '1997-01-01'),
+      post AS (SELECT k, k % 11 AS junk FROM base
+               WHERE dt >= TIMESTAMP '1997-01-01')
+      SELECT 'current' AS leg,
+             CAST((SELECT count(*) FROM base) AS BIGINT) AS n_rows,
+             CAST((SELECT sum(junk) FROM post) AS BIGINT) AS sum_junk,
+             CAST((SELECT count(*) FROM post) AS BIGINT) AS n_lang
+      UNION ALL
+      SELECT 'epoch1', CAST(count(*) AS BIGINT),
+             CAST(sum(junk) AS BIGINT), CAST(0 AS BIGINT)
+      FROM pre
+      UNION ALL
+      SELECT 'path',
+             CAST((SELECT count(*) FROM base) AS BIGINT),
+             CAST((SELECT sum(junk) FROM post) AS BIGINT),
+             CAST((SELECT count(*) FROM post) AS BIGINT)
+    """.trim))
+
+  /** NESTED TYPE WIDENING (round-18 verdict #3): the q319 lossless
+    * matrix applied one level down — an inner `sz: INT` grows to
+    * BIGINT with ZERO rewrites (the first migration a nested data
+    * model needs): old batches promote natively on the scan
+    * (SPARK-40876), new batches commit values beyond int range, and
+    * `VERSION AS OF` the pre-DDL version reads NARROW (the epoch
+    * boundary). The refusal legs pin the matrix's other directions:
+    * a narrowing and a lossy change both refuse loudly (Spark's
+    * analyzer or the catalog — either way, never silently).
+    */
+  val q334 = GraftQuery(
+    "q334_nested_type_widening",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"q334_docs_$sfx"
+      val path = graftCatalog(s).tablePath(Seq(table))
+      var refusedNarrow = 0L
+      var refusedLossy = 0L
+      if (!VersionedTable.latestVersion(path).exists(_ >= 3L)) {
+        s.sql(s"DROP TABLE IF EXISTS graft.$table")
+        s.sql(s"""CREATE TABLE graft.$table (
+          k BIGINT, meta STRUCT<sz: INT, fmt: STRING>)
+          TBLPROPERTIES('key'='k')""")
+        Tables.orders(s, d).createOrReplaceTempView("q334_base")
+        s.sql(s"""
+          INSERT INTO graft.$table
+          SELECT o_orderkey,
+                 named_struct('sz', CAST(o_orderkey % 100000 AS INT),
+                   'fmt', o_orderstatus)
+          FROM q334_base WHERE o_orderdate < TIMESTAMP '1997-01-01'""")
+        s.sql(s"ALTER TABLE graft.$table ALTER COLUMN meta.sz TYPE BIGINT")
+        s.sql(s"""
+          INSERT INTO graft.$table
+          SELECT o_orderkey,
+                 named_struct(
+                   'sz', CAST(round(o_totalprice * 100) AS LONG) + 3000000000L,
+                   'fmt', o_orderstatus)
+          FROM q334_base WHERE o_orderdate >= TIMESTAMP '1997-01-01'""")
+        try s.sql(s"ALTER TABLE graft.$table ALTER COLUMN meta.sz TYPE INT")
+        catch { case _: Exception => refusedNarrow = 1L }
+        try s.sql(s"ALTER TABLE graft.$table ALTER COLUMN meta.fmt TYPE BIGINT")
+        catch { case _: Exception => refusedLossy = 1L }
+      } else { refusedNarrow = 1L; refusedLossy = 1L }
+      val latest = VersionedTable.latestVersion(path).get
+      import s.implicits._
+      val cur = s.table(s"graft.$table")
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(col("meta.sz")).cast("long").as("sum_sz"))
+        .select(lit("current").as("leg"), col("n_rows"), col("sum_sz"))
+      val epoch1 = s.sql(s"""
+        SELECT 'epoch1' AS leg, CAST(count(*) AS LONG) AS n_rows,
+               CAST(sum(CAST(meta.sz AS LONG)) AS LONG) AS sum_sz
+        FROM graft.$table VERSION AS OF 1""")
+      val pathLeg = VersionedTable.readAtWidened(s, path, latest)
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(col("meta.sz")).cast("long").as("sum_sz"))
+        .select(lit("path").as("leg"), col("n_rows"), col("sum_sz"))
+      cur.unionAll(epoch1).unionAll(pathLeg)
+        .unionAll(Seq(("refused_narrowing", refusedNarrow, 0L),
+          ("refused_lossy", refusedLossy, 0L))
+          .toDF("leg", "n_rows", "sum_sz"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderdate AS dt
+        FROM orders),
+      pre AS (SELECT k % 100000 AS sz FROM base
+              WHERE dt < TIMESTAMP '1997-01-01'),
+      post AS (SELECT cents + 3000000000 AS sz FROM base
+               WHERE dt >= TIMESTAMP '1997-01-01')
+      SELECT 'current' AS leg,
+             CAST((SELECT count(*) FROM base) AS BIGINT) AS n_rows,
+             CAST((SELECT sum(sz) FROM pre) +
+                  (SELECT sum(sz) FROM post) AS BIGINT) AS sum_sz
+      UNION ALL
+      SELECT 'epoch1', CAST(count(*) AS BIGINT), CAST(sum(sz) AS BIGINT)
+      FROM pre
+      UNION ALL
+      SELECT 'path',
+             CAST((SELECT count(*) FROM base) AS BIGINT),
+             CAST((SELECT sum(sz) FROM pre) +
+                  (SELECT sum(sz) FROM post) AS BIGINT)
+      UNION ALL
+      SELECT 'refused_narrowing', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT 'refused_lossy', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+    """.trim))
+
+  /** WIDEN + NESTED MAPPING STREAM (round-18 verdict #4, previously a
+    * construction-time refusal): a `widen = true` stream over a
+    * nested-RENAMED table — the widened explicit-schema scan now
+    * speaks nested PHYSICAL names — delivers the LOGICAL view of
+    * both epochs (the pre-rename batch reads through the stable
+    * physical inner name), and a second drain from the SAME
+    * checkpoint after another commit delivers exactly the fresh
+    * rows: the restart contract composed with both features. A
+    * mis-mapped inner field, a dropped delivery, or a replayed batch
+    * breaks the hash.
+    */
+  val q335 = GraftQuery(
+    "q335_widen_nested_mapped_stream",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      import org.apache.spark.sql.streaming.Trigger
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"q335_str_$sfx"
+      val path = graftCatalog(s).tablePath(Seq(table))
+      val ckpt = s"/tmp/graft_q335_ckpt_$sfx"
+      val sink1 = s"/tmp/graft_q335_w1_$sfx"
+      val sink2 = s"/tmp/graft_q335_w2_$sfx"
+      val conf = s.sparkContext.hadoopConfiguration
+      val complete = VersionedTable.latestVersion(path).exists(_ >= 4L) &&
+        VersionedTable.latestVersion(sink1).nonEmpty &&
+        VersionedTable.latestVersion(sink2).nonEmpty
+      if (!complete) {
+        s.sql(s"DROP TABLE IF EXISTS graft.$table")
+        Seq(ckpt, sink1, sink2).foreach { dir =>
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val f = p.getFileSystem(conf)
+          if (f.exists(p)) f.delete(p, true)
+        }
+        s.sql(s"""CREATE TABLE graft.$table (
+          k BIGINT, meta STRUCT<fmt: STRING, sz: BIGINT>)
+          TBLPROPERTIES('key'='k')""")
+        Tables.orders(s, d).createOrReplaceTempView("q335_base")
+        def drain(sink: String, wave: String): Unit = {
+          val q = s.readStream.format("graft").option("widen", "true")
+            .load(path)
+            .writeStream.option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+              if (!df.isEmpty)
+                VersionedTable.append(
+                  df.agg(count(lit(1)).cast("long").as("n_partial"),
+                    sum(col("meta.bytes")).cast("long").as("sum_partial")),
+                  sink, txnId = Some(s"q335-$wave-$id"))
+              ()
+            }.start()
+          q.awaitTermination(120000)
+          ()
+        }
+        s.sql(s"""
+          INSERT INTO graft.$table
+          SELECT o_orderkey,
+                 named_struct('fmt', o_orderstatus,
+                   'sz', CAST(round(o_totalprice * 100) AS LONG))
+          FROM q335_base WHERE o_orderdate < TIMESTAMP '1997-01-01'""")
+        s.sql(s"ALTER TABLE graft.$table RENAME COLUMN meta.sz TO bytes")
+        // ^ v2 fence: the stream below constructs OVER the nested
+        // mapping with widen — the exact composition r17 refused
+        s.sql(s"""
+          INSERT INTO graft.$table
+          SELECT o_orderkey,
+                 named_struct('fmt', o_orderstatus,
+                   'bytes', CAST(round(o_totalprice * 100) AS LONG))
+          FROM q335_base WHERE o_orderdate >= TIMESTAMP '1997-01-01'""")
+        drain(sink1, "w1") // both epochs, logical nested names
+        val off = s.sql("SELECT 1 + max(o_orderkey) FROM q335_base")
+          .collect().head.getLong(0)
+        s.sql(s"""
+          INSERT INTO graft.$table
+          SELECT o_orderkey + $off,
+                 named_struct('fmt', o_orderstatus,
+                   'bytes', CAST(round(o_totalprice * 100) AS LONG))
+          FROM q335_base WHERE o_orderpriority = '1-URGENT'""")
+        drain(sink2, "w2") // the restart: exactly the fresh commit
+      }
+      def leg(name: String, sink: String): org.apache.spark.sql.DataFrame =
+        VersionedTable.readLatest(s, sink)
+          .agg(sum(col("n_partial")).cast("long").as("n_rows"),
+            sum(col("sum_partial")).cast("long").as("sum_bytes"))
+          .select(lit(name).as("leg"), col("n_rows"), col("sum_bytes"))
+      leg("wave1_both_epochs", sink1).unionAll(leg("wave2_restart", sink2))
+    },
+    Some("""
+      WITH base AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS b,
+               o_orderpriority AS pri
+        FROM orders)
+      SELECT 'wave1_both_epochs' AS leg, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(b) AS BIGINT) AS sum_bytes
+      FROM base
+      UNION ALL
+      SELECT 'wave2_restart', CAST(count(*) AS BIGINT),
+             CAST(sum(b) AS BIGINT)
+      FROM base WHERE pri = '1-URGENT'
+    """.trim))
+
+  /** NESTED CHECK CONSTRAINTS (round-18 verdict #7): a `check.<name>`
+    * over a struct field enforces at the write choke point (the
+    * violating batch is refused BEFORE any manifest references it),
+    * FOLLOWS a nested RENAME inside the same metadata CAS (the
+    * stored SQL is rewritten to the new inner name and keeps
+    * enforcing), and the refusals are part of the result: a silently
+    * landed violation changes the content sums; a silently dropped
+    * refusal flips the counter legs.
+    */
+  val q336 = GraftQuery(
+    "q336_nested_check_constraint",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"q336_docs_$sfx"
+      val path = graftCatalog(s).tablePath(Seq(table))
+      var refusedOld = 0L
+      var refusedNew = 0L
+      var followed = 0L
+      if (!VersionedTable.latestVersion(path).exists(_ >= 3L)) {
+        s.sql(s"DROP TABLE IF EXISTS graft.$table")
+        s.sql(s"""CREATE TABLE graft.$table (
+          k BIGINT, meta STRUCT<fmt: STRING, sz: BIGINT>)
+          TBLPROPERTIES('key'='k', 'check.sz_nonneg'='meta.sz >= 0')""")
+        Tables.orders(s, d).createOrReplaceTempView("q336_base")
+        s.sql(s"""
+          INSERT INTO graft.$table
+          SELECT o_orderkey,
+                 named_struct('fmt', o_orderstatus,
+                   'sz', CAST(round(o_totalprice * 100) AS LONG))
+          FROM q336_base WHERE o_orderdate < TIMESTAMP '1997-01-01'""")
+        try s.sql(s"""INSERT INTO graft.$table
+          VALUES (-1, named_struct('fmt', 'x', 'sz', CAST(-5 AS LONG)))""")
+        catch { case _: Exception => refusedOld = 1L }
+        s.sql(s"ALTER TABLE graft.$table RENAME COLUMN meta.sz TO bytes")
+        try s.sql(s"""INSERT INTO graft.$table
+          VALUES (-2, named_struct('fmt', 'y', 'bytes', CAST(-7 AS LONG)))""")
+        catch { case _: Exception => refusedNew = 1L }
+        s.sql(s"""
+          INSERT INTO graft.$table
+          SELECT o_orderkey,
+                 named_struct('fmt', o_orderstatus,
+                   'bytes', CAST(round(o_totalprice * 100) AS LONG))
+          FROM q336_base WHERE o_orderdate >= TIMESTAMP '1997-01-01'""")
+      } else { refusedOld = 1L; refusedNew = 1L }
+      import s.implicits._
+      followed =
+        if (graft.catalog.GraftTableMeta.readLatest(path)
+          .exists(_.props.get("check.sz_nonneg")
+            .exists(_.toLowerCase(java.util.Locale.ROOT)
+              .contains("bytes")))) 1L
+        else 0L
+      s.table(s"graft.$table")
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(col("meta.bytes")).cast("long").as("sum_bytes"))
+        .select(lit("content").as("leg"), col("n_rows"), col("sum_bytes"))
+        .unionAll(Seq(
+          ("refused_old_name", refusedOld, 0L),
+          ("refused_new_name", refusedNew, 0L),
+          ("constraint_follows_rename", followed, 0L))
+          .toDF("leg", "n_rows", "sum_bytes"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS b FROM orders)
+      SELECT 'content' AS leg, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(b) AS BIGINT) AS sum_bytes
+      FROM base
+      UNION ALL
+      SELECT 'refused_old_name', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT 'refused_new_name', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT 'constraint_follows_rename', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
     q282, q283, q284, q285, q286, q288, q289, q290, q291, q292, q293, q294,
     q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306,
     q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318,
     q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329,
-    q330, q331, q332)
+    q330, q331, q332, q333, q334, q335, q336)
 }
