@@ -1,7 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, GetStructField}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Expression, GetStructField, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
@@ -21,14 +21,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
   * to the uncast scan column and reaches PushedFilters like any flat
   * predicate.
   *
-  * The rewrite runs in Filter conditions and under ALIASES in
-  * Project/Aggregate lists. An un-aliased extraction cannot be
-  * rewritten (its output NAME derives from the expression, and the
-  * physical name must never surface to users), but by optimizer time
-  * the analyzer has aliased every top-level extraction — so in
-  * practice `SELECT meta.bytes FROM t WHERE meta.bytes > x` both
-  * prunes the scan to the one inner column (SchemaPruning sees a
-  * bare GetStructField) and pushes the predicate. Strictly
+  * The rewrite runs in EVERY expression position — Filter conditions,
+  * Project/Aggregate lists (under their analyzer-provided aliases),
+  * join conditions, sort orders, window specs — so
+  * `SELECT meta.bytes FROM t WHERE meta.bytes > x ORDER BY meta.bytes`
+  * both prunes the scan to the one inner column (SchemaPruning sees a
+  * bare GetStructField) and pushes the predicate, and a join keyed on
+  * a renamed inner field prunes both sides. Strictly
   * semantics-preserving: the rewrite fires only when the cast is
   * provably rename-only (equal field count and positionally
   * identical types, names ignored, recursively), and the rewritten
@@ -53,52 +52,95 @@ object NestedRenamePushdown extends Rule[LogicalPlan] {
       case (a, b) => a == b
     }
 
-  private def rewrite(e: Expression): Expression = e.transformUp {
-    case g @ GetStructField(c @ Cast(child, to: StructType, _, _), ordinal, _)
-        if child.dataType.isInstanceOf[StructType] &&
-          renameOnly(child.dataType, to) =>
-      val childSt = child.dataType.asInstanceOf[StructType]
-      val physField = childSt.fields(ordinal)
-      val bare = GetStructField(child, ordinal, Some(physField.name))
-      // a deeper rename re-wraps the extracted value so ANOTHER
-      // GetStructField above this one sees a cast it can strip in
-      // the same pass — the recursion bottoms out at leaf types,
-      // where the cast is the identity and renameOnly made it a
-      // no-op shape
-      if (physField.dataType == g.dataType) bare
-      else Cast(bare, g.dataType)
+  /** The rewrite runs in EVERY expression position of EVERY node
+    * (round 18 — previously Filter/Project/Aggregate only): join
+    * conditions, sort orders, and window specs carry the same
+    * extractions, and each blocked SchemaPruning the same way. Safe
+    * everywhere because the rewrite is type-preserving and an
+    * extraction is never itself a top-level NamedExpression in an
+    * analyzed plan (Alias wrappers survive `transformExpressionsUp`
+    * with exprId and name intact — `withNewChildInternal` carries the
+    * curried constructor args).
+    */
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(upper, Project(lower, grand))
+        if collapsibleRenameCasts(upper, lower) =>
+      // TARGETED COLLAPSE (round 18): `NestedColumnAliasing` pulls
+      // extractions up to `Project [s#L.f AS _extract_f]` but stops
+      // at the rename-cast Project below, and `CollapseProject`
+      // declines to inline a struct cast referenced more than once
+      // (it cannot know the cast is rename-only). When EVERY use of a
+      // cast alias in the upper list is an extraction, substituting
+      // is strictly shrinking — the expression rewrite then strips
+      // each inlined cast on the next fixed-point pass and the scan
+      // prunes to the consumed inner columns. ORDER BY / window specs
+      // over renamed inner fields hit exactly this shape.
+      val byId = lower.collect {
+        case a: Alias => a.exprId -> a.child
+      }.toMap
+      def subst(e: Expression): Expression = e.transformUp {
+        case ar: AttributeReference if byId.contains(ar.exprId) =>
+          byId(ar.exprId)
+      }
+      val newUpper = upper.map {
+        case ar: AttributeReference if byId.contains(ar.exprId) =>
+          Alias(byId(ar.exprId), ar.name)(exprId = ar.exprId,
+            qualifier = ar.qualifier,
+            explicitMetadata = Some(ar.metadata))
+        case a: Alias =>
+          val nc = subst(a.child)
+          if (nc fastEquals a.child) a
+          else a.copy(child = nc)(exprId = a.exprId,
+            qualifier = a.qualifier, explicitMetadata = a.explicitMetadata,
+            nonInheritableMetadataKeys = a.nonInheritableMetadataKeys)
+        case other => other
+      }
+      Project(newUpper, grand)
+    case node =>
+      node.transformExpressionsUp {
+        case g @ GetStructField(Cast(child, to: StructType, _, _), ordinal, _)
+            if child.dataType.isInstanceOf[StructType] &&
+              renameOnly(child.dataType, to) =>
+          val childSt = child.dataType.asInstanceOf[StructType]
+          val physField = childSt.fields(ordinal)
+          val bare = GetStructField(child, ordinal, Some(physField.name))
+          if (physField.dataType == g.dataType) bare
+          else Cast(bare, g.dataType)
+      }
   }
 
-  /** Rewrite inside a named expression, keeping the Alias (and with
-    * it the user-visible output name and exprId) intact.
+  /** Whether the lower Project is passthrough-plus-rename-casts and
+    * every upper use of a cast alias is an extraction (so inlining
+    * never duplicates per-row cast work — the casts all strip).
     */
-  private def rewriteNamed(
-      ne: org.apache.spark.sql.catalyst.expressions.NamedExpression): org.apache.spark.sql.catalyst.expressions.NamedExpression =
-    ne match {
-      case a: org.apache.spark.sql.catalyst.expressions.Alias =>
-        val nc = rewrite(a.child)
-        if (nc fastEquals a.child) a
-        else a.copy(child = nc)(exprId = a.exprId, qualifier = a.qualifier,
-          explicitMetadata = a.explicitMetadata,
-          nonInheritableMetadataKeys = a.nonInheritableMetadataKeys)
-      case other => other
+  private def collapsibleRenameCasts(upper: Seq[NamedExpression],
+      lower: Seq[NamedExpression]): Boolean = {
+    val castIds = lower.collect {
+      case a: Alias if isRenameCast(a.child) => a.exprId
+    }.toSet
+    if (castIds.isEmpty) return false
+    val lowerOk = lower.forall {
+      case _: AttributeReference => true
+      case a: Alias => a.child.isInstanceOf[AttributeReference] ||
+        isRenameCast(a.child)
+      case _ => false
     }
+    if (!lowerOk) return false
+    // count every reference vs references sitting directly under a
+    // GetStructField — equal means no bare (whole-struct) use
+    val uses = upper.map(e => e.collect {
+      case ar: AttributeReference if castIds(ar.exprId) => 1
+    }.sum).sum
+    val extractUses = upper.map(e => e.collect {
+      case GetStructField(ar: AttributeReference, _, _)
+          if castIds(ar.exprId) => 1
+    }.sum).sum
+    uses == extractUses
+  }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f: Filter =>
-      val cond = rewrite(f.condition)
-      if (cond fastEquals f.condition) f else Filter(cond, f.child)
-    case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
-      val list = p.projectList.map(rewriteNamed)
-      if (list.zip(p.projectList).forall { case (a, b) => a fastEquals b }) p
-      else p.copy(projectList = list)
-    case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
-      val aggs = a.aggregateExpressions.map(rewriteNamed)
-      val groups = a.groupingExpressions.map(rewrite)
-      if (aggs.zip(a.aggregateExpressions).forall {
-        case (x, y) => x fastEquals y } &&
-        groups.zip(a.groupingExpressions).forall {
-          case (x, y) => x fastEquals y }) a
-      else a.copy(groupingExpressions = groups, aggregateExpressions = aggs)
+  private def isRenameCast(e: Expression): Boolean = e match {
+    case Cast(ar: AttributeReference, to: StructType, _, _) =>
+      ar.dataType.isInstanceOf[StructType] && renameOnly(ar.dataType, to)
+    case _ => false
   }
 }
