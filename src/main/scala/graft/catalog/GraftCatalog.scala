@@ -432,6 +432,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         }
         var nf = org.apache.spark.sql.types.StructField(colName,
           add.dataType, nullable = true)
+        Option(add.comment()).foreach { c =>
+          nf = nf.copy(metadata = new org.apache.spark.sql.types
+            .MetadataBuilder().withMetadata(nf.metadata)
+            .putString("comment", c).build())
+        }
         if (usedInnerLc(colName.toLowerCase(Locale.ROOT)))
           nf = ColumnMapping.withPhysical(nf, s"$colName#$nextGen")
         newSchema = GraftCatalog.addNestedField(newSchema, parentLogical, nf)
@@ -448,6 +453,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"graft ALTER TABLE: column '$colName' already exists")
         var field = org.apache.spark.sql.types.StructField(colName,
           add.dataType, nullable = true)
+        Option(add.comment()).foreach { c =>
+          field = field.copy(metadata = new org.apache.spark.sql.types
+            .MetadataBuilder().withMetadata(field.metadata)
+            .putString("comment", c).build())
+        }
         // a logical name that ever mapped to (or was) a physical
         // column gets a fresh physical name — old parquet values must
         // not resurface under a re-added name
@@ -560,9 +570,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           shapeChanged = true
         }
         acc
+      case (acc, uc: TableChange.UpdateColumnComment) =>
+        // COMMENTS (round 18 — previously refused): pure catalog
+        // metadata riding the field's StructField metadata — never a
+        // shape change, never a fence, invisible to scans
+        // (physicalSchema strips metadata) and to the stream shape
+        // checks (names + types only). Nested fields comment too.
+        newSchema = GraftCatalog.commentField(newSchema,
+          uc.fieldNames.toSeq, uc.newComment)
+        acc
       case (_, other) => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other (nullability " +
-          "and comment edits are not supported — this engine never " +
+          "and position edits are not supported — this engine never " +
           "degrades silently)")
     }
     // KEY ADOPTION over existing data: declaring (or changing) the
@@ -936,6 +955,36 @@ object GraftCatalog {
       }
     }
     go(schema, path, Seq.empty)
+  }
+
+  /** Set (or clear, via null) the `comment` metadata of the field at
+    * logical `path` — top-level or nested; plain struct paths only.
+    */
+  private[catalog] def commentField(schema: StructType,
+      path: Seq[String], comment: String): StructType = {
+    def go(st: StructType, parts: Seq[String]): StructType = {
+      val idx = st.fieldNames.indexWhere(_.equalsIgnoreCase(parts.head))
+      require(idx >= 0,
+        s"graft ALTER TABLE: column '${path.mkString(".")}' does not exist")
+      val f = st.fields(idx)
+      if (parts.length == 1) {
+        val b = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        val nm =
+          if (comment == null) b.remove("comment").build()
+          else b.putString("comment", comment).build()
+        StructType(st.fields.updated(idx, f.copy(metadata = nm)))
+      } else f.dataType match {
+        case inner: StructType =>
+          StructType(st.fields.updated(idx,
+            f.copy(dataType = go(inner, parts.tail))))
+        case other => throw new IllegalArgumentException(
+          s"graft ALTER TABLE: '${parts.head}' in " +
+            s"'${path.mkString(".")}' is ${other.sql}, not a struct — " +
+            "nested DDL reaches plain struct fields only")
+      }
+    }
+    go(schema, path)
   }
 
   /** The struct sitting at a PHYSICAL dotted path (None when the
