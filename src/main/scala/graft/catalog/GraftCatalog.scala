@@ -570,6 +570,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           shapeChanged = true
         }
         acc
+      case (acc, un: TableChange.UpdateColumnNullability) =>
+        // NULLABILITY (round 18 — previously refused). DROP NOT NULL
+        // is a pure relaxation (old epochs' claims were stronger, so
+        // no fence). SET NOT NULL is the key-adoption discipline on
+        // one column: every committed batch is footer-validated
+        // null-free BEFORE the catalog ever claims it, the write
+        // choke point enforces it for all later writers (path-level
+        // included), and an epoch FENCE pins the boundary — a
+        // VERSION AS OF before it keeps the old (nullable) claim,
+        // because older versions may hold since-deleted NULL rows.
+        // NOTE: Spark's own analyzer blocks the SQL form of SET NOT
+        // NULL for V2 tables ("Cannot change nullable column to
+        // non-nullable"), so that direction serves direct
+        // TableCatalog.alterTable callers; the SQL-reachable adoption
+        // route is a CHECK constraint (`v IS NOT NULL`) — same
+        // validation, same choke point (NullabilityAlterSpec).
+        require(un.fieldNames.length == 1,
+          "graft ALTER TABLE: nullability edits reach top-level " +
+            "columns only (nested non-null claims are not enforced " +
+            "at the write choke point yet)")
+        val name = un.fieldNames.head
+        val idx = newSchema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+        require(idx >= 0, s"graft ALTER TABLE: column '$name' does not exist")
+        val f = newSchema.fields(idx)
+        // a merge key's non-null claim is ROW IDENTITY — it rides
+        // the 'key' property (the declared field may read nullable),
+        // so the refusal cannot hide behind a declaration no-op
+        if (un.nullable())
+          require(!keyCols(acc).exists(_.equalsIgnoreCase(name)),
+            s"graft ALTER TABLE: cannot DROP NOT NULL on merge-key " +
+              s"column '$name' — it is the table's row identity " +
+              "(re-key the table first via ALTER TABLE SET TBLPROPERTIES)")
+        if (f.nullable != un.nullable()) {
+          if (!un.nullable()) {
+            VersionedTable.latestVersion(path).foreach { v =>
+              VersionedTable.assertVersionColNonNull(SparkSession.active,
+                path, v, ColumnMapping.physicalName(f))
+            }
+            shapeChanged = true
+          }
+          newSchema = StructType(newSchema.fields.updated(idx,
+            f.copy(nullable = un.nullable())))
+        }
+        acc
       case (acc, uc: TableChange.UpdateColumnComment) =>
         // COMMENTS (round 18 — previously refused): pure catalog
         // metadata riding the field's StructField metadata — never a

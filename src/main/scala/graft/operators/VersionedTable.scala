@@ -587,13 +587,28 @@ object VersionedTable {
       catch { case scala.util.control.NonFatal(_) => None }
     val keys = meta.flatMap(_.props.get("key"))
       .map(graft.sql.GraftSql.splitKey).getOrElse(Nil)
+    val roots =
+      if (files.nonEmpty) files.map(n => s"$batchDir/$n")
+      else Seq(batchDir)
     if (keys.nonEmpty) {
       val phys = graft.catalog.ColumnMapping
         .colsToPhysical(keys, meta.get.schema)
-      assertColsNonNull(spark,
-        if (files.nonEmpty) files.map(n => s"$batchDir/$n")
-        else Seq(batchDir), phys, context)
+      assertColsNonNull(spark, roots, phys, context)
     }
+    // declared NOT NULL columns share the choke point (round 18 —
+    // ALTER COLUMN SET NOT NULL / CREATE TABLE ... NOT NULL): the
+    // catalog write path already refuses at analysis, this covers
+    // PATH-level writers. Footer null counts, zero data pages.
+    val keyLc = keys.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val declaredNonNull = meta.map(_.schema.fields.toSeq
+      .filter(f => !f.nullable &&
+        !keyLc(f.name.toLowerCase(java.util.Locale.ROOT)))
+      .map(graft.catalog.ColumnMapping.physicalName)).getOrElse(Nil)
+    if (declaredNonNull.nonEmpty)
+      assertColsNonNull(spark, roots, declaredNonNull, context,
+        colKind = "declared NOT NULL column",
+        fixHint = "Filter or fill the rows before writing, or relax " +
+          "the claim via ALTER TABLE ... ALTER COLUMN ... DROP NOT NULL")
     // CHECK constraints share the choke point: every engine write
     // path that publishes a data batch already passes through here
     val checks = meta.map(m => checkProps(m.props)).getOrElse(Map.empty)
@@ -659,14 +674,15 @@ object VersionedTable {
     */
   private[graft] def assertColsNonNull(spark: SparkSession,
       scanRoots: Seq[String], physCols: Seq[String],
-      context: String): Unit = {
+      context: String,
+      colKind: String = "merge-key column",
+      fixHint: String = "Filter or fill the keys before writing, or " +
+        "UNSET the table's 'key' property"): Unit = {
     if (physCols.isEmpty) return
     def violation(c: String, what: String): Nothing =
       throw new IllegalStateException(
-        s"graft $context refused: merge-key column '$c' $what — the " +
-          "keyed-table contract (and the catalog's non-nullable key " +
-          "claim) cannot address NULL-keyed rows. Filter or fill the " +
-          "keys before writing, or UNSET the table's 'key' property")
+        s"graft $context refused: $colKind '$c' $what — a non-null " +
+          s"claim cannot stand over NULL rows. $fixHint")
     val conf = spark.sparkContext.hadoopConfiguration
     var unproven = false
     scanRoots.foreach { root =>
@@ -736,6 +752,18 @@ object VersionedTable {
     manifestEntries(path, version).filterNot(isTombstone).foreach(e =>
       assertColsNonNull(spark, scanPaths(path, e), physCols,
         "key adoption (ALTER TABLE SET TBLPROPERTIES)"))
+
+  /** Validate every data batch of `version` carries `physCol` with
+    * zero nulls — the SET NOT NULL adoption gate (the key-adoption
+    * discipline applied to one declared column).
+    */
+  private[graft] def assertVersionColNonNull(spark: SparkSession,
+      path: String, version: Long, physCol: String): Unit =
+    manifestEntries(path, version).filterNot(isTombstone).foreach(e =>
+      assertColsNonNull(spark, scanPaths(path, e), Seq(physCol),
+        "ALTER COLUMN SET NOT NULL (adoption)",
+        colKind = "column",
+        fixHint = "Fill or delete the NULL rows first, then rerun"))
 
   /** Longest string prefix recorded as a stats bound — the Delta
     * truncated-stats convention: a KB-sized manifest must not carry
