@@ -383,6 +383,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     def renameIn(list: String, from: String, to: String): String =
       graft.sql.GraftSql.splitKey(list)
         .map(c => if (c.equalsIgnoreCase(from)) to else c).mkString(",")
+    // rename a (possibly dotted) PATH inside a column-list property:
+    // exact entries and deeper prefixes both follow, per composite
+    // (`a+b`) component — so statscols='meta.sz' tracks both a
+    // top-level RENAME of meta and a nested RENAME of meta.sz
+    def renamePathIn(list: String, fromPath: Seq[String],
+        toPath: Seq[String]): String = {
+      val fromLc = fromPath.map(_.toLowerCase(Locale.ROOT))
+      def one(c: String): String = {
+        val parts = c.split("[.]").toSeq
+        if (parts.length >= fromLc.length &&
+          parts.take(fromLc.length).map(_.toLowerCase(Locale.ROOT)) == fromLc)
+          (toPath ++ parts.drop(fromLc.length)).mkString(".")
+        else c
+      }
+      graft.sql.GraftSql.splitKey(list).map { c =>
+        if (c.contains("+"))
+          c.split("[+]").map(_.trim).map(one).mkString("+")
+        else one(c)
+      }.mkString(",")
+    }
     def dropFrom(list: String, name: String): String =
       graft.sql.GraftSql.splitKey(list)
         .filterNot(_.equalsIgnoreCase(name)).mkString(",")
@@ -473,8 +493,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         newSchema = GraftCatalog.renameNestedField(newSchema,
           rn.fieldNames.toSeq, rn.newName)
         shapeChanged = true
-        GraftCatalog.rewriteConstraintPath(acc, rn.fieldNames.toSeq,
-          rn.fieldNames.init.toSeq :+ rn.newName)
+        val accN = GraftCatalog.rewriteConstraintPath(acc,
+          rn.fieldNames.toSeq, rn.fieldNames.init.toSeq :+ rn.newName)
+        colProps.foldLeft(accN) { (a, p) =>
+          a.get(p).map(v => a + (p -> renamePathIn(v,
+            rn.fieldNames.toSeq, rn.fieldNames.init.toSeq :+ rn.newName)))
+            .getOrElse(a)
+        }
       case (acc, rn: TableChange.RenameColumn) =>
         val from = rn.fieldNames.head
         val to = rn.newName
@@ -497,7 +522,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         val acc2 = GraftCatalog.rewriteConstraintPath(acc, Seq(from),
           Seq(to))
         colProps.foldLeft(acc2) { (a, p) =>
-          a.get(p).map(v => a + (p -> renameIn(v, from, to))).getOrElse(a)
+          a.get(p).map(v => a + (p -> renamePathIn(renameIn(v, from, to),
+            Seq(from), Seq(to)))).getOrElse(a)
         }
       case (acc, del: TableChange.DeleteColumn) if del.fieldNames.length > 1 =>
         // NESTED DROP (round 17): the inner field's PHYSICAL path is

@@ -266,7 +266,28 @@ object ColumnMapping {
   def colsToPhysical(cols: Seq[String], table: StructType): Seq[String] = {
     val phys = table.map(f =>
       f.name.toLowerCase(Locale.ROOT) -> physicalName(f)).toMap
-    def one(c: String) = phys.getOrElse(c.toLowerCase(Locale.ROOT), c)
+    // a DOTTED spec names a nested struct field (round 18 — nested
+    // statscols): every segment translates through its level's
+    // mapping; an unresolvable path passes through untouched (the
+    // no-claim contract — stats under an unknown name never prune)
+    def dotted(c: String): String = {
+      val parts = c.split("\\.").toSeq
+      def go(st: StructType, ps: Seq[String], acc: Seq[String]): String =
+        st.find(_.name.equalsIgnoreCase(ps.head)) match {
+          case None => c
+          case Some(f) =>
+            val acc2 = acc :+ physicalName(f)
+            if (ps.length == 1) acc2.mkString(".")
+            else f.dataType match {
+              case inner: StructType => go(inner, ps.tail, acc2)
+              case _ => c
+            }
+        }
+      go(table, parts, Seq.empty)
+    }
+    def one(c: String) =
+      if (c.contains(".")) dotted(c)
+      else phys.getOrElse(c.toLowerCase(Locale.ROOT), c)
     // a composite Bloom spec (`a+b`) translates per component —
     // TRIMMED, matching writeBloomSidecar's canonicalization: an
     // untrimmed 'a + b' would fail per-component translation (keys

@@ -844,9 +844,22 @@ object VersionedTable {
       import org.apache.spark.sql.types._
       import org.apache.spark.sql.functions.{min, max, datediff, unix_micros}
       val batch = spark.read.parquet(batchDir)
-      val typeOf = batch.schema.map(f => f.name -> f.dataType).toMap
+      val topOf = batch.schema.map(f => f.name -> f.dataType).toMap
+      // a DOTTED stats column names a nested struct field (round 18):
+      // resolve its type by walking the path; `col("a.b")` aggregates
+      // the extraction, NULL parents skip like NULL values. Stats
+      // record under the dotted (physical) path — the same name the
+      // pruning rule derives from a GetStructField chain.
+      def typeOf(c: String): Option[DataType] =
+        if (!c.contains(".")) topOf.get(c)
+        else c.split("\\.").toSeq.foldLeft(
+          Option(batch.schema: DataType)) {
+          case (Some(st: StructType), seg) =>
+            st.find(_.name == seg).map(_.dataType)
+          case _ => None
+        }
       val aggs = statsCols.flatMap { c =>
-        typeOf.get(c) match {
+        typeOf(c) match {
           case Some(ByteType | ShortType | IntegerType | LongType) =>
             Seq(min(col(c)).cast("long"), max(col(c)).cast("long"))
           case Some(DateType) =>
@@ -863,7 +876,7 @@ object VersionedTable {
       val row = batch.agg(aggs.head, aggs.tail: _*).head()
       var i = 0
       statsCols.flatMap { c =>
-        typeOf.get(c) match {
+        typeOf(c) match {
           case Some(dt @ (ByteType | ShortType | IntegerType | LongType |
               DateType | TimestampType)) =>
             val (lo, hi) = (i, i + 1); i += 2

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, In, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GetStructField, In, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, XxHash64}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
@@ -179,6 +179,27 @@ object VersionedStatsPruning extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
+  /** The dotted stats path of a column reference: a bare attribute
+    * (`k`) or a GetStructField chain over one (`meta.bytes`) — the
+    * SAME name `statsSuffix` records nested stats under (round 18:
+    * nested statscols), physical at both ends because the rule runs
+    * after NestedRenamePushdown re-bound extractions to the uncast
+    * scan column. Anything else (array/map extractions, computed
+    * structs) contributes no bound.
+    */
+  private object ColPath {
+    def unapply(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case g @ GetStructField(child, ordinal, _) =>
+        child.dataType match {
+          case st: org.apache.spark.sql.types.StructType =>
+            unapply(child).map(p => s"$p.${st.fields(ordinal).name}")
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   /** Per-column required TYPED interval implied by the condition's
     * usable top-level conjuncts (intersection when a column appears
     * more than once). Strict comparisons widen to inclusive —
@@ -190,22 +211,22 @@ object VersionedStatsPruning extends Rule[LogicalPlan] {
       cond: Expression): Map[String, (Char, Option[Any], Option[Any])] = {
     val bounds: Seq[(String, Char, Option[Any], Option[Any])] =
       conjuncts(cond).filter(_.deterministic).flatMap {
-        case EqualTo(a: AttributeReference, l: Literal) =>
-          litTagged(l).map { case (t, v) => (a.name, t, Some(v), Some(v)) }
-        case EqualTo(l: Literal, a: AttributeReference) =>
-          litTagged(l).map { case (t, v) => (a.name, t, Some(v), Some(v)) }
-        case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
-          litTagged(l).map { case (t, v) => (a.name, t, Some(v), None) }
-        case GreaterThan(a: AttributeReference, l: Literal) =>
-          litTagged(l).map { case (t, v) => (a.name, t, Some(v), None) }
-        case LessThanOrEqual(a: AttributeReference, l: Literal) =>
-          litTagged(l).map { case (t, v) => (a.name, t, None, Some(v)) }
-        case LessThan(a: AttributeReference, l: Literal) =>
-          litTagged(l).map { case (t, v) => (a.name, t, None, Some(v)) }
+        case EqualTo(ColPath(c), l: Literal) =>
+          litTagged(l).map { case (t, v) => (c, t, Some(v), Some(v)) }
+        case EqualTo(l: Literal, ColPath(c)) =>
+          litTagged(l).map { case (t, v) => (c, t, Some(v), Some(v)) }
+        case GreaterThanOrEqual(ColPath(c), l: Literal) =>
+          litTagged(l).map { case (t, v) => (c, t, Some(v), None) }
+        case GreaterThan(ColPath(c), l: Literal) =>
+          litTagged(l).map { case (t, v) => (c, t, Some(v), None) }
+        case LessThanOrEqual(ColPath(c), l: Literal) =>
+          litTagged(l).map { case (t, v) => (c, t, None, Some(v)) }
+        case LessThan(ColPath(c), l: Literal) =>
+          litTagged(l).map { case (t, v) => (c, t, None, Some(v)) }
         // IN-list: the required interval is the values' envelope —
         // conservative (a batch covering the envelope may hold none of
         // the listed values), which is all zone maps can say
-        case In(a: AttributeReference, vs) if vs.nonEmpty &&
+        case In(ColPath(c), vs) if vs.nonEmpty &&
             vs.forall(_.isInstanceOf[Literal]) =>
           val tagged = vs.map(v => litTagged(v.asInstanceOf[Literal]))
           if (tagged.exists(_.isEmpty)) None
@@ -216,20 +237,20 @@ object VersionedStatsPruning extends Rule[LogicalPlan] {
             else {
               val t = tags.head
               val values = ts.map(_._2)
-              Some((a.name, t,
+              Some((c, t,
                 Some(values.reduce((x, y) => if (cmp(t, x, y) <= 0) x else y)),
                 Some(values.reduce((x, y) => if (cmp(t, x, y) >= 0) x else y))))
             }
           }
         // mirrored literal-first forms
-        case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
-          litTagged(l).map { case (t, v) => (a.name, t, None, Some(v)) }
-        case GreaterThan(l: Literal, a: AttributeReference) =>
-          litTagged(l).map { case (t, v) => (a.name, t, None, Some(v)) }
-        case LessThanOrEqual(l: Literal, a: AttributeReference) =>
-          litTagged(l).map { case (t, v) => (a.name, t, Some(v), None) }
-        case LessThan(l: Literal, a: AttributeReference) =>
-          litTagged(l).map { case (t, v) => (a.name, t, Some(v), None) }
+        case GreaterThanOrEqual(l: Literal, ColPath(c)) =>
+          litTagged(l).map { case (t, v) => (c, t, None, Some(v)) }
+        case GreaterThan(l: Literal, ColPath(c)) =>
+          litTagged(l).map { case (t, v) => (c, t, None, Some(v)) }
+        case LessThanOrEqual(l: Literal, ColPath(c)) =>
+          litTagged(l).map { case (t, v) => (c, t, Some(v), None) }
+        case LessThan(l: Literal, ColPath(c)) =>
+          litTagged(l).map { case (t, v) => (c, t, Some(v), None) }
         case _ => None
       }
     bounds.groupBy(_._1).flatMap { case (c, bs) =>

@@ -4979,11 +4979,78 @@ object SourceQueries extends QueryRegistry {
       SELECT 'constraint_follows_rename', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
     """.trim))
 
+  /** NESTED DATA SKIPPING (round 18): `statscols` reaches struct
+    * fields — the manifest records `meta.bytes`' typed min/max per
+    * batch and a plain `WHERE meta.bytes >= x` prunes batch dirs at
+    * optimize time, exactly like a flat column (the GetStructField
+    * chain maps to the dotted stats path; after a nested RENAME the
+    * cast-stripping rewrite re-binds it to the physical inner name
+    * the stats live under). The reference's nested documents
+    * (`agf_ingestion_lambda.py:207`) get manifest-level skipping with
+    * no flattening. The `pruned_dirs` leg is the PLAN-level claim:
+    * the optimized scan must open exactly 2 of the 4 range-disjoint
+    * batches — a silently un-pruned plan flips it to 4 and breaks
+    * the hash, while the content leg pins the answer unchanged.
+    */
+  val q337 = GraftQuery(
+    "q337_nested_stats_skipping",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"q337_docs_$sfx"
+      val path = graftCatalog(s).tablePath(Seq(table))
+      Tables.orders(s, d).createOrReplaceTempView("q337_base")
+      val m = s.sql("SELECT max(o_orderkey) FROM q337_base")
+        .collect().head.getLong(0)
+      if (!VersionedTable.latestVersion(path).exists(_ >= 4L)) {
+        s.sql(s"DROP TABLE IF EXISTS graft.$table")
+        s.sql(s"""CREATE TABLE graft.$table (
+          k BIGINT, meta STRUCT<fmt: STRING, bytes: BIGINT>)
+          TBLPROPERTIES('key'='k', 'statscols'='meta.bytes')""")
+        // 4 commits over DISJOINT o_orderkey quartile ranges, so each
+        // batch's recorded meta.bytes envelope is disjoint too
+        (0 until 4).foreach { b =>
+          val lo = m / 4 * b
+          val hiCond =
+            if (b == 3) "" else s"AND o_orderkey < ${m / 4 * (b + 1)}"
+          s.sql(s"""
+            INSERT INTO graft.$table
+            SELECT o_orderkey,
+                   named_struct('fmt', o_orderstatus, 'bytes', o_orderkey)
+            FROM q337_base WHERE o_orderkey >= $lo $hiCond""")
+        }
+      }
+      val half = m / 4 * 2
+      val q = s.table(s"graft.$table").filter(col("meta.bytes") >= half)
+      val dirs = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.size
+            case _ => 0
+          }
+      }.sum
+      q.agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("meta.bytes")).cast("long").as("sum_bytes"))
+        .select(lit("content").as("leg"), col("n_rows"), col("sum_bytes"))
+        .unionAll(s.range(1).select(lit("pruned_dirs").as("leg"),
+          lit(dirs.toLong).as("n_rows"), lit(0L).as("sum_bytes")))
+    },
+    Some("""
+      WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+      half AS (SELECT (mx // 4) * 2 AS h FROM m)
+      SELECT 'content' AS leg, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(o_orderkey) AS BIGINT) AS sum_bytes
+      FROM orders WHERE o_orderkey >= (SELECT h FROM half)
+      UNION ALL
+      SELECT 'pruned_dirs', CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
     q282, q283, q284, q285, q286, q288, q289, q290, q291, q292, q293, q294,
     q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306,
     q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318,
     q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329,
-    q330, q331, q332, q333, q334, q335, q336)
+    q330, q331, q332, q333, q334, q335, q336, q337)
 }
