@@ -316,6 +316,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             s"boolean expression: ${e.getMessage}")
       }
     }
+    // nullability honesty (round 19): top-level NOT NULL is enforced
+    // at the write choke point; an INNER non-null claim would be
+    // stored verbatim and enforced nowhere — refuse it here rather
+    // than let Catalyst trust a claim no writer validates
+    GraftCatalog.refuseInnerNonNull(schema, Nil, "CREATE TABLE")
     try writeMetaGen(parts, MetaState(0L, schema, kept, since = 0L,
       dropped = Nil))
     catch {
@@ -377,6 +382,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     var newSchema = current.schema
     var dropped = current.dropped
     var shapeChanged = false
+    // columns whose NOT NULL was adopted by THIS statement (physical
+    // names) — re-validated after the metadata CAS, like constraints
+    var adoptedNonNull: Seq[String] = Nil
     val nextGen = math.max(current.gen, 0L) + 1
     def keyCols(props: Map[String, String]): Seq[String] =
       props.get("key").map(graft.sql.GraftSql.splitKey).getOrElse(Nil)
@@ -450,6 +458,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             fromSchema ++ fromDrops
           }.map(_.toLowerCase(Locale.ROOT)).toSet
         }
+        GraftCatalog.refuseInnerNonNull(add.dataType,
+          add.fieldNames.toSeq, "ALTER TABLE ADD COLUMNS")
         var nf = org.apache.spark.sql.types.StructField(colName,
           add.dataType, nullable = true)
         Option(add.comment()).foreach { c =>
@@ -471,6 +481,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             "columns append at the end")
         require(!newSchema.fieldNames.exists(_.equalsIgnoreCase(colName)),
           s"graft ALTER TABLE: column '$colName' already exists")
+        GraftCatalog.refuseInnerNonNull(add.dataType,
+          add.fieldNames.toSeq, "ALTER TABLE ADD COLUMNS")
         var field = org.apache.spark.sql.types.StructField(colName,
           add.dataType, nullable = true)
         Option(add.comment()).foreach { c =>
@@ -529,8 +541,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         // NESTED DROP (round 17): the inner field's PHYSICAL path is
         // retired (recorded dotted: "<top-phys>.<inner-phys>…") —
         // reads project it away (`dropFields`), new batches simply
-        // stop carrying it, and a re-ADD of the logical name refuses
-        // (nested ADD is not supported), so stale values can never
+        // stop carrying it, and a later re-ADD of the same logical
+        // name (round 18) finds this retired path in `usedInnerLc`
+        // and pins a FRESH physical name, so stale values can never
         // resurface
         GraftCatalog.refuseConstrainedPath(acc, del.fieldNames.toSeq, "DROP")
         val (pruned, physPath) = GraftCatalog.dropNestedField(newSchema,
@@ -634,6 +647,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
               VersionedTable.assertVersionColNonNull(SparkSession.active,
                 path, v, ColumnMapping.physicalName(f))
             }
+            adoptedNonNull = adoptedNonNull :+ ColumnMapping.physicalName(f)
             shapeChanged = true
           }
           newSchema = StructType(newSchema.fields.updated(idx,
@@ -785,6 +799,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         }
       }
     }
+    // SET NOT NULL shares the adoption/write race (round 19 —
+    // ADVICE): the claim feeds Catalyst NULLABILITY (IsNotNull
+    // elision), so a NULL-bearing batch landing between the
+    // validation above and the CAS is worse than a stale constraint —
+    // it makes query RESULTS wrong. Same remedy as constraints:
+    // re-validate at the now-current version; on violation, roll the
+    // claim back (a fresh generation restoring nullable) and refuse
+    // loudly. The post-CAS write-side gate (declaredNonNull at the
+    // choke point) closes the window for every writer that reads meta
+    // after the CAS.
+    if (adoptedNonNull.nonEmpty) {
+      VersionedTable.latestVersion(path).foreach { v =>
+        val bad = adoptedNonNull.filter { phys =>
+          try {
+            VersionedTable.assertVersionColNonNull(SparkSession.active,
+              path, v, phys)
+            false
+          } catch { case _: IllegalStateException => true }
+        }
+        if (bad.nonEmpty) {
+          val badLc = bad.map(_.toLowerCase(Locale.ROOT)).toSet
+          val reverted = StructType(newSchema.fields.map { f =>
+            if (badLc(ColumnMapping.physicalName(f)
+                .toLowerCase(Locale.ROOT))) f.copy(nullable = true)
+            else f
+          })
+          try writeMetaGen(parts, MetaState(nextGen + 1, reverted,
+            updated, since, dropped))
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+              throw new IllegalStateException(
+                "graft ALTER TABLE: a concurrent write committed NULLs " +
+                  "during NOT NULL adoption AND a concurrent ALTER raced " +
+                  "the rollback — DROP NOT NULL manually and repair the " +
+                  s"data. Columns: ${bad.mkString(", ")}")
+          }
+          throw new IllegalStateException(
+            "graft ALTER TABLE: a concurrent write committed NULL rows " +
+              "between validation and the metadata publish; the NOT NULL " +
+              s"claim has been ROLLED BACK (generation ${nextGen + 1}) " +
+              s"for: ${bad.mkString(", ")} — repair the data and rerun")
+        }
+      }
+    }
     loadTable(ident)
   }
 
@@ -859,6 +917,49 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 }
 
 object GraftCatalog {
+
+  /** Refuse INNER non-null claims in a declared type (round 19 —
+    * ADVICE): the write choke point proves NOT NULL for TOP-LEVEL
+    * columns only, so a non-nullable struct field / array element /
+    * map value one level down would be stored verbatim, TRUSTED by
+    * Catalyst (`IsNotNull` elision, null-aware join planning), and
+    * validated by no write path — NULLs could land and queries would
+    * silently return wrong rows. ALTER already refuses nested
+    * nullability loudly; CREATE and ADD COLUMN(S) must not accept the
+    * same claim silently. The adoption route that IS enforced: declare
+    * the field nullable and add a nested CHECK constraint
+    * (`check.<n>` = `'meta.x IS NOT NULL'`) — same choke point,
+    * validated on every committed batch.
+    */
+  private[catalog] def refuseInnerNonNull(dt: org.apache.spark.sql.types
+      .DataType, path: Seq[String], statement: String): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    def refuse(p: Seq[String], what: String): Nothing =
+      throw new IllegalArgumentException(
+        s"graft $statement: $what '${p.mkString(".")}' is declared " +
+          "non-nullable, but the engine enforces NOT NULL for " +
+          "top-level columns only — an inner claim would be trusted " +
+          "by the optimizer and validated by no write path. Declare " +
+          "it nullable and adopt a CHECK constraint " +
+          s"(TBLPROPERTIES 'check.<name>' = '${p.mkString(".")} IS " +
+          "NOT NULL') instead — that claim IS enforced on every " +
+          "committed batch")
+    def walk(d: org.apache.spark.sql.types.DataType,
+        p: Seq[String]): Unit = d match {
+      case st: StructType => st.fields.foreach { f =>
+        if (p.nonEmpty && !f.nullable) refuse(p :+ f.name, "inner field")
+        walk(f.dataType, p :+ f.name)
+      }
+      case at: ArrayType =>
+        if (!at.containsNull) refuse(p :+ "element", "array element")
+        walk(at.elementType, p :+ "element")
+      case mt: MapType =>
+        if (!mt.valueContainsNull) refuse(p :+ "value", "map value")
+        walk(mt.valueType, p :+ "value")
+      case _ => ()
+    }
+    walk(dt, path)
+  }
 
   /** Refuse RENAME/DROP of a column a `check.<name>` constraint
     * references — the expression text cannot follow the rename and

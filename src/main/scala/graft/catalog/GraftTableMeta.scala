@@ -268,25 +268,31 @@ object ColumnMapping {
       f.name.toLowerCase(Locale.ROOT) -> physicalName(f)).toMap
     // a DOTTED spec names a nested struct field (round 18 — nested
     // statscols): every segment translates through its level's
-    // mapping; an unresolvable path passes through untouched (the
-    // no-claim contract — stats under an unknown name never prune)
-    def dotted(c: String): String = {
+    // mapping. When the path walk FAILS to resolve, fall back to a
+    // literal top-level column of that exact (dotted) name before
+    // passing through untouched — so a renamed column whose name
+    // happens to contain a dot still translates. Paths resolvable
+    // neither way pass through untouched (the no-claim contract —
+    // stats under an unknown name never prune).
+    def dotted(c: String): Option[String] = {
       val parts = c.split("\\.").toSeq
-      def go(st: StructType, ps: Seq[String], acc: Seq[String]): String =
+      def go(st: StructType, ps: Seq[String],
+          acc: Seq[String]): Option[String] =
         st.find(_.name.equalsIgnoreCase(ps.head)) match {
-          case None => c
+          case None => None
           case Some(f) =>
             val acc2 = acc :+ physicalName(f)
-            if (ps.length == 1) acc2.mkString(".")
+            if (ps.length == 1) Some(acc2.mkString("."))
             else f.dataType match {
               case inner: StructType => go(inner, ps.tail, acc2)
-              case _ => c
+              case _ => None
             }
         }
       go(table, parts, Seq.empty)
     }
     def one(c: String) =
-      if (c.contains(".")) dotted(c)
+      if (c.contains("."))
+        dotted(c).getOrElse(phys.getOrElse(c.toLowerCase(Locale.ROOT), c))
       else phys.getOrElse(c.toLowerCase(Locale.ROOT), c)
     // a composite Bloom spec (`a+b`) translates per component —
     // TRIMMED, matching writeBloomSidecar's canonicalization: an

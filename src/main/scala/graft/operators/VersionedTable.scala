@@ -849,26 +849,37 @@ object VersionedTable {
       // resolve its type by walking the path; `col("a.b")` aggregates
       // the extraction, NULL parents skip like NULL values. Stats
       // record under the dotted (physical) path — the same name the
-      // pruning rule derives from a GetStructField chain.
-      def typeOf(c: String): Option[DataType] =
-        if (!c.contains(".")) topOf.get(c)
-        else c.split("\\.").toSeq.foldLeft(
-          Option(batch.schema: DataType)) {
-          case (Some(st: StructType), seg) =>
-            st.find(_.name == seg).map(_.dataType)
-          case _ => None
-        }
+      // pruning rule derives from a GetStructField chain. A dotted
+      // name whose path walk fails FALLS BACK to a literal top-level
+      // column of that exact name (backtick-quoted so Spark does not
+      // re-parse it as an extraction) — its stats key collides with
+      // the nested grammar, so the pruning rule makes no claim for
+      // it, but recording stays lossless rather than silently absent.
+      def typeOf(c: String): Option[(DataType, org.apache.spark.sql.Column)] = {
+        val nested: Option[DataType] =
+          if (!c.contains(".")) None
+          else c.split("\\.").toSeq.foldLeft(
+            Option(batch.schema: DataType)) {
+            case (Some(st: StructType), seg) =>
+              st.find(_.name == seg).map(_.dataType)
+            case _ => None
+          }
+        nested.map(dt => (dt, col(c))).orElse(
+          topOf.get(c).map(dt =>
+            (dt, col(s"`${c.replace("`", "``")}`"))))
+      }
       val aggs = statsCols.flatMap { c =>
         typeOf(c) match {
-          case Some(ByteType | ShortType | IntegerType | LongType) =>
-            Seq(min(col(c)).cast("long"), max(col(c)).cast("long"))
-          case Some(DateType) =>
-            Seq(datediff(min(col(c)), lit("1970-01-01")).cast("long"),
-              datediff(max(col(c)), lit("1970-01-01")).cast("long"))
-          case Some(TimestampType) =>
-            Seq(unix_micros(min(col(c))), unix_micros(max(col(c))))
-          case Some(StringType | _: DecimalType | DoubleType | FloatType) =>
-            Seq(min(col(c)), max(col(c)))
+          case Some((ByteType | ShortType | IntegerType | LongType, cc)) =>
+            Seq(min(cc).cast("long"), max(cc).cast("long"))
+          case Some((DateType, cc)) =>
+            Seq(datediff(min(cc), lit("1970-01-01")).cast("long"),
+              datediff(max(cc), lit("1970-01-01")).cast("long"))
+          case Some((TimestampType, cc)) =>
+            Seq(unix_micros(min(cc)), unix_micros(max(cc)))
+          case Some((StringType | _: DecimalType | DoubleType | FloatType,
+              cc)) =>
+            Seq(min(cc), max(cc))
           case _ => Seq.empty // unsupported/absent: no claim
         }
       }
@@ -876,7 +887,7 @@ object VersionedTable {
       val row = batch.agg(aggs.head, aggs.tail: _*).head()
       var i = 0
       statsCols.flatMap { c =>
-        typeOf(c) match {
+        typeOf(c).map(_._1) match {
           case Some(dt @ (ByteType | ShortType | IntegerType | LongType |
               DateType | TimestampType)) =>
             val (lo, hi) = (i, i + 1); i += 2

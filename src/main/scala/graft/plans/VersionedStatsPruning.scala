@@ -189,10 +189,16 @@ object VersionedStatsPruning extends Rule[LogicalPlan] {
     */
   private object ColPath {
     def unapply(e: Expression): Option[String] = e match {
-      case a: AttributeReference => Some(a.name)
+      // a name that itself contains the path separator would collide
+      // with a genuine nested path's stats key (a top-level column
+      // literally named "meta.bytes" vs the struct field meta.bytes)
+      // — such columns make NO claim rather than risk testing a
+      // predicate against the wrong envelope
+      case a: AttributeReference if !a.name.contains(".") => Some(a.name)
       case g @ GetStructField(child, ordinal, _) =>
         child.dataType match {
-          case st: org.apache.spark.sql.types.StructType =>
+          case st: org.apache.spark.sql.types.StructType
+              if !st.fields(ordinal).name.contains(".") =>
             unapply(child).map(p => s"$p.${st.fields(ordinal).name}")
           case _ => None
         }
