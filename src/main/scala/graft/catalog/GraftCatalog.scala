@@ -439,7 +439,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         val parentPhys = GraftCatalog.physicalPathOf(newSchema, parentLogical)
           .getOrElse(throw new IllegalArgumentException(
             s"graft ALTER TABLE: column '${parentLogical.mkString(".")}' " +
-              "does not exist or is not a plain struct path"))
+              "does not exist or is not a struct path (structs and " +
+              "array elements evolve; map entries do not)"))
         // every inner physical name EVER used at this parent position
         // across all metadata generations, plus retired nested drops
         // under it — the re-add fresh-pin discipline, one level down
@@ -1048,6 +1049,40 @@ object GraftCatalog {
     * pinning its physical name — the nested twin of the top-level
     * RENAME branch. Intermediate path segments must be plain structs.
     */
+  /** The refusal every nested-DDL walk shares when a path segment
+    * lands on a type it cannot descend (round 19 extended the walks
+    * through ARRAY elements; maps stay a loud refusal — map keys are
+    * VALUES, not schema positions, so "evolving" them has no
+    * metadata-only meaning).
+    */
+  private def refuseNotStruct(seg: String, path: Seq[String],
+      dt: org.apache.spark.sql.types.DataType): Nothing =
+    throw new IllegalArgumentException(
+      s"graft ALTER TABLE: '$seg' in '${path.mkString(".")}' is " +
+        s"${dt.sql}, not a struct — nested DDL reaches struct fields " +
+        "and array elements ('col.element.field'); map entries are " +
+        "not supported")
+
+  /** Step a logical-path walk through `f.dataType`: a plain struct
+    * consumes the next segment directly; an ARRAY of struct consumes
+    * the literal segment "element" first (Spark's collection
+    * addressing — `ALTER TABLE t ... m.element.x`). Returns the inner
+    * struct, the remaining segments, and the wrapper restoring the
+    * field's outer type around an updated inner struct.
+    */
+  private def descend(f: org.apache.spark.sql.types.StructField,
+      rest: Seq[String], path: Seq[String]):
+      (StructType, Seq[String], StructType => org.apache.spark.sql.types.DataType) =
+    f.dataType match {
+      case inner: StructType => (inner, rest, st => st)
+      case at: org.apache.spark.sql.types.ArrayType
+          if rest.nonEmpty && rest.head.equalsIgnoreCase("element") &&
+            at.elementType.isInstanceOf[StructType] =>
+        (at.elementType.asInstanceOf[StructType], rest.tail,
+          st => at.copy(elementType = st))
+      case other => refuseNotStruct(f.name, path, other)
+    }
+
   private[catalog] def renameNestedField(schema: StructType,
       path: Seq[String], to: String): StructType = {
     def go(st: StructType, parts: Seq[String]): StructType = {
@@ -1061,14 +1096,12 @@ object GraftCatalog {
             s"'${path.init.mkString(".")}'")
         StructType(st.fields.updated(idx, ColumnMapping.withPhysical(
           f.copy(name = to), ColumnMapping.physicalName(f))))
-      } else f.dataType match {
-        case inner: StructType =>
-          StructType(st.fields.updated(idx,
-            f.copy(dataType = go(inner, parts.tail))))
-        case other => throw new IllegalArgumentException(
-          s"graft ALTER TABLE: '${parts.head}' in " +
-            s"'${path.mkString(".")}' is ${other.sql}, not a struct — " +
-            "nested DDL reaches plain struct fields only")
+      } else {
+        val (inner, rest, wrap) = descend(f, parts.tail, path)
+        require(rest.nonEmpty, s"graft ALTER TABLE: " +
+          s"'${path.mkString(".")}' names an array element, not a field")
+        StructType(st.fields.updated(idx,
+          f.copy(dataType = wrap(go(inner, rest)))))
       }
     }
     go(schema, path)
@@ -1082,27 +1115,30 @@ object GraftCatalog {
   private[catalog] def addNestedField(schema: StructType,
       parent: Seq[String],
       field: org.apache.spark.sql.types.StructField): StructType = {
+    def add(inner: StructType): StructType = {
+      require(!inner.fieldNames.exists(_.equalsIgnoreCase(field.name)),
+        s"graft ALTER TABLE: field '${field.name}' already exists " +
+          s"in '${parent.mkString(".")}'")
+      inner.add(field)
+    }
     def go(st: StructType, parts: Seq[String]): StructType = {
       val idx = st.fieldNames.indexWhere(_.equalsIgnoreCase(parts.head))
       require(idx >= 0,
         s"graft ALTER TABLE: column '${parent.mkString(".")}' does not exist")
       val f = st.fields(idx)
-      f.dataType match {
+      val next = f.dataType match {
         case inner: StructType =>
-          val next =
-            if (parts.length == 1) {
-              require(!inner.fieldNames.exists(
-                _.equalsIgnoreCase(field.name)),
-                s"graft ALTER TABLE: field '${field.name}' already exists " +
-                  s"in '${parent.mkString(".")}'")
-              inner.add(field)
-            } else go(inner, parts.tail)
-          StructType(st.fields.updated(idx, f.copy(dataType = next)))
-        case other => throw new IllegalArgumentException(
-          s"graft ALTER TABLE: '${parts.head}' in " +
-            s"'${parent.mkString(".")}' is ${other.sql}, not a struct — " +
-            "nested DDL reaches plain struct fields only")
+          if (parts.length == 1) add(inner) else go(inner, parts.tail)
+        case at: org.apache.spark.sql.types.ArrayType
+            if parts.length >= 2 &&
+              parts(1).equalsIgnoreCase("element") &&
+              at.elementType.isInstanceOf[StructType] =>
+          val inner = at.elementType.asInstanceOf[StructType]
+          at.copy(elementType =
+            if (parts.length == 2) add(inner) else go(inner, parts.drop(2)))
+        case other => refuseNotStruct(parts.head, parent, other)
       }
+      StructType(st.fields.updated(idx, f.copy(dataType = next)))
     }
     go(schema, parent)
   }
@@ -1122,6 +1158,16 @@ object GraftCatalog {
       if (parts.length == 1) Some(phys)
       else f.dataType match {
         case inner: StructType => go(inner, parts.tail, phys)
+        // the "element" segment is STRUCTURAL (Spark's collection
+        // addressing), not a mapped field — it passes through
+        // verbatim: physical paths through arrays read
+        // "<phys>.element.<inner-phys>"
+        case at: org.apache.spark.sql.types.ArrayType
+            if parts(1).equalsIgnoreCase("element") &&
+              at.elementType.isInstanceOf[StructType] =>
+          val inner = at.elementType.asInstanceOf[StructType]
+          if (parts.length == 2) Some(phys :+ "element")
+          else go(inner, parts.drop(2), phys :+ "element")
         case _ => None
       }
     }
@@ -1145,14 +1191,12 @@ object GraftCatalog {
           if (comment == null) b.remove("comment").build()
           else b.putString("comment", comment).build()
         StructType(st.fields.updated(idx, f.copy(metadata = nm)))
-      } else f.dataType match {
-        case inner: StructType =>
-          StructType(st.fields.updated(idx,
-            f.copy(dataType = go(inner, parts.tail))))
-        case other => throw new IllegalArgumentException(
-          s"graft ALTER TABLE: '${parts.head}' in " +
-            s"'${path.mkString(".")}' is ${other.sql}, not a struct — " +
-            "nested DDL reaches plain struct fields only")
+      } else {
+        val (inner, rest, wrap) = descend(f, parts.tail, path)
+        require(rest.nonEmpty, s"graft ALTER TABLE: " +
+          s"'${path.mkString(".")}' names an array element, not a field")
+        StructType(st.fields.updated(idx,
+          f.copy(dataType = wrap(go(inner, rest)))))
       }
     }
     go(schema, path)
@@ -1171,6 +1215,11 @@ object GraftCatalog {
       f.map(_.dataType) match {
         case Some(inner: StructType) =>
           if (parts.length == 1) Some(inner) else go(inner, parts.tail)
+        case Some(at: org.apache.spark.sql.types.ArrayType)
+            if parts.length >= 2 && parts(1).equalsIgnoreCase("element") &&
+              at.elementType.isInstanceOf[StructType] =>
+          val inner = at.elementType.asInstanceOf[StructType]
+          if (parts.length == 2) Some(inner) else go(inner, parts.drop(2))
         case _ => None
       }
     }
@@ -1204,14 +1253,12 @@ object GraftCatalog {
           changed = true
           StructType(st.fields.updated(idx, f.copy(dataType = newType)))
         }
-      } else f.dataType match {
-        case inner: StructType =>
-          StructType(st.fields.updated(idx,
-            f.copy(dataType = go(inner, parts.tail))))
-        case other => throw new IllegalArgumentException(
-          s"graft ALTER TABLE: '${parts.head}' in " +
-            s"'${path.mkString(".")}' is ${other.sql}, not a struct — " +
-            "nested DDL reaches plain struct fields only")
+      } else {
+        val (inner, rest, wrap) = descend(f, parts.tail, path)
+        require(rest.nonEmpty, s"graft ALTER TABLE: " +
+          s"'${path.mkString(".")}' names an array element, not a field")
+        StructType(st.fields.updated(idx,
+          f.copy(dataType = wrap(go(inner, rest)))))
       }
     }
     (go(schema, path), changed)
@@ -1238,14 +1285,13 @@ object GraftCatalog {
           s"graft ALTER TABLE: cannot drop the last field of " +
             s"'${path.init.mkString(".")}' — drop the column itself")
         Some(StructType(st.fields.patch(idx, Nil, 1)))
-      } else f.dataType match {
-        case inner: StructType =>
-          go(inner, parts.tail).map(n =>
-            StructType(st.fields.updated(idx, f.copy(dataType = n))))
-        case other => throw new IllegalArgumentException(
-          s"graft ALTER TABLE: '${parts.head}' in " +
-            s"'${path.mkString(".")}' is ${other.sql}, not a struct — " +
-            "nested DDL reaches plain struct fields only")
+      } else {
+        val (inner, rest, wrap) = descend(f, parts.tail, path)
+        require(rest.nonEmpty, s"graft ALTER TABLE: " +
+          s"'${path.mkString(".")}' names an array element, not a field")
+        if (rest ne parts.tail) physParts += "element"
+        go(inner, rest).map(n =>
+          StructType(st.fields.updated(idx, f.copy(dataType = wrap(n)))))
       }
     }
     go(schema, path) match {

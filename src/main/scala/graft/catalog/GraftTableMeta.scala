@@ -356,7 +356,9 @@ object ColumnMapping {
           case Some(f) =>
             var e = org.apache.spark.sql.functions.col(c)
             val drops = nestedDropsUnder.getOrElse(lc(c), Seq.empty)
-            drops.foreach { inner => e = e.dropFields(inner) }
+            drops.foreach { inner =>
+              e = dropPath(e, scannedType(lc(c)), inner.split("\\.").toSeq)
+            }
             if (physicalType(f.dataType) != logicalType(f.dataType)) {
               // the scanned type AFTER retiring dropped inner fields;
               // when it matches the declared physical shape the
@@ -402,6 +404,36 @@ object ColumnMapping {
     * did to the value) — so the scanned shape compares against the
     * declared physical shape on equal terms.
     */
+  /** Remove the field addressed by PHYSICAL `segs` from value `e` of
+    * scanned type `dt`. The "element" segment steps through an array
+    * into its element struct via `transform` (round 19 — nested DDL
+    * through array elements); struct-only remainders collapse to one
+    * `dropFields` call (it takes dotted struct paths natively). NULL
+    * parents stay NULL (`dropFields`/`transform` are null-preserving).
+    */
+  private def dropPath(e: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType,
+      segs: Seq[String]): org.apache.spark.sql.Column = {
+    val elemAt = segs.indexWhere(_.equalsIgnoreCase("element"))
+    dt match {
+      case _ if elemAt < 0 => e.dropFields(segs.mkString("."))
+      case st: StructType =>
+        // descend struct levels up to the array field, then recurse
+        val head = segs.head
+        val f = st.find(_.name.equalsIgnoreCase(head))
+        f match {
+          case Some(sf) => e.withField(head,
+            dropPath(e.getField(head), sf.dataType, segs.tail))
+          case None => e // field absent from this scan: nothing to drop
+        }
+      case at: org.apache.spark.sql.types.ArrayType
+          if segs.head.equalsIgnoreCase("element") =>
+        org.apache.spark.sql.functions.transform(e,
+          x => dropPath(x, at.elementType, segs.tail))
+      case _ => e // shape mismatch: make no change rather than fail the read
+    }
+  }
+
   private def stripPaths(dt: org.apache.spark.sql.types.DataType,
       paths: Seq[Seq[String]]): org.apache.spark.sql.types.DataType =
     dt match {
@@ -415,6 +447,11 @@ object ColumnMapping {
               p.length > 1 && lc(p.head) == lc(f.name)).map(_.tail)
             f.copy(dataType = stripPaths(f.dataType, deeper))
           })
+      case at: org.apache.spark.sql.types.ArrayType
+          if paths.exists(_.headOption.exists(_.equalsIgnoreCase("element"))) =>
+        at.copy(elementType = stripPaths(at.elementType,
+          paths.filter(_.headOption.exists(_.equalsIgnoreCase("element")))
+            .map(_.tail)))
       case other => other
     }
 
@@ -445,6 +482,12 @@ object ColumnMapping {
         }
         when(e.isNotNull, struct(inner: _*))
           .otherwise(lit(null).cast(logicalType(de)))
+      case (sc: org.apache.spark.sql.types.ArrayType,
+          de: org.apache.spark.sql.types.ArrayType) =>
+        // array elements rebuild per element (round 19 — nested DDL
+        // through array elements); transform preserves NULL arrays
+        org.apache.spark.sql.functions.transform(e,
+          x => rebuildLogical(x, sc.elementType, de.elementType))
       case _ =>
         if (scanned == logicalType(declared)) e
         else e.cast(logicalType(declared))
