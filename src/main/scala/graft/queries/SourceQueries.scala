@@ -5046,11 +5046,123 @@ object SourceQueries extends QueryRegistry {
       SELECT 'pruned_dirs', CAST(2 AS BIGINT), CAST(0 AS BIGINT)
     """.trim))
 
+  /** ARRAY-ELEMENT DDL (round-19 verdict #1): the reference's DOMINANT
+    * nested shape is a LIST of file entries — `file_manifest`
+    * (`agf_ingestion_lambda.py:207,239-245,361-416`) and experiment
+    * `files` (`:314-326`) — so the first real schema evolution that
+    * data model meets is a manifest ENTRY gaining/renaming/widening a
+    * field. This composes all three one level inside
+    * `array<struct<...>>` via Spark's collection addressing
+    * (`m.element.<field>`), all metadata-only (zero rewrites): ADD
+    * `m.element.mime` (old batches NULL-fill per element), RENAME
+    * `m.element.sz TO bytes` (stable physical name inside the
+    * element), WIDEN `m.element.bytes INT→BIGINT` (old batches
+    * promote natively inside repeated groups — pinned by
+    * ArrayScanProbeSpec). Legs: catalog current view (HOF aggregate
+    * over elements — no explode shuffle), `VERSION AS OF 1` speaking
+    * the ORIGINAL narrow name, the path surface under the widened
+    * mapped read, and a refused narrowing. A mis-mapped element
+    * field, a lost per-element NULL-fill, or an epoch-blind time
+    * travel breaks the hash.
+    */
+  val q338 = GraftQuery(
+    "q338_array_element_ddl",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"q338_docs_$sfx"
+      val path = graftCatalog(s).tablePath(Seq(table))
+      var refusedNarrow = 0L
+      if (!VersionedTable.latestVersion(path).exists(_ >= 2L)) {
+        s.sql(s"DROP TABLE IF EXISTS graft.$table")
+        s.sql(s"""CREATE TABLE graft.$table (
+          k BIGINT, m ARRAY<STRUCT<fmt: STRING, sz: INT>>)
+          TBLPROPERTIES('key'='k')""")
+        Tables.orders(s, d).createOrReplaceTempView("q338_base")
+        s.sql(s"""
+          INSERT INTO graft.$table
+          SELECT o_orderkey,
+                 array(named_struct('fmt', o_orderstatus,
+                         'sz', CAST(o_orderkey % 100000 AS INT)),
+                       named_struct('fmt', 'aux',
+                         'sz', CAST(o_orderkey % 89 AS INT)))
+          FROM q338_base WHERE o_orderdate < TIMESTAMP '1997-01-01'""")
+        s.sql(s"ALTER TABLE graft.$table ADD COLUMNS (m.element.mime STRING)")
+        s.sql(s"ALTER TABLE graft.$table RENAME COLUMN m.element.sz TO bytes")
+        s.sql(s"ALTER TABLE graft.$table ALTER COLUMN m.element.bytes TYPE BIGINT")
+        s.sql(s"""
+          INSERT INTO graft.$table
+          SELECT o_orderkey,
+                 array(named_struct('fmt', o_orderstatus,
+                   'bytes', CAST(round(o_totalprice * 100) AS LONG)
+                     + 3000000000L,
+                   'mime', 'text/plain'))
+          FROM q338_base WHERE o_orderdate >= TIMESTAMP '1997-01-01'""")
+        try s.sql(s"ALTER TABLE graft.$table ALTER COLUMN m.element.bytes TYPE INT")
+        catch { case _: Exception => refusedNarrow = 1L }
+      } else refusedNarrow = 1L
+      val latest = VersionedTable.latestVersion(path).get
+      import s.implicits._
+      def legAgg(df: org.apache.spark.sql.DataFrame, leg: String) = df
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(expr(
+            "aggregate(m, CAST(0 AS BIGINT), (acc, x) -> acc + x.bytes)"))
+            .cast("long").as("sum_bytes"),
+          sum(expr("size(filter(m, x -> x.mime IS NOT NULL))"))
+            .cast("long").as("n_mime"))
+        .select(lit(leg).as("leg"), col("n_rows"), col("sum_bytes"),
+          col("n_mime"))
+      val cur = legAgg(s.table(s"graft.$table"), "current")
+      // the pre-DDL epoch speaks the ORIGINAL element field name (sz,
+      // INT) and has no mime — the schema-epoch fence one level inside
+      // the array
+      val epoch1 = s.sql(s"""
+        SELECT 'epoch1' AS leg, CAST(count(*) AS LONG) AS n_rows,
+               CAST(sum(aggregate(m, CAST(0 AS BIGINT),
+                 (acc, x) -> acc + CAST(x.sz AS BIGINT))) AS LONG)
+                 AS sum_bytes,
+               CAST(0 AS LONG) AS n_mime
+        FROM graft.$table VERSION AS OF 1""")
+      val pathLeg = legAgg(VersionedTable.readAtWidened(s, path, latest), "path")
+      cur.unionAll(epoch1).unionAll(pathLeg)
+        .unionAll(Seq(("refused_narrowing", refusedNarrow, 0L, 0L))
+          .toDF("leg", "n_rows", "sum_bytes", "n_mime"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderdate AS dt
+        FROM orders),
+      pre AS (SELECT (k % 100000) + (k % 89) AS s FROM base
+              WHERE dt < TIMESTAMP '1997-01-01'),
+      post AS (SELECT cents + 3000000000 AS s FROM base
+               WHERE dt >= TIMESTAMP '1997-01-01')
+      SELECT 'current' AS leg,
+             CAST((SELECT count(*) FROM base) AS BIGINT) AS n_rows,
+             CAST((SELECT sum(s) FROM pre) +
+                  (SELECT sum(s) FROM post) AS BIGINT) AS sum_bytes,
+             CAST((SELECT count(*) FROM post) AS BIGINT) AS n_mime
+      UNION ALL
+      SELECT 'epoch1', CAST(count(*) AS BIGINT), CAST(sum(s) AS BIGINT),
+             CAST(0 AS BIGINT)
+      FROM pre
+      UNION ALL
+      SELECT 'path',
+             CAST((SELECT count(*) FROM base) AS BIGINT),
+             CAST((SELECT sum(s) FROM pre) +
+                  (SELECT sum(s) FROM post) AS BIGINT),
+             CAST((SELECT count(*) FROM post) AS BIGINT)
+      UNION ALL
+      SELECT 'refused_narrowing', CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT)
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
     q282, q283, q284, q285, q286, q288, q289, q290, q291, q292, q293, q294,
     q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306,
     q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318,
     q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329,
-    q330, q331, q332, q333, q334, q335, q336, q337)
+    q330, q331, q332, q333, q334, q335, q336, q337, q338)
 }
