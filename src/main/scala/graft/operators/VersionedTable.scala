@@ -975,15 +975,37 @@ object VersionedTable {
           }
         }
       val batch = spark.read.parquet(batchDir)
+      // a DOTTED component names a nested struct field (round 19 —
+      // the statscols discipline applied to point lookups): resolve
+      // by walking the batch's physical schema; NULL parents hash
+      // like NULL values (xxhash64 is null-tolerant), which only
+      // sets a spurious bucket — never a false negative. A dotted
+      // name whose walk fails falls back to a literal top-level
+      // column of that exact name (backtick-quoted), mirroring
+      // statsSuffix: recording stays lossless, and the pruning rule's
+      // ColPath guard already makes no claim for such names.
+      def resolve(c: String): org.apache.spark.sql.Column = {
+        import org.apache.spark.sql.types.StructType
+        val nested =
+          if (!c.contains(".")) None
+          else c.split("\\.").toSeq.foldLeft(
+            Option(batch.schema: org.apache.spark.sql.types.DataType)) {
+            case (Some(st: StructType), seg) =>
+              st.find(_.name == seg).map(_.dataType)
+            case _ => None
+          }
+        if (nested.isDefined || !batch.schema.fieldNames.contains(c)) col(c)
+        else col(s"`${c.replace("`", "``")}`")
+      }
       bloomCols.map { c =>
         val comps = c.split("\\+").map(_.trim).filter(_.nonEmpty)
           .toSeq.sorted
         if (comps.size <= 1)
           batch.select(lit(c).as("col"),
-            explode(FileSkipping.bloomBits(col(c), sized)).as("bit"))
+            explode(FileSkipping.bloomBits(resolve(c), sized)).as("bit"))
         else
           batch.select(lit(comps.mkString("+")).as("col"),
-            explode(FileSkipping.bloomBitsMulti(comps.map(col), sized))
+            explode(FileSkipping.bloomBitsMulti(comps.map(resolve), sized))
               .as("bit"))
       }.reduce(_ unionByName _)
         .distinct()

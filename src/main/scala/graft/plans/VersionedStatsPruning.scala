@@ -297,18 +297,23 @@ object VersionedStatsPruning extends Rule[LogicalPlan] {
   }
 
   /** Literal point-set conjuncts — `col = v` and `col IN (v...)` —
-    * the predicates a Bloom sidecar can answer. Each conjunct is kept
+    * the predicates a Bloom sidecar can answer. Columns address
+    * through [[ColPath]] (round 19): a GetStructField chain probes
+    * the sidecar under its dotted physical path, the same key the
+    * builder records nested `bloomcols` entries under — closing the
+    * stats/bloom skipping asymmetry (nested RANGE skipping shipped in
+    * round 18; this is its point-lookup twin). Each conjunct is kept
     * separately: a batch survives only if EVERY point conjunct has at
     * least one admitted value. Capped at 64 values per list; larger
     * lists fall back to the interval envelope.
     */
   private def pointProbes(cond: Expression): Seq[(String, Seq[Literal])] =
     conjuncts(cond).filter(_.deterministic).flatMap {
-      case EqualTo(a: AttributeReference, l: Literal) => Some((a.name, Seq(l)))
-      case EqualTo(l: Literal, a: AttributeReference) => Some((a.name, Seq(l)))
-      case In(a: AttributeReference, vs) if vs.nonEmpty && vs.size <= 64 &&
+      case EqualTo(ColPath(c), l: Literal) => Some((c, Seq(l)))
+      case EqualTo(l: Literal, ColPath(c)) => Some((c, Seq(l)))
+      case In(ColPath(c), vs) if vs.nonEmpty && vs.size <= 64 &&
           vs.forall(_.isInstanceOf[Literal]) =>
-        Some((a.name, vs.map(_.asInstanceOf[Literal])))
+        Some((c, vs.map(_.asInstanceOf[Literal])))
       case _ => None
     }
 

@@ -5158,11 +5158,71 @@ object SourceQueries extends QueryRegistry {
              CAST(0 AS BIGINT)
     """.trim))
 
+  /** NESTED BLOOMCOLS (round-19 verdict #2): the q337 stats/bloom
+    * asymmetry closed — point-lookup skipping reaches struct fields.
+    * Keys are STRIPED mod 4 across the four commits, so every batch's
+    * min/max envelope spans the whole domain and range stats are
+    * BLIND (the layout Bloom sidecars exist for); each batch's
+    * `meta.fmt` is unique to it. A `meta.<f> IN` probe — through a
+    * nested RENAME, like q337 — opens only the admitting batch dirs:
+    * the sidecar builder hashed the extracted inner value under the
+    * dotted PHYSICAL key, and the pruning rule's point probe derives
+    * the same key from the re-bound GetStructField chain. Legs:
+    * the probed content and the `pruned_dirs` plan count (2 of 4).
+    * A mis-keyed sidecar, a false negative, or a rename-blind probe
+    * breaks the hash.
+    */
+  val q339 = GraftQuery(
+    "q339_nested_bloom_skip",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"q339_docs_$sfx"
+      val path = graftCatalog(s).tablePath(Seq(table))
+      if (!VersionedTable.latestVersion(path).exists(_ >= 4L)) {
+        s.sql(s"DROP TABLE IF EXISTS graft.$table")
+        s.sql(s"""CREATE TABLE graft.$table (
+          k BIGINT, meta STRUCT<fmt: STRING, bytes: BIGINT>)
+          TBLPROPERTIES('key'='k', 'bloomcols'='meta.fmt')""")
+        Tables.orders(s, d).createOrReplaceTempView("q339_base")
+        (0 until 4).foreach { b =>
+          s.sql(s"""
+            INSERT INTO graft.$table
+            SELECT o_orderkey,
+                   named_struct('fmt', 'f$b', 'bytes', o_orderkey)
+            FROM q339_base WHERE o_orderkey % 4 = $b""")
+        }
+        s.sql(s"ALTER TABLE graft.$table RENAME COLUMN meta.fmt TO kind")
+      }
+      val q = s.table(s"graft.$table")
+        .filter(col("meta.kind").isin("f1", "f3"))
+      val dirs = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.size
+            case _ => 0
+          }
+      }.sum
+      q.agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("meta.bytes")).cast("long").as("sum_bytes"))
+        .select(lit("content").as("leg"), col("n_rows"), col("sum_bytes"))
+        .unionAll(s.range(1).select(lit("pruned_dirs").as("leg"),
+          lit(dirs.toLong).as("n_rows"), lit(0L).as("sum_bytes")))
+    },
+    Some("""
+      SELECT 'content' AS leg, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(o_orderkey) AS BIGINT) AS sum_bytes
+      FROM orders WHERE o_orderkey % 4 IN (1, 3)
+      UNION ALL
+      SELECT 'pruned_dirs', CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
     q282, q283, q284, q285, q286, q288, q289, q290, q291, q292, q293, q294,
     q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306,
     q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318,
     q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329,
-    q330, q331, q332, q333, q334, q335, q336, q337, q338)
+    q330, q331, q332, q333, q334, q335, q336, q337, q338, q339)
 }
