@@ -249,7 +249,17 @@ class Round16MappingSpec extends SparkTestBase {
     f.setTimes(new org.apache.hadoop.fs.Path(s"$path/_v1.manifest"),
       5000L, 5000L)
     assert(VersionedTable.commitTimeMillis(path, 1L).isEmpty)
-    assert(VersionedTable.versionAtTime(path, 5000L * 1000L) === Some(1L))
+    // the commit-clock memo (round 19) relies on manifest
+    // immutability, so the in-place strip above is observable only
+    // the way a legacy table actually arrives: by copy/restore, at a
+    // path this JVM has never memoized
+    val path2 = tmpDir("r16-ts-copy") + "/t"
+    org.apache.hadoop.fs.FileUtil.copy(f, p, f,
+      new org.apache.hadoop.fs.Path(path2), false,
+      spark.sparkContext.hadoopConfiguration)
+    f.setTimes(new org.apache.hadoop.fs.Path(s"$path2/_v1.manifest"),
+      5000L, 5000L)
+    assert(VersionedTable.versionAtTime(path2, 5000L * 1000L) === Some(1L))
     // DESCRIBE HISTORY surfaces the recorded clock (null for legacy)
     val hist = VersionedTable.history(spark, path)
       .select("version", "ts").collect()
