@@ -432,9 +432,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(add.isNullable,
           s"graft ALTER TABLE: added field '$colName' must be nullable " +
             "— existing rows NULL-fill on read (zero-rewrite migration)")
-        require(add.position() == null,
-          "graft ALTER TABLE: column positions are not supported; added " +
-            "fields append at the end of their struct")
         val parentLogical = add.fieldNames.init.toSeq
         val parentPhys = GraftCatalog.physicalPathOf(newSchema, parentLogical)
           .getOrElse(throw new IllegalArgumentException(
@@ -470,16 +467,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         }
         if (usedInnerLc(colName.toLowerCase(Locale.ROOT)))
           nf = ColumnMapping.withPhysical(nf, s"$colName#$nextGen")
-        newSchema = GraftCatalog.addNestedField(newSchema, parentLogical, nf)
+        newSchema = GraftCatalog.addNestedField(newSchema, parentLogical, nf,
+          add.position())
+        // a POSITIONED add changes the declared order mid-struct —
+        // fence like a move so the epoch presents faithfully
+        if (add.position() != null) shapeChanged = true
         acc
       case (acc, add: TableChange.AddColumn) =>
         val colName = add.fieldNames.head
         require(add.isNullable,
           s"graft ALTER TABLE: added column '$colName' must be nullable " +
             "— existing rows NULL-fill on read (zero-rewrite migration)")
-        require(add.position() == null,
-          "graft ALTER TABLE: column positions are not supported; added " +
-            "columns append at the end")
         require(!newSchema.fieldNames.exists(_.equalsIgnoreCase(colName)),
           s"graft ALTER TABLE: column '$colName' already exists")
         GraftCatalog.refuseInnerNonNull(add.dataType,
@@ -496,7 +494,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         // not resurface under a re-added name
         if (usedPhysicalLc(colName.toLowerCase(Locale.ROOT)))
           field = ColumnMapping.withPhysical(field, s"$colName#$nextGen")
-        newSchema = newSchema.add(field)
+        newSchema = GraftCatalog.insertAt(newSchema, field, add.position(),
+          s"ADD COLUMNS '$colName'")
+        if (add.position() != null) shapeChanged = true
         acc
       case (acc, rn: TableChange.RenameColumn) if rn.fieldNames.length > 1 =>
         // NESTED RENAME (round 17): metadata-only, like the top-level
@@ -664,10 +664,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         newSchema = GraftCatalog.commentField(newSchema,
           uc.fieldNames.toSeq, uc.newComment)
         acc
+      case (acc, up: TableChange.UpdateColumnPosition) =>
+        // POSITIONS (round 19 — previously refused): in a columnar
+        // layout the declared order is pure PRESENTATION — scans
+        // resolve parquet columns by (physical) NAME, so moving a
+        // field reorders the declared schema and nothing else. Fenced
+        // like RENAME: the declared order is part of the epoch's
+        // presentation (`VERSION AS OF` a pre-move version shows the
+        // old order), and the in-flight-stream shape check treats it
+        // as the shape change it is.
+        newSchema = GraftCatalog.moveField(newSchema,
+          up.fieldNames.toSeq, up.position())
+        shapeChanged = true
+        acc
       case (_, other) => throw new UnsupportedOperationException(
-        s"graft catalog: unsupported ALTER TABLE change $other (nullability " +
-          "and position edits are not supported — this engine never " +
-          "degrades silently)")
+        s"graft catalog: unsupported ALTER TABLE change $other " +
+          "(nullability edits are not supported — this engine never " +
+          "degrades silently; adopt NOT NULL via a CHECK constraint)")
     }
     // KEY ADOPTION over existing data: declaring (or changing) the
     // merge key validates the key columns exist and every committed
@@ -1083,6 +1096,52 @@ object GraftCatalog {
       case other => refuseNotStruct(f.name, path, other)
     }
 
+  /** Insert `f` into `st` at a V2 ColumnPosition: null appends (the
+    * default contract), FIRST prepends, AFTER places behind the named
+    * sibling. Declared order is presentation only — parquet columns
+    * resolve by name — so this is always metadata-only.
+    */
+  private[catalog] def insertAt(st: StructType,
+      f: org.apache.spark.sql.types.StructField,
+      pos: TableChange.ColumnPosition, ctx: String): StructType = pos match {
+    case null => st.add(f)
+    case _: TableChange.First => StructType(f +: st.fields)
+    case a: TableChange.After =>
+      val idx = st.fieldNames.indexWhere(_.equalsIgnoreCase(a.column()))
+      require(idx >= 0, s"graft ALTER TABLE: $ctx AFTER '${a.column()}' — " +
+        "no such sibling field")
+      StructType((st.fields.take(idx + 1) :+ f) ++ st.fields.drop(idx + 1))
+    case other => throw new UnsupportedOperationException(
+      s"graft ALTER TABLE: unsupported column position $other")
+  }
+
+  /** Move the field at `path` (top-level, struct, or array-element)
+    * to `pos` within its containing struct — ALTER COLUMN ... FIRST /
+    * AFTER, round 19. Metadata-only: the field keeps its physical
+    * name, type, comment, and pin; only the declared order changes.
+    */
+  private[catalog] def moveField(schema: StructType, path: Seq[String],
+      pos: TableChange.ColumnPosition): StructType = {
+    require(pos != null, "graft ALTER TABLE: column move needs a position")
+    def go(st: StructType, parts: Seq[String]): StructType = {
+      val idx = st.fieldNames.indexWhere(_.equalsIgnoreCase(parts.head))
+      require(idx >= 0,
+        s"graft ALTER TABLE: column '${path.mkString(".")}' does not exist")
+      val f = st.fields(idx)
+      if (parts.length == 1)
+        insertAt(StructType(st.fields.patch(idx, Nil, 1)), f, pos,
+          s"'${path.mkString(".")}'")
+      else {
+        val (inner, rest, wrap) = descend(f, parts.tail, path)
+        require(rest.nonEmpty, s"graft ALTER TABLE: " +
+          s"'${path.mkString(".")}' names an array element, not a field")
+        StructType(st.fields.updated(idx,
+          f.copy(dataType = wrap(go(inner, rest)))))
+      }
+    }
+    go(schema, path)
+  }
+
   private[catalog] def renameNestedField(schema: StructType,
       path: Seq[String], to: String): StructType = {
     def go(st: StructType, parts: Seq[String]): StructType = {
@@ -1114,12 +1173,13 @@ object GraftCatalog {
     */
   private[catalog] def addNestedField(schema: StructType,
       parent: Seq[String],
-      field: org.apache.spark.sql.types.StructField): StructType = {
+      field: org.apache.spark.sql.types.StructField,
+      pos: TableChange.ColumnPosition = null): StructType = {
     def add(inner: StructType): StructType = {
       require(!inner.fieldNames.exists(_.equalsIgnoreCase(field.name)),
         s"graft ALTER TABLE: field '${field.name}' already exists " +
           s"in '${parent.mkString(".")}'")
-      inner.add(field)
+      insertAt(inner, field, pos, s"ADD COLUMNS '${parent.mkString(".")}'")
     }
     def go(st: StructType, parts: Seq[String]): StructType = {
       val idx = st.fieldNames.indexWhere(_.equalsIgnoreCase(parts.head))

@@ -38,17 +38,18 @@ class AlterAddColumnsSpec extends SparkTestBase {
     drop("aac_basic")
   }
 
-  test("refusals: NOT NULL adds, positions, nested fields, duplicates") {
+  test("refusals: NOT NULL adds, duplicates; positioned adds land (round 19)") {
     drop("aac_refuse")
     spark.sql("CREATE TABLE graft.aac_refuse (k BIGINT)")
     val e1 = intercept[Exception] {
       spark.sql("ALTER TABLE graft.aac_refuse ADD COLUMNS (c BIGINT NOT NULL)")
     }
     assert(e1.getMessage.contains("nullable"), e1.getMessage)
-    val e2 = intercept[Exception] {
-      spark.sql("ALTER TABLE graft.aac_refuse ADD COLUMNS (c BIGINT FIRST)")
-    }
-    assert(e2.getMessage.contains("position"), e2.getMessage)
+    // positions lifted in round 19 (declared order is presentation
+    // only — ColumnPositionSpec owns the behavior)
+    spark.sql("ALTER TABLE graft.aac_refuse ADD COLUMNS (c BIGINT FIRST)")
+    assert(spark.table("graft.aac_refuse").schema.fieldNames.toSeq ===
+      Seq("c", "k"))
     val e3 = intercept[Exception] {
       spark.sql("ALTER TABLE graft.aac_refuse ADD COLUMNS (k STRING)")
     }

@@ -48,10 +48,9 @@ class ColumnCommentSpec extends SparkTestBase {
     // comments never leak into scans or break reads
     assert(spark.table("graft.r18_cmt").selectExpr("meta.sz")
       .as[Long].head() === 5L)
-    // positions still refuse loudly
-    val e = intercept[Exception] {
-      spark.sql("ALTER TABLE graft.r18_cmt ALTER COLUMN lang FIRST")
-    }
-    assert(e.getMessage.toLowerCase.contains("position"), e.getMessage)
+    // a position move (lifted round 19) carries the comment with it
+    spark.sql("ALTER TABLE graft.r18_cmt ALTER COLUMN lang FIRST")
+    assert(spark.table("graft.r18_cmt").schema.fieldNames.head === "lang")
+    assert(commentOf("r18_cmt", "lang") === Some("iso code"))
   }
 }
