@@ -219,15 +219,66 @@ class GraftDeltaBatchWrite(path: String, snapshot: Long,
     if (!withData) dropDir(s"$path/data/$dataDir")
     if (!withTomb) dropDir(s"$path/data/$tombDir")
     if (!withData && !withTomb) return
+    // UPSERT PARITY for the delta batch (round 19 — two hazards the
+    // refusal-inventory walk surfaced on this route, both fixed at
+    // this choke point with one pass over the staged DELTA, never
+    // the table):
+    //  1. duplicate merge keys INSIDE the data batch would both be
+    //     served (merge-on-read has no within-batch winner) — the
+    //     shape a key-moving UPDATE takes when two rows land on one
+    //     key. The registered-name SQL route refuses this pre-write;
+    //     same refusal here, before anything publishes.
+    //  2. the tombstone must scope ALL keys the data batch carries,
+    //     not only Spark's deleted rowIds — a moved key landing on an
+    //     existing UNTOUCHED row must REPLACE it (last-writer-wins,
+    //     the upsert contract; V1 upsertWithDeletes writes exactly
+    //     this union). Position scoping keeps the batch's own rows
+    //     alive: the tombstone retires only OLDER batches.
+    var allTombFiles = tombFiles
+    var withTombFinal = withTomb
+    if (withData && idSchema.isDefined) {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val spark = SparkSession.active
+      val keys = idSchema.get.fieldNames.toSeq
+      val keyProj = spark.read.schema(dataSchema)
+        .parquet(s"$path/data/$dataDir").select(keys.map(col): _*)
+      val dup = keyProj.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+        .limit(1).count() > 0
+      if (dup) {
+        dropDir(s"$path/data/$dataDir")
+        dropDir(s"$path/data/$tombDir")
+        throw new UnsupportedOperationException(
+          s"graft row-level write to $path: the operation produces two " +
+            s"or more rows on one '${keys.mkString(", ")}' key — both " +
+            "would survive the same commit as duplicates; make the new " +
+            "key unique per row (or DELETE + INSERT an aggregate)")
+      }
+      if (snapshot > 0) {
+        val tombPath = s"$path/data/$tombDir"
+        val tp = new Path(tombPath)
+        val tf = tp.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        def listed(): Set[String] =
+          if (!tf.exists(tp)) Set.empty
+          else tf.listStatus(tp).map(_.getPath.getName)
+            .filter(_.endsWith(".parquet")).toSet
+        val before = listed()
+        keyProj.write.mode("append").parquet(tombPath)
+        allTombFiles = tombFiles ++ (listed() -- before)
+        withTombFinal = true
+      }
+    }
     // the committed FILE NAMES ride the manifest entry (file-level
     // manifest): prune() above is cleanup, the entry is the guarantee
     // — a zombie/speculative attempt flushing AFTER the prune (or
     // even after the manifest publishes) is simply never scanned
     VersionedTable.commitDelta(path, snapshot,
       if (withData) Some(dataDir) else None,
-      if (withTomb) Some(tombDir) else None,
+      if (withTombFinal) Some(tombDir) else None,
       statsCols, bloomCols,
-      dataFiles = dataFiles.toSeq.sorted, tombFiles = tombFiles.toSeq.sorted)
+      dataFiles = dataFiles.toSeq.sorted,
+      tombFiles = allTombFiles.toSeq.sorted)
     ()
   }
 

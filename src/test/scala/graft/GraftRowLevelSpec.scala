@@ -309,6 +309,39 @@ class GraftRowLevelSpec extends SparkTestBase {
     drop("rl_zombie")
   }
 
+  test("key-moving UPDATE through the native route: upsert parity (round 19)") {
+    // the two hazards the refusal-inventory walk surfaced: (1) two
+    // rows moving onto ONE key refuse at the delta commit (the SQL
+    // route's contract, enforced at the V2 choke point); (2) a moved
+    // key landing on an EXISTING untouched row REPLACES it — the
+    // delta tombstone now carries all data-batch keys, like V1
+    // upsertWithDeletes
+    drop("rl_keymove")
+    spark.sql("""CREATE TABLE graft.rl_keymove (k BIGINT, v BIGINT)
+      TBLPROPERTIES('key'='k')""")
+    spark.sql("INSERT INTO graft.rl_keymove VALUES (1, 10), (2, 20), (3, 30)")
+    val e = intercept[Exception] {
+      spark.sql("UPDATE graft.rl_keymove SET k = 9 WHERE k IN (1, 2)")
+    }
+    assert(e.getMessage.contains("two or more rows") &&
+      e.getMessage.contains("key"), e.getMessage)
+    // the refused commit published nothing
+    assert(spark.table("graft.rl_keymove").as[(Long, Long)].collect().sorted
+      === Array((1L, 10L), (2L, 20L), (3L, 30L)))
+    // a unique move onto an existing untouched key replaces it
+    spark.sql("UPDATE graft.rl_keymove SET k = 2 WHERE k = 1")
+    assert(spark.table("graft.rl_keymove").as[(Long, Long)].collect().sorted
+      === Array((2L, 10L), (3L, 30L)))
+    // CDC shows the replaced row's delete alongside the move
+    val path = "/tmp/graft-test-catalog/rl_keymove"
+    val latest = VersionedTable.latestVersion(path).get
+    val dels = VersionedTable.readChangeFeed(spark, path, latest - 1, latest)
+      .filter(col("_change_type") === "delete").select("k").as[Long]
+      .collect().toSeq.sorted
+    assert(dels === Seq(1L, 2L), s"preimages of the move: $dels")
+    drop("rl_keymove")
+  }
+
   test("composite key through the native route: rowId carries both columns") {
     drop("rl_ck")
     spark.sql("""CREATE TABLE graft.rl_ck (eid BIGINT, fp STRING, v BIGINT)
