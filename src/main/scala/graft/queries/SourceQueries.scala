@@ -5288,11 +5288,83 @@ object SourceQueries extends QueryRegistry {
       SELECT 'epoch_order', CAST(0 AS BIGINT), 'a,b,c', CAST(0 AS BIGINT)
     """.trim))
 
+  /** KEY-MOVING UPDATE on the NATIVE row-level route (round 19): the
+    * refusal-inventory walk surfaced two hazards the registered-name
+    * SQL route guarded but the V2 delta route did not — a collision
+    * (two rows moving onto ONE key) silently committed duplicates,
+    * and a moved key landing on an existing UNTOUCHED row duplicated
+    * instead of replacing. Both now enforced at the delta commit
+    * choke point (dup refusal; tombstone carries all data-batch keys
+    * = V1 upsert parity). Legs: the refused collision (publishing
+    * NOTHING — content unchanged counts), the post-move content
+    * (replaced row gone, mover's value survives under the new key),
+    * and the move commit's CDC delete count (both preimages). A
+    * silent duplicate, a lost replace, or a phantom commit breaks
+    * the hash.
+    */
+  val q341 = GraftQuery(
+    "q341_rowlevel_key_move",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"q341_docs_$sfx"
+      val path = graftCatalog(s).tablePath(Seq(table))
+      Tables.orders(s, d).createOrReplaceTempView("q341_base")
+      val Array(k1, k2) = s.sql(
+        "SELECT o_orderkey FROM q341_base ORDER BY o_orderkey LIMIT 2")
+        .collect().map(_.getLong(0))
+      var refused = 0L
+      if (!VersionedTable.latestVersion(path).exists(_ >= 2L)) {
+        s.sql(s"DROP TABLE IF EXISTS graft.$table")
+        s.sql(s"""CREATE TABLE graft.$table (k BIGINT, v BIGINT)
+          TBLPROPERTIES('key'='k')""")
+        s.sql(s"""
+          INSERT INTO graft.$table
+          SELECT o_orderkey, CAST(round(o_totalprice * 100) AS LONG)
+          FROM q341_base""")
+        // two rows onto one key: refused, and the refused commit
+        // publishes NOTHING
+        try s.sql(s"UPDATE graft.$table SET k = 0 WHERE k <= $k2")
+        catch { case _: Exception => refused = 1L }
+        // a unique move onto an existing untouched key REPLACES it
+        s.sql(s"UPDATE graft.$table SET k = $k2 WHERE k = $k1")
+      } else refused = 1L
+      val latest = VersionedTable.latestVersion(path).get
+      val content = s.table(s"graft.$table")
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(col("v")).cast("long").as("sum_v"))
+        .select(lit("content").as("leg"), col("n_rows"), col("sum_v"))
+      val cdcDels = VersionedTable.readChangeFeed(s, path, latest - 1, latest)
+        .filter(col("_change_type") === "delete").count()
+      import s.implicits._
+      content.unionAll(Seq(
+        ("refused_collision", refused, 0L),
+        ("cdc_deletes", cdcDels, 0L))
+        .toDF("leg", "n_rows", "sum_v"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      k2row AS (SELECT k, cents FROM base ORDER BY k LIMIT 2)
+      SELECT 'content' AS leg,
+             CAST((SELECT count(*) FROM base) - 1 AS BIGINT) AS n_rows,
+             CAST((SELECT sum(cents) FROM base) -
+                  (SELECT cents FROM k2row ORDER BY k DESC LIMIT 1)
+               AS BIGINT) AS sum_v
+      UNION ALL
+      SELECT 'refused_collision', CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT 'cdc_deletes', CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
     q282, q283, q284, q285, q286, q288, q289, q290, q291, q292, q293, q294,
     q295, q296, q297, q298, q299, q300, q301, q302, q303, q304, q305, q306,
     q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318,
     q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329,
-    q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340)
+    q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340,
+    q341)
 }
