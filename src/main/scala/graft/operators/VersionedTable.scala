@@ -2757,6 +2757,63 @@ object VersionedTable {
     else changes.reduce(_ unionByName _)
   }
 
+  /** [[readChangeFeed]] under an EXPLICIT (widened, physical-named)
+    * scan schema — what a `widen = true` CDC stream delivers (round
+    * 19; previously a construction-time refusal): every per-commit
+    * read — insert batches AND the position-scoped preimage views
+    * the tombstone semi-joins run against — goes through `schema`,
+    * so narrow epochs promote natively and absent fields null-fill,
+    * exactly like [[readChangesAs]]. Tombstone KEY batches keep
+    * their own stored (possibly narrow) types and are cast to the
+    * widened types before the semi-join — lossless by the same
+    * matrix that admitted the widening. The caller has verified
+    * every batch widens into `schema` (the streaming source's
+    * footer checks).
+    */
+  private[graft] def readChangeFeedAs(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    def asView(entries: Seq[String]): Option[DataFrame] =
+      viewOf(spark, path, entries, mergeSchema = false, _ => true,
+        explicitSchema = Some(schema))
+    def emptyFeed = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      .withColumn("_change_type", lit("insert"))
+    if (fromVersion == 0)
+      return asView(manifestEntries(path, toVersion))
+        .map(_.withColumn("_change_type", lit("insert")))
+        .getOrElse(emptyFeed)
+    val changes = (fromVersion + 1 to toVersion).flatMap { v =>
+      val prevDirs = manifestEntries(path, v - 1).map(dirOf).toSet
+      val cur = manifestEntries(path, v)
+      cur.zipWithIndex.flatMap { case (e, idx) =>
+        val dir = dirOf(e)
+        if (prevDirs.contains(dir) || isCompaction(e)) None
+        else if (isTombstone(e)) {
+          val rawKeys = spark.read.parquet(
+            scanPaths(path, e.stripPrefix("~")): _*)
+          val keyCols = rawKeys.columns.toSeq
+          asView(cur.take(idx)).map { pre =>
+            val widened = pre.schema
+            val keys = rawKeys.select(keyCols.map { c =>
+              widened.find(_.name.equalsIgnoreCase(c))
+                .map(f => col(c).cast(f.dataType).as(c))
+                .getOrElse(col(c))
+            }: _*)
+            pre.join(keys.distinct(), keyCols, "left_semi")
+              .withColumn("_change_type", lit("delete"))
+          }
+        } else
+          Some(spark.read.schema(schema).parquet(scanPaths(path, e): _*)
+            .withColumn("_change_type", lit("insert")))
+      }
+    }
+    if (changes.isEmpty) emptyFeed.limit(0)
+    else changes.reduce(_ unionByName _)
+  }
+
   private val CheckpointRe = "_version\\.(\\d+)".r
   private val CheckpointTmpRe = "_version\\.(\\d+)\\.tmp".r
 

@@ -5359,6 +5359,128 @@ object SourceQueries extends QueryRegistry {
       SELECT 'cdc_deletes', CAST(2 AS BIGINT), CAST(0 AS BIGINT)
     """.trim))
 
+  /** WIDENED CDC STREAM (round 19 — previously a construction-time
+    * refusal: "widen and readChangeFeed do not compose yet"): the
+    * change-feed walk's per-commit reads — insert batches AND the
+    * position-scoped preimage views each tombstone semi-joins
+    * against — now go through the stream's widened physical schema
+    * (`readChangeFeedAs`), so a NARROW epoch's deleted rows arrive
+    * as widened preimages and a narrow-typed tombstone key batch
+    * casts to the widened types before the join. Legs: the initial
+    * CDC snapshot over both epochs (inserts, promoted), the delete
+    * wave's preimage count/sum (narrow-epoch rows, delivered wide),
+    * and the final table content. A dropped preimage, a mis-cast
+    * key join, or a double delivery breaks the hash.
+    */
+  val q342 = GraftQuery(
+    "q342_widened_cdc_stream",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      import org.apache.spark.sql.streaming.Trigger
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val src = s"/tmp/graft_q342_src_$sfx"
+      val ckpt = s"/tmp/graft_q342_ckpt_$sfx"
+      val sink1 = s"/tmp/graft_q342_w1_$sfx"
+      val sink2 = s"/tmp/graft_q342_w2_$sfx"
+      val conf = s.sparkContext.hadoopConfiguration
+      val complete = VersionedTable.latestVersion(src).exists(_ >= 3L) &&
+        VersionedTable.latestVersion(sink1).nonEmpty &&
+        VersionedTable.latestVersion(sink2).nonEmpty
+      if (!complete) {
+        Seq(src, ckpt, sink1, sink2).foreach { dir =>
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val f = p.getFileSystem(conf)
+          if (f.exists(p)) f.delete(p, true)
+        }
+        Tables.orders(s, d).createOrReplaceTempView("q342_base")
+        // narrow epoch: INT key, INT value
+        VersionedTable.append(s.sql("""
+          SELECT CAST(o_orderkey AS INT) AS k,
+                 CAST(o_orderkey % 1000 AS INT) AS v
+          FROM q342_base WHERE o_orderdate < TIMESTAMP '1997-01-01'"""),
+          src)
+        // wide epoch: LONG key, LONG value beyond int range
+        VersionedTable.append(s.sql("""
+          SELECT o_orderkey AS k,
+                 CAST(round(o_totalprice * 100) AS LONG) + 3000000000 AS v
+          FROM q342_base WHERE o_orderdate >= TIMESTAMP '1997-01-01'"""),
+          src)
+        def drain(sink: String, wave: String): Unit = {
+          val q = s.readStream.format("graft")
+            .option("widen", "true").option("readChangeFeed", "true")
+            .load(src)
+            .writeStream.option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+              if (!df.isEmpty)
+                VersionedTable.append(
+                  df.agg(
+                    sum(when(col("_change_type") === "insert", 1L)
+                      .otherwise(0L)).cast("long").as("n_ins"),
+                    sum(when(col("_change_type") === "insert", col("v"))
+                      .otherwise(0L)).cast("long").as("sum_ins"),
+                    sum(when(col("_change_type") === "delete", 1L)
+                      .otherwise(0L)).cast("long").as("n_del"),
+                    sum(when(col("_change_type") === "delete", col("v"))
+                      .otherwise(0L)).cast("long").as("sum_del")),
+                  sink, txnId = Some(s"q342-$wave-$id"))
+              ()
+            }.start()
+          q.awaitTermination(120000)
+          ()
+        }
+        drain(sink1, "w1") // snapshot: both epochs as widened inserts
+        // delete a slice of the NARROW epoch with an INT-typed key
+        // frame — the stored tombstone is narrow too
+        VersionedTable.deleteKeys(s.sql("""
+          SELECT CAST(o_orderkey AS INT) AS k
+          FROM q342_base
+          WHERE o_orderdate < TIMESTAMP '1997-01-01'
+            AND o_orderkey % 10 = 3"""), "k", src)
+        drain(sink2, "w2") // exactly the widened preimage deletes
+      }
+      def leg(name: String, sink: String, n: String, sm: String) =
+        VersionedTable.readLatest(s, sink)
+          .agg(sum(col(n)).cast("long").as("n_rows"),
+            sum(col(sm)).cast("long").as("sum_v"))
+          .select(lit(name).as("leg"), col("n_rows"), col("sum_v"))
+      val latest = VersionedTable.latestVersion(src).get
+      val fin = VersionedTable.readAtWidened(s, src, latest)
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(col("v")).cast("long").as("sum_v"))
+        .select(lit("final_content").as("leg"), col("n_rows"), col("sum_v"))
+      leg("wave1_snapshot", sink1, "n_ins", "sum_ins")
+        .unionAll(leg("wave2_deletes", sink2, "n_del", "sum_del"))
+        .unionAll(fin)
+    },
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderdate AS dt
+        FROM orders),
+      pre AS (SELECT k, k % 1000 AS v FROM base
+              WHERE dt < TIMESTAMP '1997-01-01'),
+      post AS (SELECT k, cents + 3000000000 AS v FROM base
+               WHERE dt >= TIMESTAMP '1997-01-01'),
+      dels AS (SELECT k, v FROM pre WHERE k % 10 = 3)
+      SELECT 'wave1_snapshot' AS leg,
+             CAST((SELECT count(*) FROM pre) +
+                  (SELECT count(*) FROM post) AS BIGINT) AS n_rows,
+             CAST((SELECT sum(v) FROM pre) +
+                  (SELECT sum(v) FROM post) AS BIGINT) AS sum_v
+      UNION ALL
+      SELECT 'wave2_deletes', CAST(count(*) AS BIGINT),
+             CAST(sum(v) AS BIGINT)
+      FROM dels
+      UNION ALL
+      SELECT 'final_content',
+             CAST((SELECT count(*) FROM pre) + (SELECT count(*) FROM post)
+                  - (SELECT count(*) FROM dels) AS BIGINT),
+             CAST((SELECT sum(v) FROM pre) + (SELECT sum(v) FROM post)
+                  - (SELECT sum(v) FROM dels) AS BIGINT)
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
     q282, q283, q284, q285, q286, q288, q289, q290, q291, q292, q293, q294,
@@ -5366,5 +5488,5 @@ object SourceQueries extends QueryRegistry {
     q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318,
     q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329,
     q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340,
-    q341)
+    q341, q342)
 }

@@ -154,12 +154,6 @@ class GraftDataSource extends RelationProvider with StreamSourceProvider
     val o = opts(parameters)
     val path = pathOf(o)
     val widen = o.get("widen").exists(_.toBoolean)
-    if (widen && o.get("readchangefeed").exists(_.toBoolean))
-      throw new IllegalArgumentException(
-        "format(\"graft\") stream: widen and readChangeFeed do not " +
-          "compose yet — a widened CDC stream needs per-commit " +
-          "preimage reads under the widened schema; restart contracts " +
-          "apply instead")
     val spark = sqlContext.sparkSession
     val latestOr = () => VersionedTable.latestVersion(path).getOrElse(
       throw new IllegalArgumentException(
@@ -605,7 +599,24 @@ private[sources] class GraftSource(spark: SparkSession, path: String,
     // pair) — so a downstream materializer can maintain an exact
     // replica; plain mode is the appended-rows feed
     val changes =
-      if (changeFeed)
+      if (changeFeed && widen) {
+        // widened CDC (round 19 — previously a construction-time
+        // refusal): the per-commit feed walk itself reads under the
+        // widened PHYSICAL schema — insert batches, and the preimage
+        // views each tombstone semi-joins against, both promote
+        // narrow epochs natively and null-fill absent fields
+        val declared = org.apache.spark.sql.types.StructType(
+          schema.fields.filterNot(_.name == "_change_type"))
+        val physSchema = frozenMeta match {
+          case Some(m) =>
+            graft.catalog.ColumnMapping.toPhysical(declared, m.schema)
+          case None => declared
+        }
+        logical(VersionedTable.readChangeFeedAs(spark, path, from, to,
+          physSchema))
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      }
+      else if (changeFeed)
         logical(VersionedTable.readChangeFeed(spark, path, from, to))
           .select(schema.fieldNames.map(col).toIndexedSeq: _*)
       else if (widen) {

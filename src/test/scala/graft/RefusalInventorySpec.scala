@@ -182,13 +182,15 @@ class RefusalInventorySpec extends SparkTestBase {
     val m2 = refusal(Similarity.ivfPqIndexRebalance(spark,
       kClusters = 4, kmIters = 1, m = 4, kCodes = 16, subDim = 16, root))
     assert(m2.contains("residual") && m2.contains("rebuild"), m2)
-    // a widened CDC stream has no per-commit preimage contract yet
+    // widen + readChangeFeed COMPOSE since round 19 (the per-commit
+    // feed walk reads under the widened schema — StreamingWidenSpec
+    // owns the behavior); the former construction-time refusal is
+    // lifted, so constructing the composed stream must NOT throw
     val vt = tmpDir("ri_widen_cdc")
     VersionedTable.append(Seq((1L, 2L)).toDF("k", "v"), vt)
-    val m3 = refusal(spark.readStream.format("graft")
-      .option("widen", "true").option("readChangeFeed", "true").load(vt))
-    assert(m3.contains("do not compose") && m3.contains("restart contracts"),
-      m3)
+    spark.readStream.format("graft")
+      .option("widen", "true").option("readChangeFeed", "true").load(vt)
+    ()
   }
 
   test("stream boundary: a shape-changing DDL mid-stream names the RESTART contract") {

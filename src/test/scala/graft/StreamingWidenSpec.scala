@@ -88,6 +88,47 @@ class StreamingWidenSpec extends SparkTestBase {
       (3L, 3.5d, None)))
   }
 
+  test("widen=true composes with readChangeFeed: preimages deliver under the widened schema") {
+    // round 19 — previously a construction-time refusal: the CDC
+    // walk's per-commit reads (insert batches AND the preimage views
+    // tombstones semi-join against) now go through the widened
+    // physical schema; a NARROW-typed tombstone key batch casts to
+    // the widened types before the join
+    val src = tmpDir("sw_cdc_src")
+    val ckpt = tmpDir("sw_cdc_ckpt")
+    VersionedTable.append(
+      Seq((1, 1.5f)).toDF("k", "q")
+        .select(col("k").cast("int"), col("q").cast("float")), src)
+    VersionedTable.append(Seq((2L, 2.5d, 7L)).toDF("k", "q", "tax"), src)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Double, Option[Long], String)]
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("widen", "true").option("readChangeFeed", "true")
+        .load(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          got ++= df.select("k", "q", "tax", "_change_type")
+            .as[(Long, Double, Option[Long], String)].collect(); ()
+        }.start()
+      q.awaitTermination(120000)
+    }
+    drain() // initial snapshot: both epochs as inserts, widened
+    assert(got.sortBy(_._1).toSeq === Seq(
+      (1L, 1.5d, None, "insert"), (2L, 2.5d, Some(7L), "insert")), got)
+    got.clear()
+    // delete the NARROW-epoch row with an INT-typed key frame (the
+    // stored tombstone is narrow too), then append — the next drain
+    // delivers the widened preimage delete plus the insert
+    VersionedTable.deleteKeys(
+      Seq(1).toDF("k").select(col("k").cast("int")), "k", src)
+    VersionedTable.append(Seq((4L, 4.5d, 9L)).toDF("k", "q", "tax"), src)
+    drain()
+    assert(got.sortBy(r => (r._1, r._4)).toSeq === Seq(
+      (1L, 1.5d, None, "delete"), (4L, 4.5d, Some(9L), "insert")), got)
+  }
+
   test("widen=true: a batch WIDER than the declaration refuses; a restart picks it up") {
     import org.apache.spark.sql.types.{IntegerType, StructType}
     val src = tmpDir("sw_wider_src")
