@@ -1349,7 +1349,10 @@ object GraftCatalog {
         val (inner, rest, wrap) = descend(f, parts.tail, path)
         require(rest.nonEmpty, s"graft ALTER TABLE: " +
           s"'${path.mkString(".")}' names an array element, not a field")
-        if (rest ne parts.tail) physParts += "element"
+        // an array descent CONSUMED the "element" segment (length
+        // check — reference identity is not stable across Seq.tail):
+        // the recorded physical drop path must carry it
+        if (rest.length != parts.tail.length) physParts += "element"
         go(inner, rest).map(n =>
           StructType(st.fields.updated(idx, f.copy(dataType = wrap(n)))))
       }

@@ -240,8 +240,14 @@ class GraftDeltaBatchWrite(path: String, snapshot: Long,
       import org.apache.spark.sql.functions.{col, count, lit}
       val spark = SparkSession.active
       val keys = idSchema.get.fieldNames.toSeq
+      // read EXACTLY the committed file names — never the directory
+      // listing: a zombie attempt flushing after prune() must neither
+      // trip the dup refusal nor contribute keys (the file-level
+      // manifest guarantee documented below)
       val keyProj = spark.read.schema(dataSchema)
-        .parquet(s"$path/data/$dataDir").select(keys.map(col): _*)
+        .parquet(dataFiles.toSeq.sorted
+          .map(n => s"$path/data/$dataDir/$n"): _*)
+        .select(keys.map(col): _*)
       val dup = keyProj.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
         .limit(1).count() > 0
@@ -255,17 +261,28 @@ class GraftDeltaBatchWrite(path: String, snapshot: Long,
             "key unique per row (or DELETE + INSERT an aggregate)")
       }
       if (snapshot > 0) {
-        val tombPath = s"$path/data/$tombDir"
-        val tp = new Path(tombPath)
-        val tf = tp.getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        def listed(): Set[String] =
-          if (!tf.exists(tp)) Set.empty
-          else tf.listStatus(tp).map(_.getPath.getName)
-            .filter(_.endsWith(".parquet")).toSet
-        val before = listed()
-        keyProj.write.mode("append").parquet(tombPath)
-        allTombFiles = tombFiles ++ (listed() -- before)
+        // the data-batch key projection lands in the tombstone dir
+        // under DRIVER-CHOSEN names: written to a private staging dir
+        // (only this driver populates it) and renamed in, so the
+        // manifest names exactly these files — a concurrently
+        // flushed zombie tombstone file is never adopted
+        val stage = s"$path/data/.${tombDir}_ukeys"
+        val sp = new Path(stage)
+        val f = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        keyProj.write.mode("overwrite").parquet(stage)
+        val renamed = f.listStatus(sp).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .zipWithIndex.map { case (src, i) =>
+            val name = s"ukeys-$i-${src.getName}"
+            val dst = new Path(s"$path/data/$tombDir/$name")
+            f.mkdirs(dst.getParent)
+            if (!f.rename(src, dst))
+              throw new java.io.IOException(
+                s"graft delta write: rename $src -> $dst failed")
+            name
+          }
+        f.delete(sp, true)
+        allTombFiles = tombFiles ++ renamed
         withTombFinal = true
       }
     }

@@ -141,10 +141,25 @@ object VersionedTable {
       else {
         val base = if (incremental) known else Map.empty[Long, Option[Long]]
         val floor = if (incremental) scannedTo else -1L
+        // a TRANSIENT read failure must not memoize as "no stamp" —
+        // that would pin the version to the mtime fallback for the
+        // JVM's life; failed reads stay out of the map (the per-call
+        // fallback below re-reads them), and the memo only advances
+        // when every fresh header read succeeded
+        var failed = false
         val m = base ++ listed.collect {
-          case (v, _) if v > floor => v -> commitTimeMillis(path, v)
+          case (v, _) if v > floor => v
+        }.flatMap { v =>
+          try Some(v -> rawManifestLines(path, v)
+            .find(_.startsWith("#ts="))
+            .flatMap(l =>
+              scala.util.Try(l.stripPrefix("#ts=").toLong).toOption))
+          catch {
+            case scala.util.control.NonFatal(_) => failed = true; None
+          }
         }
-        clockMemo.put(path, (maxV, m.getOrElse(maxV, None), m))
+        if (!failed)
+          clockMemo.put(path, (maxV, m.getOrElse(maxV, None), m))
         m
       }
     val eligible = listed.flatMap { case (v, mtime) =>
@@ -2722,40 +2737,8 @@ object VersionedTable {
     * compacting (the `=` flag keeps compactions out of the feed).
     */
   def readChangeFeed(spark: SparkSession, path: String,
-      fromVersion: Long, toVersion: Long): DataFrame = {
-    require(fromVersion <= toVersion,
-      s"fromVersion $fromVersion > toVersion $toVersion")
-    if (fromVersion == 0)
-      return readAtPhysical(spark, path, toVersion)
-        .withColumn("_change_type", lit("insert"))
-    val changes = (fromVersion + 1 to toVersion).flatMap { v =>
-      val prevDirs = manifestEntries(path, v - 1).map(dirOf).toSet
-      val cur = manifestEntries(path, v)
-      cur.zipWithIndex.flatMap { case (e, idx) =>
-        val dir = dirOf(e)
-        if (prevDirs.contains(dir) || isCompaction(e)) None
-        else if (isTombstone(e)) {
-          val keys = spark.read.parquet(
-            scanPaths(path, e.stripPrefix("~")): _*)
-          // semi-join on the tombstone's FULL column list (one column
-          // for plain keys, all components for composite keys)
-          val keyCols = keys.columns.toSeq
-          // the position-scoped view just before this tombstone, at
-          // THIS commit — the rows it actually deleted
-          viewOf(spark, path, cur.take(idx), mergeSchema = false,
-            _ => true).map(pre =>
-            pre.join(keys.distinct(), keyCols, "left_semi")
-              .withColumn("_change_type", lit("delete")))
-        } else
-          Some(spark.read.parquet(scanPaths(path, e): _*)
-            .withColumn("_change_type", lit("insert")))
-      }
-    }
-    if (changes.isEmpty)
-      readAtPhysical(spark, path, toVersion)
-        .withColumn("_change_type", lit("insert")).limit(0)
-    else changes.reduce(_ unionByName _)
-  }
+      fromVersion: Long, toVersion: Long): DataFrame =
+    changeFeedWalk(spark, path, fromVersion, toVersion, None)
 
   /** [[readChangeFeed]] under an EXPLICIT (widened, physical-named)
     * scan schema — what a `widen = true` CDC stream delivers (round
@@ -2772,19 +2755,36 @@ object VersionedTable {
     */
   private[graft] def readChangeFeedAs(spark: SparkSession, path: String,
       fromVersion: Long, toVersion: Long,
-      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    changeFeedWalk(spark, path, fromVersion, toVersion, Some(schema))
+
+  /** The single per-commit CDC walk behind both feed surfaces —
+    * parameterized on the optional explicit scan schema exactly like
+    * [[viewOf]], so the plain and widened feeds can never diverge.
+    */
+  private def changeFeedWalk(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long,
+      explicit: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion > toVersion $toVersion")
     def asView(entries: Seq[String]): Option[DataFrame] =
       viewOf(spark, path, entries, mergeSchema = false, _ => true,
-        explicitSchema = Some(schema))
-    def emptyFeed = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      .withColumn("_change_type", lit("insert"))
+        explicitSchema = explicit)
+    def read(paths: Seq[String]): DataFrame = explicit match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+    def emptySnapshot = explicit match {
+      case Some(s) => spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), s)
+        .withColumn("_change_type", lit("insert"))
+      case None => readAtPhysical(spark, path, toVersion)
+        .withColumn("_change_type", lit("insert")).limit(0)
+    }
     if (fromVersion == 0)
       return asView(manifestEntries(path, toVersion))
         .map(_.withColumn("_change_type", lit("insert")))
-        .getOrElse(emptyFeed)
+        .getOrElse(emptySnapshot)
     val changes = (fromVersion + 1 to toVersion).flatMap { v =>
       val prevDirs = manifestEntries(path, v - 1).map(dirOf).toSet
       val cur = manifestEntries(path, v)
@@ -2792,13 +2792,20 @@ object VersionedTable {
         val dir = dirOf(e)
         if (prevDirs.contains(dir) || isCompaction(e)) None
         else if (isTombstone(e)) {
+          // semi-join on the tombstone's FULL column list (one column
+          // for plain keys, all components for composite keys); under
+          // an explicit widened schema the stored (possibly narrow)
+          // key types cast to the view's — lossless by the matrix
+          // that admitted the widening
           val rawKeys = spark.read.parquet(
             scanPaths(path, e.stripPrefix("~")): _*)
           val keyCols = rawKeys.columns.toSeq
+          // the position-scoped view just before this tombstone, at
+          // THIS commit — the rows it actually deleted
           asView(cur.take(idx)).map { pre =>
-            val widened = pre.schema
+            val viewTypes = pre.schema
             val keys = rawKeys.select(keyCols.map { c =>
-              widened.find(_.name.equalsIgnoreCase(c))
+              viewTypes.find(_.name.equalsIgnoreCase(c))
                 .map(f => col(c).cast(f.dataType).as(c))
                 .getOrElse(col(c))
             }: _*)
@@ -2806,11 +2813,11 @@ object VersionedTable {
               .withColumn("_change_type", lit("delete"))
           }
         } else
-          Some(spark.read.schema(schema).parquet(scanPaths(path, e): _*)
+          Some(read(scanPaths(path, e))
             .withColumn("_change_type", lit("insert")))
       }
     }
-    if (changes.isEmpty) emptyFeed.limit(0)
+    if (changes.isEmpty) emptySnapshot
     else changes.reduce(_ unionByName _)
   }
 

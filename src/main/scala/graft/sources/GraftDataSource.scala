@@ -598,49 +598,37 @@ private[sources] class GraftSource(spark: SparkSession, path: String,
     // per-commit walk; an upsert arrives as its preimage/postimage
     // pair) — so a downstream materializer can maintain an exact
     // replica; plain mode is the appended-rows feed
-    val changes =
-      if (changeFeed && widen) {
-        // widened CDC (round 19 — previously a construction-time
-        // refusal): the per-commit feed walk itself reads under the
-        // widened PHYSICAL schema — insert batches, and the preimage
-        // views each tombstone semi-joins against, both promote
-        // narrow epochs natively and null-fill absent fields
-        val declared = org.apache.spark.sql.types.StructType(
-          schema.fields.filterNot(_.name == "_change_type"))
-        val physSchema = frozenMeta match {
-          case Some(m) =>
-            graft.catalog.ColumnMapping.toPhysical(declared, m.schema)
-          case None => declared
-        }
-        logical(VersionedTable.readChangeFeedAs(spark, path, from, to,
-          physSchema))
-          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    // the explicit widened scan speaks PHYSICAL names at EVERY level
+    // (round 18 — widen composes with a NESTED column mapping):
+    // toPhysical renames the stream's declared logical fields to
+    // their pins recursively while KEEPING the declared (possibly
+    // widened) types, so narrow batches promote and absent fields
+    // null-fill under the mapped names too. The CDC twin (round 19 —
+    // previously a construction-time refusal) runs the per-commit
+    // feed walk itself under this schema: insert batches AND the
+    // preimage views each tombstone semi-joins against.
+    def widenedPhysSchema: org.apache.spark.sql.types.StructType = {
+      val declared = org.apache.spark.sql.types.StructType(
+        schema.fields.filterNot(_.name == "_change_type"))
+      frozenMeta match {
+        case Some(m) =>
+          graft.catalog.ColumnMapping.toPhysical(declared, m.schema)
+        case None => declared
       }
+    }
+    val raw =
+      if (changeFeed && widen)
+        VersionedTable.readChangeFeedAs(spark, path, from, to,
+          widenedPhysSchema)
       else if (changeFeed)
-        logical(VersionedTable.readChangeFeed(spark, path, from, to))
-          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-      else if (widen) {
-        // the explicit widened scan speaks PHYSICAL names at EVERY
-        // level (round 18 — widen now composes with a NESTED column
-        // mapping): toPhysical renames the stream's declared logical
-        // fields to their pins recursively while KEEPING the declared
-        // (possibly widened) types, so narrow batches promote and
-        // absent fields null-fill under the mapped names too
-        val declared = org.apache.spark.sql.types.StructType(
-          schema.fields.filterNot(_.name == "_change_type"))
-        val physSchema = frozenMeta match {
-          case Some(m) =>
-            graft.catalog.ColumnMapping.toPhysical(declared, m.schema)
-          case None => declared
-        }
-        logical(VersionedTable.readChangesAs(spark, path, from, to,
-          physSchema))
-          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-      }
+        VersionedTable.readChangeFeed(spark, path, from, to)
+      else if (widen)
+        VersionedTable.readChangesAs(spark, path, from, to,
+          widenedPhysSchema)
       else
-        logical(VersionedTable.readChanges(spark, path, from, to))
-          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    GraftStreamingBridge.asStreaming(changes)
+        VersionedTable.readChanges(spark, path, from, to)
+    GraftStreamingBridge.asStreaming(
+      logical(raw).select(schema.fieldNames.map(col).toIndexedSeq: _*))
   }
 
   override def stop(): Unit = ()

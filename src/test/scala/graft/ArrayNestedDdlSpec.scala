@@ -160,6 +160,36 @@ class ArrayNestedDdlSpec extends SparkTestBase {
       .as[Long].collect() === Array(88L))
   }
 
+  test("plain- and deep-struct drops record uncorrupted physical paths") {
+    // regression (round-19 review): the array-descent marker used
+    // reference identity on Seq.tail, which is not stable — every
+    // plain-struct descent recorded a spurious 'element' segment
+    // ('meta.junk' -> 'meta.element.junk'), so the retired-field
+    // projection missed it and the dropped value LEAKED on path reads
+    drop("r19_pdrop")
+    spark.sql("""CREATE TABLE graft.r19_pdrop (
+      k BIGINT, meta STRUCT<fmt: STRING, junk: STRING>,
+      s STRUCT<a: STRUCT<b: BIGINT, c: BIGINT>, z: BIGINT>)
+      TBLPROPERTIES('key'='k')""")
+    spark.sql("""INSERT INTO graft.r19_pdrop VALUES
+      (1, named_struct('fmt', 'f', 'junk', 'SECRET'),
+       named_struct('a', named_struct('b', 7L, 'c', 8L), 'z', 9L))""")
+    spark.sql("ALTER TABLE graft.r19_pdrop DROP COLUMN meta.junk")
+    spark.sql("ALTER TABLE graft.r19_pdrop DROP COLUMN s.a.b")
+    val m = graft.catalog.GraftTableMeta.readLatest(s"$root/r19_pdrop").get
+    assert(m.dropped.contains("meta.junk"), m.dropped.toString)
+    assert(m.dropped.contains("s.a.b"), m.dropped.toString)
+    // the PATH surface projects the retired fields away — no leak
+    val row = VersionedTable.readLatest(spark, s"$root/r19_pdrop")
+    assert(!row.selectExpr("meta.*").columns.contains("junk"),
+      row.schema.treeString)
+    assert(!row.selectExpr("s.a.*").columns.contains("b"),
+      row.schema.treeString)
+    assert(row.selectExpr("s.a.c", "s.z").as[(Long, Long)].head()
+      === ((8L, 9L)))
+    drop("r19_pdrop")
+  }
+
   test("COMMENT reaches element fields; map entries refuse loudly") {
     drop("r19_emisc")
     spark.sql("""CREATE TABLE graft.r19_emisc (
