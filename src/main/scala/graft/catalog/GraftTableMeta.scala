@@ -285,6 +285,15 @@ object ColumnMapping {
             if (ps.length == 1) Some(acc2.mkString("."))
             else f.dataType match {
               case inner: StructType => go(inner, ps.tail, acc2)
+              // the "element" segment is STRUCTURAL (round 19 —
+              // array-element statscols): it passes through verbatim
+              // and the walk continues in the element struct
+              case at: org.apache.spark.sql.types.ArrayType
+                  if ps(1).equalsIgnoreCase("element") &&
+                    at.elementType.isInstanceOf[StructType] =>
+                if (ps.length == 2) None // bare element: not a field
+                else go(at.elementType.asInstanceOf[StructType],
+                  ps.drop(2), acc2 :+ "element")
               case _ => None
             }
         }

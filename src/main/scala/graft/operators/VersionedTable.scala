@@ -914,31 +914,71 @@ object VersionedTable {
       // re-parse it as an extraction) — its stats key collides with
       // the nested grammar, so the pruning rule makes no claim for
       // it, but recording stays lossless rather than silently absent.
-      def typeOf(c: String): Option[(DataType, org.apache.spark.sql.Column)] = {
-        val nested: Option[DataType] =
-          if (!c.contains(".")) None
-          else c.split("\\.").toSeq.foldLeft(
-            Option(batch.schema: DataType)) {
+      // Returns (inner type, per-row LO expr, per-row HI expr): a
+      // scalar path extracts once for both; a path through an ARRAY
+      // ("element" segment, round 19) envelopes per row with
+      // array_min/array_max over the per-element extraction —
+      // `m.element.bytes` records the batch's envelope over ALL
+      // elements, the claim an `exists(m, x -> x.bytes >= k)`
+      // predicate prunes against. One array level (the file_manifest
+      // shape); deeper element nesting makes no claim.
+      def typeOf(c: String):
+          Option[(DataType, org.apache.spark.sql.Column,
+            org.apache.spark.sql.Column)] = {
+        def structWalk(dt: DataType, segs: Seq[String]): Option[DataType] =
+          segs.foldLeft(Option(dt)) {
             case (Some(st: StructType), seg) =>
               st.find(_.name == seg).map(_.dataType)
             case _ => None
           }
-        nested.map(dt => (dt, col(c))).orElse(
-          topOf.get(c).map(dt =>
-            (dt, col(s"`${c.replace("`", "``")}`"))))
+        val parts = c.split("\\.").toSeq
+        val elemAt = parts.indexWhere(_.equalsIgnoreCase("element"))
+        val nested: Option[(DataType, org.apache.spark.sql.Column,
+            org.apache.spark.sql.Column)] =
+          if (!c.contains(".")) None
+          else if (elemAt < 0)
+            structWalk(batch.schema, parts).map(dt => (dt, col(c), col(c)))
+          else {
+            val prefix = parts.take(elemAt)
+            val suffix = parts.drop(elemAt + 1)
+            val viaArray =
+              if (prefix.isEmpty || suffix.isEmpty ||
+                suffix.exists(_.equalsIgnoreCase("element"))) None
+              else structWalk(batch.schema, prefix) match {
+                case Some(at: org.apache.spark.sql.types.ArrayType) =>
+                  structWalk(at.elementType, suffix).map { dt =>
+                    val per = org.apache.spark.sql.functions.transform(
+                      col(prefix.mkString(".")),
+                      x => suffix.foldLeft(x)((e, s) => e.getField(s)))
+                    (dt, org.apache.spark.sql.functions.array_min(per),
+                      org.apache.spark.sql.functions.array_max(per))
+                  }
+                case _ => None
+              }
+            // a STRUCT field literally named "element" keeps the
+            // plain struct-walk semantics (the array form above only
+            // claims genuine arrays)
+            viaArray.orElse(
+              structWalk(batch.schema, parts).map(dt => (dt, col(c), col(c))))
+          }
+        nested.orElse(
+          topOf.get(c).map { dt =>
+            val cc = col(s"`${c.replace("`", "``")}`")
+            (dt, cc, cc)
+          })
       }
       val aggs = statsCols.flatMap { c =>
         typeOf(c) match {
-          case Some((ByteType | ShortType | IntegerType | LongType, cc)) =>
-            Seq(min(cc).cast("long"), max(cc).cast("long"))
-          case Some((DateType, cc)) =>
-            Seq(datediff(min(cc), lit("1970-01-01")).cast("long"),
-              datediff(max(cc), lit("1970-01-01")).cast("long"))
-          case Some((TimestampType, cc)) =>
-            Seq(unix_micros(min(cc)), unix_micros(max(cc)))
+          case Some((ByteType | ShortType | IntegerType | LongType, lo, hi)) =>
+            Seq(min(lo).cast("long"), max(hi).cast("long"))
+          case Some((DateType, lo, hi)) =>
+            Seq(datediff(min(lo), lit("1970-01-01")).cast("long"),
+              datediff(max(hi), lit("1970-01-01")).cast("long"))
+          case Some((TimestampType, lo, hi)) =>
+            Seq(unix_micros(min(lo)), unix_micros(max(hi)))
           case Some((StringType | _: DecimalType | DoubleType | FloatType,
-              cc)) =>
-            Seq(min(cc), max(cc))
+              lo, hi)) =>
+            Seq(min(lo), max(hi))
           case _ => Seq.empty // unsupported/absent: no claim
         }
       }

@@ -206,6 +206,76 @@ object VersionedStatsPruning extends Rule[LogicalPlan] {
     }
   }
 
+  /** `exists(arr, x -> <cmp>(x.field, lit))` — the array-element
+    * range claim (round 19): `statscols = 'arr.element.field'`
+    * records the batch's envelope over ALL elements, and an exists
+    * predicate requires SOME element in range — which is exactly
+    * what [[envAdmits]] tests claim-by-claim (max >= lo for a lower
+    * bound, min <= hi for an upper), so these claims ride the same
+    * bounds map: two exists conjuncts on one field merge to
+    * (max >= lo AND min <= hi), each side answerable by a DIFFERENT
+    * element — never an empty-interval over-prune. One array level,
+    * struct chains below it; anything else makes no claim.
+    */
+  private object ElemCmp {
+    import org.apache.spark.sql.catalyst.expressions.{ArrayExists, LambdaFunction, NamedLambdaVariable}
+    def unapply(e: Expression): Option[(String, Char, Option[Any], Option[Any])] =
+      e match {
+        case ae: ArrayExists => (ae.argument, ae.function) match {
+          case (ColPath(arr), lf: LambdaFunction) =>
+            val lv = lf.arguments.headOption.collect {
+              case v: NamedLambdaVariable => v.exprId
+            }
+            // a GetStructField chain rooted at THE lambda variable
+            object VarPath {
+              def unapply(ex: Expression): Option[String] = ex match {
+                case v: NamedLambdaVariable
+                    if lv.contains(v.exprId) => Some("")
+                case g @ GetStructField(child, ordinal, _) =>
+                  child.dataType match {
+                    case st: org.apache.spark.sql.types.StructType
+                        if !st.fields(ordinal).name.contains(".") =>
+                      unapply(child).map { p =>
+                        if (p.isEmpty) st.fields(ordinal).name
+                        else s"$p.${st.fields(ordinal).name}"
+                      }
+                    case _ => None
+                  }
+                case _ => None
+              }
+            }
+            def key(f: String) = s"$arr.element.$f"
+            lf.function match {
+              case EqualTo(VarPath(f), l: Literal) if f.nonEmpty =>
+                litTagged(l).map { case (t, v) =>
+                  (key(f), t, Some(v), Some(v)) }
+              case EqualTo(l: Literal, VarPath(f)) if f.nonEmpty =>
+                litTagged(l).map { case (t, v) =>
+                  (key(f), t, Some(v), Some(v)) }
+              case GreaterThanOrEqual(VarPath(f), l: Literal) if f.nonEmpty =>
+                litTagged(l).map { case (t, v) => (key(f), t, Some(v), None) }
+              case GreaterThan(VarPath(f), l: Literal) if f.nonEmpty =>
+                litTagged(l).map { case (t, v) => (key(f), t, Some(v), None) }
+              case LessThanOrEqual(VarPath(f), l: Literal) if f.nonEmpty =>
+                litTagged(l).map { case (t, v) => (key(f), t, None, Some(v)) }
+              case LessThan(VarPath(f), l: Literal) if f.nonEmpty =>
+                litTagged(l).map { case (t, v) => (key(f), t, None, Some(v)) }
+              case GreaterThanOrEqual(l: Literal, VarPath(f)) if f.nonEmpty =>
+                litTagged(l).map { case (t, v) => (key(f), t, None, Some(v)) }
+              case GreaterThan(l: Literal, VarPath(f)) if f.nonEmpty =>
+                litTagged(l).map { case (t, v) => (key(f), t, None, Some(v)) }
+              case LessThanOrEqual(l: Literal, VarPath(f)) if f.nonEmpty =>
+                litTagged(l).map { case (t, v) => (key(f), t, Some(v), None) }
+              case LessThan(l: Literal, VarPath(f)) if f.nonEmpty =>
+                litTagged(l).map { case (t, v) => (key(f), t, Some(v), None) }
+              case _ => None
+            }
+          case _ => None
+        }
+        case _ => None
+      }
+  }
+
   /** Per-column required TYPED interval implied by the condition's
     * usable top-level conjuncts (intersection when a column appears
     * more than once). Strict comparisons widen to inclusive —
@@ -257,6 +327,8 @@ object VersionedStatsPruning extends Rule[LogicalPlan] {
           litTagged(l).map { case (t, v) => (c, t, Some(v), None) }
         case LessThan(l: Literal, ColPath(c)) =>
           litTagged(l).map { case (t, v) => (c, t, Some(v), None) }
+        // exists() over an array-element field (round 19)
+        case ElemCmp(c, t, lo, hi) => Some((c, t, lo, hi))
         case _ => None
       }
     bounds.groupBy(_._1).flatMap { case (c, bs) =>

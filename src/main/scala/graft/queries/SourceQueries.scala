@@ -5481,6 +5481,75 @@ object SourceQueries extends QueryRegistry {
                   - (SELECT sum(v) FROM dels) AS BIGINT)
     """.trim))
 
+  /** ARRAY-ELEMENT DATA SKIPPING (round 19, completing the array
+    * arc): `statscols = 'm.element.bytes'` records each batch's
+    * envelope over ALL array elements (per-row array_min/array_max
+    * of the extraction), and the pruning rule maps an
+    * `exists(m, x -> x.bytes >= k)` predicate — "experiments with
+    * ANY file over k bytes", the reference's file_manifest query
+    * shape — onto that envelope: exists needs SOME element in range,
+    * which is exactly what the envelope answers. Four quartile-
+    * disjoint commits; the probe's `pruned_dirs` plan leg must read
+    * 2 of 4 batch dirs before any footer opens, and the content leg
+    * pins the answer unchanged.
+    */
+  val q343 = GraftQuery(
+    "q343_array_element_stats_skip",
+    (s, d) => {
+      import graft.operators.VersionedTable
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val table = s"q343_docs_$sfx"
+      val path = graftCatalog(s).tablePath(Seq(table))
+      Tables.orders(s, d).createOrReplaceTempView("q343_base")
+      val m = s.sql("SELECT max(o_orderkey) FROM q343_base")
+        .collect().head.getLong(0)
+      if (!VersionedTable.latestVersion(path).exists(_ >= 4L)) {
+        s.sql(s"DROP TABLE IF EXISTS graft.$table")
+        s.sql(s"""CREATE TABLE graft.$table (
+          k BIGINT, m ARRAY<STRUCT<fmt: STRING, bytes: BIGINT>>)
+          TBLPROPERTIES('key'='k', 'statscols'='m.element.bytes')""")
+        (0 until 4).foreach { b =>
+          val lo = m / 4 * b
+          val hiCond =
+            if (b == 3) "" else s"AND o_orderkey < ${m / 4 * (b + 1)}"
+          s.sql(s"""
+            INSERT INTO graft.$table
+            SELECT o_orderkey,
+                   array(named_struct('fmt', o_orderstatus,
+                           'bytes', o_orderkey),
+                         named_struct('fmt', 'aux', 'bytes', o_orderkey))
+            FROM q343_base WHERE o_orderkey >= $lo $hiCond""")
+        }
+      }
+      val half = m / 4 * 2
+      val q = s.table(s"graft.$table")
+        .filter(expr(s"exists(m, x -> x.bytes >= $half)"))
+      val dirs = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.size
+            case _ => 0
+          }
+      }.sum
+      q.agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(expr(
+          "aggregate(m, CAST(0 AS BIGINT), (acc, x) -> acc + x.bytes)"))
+          .cast("long").as("sum_bytes"))
+        .select(lit("content").as("leg"), col("n_rows"), col("sum_bytes"))
+        .unionAll(s.range(1).select(lit("pruned_dirs").as("leg"),
+          lit(dirs.toLong).as("n_rows"), lit(0L).as("sum_bytes")))
+    },
+    Some("""
+      WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+      half AS (SELECT (mx // 4) * 2 AS h FROM m)
+      SELECT 'content' AS leg, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(2 * sum(o_orderkey) AS BIGINT) AS sum_bytes
+      FROM orders WHERE o_orderkey >= (SELECT h FROM half)
+      UNION ALL
+      SELECT 'pruned_dirs', CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+    """.trim))
+
   def all: Seq[GraftQuery] = Seq(q16, q27, q85, q86, q115, q140, q259, q260,
     q261, q263, q264, q265, q267, q268, q269, q275, q276, q278, q280, q281,
     q282, q283, q284, q285, q286, q288, q289, q290, q291, q292, q293, q294,
@@ -5488,5 +5557,5 @@ object SourceQueries extends QueryRegistry {
     q307, q308, q309, q310, q311, q312, q313, q314, q315, q316, q317, q318,
     q319, q320, q321, q322, q323, q324, q325, q326, q327, q328, q329,
     q330, q331, q332, q333, q334, q335, q336, q337, q338, q339, q340,
-    q341, q342)
+    q341, q342, q343)
 }
