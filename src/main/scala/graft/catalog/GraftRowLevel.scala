@@ -270,12 +270,12 @@ class GraftDeltaBatchWrite(path: String, snapshot: Long,
         val sp = new Path(stage)
         val f = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         keyProj.write.mode("overwrite").parquet(stage)
+        f.mkdirs(new Path(s"$path/data/$tombDir"))
         val renamed = f.listStatus(sp).map(_.getPath)
           .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
           .zipWithIndex.map { case (src, i) =>
             val name = s"ukeys-$i-${src.getName}"
             val dst = new Path(s"$path/data/$tombDir/$name")
-            f.mkdirs(dst.getParent)
             if (!f.rename(src, dst))
               throw new java.io.IOException(
                 s"graft delta write: rename $src -> $dst failed")

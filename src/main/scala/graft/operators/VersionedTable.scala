@@ -150,10 +150,7 @@ object VersionedTable {
         val m = base ++ listed.collect {
           case (v, _) if v > floor => v
         }.flatMap { v =>
-          try Some(v -> rawManifestLines(path, v)
-            .find(_.startsWith("#ts="))
-            .flatMap(l =>
-              scala.util.Try(l.stripPrefix("#ts=").toLong).toOption))
+          try Some(v -> commitTimeMillisUnsafe(path, v))
           catch {
             case scala.util.control.NonFatal(_) => failed = true; None
           }
@@ -189,9 +186,17 @@ object VersionedTable {
     * clock). Raw read: torn/protocol checks don't gate a clock probe.
     */
   def commitTimeMillis(path: String, version: Long): Option[Long] =
-    try rawManifestLines(path, version).find(_.startsWith("#ts="))
-      .flatMap(l => scala.util.Try(l.stripPrefix("#ts=").toLong).toOption)
+    try commitTimeMillisUnsafe(path, version)
     catch { case scala.util.control.NonFatal(_) => None }
+
+  /** [[commitTimeMillis]] that PROPAGATES read failures — the memo
+    * scan in [[versionAtTime]] must distinguish "no stamp" (cacheable
+    * forever) from "could not read" (must not cache).
+    */
+  private def commitTimeMillisUnsafe(path: String,
+      version: Long): Option[Long] =
+    rawManifestLines(path, version).find(_.startsWith("#ts="))
+      .flatMap(l => scala.util.Try(l.stripPrefix("#ts=").toLong).toOption)
 
   private def committedVersions(path: String): Seq[Long] = {
     val (f, p) = fs(path)
@@ -922,15 +927,43 @@ object VersionedTable {
       // elements, the claim an `exists(m, x -> x.bytes >= k)`
       // predicate prunes against. One array level (the file_manifest
       // shape); deeper element nesting makes no claim.
+      def structWalk(dt: DataType, segs: Seq[String]): Option[DataType] =
+        segs.foldLeft(Option(dt)) {
+          case (Some(st: StructType), seg) =>
+            st.find(_.name == seg).map(_.dataType)
+          case _ => None
+        }
+      // whether the ARRAY branch claims this spec (prefix resolves to
+      // an array whose element struct carries the suffix)
+      def arraySplit(c: String): Option[(Seq[String], Seq[String])] = {
+        val parts = c.split("\\.").toSeq
+        val elemAt = parts.indexWhere(_.equalsIgnoreCase("element"))
+        if (elemAt < 0) None
+        else {
+          val prefix = parts.take(elemAt)
+          val suffix = parts.drop(elemAt + 1)
+          if (prefix.isEmpty || suffix.isEmpty ||
+            suffix.exists(_.equalsIgnoreCase("element"))) None
+          else structWalk(batch.schema, prefix) match {
+            case Some(at: org.apache.spark.sql.types.ArrayType)
+                if structWalk(at.elementType, suffix).isDefined =>
+              Some((prefix, suffix))
+            case _ => None
+          }
+        }
+      }
+      // the key the pruning rule derives spells the structural
+      // segment lowercase — record under the same canonical spelling
+      // (a mixed-case 'Element' spec would otherwise record stats
+      // that can never prune)
+      def canonKey(c: String): String = arraySplit(c) match {
+        case Some((prefix, suffix)) =>
+          (prefix ++ Seq("element") ++ suffix).mkString(".")
+        case None => c
+      }
       def typeOf(c: String):
           Option[(DataType, org.apache.spark.sql.Column,
             org.apache.spark.sql.Column)] = {
-        def structWalk(dt: DataType, segs: Seq[String]): Option[DataType] =
-          segs.foldLeft(Option(dt)) {
-            case (Some(st: StructType), seg) =>
-              st.find(_.name == seg).map(_.dataType)
-            case _ => None
-          }
         val parts = c.split("\\.").toSeq
         val elemAt = parts.indexWhere(_.equalsIgnoreCase("element"))
         val nested: Option[(DataType, org.apache.spark.sql.Column,
@@ -939,12 +972,8 @@ object VersionedTable {
           else if (elemAt < 0)
             structWalk(batch.schema, parts).map(dt => (dt, col(c), col(c)))
           else {
-            val prefix = parts.take(elemAt)
-            val suffix = parts.drop(elemAt + 1)
-            val viaArray =
-              if (prefix.isEmpty || suffix.isEmpty ||
-                suffix.exists(_.equalsIgnoreCase("element"))) None
-              else structWalk(batch.schema, prefix) match {
+            val viaArray = arraySplit(c).flatMap { case (prefix, suffix) =>
+              structWalk(batch.schema, prefix) match {
                 case Some(at: org.apache.spark.sql.types.ArrayType) =>
                   structWalk(at.elementType, suffix).map { dt =>
                     val per = org.apache.spark.sql.functions.transform(
@@ -955,6 +984,7 @@ object VersionedTable {
                   }
                 case _ => None
               }
+            }
             // a STRUCT field literally named "element" keeps the
             // plain struct-walk semantics (the array form above only
             // claims genuine arrays)
@@ -997,7 +1027,7 @@ object VersionedTable {
                 case TimestampType => "@t:"
                 case _ => ""
               }
-              Some(s";$c:$tag${row.getLong(lo)}:${row.getLong(hi)}")
+              Some(s";${canonKey(c)}:$tag${row.getLong(lo)}:${row.getLong(hi)}")
             }
           case Some(StringType) =>
             val (lo, hi) = (i, i + 1); i += 2
@@ -1008,12 +1038,12 @@ object VersionedTable {
               val mxEnc =
                 if (mx.length <= StringStatsPrefixChars) hexEncode(mx)
                 else "*"
-              Some(s";$c:@s:$mnEnc:$mxEnc")
+              Some(s";${canonKey(c)}:@s:$mnEnc:$mxEnc")
             }
           case Some(_: DecimalType) =>
             val (lo, hi) = (i, i + 1); i += 2
             if (row.isNullAt(lo) || row.isNullAt(hi)) None
-            else Some(s";$c:@m:${row.getDecimal(lo).toPlainString}" +
+            else Some(s";${canonKey(c)}:@m:${row.getDecimal(lo).toPlainString}" +
               s":${row.getDecimal(hi).toPlainString}")
           case Some(DoubleType | FloatType) =>
             val (lo, hi) = (i, i + 1); i += 2
@@ -1022,7 +1052,7 @@ object VersionedTable {
               case f: java.lang.Float => f.doubleValue
             }
             if (row.isNullAt(lo) || row.isNullAt(hi)) None
-            else Some(s";$c:@f:${get(lo)}:${get(hi)}")
+            else Some(s";${canonKey(c)}:@f:${get(lo)}:${get(hi)}")
           case _ => None
         }
       }.mkString
@@ -2843,12 +2873,21 @@ object VersionedTable {
           // the position-scoped view just before this tombstone, at
           // THIS commit — the rows it actually deleted
           asView(cur.take(idx)).map { pre =>
-            val viewTypes = pre.schema
-            val keys = rawKeys.select(keyCols.map { c =>
-              viewTypes.find(_.name.equalsIgnoreCase(c))
-                .map(f => col(c).cast(f.dataType).as(c))
-                .getOrElse(col(c))
-            }: _*)
+            // only the EXPLICIT (widened) schema may cast the stored
+            // key types — there the cast is lossless by the matrix
+            // that admitted the widening. The plain feed keeps join
+            // coercion (both sides widen UP): casting down to a
+            // narrow preimage type could wrap and fabricate matches.
+            val keys = explicit match {
+              case Some(_) =>
+                val viewTypes = pre.schema
+                rawKeys.select(keyCols.map { c =>
+                  viewTypes.find(_.name.equalsIgnoreCase(c))
+                    .map(f => col(c).cast(f.dataType).as(c))
+                    .getOrElse(col(c))
+                }: _*)
+              case None => rawKeys
+            }
             pre.join(keys.distinct(), keyCols, "left_semi")
               .withColumn("_change_type", lit("delete"))
           }
