@@ -47,11 +47,19 @@ object Dedup {
       n: Int, threshold: Double, maxDf: Int = 1000): DataFrame = {
     // cache: the shingle arrays feed both the posting-list build and
     // the size lookup; without the boundary the split/slice transform
-    // runs twice over the corpus
-    val sh = docs.select(col(idCol).as("id"),
-      T.shingles(col(textCol), n).as("sh"))
+    // runs twice over the corpus. spread: the tokenize+shingle pass is
+    // the expensive per-row stage — it must not run on a single-split
+    // scan; materialize: three downstream stages fan out of this cache
+    // concurrently under AQE (Par scaladoc). The emptiness guard sits
+    // ABOVE the cache: below it, Catalyst alias-substitutes and pushes
+    // the filter under the spread exchange, recomputing the shingle
+    // transform single-task on the narrow scan (measured plan).
+    val sh = Par.materialize(
+      Par.spread(docs.select(col(idCol).as("id"), col(textCol).as("txt")),
+          col("id"))
+        .select(col("id"), T.shingles(col("txt"), n).as("sh"))
+        .cache())
       .filter(size(col("sh")) > 0)
-      .cache()
     // group each shingle's sorted posting list once, then emit the
     // per-shingle id pairs directly — one shuffle (on shingle) plus
     // the pair-count aggregation, instead of a self-equi-join whose
@@ -104,10 +112,13 @@ object Dedup {
     */
   def ngramJaccardPrefixPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      T.shingles(col(textCol), n).as("sh"))
+    // spread + materialize + guard-above-cache: see ngramJaccardPairs
+    val sh = Par.materialize(
+      Par.spread(docs.select(col(idCol).as("id"), col(textCol).as("txt")),
+          col("id"))
+        .select(col("id"), T.shingles(col("txt"), n).as("sh"))
+        .cache())
       .filter(size(col("sh")) > 0)
-      .cache()
     // Document frequencies come from a COUNT aggregate over the
     // exploded corpus — never a collected posting array: a boilerplate
     // stop-shingle shared by ~1M docs would make one multi-MB
@@ -173,10 +184,13 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDf: Int = 1000): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      T.shingles(col(textCol), n).as("sh"))
+    // spread + materialize + guard-above-cache: see ngramJaccardPairs
+    val sh = Par.materialize(
+      Par.spread(docs.select(col(idCol).as("id"), col(textCol).as("txt")),
+          col("id"))
+        .select(col("id"), T.shingles(col("txt"), n).as("sh"))
+        .cache())
       .filter(size(col("sh")) > 0)
-      .cache()
     val postings = sh.select(col("id"), explode(col("sh")).as("s"))
       .groupBy(col("s")).agg(sort_array(array_distinct(collect_list(col("id")))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -219,13 +233,26 @@ object Dedup {
     * use and the hash runs k times per row (at cluster scale: write
     * the signature stage to a table instead).
     */
+  private def minhashStage(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    // spread + materialize + guard-above-cache: see ngramJaccardPairs.
+    // Returns the CACHED, unfiltered stage — callers owning the cache
+    // lifecycle (the store writers) unpersist THIS frame; everything
+    // else consumes the filtered view via minhashHashed.
+    Par.materialize(
+      Par.spread(docs.select(col(idCol).as("id"), col(textCol).as("txt")),
+          col("id"))
+        .select(col("id"), T.shingles(col("txt"), n).as("sh"))
+        .withColumn("xi",
+          graft.expressions.HashFunctions.md5_int_array32(col("sh")))
+        .cache())
+
+  private def emptyShGuard(stage: DataFrame): DataFrame =
+    stage.filter(size(col("sh")) > 0)
+
   private def minhashHashed(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    docs.select(col(idCol).as("id"), T.shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("xi",
-        graft.expressions.HashFunctions.md5_int_array32(col("sh")))
-      .cache()
+    emptyShGuard(minhashStage(docs, idCol, textCol, n))
 
   /** (id, band_idx, band_key) rows from a hashed signature stage. */
   private def minhashBanded(hashed: DataFrame, bands: Int,
@@ -274,10 +301,10 @@ object Dedup {
     // the exchange across the a/b aliases and shuffles twice. The
     // hot-band count aggregate and its anti-join are both keyed on the
     // cached partitioning, so the cap adds no exchange.
-    val banded = sig.select(col("id"),
+    val banded = Par.materialize(sig.select(col("id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_key")))
       .repartition(col("band_idx"), col("band_key"))
-      .cache()
+      .cache())
     val kept = antiJoinHotBands(banded, maxBandDf)
     val cand = kept.as("a")
       .join(kept.as("b"),
@@ -428,12 +455,15 @@ object Dedup {
       n: Int, bands: Int, rowsPerBand: Int, path: String): Unit = {
     // invalidate first: a crash mid-overwrite must leave NO valid marker
     markerDelete(path)
-    val hashed = minhashHashed(corpus, idCol, textCol, n)
+    // unpersist must target the CACHED stage (Dataset.unpersist on a
+    // derived view is a silent no-op)
+    val stage = minhashStage(corpus, idCol, textCol, n)
+    val hashed = emptyShGuard(stage)
     hashed.select(col("id"), col("sh"))
       .write.mode("overwrite").parquet(s"$path/shingles")
     minhashBanded(hashed, bands, rowsPerBand)
       .write.mode("overwrite").parquet(s"$path/bands")
-    hashed.unpersist(false)
+    stage.unpersist(false)
     // both tables committed: publish the store-level marker + params
     markerWrite(path, storeParams(n, bands, rowsPerBand))
   }
@@ -453,12 +483,14 @@ object Dedup {
     require(signatureStoreComplete(path, n, bands, rowsPerBand),
       s"signature store at $path is incomplete or was built with different " +
         s"parameters than (${storeParams(n, bands, rowsPerBand)}) — refusing to append")
-    val hashed = minhashHashed(newDocs, idCol, textCol, n)
+    // unpersist must target the CACHED stage (see signatureStoreWrite)
+    val stage = minhashStage(newDocs, idCol, textCol, n)
+    val hashed = emptyShGuard(stage)
     hashed.select(col("id"), col("sh"))
       .write.mode("append").parquet(s"$path/shingles")
     minhashBanded(hashed, bands, rowsPerBand)
       .write.mode("append").parquet(s"$path/bands")
-    hashed.unpersist(false)
+    stage.unpersist(false)
   }
 
   /** [[minhashLshPairsAcross]] against a persisted signature store:
@@ -523,19 +555,26 @@ object Dedup {
     */
   def winnowedFingerprints(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, window: Int = 4): DataFrame = {
-    val words = T.tokens(col(textCol))
+    val words = T.tokens(col("txt"))
     val grams = when(size(words) >= n,
       transform(sequence(lit(1), size(words) - (n - 1)),
         i => array_join(slice(words, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
-    docs.select(col(idCol).as("doc_id"),
+    // spread: the gram hash is the expensive per-row stage (Par
+    // scaladoc). No emptiness filter: a filter here would be pushed
+    // below the spread exchange, recomputing the gram hash single-task
+    // on the narrow scan; instead gramless docs map to an EMPTY window
+    // array, which explode drops — identical row set.
+    Par.spread(docs.select(col(idCol).as("doc_id"), col(textCol).as("txt")),
+        col("doc_id"))
+      .select(col("doc_id"),
         graft.expressions.HashFunctions.md5_int_array32(grams).as("xi"))
-      .filter(size(col("xi")) > 0)
       .select(col("doc_id"),
         explode(when(size(col("xi")) >= window,
           transform(sequence(lit(1), size(col("xi")) - (window - 1)),
             i => array_min(slice(col("xi"), i, lit(window)))))
-          .otherwise(array(array_min(col("xi"))))).as("fp"))
+          .when(size(col("xi")) > 0, array(array_min(col("xi"))))
+          .otherwise(array().cast("array<long>"))).as("fp"))
       .distinct()
   }
 
@@ -561,15 +600,20 @@ object Dedup {
     */
   private def simhashFingerprints(docs: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
-    val hashed = docs
-      .select(col(idCol).as("id"),
-        graft.expressions.HashFunctions.md5_int_array60(
-          T.shingles(col(textCol), n)).as("xi"))
-      .filter(size(col("xi")) > 0)
-      .withColumn("counts", T.simhashBitCounts(col("xi")))
-      .withColumn("total", size(col("xi")))
-      .drop("xi")
-      .cache()
+    // spread + materialize + guard-above-cache: see ngramJaccardPairs
+    // (empty xi yields zero counts / total 0 — filtered above the
+    // cache, never consumed)
+    val hashed = Par.materialize(
+      Par.spread(docs.select(col(idCol).as("id"), col(textCol).as("txt")),
+          col("id"))
+        .select(col("id"),
+          graft.expressions.HashFunctions.md5_int_array60(
+            T.shingles(col("txt"), n)).as("xi"))
+        .withColumn("counts", T.simhashBitCounts(col("xi")))
+        .withColumn("total", size(col("xi")))
+        .drop("xi")
+        .cache())
+      .filter(col("total") > 0)
     hashed.select(col("id"),
       T.simhashFromCounts(col("counts"), col("total")).as("fp"))
   }
@@ -594,6 +638,7 @@ object Dedup {
       }: _*)).as(Seq("chunk_idx", "chunk_val")))
       .repartition(col("chunk_idx"), col("chunk_val"))
       .cache()
+    Par.materialize(chunked)
     // hamming filter BEFORE distinct: the chunk join emits O(docs per
     // chunk-value squared) candidate rows (5-bit chunks -> 32 values,
     // so millions at sf0.1); bit_count(xor) is codegen-cheap per row,
@@ -645,6 +690,7 @@ object Dedup {
       }: _*)).as(Seq("chunk_idx", "chunk_val")))
       .repartition(col("chunk_idx"), col("chunk_val"))
       .cache()
+    Par.materialize(chunked)
     val masks = docs.sparkSession.range(1L << w)
       .filter(bit_count(col("id")) <= subR)
       .select(col("id").as("mask"))
@@ -882,15 +928,21 @@ object Dedup {
     */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
-    val words = T.tokens(col(textCol))
+    val words = T.tokens(col("txt"))
     val grams = when(size(words) >= k,
       transform(sequence(lit(1), size(words) - (k - 1)),
         i => array_join(slice(words, i, lit(k)), " ")))
       .otherwise(array().cast("array<string>"))
-    val occ = docs
-      .select(col(idCol).as("doc_id"), size(words).cast("long").as("n_tokens"),
+    // spread: gram hashing is the expensive per-row stage (Par scaladoc)
+    val occ = Par.spread(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("txt")),
+        col("doc_id"))
+      .select(col("doc_id"), size(words).cast("long").as("n_tokens"),
         graft.expressions.HashFunctions.md5_int_array32(grams).as("ghs"))
-      .filter(size(col("ghs")) > 0)
+      // no emptiness filter (it would be pushed below the spread
+      // exchange and recompute the gram hash single-task on the
+      // narrow scan): posexplode of an empty array drops the row —
+      // identical row set
       .select(col("doc_id"), col("n_tokens"),
         posexplode(col("ghs")).as(Seq("s", "gh")))
     val dupGrams = occ.groupBy(col("gh"))
@@ -999,8 +1051,14 @@ object Dedup {
     val cand = a.join(b, "g")
       .filter(col("r2") - col("r1") >= 1 && col("r2") - col("r1") <= w - 1)
       .select(col("id1"), col("id2"), (col("r2") - col("r1")).as("rank_dist"))
-    val sh = docs.select(col(idCol).cast("long").as("id"),
-      T.shingles(col(textCol), n).as("sh"))
+    // spread + cache + materialize + guard-above-cache: the shingle
+    // build feeds BOTH verify joins — uncached it ran twice, on a
+    // single-split scan each time (Par / ngramJaccardPairs scaladoc)
+    val sh = Par.materialize(
+      Par.spread(docs.select(col(idCol).cast("long").as("id"),
+          col(textCol).as("txt")), col("id"))
+        .select(col("id"), T.shingles(col("txt"), n).as("sh"))
+        .cache())
       .filter(size(col("sh")) > 0)
     cand
       .join(sh.as("x"), col("id1") === col("x.id"))
@@ -1019,10 +1077,16 @@ object Dedup {
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     // norms precomputed once per vector (cached), not once per pair:
-    // identical doubles, O(n) instead of O(n^2) norm work
-    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("nrm", V.norm(col("v")))
-      .cache()
+    // identical doubles, O(n) instead of O(n^2) norm work.
+    // spread: the O(n^2) pair verify parallelizes over the STREAM
+    // side's partitions — a single-split scan would run it one-core
+    // (Par scaladoc); materialize: both join sides fan out of this
+    // cache concurrently.
+    val e = Par.materialize(
+      Par.spread(emb.select(col(idCol).as("id"), col(vecCol).as("v")),
+          col("id"))
+        .withColumn("nrm", V.norm(col("v")))
+        .cache())
     e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
       .withColumn("cosine",
         round(V.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 4))
