@@ -80,8 +80,14 @@ object Curation {
     */
   def noveltyScore(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-      explode(T.shingles(col(textCol), n)).as("sh"))
+    // spread + cache + materialize (r19): the shingle explode is the
+    // expensive per-row stage over a possibly single-split scan, and
+    // it feeds BOTH the df aggregate and the join back (Par scaladoc)
+    val sh = Par.materialize(
+      Par.spread(docs.select(col(idCol).as("doc_id"), col(textCol).as("txt")),
+          col("doc_id"))
+        .select(col("doc_id"), explode(T.shingles(col("txt"), n)).as("sh"))
+        .cache())
     val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     sh.join(df, "sh")
       .groupBy(col("doc_id"))
@@ -93,9 +99,14 @@ object Curation {
 
   def vocabularyOverlap(docs: DataFrame, groupCol: String, textCol: String,
       n: Int = 3): DataFrame = {
-    val inc = docs.select(col(groupCol).as("g"),
-        explode(T.shingles(col(textCol), n)).as("term"))
-      .distinct()
+    // spread + cache + materialize (r19): see noveltyScore — here the
+    // incidence set feeds the vocab aggregate AND both self-join sides
+    val inc = Par.materialize(
+      Par.spread(docs.select(col(groupCol).as("g"), col(textCol).as("txt")),
+          col("txt"))
+        .select(col("g"), explode(T.shingles(col("txt"), n)).as("term"))
+        .distinct()
+        .cache())
     val vocab = inc.groupBy(col("g")).agg(count(lit(1)).as("v"))
     inc.as("a").join(inc.as("b"),
         col("a.term") === col("b.term") && col("a.g") < col("b.g"))

@@ -31,9 +31,13 @@ object Decontamination {
       .select(explode(T.shingles(col(textCol), n)).as("sg"))
       .distinct()
     // shingles() emits distinct n-grams per doc, so a plain count of
-    // join matches IS the distinct-shared-shingle count
-    val hits = corpus
-      .select(col(idCol).as("doc_id"), explode(T.shingles(col(textCol), n)).as("sg"))
+    // join matches IS the distinct-shared-shingle count.
+    // spread (r19, Par scaladoc): the corpus-side shingle explode must
+    // not run on a single-split scan
+    val hits = Par.spread(
+        corpus.select(col(idCol).as("doc_id"), col(textCol).as("txt")),
+        col("doc_id"))
+      .select(col("doc_id"), explode(T.shingles(col("txt"), n)).as("sg"))
       .join(broadcast(evalShingles), Seq("sg"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))

@@ -41,9 +41,12 @@ object ImportanceResampling {
     */
   def bucketLogRatios(docs: DataFrame, textCol: String,
       isTarget: Column, buckets: Int): DataFrame = {
-    val tok = docs
-      .select(isTarget.as("is_target"),
-        explode(T.tokens(col(textCol))).as("t"))
+    // spread (r19, Par scaladoc): tokenize + per-token md5 must not
+    // run on a single-split scan
+    val tok = Par.spread(
+        docs.select(isTarget.as("is_target"), col(textCol).as("txt")),
+        col("txt"))
+      .select(col("is_target"), explode(T.tokens(col("txt"))).as("t"))
       .withColumn("b", pmod(T.md5Int32(col("t")), lit(buckets.toLong)))
     val counts = tok.groupBy(col("b"))
       .agg(count(lit(1)).as("c_s"),
@@ -70,8 +73,9 @@ object ImportanceResampling {
       isTarget: Column, buckets: Int, k: Int): DataFrame = {
     val lr = bucketLogRatios(docs, textCol, isTarget, buckets)
       .select(col("b"), col("lr_e6"))
-    docs.select(col(idCol).as("doc_id"),
-        explode(T.tokens(col(textCol))).as("t"))
+    Par.spread(docs.select(col(idCol).as("doc_id"), col(textCol).as("txt")),
+        col("doc_id"))
+      .select(col("doc_id"), explode(T.tokens(col("txt"))).as("t"))
       .withColumn("b", pmod(T.md5Int32(col("t")), lit(buckets.toLong)))
       .join(broadcast(lr), Seq("b"))
       .groupBy(col("doc_id"))

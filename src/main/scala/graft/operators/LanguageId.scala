@@ -104,15 +104,22 @@ object LanguageId {
     */
   def classify(docs: DataFrame, idCol: String, textCol: String,
       profiles: DataFrame, topK: Int, ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
-    val docGrams = docs
-      .select(col(idCol).as("id"),
-        explode(charGrams(col(textCol), ns)).as("g"))
-      .groupBy(col("id"), col("g"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("rd", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("cnt").desc, col("g").asc)))
-      .filter(col("rd") <= topK)
-      .select(col("id"), col("g"), col("rd"))
+    // spread: the char-gram explode is the expensive per-row stage
+    // (Par scaladoc — a single-split scan would run it one-core);
+    // cache + materialize: docGrams feeds BOTH the totals aggregate
+    // and the profile join — uncached, the explode + groupBy + window
+    // pipeline ran twice
+    val docGrams = Par.materialize(
+      Par.spread(docs.select(col(idCol).as("id"), col(textCol).as("txt")),
+          col("id"))
+        .select(col("id"), explode(charGrams(col("txt"), ns)).as("g"))
+        .groupBy(col("id"), col("g"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rd", row_number().over(
+          Window.partitionBy(col("id")).orderBy(col("cnt").desc, col("g").asc)))
+        .filter(col("rd") <= topK)
+        .select(col("id"), col("g"), col("rd"))
+        .cache())
     val docTotals = docGrams.groupBy(col("id"))
       .agg(count(lit(1)).as("n_grams"))
     val matched = docGrams

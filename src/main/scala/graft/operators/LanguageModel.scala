@@ -24,16 +24,30 @@ object LanguageModel {
     * fewer than two tokens produce no bigrams and are dropped.
     */
   def bigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = T.tokens(col(textCol))
-    val bg = docs.filter(size(words) >= 2)
-      .select(col(idCol).as("doc_id"), explode(transform(
-        sequence(lit(1), size(words) - 1),
-        i => struct(element_at(words, i).as("w1"),
-          element_at(words, i + 1).as("w2")))).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val ws = col("ws")
+    // spread + cache + materialize (r19, Par scaladoc): the bigram
+    // explode feeds the bigram count, the unigram count AND the score
+    // join — uncached it ran three times on a single-split scan. The
+    // under-2-tokens guard became an empty-array branch (a filter here
+    // would be pushed below the spread exchange and re-tokenize
+    // single-task); explode of an empty array drops the row, so the
+    // row set is unchanged.
+    val bg = Par.materialize(
+      Par.spread(docs.select(col(idCol).as("doc_id"), col(textCol).as("txt")),
+          col("doc_id"))
+        .select(col("doc_id"), T.tokens(col("txt")).as("ws"))
+        .select(col("doc_id"), explode(when(size(ws) >= 2,
+            transform(sequence(lit(1), size(ws) - 1),
+              i => struct(element_at(ws, i).as("w1"),
+                element_at(ws, i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .cache())
     val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
     val cu = bg.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
-    val v = docs.select(explode(words).as("t"))
+    val v = Par.spread(docs.select(col(textCol).as("txt")), col("txt"))
+      .select(explode(T.tokens(col("txt"))).as("t"))
       .agg(countDistinct(col("t")).as("v"))
     // score each DISTINCT bigram once (all inputs vocabulary-bounded),
     // then join the big per-doc bigram stream a single time against

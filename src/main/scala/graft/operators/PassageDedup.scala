@@ -26,17 +26,28 @@ object PassageDedup {
     */
   def dedupPassages(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 16): DataFrame = {
-    val words = T.tokens(col(textCol))
+    // spread + cache + materialize (r19, Par scaladoc): the chunk
+    // explode feeds first-occurrence, join-back AND totals — it ran
+    // three times on a single-split scan. The emptiness guard became
+    // an empty-array branch (a filter is pushed below the spread
+    // exchange and re-tokenizes single-task); posexplode of an empty
+    // array drops the row — identical row set.
+    val words = col("ws")
     val nChunks = floor((size(words).cast("double") + (window - 1)) / window)
       .cast("long")
-    val chunks = docs.filter(size(words) > 0)
-      .select(col(idCol).as("doc_id"),
-        posexplode(transform(
-          sequence(lit(0L), nChunks - 1),
-          i => array_join(
-            slice(words, (i * window + 1).cast("int"), lit(window)), " "))))
-      .withColumnRenamed("pos", "idx")
-      .withColumnRenamed("col", "passage")
+    val chunks = Par.materialize(
+      Par.spread(docs.select(col(idCol).as("doc_id"), col(textCol).as("txt")),
+          col("doc_id"))
+        .select(col("doc_id"), T.tokens(col("txt")).as("ws"))
+        .select(col("doc_id"),
+          posexplode(when(size(words) > 0, transform(
+              sequence(lit(0L), nChunks - 1),
+              i => array_join(
+                slice(words, (i * window + 1).cast("int"), lit(window)), " ")))
+            .otherwise(array().cast("array<string>"))))
+        .withColumnRenamed("pos", "idx")
+        .withColumnRenamed("col", "passage")
+        .cache())
     // first occurrence via min(struct) — an associative aggregate, so
     // partial aggregation combines map-side and a passage duplicated
     // a billion times reaches the reducer as one row per map task. (A
@@ -78,17 +89,24 @@ object PassageDedup {
     */
   def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 4, minDf: Int = 3): DataFrame = {
-    val words = T.tokens(col(textCol))
+    // spread + cache + materialize + explode-drops-empties: see
+    // dedupPassages (r19)
+    val words = col("ws")
     val nChunks = floor((size(words).cast("double") + (window - 1)) / window)
       .cast("long")
-    val chunks = docs.filter(size(words) > 0)
-      .select(col(idCol).as("doc_id"),
-        posexplode(transform(
-          sequence(lit(0L), nChunks - 1),
-          i => array_join(
-            slice(words, (i * window + 1).cast("int"), lit(window)), " "))))
-      .withColumnRenamed("pos", "idx")
-      .withColumnRenamed("col", "passage")
+    val chunks = Par.materialize(
+      Par.spread(docs.select(col(idCol).as("doc_id"), col(textCol).as("txt")),
+          col("doc_id"))
+        .select(col("doc_id"), T.tokens(col("txt")).as("ws"))
+        .select(col("doc_id"),
+          posexplode(when(size(words) > 0, transform(
+              sequence(lit(0L), nChunks - 1),
+              i => array_join(
+                slice(words, (i * window + 1).cast("int"), lit(window)), " ")))
+            .otherwise(array().cast("array<string>"))))
+        .withColumnRenamed("pos", "idx")
+        .withColumnRenamed("col", "passage")
+        .cache())
     val boilerplate = chunks.select(col("passage"), col("doc_id")).distinct()
       .groupBy(col("passage")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)

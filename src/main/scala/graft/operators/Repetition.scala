@@ -16,13 +16,18 @@ import graft.functions.{QualityFunctions => Q, TextFunctions => T}
   */
 object Repetition {
 
-  /** Raw (non-distinct) n-grams of the whitespace tokens. */
-  private def grams(textCol: String, n: Int) = {
-    val words = T.tokens(col(textCol))
-    explode(transform(
-      sequence(lit(1), size(words) - (n - 1)),
-      i => array_join(slice(words, i, lit(n)), " ")))
-  }
+  /** Raw (non-distinct) n-grams of a materialized token-array column.
+    * Documents shorter than n map to an EMPTY array, which explode
+    * drops — the r19 replacement for a size filter that Catalyst
+    * would push below the spread exchange (re-tokenizing single-task
+    * on the narrow scan; see Par scaladoc).
+    */
+  private def gramsOf(ws: org.apache.spark.sql.Column, n: Int) =
+    explode(when(size(ws) >= n,
+      transform(
+        sequence(lit(1), size(ws) - (n - 1)),
+        i => array_join(slice(ws, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>")))
 
   /** Per-document repetition profile:
     *  - top_bigram_frac: occurrences of the most frequent bigram over
@@ -33,15 +38,22 @@ object Repetition {
     */
   def repetitionProfile(docs: DataFrame, idCol: String, textCol: String,
       maxTopBigram: Double = 0.2, maxDupTrigram: Double = 0.3): DataFrame = {
-    val words = T.tokens(col(textCol))
-    val c2 = docs.filter(size(words) >= 2)
-      .select(col(idCol).as("doc_id"), grams(textCol, 2).as("g"))
+    // spread + cache + materialize (r19, Par scaladoc): ONE tokenize
+    // pass shared by the bigram and trigram passes (it ran twice, on
+    // a single-split scan each time)
+    val tokd = Par.materialize(
+      Par.spread(docs.select(col(idCol).as("doc_id"), col(textCol).as("txt")),
+          col("doc_id"))
+        .select(col("doc_id"), T.tokens(col("txt")).as("ws"))
+        .cache())
+    val c2 = tokd
+      .select(col("doc_id"), gramsOf(col("ws"), 2).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
     val top2 = c2.groupBy(col("doc_id"))
       .agg(Q.floor4(max(col("c")).cast("double") / sum(col("c")).cast("double"))
         .as("top_bigram_frac"))
-    val c3 = docs.filter(size(words) >= 3)
-      .select(col(idCol).as("doc_id"), grams(textCol, 3).as("g"))
+    val c3 = tokd
+      .select(col("doc_id"), gramsOf(col("ws"), 3).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
     val dup3 = c3.groupBy(col("doc_id"))
       .agg(Q.floor4(

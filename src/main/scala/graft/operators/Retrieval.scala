@@ -32,8 +32,14 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
-      tokensOf(col(textCol)).as("ts"))
+    // spread + cache + materialize (r19, Par scaladoc): ONE tokenize
+    // pass feeds doc lengths, corpus stats and the tf stream (it ran
+    // per consumer, on a single-split scan each time)
+    val tok = Par.materialize(
+      Par.spread(docs.select(col(idCol).as("doc_id"), col(textCol).as("txt")),
+          col("doc_id"))
+        .select(col("doc_id"), tokensOf(col("txt")).as("ts"))
+        .cache())
     val dl = tok.select(col("doc_id"), size(col("ts")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       avg(col("dl").cast("double")).as("avgdl"))
@@ -113,8 +119,12 @@ object Retrieval {
     */
   def invertedIndexWrite(docs: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int = 16): Unit = {
-    val tok = docs.select(col(idCol).as("doc_id"),
-      tokensOf(col(textCol)).as("ts"))
+    // spread + cache + materialize: see bm25TopK (r19)
+    val tok = Par.materialize(
+      Par.spread(docs.select(col(idCol).as("doc_id"), col(textCol).as("txt")),
+          col("doc_id"))
+        .select(col("doc_id"), tokensOf(col("txt")).as("ts"))
+        .cache())
     val dl = tok.select(col("doc_id"), size(col("ts")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       avg(col("dl").cast("double")).as("avgdl"))
@@ -126,6 +136,7 @@ object Retrieval {
       .withColumn("bucket", termBucket(col("term"), nBuckets))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path + "/postings")
+    tok.unpersist(false)
   }
 
   /** BM25 search over the written index: identical output to

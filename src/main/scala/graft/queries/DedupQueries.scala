@@ -520,11 +520,18 @@ object DedupQueries extends QueryRegistry {
   val q67 = GraftQuery(
     "q67_source_overlap",
     (s, d) => {
-      val ps = Tables.documents(s, d)
-        .select(col("source"), explode(T.shingles(col("text"), 3)).as("sg"))
-        .distinct()
-        .repartition(col("sg"))
-        .cache()
+      // spread + materialize (r19): the shingle explode must not run
+      // on the single-split scan, and both self-join sides fan out of
+      // the cache concurrently (Par scaladoc)
+      val ps = graft.operators.Par.materialize(
+        graft.operators.Par.spread(
+            Tables.documents(s, d)
+              .select(col("doc_id"), col("source"), col("text")),
+            col("doc_id"))
+          .select(col("source"), explode(T.shingles(col("text"), 3)).as("sg"))
+          .distinct()
+          .repartition(col("sg"))
+          .cache())
       ps.as("a")
         .join(ps.as("b"),
           col("a.sg") === col("b.sg") && col("a.source") < col("b.source"))
@@ -800,10 +807,21 @@ object DedupQueries extends QueryRegistry {
     (s, d) => {
       import graft.functions.{QualityFunctions => Q}
       val docs = Tables.documents(s, d)
-      val kept1 = docs
-        .filter(Q.charEntropy(col("text")) >= 3.95)
+      // spread + cache-then-filter (r19): the char-entropy gate is the
+      // expensive per-row stage — computed below a cache it runs
+      // single-task on the narrow scan (and Catalyst pushes a direct
+      // filter under the spread exchange); cached as a column, the
+      // gate is a cheap predicate over the materialized cache, which
+      // the downstream fan-out (fingerprints + survivor join + mix)
+      // reads concurrently (Par scaladoc)
+      val kept1 = graft.operators.Par.materialize(
+          graft.operators.Par.spread(
+              docs.select(col("doc_id"), col("source"), col("text")),
+              col("doc_id"))
+            .withColumn("h", Q.charEntropy(col("text")))
+            .cache())
+        .filter(col("h") >= 3.95)
         .select(col("doc_id"), col("source"), col("text"))
-        .cache()
       val fps = Dedup.winnowedFingerprints(kept1, "doc_id", "text")
       val dropped = fps.groupBy(col("fp"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -1198,10 +1216,16 @@ object DedupQueries extends QueryRegistry {
     (s, d) => {
       import graft.functions.{QualityFunctions => Q, TextFunctions => T}
       val docs = Tables.documents(s, d)
-      val kept1 = docs
-        .filter(Q.charEntropy(col("text")) >= 3.95)
+      // spread + cache-then-filter: see q120 (r19)
+      val kept1 = graft.operators.Par.materialize(
+          graft.operators.Par.spread(
+              docs.select(col("doc_id"), col("source"), col("lang"),
+                col("text")),
+              col("doc_id"))
+            .withColumn("h", Q.charEntropy(col("text")))
+            .cache())
+        .filter(col("h") >= 3.95)
         .select(col("doc_id"), col("source"), col("lang"), col("text"))
-        .cache()
       // exact dedup: min-id canonical per full-text hash
       val canon = kept1.groupBy(md5(col("text")).as("th"))
         .agg(min(col("doc_id")).as("doc_id"))
@@ -1282,8 +1306,11 @@ object DedupQueries extends QueryRegistry {
     (s, d) => {
       import graft.operators.Sampling
       val docsDf = Tables.documents(s, d)
-      val pairs = Dedup.ngramJaccardPairs(docsDf, "doc_id", "text",
-        n = 3, threshold = 0.5).cache()
+      // materialize (r19): the pair graph feeds components + BOTH
+      // audits — three concurrent AQE consumers raced to build it
+      val pairs = graft.operators.Par.materialize(
+        Dedup.ngramJaccardPairs(docsDf, "doc_id", "text",
+          n = 3, threshold = 0.5).cache())
       val comps = Dedup.connectedComponents(pairs, "id1", "id2")
       val safe = Sampling.leakageSafeSplit(docsDf, "doc_id", comps,
         trainBp = 8000L, valBp = 1000L)

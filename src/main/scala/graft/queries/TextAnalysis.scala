@@ -1413,19 +1413,27 @@ object TextAnalysis extends QueryRegistry {
       // consumed twice (size + qualityScore are non-cheap), which
       // keeps CollapseProject from inlining the split — and the
       // scrub regex chain — into every consumer.
-      val base = docs.join(
-          pred.filter(col("pred_lang") === "en").select(col("id")),
-          docs("doc_id") === col("id"))
-        .select(col("doc_id"),
-          size(T.tokens(col("text"))).cast("long").as("nt_raw"),
-          Privacy.piiRedact(col("text")).as("scrubbed"))
-        .select(col("doc_id"), col("nt_raw"),
-          md5(col("scrubbed")).as("fp"),
-          T.tokens(col("scrubbed")).as("toks"))
-        .select(col("doc_id"), col("nt_raw"), col("fp"),
-          size(col("toks")).cast("long").as("nt_scr"),
-          Q.qualityScore(col("toks")).as("q"))
-        .cache()
+      // spread (r19): the scrub-regex + tokenize + score pipeline is
+      // the expensive per-row stage and the docs side of the join is a
+      // single-split scan — pred broadcasts, so the join output keeps
+      // the docs partitioning; materialize: four stage aggregates plus
+      // the dedup join fan out of this cache concurrently (Par scaladoc)
+      val base = graft.operators.Par.materialize(
+        graft.operators.Par.spread(
+            docs.select(col("doc_id"), col("text")), col("doc_id"))
+          .join(
+            pred.filter(col("pred_lang") === "en").select(col("id")),
+            col("doc_id") === col("id"))
+          .select(col("doc_id"),
+            size(T.tokens(col("text"))).cast("long").as("nt_raw"),
+            Privacy.piiRedact(col("text")).as("scrubbed"))
+          .select(col("doc_id"), col("nt_raw"),
+            md5(col("scrubbed")).as("fp"),
+            T.tokens(col("scrubbed")).as("toks"))
+          .select(col("doc_id"), col("nt_raw"), col("fp"),
+            size(col("toks")).cast("long").as("nt_scr"),
+            Q.qualityScore(col("toks")).as("q"))
+          .cache())
       val canon = base.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       val deduped = base.join(canon, Seq("fp", "doc_id"))
       val gated = deduped.filter(col("q") >= 0.72)
