@@ -99,7 +99,10 @@ object Multimodal {
   def syntheticClips(ids: DataFrame): Dataset[MediaClip] = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+    // spread (r19, Par scaladoc): the PNG encode (and every decode
+    // downstream of it) must not run on a single-split scan
+    Par.spread(ids.select(col("doc_id").cast("long").as("doc_id")),
+        col("doc_id")).as[Long].mapPartitions { it =>
       ImageIO.setUseCache(false) // in-memory streams; no temp-file churn
       it.map { id =>
         val (w, h, nf) = clipDims(id)
@@ -264,7 +267,9 @@ object Multimodal {
   def syntheticWavs(ids: DataFrame): Dataset[AudioClip] = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.select(col("doc_id").cast("long")).as[Long]
+    // spread (r19): see syntheticClips
+    Par.spread(ids.select(col("doc_id").cast("long").as("doc_id")),
+        col("doc_id")).as[Long]
       .map(id => AudioClip(id, encodeWav(id)))
   }
 
@@ -387,6 +392,7 @@ object Multimodal {
           .as(Seq("chunk_idx", "chunk_val")))
       .repartition(col("chunk_idx"), col("chunk_val"))
       .cache()
+    Par.materialize(chunked)
     val hamming = chunkCols.map(c =>
       bit_count(col(s"a.$c").bitwiseXOR(col(s"b.$c"))))
       .reduce(_ + _)
@@ -415,8 +421,9 @@ object Multimodal {
     * chunks) — no cross join; output is intersection-bounded.
     */
   def clipNearDupPairs(hashes: DataFrame, minSharedBp: Long): DataFrame = {
-    val h = hashes.select(col("doc_id"), col("c0"), col("c1"), col("c2"),
-      col("c3")).distinct().cache()
+    val h = Par.materialize(
+      hashes.select(col("doc_id"), col("c0"), col("c1"), col("c2"),
+        col("c3")).distinct().cache())
     val sizes = h.groupBy(col("doc_id")).agg(count(lit(1)).as("n_hashes"))
     val shared = h.as("a")
       .join(h.as("b"),

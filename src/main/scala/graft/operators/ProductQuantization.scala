@@ -31,7 +31,10 @@ object ProductQuantization {
   /** (id, sub, sv): the corpus exploded into m subvector rows. */
   private[graft] def subspaces(corpus: DataFrame, idCol: String,
       vecCol: String, m: Int, subDim: Int): DataFrame =
-    corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // spread (r19, Par scaladoc): the m-way subvector explode must not
+    // run on a single-split scan
+    Par.spread(corpus.select(col(idCol).as("id"), col(vecCol).as("v")),
+        col("id"))
       .select(col("id"), explode(transform(
         sequence(lit(0L), lit(m - 1L)),
         j => struct(j.as("sub"),
@@ -58,7 +61,8 @@ object ProductQuantization {
     */
   def trainCodebooks(spark: SparkSession, corpus: DataFrame, idCol: String,
       vecCol: String, m: Int, k: Int, subDim: Int, iters: Int): DataFrame = {
-    val cs = subspaces(corpus, idCol, vecCol, m, subDim).cache()
+    val cs = Par.materialize(
+      subspaces(corpus, idCol, vecCol, m, subDim).cache())
     // BOUNDED window: ranks only the k seed rows selected by
     // limit(k) below — k-sized, never the corpus
     val seedW = Window.orderBy(col("id"))
@@ -121,7 +125,8 @@ object ProductQuantization {
       vecCol: String, m: Int, k: Int, subDim: Int, iters: Int,
       queryId: Long, topK: Int): DataFrame = {
     val cb = trainCodebooks(spark, corpus, idCol, vecCol, m, k, subDim, iters)
-    val cs = subspaces(corpus, idCol, vecCol, m, subDim).cache()
+    val cs = Par.materialize(
+      subspaces(corpus, idCol, vecCol, m, subDim).cache())
     val enc = assignCodes(cs, cb).select(col("id"), col("sub"), col("code"))
     val qSub = cs.filter(col("id") === queryId)
       .select(col("sub"), transform(col("sv"), x => x.cast("double")).as("qv"))

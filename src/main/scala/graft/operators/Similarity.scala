@@ -22,7 +22,12 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // spread (r19, Par scaladoc): the broadcast join parallelizes over
+    // the STREAM (corpus) side's partitions — a single-split scan
+    // would run every query x corpus cosine on one core
+    val c = Par.spread(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      col("neighbor_id"))
     val scored = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(V.cosine(col("qv"), col("cv")), 4))
     val w = Window.partitionBy(col("query_id"))
@@ -40,7 +45,10 @@ object Similarity {
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String,
       centroidIdCol: String, centroidVecCol: String): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // spread (r19): the per-(vector, centroid) distance grid runs on
+    // the corpus side's partitions (Par scaladoc)
+    val c = Par.spread(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v")), col("id"))
     val cent = centroids.select(col(centroidIdCol).as("centroid_id"),
       col(centroidVecCol).as("cv"))
     val scored = c.join(broadcast(cent))
@@ -123,10 +131,11 @@ object Similarity {
       centroidIdCol: String, centroidVecCol: String, path: String,
       targetRowsPerFile: Long, mode: String,
       extra: Option[DataFrame] = None): Unit = {
-    val assign = ivfAssign(corpus, centroids, idCol, vecCol,
-        centroidIdCol, centroidVecCol)
-      .select(col("id"), col("cluster_id"))
-      .cache()
+    val assign = Par.materialize(
+      ivfAssign(corpus, centroids, idCol, vecCol,
+          centroidIdCol, centroidVecCol)
+        .select(col("id"), col("cluster_id"))
+        .cache())
     // optional per-id payload columns (e.g. PQ codes) stored alongside
     // the vector inside the partitioned layout
     val extraCols = extra.toSeq.flatMap(_.columns).filterNot(_ == "id")
@@ -721,12 +730,15 @@ object Similarity {
       idCol: String, vecCol: String,
       centroidIdCol: String, centroidVecCol: String,
       threshold: Double): DataFrame = {
-    val members = ivfAssign(corpus, centroids, idCol, vecCol,
-        centroidIdCol, centroidVecCol)
-      .select(col("id"), col("cluster_id"))
-      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), Seq("id"))
-      .repartition(col("cluster_id"))
-      .cache()
+    // materialize (r19): the members cache feeds both self-join sides
+    // and the final keep projection (Par scaladoc)
+    val members = Par.materialize(
+      ivfAssign(corpus, centroids, idCol, vecCol,
+          centroidIdCol, centroidVecCol)
+        .select(col("id"), col("cluster_id"))
+        .join(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), Seq("id"))
+        .repartition(col("cluster_id"))
+        .cache())
     val dropped = members.as("a")
       .join(members.as("b"),
         col("a.cluster_id") === col("b.cluster_id") &&
@@ -743,10 +755,15 @@ object Similarity {
   def lshBucketedPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int, tables: Int, dim: Int = 64): DataFrame = {
     val hps = lshHyperplanes(tables, bits, dim)
-    // cache: v + norm feed the key projection and both verify joins
-    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("nrm", V.norm(col("v")))
-      .cache()
+    // cache: v + norm feed the key projection and both verify joins.
+    // spread + materialize (r19, Par scaladoc): the per-vector norm +
+    // number-of-tables hyperplane dots must not run on a single-split
+    // scan, and three consumers fan out of this cache concurrently
+    val e = Par.materialize(
+      Par.spread(emb.select(col(idCol).as("id"), col(vecCol).as("v")),
+          col("id"))
+        .withColumn("nrm", V.norm(col("v")))
+        .cache())
     val keyCols = hps.map { tableHp =>
       tableHp.zipWithIndex.map { case (h, k) =>
         val hv = array(h.map(lit): _*)
@@ -755,10 +772,10 @@ object Similarity {
     }
     // pre-partitioned + cached: both self-join sides reuse one shuffle
     // (Catalyst does not reuse exchanges across self-join aliases)
-    val keyed = e.select(col("id"),
+    val keyed = Par.materialize(e.select(col("id"),
       posexplode(array(keyCols: _*)).as(Seq("table_idx", "bucket")))
       .repartition(col("table_idx"), col("bucket"))
-      .cache()
+      .cache())
     val cand = keyed.as("a")
       .join(keyed.as("b"),
         col("a.table_idx") === col("b.table_idx") &&
@@ -789,9 +806,12 @@ object Similarity {
       bits: Int, tables: Int, dim: Int = 64): DataFrame = {
     val hps = lshHyperplanes(tables, bits, dim)
     def prep(df: DataFrame, name: String): DataFrame =
-      df.select(col(idCol).as(name), col(vecCol).as(s"v_$name"))
-        .withColumn(s"nrm_$name", V.norm(col(s"v_$name")))
-        .cache()
+      // spread + materialize (r19): see lshBucketedPairs
+      Par.materialize(
+        Par.spread(df.select(col(idCol).as(name), col(vecCol).as(s"v_$name")),
+            col(name))
+          .withColumn(s"nrm_$name", V.norm(col(s"v_$name")))
+          .cache())
     def keyed(df: DataFrame, name: String): DataFrame = {
       val keyCols = hps.map { tableHp =>
         tableHp.zipWithIndex.map { case (h, k) =>
