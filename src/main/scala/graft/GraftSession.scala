@@ -22,6 +22,15 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // coalesce floor below the parallelism-first byte target:
+      // compute-dense stages over SMALL byte footprints (array columns
+      // expand at eval time — shingle-array verify joins, vector
+      // grids) were coalesced to a handful of tasks by the default
+      // 1 MB floor while 32 cores idled (q82's verify stage: 12 tasks
+      // over ~12 MB). At cluster scale the floor never binds — the
+      // parallelismFirst target (input bytes / default parallelism)
+      // is orders of magnitude above 64 KB on any real input.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64kb")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

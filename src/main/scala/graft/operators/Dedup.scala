@@ -234,25 +234,30 @@ object Dedup {
     * the signature stage to a table instead).
     */
   private def minhashStage(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
+      n: Int, corpusSized: Boolean = true): DataFrame = {
     // spread + materialize + guard-above-cache: see ngramJaccardPairs.
     // Returns the CACHED, unfiltered stage — callers owning the cache
     // lifecycle (the store writers) unpersist THIS frame; everything
     // else consumes the filtered view via minhashHashed.
-    Par.materialize(
-      Par.spread(docs.select(col(idCol).as("id"), col(textCol).as("txt")),
-          col("id"))
-        .select(col("id"), T.shingles(col("txt"), n).as("sh"))
-        .withColumn("xi",
-          graft.expressions.HashFunctions.md5_int_array32(col("sh")))
-        .cache())
+    // corpusSized=false is the incremental/micro-batch leg: a spread
+    // exchange + eager count on a dozen-row ingest batch is pure
+    // per-batch overhead (measured +2 s on the streaming store dedup),
+    // so batch-sized inputs keep the plain lazy cache.
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("txt"))
+    val stage = (if (corpusSized) Par.spread(base, col("id")) else base)
+      .select(col("id"), T.shingles(col("txt"), n).as("sh"))
+      .withColumn("xi",
+        graft.expressions.HashFunctions.md5_int_array32(col("sh")))
+      .cache()
+    if (corpusSized) Par.materialize(stage) else stage
+  }
 
   private def emptyShGuard(stage: DataFrame): DataFrame =
     stage.filter(size(col("sh")) > 0)
 
   private def minhashHashed(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
-    emptyShGuard(minhashStage(docs, idCol, textCol, n))
+      n: Int, corpusSized: Boolean = true): DataFrame =
+    emptyShGuard(minhashStage(docs, idCol, textCol, n, corpusSized))
 
   /** (id, band_idx, band_key) rows from a hashed signature stage. */
   private def minhashBanded(hashed: DataFrame, bands: Int,
@@ -484,7 +489,7 @@ object Dedup {
       s"signature store at $path is incomplete or was built with different " +
         s"parameters than (${storeParams(n, bands, rowsPerBand)}) — refusing to append")
     // unpersist must target the CACHED stage (see signatureStoreWrite)
-    val stage = minhashStage(newDocs, idCol, textCol, n)
+    val stage = minhashStage(newDocs, idCol, textCol, n, corpusSized = false)
     val hashed = emptyShGuard(stage)
     hashed.select(col("id"), col("sh"))
       .write.mode("append").parquet(s"$path/shingles")
@@ -513,7 +518,8 @@ object Dedup {
       maxBandDf: Int = 1000,
       broadcastMaxBandRows: Long = 4000000L): DataFrame = {
     val spark = newDocs.sparkSession
-    val hashedNew = minhashHashed(newDocs, idCol, textCol, n)
+    val hashedNew = minhashHashed(newDocs, idCol, textCol, n,
+      corpusSized = false)
     val newSide = maybeBroadcastBatch(
       minhashBanded(hashedNew, bands, rowsPerBand)
         .withColumnRenamed("id", "new_id"),

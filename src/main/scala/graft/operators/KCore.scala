@@ -30,8 +30,11 @@ object KCore {
       k: Int, rounds: Int): DataFrame = {
     val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
-    val und = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
-      .distinct().cache()
+    // materialize (r19, Par scaladoc): every peel round's two
+    // semi-joins fan out of this cache concurrently
+    val und = Par.materialize(
+      e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
+        .distinct().cache())
     var alive = und.select(col("a").as("node")).distinct()
     for (_ <- 1 to rounds) {
       alive = und

@@ -36,8 +36,12 @@ object PageRank {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       damping: Double = 0.85, iters: Int = 5,
       redistributeDanglingMass: Boolean = false): DataFrame = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().cache()
+    // materialize (r19, Par scaladoc): e feeds BOTH union branches of
+    // nodes plus deg and every round's join — the node-count action
+    // otherwise races two concurrent builds of the edge cache
+    val e = Par.materialize(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .distinct().cache())
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
     val n = nodes.count().toDouble // bounded: one scalar, not a row set
@@ -81,10 +85,12 @@ object PageRank {
     */
   def weightedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, damping: Double = 0.85, iters: Int = 5): DataFrame = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-        col(weightCol).cast("long").as("w"))
-      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
-      .cache()
+    // materialize: see pageRank (r19)
+    val e = Par.materialize(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+          col(weightCol).cast("long").as("w"))
+        .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+        .cache())
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
     val n = nodes.count().toDouble
@@ -121,8 +127,10 @@ object PageRank {
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String,
       damping: Double = 0.85, iters: Int = 5): DataFrame = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().cache()
+    // materialize: see pageRank (r19)
+    val e = Par.materialize(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .distinct().cache())
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
     val seedNodes = seeds.select(col(seedCol).as("node")).distinct()

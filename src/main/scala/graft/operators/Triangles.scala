@@ -57,6 +57,7 @@ object Triangles {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .distinct()
       .cache()
+      .transform(Par.materialize) // r19: degree + both orient joins fan out
 
   /** (degree table, per-node triangle counts) from canonical edges. */
   private def countsFromCanon(canon: DataFrame): (DataFrame, DataFrame) = {
@@ -76,6 +77,7 @@ object Triangles {
         when(lower, col("b")).otherwise(col("a")).as("v"),
         when(lower, col("db")).otherwise(col("da")).as("dv"))
       .cache()
+      .transform(Par.materialize) // r19: wedge sides + closing join fan out
     // wedges: ordered out-neighbor pairs of a common pivot; the closing
     // edge {v1, v2}, if present, is oriented v1 -> v2 by construction
     val wedges = oriented.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
