@@ -58,17 +58,27 @@ object PageRank {
         .select(col("dst").as("node"),
           (col("rank") / col("outdeg")).as("m"))
         .groupBy(col("node")).agg(sum(col("m")).as("in_mass"))
-      // one scalar per round: the rank mass parked on sink nodes
-      val danglingShare =
-        if (!redistributeDanglingMass) 0.0
-        else pr.join(dangling, Seq("node"), "left_semi")
-          .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0) / n
-      pr = nodes.join(inMass, Seq("node"), "left")
-        .select(col("node"),
-          (lit((1 - damping) / n) +
-            lit(damping) * (coalesce(col("in_mass"), lit(0.0)) +
-              lit(danglingShare))).as("rank"))
-        .localCheckpoint(true)
+      // the rank mass parked on sink nodes rides the round's ONE
+      // checkpoint job as a broadcast 1-row aggregate (r19): a separate
+      // .head() action per round doubled the loop's job count for a
+      // value the plan can carry itself. Same arithmetic, same doubles.
+      val next =
+        if (!redistributeDanglingMass)
+          nodes.join(inMass, Seq("node"), "left")
+            .select(col("node"),
+              (lit((1 - damping) / n) +
+                lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
+        else {
+          val dm = pr.join(dangling, Seq("node"), "left_semi")
+            .agg((coalesce(sum(col("rank")), lit(0.0)) / n).as("__dshare"))
+          nodes.join(inMass, Seq("node"), "left")
+            .crossJoin(broadcast(dm))
+            .select(col("node"),
+              (lit((1 - damping) / n) +
+                lit(damping) * (coalesce(col("in_mass"), lit(0.0)) +
+                  col("__dshare"))).as("rank"))
+        }
+      pr = next.localCheckpoint(true)
     }
     pr.select(col("node"), round(col("rank") * 1e8).cast("long").as("rank_e8"))
   }
@@ -154,13 +164,16 @@ object PageRank {
         .select(col("dst").as("node"),
           (col("rank") / col("outdeg")).as("m"))
         .groupBy(col("node")).agg(sum(col("m")).as("in_mass"))
+      // dangling mass rides the checkpoint job as a broadcast 1-row
+      // aggregate — see pageRank (r19)
       val dm = pr.join(dangling, Seq("node"), "left_semi")
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
       pr = base.join(inMass, Seq("node"), "left")
+        .crossJoin(broadcast(dm))
         .select(col("node"),
           (lit(1 - damping) * col("p") +
             lit(damping) * (coalesce(col("in_mass"), lit(0.0)) +
-              lit(dm) * col("p"))).as("rank"))
+              col("__dm") * col("p"))).as("rank"))
         .localCheckpoint(true)
     }
     pr.select(col("node"), round(col("rank") * 1e8).cast("long").as("rank_e8"))

@@ -57,7 +57,11 @@ object Triangles {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .distinct()
       .cache()
-      .transform(Par.materialize) // r19: degree + both orient joins fan out
+      // r19 note: an eager materialize here and on `oriented` was
+      // MEASURED NEGATIVE (q133 2.12->2.52, q177 1.27->2.05 across all
+      // bench passes): the cache builds are cheap shuffles of tiny
+      // canonical edges, so the extra blocking job costs more than the
+      // AQE fan-out race it prevents. Reverted; the lazy cache stands.
 
   /** (degree table, per-node triangle counts) from canonical edges. */
   private def countsFromCanon(canon: DataFrame): (DataFrame, DataFrame) = {
@@ -76,8 +80,7 @@ object Triangles {
         when(lower, col("a")).otherwise(col("b")).as("u"),
         when(lower, col("b")).otherwise(col("a")).as("v"),
         when(lower, col("db")).otherwise(col("da")).as("dv"))
-      .cache()
-      .transform(Par.materialize) // r19: wedge sides + closing join fan out
+      .cache() // lazy by measurement — see canonEdges note (r19)
     // wedges: ordered out-neighbor pairs of a common pivot; the closing
     // edge {v1, v2}, if present, is oriented v1 -> v2 by construction
     val wedges = oriented.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))

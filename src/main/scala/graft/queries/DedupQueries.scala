@@ -1110,11 +1110,16 @@ object DedupQueries extends QueryRegistry {
     "q217_lsh_recall_audit",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.5).select(col("id1"), col("id2"))
-      val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
-        n = 3, bands = 4, rowsPerBand = 4, threshold = 0.5)
-        .select(col("id1"), col("id2"))
+      // cache + materialize (r19, Par scaladoc): each pair set feeds
+      // its own count, the semi join AND the anti join — three
+      // concurrent consumers re-ran the full posting-join pipeline
+      val exact = graft.operators.Par.materialize(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.5).select(col("id1"), col("id2")).cache())
+      val lsh = graft.operators.Par.materialize(
+        Dedup.minhashLshPairs(docs, "doc_id", "text",
+          n = 3, bands = 4, rowsPerBand = 4, threshold = 0.5)
+          .select(col("id1"), col("id2")).cache())
       val common = exact.join(lsh, Seq("id1", "id2"), "left_semi")
       val extra = lsh.join(exact, Seq("id1", "id2"), "left_anti")
       exact.agg(count(lit(1)).as("n_exact"))
