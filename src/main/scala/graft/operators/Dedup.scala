@@ -734,10 +734,17 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, id1Col: String, id2Col: String,
       maxIterations: Int = 50): DataFrame = {
-    val edges = pairs.select(col(id1Col).as("src"), col(id2Col).as("dst"))
-      .union(pairs.select(col(id2Col).as("src"), col(id1Col).as("dst")))
+    // cache the pair input for the two union branches (r19): the
+    // eager checkpoint otherwise re-runs the caller's whole pair
+    // pipeline once per branch; dropped as soon as the checkpoint
+    // materializes
+    val p = Par.materialize(
+      pairs.select(col(id1Col).as("p1"), col(id2Col).as("p2")).cache())
+    val edges = p.select(col("p1").as("src"), col("p2").as("dst"))
+      .union(p.select(col("p2").as("src"), col("p1").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    p.unpersist(false)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
@@ -787,14 +794,19 @@ object Dedup {
     */
   def connectedComponentsLargeStarWithRounds(pairs: DataFrame, id1Col: String,
       id2Col: String, maxIterations: Int = 25): (DataFrame, Int) = {
-    val vertices = pairs.select(col(id1Col).as("id"))
-      .union(pairs.select(col(id2Col).as("id"))).distinct()
+    // cache the pair input across the vertices + edges checkpoints
+    // (r19): four consumptions of the caller's pair pipeline otherwise
+    val p = Par.materialize(
+      pairs.select(col(id1Col).as("p1"), col(id2Col).as("p2")).cache())
+    val vertices = p.select(col("p1").as("id"))
+      .union(p.select(col("p2").as("id"))).distinct()
       .localCheckpoint(true)
-    var edges = pairs
-      .select(greatest(col(id1Col), col(id2Col)).as("h"),
-        least(col(id1Col), col(id2Col)).as("l"))
+    var edges = p
+      .select(greatest(col("p1"), col("p2")).as("h"),
+        least(col("p1"), col("p2")).as("l"))
       .filter(col("h") =!= col("l")).distinct()
       .localCheckpoint(true)
+    p.unpersist(false)
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
