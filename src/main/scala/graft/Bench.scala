@@ -51,7 +51,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+    // per-cpus default filename: the driver's low-cpu scaling sweep
+    // previously clobbered the main run's full record (r19: the 32-cpu
+    // per-query record survived only in builder-side captures)
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      s"BENCH_FULL_c$cpus.json")
     val loadBefore = loadAvg()
     val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "3.0").toDouble
     val contaminated = loadBefore > maxLoad

@@ -30,7 +30,9 @@ object GraftSession {
       // over ~12 MB). At cluster scale the floor never binds — the
       // parallelismFirst target (input bytes / default parallelism)
       // is orders of magnitude above 64 KB on any real input.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64kb")
+      // parameterised (A/B-able without a rebuild): SPARK_GRAFT_AQE_MIN_PARTITION
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64kb"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1036,13 +1036,33 @@ object Dedup {
       textCol: String, n: Int, window: Int, threshold: Double,
       sortKeys: Seq[Column], numPartitions: Int = 0): DataFrame = {
     require(sortKeys.nonEmpty, "at least one blocking key required")
+    // ONE shared shingle cache for every pass (r20): the verify-side
+    // shingles are key-independent, but each pass built and eagerly
+    // materialized its own identical cache — N tokenize passes + N
+    // materialization jobs for N blocking keys (guide §1.2: don't
+    // compute things twice)
+    val sh = snmShingles(docs, idCol, textCol, n)
     sortKeys.map(k => sortedNeighborhoodPairsByKey(docs, idCol, textCol, n,
-        window, threshold, k, numPartitions))
+        window, threshold, k, numPartitions, prebuiltShingles = Some(sh)))
       .reduce(_ unionAll _)
       .groupBy(col("id1"), col("id2"))
       .agg(min(col("rank_dist")).as("rank_dist"),
         min(col("jaccard")).as("jaccard"))
   }
+
+  /** The SNM verify-side shingle cache: spread + cache + materialize +
+    * emptiness guard ABOVE the cache (see sortedNeighborhoodPairsByKey
+    * — below the cache, Catalyst pushes the filter under the exchange
+    * and recomputes single-task).
+    */
+  private def snmShingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    Par.materialize(
+      Par.spread(docs.select(col(idCol).cast("long").as("id"),
+          col(textCol).as("txt")), col("id"))
+        .select(col("id"), T.shingles(col("txt"), n).as("sh"))
+        .cache())
+      .filter(size(col("sh")) > 0)
 
   /** [[sortedNeighborhoodPairs]] with an explicit blocking-key
     * expression — the key IS the pass (prefix, reversed suffix,
@@ -1051,7 +1071,8 @@ object Dedup {
     */
   def sortedNeighborhoodPairsByKey(docs: DataFrame, idCol: String,
       textCol: String, n: Int, window: Int, threshold: Double,
-      sortKey: Column, numPartitions: Int = 0): DataFrame = {
+      sortKey: Column, numPartitions: Int = 0,
+      prebuiltShingles: Option[DataFrame] = None): DataFrame = {
     require(window >= 2, s"window must cover at least adjacent rows, got $window")
     val keyed = docs.select(col(idCol).cast("long").as("id"),
       sortKey.as("skey"))
@@ -1071,13 +1092,9 @@ object Dedup {
       .select(col("id1"), col("id2"), (col("r2") - col("r1")).as("rank_dist"))
     // spread + cache + materialize + guard-above-cache: the shingle
     // build feeds BOTH verify joins — uncached it ran twice, on a
-    // single-split scan each time (Par / ngramJaccardPairs scaladoc)
-    val sh = Par.materialize(
-      Par.spread(docs.select(col(idCol).cast("long").as("id"),
-          col(textCol).as("txt")), col("id"))
-        .select(col("id"), T.shingles(col("txt"), n).as("sh"))
-        .cache())
-      .filter(size(col("sh")) > 0)
+    // single-split scan each time (Par / ngramJaccardPairs scaladoc).
+    // Multi-pass callers pass ONE prebuilt cache for all passes (r20).
+    val sh = prebuiltShingles.getOrElse(snmShingles(docs, idCol, textCol, n))
     cand
       .join(sh.as("x"), col("id1") === col("x.id"))
       .join(sh.as("y"), col("id2") === col("y.id"))

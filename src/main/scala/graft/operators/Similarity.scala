@@ -479,96 +479,144 @@ object Similarity {
   def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nprobe: Int, shortlistN: Int,
-      residual: Boolean = false): DataFrame = {
+      residual: Boolean = false): DataFrame =
+    ivfPqTopKSweep(spark, path, queries, idCol, vecCol, k,
+      Seq((nprobe, shortlistN)), residual).head
+
+  /** (m, subDim) of a committed store, parsed from the params marker
+    * (zero Spark jobs), falling back to a 1-row codebook aggregate for
+    * marker-less stores. The geometry read was one driver-side job per
+    * SEARCH (guide §5: driver actions in query paths) — the recall
+    * audits run 5-6 searches per query, each paying it again for the
+    * same store.
+    */
+  private def pqGeometry(path: String, cb: DataFrame): (Int, Int) = {
+    val fromMarker = Dedup.markerRead(path).flatMap { s =>
+      val kv = s.trim.split(",").iterator.filter(_.contains("="))
+        .map { p => val a = p.split("=", 2); a(0).trim -> a(1).trim }.toMap
+      try for (m <- kv.get("m").map(_.toInt);
+               sd <- kv.get("subDim").map(_.toInt)) yield (m, sd)
+      catch { case _: NumberFormatException => None }
+    }
+    fromMarker.getOrElse {
+      val geo = cb.agg(max(col("sub")).as("ms"),
+        max(size(col("cv"))).as("sd")).head()
+      (geo.getLong(0).toInt + 1, geo.getInt(1))
+    }
+  }
+
+  /** [[ivfPqTopK]] at SEVERAL (nprobe, shortlistN) operating points
+    * over one store and query set — the recall-audit shape (q235/
+    * q244/q274). Per-setting results are identical to independent
+    * ivfPqTopK calls (same plan tail per setting), but the fixed
+    * driver work is paid ONCE for the whole sweep instead of per
+    * setting: one geometry read (from the marker — usually no job at
+    * all) and ONE probe-ranking collect at max(nprobe), from which
+    * every setting's probed-directory set is derived on the driver
+    * (cluster c is probed at nprobe=np iff some query ranks c within
+    * np, i.e. min-over-queries rank <= np). Before: 2 serial driver
+    * jobs per setting; after: <=1 for the sweep (guide §5).
+    */
+  def ivfPqTopKSweep(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, settings: Seq[(Int, Int)],
+      residual: Boolean = false): Seq[DataFrame] = {
+    require(settings.nonEmpty, "at least one (nprobe, shortlistN) setting")
     val cb = spark.read.parquet(s"$path/codebook")
-    val geo = cb.agg(max(col("sub")).as("ms"),
-      max(size(col("cv"))).as("sd")).head()
-    val m = geo.getLong(0).toInt + 1
-    val subDim = geo.getInt(1)
+    val (m, subDim) = pqGeometry(path, cb)
     val cents = spark.read.parquet(s"$path/centroids")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val probe = broadcast(q).join(broadcast(cents))
       .withColumn("dist2", round(V.l2Squared(col("qv"), col("cv")), 6))
     val wp = Window.partitionBy(col("query_id"))
       .orderBy(asc("dist2"), asc("centroid_id"))
-    val probed = probe.withColumn("rn", row_number().over(wp))
-      .filter(col("rn") <= nprobe)
+    val maxNp = settings.map(_._1).max
+    val ranked = probe.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= maxNp)
       .select(col("query_id"), col("qv"), col("cv"),
-        col("centroid_id").cast("string").as("cluster_id"))
-    // bounded driver hop (nQueries x nprobe strings) -> static isin
-    // partition filter: Catalyst prunes to the probed directories
-    val probedIds = probed.select(col("cluster_id"))
-      .distinct().collect().map(_.getString(0))
-    val corpus = spark.read.parquet(s"$path/index")
-      .filter(col("cluster_id").isin(probedIds.toSeq: _*))
-    // distance table: raw mode keys per query (codes quantize raw
-    // positions); residual mode keys per (query, probed cluster) —
-    // stored codes quantize (v - centroid), so the query side must be
-    // the query's OWN residual against that cluster's centroid. Still
-    // broadcast-bounded: nQueries x nprobe x m x kCodes rows.
-    val dt =
-      if (residual) {
-        val qres = probed.select(col("query_id"), col("cluster_id"),
-          zip_with(col("qv"), col("cv"),
-            (x, y) => x.cast("double") - y.cast("double")).as("rqv"))
-        val qSub = qres.select(col("query_id"), col("cluster_id"),
-            explode(transform(sequence(lit(0L), lit(m - 1L)),
-              j => struct(j.as("sub"),
-                slice(col("rqv"), (j * subDim + 1).cast("int"),
-                  lit(subDim)).as("qsv")))).as("e"))
-          .select(col("query_id"), col("cluster_id"),
-            col("e.sub").as("sub"), col("e.qsv").as("qsv"))
-        broadcast(cb).join(broadcast(qSub), Seq("sub"))
-          .withColumn("d6", round(V.l2Squared(col("qsv"), col("cv")), 6))
-          .select(col("query_id"), col("cluster_id"), col("sub"),
-            col("code"), round(col("d6") * 1e6).cast("long").as("d_u"))
-      } else {
-        val qSub = ProductQuantization.subspaces(q, "query_id", "qv", m, subDim)
-          .select(col("id").as("query_id"), col("sub"),
-            transform(col("sv"), x => x.cast("double")).as("qsv"))
-        broadcast(cb).join(broadcast(qSub), Seq("sub"))
-          .withColumn("d6", round(V.l2Squared(col("qsv"), col("cv")), 6))
-          .select(col("query_id"), col("sub"), col("code"),
-            round(col("d6") * 1e6).cast("long").as("d_u"))
-      }
-    // ADC branch reads CODES ONLY — the point of PQ at 100 TB: the
-    // 64-float vector column (16x the codes) stays columnar-pruned
-    // out of this scan (asserted in IvfIndexSpec); the shuffle
-    // carries one (query_id, id, partial adc) row per candidate
-    val member = probed.select(col("query_id"), col("cluster_id"))
-      .join(corpus.select(col("cluster_id"), col("id"), col("codes")),
-        Seq("cluster_id"))
-      .filter(col("query_id") =!= col("id"))
-    val dtKeys =
-      if (residual) Seq("query_id", "cluster_id", "sub", "code")
-      else Seq("query_id", "sub", "code")
-    val adc = member
-      .select(col("query_id"), col("cluster_id"), col("id"),
-        posexplode(col("codes")).as(Seq("sub", "code")))
-      .join(broadcast(dt), dtKeys)
-      .groupBy(col("query_id"), col("id"))
-      .agg(sum(col("d_u")).as("adc_u"))
-    val ws = Window.partitionBy(col("query_id"))
-      .orderBy(asc("adc_u"), asc("id"))
-    val short = adc.withColumn("srn", row_number().over(ws))
-      .filter(col("srn") <= shortlistN)
-      .select(col("query_id"), col("id"), col("adc_u"))
-    // exact re-rank: the bounded shortlist (queries x shortlistN rows)
-    // broadcasts onto a SECOND pruned scan that reads (id, v) only —
-    // the original floats are touched for shortlist rows, never for
-    // the whole probed cluster
-    val rr = spark.read.parquet(s"$path/index")
-      .filter(col("cluster_id").isin(probedIds.toSeq: _*))
-      .select(col("id"), col("v"))
-      .join(broadcast(short), Seq("id"))
-      .join(broadcast(q), Seq("query_id"))
-      .withColumn("cosine", round(V.cosine(col("qv"), col("v")), 4))
-    val wk = Window.partitionBy(col("query_id"))
-      .orderBy(desc("cosine"), asc("id"))
-    rr.withColumn("rnk", row_number().over(wk))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("id").as("neighbor_id"),
-        col("adc_u"), col("cosine"))
+        col("centroid_id").cast("string").as("cluster_id"), col("rn"))
+    // bounded driver hop (nQueries x maxNp rows), ONCE for the sweep:
+    // per-setting probed sets are derived from the collected ranking
+    val clusterMinRn = ranked.groupBy(col("cluster_id"))
+      .agg(min(col("rn")).as("mrn"))
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    settings.map { case (nprobe, shortlistN) =>
+      val probed = ranked.filter(col("rn") <= nprobe)
+        .select(col("query_id"), col("qv"), col("cv"), col("cluster_id"))
+      // static isin partition filter: Catalyst prunes to the probed
+      // directories
+      val probedIds = clusterMinRn.filter(_._2 <= nprobe).map(_._1)
+      val corpus = spark.read.parquet(s"$path/index")
+        .filter(col("cluster_id").isin(probedIds.toSeq: _*))
+      // distance table: raw mode keys per query (codes quantize raw
+      // positions); residual mode keys per (query, probed cluster) —
+      // stored codes quantize (v - centroid), so the query side must be
+      // the query's OWN residual against that cluster's centroid. Still
+      // broadcast-bounded: nQueries x nprobe x m x kCodes rows.
+      val dt =
+        if (residual) {
+          val qres = probed.select(col("query_id"), col("cluster_id"),
+            zip_with(col("qv"), col("cv"),
+              (x, y) => x.cast("double") - y.cast("double")).as("rqv"))
+          val qSub = qres.select(col("query_id"), col("cluster_id"),
+              explode(transform(sequence(lit(0L), lit(m - 1L)),
+                j => struct(j.as("sub"),
+                  slice(col("rqv"), (j * subDim + 1).cast("int"),
+                    lit(subDim)).as("qsv")))).as("e"))
+            .select(col("query_id"), col("cluster_id"),
+              col("e.sub").as("sub"), col("e.qsv").as("qsv"))
+          broadcast(cb).join(broadcast(qSub), Seq("sub"))
+            .withColumn("d6", round(V.l2Squared(col("qsv"), col("cv")), 6))
+            .select(col("query_id"), col("cluster_id"), col("sub"),
+              col("code"), round(col("d6") * 1e6).cast("long").as("d_u"))
+        } else {
+          val qSub = ProductQuantization.subspaces(q, "query_id", "qv", m, subDim)
+            .select(col("id").as("query_id"), col("sub"),
+              transform(col("sv"), x => x.cast("double")).as("qsv"))
+          broadcast(cb).join(broadcast(qSub), Seq("sub"))
+            .withColumn("d6", round(V.l2Squared(col("qsv"), col("cv")), 6))
+            .select(col("query_id"), col("sub"), col("code"),
+              round(col("d6") * 1e6).cast("long").as("d_u"))
+        }
+      // ADC branch reads CODES ONLY — the point of PQ at 100 TB: the
+      // 64-float vector column (16x the codes) stays columnar-pruned
+      // out of this scan (asserted in IvfIndexSpec); the shuffle
+      // carries one (query_id, id, partial adc) row per candidate
+      val member = probed.select(col("query_id"), col("cluster_id"))
+        .join(corpus.select(col("cluster_id"), col("id"), col("codes")),
+          Seq("cluster_id"))
+        .filter(col("query_id") =!= col("id"))
+      val dtKeys =
+        if (residual) Seq("query_id", "cluster_id", "sub", "code")
+        else Seq("query_id", "sub", "code")
+      val adc = member
+        .select(col("query_id"), col("cluster_id"), col("id"),
+          posexplode(col("codes")).as(Seq("sub", "code")))
+        .join(broadcast(dt), dtKeys)
+        .groupBy(col("query_id"), col("id"))
+        .agg(sum(col("d_u")).as("adc_u"))
+      val ws = Window.partitionBy(col("query_id"))
+        .orderBy(asc("adc_u"), asc("id"))
+      val short = adc.withColumn("srn", row_number().over(ws))
+        .filter(col("srn") <= shortlistN)
+        .select(col("query_id"), col("id"), col("adc_u"))
+      // exact re-rank: the bounded shortlist (queries x shortlistN rows)
+      // broadcasts onto a SECOND pruned scan that reads (id, v) only —
+      // the original floats are touched for shortlist rows, never for
+      // the whole probed cluster
+      val rr = spark.read.parquet(s"$path/index")
+        .filter(col("cluster_id").isin(probedIds.toSeq: _*))
+        .select(col("id"), col("v"))
+        .join(broadcast(short), Seq("id"))
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("cosine", round(V.cosine(col("qv"), col("v")), 4))
+      val wk = Window.partitionBy(col("query_id"))
+        .orderBy(desc("cosine"), asc("id"))
+      rr.withColumn("rnk", row_number().over(wk))
+        .filter(col("rnk") <= k)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          col("adc_u"), col("cosine"))
+    }
   }
 
   /** IVF top-k over a written index (see ivfIndexWrite): the probe

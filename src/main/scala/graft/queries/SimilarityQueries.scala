@@ -876,14 +876,20 @@ object SimilarityQueries extends QueryRegistry {
           m = 4, kCodes = 16, subDim = 16, iters = 1, path,
           targetRowsPerFile = 256L)
       val queries = emb.filter(col("vec_id") < 3)
-      val truth = Similarity.bruteForceTopK(queries, emb,
-          "vec_id", "embedding", k = 5)
-        .select(col("query_id"), col("neighbor_id"))
-        .cache()
-      recallSettings.map { case (np, sl) =>
-        val res = Similarity.ivfPqTopK(s, path, queries,
-            "vec_id", "embedding", k = 5, nprobe = np, shortlistN = sl)
+      // materialize (r20, Par scaladoc): truth feeds a semi join + two
+      // aggregates PER operating point — ten concurrent consumers
+      // racing to build the lazy cache otherwise
+      val truth = graft.operators.Par.materialize(
+        Similarity.bruteForceTopK(queries, emb,
+            "vec_id", "embedding", k = 5)
           .select(col("query_id"), col("neighbor_id"))
+          .cache())
+      // one sweep: fixed driver work (geometry, probe collect) paid
+      // once for all five operating points instead of per point (r20)
+      val sweep = Similarity.ivfPqTopKSweep(s, path, queries,
+        "vec_id", "embedding", k = 5, recallSettings)
+      recallSettings.zip(sweep).map { case ((np, sl), full) =>
+        val res = full.select(col("query_id"), col("neighbor_id"))
         val hits = truth.join(res, Seq("query_id", "neighbor_id"), "left_semi")
         truth.agg(count(lit(1)).as("n_truth"))
           .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
@@ -1124,15 +1130,16 @@ object SimilarityQueries extends QueryRegistry {
           m = 4, kCodes = 16, subDim = 16, iters = 1, path,
           targetRowsPerFile = 256L, residual = true)
       val queries = emb.filter(col("vec_id") < 3)
-      val truth = Similarity.bruteForceTopK(queries, emb,
-          "vec_id", "embedding", k = 5)
-        .select(col("query_id"), col("neighbor_id"))
-        .cache()
-      recallSettings.map { case (np, sl) =>
-        val res = Similarity.ivfPqTopK(s, path, queries,
-            "vec_id", "embedding", k = 5, nprobe = np, shortlistN = sl,
-            residual = true)
+      // materialize + one sweep: see q235 (r20)
+      val truth = graft.operators.Par.materialize(
+        Similarity.bruteForceTopK(queries, emb,
+            "vec_id", "embedding", k = 5)
           .select(col("query_id"), col("neighbor_id"))
+          .cache())
+      val sweep = Similarity.ivfPqTopKSweep(s, path, queries,
+        "vec_id", "embedding", k = 5, recallSettings, residual = true)
+      recallSettings.zip(sweep).map { case ((np, sl), full) =>
+        val res = full.select(col("query_id"), col("neighbor_id"))
         val hits = truth.join(res, Seq("query_id", "neighbor_id"), "left_semi")
         truth.agg(count(lit(1)).as("n_truth"))
           .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
@@ -1279,10 +1286,13 @@ object SimilarityQueries extends QueryRegistry {
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 3)
-      val truth = Similarity.bruteForceTopK(queries, emb,
-          "vec_id", "embedding", k = 5)
-        .select(col("query_id"), col("neighbor_id"))
-        .cache()
+      // materialize (r20): truth feeds a semi join + two aggregates
+      // per code budget — see q235
+      val truth = graft.operators.Par.materialize(
+        Similarity.bruteForceTopK(queries, emb,
+            "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+          .cache())
       codeBudgets.map { case (m, subDim) =>
         val path = s"/tmp/graft_q252_ivfpq_m${m}_" +
           d.replaceAll("[^A-Za-z0-9.]", "_")
@@ -1374,10 +1384,13 @@ object SimilarityQueries extends QueryRegistry {
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 3)
-      val truth = Similarity.bruteForceTopK(queries, emb,
-          "vec_id", "embedding", k = 5)
-        .select(col("query_id"), col("neighbor_id"))
-        .cache()
+      // materialize (r20): truth feeds a semi join + two aggregates
+      // per dim budget — see q235
+      val truth = graft.operators.Par.materialize(
+        Similarity.bruteForceTopK(queries, emb,
+            "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+          .cache())
       dimBudgets.map { dd =>
         val tq = queries.select(col("vec_id"),
           slice(col("embedding"), 1, dd).as("embedding"))
@@ -1573,16 +1586,21 @@ object SimilarityQueries extends QueryRegistry {
       // where stale centroids hurt and a rebalance must help
       val queries = emb.filter(element_at(col("embedding"), 1) >= 0.0)
         .orderBy(col("vec_id")).limit(3)
-      val truth = Similarity.bruteForceTopK(queries, corpus,
-          "vec_id", "embedding", k = 5)
-        .select(col("query_id"), col("neighbor_id"))
-        .cache()
+      // materialize + one sweep per store variant: see q235 (r20) —
+      // truth feeds 12 concurrent consumers here, and each variant's
+      // fixed driver work (geometry, probe collect) is paid once for
+      // its three operating points instead of per point
+      val truth = graft.operators.Par.materialize(
+        Similarity.bruteForceTopK(queries, corpus,
+            "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+          .cache())
       Seq("rebalanced" -> true, "stale" -> false).map { case (name, rb) =>
         val path = q274ChurnedIndex(s, d, rb)
-        rebalanceSettings.map { case (np, sl) =>
-          val res = Similarity.ivfPqTopK(s, path, queries,
-              "vec_id", "embedding", k = 5, nprobe = np, shortlistN = sl)
-            .select(col("query_id"), col("neighbor_id"))
+        val sweep = Similarity.ivfPqTopKSweep(s, path, queries,
+          "vec_id", "embedding", k = 5, rebalanceSettings)
+        rebalanceSettings.zip(sweep).map { case ((np, sl), full) =>
+          val res = full.select(col("query_id"), col("neighbor_id"))
           val hits = truth.join(res, Seq("query_id", "neighbor_id"), "left_semi")
           truth.agg(count(lit(1)).as("n_truth"))
             .crossJoin(hits.agg(count(lit(1)).as("n_hit")))

