@@ -22,17 +22,25 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // coalesce floor below the parallelism-first byte target:
-      // compute-dense stages over SMALL byte footprints (array columns
-      // expand at eval time — shingle-array verify joins, vector
-      // grids) were coalesced to a handful of tasks by the default
-      // 1 MB floor while 32 cores idled (q82's verify stage: 12 tasks
-      // over ~12 MB). At cluster scale the floor never binds — the
-      // parallelismFirst target (input bytes / default parallelism)
-      // is orders of magnitude above 64 KB on any real input.
-      // parameterised (A/B-able without a rebuild): SPARK_GRAFT_AQE_MIN_PARTITION
+      // coalesce floor at 256kb. Round 19 lowered it globally from the
+      // 1m default to 64kb so compute-dense stages over SMALL byte
+      // footprints (shingle-array verify joins) kept their tasks, but
+      // the measured r20 A/B showed that blanket floor taxes EVERY
+      // small shuffle with 16x the tasks — q108 6.6->4.1 s, q132
+      // 2.4->1.7, q80 and the whole catalog/DDL family 1.3-2x faster
+      // with the floor raised. The stages that really need fine
+      // partitions (q82's verify join, q196's levenshtein scoring) are
+      // now pinned at their operators with explicit repartitions
+      // (user-specified partition counts are exempt from AQE
+      // coalescing) — byte-based coalescing cannot see compute
+      // density, so no single floor serves both. 256kb measured equal
+      // to 1m on the overhead-tax set and strictly gentler on the
+      // compute-dense set. At cluster scale the floor barely binds —
+      // the parallelismFirst target (bytes/parallelism) is far above
+      // it on real inputs. Parameterised for A/B
+      // (SPARK_GRAFT_AQE_MIN_PARTITION).
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64kb"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "256kb"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

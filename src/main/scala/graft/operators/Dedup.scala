@@ -155,8 +155,19 @@ object Dedup {
       .select(col("id1"), explode(slice(col("ids"), col("i") + 2,
         size(col("ids")))).as("id2"))
       .distinct()
-    cand
+    // pin the verify join's parallelism with EXPLICIT repartitions
+    // (r20): the candidate rows are tiny in bytes but each output row
+    // pays an array_intersect over two full shingle arrays, so AQE's
+    // byte-based coalescing squeezes the stage to 1-3 tasks while the
+    // rest of the box idles (measured: q82 6.6 s with the default 1m
+    // floor vs 2.5 s pinned). A user-specified partition count is
+    // exempt from AQE coalescing, and matching the session shuffle
+    // partitioning means the joins reuse these exchanges — no extra
+    // shuffle, the verify stage just keeps its width.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    cand.repartition(par, col("id1"))
       .join(sh.as("a"), col("id1") === col("a.id"))
+      .repartition(par, col("id2"))
       .join(sh.as("b"), col("id2") === col("b.id"))
       .withColumn("inter", size(array_intersect(col("a.sh"), col("b.sh"))))
       .withColumn("jaccard",

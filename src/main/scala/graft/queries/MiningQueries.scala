@@ -1049,14 +1049,28 @@ object MiningQueries extends QueryRegistry {
       def variants(df: org.apache.spark.sql.DataFrame, idName: String) =
         df.select(col("id").as(idName),
           explode(FuzzyJoin.deletionVariants1(col("nm"))).as("v"))
-      val cand = variants(clean, "cid").join(variants(dirty, "did"), "v")
+      // pin the blocking join's width too (same rationale as below:
+      // variant strings are few MBs but the join + partial-distinct
+      // stage is compute-dense, and AQE coalesced it to one task)
+      val cand = variants(clean, "cid")
+        .repartition(s.sparkContext.defaultParallelism, col("v"))
+        .join(variants(dirty, "did"), "v")
         .select(col("cid"), col("did")).distinct()
-      val scored = cand
+      // pin + cache + materialize (r20): candidate pairs are tiny in
+      // bytes but each row pays a levenshtein, so AQE's byte-based
+      // coalescing squeezed the scoring stage to 2 tasks (explicit
+      // partition counts are coalesce-exempt); and `scored` feeds BOTH
+      // argmin branches — uncached, two concurrent jobs each recomputed
+      // the full candidate+score pipeline (measured: 2 x ~1.0 s)
+      val scored = graft.operators.Par.materialize(cand
+        .repartition(s.sparkContext.defaultParallelism,
+          col("cid"), col("did"))
         .join(clean.select(col("id").as("cid"), col("nm").as("cnm")), "cid")
         .join(dirty.select(col("id").as("did"), col("nm").as("dnm")), "did")
         .withColumn("dist", levenshtein(col("cnm"), col("dnm")))
         .filter(col("dist") <= 2)
         .withColumn("neg", -col("dist"))
+        .cache())
       val bd = TopK.perGroup(scored, Seq("did"), "neg", "cid", Seq(), 1)
       val bc = TopK.perGroup(scored, Seq("cid"), "neg", "did", Seq(), 1)
       bd.join(bc, Seq("cid", "did"))
