@@ -42,7 +42,21 @@ object Bucketing {
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
-    df.write.mode(SaveMode.Overwrite)
+    // spread the write (r20, guide §2.5 input skew): a single-file
+    // scan plans 1-3 write tasks, each sorting and writing all its
+    // buckets (measured: q125's lineitem write ran 1.7 s on 3 tasks).
+    // Repartition to a MULTIPLE of numBuckets on the bucket keys:
+    // partition p (pmod(hash, n)) holds rows of exactly bucket
+    // p % numBuckets (same Murmur3 hash, n a multiple of numBuckets),
+    // so every task writes ONE bucket file — parallel write, no file
+    // blowup. Explicit count: AQE coalescing is exempt, so the write
+    // width survives on tiny inputs too.
+    val spreadN = {
+      val par = spark.sparkContext.defaultParallelism
+      math.max(numBuckets, par / numBuckets * numBuckets)
+    }
+    df.repartition(spreadN, keys.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

@@ -540,14 +540,18 @@ object Similarity {
     val clusterMinRn = ranked.groupBy(col("cluster_id"))
       .agg(min(col("rn")).as("mrn"))
       .collect().map(r => r.getString(0) -> r.getInt(1))
+    // ONE index read shared by every setting's ADC scan and re-rank
+    // scan: each spark.read.parquet is a driver file-index build plus
+    // a footer/schema job — the sweep previously paid 2 per setting
+    // (profiled as a chain of serial ~25 ms single-task jobs)
+    val index = spark.read.parquet(s"$path/index")
     settings.map { case (nprobe, shortlistN) =>
       val probed = ranked.filter(col("rn") <= nprobe)
         .select(col("query_id"), col("qv"), col("cv"), col("cluster_id"))
       // static isin partition filter: Catalyst prunes to the probed
       // directories
       val probedIds = clusterMinRn.filter(_._2 <= nprobe).map(_._1)
-      val corpus = spark.read.parquet(s"$path/index")
-        .filter(col("cluster_id").isin(probedIds.toSeq: _*))
+      val corpus = index.filter(col("cluster_id").isin(probedIds.toSeq: _*))
       // distance table: raw mode keys per query (codes quantize raw
       // positions); residual mode keys per (query, probed cluster) —
       // stored codes quantize (v - centroid), so the query side must be
@@ -604,8 +608,7 @@ object Similarity {
       // broadcasts onto a SECOND pruned scan that reads (id, v) only —
       // the original floats are touched for shortlist rows, never for
       // the whole probed cluster
-      val rr = spark.read.parquet(s"$path/index")
-        .filter(col("cluster_id").isin(probedIds.toSeq: _*))
+      val rr = index.filter(col("cluster_id").isin(probedIds.toSeq: _*))
         .select(col("id"), col("v"))
         .join(broadcast(short), Seq("id"))
         .join(broadcast(q), Seq("query_id"))

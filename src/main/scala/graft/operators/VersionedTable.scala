@@ -1153,11 +1153,26 @@ object VersionedTable {
     */
   val BloomBits: Int = 1 << 16
 
+  /** The sidecar's fixed schema, passed explicitly on read (r20):
+    * schema inference ran a footer job PER SIDECAR PER PROBE — q326
+    * profiled as a chain of ~20 serial single-task ~25 ms jobs, all
+    * schema reads of files this module itself wrote.
+    */
+  private val BloomSidecarSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("col",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("bit",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("bits",
+      org.apache.spark.sql.types.LongType)))
+
   private def bloomSidecar(spark: SparkSession, path: String,
       dir: String): Option[DataFrame] = {
     val (f, _) = fs(path)
     val p = new Path(s"$path/data/$dir/_bloom")
-    if (f.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    if (f.exists(p))
+      Some(spark.read.schema(BloomSidecarSchema).parquet(p.toString))
+    else None
   }
 
   /** Data dirs that MIGHT contain at least one of `keys` under

@@ -883,6 +883,9 @@ object SimilarityQueries extends QueryRegistry {
         Similarity.bruteForceTopK(queries, emb,
             "vec_id", "embedding", k = 5)
           .select(col("query_id"), col("neighbor_id"))
+          // k x nQueries rows: one partition, or every downstream
+          // semi-join/aggregate stage inherits the cache's 32 (r20)
+          .coalesce(1)
           .cache())
       // one sweep: fixed driver work (geometry, probe collect) paid
       // once for all five operating points instead of per point (r20)
@@ -1135,6 +1138,9 @@ object SimilarityQueries extends QueryRegistry {
         Similarity.bruteForceTopK(queries, emb,
             "vec_id", "embedding", k = 5)
           .select(col("query_id"), col("neighbor_id"))
+          // k x nQueries rows: one partition, or every downstream
+          // semi-join/aggregate stage inherits the cache's 32 (r20)
+          .coalesce(1)
           .cache())
       val sweep = Similarity.ivfPqTopKSweep(s, path, queries,
         "vec_id", "embedding", k = 5, recallSettings, residual = true)
@@ -1292,6 +1298,9 @@ object SimilarityQueries extends QueryRegistry {
         Similarity.bruteForceTopK(queries, emb,
             "vec_id", "embedding", k = 5)
           .select(col("query_id"), col("neighbor_id"))
+          // k x nQueries rows: one partition, or every downstream
+          // semi-join/aggregate stage inherits the cache's 32 (r20)
+          .coalesce(1)
           .cache())
       codeBudgets.map { case (m, subDim) =>
         val path = s"/tmp/graft_q252_ivfpq_m${m}_" +
@@ -1390,6 +1399,9 @@ object SimilarityQueries extends QueryRegistry {
         Similarity.bruteForceTopK(queries, emb,
             "vec_id", "embedding", k = 5)
           .select(col("query_id"), col("neighbor_id"))
+          // k x nQueries rows: one partition, or every downstream
+          // semi-join/aggregate stage inherits the cache's 32 (r20)
+          .coalesce(1)
           .cache())
       dimBudgets.map { dd =>
         val tq = queries.select(col("vec_id"),
@@ -1594,6 +1606,9 @@ object SimilarityQueries extends QueryRegistry {
         Similarity.bruteForceTopK(queries, corpus,
             "vec_id", "embedding", k = 5)
           .select(col("query_id"), col("neighbor_id"))
+          // k x nQueries rows: one partition, or every downstream
+          // semi-join/aggregate stage inherits the cache's 32 (r20)
+          .coalesce(1)
           .cache())
       Seq("rebalanced" -> true, "stale" -> false).map { case (name, rb) =>
         val path = q274ChurnedIndex(s, d, rb)
