@@ -535,16 +535,21 @@ object Dedup {
       minhashBanded(hashedNew, bands, rowsPerBand)
         .withColumnRenamed("id", "new_id"),
       hashedNew, bands, broadcastMaxBandRows)
+    // spread both store scans (r20, Par scaladoc): the store tables
+    // are single-file locally, so the band join and the shingle-array
+    // verify ran on 1-2 scan tasks per micro-batch (the batch side
+    // broadcasts, so the store scan's width IS the stage width); a
+    // cluster-scale store has enough splits that spread no-ops
     val cand = newSide
       .join(antiJoinHotBands(
-          spark.read.parquet(s"$storePath/bands")
+          Par.spread(spark.read.parquet(s"$storePath/bands"), col("id"))
             .withColumnRenamed("id", "corpus_id"), maxBandDf),
         Seq("band_idx", "band_key"))
       .select(col("new_id"), col("corpus_id"))
       .distinct()
     cand
       .join(hashedNew.select(col("id").as("new_id"), col("sh").as("sh1")), Seq("new_id"))
-      .join(spark.read.parquet(s"$storePath/shingles")
+      .join(Par.spread(spark.read.parquet(s"$storePath/shingles"), col("id"))
           .select(col("id").as("corpus_id"), col("sh").as("sh2")), Seq("corpus_id"))
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("jaccard",

@@ -31,10 +31,20 @@ object KCore {
     val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
     // materialize (r19, Par scaladoc): every peel round's two
-    // semi-joins fan out of this cache concurrently
+    // semi-joins fan out of this cache concurrently.
+    // Pre-partition on A (r20, guide §2.4): distinct() leaves the
+    // cache hash(a, b)-partitioned, so every peel round re-exchanged
+    // the full undirected edge set for its first semi-join — one edge
+    // shuffle per round at any scale. Partitioned on a (explicit
+    // count = session shuffle partitions: join-reusable and
+    // AQE-coalesce-exempt), only the round's SURVIVOR set shuffles
+    // for the second semi-join.
     val und = Par.materialize(
       e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
-        .distinct().cache())
+        .distinct()
+        .repartition(edges.sparkSession.sessionState.conf.numShufflePartitions,
+          col("a"))
+        .cache())
     var alive = und.select(col("a").as("node")).distinct()
     for (_ <- 1 to rounds) {
       alive = und

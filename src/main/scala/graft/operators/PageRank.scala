@@ -38,10 +38,21 @@ object PageRank {
       redistributeDanglingMass: Boolean = false): DataFrame = {
     // materialize (r19, Par scaladoc): e feeds BOTH union branches of
     // nodes plus deg and every round's join — the node-count action
-    // otherwise races two concurrent builds of the edge cache
+    // otherwise races two concurrent builds of the edge cache.
+    // Pre-partition on SRC (r20, guide §2.4 share one exchange):
+    // distinct() leaves the cache hash(src, dst)-partitioned, so every
+    // round's rank join re-exchanged the full edge set on src — one
+    // shuffle of the edges per iteration, at any scale. Partitioned on
+    // the join key (explicit count = session shuffle partitions, so
+    // the join reuses it and AQE cannot coalesce it away), the edge
+    // side of the iteration join never shuffles again, and the degree
+    // aggregate below collapses to a partial-only pass.
     val e = Par.materialize(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-        .distinct().cache())
+        .distinct()
+        .repartition(edges.sparkSession.sessionState.conf.numShufflePartitions,
+          col("src"))
+        .cache())
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
     val n = nodes.count().toDouble // bounded: one scalar, not a row set
@@ -95,11 +106,15 @@ object PageRank {
     */
   def weightedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, damping: Double = 0.85, iters: Int = 5): DataFrame = {
-    // materialize: see pageRank (r19)
+    // materialize: see pageRank (r19); pre-partition on src (r20) —
+    // the per-(src,dst) pre-aggregation leaves hash(src, dst), so the
+    // per-round rank join re-exchanged the edges every iteration
     val e = Par.materialize(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
           col(weightCol).cast("long").as("w"))
         .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+        .repartition(edges.sparkSession.sessionState.conf.numShufflePartitions,
+          col("src"))
         .cache())
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
@@ -137,10 +152,14 @@ object PageRank {
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String,
       damping: Double = 0.85, iters: Int = 5): DataFrame = {
-    // materialize: see pageRank (r19)
+    // materialize: see pageRank (r19); pre-partition on src (r20) —
+    // see pageRank: one edge exchange per iteration removed
     val e = Par.materialize(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-        .distinct().cache())
+        .distinct()
+        .repartition(edges.sparkSession.sessionState.conf.numShufflePartitions,
+          col("src"))
+        .cache())
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
     val seedNodes = seeds.select(col(seedCol).as("node")).distinct()
