@@ -1111,8 +1111,15 @@ object Dedup {
     // single-split scan each time (Par / ngramJaccardPairs scaladoc).
     // Multi-pass callers pass ONE prebuilt cache for all passes (r20).
     val sh = prebuiltShingles.getOrElse(snmShingles(docs, idCol, textCol, n))
-    cand
+    // pin the verify join's width (r20): same tiny-bytes/heavy-compute
+    // shape as ngramJaccardPrefixPairs — AQE's byte-based coalescing
+    // squeezes the array_intersect stage to a few tasks (explicit
+    // partition counts are coalesce-exempt; matching the session
+    // shuffle partitioning makes the joins reuse these exchanges)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    cand.repartition(par, col("id1"))
       .join(sh.as("x"), col("id1") === col("x.id"))
+      .repartition(par, col("id2"))
       .join(sh.as("y"), col("id2") === col("y.id"))
       .withColumn("inter", size(array_intersect(col("x.sh"), col("y.sh"))))
       .withColumn("jaccard",
